@@ -1,24 +1,31 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-/** The engine's query surface over the TESTDATA tables.
+/** The engine's relational query surface over the TESTDATA tables.
   *
   * Conventions (required by the driver's DuckDB hash-compare):
   *  - every computed column is aliased identically here and in the oracle;
-  *  - every query ends in a deterministic ORDER BY present in both;
+  *  - every query ends in a deterministic ORDER BY present in both (all
+  *    window orderings are made total with a key tiebreak);
   *  - floating-point aggregates are rounded (2dp money, 4dp ratios) so
   *    summation-order differences between engines cannot flip the hash.
+  *
+  * Scale notes are per-query Scaladoc: broadcast for dimension joins,
+  * partial aggregation before shuffles, pushdown-friendly filters.
   */
 object Queries {
 
   private def t(spark: SparkSession, dir: String, name: String): DataFrame =
     Tables.load(spark, dir, name)
 
+  private def ts(s: String): Column = to_timestamp(lit(s))
+
   // ---------------------------------------------------------------- q1
-  /** TPC-H Q1-style grouped aggregation (SURVEY §2 gap: grouped agg).
-    * Map-side partial agg + single shuffle on the 6-value group key. */
+  /** TPC-H Q1-style grouped aggregation. One shuffle on a 6-value key;
+    * partial (map-side) agg does almost all the work — scales linearly. */
   def q1Agg(spark: SparkSession, dir: String): DataFrame =
     t(spark, dir, "lineitem")
       .groupBy("l_returnflag", "l_linestatus")
@@ -40,16 +47,487 @@ object Queries {
        round(avg(l_quantity), 4) AS avg_qty,
        round(avg(l_discount), 4) AS avg_disc,
        count(*) AS count_order
-       FROM lineitem
-       GROUP BY l_returnflag, l_linestatus
+       FROM lineitem GROUP BY l_returnflag, l_linestatus
        ORDER BY l_returnflag, l_linestatus"""
 
+  // ---------------------------------------------------------------- q2
+  /** Selective filter + narrow projection — both must reach the parquet
+    * scan (PushedFilters + 4-column ReadSchema), no shuffle at all. */
+  def q2FilterProject(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .filter(col("l_shipdate") >= ts("1995-09-01") &&
+        col("l_shipdate") < ts("1995-10-01") && col("l_discount") > 0.05)
+      .select("l_orderkey", "l_linenumber", "l_extendedprice", "l_discount")
+      .orderBy("l_orderkey", "l_linenumber")
+
+  val q2Oracle: String =
+    """SELECT l_orderkey, l_linenumber, l_extendedprice, l_discount
+       FROM lineitem
+       WHERE l_shipdate >= TIMESTAMP '1995-09-01' AND l_shipdate < TIMESTAMP '1995-10-01'
+         AND l_discount > 0.05
+       ORDER BY l_orderkey, l_linenumber"""
+
+  // ---------------------------------------------------------------- q3
+  /** TPC-H Q3-style 3-way join + agg + top-k. customer is the small side
+    * → broadcast; orders⋈lineitem shuffles on orderkey once. */
+  def q3JoinAgg(spark: SparkSession, dir: String): DataFrame = {
+    val c = t(spark, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+    val o = t(spark, dir, "orders").filter(col("o_orderdate") < ts("1995-03-15"))
+    val l = t(spark, dir, "lineitem").filter(col("l_shipdate") > ts("1995-03-15"))
+    l.join(o, l("l_orderkey") === o("o_orderkey"))
+      .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .groupBy("l_orderkey")
+      .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+        .as("revenue"))
+      .orderBy(col("revenue").desc, col("l_orderkey"))
+      .limit(10)
+  }
+
+  val q3Oracle: String =
+    """SELECT l_orderkey,
+       round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue
+       FROM customer, orders, lineitem
+       WHERE c_mktsegment = 'BUILDING' AND c_custkey = o_custkey
+         AND l_orderkey = o_orderkey
+         AND o_orderdate < TIMESTAMP '1995-03-15'
+         AND l_shipdate > TIMESTAMP '1995-03-15'
+       GROUP BY l_orderkey
+       ORDER BY revenue DESC, l_orderkey LIMIT 10"""
+
+  // ---------------------------------------------------------------- q4
+  /** Global top-k: Spark's sort+limit compiles to TakeOrderedAndProject —
+    * per-partition heaps, no full sort, driver merges k rows. */
+  def q4SortLimit(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "orders")
+      .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(20)
+
+  val q4Oracle: String =
+    """SELECT o_orderkey, o_custkey, o_totalprice, o_orderpriority
+       FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 20"""
+
+  // ---------------------------------------------------------------- q5
+  /** TPC-H Q5-style 6-table join. region/nation/supplier/customer are
+    * dimension-sized at every SF → broadcast them all; the only shuffle
+    * left is orders⋈lineitem + the final 25-key agg. */
+  def q5MultiJoin(spark: SparkSession, dir: String): DataFrame = {
+    val r = t(spark, dir, "region").filter(col("r_name") === "ASIA")
+    val n = t(spark, dir, "nation")
+    val c = t(spark, dir, "customer")
+    val s = t(spark, dir, "supplier")
+    val o = t(spark, dir, "orders")
+      .filter(col("o_orderdate") >= ts("1996-01-01") &&
+        col("o_orderdate") < ts("1997-01-01"))
+    val l = t(spark, dir, "lineitem")
+    l.join(o, l("l_orderkey") === o("o_orderkey"))
+      .join(broadcast(s), l("l_suppkey") === s("s_suppkey"))
+      .join(broadcast(c),
+        o("o_custkey") === c("c_custkey") &&
+          s("s_nationkey") === c("c_nationkey"))
+      .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+      .groupBy("n_name")
+      .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+        .as("revenue"))
+      .orderBy(col("revenue").desc, col("n_name"))
+  }
+
+  val q5Oracle: String =
+    """SELECT n_name,
+       round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue
+       FROM customer, orders, lineitem, supplier, nation, region
+       WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+         AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+         AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+         AND r_name = 'ASIA'
+         AND o_orderdate >= TIMESTAMP '1996-01-01'
+         AND o_orderdate < TIMESTAMP '1997-01-01'
+       GROUP BY n_name ORDER BY revenue DESC, n_name"""
+
+  // ---------------------------------------------------------------- q6
+  /** Window functions: per-customer order sequence + running revenue.
+    * Window ordering is made TOTAL (orderdate, orderkey) so row_number
+    * is deterministic across engines/partitionings. */
+  def q6Window(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    t(spark, dir, "orders")
+      .withColumn("rn", row_number().over(w))
+      .withColumn("running_total",
+        round(sum("o_totalprice").over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)), 2))
+      .filter(col("rn") <= 3)
+      .select("o_custkey", "rn", "o_orderkey", "running_total")
+      .orderBy("o_custkey", "rn")
+  }
+
+  val q6Oracle: String =
+    """SELECT o_custkey, rn, o_orderkey, running_total FROM (
+         SELECT o_custkey, o_orderkey,
+           row_number() OVER w AS rn,
+           round(sum(o_totalprice) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2)
+             AS running_total
+         FROM orders
+         WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+       ) WHERE rn <= 3 ORDER BY o_custkey, rn"""
+
+  // ---------------------------------------------------------------- q7
+  /** Distinct aggregation: exact + approximate cardinality side by side.
+    * (approx_count_distinct is the scale path — one pass, no expand;
+    * it has no DuckDB equivalent so only exact columns are compared.) */
+  def q7Distinct(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(
+        countDistinct(col("l_partkey")).as("n_parts"),
+        countDistinct(col("l_suppkey")).as("n_supps"),
+        count(lit(1)).as("n_rows"))
+      .orderBy("l_returnflag")
+
+  val q7Oracle: String =
+    """SELECT l_returnflag,
+       count(DISTINCT l_partkey) AS n_parts,
+       count(DISTINCT l_suppkey) AS n_supps,
+       count(*) AS n_rows
+       FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""
+
+  // ---------------------------------------------------------------- q8
+  /** Set operations: UNION / INTERSECT / EXCEPT over customer-key sets
+    * (buyers in two segments). Tagged counts keep one result schema. */
+  def q8SetOps(spark: SparkSession, dir: String): DataFrame = {
+    val c = t(spark, dir, "customer")
+    val a = c.filter(col("c_mktsegment") === "BUILDING").select("c_custkey")
+    val b = t(spark, dir, "orders").select(col("o_custkey").as("c_custkey"))
+    def tag(name: String, df: DataFrame) =
+      df.agg(count(lit(1)).as("n")).select(lit(name).as("op"), col("n"))
+    tag("union", a.union(b).distinct())
+      .unionByName(tag("intersect", a.intersect(b)))
+      .unionByName(tag("except", a.except(b)))
+      .orderBy("op")
+  }
+
+  val q8Oracle: String =
+    """SELECT 'union' AS op, count(*) AS n FROM (
+         SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+         UNION SELECT o_custkey FROM orders)
+       UNION ALL
+       SELECT 'intersect' AS op, count(*) AS n FROM (
+         SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+         INTERSECT SELECT o_custkey FROM orders)
+       UNION ALL
+       SELECT 'except' AS op, count(*) AS n FROM (
+         SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+         EXCEPT SELECT o_custkey FROM orders)
+       ORDER BY op"""
+
+  // ---------------------------------------------------------------- q9
+  /** Semi/anti joins (EXISTS / NOT EXISTS): customers with vs without
+    * orders, per market segment. Broadcast the distinct key set. */
+  def q9SemiAnti(spark: SparkSession, dir: String): DataFrame = {
+    val c = t(spark, dir, "customer")
+    val o = t(spark, dir, "orders").select(col("o_custkey").as("c_custkey"))
+    val withO = c.join(o, Seq("c_custkey"), "left_semi")
+      .groupBy("c_mktsegment").agg(count(lit(1)).as("with_orders"))
+    val withoutO = c.join(o, Seq("c_custkey"), "left_anti")
+      .groupBy("c_mktsegment").agg(count(lit(1)).as("without_orders"))
+    withO.join(withoutO, Seq("c_mktsegment"), "full_outer")
+      .select(col("c_mktsegment"),
+        coalesce(col("with_orders"), lit(0L)).as("with_orders"),
+        coalesce(col("without_orders"), lit(0L)).as("without_orders"))
+      .orderBy("c_mktsegment")
+  }
+
+  val q9Oracle: String =
+    """SELECT c_mktsegment,
+       count(*) FILTER (WHERE EXISTS
+         (SELECT 1 FROM orders WHERE o_custkey = c_custkey)) AS with_orders,
+       count(*) FILTER (WHERE NOT EXISTS
+         (SELECT 1 FROM orders WHERE o_custkey = c_custkey)) AS without_orders
+       FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment"""
+
+  // --------------------------------------------------------------- q10
+  /** ROLLUP grouping sets; grouping keys coalesced to 'ALL' so the
+    * subtotal rows hash identically in both engines. */
+  def q10Rollup(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .rollup("l_returnflag", "l_linestatus")
+      .agg(round(sum("l_quantity"), 2).as("sum_qty"),
+        count(lit(1)).as("n"))
+      .select(
+        coalesce(col("l_returnflag"), lit("ALL")).as("l_returnflag"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("l_linestatus"),
+        col("sum_qty"), col("n"))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  val q10Oracle: String =
+    """SELECT coalesce(l_returnflag, 'ALL') AS l_returnflag,
+       coalesce(l_linestatus, 'ALL') AS l_linestatus,
+       round(sum(l_quantity), 2) AS sum_qty, count(*) AS n
+       FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+       ORDER BY l_returnflag, l_linestatus"""
+
+  // --------------------------------------------------------------- q11
+  /** Decorrelated "above group average" — window avg beats a self-join
+    * (one shuffle on p_brand instead of two scans + broadcast). */
+  def q11AboveAvg(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("p_brand")
+    t(spark, dir, "part")
+      .withColumn("brand_avg", avg("p_retailprice").over(w))
+      .filter(col("p_retailprice") > col("brand_avg") * 1.03)
+      // the avg itself is NOT output: a 4dp round can sit exactly on a
+      // .00005 boundary and flip between engines' summation orders
+      .select(col("p_partkey"), col("p_brand"), col("p_retailprice"))
+      .orderBy("p_partkey")
+  }
+
+  val q11Oracle: String =
+    """SELECT p_partkey, p_brand, p_retailprice
+       FROM (SELECT p_partkey, p_brand, p_retailprice,
+               avg(p_retailprice) OVER (PARTITION BY p_brand) AS brand_avg
+             FROM part)
+       WHERE p_retailprice > brand_avg * 1.03 ORDER BY p_partkey"""
+
+  // --------------------------------------------------------------- q12
+  /** Conditional aggregation (sum(CASE WHEN)) — the one-pass pivot. */
+  def q12Conditional(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "orders")
+      .groupBy("o_orderstatus")
+      .agg(
+        count(when(col("o_orderpriority").startsWith("1"), 1)).as("p1"),
+        count(when(col("o_orderpriority").startsWith("2"), 1)).as("p2"),
+        count(when(!col("o_orderpriority").startsWith("1") &&
+          !col("o_orderpriority").startsWith("2"), 1)).as("rest"),
+        round(sum(when(col("o_totalprice") > 100000, col("o_totalprice"))
+          .otherwise(0.0)), 2).as("big_total"))
+      .orderBy("o_orderstatus")
+
+  val q12Oracle: String =
+    """SELECT o_orderstatus,
+       count(CASE WHEN o_orderpriority LIKE '1%' THEN 1 END) AS p1,
+       count(CASE WHEN o_orderpriority LIKE '2%' THEN 1 END) AS p2,
+       count(CASE WHEN o_orderpriority NOT LIKE '1%'
+                   AND o_orderpriority NOT LIKE '2%' THEN 1 END) AS rest,
+       round(sum(CASE WHEN o_totalprice > 100000 THEN o_totalprice ELSE 0 END), 2)
+         AS big_total
+       FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus"""
+
+  // --------------------------------------------------------------- q13
+  /** String functions over part: case, substring, length, regex extract,
+    * concat — all codegen'd Catalyst expressions (no UDFs). */
+  def q13Strings(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "part")
+      .select(
+        col("p_partkey"),
+        upper(col("p_brand")).as("brand_upper"),
+        substring(col("p_name"), 1, 8).as("name_prefix"),
+        length(col("p_name")).as("name_len"),
+        regexp_extract(col("p_type"), "^(\\w+)", 1).as("type_head"),
+        concat_ws("/", col("p_brand"), col("p_type")).as("brand_type"))
+      .filter(col("p_size") <= 10)
+      .orderBy("p_partkey")
+
+  val q13Oracle: String =
+    """SELECT p_partkey, upper(p_brand) AS brand_upper,
+       substring(p_name, 1, 8) AS name_prefix,
+       length(p_name) AS name_len,
+       regexp_extract(p_type, '^(\w+)', 1) AS type_head,
+       concat_ws('/', p_brand, p_type) AS brand_type
+       FROM part WHERE p_size <= 10 ORDER BY p_partkey"""
+
+  // --------------------------------------------------------------- q14
+  /** Date/time functions: year/quarter extraction + month truncation. */
+  def q14Dates(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "orders")
+      .groupBy(
+        year(col("o_orderdate")).cast("long").as("o_year"),
+        quarter(col("o_orderdate")).cast("long").as("o_quarter"))
+      .agg(count(lit(1)).as("n_orders"),
+        round(sum("o_totalprice"), 2).as("total"))
+      .orderBy("o_year", "o_quarter")
+
+  val q14Oracle: String =
+    """SELECT year(o_orderdate) AS o_year, quarter(o_orderdate) AS o_quarter,
+       count(*) AS n_orders, round(sum(o_totalprice), 2) AS total
+       FROM orders GROUP BY 1, 2 ORDER BY o_year, o_quarter"""
+
+  // --------------------------------------------------------------- q15
+  /** Pivot (wide conditional agg): quantity by linestatus × returnflag. */
+  def q15Pivot(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .groupBy("l_linestatus")
+      .pivot("l_returnflag", Seq("A", "N", "R"))
+      .agg(round(sum("l_quantity"), 2))
+      .select(col("l_linestatus"),
+        coalesce(col("A"), lit(0.0)).as("A"),
+        coalesce(col("N"), lit(0.0)).as("N"),
+        coalesce(col("R"), lit(0.0)).as("R"))
+      .orderBy("l_linestatus")
+
+  val q15Oracle: String =
+    """SELECT l_linestatus,
+       coalesce(round(sum(CASE WHEN l_returnflag = 'A' THEN l_quantity END), 2), 0) AS A,
+       coalesce(round(sum(CASE WHEN l_returnflag = 'N' THEN l_quantity END), 2), 0) AS N,
+       coalesce(round(sum(CASE WHEN l_returnflag = 'R' THEN l_quantity END), 2), 0) AS R
+       FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus"""
+
+  // --------------------------------------------------------------- q16
+  /** Ordered string aggregation per group (collect + sort + join —
+    * deterministic equivalent of string_agg ORDER BY). */
+  def q16GroupConcat(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "nation")
+      .join(broadcast(t(spark, dir, "region")),
+        col("n_regionkey") === col("r_regionkey"))
+      .groupBy("r_name")
+      .agg(array_join(sort_array(collect_list(col("n_name"))), ",")
+        .as("nations"))
+      .orderBy("r_name")
+
+  val q16Oracle: String =
+    """SELECT r_name, string_agg(n_name, ',' ORDER BY n_name) AS nations
+       FROM nation JOIN region ON n_regionkey = r_regionkey
+       GROUP BY r_name ORDER BY r_name"""
+
+  // --------------------------------------------------------------- q17
+  /** Tumbling-window (hourly) event aggregation — the batch shape of the
+    * streaming pipeline in graft.streaming. */
+  def q17EventsHourly(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "events")
+      .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("total_value"))
+      .orderBy("hour", "event_type")
+
+  val q17Oracle: String =
+    """SELECT date_trunc('hour', ts) AS hour, event_type,
+       count(*) AS n, round(sum(value), 2) AS total_value
+       FROM events GROUP BY 1, 2 ORDER BY hour, event_type"""
+
+  // --------------------------------------------------------------- q18
+  /** Sessionization: 30-minute-gap sessions per user via lag + running
+    * sum of session-start flags — single shuffle on user_id. */
+  def q18Sessionize(spark: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy("user_id")
+      .orderBy(col("ts"), col("event_id"))
+    val gapUs = lit(30L * 60 * 1000 * 1000)
+    t(spark, dir, "events")
+      .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(byUser))
+      .withColumn("new_session",
+        when(col("prev_us").isNull ||
+          unix_micros(col("ts")) - col("prev_us") > gapUs, 1L).otherwise(0L))
+      .groupBy("user_id")
+      .agg(sum("new_session").as("n_sessions"),
+        count(lit(1)).as("n_events"))
+      .orderBy("user_id")
+  }
+
+  val q18Oracle: String =
+    """SELECT user_id, sum(new_session) AS n_sessions, count(*) AS n_events
+       FROM (
+         SELECT user_id,
+           CASE WHEN prev_us IS NULL
+                  OR epoch_us(ts) - prev_us > 30*60*1000*1000
+                THEN 1 ELSE 0 END AS new_session
+         FROM (SELECT user_id, ts,
+                 lag(epoch_us(ts)) OVER
+                   (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
+               FROM events))
+       GROUP BY user_id ORDER BY user_id"""
+
+  // --------------------------------------------------------------- q19
+  /** Top-k per group (rank + filter): 3 priciest orders per customer for
+    * one segment's customers; dimension side broadcast. */
+  def q19TopKPerGroup(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    val c = t(spark, dir, "customer")
+      .filter(col("c_mktsegment") === "MACHINERY").select("c_custkey")
+    t(spark, dir, "orders")
+      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 3)
+      .select("o_custkey", "rk", "o_orderkey", "o_totalprice")
+      .orderBy("o_custkey", "rk")
+  }
+
+  val q19Oracle: String =
+    """SELECT o_custkey, rk, o_orderkey, o_totalprice FROM (
+         SELECT o_custkey, o_orderkey, o_totalprice,
+           row_number() OVER (PARTITION BY o_custkey
+             ORDER BY o_totalprice DESC, o_orderkey) AS rk
+         FROM orders JOIN customer ON o_custkey = c_custkey
+         WHERE c_mktsegment = 'MACHINERY')
+       WHERE rk <= 3 ORDER BY o_custkey, rk"""
+
+  // --------------------------------------------------------------- q20
+  /** Join over a derived aggregate (orders enriched with their item
+    * stats) — tests agg-below-join planning + broadcast of the probe. */
+  def q20AggJoin(spark: SparkSession, dir: String): DataFrame = {
+    val li = t(spark, dir, "lineitem")
+      .groupBy(col("l_orderkey"))
+      .agg(count(lit(1)).as("n_items"),
+        round(sum("l_quantity"), 2).as("qty"))
+    t(spark, dir, "orders")
+      .join(li, col("o_orderkey") === col("l_orderkey"))
+      .filter(col("n_items") >= 6)
+      .select("o_orderkey", "o_orderstatus", "n_items", "qty")
+      .orderBy("o_orderkey")
+  }
+
+  val q20Oracle: String =
+    """SELECT o_orderkey, o_orderstatus, n_items, qty
+       FROM orders JOIN (
+         SELECT l_orderkey, count(*) AS n_items,
+                round(sum(l_quantity), 2) AS qty
+         FROM lineitem GROUP BY l_orderkey) ON o_orderkey = l_orderkey
+       WHERE n_items >= 6 ORDER BY o_orderkey"""
+
   // ------------------------------------------------------------ registry
-  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q1_agg" -> (q1Agg _)
+  val relational: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q1_agg" -> (q1Agg _),
+    "q2_filter_project" -> (q2FilterProject _),
+    "q3_join_agg" -> (q3JoinAgg _),
+    "q4_sort_limit" -> (q4SortLimit _),
+    "q5_multi_join" -> (q5MultiJoin _),
+    "q6_window" -> (q6Window _),
+    "q7_distinct" -> (q7Distinct _),
+    "q8_setops" -> (q8SetOps _),
+    "q9_semi_anti" -> (q9SemiAnti _),
+    "q10_rollup" -> (q10Rollup _),
+    "q11_above_avg" -> (q11AboveAvg _),
+    "q12_conditional" -> (q12Conditional _),
+    "q13_strings" -> (q13Strings _),
+    "q14_dates" -> (q14Dates _),
+    "q15_pivot" -> (q15Pivot _),
+    "q16_group_concat" -> (q16GroupConcat _),
+    "q17_events_hourly" -> (q17EventsHourly _),
+    "q18_sessionize" -> (q18Sessionize _),
+    "q19_topk_per_group" -> (q19TopKPerGroup _),
+    "q20_agg_join" -> (q20AggJoin _)
   )
 
-  val oracles: Map[String, String] = Map(
-    "q1_agg" -> q1Oracle
+  val relationalOracles: Map[String, String] = Map(
+    "q1_agg" -> q1Oracle,
+    "q2_filter_project" -> q2Oracle,
+    "q3_join_agg" -> q3Oracle,
+    "q4_sort_limit" -> q4Oracle,
+    "q5_multi_join" -> q5Oracle,
+    "q6_window" -> q6Oracle,
+    "q7_distinct" -> q7Oracle,
+    "q8_setops" -> q8Oracle,
+    "q9_semi_anti" -> q9Oracle,
+    "q10_rollup" -> q10Oracle,
+    "q11_above_avg" -> q11Oracle,
+    "q12_conditional" -> q12Oracle,
+    "q13_strings" -> q13Oracle,
+    "q14_dates" -> q14Oracle,
+    "q15_pivot" -> q15Oracle,
+    "q16_group_concat" -> q16Oracle,
+    "q17_events_hourly" -> q17Oracle,
+    "q18_sessionize" -> q18Oracle,
+    "q19_topk_per_group" -> q19Oracle,
+    "q20_agg_join" -> q20Oracle
   )
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = relational
+  val oracles: Map[String, String] = relationalOracles
 }
