@@ -68,14 +68,16 @@ object Queries {
        ORDER BY l_orderkey, l_linenumber"""
 
   // ---------------------------------------------------------------- q3
-  /** TPC-H Q3-style 3-way join + agg + top-k. customer is the small side
-    * → broadcast; orders⋈lineitem shuffles on orderkey once. */
+  /** TPC-H Q3-style 3-way join + agg + top-k. customer scales with SF, so
+    * no forced broadcast — AQE + autoBroadcastJoinThreshold pick the
+    * strategy (still a broadcast at small SF, shuffle-hash at 100 TB);
+    * orders⋈lineitem shuffles on orderkey once. */
   def q3JoinAgg(spark: SparkSession, dir: String): DataFrame = {
     val c = t(spark, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
     val o = t(spark, dir, "orders").filter(col("o_orderdate") < ts("1995-03-15"))
     val l = t(spark, dir, "lineitem").filter(col("l_shipdate") > ts("1995-03-15"))
     l.join(o, l("l_orderkey") === o("o_orderkey"))
-      .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .join(c, o("o_custkey") === c("c_custkey"))
       .groupBy("l_orderkey")
       .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
         .as("revenue"))
@@ -108,9 +110,10 @@ object Queries {
        FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 20"""
 
   // ---------------------------------------------------------------- q5
-  /** TPC-H Q5-style 6-table join. region/nation/supplier/customer are
-    * dimension-sized at every SF → broadcast them all; the only shuffle
-    * left is orders⋈lineitem + the final 25-key agg. */
+  /** TPC-H Q5-style 6-table join. region/nation are true fixed-size
+    * dimensions (5 / 25 rows at every SF) → broadcast those only;
+    * customer/supplier scale with SF (several GB at sf100) so AQE decides
+    * their join strategy — no forced broadcast that could OOM at 100 TB. */
   def q5MultiJoin(spark: SparkSession, dir: String): DataFrame = {
     val r = t(spark, dir, "region").filter(col("r_name") === "ASIA")
     val n = t(spark, dir, "nation")
@@ -121,8 +124,8 @@ object Queries {
         col("o_orderdate") < ts("1997-01-01"))
     val l = t(spark, dir, "lineitem")
     l.join(o, l("l_orderkey") === o("o_orderkey"))
-      .join(broadcast(s), l("l_suppkey") === s("s_suppkey"))
-      .join(broadcast(c),
+      .join(s, l("l_suppkey") === s("s_suppkey"))
+      .join(c,
         o("o_custkey") === c("c_custkey") &&
           s("s_nationkey") === c("c_nationkey"))
       .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
@@ -389,8 +392,8 @@ object Queries {
        GROUP BY r_name ORDER BY r_name"""
 
   // --------------------------------------------------------------- q17
-  /** Tumbling-window (hourly) event aggregation — the batch shape of the
-    * streaming pipeline in graft.streaming. */
+  /** Tumbling-window (hourly) event aggregation. The same shape runs
+    * incrementally as a streaming query — see [[graft.streaming.EventStreams]]. */
   def q17EventsHourly(spark: SparkSession, dir: String): DataFrame =
     t(spark, dir, "events")
       .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
@@ -421,7 +424,7 @@ object Queries {
   }
 
   val q18Oracle: String =
-    """SELECT user_id, sum(new_session) AS n_sessions, count(*) AS n_events
+    """SELECT user_id, CAST(sum(new_session) AS BIGINT) AS n_sessions, count(*) AS n_events
        FROM (
          SELECT user_id,
            CASE WHEN prev_us IS NULL
@@ -435,14 +438,16 @@ object Queries {
 
   // --------------------------------------------------------------- q19
   /** Top-k per group (rank + filter): 3 priciest orders per customer for
-    * one segment's customers; dimension side broadcast. */
+    * one segment's customers. The customer-segment side scales with SF, so
+    * no forced broadcast — AQE picks broadcast at small SF and a shuffle
+    * join at scale (the semi-filter shares the window's o_custkey shuffle). */
   def q19TopKPerGroup(spark: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy("o_custkey")
       .orderBy(col("o_totalprice").desc, col("o_orderkey"))
     val c = t(spark, dir, "customer")
       .filter(col("c_mktsegment") === "MACHINERY").select("c_custkey")
     t(spark, dir, "orders")
-      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .join(c, col("o_custkey") === col("c_custkey"))
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") <= 3)
       .select("o_custkey", "rk", "o_orderkey", "o_totalprice")
