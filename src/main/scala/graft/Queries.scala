@@ -533,6 +533,11 @@ object Queries {
     "q20_agg_join" -> q20Oracle
   )
 
-  val all: Map[String, (SparkSession, String) => DataFrame] = relational
-  val oracles: Map[String, String] = relationalOracles
+  val all: Map[String, (SparkSession, String) => DataFrame] =
+    relational ++ ops.TextOps.queries ++ ops.FuzzyDedup.queries ++
+      ops.Similarity.queries ++ ops.Multimodal.queries
+
+  val oracles: Map[String, String] =
+    relationalOracles ++ ops.TextOps.oracles ++ ops.FuzzyDedup.oracles ++
+      ops.Similarity.oracles ++ ops.Multimodal.oracles
 }

@@ -1,0 +1,117 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Multimodal-column support: image/audio/video payloads as opaque
+  * `binary` columns with typed metadata, plus decode/feature-extract
+  * plumbing (BASELINE.json north-star "multimodal columns").
+  *
+  * The container has no media codecs, so the DECODE step is a
+  * deterministic stub (see [[Multimodal.fakeFeature]]) behind a real
+  * Spark pipeline: the schema, the partition-preserving flatMap batch
+  * shape, and the per-frame output layout are exactly what a JNI/FFmpeg
+  * decoder would slot into — swap `fakeFeature` for the real kernel and
+  * nothing else changes. Blobs here are derived from `documents.text`
+  * (UTF-8 bytes) since the test tables carry no real media; at 100 TB the
+  * binary column arrives from parquet the same way.
+  *
+  * Scale notes: frames explode rows ~byte_len/FrameBytes ×, so the decode
+  * stage must run AFTER any filtering/dedup (cheapest-first), and
+  * `spark.sql.files.maxPartitionBytes` bounds the blob bytes per task —
+  * the flatMap is partition-local and spill-free.
+  */
+object Multimodal {
+
+  /** One media blob: id + modality tag + opaque payload. */
+  final case class MediaBlob(doc_id: Long, modality: String, data: Array[Byte])
+
+  /** One decoded "frame": fixed-width feature vector per frame. */
+  final case class Frame(doc_id: Long, frame_idx: Int, feature: Array[Float])
+
+  val FrameBytes = 256
+  val FeatureDim = 8
+
+  /** STUB DECODER — deterministic fake standing in for the real
+    * image/audio/video kernel (not available in this environment).
+    * Produces an 8-float feature from byte statistics of one frame-sized
+    * chunk; replace with the real decode+embed call at the integration
+    * point in [[decodeFrames]]. */
+  def fakeFeature(chunk: Array[Byte]): Array[Float] = {
+    val f = new Array[Float](FeatureDim)
+    var i = 0
+    while (i < chunk.length) {
+      f(i % FeatureDim) += (chunk(i) & 0xff) / 255.0f
+      i += 1
+    }
+    f
+  }
+
+  /** Frame-sample + decode: each blob becomes ceil(len/FrameBytes) frame
+    * rows. Partition-local (no shuffle), streaming over the iterator —
+    * the batch shape a vectorized decoder needs. */
+  def decodeFrames(blobs: Dataset[MediaBlob]): Dataset[Frame] = {
+    import blobs.sparkSession.implicits._
+    blobs.mapPartitions { it =>
+      it.flatMap { m =>
+        // integration point: real decoder consumes m.data per modality
+        m.data.grouped(FrameBytes).zipWithIndex.map { case (chunk, idx) =>
+          Frame(m.doc_id, idx, fakeFeature(chunk))
+        }
+      }
+    }
+  }
+
+  /** documents → MediaBlob dataset (UTF-8 payload, modality fanned out
+    * deterministically from doc_id — stand-in for a real media table). */
+  def blobs(spark: SparkSession, dir: String): Dataset[MediaBlob] = {
+    import spark.implicits._
+    Tables.load(spark, dir, "documents")
+      .select(
+        col("doc_id"),
+        when(col("doc_id") % 3 === 0, lit("image"))
+          .when(col("doc_id") % 3 === 1, lit("audio"))
+          .otherwise(lit("video")).as("modality"),
+        encode(col("text"), "UTF-8").as("data"))
+      .as[MediaBlob]
+  }
+
+  // --------------------------------------------------------------- d11
+  /** Binary-column metadata pass (driver-gated): payload byte length,
+    * modality tag, header fingerprint (md5 of the first 64 BYTES of the
+    * blob — real binary ops: encode → binary substring → md5), and the
+    * frame count the decoder would emit. Narrow map stage; the oracle
+    * exploits that the payloads are ASCII so byte ops == char ops. */
+  def d11MultimodalMeta(spark: SparkSession, dir: String): DataFrame = {
+    val blob = encode(col("text"), "UTF-8")
+    Tables.load(spark, dir, "documents")
+      .select(
+        col("doc_id"),
+        length(blob).as("byte_len"),
+        when(col("doc_id") % 3 === 0, lit("image"))
+          .when(col("doc_id") % 3 === 1, lit("audio"))
+          .otherwise(lit("video")).as("modality"),
+        md5(substring(blob, 1, 64)).as("header_fp"),
+        ceil(length(blob).cast("double") / FrameBytes).cast("long").as("n_frames"))
+      .orderBy("doc_id")
+  }
+
+  val d11Oracle: String =
+    s"""SELECT doc_id,
+       length(text) AS byte_len,
+       CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END
+         AS modality,
+       md5(substr(text, 1, 64)) AS header_fp,
+       CAST(ceil(length(text) / $FrameBytes.0) AS BIGINT) AS n_frames
+       FROM documents ORDER BY doc_id"""
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d11_multimodal_meta" -> (d11MultimodalMeta _)
+  )
+
+  val oracles: Map[String, String] = Map(
+    "d11_multimodal_meta" -> d11Oracle
+  )
+}

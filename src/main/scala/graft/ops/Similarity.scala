@@ -1,0 +1,126 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Similarity search over the `embeddings` table
+  * (vec_id, embedding: Array[Float] (64-dim), label).
+  *
+  * Two tiers (BASELINE.json north-star "similarity search"):
+  *  - d9: brute-force cosine top-k — the exact baseline, a narrow map +
+  *    TakeOrderedAndProject; right answer, O(corpus) per query.
+  *  - d10: sign-LSH bucketed ANN — the scale path: candidates come from
+  *    an equi-join on a hyperplane-sign bucket, so each query only scores
+  *    its bucket (expected corpus/2^bits of the data), never all rows.
+  *
+  * All arithmetic is promoted to double BEFORE any sum so results are
+  * engine-reproducible (float accumulation order would diverge);
+  * `functions.aggregate` folds sequentially, matching the oracle's
+  * element-order sum.
+  */
+object Similarity {
+
+  private def emb(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "embeddings")
+      .select(col("vec_id"), col("label"),
+        transform(col("embedding"), x => x.cast("double")).as("v"))
+
+  private def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  private def norm(a: Column): Column =
+    sqrt(aggregate(transform(a, x => x * x), lit(0.0), (acc, x) => acc + x))
+
+  /** Cosine similarity, rounded to 4dp (the rounding absorbs any last-ulp
+    * difference between engines' summation). */
+  private def cosine(a: Column, b: Column): Column =
+    round(dot(a, b) / (norm(a) * norm(b)), 4)
+
+  /** The same cosine in DuckDB SQL (explicit formula, not
+    * list_cosine_similarity, so both engines run the identical
+    * double-precision expression tree). */
+  private def cosineSql(a: String, b: String): String =
+    s"""round(list_sum(list_transform(range(1, len($a)+1), i -> $a[i] * $b[i]))
+       / (sqrt(list_sum(list_transform($a, x -> x*x)))
+          * sqrt(list_sum(list_transform($b, x -> x*x)))), 4)"""
+
+  // ---------------------------------------------------------------- d9
+  /** Brute-force cosine top-10 for one probe vector (vec_id 0). The probe
+    * is a one-row broadcast; the scan stays narrow and the top-k compiles
+    * to per-partition heaps (TakeOrderedAndProject) — no global sort. */
+  def d9CosineTopk(spark: SparkSession, dir: String): DataFrame = {
+    val e = emb(spark, dir)
+    val probe = e.filter(col("vec_id") === 0).select(col("v").as("qv"))
+    e.crossJoin(broadcast(probe))
+      .select(col("vec_id"), col("label"), cosine(col("v"), col("qv")).as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col("vec_id"))
+      .limit(10)
+  }
+
+  val d9Oracle: String =
+    s"""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+       probe AS (SELECT v AS qv FROM e WHERE vec_id = 0)
+       SELECT vec_id, label, ${cosineSql("v", "qv")} AS cos_sim
+       FROM e, probe
+       ORDER BY cos_sim DESC, vec_id LIMIT 10"""
+
+  // --------------------------------------------------------------- d10
+  /** Sign-LSH bucketed ANN: bucket = sign bits of the first 8 dimensions
+    * (8 axis-aligned hyperplanes → 256 buckets). Queries (vec_id < 8)
+    * join candidates on bucket EQUALITY — a hash join keyed on the
+    * bucket, never a cross product — then score and keep top-3 per query.
+    *
+    * At 100 TB both sides shuffle/broadcast on `bucket`: work per query
+    * is |bucket| ≈ N/256, and recall is tunable by probing neighboring
+    * buckets (Hamming-1 expansion) — the structure, not the constants, is
+    * what survives the scale-up. */
+  def d10AnnLsh(spark: SparkSession, dir: String): DataFrame = {
+    val bucket = (1 to 8)
+      .map(i => when(element_at(col("v"), i) > 0, lit(1 << (i - 1))).otherwise(lit(0)))
+      .reduce(_ + _)
+    val e = emb(spark, dir).withColumn("bucket", bucket)
+    val qs = e.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("bucket"))
+    val w = Window.partitionBy("q_id").orderBy(col("cos_sim").desc, col("vec_id"))
+    e.join(qs, Seq("bucket"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"), cosine(col("v"), col("qv")).as("cos_sim"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 3)
+      .select("q_id", "rk", "vec_id", "cos_sim")
+      .orderBy("q_id", "rk")
+  }
+
+  val d10Oracle: String = {
+    // sign(embedding[i]) is identical before/after the double cast, so the
+    // bucket can be computed straight off the float column
+    val bucketSql = (1 to 8)
+      .map(i => s"CASE WHEN embedding[$i] > 0 THEN ${1 << (i - 1)} ELSE 0 END")
+      .mkString(" + ")
+    s"""WITH e AS (
+         SELECT vec_id, embedding::DOUBLE[] AS v, $bucketSql AS bucket
+         FROM embeddings),
+       qs AS (SELECT vec_id AS q_id, v AS qv, bucket FROM e WHERE vec_id < 8),
+       scored AS (
+         SELECT qs.q_id, e.vec_id, ${cosineSql("e.v", "qs.qv")} AS cos_sim
+         FROM e JOIN qs ON e.bucket = qs.bucket AND e.vec_id <> qs.q_id)
+       SELECT q_id, rk, vec_id, cos_sim FROM (
+         SELECT q_id, vec_id, cos_sim,
+           row_number() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, vec_id) AS rk
+         FROM scored)
+       WHERE rk <= 3 ORDER BY q_id, rk"""
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d9_cosine_topk" -> (d9CosineTopk _),
+    "d10_ann_lsh" -> (d10AnnLsh _)
+  )
+
+  val oracles: Map[String, String] = Map(
+    "d9_cosine_topk" -> d9Oracle,
+    "d10_ann_lsh" -> d10Oracle
+  )
+}

@@ -1,0 +1,176 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Text-analysis operators for large-scale training-data pipelines, over
+  * the `documents` table (doc_id, text, lang, source, n_chars).
+  *
+  * These extend the engine beyond the reference's validation surface
+  * (SURVEY.md §7.1 step 5 / the north-star extensions in BASELINE.json):
+  * exact deduplication, corpus statistics, quality scoring, tokenization,
+  * and content fingerprinting. Everything is built from codegen'd Catalyst
+  * expressions (regexp_extract_all / higher-order array functions) — no
+  * UDFs, no driver-side loops — so each op is a narrow map stage plus at
+  * most one shuffle for its aggregation.
+  */
+object TextOps {
+
+  private def docs(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "documents")
+
+  /** Whitespace tokens of a text column (`\S+` runs, like a whitespace
+    * pre-tokenizer). */
+  def tokens(text: Column): Column =
+    regexp_extract_all(text, lit("\\S+"), lit(0))
+
+  /** 60-bit hash of a string column: first 15 hex chars of its md5, as a
+    * non-negative long. Chosen over Spark's murmur3 `hash()` because md5
+    * is bit-identical across engines (the DuckDB oracle computes the same
+    * value), and 60 bits keep collision odds negligible at 100 TB corpus
+    * sizes (~2^30 docs → p ≈ 2^-1 birthday bound is fine per-band, and
+    * exact-dedup uses the full 128-bit md5). */
+  def hash60(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+
+  // ---------------------------------------------------------------- d1
+  /** Exact content dedup: keep the lowest doc_id per distinct text.
+    * Dedup key is the full md5 of the text, so the shuffle moves 16-byte
+    * hashes + tiny payloads, never the documents themselves — at 100 TB
+    * this is one hash-partitioned shuffle on a uniformly distributed key
+    * (no skew: identical docs are exactly the duplicates being removed). */
+  def d1ExactDedup(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("text_hash")).orderBy(col("doc_id"))
+    docs(spark, dir)
+      .withColumn("text_hash", md5(col("text")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select("doc_id", "lang", "source", "n_chars")
+      .orderBy("doc_id")
+  }
+
+  val d1Oracle: String =
+    """SELECT doc_id, lang, source, n_chars FROM documents
+       QUALIFY row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) = 1
+       ORDER BY doc_id"""
+
+  // ---------------------------------------------------------------- d5
+  /** Corpus statistics per language: doc counts, token counts, length
+    * distribution. Token counting is a map-side expression; the groupBy
+    * key has ~languages cardinality, so partial aggregation collapses
+    * everything before the (tiny) shuffle. */
+  def d5TextStats(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .withColumn("n_tokens", size(tokens(col("text"))))
+      .groupBy("lang")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("sum_tokens"),
+        round(avg(col("n_tokens")), 4).as("avg_tokens"),
+        round(avg(col("n_chars")), 4).as("avg_chars"),
+        max(col("n_chars")).as("max_chars"))
+      .orderBy("lang")
+
+  val d5Oracle: String =
+    """SELECT lang, count(*) AS n_docs,
+       CAST(sum(len(regexp_extract_all(text, '\S+'))) AS BIGINT) AS sum_tokens,
+       round(avg(len(regexp_extract_all(text, '\S+'))), 4) AS avg_tokens,
+       round(avg(n_chars), 4) AS avg_chars,
+       max(n_chars) AS max_chars
+       FROM documents GROUP BY lang ORDER BY lang"""
+
+  // ---------------------------------------------------------------- d6
+  /** Per-document quality scoring: token count, average word length,
+    * stopword ratio, and a length-window flag — the standard cheap
+    * filters applied before expensive pipeline stages. Pure map stage:
+    * at 100 TB this runs at scan speed with zero shuffles (the final
+    * orderBy exists only for the deterministic driver compare). */
+  def d6QualityScore(spark: SparkSession, dir: String): DataFrame = {
+    val toks = tokens(col("text"))
+    val nTok = size(toks)
+    docs(spark, dir)
+      .select(
+        col("doc_id"),
+        nTok.as("n_tokens"),
+        round(length(regexp_replace(col("text"), "\\s+", "")).cast("double") / nTok, 4)
+          .as("avg_word_len"),
+        round(size(filter(toks, t => t === "the" || t === "a" || t === "of"))
+          .cast("double") / nTok, 4).as("stopword_ratio"),
+        when(col("n_chars").between(150, 450), lit(1)).otherwise(lit(0)).as("len_ok"))
+      .orderBy("doc_id")
+  }
+
+  val d6Oracle: String =
+    """SELECT doc_id,
+       len(regexp_extract_all(text, '\S+')) AS n_tokens,
+       round(length(regexp_replace(text, '\s+', '', 'g')) * 1.0
+             / len(regexp_extract_all(text, '\S+')), 4) AS avg_word_len,
+       round(len(list_filter(regexp_extract_all(text, '\S+'),
+                             t -> t IN ('the', 'a', 'of'))) * 1.0
+             / len(regexp_extract_all(text, '\S+')), 4) AS stopword_ratio,
+       CASE WHEN n_chars BETWEEN 150 AND 450 THEN 1 ELSE 0 END AS len_ok
+       FROM documents ORDER BY doc_id"""
+
+  // ---------------------------------------------------------------- d7
+  /** BPE-ish token counting per source: alphabetic runs, digit runs, and
+    * single non-alphanumeric marks — the pre-tokenization most BPE
+    * vocabularies assume. Same map + tiny-key aggregation shape as d5. */
+  def d7TokenCount(spark: SparkSession, dir: String): DataFrame = {
+    val bpe = size(regexp_extract_all(
+      col("text"), lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0)))
+    docs(spark, dir)
+      .withColumn("n_bpe", bpe)
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_bpe")).as("sum_bpe_tokens"),
+        max(col("n_bpe")).as("max_bpe_tokens"))
+      .orderBy("source")
+  }
+
+  val d7Oracle: String =
+    """SELECT source, count(*) AS n_docs,
+       CAST(sum(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))) AS BIGINT)
+         AS sum_bpe_tokens,
+       max(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')))
+         AS max_bpe_tokens
+       FROM documents GROUP BY source ORDER BY source"""
+
+  // ---------------------------------------------------------------- d8
+  /** Document fingerprinting: a 60-bit content hash of the
+    * case-normalized text plus a 64-way band assignment — the primitive
+    * used for sharded dedup joins (band = shuffle key → co-locates likely
+    * duplicates without moving full texts). */
+  def d8Fingerprint(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .select(
+        col("doc_id"),
+        hash60(lower(col("text"))).as("fp"))
+      .withColumn("band", col("fp") % 64)
+      .orderBy("doc_id")
+
+  val d8Oracle: String =
+    """SELECT doc_id,
+       ('0x' || substr(md5(lower(text)), 1, 15))::BIGINT AS fp,
+       ('0x' || substr(md5(lower(text)), 1, 15))::BIGINT % 64 AS band
+       FROM documents ORDER BY doc_id"""
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d1_exact_dedup" -> (d1ExactDedup _),
+    "d5_text_stats" -> (d5TextStats _),
+    "d6_quality_score" -> (d6QualityScore _),
+    "d7_token_count" -> (d7TokenCount _),
+    "d8_fingerprint" -> (d8Fingerprint _)
+  )
+
+  val oracles: Map[String, String] = Map(
+    "d1_exact_dedup" -> d1Oracle,
+    "d5_text_stats" -> d5Oracle,
+    "d6_quality_score" -> d6Oracle,
+    "d7_token_count" -> d7Oracle,
+    "d8_fingerprint" -> d8Oracle
+  )
+}
