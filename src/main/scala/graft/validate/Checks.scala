@@ -85,53 +85,22 @@ final class TableValidator(
 
   // ------------------------------------------------------- field counts
 
-  private def regexEscape(s: String): String =
-    s.flatMap(c =>
-      if ("\\^$.|?*+()[]{}".contains(c)) s"\\$c" else c.toString)
-
-  private def charClassEscape(c: Char): String =
-    if (c == '\\' || c == '^' || c == ']') s"\\$c" else c.toString
-
-  /** Quote-aware field-matching regex: same shape as the reference's
-    * pattern (`big_data_validator.py:221`, itself from a public
-    * StackOverflow answer) — a field is either a run of
-    * non-separator/non-quote chars or a quoted span; zero-width
-    * alternatives catch empty fields.
-    *
-    * CRITICAL parity detail: the quote is inserted RAW, exactly like the
-    * reference (`quote_char = metadata.get('StringSeparator') or '"'`,
-    * :224 — note: no 'nan' mapping on this path). With the golden
-    * metadata's multi-char `""""` cell the literal-quote branch can never
-    * match and the char class degrades to `[^|"]` — which is precisely
-    * what makes the reference count its own success fixture's
-    * `"Turner|"23/1/2002"` rows as 4 fields and pass. Normalizing the
-    * quote here would flip that verdict (verified by test). The only fix
-    * kept is escaping ALL regex metachars (the reference's TODO at
-    * :229-232 escaped only '|'). */
-  def quoteAwareRegex: String = {
-    val rawQuote =
-      if (meta.stringSeparator != null && meta.stringSeparator.nonEmpty)
-        meta.stringSeparator
-      else "\""
-    val sepClass = meta.fieldSeparator.map(charClassEscape).mkString
-    val sep = regexEscape(meta.fieldSeparator)
-    val qc = rawQuote.map(charClassEscape).mkString
-    val ql = regexEscape(rawQuote)
-    s"(?:(?:[^$sepClass$qc]|$ql[^$qc]*(?:$ql|$$))+|(?=$sep$sep)|(?=$sep$$)|(?=^$sep))"
-  }
+  /** Quote-aware field-matching regex — see [[FieldCounting.quoteAwareRegex]]
+    * for the reference-parity details (raw quote, escaped metachars). */
+  def quoteAwareRegex: String =
+    FieldCounting.quoteAwareRegex(meta.fieldSeparator, meta.stringSeparator)
 
   /** Per-line field counts, naive split (V2 projection): literal-split
     * like Python `str.split`, trailing empties kept. */
   private def naiveCounts: DataFrame =
     textDf.select(
-      size(split(col("value"), Pattern.quote(meta.fieldSeparator), -1))
-        .as("n"))
+      FieldCounting.naiveCount(col("value"), meta.fieldSeparator).as("n"))
 
   /** Per-line field counts, quote-aware (V3 projection). */
   private def quoteAwareCounts: DataFrame =
     textDf.select(
-      size(regexp_extract_all(col("value"), lit(quoteAwareRegex), lit(0)))
-        .as("n"))
+      FieldCounting.quoteAwareCount(col("value"), meta.fieldSeparator,
+        meta.stringSeparator).as("n"))
 
   /** Diagnostic only: first offending (count, 0-based line index). Exact
     * line numbers need `zipWithIndex` (two narrow passes, no shuffle) —

@@ -76,6 +76,24 @@ object TypedChecks {
     }
   }
 
+  /** The same one-pass summary as a lazy DataFrame (no driver collect):
+    * the single agg row is unpivoted with `stack` into
+    * (col_name, check_name, n_errors) — used by the driver-gated
+    * validation-surface query [[ValidationQueries]]. */
+  def summaryDf(df: DataFrame, meta: TableMetadata): DataFrame = {
+    val cs = conds(meta)
+    require(cs.nonEmpty, "metadata declares no typed checks")
+    val aggs = cs.zipWithIndex.map { case ((_, _, cond), i) =>
+      sum(when(cond, 1L).otherwise(0L)).as(s"e$i")
+    }
+    val stackArgs = cs.zipWithIndex.map { case ((c, name, _), i) =>
+      s"'${c.name}', '$name', e$i"
+    }.mkString(", ")
+    df.agg(aggs.head, aggs.tail: _*)
+      .selectExpr(
+        s"stack(${cs.size}, $stackArgs) AS (col_name, check_name, n_errors)")
+  }
+
   /** Rows violating any declaration, annotated with the list of failing
     * `column:check` labels — the typed analogue of the corrupt-row sink. */
   def badRows(df: DataFrame, meta: TableMetadata): DataFrame = {
