@@ -35,6 +35,21 @@ object TypedChecks {
     s"^[+-]?([0-9]+($d[0-9]*)?|$d[0-9]+)([eE][+-]?[0-9]+)?$$"
   }
 
+  /** The reference's declared date formats are SimpleDateFormat-style
+    * (SURVEY §1.2), and SimpleDateFormat parses sub-width fields —
+    * `dd/MM/yyyy` accepts the success fixture's `23/1/2002`. Spark's
+    * DateTimeFormatter is strict, so collapse exactly-double day/month/
+    * hour/minute/second letters to single (single-letter patterns accept
+    * 1-2 digits); triple+ runs (`MMM` month names) are left untouched. */
+  private[validate] def lenientPattern(fmt: String): String =
+    fmt
+      .replaceAll("(?<!d)dd(?!d)", "d")
+      .replaceAll("(?<!M)MM(?!M)", "M")
+      .replaceAll("(?<!H)HH(?!H)", "H")
+      .replaceAll("(?<!h)hh(?!h)", "h")
+      .replaceAll("(?<!m)mm(?!m)", "m")
+      .replaceAll("(?<!s)ss(?!s)", "s")
+
   /** Error predicate for one column (true = this row violates the
     * declaration). Empty strings count as missing — CSV's encoding of
     * NULL for a quoted-empty field. */
@@ -45,7 +60,7 @@ object TypedChecks {
       case "NUMBER" =>
         Some(present && !v.rlike(numberPattern(meta.decimalSeparator)))
       case "DATE" if c.format.nonEmpty =>
-        Some(present && try_to_timestamp(v, lit(c.format)).isNull)
+        Some(present && try_to_timestamp(v, lit(lenientPattern(c.format))).isNull)
       case _ => None // VARCHAR2 (or unknown): any string is valid
     }
   }
@@ -120,7 +135,7 @@ object TypedChecks {
             else regexp_replace(v, Pattern.quote(meta.decimalSeparator), ".")
           norm.cast(DecimalType(38, 18))
         case "DATE" if c.format.nonEmpty =>
-          try_to_timestamp(v, lit(c.format)).cast("date")
+          try_to_timestamp(v, lit(lenientPattern(c.format))).cast("date")
         case "DATE" => v.cast("date")
         case _ => v
       }).as(c.name)

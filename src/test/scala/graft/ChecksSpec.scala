@@ -21,7 +21,11 @@ class ChecksSpec extends SparkSpec {
     val v = validator(s"$refBase/inputs/success.csv",
       s"$refBase/metadata/csv/success_metadata.csv")
     val results = v.performValidation()
-    assert(results.map(_.check) == Seq("column_names", "field_count_quoted"))
+    // typed:BIRTH_DATE is the one declared check with an enforceable type;
+    // its dd/MM/yyyy values (`23/1/2002`) pass via the SimpleDateFormat-
+    // lenient pattern (TypedChecks.lenientPattern)
+    assert(results.map(_.check) == Seq("column_names", "field_count_quoted",
+      "typed:BIRTH_DATE:type_format"))
     assert(results.forall(_.passed), results.mkString("; "))
   }
 
