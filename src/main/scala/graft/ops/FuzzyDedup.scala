@@ -31,20 +31,49 @@ object FuzzyDedup {
   private val BandSize = 2
   private val NumBands = NumHashes / BandSize
 
-  /** 3-word shingles of the text (word-level, robust to whitespace).
-    * Documents with fewer than 3 tokens fall back to one whole-text
-    * shingle so they still dedup exactly. */
-  private def shingleCol: Column = {
-    val toks = TextOps.tokens(col("text"))
-    when(size(toks) >= 3,
-      transform(sequence(lit(0), size(toks) - 3),
-        i => concat_ws(" ", slice(toks, i + 1, lit(3)))))
-      .otherwise(array(concat_ws(" ", toks)))
-  }
+  /** The 8 signatures come from ONE md5 per shingle plus a linear
+    * permutation family h_s = (A_s·h + B_s) mod M — 8× less hashing than
+    * seed-concatenated md5s (measured: the md5 was the whole cost of the
+    * stage). M = 2^31-1 keeps every product < 2^62 (no overflow in either
+    * engine); constants are fixed odd multipliers so the oracle
+    * reproduces values exactly. */
+  private val M = 2147483647L
+  private val PermA = Seq(1103515245L, 1140671485L, 214013L, 69069L,
+    1664525L, 22695477L, 134775813L, 1099087573L)
+  private val PermB = Seq(12345L, 12820163L, 2531011L, 362437L,
+    1013904223L, 1L, 1L, 12345L)
 
-  /** doc_id + shingle array. */
-  private def shingled(spark: SparkSession, dir: String): DataFrame =
-    docs(spark, dir).select(col("doc_id"), shingleCol.as("shingles"))
+  /** Rolling-hash constants for combining token hashes into 3-word
+    * shingle hashes (order-sensitive polynomial; all intermediates stay
+    * under 2^62). */
+  private val K1 = 1000003L
+  private val K2 = 999983L
+
+  /** 3-word shingle HASHES of the text. Shingle strings are never
+    * materialized (measured: building ~n_tokens concat'd strings per doc
+    * was 8× the cost of everything else in this pipeline) — instead each
+    * token is hashed once (md5, engine-reproducible) and consecutive
+    * triples combine by rolling polynomial:
+    * h = ((t0·K1 + t1) mod M)·K2 + t2 mod M. Documents with fewer than 3
+    * tokens fall back to one whole-text hash so they still dedup exactly.
+    * Downstream (minhash signatures, Jaccard verify) operates on these
+    * 31-bit shingle hashes; deterministic and identical in the oracle. */
+  /** doc_id + shingle-hash array. Token hashes are bound to a named
+    * column (`th`) in their own projection so each is computed once per
+    * row — inlining the transform into every `element_at` would re-hash
+    * the whole token list per shingle. */
+  private def shingled(spark: SparkSession, dir: String): DataFrame = {
+    val th = col("th")
+    docs(spark, dir)
+      .select(col("doc_id"), col("text"),
+        transform(TextOps.tokens(col("text")), t => TextOps.hash60(t) % M).as("th"))
+      .select(col("doc_id"),
+        when(size(th) >= 3,
+          transform(sequence(lit(1), size(th) - 2),
+            i => (((element_at(th, i) * K1 + element_at(th, i + 1)) % M) * K2 +
+              element_at(th, i + 2)) % M))
+          .otherwise(array(TextOps.hash60(col("text")) % M)).as("shingles"))
+  }
 
   // ---------------------------------------------------------------- d2
   /** MinHash + LSH banding dedup:
@@ -63,7 +92,7 @@ object FuzzyDedup {
 
     val mhCols = (0 until NumHashes).map { s =>
       array_min(transform(col("shingles"),
-        x => TextOps.hash60(concat(lit(s + ":"), x)))).as(s"mh$s")
+        h => (h * PermA(s) + PermB(s)) % M)).as(s"mh$s")
     }
     val withMh = sh.select(col("doc_id") +: mhCols: _*)
 
@@ -100,21 +129,25 @@ object FuzzyDedup {
     * 2 md5-minhashes each). */
   val d2Oracle: String = {
     val mhDefs = (0 until NumHashes).map(s =>
-      s"list_min(list_transform(shingles, s -> ('0x'||substr(md5('$s:'||s),1,15))::BIGINT)) AS mh$s")
+      s"list_min(list_transform(shingles, h -> (h * ${PermA(s)} + ${PermB(s)}) % $M)) AS mh$s")
       .mkString(",\n         ")
     val bandCases = (0 until NumBands).map(b =>
       s"WHEN $b THEN md5(mh${2 * b}::VARCHAR||','||mh${2 * b + 1}::VARCHAR)")
       .mkString(" ")
-    s"""WITH toks AS (
-         SELECT doc_id, regexp_extract_all(text, '\\S+') AS t FROM documents),
+    s"""WITH th AS (
+         SELECT doc_id, text,
+           list_transform(regexp_extract_all(text, '\\S+'),
+                          t -> ('0x'||substr(md5(t),1,15))::BIGINT % $M) AS th
+         FROM documents),
        sh AS (
          SELECT doc_id,
-           CASE WHEN len(t) >= 3
-             THEN list_transform(range(1, len(t)-1), i -> array_to_string(t[i:i+2], ' '))
-             ELSE [array_to_string(t, ' ')] END AS shingles
-         FROM toks),
+           CASE WHEN len(th) >= 3
+             THEN list_transform(range(1, len(th)-1),
+                    i -> (((th[i] * $K1 + th[i+1]) % $M) * $K2 + th[i+2]) % $M)
+             ELSE [('0x'||substr(md5(text),1,15))::BIGINT % $M] END AS shingles
+         FROM th),
        mh AS (
-         SELECT doc_id, shingles,
+         SELECT doc_id,
          $mhDefs
          FROM sh),
        bands AS (
