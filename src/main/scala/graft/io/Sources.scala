@@ -4,6 +4,25 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 
 import graft.meta.TableMetadata
 
+/** Table source formats — the reference's own TODO
+  * ("Enumerator - file types: CSV, Parquet or JSON",
+  * `big_data_validator.py:134`), completed here. */
+sealed trait SourceFormat
+object SourceFormat {
+  case object Csv extends SourceFormat
+  case object Parquet extends SourceFormat
+  case object Json extends SourceFormat
+
+  def parse(s: String): SourceFormat = s.trim.toLowerCase match {
+    case "csv"     => Csv
+    case "parquet" => Parquet
+    case "json"    => Json
+    case other =>
+      throw new IllegalArgumentException(
+        s"unknown source format '$other' (expected csv|parquet|json)")
+  }
+}
+
 /** Sources and sinks for the validation pipeline (SURVEY.md §2.1).
   *
   * All reads stay declarative (Catalyst plans) — the raw line scan is
@@ -47,6 +66,34 @@ object Sources {
       .option("mode", "PERMISSIVE")
       .schema(meta.readSchema(actualColumns, corruptCol))
       .csv(path)
+  }
+
+  /** Format-dispatching table read for the typed-validation path.
+    *  - CSV: the full PERMISSIVE reader above (header/quote/corrupt-col);
+    *  - Parquet: self-describing schema — header and field-count checks
+    *    are moot (the format enforces both), typed checks still apply;
+    *  - JSON: schema'd PERMISSIVE read with corrupt-record capture, the
+    *    JSON analogue of the CSV path (all-string fields from metadata
+    *    columns so typed checks see the raw lexical values).
+    */
+  def table(
+      spark: SparkSession,
+      meta: TableMetadata,
+      actualColumns: Seq[String],
+      path: String,
+      corruptCol: String,
+      format: SourceFormat): DataFrame = format match {
+    case SourceFormat.Csv =>
+      csv(spark, meta, actualColumns, path, corruptCol)
+    case SourceFormat.Parquet =>
+      spark.read.parquet(path)
+    case SourceFormat.Json =>
+      spark.read
+        .option("columnNameOfCorruptRecord", corruptCol)
+        .option("mode", "PERMISSIVE")
+        .schema(meta.readSchema(
+          meta.typeMapping.map(_.name), corruptCol))
+        .json(path)
   }
 
   /** S6: bad-row sink — overwrite, snappy, unpartitioned parquet

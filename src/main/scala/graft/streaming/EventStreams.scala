@@ -1,0 +1,82 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
+import org.apache.spark.sql.types._
+
+/** Structured Streaming counterparts of the batch event queries
+  * (SURVEY.md §7.1 step 6): the same aggregation shapes as
+  * [[graft.Queries.q17EventsHourly]] and [[graft.Queries.q18Sessionize]],
+  * run incrementally. The checks stay map-only + windowed/keyed state, so
+  * the streaming port needed only source + output-mode wiring — exactly
+  * the property the batch pipeline was designed for.
+  *
+  * At scale: the hourly aggregation shuffles on (window, event_type) with
+  * partial aggregation per micro-batch; sessionization keeps one small
+  * state record per user key, and the 1-hour watermark bounds state
+  * growth for the windowed agg.
+  */
+object EventStreams {
+
+  /** Events stream schema as stored (`ts` is TIMESTAMP(NANOS) in parquet,
+    * surfaced as nanos-long under `spark.sql.legacy.parquet.nanosAsLong`
+    * — same contract as the batch catalog, [[graft.Tables.load]]). */
+  val eventSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", LongType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  /** File-stream source over a directory of event parquet files,
+    * normalized to a real TimestampType at ingest. */
+  def readEvents(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream
+      .schema(eventSchema)
+      .parquet(dir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+
+  /** Tumbling 1-hour aggregation — streaming q17. The 1-hour watermark
+    * lets Spark drop window state once late data can no longer arrive. */
+  def hourlyCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("total_value"))
+      .select(col("window.start").as("hour"), col("event_type"),
+        col("n"), col("total_value"))
+
+  /** Per-user session counts (30-minute gap), batch-equivalent of q18. */
+  final case class UserSessions(user_id: Long, n_sessions: Long, n_events: Long)
+
+  /** Carried state per user: last event time + running counts. */
+  final case class SessionState(lastTsUs: Long, nSessions: Long, nEvents: Long)
+
+  private val GapUs = 30L * 60 * 1000 * 1000
+
+  /** Stateful sessionization via mapGroupsWithState: events are keyed by
+    * user; each micro-batch folds its (batch-sorted) events into the
+    * user's state, counting a new session whenever the gap from the
+    * previous event exceeds 30 minutes. State is one record per user —
+    * O(users) memory regardless of stream length. */
+  def sessionCounts(events: DataFrame): Dataset[UserSessions] = {
+    import events.sparkSession.implicits._
+    events
+      .select(col("user_id"), unix_micros(col("ts")).as("ts_us"))
+      .as[(Long, Long)]
+      .groupByKey(_._1)
+      .mapGroupsWithState[SessionState, UserSessions](GroupStateTimeout.NoTimeout) {
+        (user: Long, rows: Iterator[(Long, Long)], state: GroupState[SessionState]) =>
+          var st = state.getOption.getOrElse(SessionState(Long.MinValue, 0L, 0L))
+          rows.map(_._2).toSeq.sorted.foreach { t =>
+            val isNew = st.lastTsUs == Long.MinValue || t - st.lastTsUs > GapUs
+            st = SessionState(t,
+              st.nSessions + (if (isNew) 1L else 0L), st.nEvents + 1L)
+          }
+          state.update(st)
+          UserSessions(user, st.nSessions, st.nEvents)
+      }
+  }
+}

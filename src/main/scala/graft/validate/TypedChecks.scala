@@ -121,6 +121,21 @@ object TypedChecks {
       .filter(size(col("errors")) > 0)
   }
 
+  /** Project a (possibly already-typed) table down to the declared
+    * columns in lexical string form, so the same typed checks run
+    * unchanged over Parquet/JSON sources ([[graft.io.SourceFormat]]) —
+    * a typed source value that can't round-trip its declared lexical
+    * form (e.g. a double in a NUMBER column) is still checkable, and a
+    * null stays a null for the NOT-NULL check. Columns missing from the
+    * source are skipped (they are the header check's finding). */
+  def lexical(df: DataFrame, meta: TableMetadata): DataFrame = {
+    val present = df.schema.names.map(_.toUpperCase).toSet
+    val cols = meta.typeMapping
+      .filter(c => present.contains(c.name.toUpperCase))
+      .map(c => col(c.name).cast("string").as(c.name))
+    df.select(cols: _*)
+  }
+
   /** The load path: cast the all-string validated table to its declared
     * target schema (NUMBER → Decimal(38,18) with DecimalSeparator
     * normalization, DATE → to_date(fmt), VARCHAR2 → string; extra file

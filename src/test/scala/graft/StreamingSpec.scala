@@ -1,0 +1,67 @@
+package graft
+
+import java.nio.file.{Files, Paths, StandardCopyOption}
+
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.streaming.EventStreams
+
+/** Streaming queries must agree with their batch counterparts on the
+  * same data: hourly windowed agg vs q17, stateful sessionization vs
+  * q18, both run to completion with Trigger.AvailableNow. */
+class StreamingSpec extends SparkSpec {
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  /** File-stream sources need a directory; stage the events parquet
+    * into a temp dir. */
+  private def stageEventsDir(): String = {
+    val dir = Files.createTempDirectory("graft-stream")
+    Files.copy(Paths.get(s"$sfDir/events.parquet"),
+      dir.resolve("events.parquet"), StandardCopyOption.REPLACE_EXISTING)
+    dir.toString
+  }
+
+  test("streaming hourly counts equal batch q17") {
+    val dir = stageEventsDir()
+    val q = EventStreams.hourlyCounts(EventStreams.readEvents(spark, dir))
+      .writeStream.format("memory").queryName("hourly_stream")
+      .outputMode("complete")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    val streamed = spark.table("hourly_stream")
+      .orderBy("hour", "event_type").collect()
+    val batch = Queries.q17EventsHourly(spark, sfDir).collect()
+    assert(streamed.length == batch.length)
+    streamed.zip(batch).foreach { case (s, b) =>
+      assert(s.getAs[java.sql.Timestamp]("hour") == b.getAs[java.sql.Timestamp]("hour"))
+      assert(s.getAs[String]("event_type") == b.getAs[String]("event_type"))
+      assert(s.getAs[Long]("n") == b.getAs[Long]("n"))
+      assert(math.abs(s.getAs[Double]("total_value") - b.getAs[Double]("total_value")) < 1e-6)
+    }
+  }
+
+  test("streaming sessionization equals batch q18") {
+    val dir = stageEventsDir()
+    val q = EventStreams.sessionCounts(EventStreams.readEvents(spark, dir))
+      .writeStream.format("memory").queryName("sessions_stream")
+      .outputMode("update")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    // update mode re-emits a user's row per batch; keep the final state
+    val streamed = spark.table("sessions_stream")
+      .groupBy("user_id")
+      .agg(org.apache.spark.sql.functions.last("n_sessions").as("n_sessions"),
+        org.apache.spark.sql.functions.last("n_events").as("n_events"))
+      .orderBy("user_id").collect()
+    val batch = Queries.q18Sessionize(spark, sfDir).collect()
+    assert(streamed.length == batch.length)
+    streamed.zip(batch).foreach { case (s, b) =>
+      assert(s.getLong(0) == b.getLong(0))
+      assert(s.getLong(1) == b.getLong(1), s"user ${s.getLong(0)} sessions")
+      assert(s.getLong(2) == b.getLong(2), s"user ${s.getLong(0)} events")
+    }
+  }
+}
