@@ -37,7 +37,8 @@ object MetadataCompiler {
       name = values.head,
       sourceType = values.lift(1).getOrElse(""),
       format = values.lift(6).getOrElse(""),
-      nullable = values.lift(5).getOrElse("TRUE").equalsIgnoreCase("TRUE"))
+      nullable = values.lift(5).getOrElse("TRUE").equalsIgnoreCase("TRUE"),
+      rawNullable = values.lift(5).getOrElse("TRUE"))
     TableMetadata(
       typeMapping = rows.map(columnOf),
       decimalSeparator = first.lift(4).getOrElse("."),
@@ -54,28 +55,32 @@ object MetadataCompiler {
   /** Serialize to the reference's JSON IR shape. Matches Python
     * `json.dump(..., indent=4)` formatting (4-space indent, `": "` and
     * `", "` separators, insertion order TypeMapping → DecimalSeparator →
-    * FieldSeparator → StringSeparator). */
+    * FieldSeparator → StringSeparator, non-ASCII escaped like Python's
+    * default `ensure_ascii=True`). SourceNullable is the raw metadata
+    * cell passed through verbatim, like the reference. */
   def toJson(meta: TableMetadata): String = {
     def jstr(s: String): String = {
       val sb = new StringBuilder("\"")
       s.foreach {
-        case '"'           => sb.append("\\\"")
-        case '\\'          => sb.append("\\\\")
-        case '\n'          => sb.append("\\n")
-        case '\r'          => sb.append("\\r")
-        case '\t'          => sb.append("\\t")
-        case c if c < ' '  => sb.append(f"\\u${c.toInt}%04x")
-        case c             => sb.append(c)
+        case '"'            => sb.append("\\\"")
+        case '\\'           => sb.append("\\\\")
+        case '\n'           => sb.append("\\n")
+        case '\r'           => sb.append("\\r")
+        case '\t'           => sb.append("\\t")
+        case c if c < ' '   => sb.append(f"\\u${c.toInt}%04x")
+        // ensure_ascii: escape everything past 0x7f (UTF-16 units, so
+        // astral chars become surrogate pairs — Python's encoding too)
+        case c if c > '~' => sb.append(f"\\u${c.toInt}%04x")
+        case c              => sb.append(c)
       }
       sb.append('"').toString
     }
-    def nullableStr(b: Boolean) = if (b) "TRUE" else "FALSE"
     val cols = meta.typeMapping.map { c =>
       s"""        {
          |            "ColumnName": ${jstr(c.name)},
          |            "SourceDataType": ${jstr(c.sourceType)},
          |            "SourceDataFormat": ${jstr(c.format)},
-         |            "SourceNullable": ${jstr(nullableStr(c.nullable))}
+         |            "SourceNullable": ${jstr(c.nullableRaw)}
          |        }""".stripMargin
     }.mkString(",\n")
     s"""{
@@ -100,7 +105,8 @@ object MetadataCompiler {
         name = txt(c, "ColumnName"),
         sourceType = txt(c, "SourceDataType"),
         format = txt(c, "SourceDataFormat"),
-        nullable = txt(c, "SourceNullable").equalsIgnoreCase("TRUE"))
+        nullable = txt(c, "SourceNullable").equalsIgnoreCase("TRUE"),
+        rawNullable = txt(c, "SourceNullable"))
     }.toSeq
     TableMetadata(
       typeMapping = cols,

@@ -13,7 +13,15 @@ final case class ColumnMeta(
     name: String,
     sourceType: String,
     format: String,
-    nullable: Boolean) {
+    nullable: Boolean,
+    rawNullable: String = null) {
+
+  /** The SourceNullable cell as the reference's JSON carries it: the RAW
+    * metadata value, passed through verbatim (`metadata_csv_to_json.py:
+    * 33-37` never normalizes case). Falls back to the canonical form for
+    * programmatically built metadata. */
+  def nullableRaw: String =
+    if (rawNullable != null) rawNullable else if (nullable) "TRUE" else "FALSE"
 
   /** Typed Spark target type for the declared source type.
     * VARCHAR2→String, NUMBER→Decimal(38,18) (faithful Oracle NUMBER
@@ -52,8 +60,17 @@ final case class TableMetadata(
   def hasQuote: Boolean = stringSeparator != null && stringSeparator.nonEmpty
 
   /** The raw separator treated as a CHARACTER SET — Python `str.strip`
-    * semantics; also collapses the `""""` multi-char cell to `{"}`. */
+    * semantics; also collapses the `""""` multi-char cell to `{"}`.
+    * NOTE: header stripping must use [[rawQuoteCharSet]] — the reference
+    * strips the RAW metadata value (`big_data_validator.py:41`), so the
+    * `nan` sentinel strips the chars {n,a}, NOT a backslash. This set
+    * (with the nan→\ mapping applied) serves the CSV-reader paths. */
   def quoteCharSet: Set[Char] = effectiveQuoteString.toSet
+
+  /** Raw char set of the metadata cell, no sentinel mapping — what the
+    * reference's header normalization actually strips. */
+  def rawQuoteCharSet: Set[Char] =
+    if (stringSeparator == null) Set.empty else stringSeparator.toSet
 
   /** Single normalized quote char for the CSV reader (univocity requires
     * one char; the reference would crash here with `""""` — conscious fix,

@@ -54,14 +54,17 @@ final class TableValidator(
 
   /** Actual header columns: first line split on the literal field
     * separator, quote chars stripped as a set, uppercased
-    * (`big_data_validator.py:39-47`). */
+    * (`big_data_validator.py:39-47`). The stripped set is the RAW
+    * metadata cell — for the `nan` sentinel the reference strips the
+    * chars {n,a} here (no nan→\ mapping on this path), and parity
+    * requires doing the same. */
   lazy val actualColumns: Seq[String] = {
     val header = textDf.head().getString(0)
     header
       .split(Pattern.quote(meta.fieldSeparator), -1)
       .toSeq
       .map(c =>
-        (if (meta.hasQuote) stripCharSet(c, meta.quoteCharSet) else c)
+        (if (meta.hasQuote) stripCharSet(c, meta.rawQuoteCharSet) else c)
           .toUpperCase)
   }
 

@@ -53,6 +53,21 @@ class ChecksSpec extends SparkSpec {
     assert(r.detail.contains("EXTRA"))
   }
 
+  test("header stripping with 'nan' metadata strips the raw {n,a} set") {
+    // reference parity: str.strip('nan') on the header path — the nan→\
+    // sentinel mapping applies only to the CSV reader's quote char
+    val dir = tmp()
+    val data = dir.resolve("t.csv")
+    Files.writeString(data, "naidan|aCOUNTa\n1|2\n")
+    val meta = TableMetadata(Seq(
+      ColumnMeta("ID", "VARCHAR2", "", true),
+      ColumnMeta("COUNT", "VARCHAR2", "", true)), ".", "|", "nan")
+    val v = new TableValidator(spark, meta, data.toString,
+      dir.resolve("bad").toString)
+    assert(v.actualColumns == Seq("ID", "COUNT"))
+    assert(v.validateColumnNames().passed)
+  }
+
   test("naive field count passes on clean unquoted file") {
     val dir = tmp()
     val data = dir.resolve("t.csv")

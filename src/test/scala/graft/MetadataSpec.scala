@@ -52,6 +52,32 @@ class MetadataSpec extends AnyFunSuite {
       ".", "|", "nan")
     assert(m.effectiveQuoteString == "\\")
     assert(m.quoteChar == '\\')
+    // but header stripping uses the RAW char set {n,a} — the reference
+    // applies no sentinel mapping on that path (big_data_validator.py:41)
+    assert(m.rawQuoteCharSet == Set('n', 'a'))
+  }
+
+  test("toJson escapes non-ASCII like Python's ensure_ascii default") {
+    val m = TableMetadata(Seq(ColumnMeta("NAÏVE", "VARCHAR2", "", true)),
+      ",", ";", "")
+    val json = MetadataCompiler.toJson(m)
+    assert(json.contains("NA\\u00cfVE"))
+    assert(!json.contains("Ï"))
+    assert(MetadataCompiler.fromJson(json).typeMapping.head.name == "NAÏVE")
+  }
+
+  test("toJson passes the raw SourceNullable cell through verbatim") {
+    val meta = MetadataCompiler.parseCsvLines(Seq(
+      "COLUMN_NAME;DATA_TYPE;STRING_SEPARATOR;FIELD_SEPARATOR;DECIMAL_SEPARATOR;NULLABLE;DATA_FORMAT",
+      "A;VARCHAR2;;|;.;True;",
+      "B;VARCHAR2;;|;.;no;"))
+    assert(meta.typeMapping.map(_.nullable) == Seq(true, false))
+    val json = MetadataCompiler.toJson(meta)
+    assert(json.contains("\"SourceNullable\": \"True\""))
+    assert(json.contains("\"SourceNullable\": \"no\""))
+    // round-trip preserves the raw cell
+    assert(MetadataCompiler.fromJson(json).typeMapping.map(_.nullableRaw) ==
+      Seq("True", "no"))
   }
 
   test("empty separator is falsy (naive count path)") {
