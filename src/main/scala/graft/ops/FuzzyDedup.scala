@@ -206,13 +206,25 @@ object FuzzyDedup {
     * fixed probe document (doc_id 0) — the "find near-dups of this item"
     * scan. The probe's gram set is a one-row broadcast (deliberate: a
     * scalar query side), so the pass stays a narrow map over the corpus;
-    * for many probes at once, use the d2 banding shape instead. */
+    * for many probes at once, use the d2 banding shape instead.
+    *
+    * Grams are HASHED, never materialized as strings (same measured 3.5×
+    * win as the d2 shingles): char codes once per doc, consecutive
+    * triples combined by rolling polynomial into 31-bit gram hashes;
+    * set ops then compare longs, not strings. */
   def d4NgramJaccard(spark: SparkSession, dir: String): DataFrame = {
-    val grams = expr(
-      "array_distinct(transform(sequence(1, greatest(length(tl) - 2, 1)), i -> substring(tl, i, 3)))")
+    val cc = col("cc")
+    val gramHashes =
+      when(size(cc) >= 3,
+        transform(sequence(lit(1), size(cc) - 2),
+          i => (((element_at(cc, i) * 131L + element_at(cc, i + 1)) % M) * 131L +
+            element_at(cc, i + 2)) % M))
+        .otherwise(array(TextOps.hash60(col("tl")) % M))
     val g = docs(spark, dir)
       .withColumn("tl", lower(col("text")))
-      .select(col("doc_id"), grams.as("g"))
+      .select(col("doc_id"), col("tl"),
+        transform(split(col("tl"), ""), c => ascii(c).cast("long")).as("cc"))
+      .select(col("doc_id"), array_distinct(gramHashes).as("g"))
     val probe = g.filter(col("doc_id") === 0).select(col("g").as("qg"))
     g.crossJoin(broadcast(probe))
       .select(col("doc_id"),
@@ -223,11 +235,18 @@ object FuzzyDedup {
   }
 
   val d4Oracle: String =
-    """WITH g AS (
-         SELECT doc_id,
-           list_distinct(list_transform(range(1, greatest(length(lower(text)) - 2, 1) + 1),
-                                        i -> lower(text)[i:i+2])) AS g
+    s"""WITH cc AS (
+         SELECT doc_id, lower(text) AS tl,
+           list_transform(range(1, length(lower(text)) + 1),
+                          i -> ascii(lower(text)[i:i])::BIGINT) AS cc
          FROM documents),
+       g AS (
+         SELECT doc_id,
+           list_distinct(CASE WHEN len(cc) >= 3
+             THEN list_transform(range(1, len(cc) - 1),
+                    i -> (((cc[i] * 131 + cc[i+1]) % $M) * 131 + cc[i+2]) % $M)
+             ELSE [('0x'||substr(md5(tl),1,15))::BIGINT % $M] END) AS g
+         FROM cc),
        probe AS (SELECT g AS qg FROM g WHERE doc_id = 0)
        SELECT doc_id,
          round(len(list_intersect(g, qg)) * 1.0
