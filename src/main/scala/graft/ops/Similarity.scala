@@ -114,13 +114,58 @@ object Similarity {
        WHERE rk <= 3 ORDER BY q_id, rk"""
   }
 
+  // --------------------------------------------------------------- d12
+  /** Embedding-cosine near-dup dedup: candidate pairs come from a
+    * self-equi-join on the sign-LSH bucket (same 256-bucket scheme as
+    * d10 — agreeing on all 8 sign bits strongly correlates with high
+    * cosine), then pairs at or above the threshold are reported as
+    * duplicates. The join is keyed on the bucket — worst case quadratic
+    * only within a bucket, like d2's banding.
+    *
+    * Threshold note: the synthetic embeddings are near-orthogonal (max
+    * pairwise cosine ≈0.51 at sf0.01, no cluster structure), so a
+    * realistic 0.95 near-dup threshold would select nothing at test
+    * scale; 0.4 exercises the full candidate→verify path. The threshold
+    * is the operator's tuning parameter, not part of its structure. */
+  def d12EmbeddingDedup(spark: SparkSession, dir: String): DataFrame = {
+    val bucket = (1 to 8)
+      .map(i => when(element_at(col("v"), i) > 0, lit(1 << (i - 1))).otherwise(lit(0)))
+      .reduce(_ + _)
+    val e = emb(spark, dir).withColumn("bucket", bucket)
+      .select(col("vec_id"), col("v"), col("bucket"))
+    val r = e.select(col("vec_id").as("vec_b"), col("v").as("vb"), col("bucket"))
+    e.join(r, Seq("bucket"))
+      .filter(col("vec_id") < col("vec_b"))
+      .select(col("vec_id").as("vec_a"), col("vec_b"),
+        cosine(col("v"), col("vb")).as("cos_sim"))
+      .filter(col("cos_sim") >= 0.4)
+      .orderBy("vec_a", "vec_b")
+  }
+
+  val d12Oracle: String = {
+    val bucketSql = (1 to 8)
+      .map(i => s"CASE WHEN embedding[$i] > 0 THEN ${1 << (i - 1)} ELSE 0 END")
+      .mkString(" + ")
+    s"""WITH e AS (
+         SELECT vec_id, embedding::DOUBLE[] AS v, $bucketSql AS bucket
+         FROM embeddings)
+       SELECT vec_a, vec_b, cos_sim FROM (
+         SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           ${cosineSql("a.v", "b.v")} AS cos_sim
+         FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
+       WHERE cos_sim >= 0.4
+       ORDER BY vec_a, vec_b"""
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d9_cosine_topk" -> (d9CosineTopk _),
-    "d10_ann_lsh" -> (d10AnnLsh _)
+    "d10_ann_lsh" -> (d10AnnLsh _),
+    "d12_embedding_dedup" -> (d12EmbeddingDedup _)
   )
 
   val oracles: Map[String, String] = Map(
     "d9_cosine_topk" -> d9Oracle,
-    "d10_ann_lsh" -> d10Oracle
+    "d10_ann_lsh" -> d10Oracle,
+    "d12_embedding_dedup" -> d12Oracle
   )
 }

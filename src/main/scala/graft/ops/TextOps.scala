@@ -158,12 +158,68 @@ object TextOps {
        ('0x' || substr(md5(lower(text)), 1, 15))::BIGINT % 64 AS band
        FROM documents ORDER BY doc_id"""
 
+  // --------------------------------------------------------------- d13
+  /** Marker-word language-ID per language (the n-gram-heuristic family:
+    * score each language by its marker-token hits, predict the argmax
+    * with a fixed priority order on ties) and report the confusion
+    * matrix against the labeled `lang` column. Pure map stage + a
+    * tiny-key aggregate.
+    *
+    * Honesty note: the driver's synthetic corpus draws every language
+    * from the SAME English word pool (verified: per-lang top vocabularies
+    * are identical), so accuracy here is near-chance by construction —
+    * the query gates the deterministic mechanism, which is what transfers
+    * to a real corpus with real marker vocabularies. */
+  private val LangMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "of", "and", "a"),
+    "de" -> Seq("der", "die", "und", "das"),
+    "es" -> Seq("el", "los", "y", "las"),
+    "fr" -> Seq("le", "la", "et", "les"),
+    "zh" -> Seq("wo", "ni", "shi", "bu"))
+
+  def d13LangId(spark: SparkSession, dir: String): DataFrame = {
+    val toks = tokens(col("text"))
+    val scores = LangMarkers.map { case (langName, markers) =>
+      langName -> size(filter(toks,
+        t => markers.map(m => t === m).reduce(_ || _)))
+    }
+    // argmax with the LangMarkers order as tie-break priority
+    val predicted = scores.init.zipWithIndex.foldRight(
+      lit(scores.last._1): Column) { case (((langName, s), i), rest) =>
+      val laterScores = scores.drop(i + 1).map(_._2)
+      when(laterScores.map(s >= _).reduce(_ && _), lit(langName)).otherwise(rest)
+    }
+    docs(spark, dir)
+      .select(col("lang"), predicted.as("predicted"))
+      .groupBy("lang", "predicted")
+      .agg(count(lit(1)).as("n"))
+      .orderBy("lang", "predicted")
+  }
+
+  val d13Oracle: String = {
+    def scoreSql(markers: Seq[String]): String =
+      s"len(list_filter(regexp_extract_all(text, '\\S+'), " +
+        s"t -> t IN (${markers.map(m => s"'$m'").mkString(", ")})))"
+    val caseChain = LangMarkers.init.zipWithIndex.map { case ((langName, m), i) =>
+      val cond = LangMarkers.drop(i + 1)
+        .map { case (_, m2) => s"${scoreSql(m)} >= ${scoreSql(m2)}" }
+        .mkString(" AND ")
+      s"WHEN $cond THEN '$langName'"
+    }.mkString(" ")
+    s"""SELECT lang, predicted, count(*) AS n FROM (
+         SELECT lang,
+           CASE $caseChain ELSE '${LangMarkers.last._1}' END AS predicted
+         FROM documents)
+       GROUP BY lang, predicted ORDER BY lang, predicted"""
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d1_exact_dedup" -> (d1ExactDedup _),
     "d5_text_stats" -> (d5TextStats _),
     "d6_quality_score" -> (d6QualityScore _),
     "d7_token_count" -> (d7TokenCount _),
-    "d8_fingerprint" -> (d8Fingerprint _)
+    "d8_fingerprint" -> (d8Fingerprint _),
+    "d13_lang_id" -> (d13LangId _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -171,6 +227,7 @@ object TextOps {
     "d5_text_stats" -> d5Oracle,
     "d6_quality_score" -> d6Oracle,
     "d7_token_count" -> d7Oracle,
-    "d8_fingerprint" -> d8Oracle
+    "d8_fingerprint" -> d8Oracle,
+    "d13_lang_id" -> d13Oracle
   )
 }
