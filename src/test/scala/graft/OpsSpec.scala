@@ -40,6 +40,10 @@ class OpsSpec extends AnyFunSuite with SparkSpec {
     assertNoAllPairs("d10_ann_lsh", Similarity.d10AnnLsh(spark, dir))
   }
 
+  test("embedding dedup plan is bucketed — no cartesian / nested-loop join") {
+    assertNoAllPairs("d12_embedding_dedup", Similarity.d12EmbeddingDedup(spark, dir))
+  }
+
   test("exact dedup keeps one row per distinct text, lowest doc_id") {
     val docs = Tables.load(spark, dir, "documents")
     val out = TextOps.d1ExactDedup(spark, dir).collect()
