@@ -157,15 +157,72 @@ object Similarity {
        ORDER BY vec_a, vec_b"""
   }
 
+  // --------------------------------------------------------------- d14
+  /** IVF-style ANN: a coarse quantizer (K fixed centroids; here the
+    * first 8 vectors stand in for trained k-means centers — training IS
+    * this same assignment primitive iterated driver-side) assigns every
+    * vector to its nearest cell, and each probe searches only its own
+    * cell's inverted list via an equi-join on the cell id.
+    *
+    * Scale shape: the centroid table is O(K) and broadcast (the one
+    * deliberate K-row nested-loop in this file — K is a constant, not
+    * data-scaled); the corpus-sized side moves exactly once, shuffled on
+    * its cell id. Recall is tuned by probing the nProbe nearest cells —
+    * structure unchanged. */
+  def d14AnnIvf(spark: SparkSession, dir: String): DataFrame = {
+    val e = emb(spark, dir)
+    val cents = e.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("cent_id"), col("v").as("cv"))
+    val wAssign = Window.partitionBy("vec_id")
+      .orderBy(col("sim").desc, col("cent_id"))
+    val assigned = e.crossJoin(broadcast(cents))
+      .withColumn("sim", cosine(col("v"), col("cv")))
+      .withColumn("rk", row_number().over(wAssign))
+      .filter(col("rk") === 1)
+      .select(col("vec_id"), col("v"), col("cent_id").as("cell"))
+    val probes = assigned.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("cell"))
+    val wTop = Window.partitionBy("q_id").orderBy(col("cos_sim").desc, col("vec_id"))
+    assigned.join(probes, Seq("cell"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"), cosine(col("v"), col("qv")).as("cos_sim"))
+      .withColumn("rk", row_number().over(wTop))
+      .filter(col("rk") <= 3)
+      .select("q_id", "rk", "vec_id", "cos_sim")
+      .orderBy("q_id", "rk")
+  }
+
+  val d14Oracle: String =
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       cents AS (SELECT vec_id AS cent_id, v AS cv FROM e WHERE vec_id < 8),
+       assigned AS (
+         SELECT vec_id, v, cent_id AS cell FROM (
+           SELECT e.vec_id, e.v, cents.cent_id,
+             row_number() OVER (PARTITION BY e.vec_id
+               ORDER BY ${cosineSql("e.v", "cents.cv")} DESC, cents.cent_id) AS rk
+           FROM e, cents)
+         WHERE rk = 1),
+       probes AS (SELECT vec_id AS q_id, v AS qv, cell FROM assigned WHERE vec_id < 3),
+       scored AS (
+         SELECT q_id, a.vec_id, ${cosineSql("a.v", "probes.qv")} AS cos_sim
+         FROM assigned a JOIN probes ON a.cell = probes.cell AND a.vec_id <> probes.q_id)
+       SELECT q_id, rk, vec_id, cos_sim FROM (
+         SELECT q_id, vec_id, cos_sim,
+           row_number() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, vec_id) AS rk
+         FROM scored)
+       WHERE rk <= 3 ORDER BY q_id, rk"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d9_cosine_topk" -> (d9CosineTopk _),
     "d10_ann_lsh" -> (d10AnnLsh _),
-    "d12_embedding_dedup" -> (d12EmbeddingDedup _)
+    "d12_embedding_dedup" -> (d12EmbeddingDedup _),
+    "d14_ann_ivf" -> (d14AnnIvf _)
   )
 
   val oracles: Map[String, String] = Map(
     "d9_cosine_topk" -> d9Oracle,
     "d10_ann_lsh" -> d10Oracle,
-    "d12_embedding_dedup" -> d12Oracle
+    "d12_embedding_dedup" -> d12Oracle,
+    "d14_ann_ivf" -> d14Oracle
   )
 }
