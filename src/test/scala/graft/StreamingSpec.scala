@@ -42,6 +42,59 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("sessionization state carries across micro-batches") {
+    // split events at the median ts into two files and force one file
+    // per trigger, so users spanning the split exercise the carried
+    // GroupState (a single AvailableNow batch would not)
+    import org.apache.spark.sql.functions._
+    val dir = Files.createTempDirectory("graft-stream-mb")
+    val events = Tables.load(spark, sfDir, "events")
+    val midTs = events.select(expr("percentile_approx(unix_micros(ts), 0.5)"))
+      .head().getLong(0)
+    // store ts as a micros LONG so the stream schema (long ts) applies
+    val asLong = events.withColumn("ts", unix_micros(col("ts")))
+    asLong.filter(col("ts") < midTs)
+      .coalesce(1).write.parquet(dir.resolve("batch1").toString)
+    asLong.filter(col("ts") >= midTs)
+      .coalesce(1).write.parquet(dir.resolve("batch2").toString)
+    // one parquet file per subdir; stage them in arrival order with
+    // distinct mod-times so the file source triggers batch1 first
+    val staged = Files.createTempDirectory("graft-stream-mb-in")
+    Seq("batch1", "batch2").zipWithIndex.foreach { case (b, i) =>
+      val src = Files.list(dir.resolve(b)).toArray.map(_.toString)
+        .filter(_.endsWith(".parquet")).head
+      val dst = staged.resolve(s"$b.parquet")
+      Files.copy(Paths.get(src), dst)
+      dst.toFile.setLastModified(1000000L + i * 60000L)
+    }
+    val stream = spark.readStream
+      .schema(graft.streaming.EventStreams.eventSchema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(staged.toString)
+      .withColumn("ts", timestamp_micros(col("ts")))
+    val q = EventStreams.sessionCounts(stream)
+      .writeStream.format("memory").queryName("sessions_mb")
+      .outputMode("update")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    val batches = spark.sql(
+      "SELECT count(DISTINCT user_id) FROM sessions_mb").head().getLong(0)
+    val streamed = spark.table("sessions_mb")
+      .groupBy("user_id")
+      .agg(max("n_sessions").as("n_sessions"), max("n_events").as("n_events"))
+      .orderBy("user_id").collect()
+    val batch = Queries.q18Sessionize(spark, sfDir).collect()
+    assert(spark.table("sessions_mb").count() > batches,
+      "users must be re-emitted across >1 micro-batch for this test to bite")
+    assert(streamed.length == batch.length)
+    streamed.zip(batch).foreach { case (s, b) =>
+      assert(s.getLong(0) == b.getLong(0))
+      assert(s.getLong(1) == b.getLong(1), s"user ${s.getLong(0)} sessions")
+      assert(s.getLong(2) == b.getLong(2), s"user ${s.getLong(0)} events")
+    }
+  }
+
   test("streaming sessionization equals batch q18") {
     val dir = stageEventsDir()
     val q = EventStreams.sessionCounts(EventStreams.readEvents(spark, dir))
@@ -53,8 +106,8 @@ class StreamingSpec extends SparkSpec {
     // update mode re-emits a user's row per batch; keep the final state
     val streamed = spark.table("sessions_stream")
       .groupBy("user_id")
-      .agg(org.apache.spark.sql.functions.last("n_sessions").as("n_sessions"),
-        org.apache.spark.sql.functions.last("n_events").as("n_events"))
+      .agg(org.apache.spark.sql.functions.max("n_sessions").as("n_sessions"),
+        org.apache.spark.sql.functions.max("n_events").as("n_events"))
       .orderBy("user_id").collect()
     val batch = Queries.q18Sessionize(spark, sfDir).collect()
     assert(streamed.length == batch.length)
