@@ -71,12 +71,19 @@ object Main {
 
   def main(args: Array[String]): Unit = {
     if (args.length < 2) {
-      System.err.println("usage: graft.Main <baseDir> <tableName>")
+      System.err.println("usage: graft.Main <baseDir> <tableName> [csv|parquet|json]")
       System.err.println("The table is not provided")
       sys.exit(2)
     }
     val Array(baseDir, table) = args.take(2)
-    val format = args.lift(2).map(SourceFormat.parse).getOrElse(SourceFormat.Csv)
+    val format =
+      try args.lift(2).map(SourceFormat.parse).getOrElse(SourceFormat.Csv)
+      catch {
+        case e: IllegalArgumentException =>
+          System.err.println("usage: graft.Main <baseDir> <tableName> [csv|parquet|json]")
+          System.err.println(e.getMessage)
+          sys.exit(2)
+      }
     val spark = SparkSession.builder()
       .appName("graft-validator")
       // default for direct `runMain`; spark-submit's --master overrides

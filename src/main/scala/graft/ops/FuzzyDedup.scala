@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -11,8 +12,20 @@ import graft.Tables
   * Scale design rule: NEVER all-pairs. Candidate generation is always a
   * bucketed equi-join (shuffle on a band/bucket hash), so the worst case
   * is quadratic only WITHIN a bucket, and the expected bucket size is
-  * O(1) for non-duplicate content. Verified by `OpsPlanSpec`: the
+  * O(1) for non-duplicate content. Verified by `OpsSpec`: the
   * physical plan contains no CartesianProduct/BroadcastNestedLoopJoin.
+  *
+  * Two defenses keep pathological buckets from going quadratic:
+  *  1. an EXACT-dedup pre-pass (same md5 grouping as [[TextOps.d1ExactDedup]])
+  *     collapses byte-identical documents to one representative before any
+  *     shingling, so a corpus with millions of identical boilerplate docs
+  *     contributes ONE row per distinct text to the band join (their
+  *     members rejoin via the exact-group edges in [[d15DedupClusters]]);
+  *  2. a band-bucket CAP ([[MaxBucket]]) drops buckets whose size exceeds
+  *     the threshold — a bucket that large among *distinct* texts means a
+  *     degenerate band (near-constant content); its pairs are refused
+  *     rather than allowed to blow up a task. Overflowing buckets are
+  *     observable via [[overflowBuckets]] for pipeline monitoring.
   *
   * Hashing uses md5 prefixes (see [[TextOps.hash60]]) rather than Spark's
   * murmur3 so the DuckDB oracle can reproduce values bit-for-bit.
@@ -30,6 +43,12 @@ object FuzzyDedup {
   private val NumHashes = 8
   private val BandSize = 2
   private val NumBands = NumHashes / BandSize
+
+  /** Band-bucket size cap: (band, bh) groups larger than this are
+    * dropped from candidate generation (see class doc, defense 2).
+    * 64 members → at most 64²/2 ≈ 2k pairs per bucket per band — bounded
+    * task time even on adversarial corpora. */
+  val MaxBucket = 64
 
   /** The 8 signatures come from ONE md5 per shingle plus a linear
     * permutation family h_s = (A_s·h + B_s) mod M — 8× less hashing than
@@ -49,22 +68,38 @@ object FuzzyDedup {
   private val K1 = 1000003L
   private val K2 = 999983L
 
-  /** 3-word shingle HASHES of the text. Shingle strings are never
-    * materialized (measured: building ~n_tokens concat'd strings per doc
-    * was 8× the cost of everything else in this pipeline) — instead each
-    * token is hashed once (md5, engine-reproducible) and consecutive
-    * triples combine by rolling polynomial:
+  /** Exact-duplicate groups: doc_id → lowest doc_id sharing the same
+    * md5(text). One window-min over the 16-byte hash — the shuffle moves
+    * hashes, not text. */
+  private def exactGroups(df: DataFrame): DataFrame =
+    df.select(col("doc_id"),
+      min(col("doc_id")).over(Window.partitionBy(md5(col("text")))).as("rep"))
+
+  /** One representative row (lowest doc_id) per distinct text — the
+    * exact-dedup pre-pass in front of the MinHash pipeline. Spark 4 plans
+    * `row_number()==1` as WindowGroupLimit: the limit applies map-side
+    * before the exchange, so N identical docs ship O(partitions) rows. */
+  private def representatives(df: DataFrame): DataFrame =
+    df.withColumn("text_hash", md5(col("text")))
+      .withColumn("rn",
+        row_number().over(Window.partitionBy("text_hash").orderBy("doc_id")))
+      .filter(col("rn") === 1)
+      .select("doc_id", "text")
+
+  /** 3-word shingle HASHES of the representative texts. Shingle strings
+    * are never materialized (measured: building ~n_tokens concat'd
+    * strings per doc was 8× the cost of everything else in this
+    * pipeline) — each token is hashed once (md5, engine-reproducible) and
+    * consecutive triples combine by rolling polynomial:
     * h = ((t0·K1 + t1) mod M)·K2 + t2 mod M. Documents with fewer than 3
     * tokens fall back to one whole-text hash so they still dedup exactly.
-    * Downstream (minhash signatures, Jaccard verify) operates on these
-    * 31-bit shingle hashes; deterministic and identical in the oracle. */
-  /** doc_id + shingle-hash array. Token hashes are bound to a named
-    * column (`th`) in their own projection so each is computed once per
-    * row — inlining the transform into every `element_at` would re-hash
-    * the whole token list per shingle. */
-  private def shingled(spark: SparkSession, dir: String): DataFrame = {
+    * Token hashes are bound to a named column (`th`) in their own
+    * projection so each is computed once per row — inlining the transform
+    * into every `element_at` would re-hash the whole token list per
+    * shingle. */
+  private def shingled(df: DataFrame): DataFrame = {
     val th = col("th")
-    docs(spark, dir)
+    representatives(df)
       .select(col("doc_id"), col("text"),
         transform(TextOps.tokens(col("text")), t => TextOps.hash60(t) % M).as("th"))
       .select(col("doc_id"),
@@ -75,27 +110,17 @@ object FuzzyDedup {
           .otherwise(array(TextOps.hash60(col("text")) % M)).as("shingles"))
   }
 
-  // ---------------------------------------------------------------- d2
-  /** MinHash + LSH banding dedup:
-    * shingle → 8 min-hashes → 4 band hashes → explode → equi-join on
-    * (band, band_hash) → candidate pairs → exact shingle-Jaccard verify.
-    *
-    * At 100 TB: the only shuffles are (a) the band-hash exchange, whose
-    * payload is (doc_id, 32-byte hash) — not document text — and (b) the
-    * verify join, which touches only the candidate pairs (a vanishing
-    * fraction of the corpus). Duplicate-heavy buckets are exactly the
-    * pairs we must examine, so there is no wasted skew. For repeated runs
-    * the shingle stage would be checkpointed; here it is recomputed (two
-    * scans of a columnar source beat materializing shingle arrays). */
-  def d2MinhashDedup(spark: SparkSession, dir: String): DataFrame = {
-    val sh = shingled(spark, dir)
-
+  /** (doc_id, band, band-hash) rows: 8 min-hashes → 4 2-row band hashes,
+    * exploded. The downstream self-join and the bucket-size cap both key
+    * on (band, bh), so the exchange introduced by the cap's window count
+    * is the same partitioning the join needs. */
+  private def bandRows(df: DataFrame): DataFrame = {
+    val sh = shingled(df)
     val mhCols = (0 until NumHashes).map { s =>
       array_min(transform(col("shingles"),
         h => (h * PermA(s) + PermB(s)) % M)).as(s"mh$s")
     }
     val withMh = sh.select(col("doc_id") +: mhCols: _*)
-
     val bandStructs = (0 until NumBands).map { b =>
       struct(
         lit(b).as("band"),
@@ -103,9 +128,31 @@ object FuzzyDedup {
           col(s"mh${BandSize * b}").cast("string"),
           col(s"mh${BandSize * b + 1}").cast("string"))).as("bh"))
     }
-    val bands = withMh
+    withMh
       .select(col("doc_id"), explode(array(bandStructs: _*)).as("e"))
       .select(col("doc_id"), col("e.band").as("band"), col("e.bh").as("bh"))
+  }
+
+  /** Diagnostic: band buckets whose size exceeds the cap (these are
+    * EXCLUDED from candidate generation). At scale this feeds pipeline
+    * monitoring — a non-empty result means degenerate near-constant
+    * content that should be cleaned upstream. */
+  def overflowBuckets(df: DataFrame, maxBucket: Int = MaxBucket): DataFrame =
+    bandRows(df)
+      .groupBy("band", "bh")
+      .agg(count(lit(1)).as("bucket_size"))
+      .filter(col("bucket_size") > maxBucket)
+
+  /** Verified near-dup pairs among exact-representatives (unordered):
+    * band equi-join on capped buckets → candidate pairs → exact
+    * shingle-Jaccard verify. Shared core of [[d2MinhashDedup]] and
+    * [[d15DedupClusters]]. */
+  private[graft] def verifiedPairs(df: DataFrame,
+      maxBucket: Int = MaxBucket): DataFrame = {
+    val bands = bandRows(df)
+      .withColumn("bsz", count(lit(1)).over(Window.partitionBy("band", "bh")))
+      .filter(col("bsz") <= maxBucket)
+      .drop("bsz")
 
     val pairs = bands.as("l")
       .join(bands.as("r"),
@@ -114,7 +161,8 @@ object FuzzyDedup {
       .select(col("l.doc_id").as("doc_a"), col("r.doc_id").as("doc_b"))
       .distinct()
 
-    val sets = sh.select(col("doc_id"), array_distinct(col("shingles")).as("s"))
+    val sets = shingled(df)
+      .select(col("doc_id"), array_distinct(col("shingles")).as("s"))
     pairs
       .join(sets.select(col("doc_id").as("doc_a"), col("s").as("sa")), "doc_a")
       .join(sets.select(col("doc_id").as("doc_b"), col("s").as("sb")), "doc_b")
@@ -122,23 +170,42 @@ object FuzzyDedup {
         round(size(array_intersect(col("sa"), col("sb"))).cast("double") /
           size(array_union(col("sa"), col("sb"))), 4).as("jaccard"))
       .filter(col("jaccard") >= 0.5)
-      .orderBy("doc_a", "doc_b")
   }
 
-  /** The same pipeline in DuckDB SQL (band hashes written out: 4 bands of
-    * 2 md5-minhashes each). */
-  val d2Oracle: String = {
+  // ---------------------------------------------------------------- d2
+  /** MinHash + LSH banding dedup:
+    * exact-dedup pre-pass → shingle → 8 min-hashes → 4 band hashes →
+    * explode → capped equi-join on (band, band_hash) → candidate pairs →
+    * exact shingle-Jaccard verify.
+    *
+    * At 100 TB: the only shuffles are (a) the band-hash exchange, whose
+    * payload is (doc_id, 32-byte hash) — not document text — and (b) the
+    * verify join, which touches only the candidate pairs (a vanishing
+    * fraction of the corpus). Identical-doc skew is removed by the exact
+    * pre-pass; residual degenerate buckets are dropped by the cap (class
+    * doc, defenses 1–2). For repeated runs the shingle stage would be
+    * checkpointed; here it is recomputed (two scans of a columnar source
+    * beat materializing shingle arrays). */
+  def d2MinhashDedup(spark: SparkSession, dir: String): DataFrame =
+    verifiedPairs(docs(spark, dir)).orderBy("doc_a", "doc_b")
+
+  /** The d2 pipeline as DuckDB CTEs (band hashes written out: 4 bands of
+    * 2 md5-minhashes each), shared by the d2 and d15 oracles. Mirrors the
+    * exact-dedup pre-pass (QUALIFY row_number over md5(text)) and the
+    * band-bucket cap (QUALIFY count over (b, bh)). */
+  private val d2Ctes: String = {
     val mhDefs = (0 until NumHashes).map(s =>
       s"list_min(list_transform(shingles, h -> (h * ${PermA(s)} + ${PermB(s)}) % $M)) AS mh$s")
       .mkString(",\n         ")
     val bandCases = (0 until NumBands).map(b =>
       s"WHEN $b THEN md5(mh${2 * b}::VARCHAR||','||mh${2 * b + 1}::VARCHAR)")
       .mkString(" ")
-    s"""WITH th AS (
+    s"""th AS (
          SELECT doc_id, text,
            list_transform(regexp_extract_all(text, '\\S+'),
                           t -> ('0x'||substr(md5(t),1,15))::BIGINT % $M) AS th
-         FROM documents),
+         FROM documents
+         QUALIFY row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) = 1),
        sh AS (
          SELECT doc_id,
            CASE WHEN len(th) >= 3
@@ -150,55 +217,233 @@ object FuzzyDedup {
          SELECT doc_id,
          $mhDefs
          FROM sh),
-       bands AS (
+       bands_all AS (
          SELECT doc_id, b,
            CASE b $bandCases END AS bh
          FROM mh, (SELECT unnest([0,1,2,3]) AS b)),
-       pairs AS (
+       bands AS (
+         SELECT * FROM bands_all
+         QUALIFY count(*) OVER (PARTITION BY b, bh) <= $MaxBucket),
+       cand AS (
          SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
          FROM bands l JOIN bands r
-           ON l.b = r.b AND l.bh = r.bh AND l.doc_id < r.doc_id)
-       SELECT doc_a, doc_b, jaccard FROM (
-         SELECT doc_a, doc_b,
-           round(len(list_intersect(list_distinct(a.shingles), list_distinct(b.shingles))) * 1.0
-                 / len(list_distinct(list_concat(a.shingles, b.shingles))), 4) AS jaccard
-         FROM pairs JOIN sh a ON a.doc_id = doc_a JOIN sh b ON b.doc_id = doc_b)
-       WHERE jaccard >= 0.5
-       ORDER BY doc_a, doc_b"""
+           ON l.b = r.b AND l.bh = r.bh AND l.doc_id < r.doc_id),
+       verified AS (
+         SELECT doc_a, doc_b, jaccard FROM (
+           SELECT doc_a, doc_b,
+             round(len(list_intersect(list_distinct(a.shingles), list_distinct(b.shingles))) * 1.0
+                   / len(list_distinct(list_concat(a.shingles, b.shingles))), 4) AS jaccard
+           FROM cand JOIN sh a ON a.doc_id = doc_a JOIN sh b ON b.doc_id = doc_b)
+         WHERE jaccard >= 0.5)"""
   }
 
-  // ---------------------------------------------------------------- d3
-  /** 16-bit SimHash per document: each token's 60-bit hash votes ±1 on
-    * every bit; a bit is set when set-votes are the strict majority.
-    * Pure map stage (token hashes computed once per doc, then 16
-    * codegen'd bit-count filters); near-dup docs land on equal or
-    * 1-bit-distant hashes, making simhash the cheap grouping key for a
-    * banded dedup join. */
-  def d3Simhash(spark: SparkSession, dir: String): DataFrame = {
-    val hs = transform(TextOps.tokens(col("text")), t => TextOps.hash60(t))
-    val bits = (0 until 16).map { i =>
-      when(size(filter(col("hs"),
-        h => shiftright(h, i).bitwiseAND(lit(1L)) === 1L)) * 2 > size(col("hs")),
-        lit(1 << i)).otherwise(lit(0))
+  val d2Oracle: String =
+    s"""WITH $d2Ctes
+       SELECT doc_a, doc_b, jaccard FROM verified ORDER BY doc_a, doc_b"""
+
+  // --------------------------------------------------------------- d15
+  /** Near-dup CLUSTERS with a canonical survivor — the capability that
+    * turns pair output into "the corpus minus near-dups": connected
+    * components over the union of near-dup pair edges ([[verifiedPairs]])
+    * and exact-duplicate group edges ([[exactGroups]]), labeling every
+    * component by its minimum doc_id; `keep = 1` marks the one canonical
+    * survivor per cluster (singletons survive trivially).
+    *
+    * Algorithm: distributed min-label propagation. Labels start as
+    * self; each round every node takes the min of its own label and its
+    * neighbors' labels (one equi-join edges⋈labels + one min-aggregate,
+    * both keyed on node id — small-key shuffles over the EDGE set, which
+    * is O(duplicate pairs), not the corpus). Converges in O(component
+    * diameter) rounds — near-dup components are overwhelmingly small and
+    * dense, so a handful in practice; each round is localCheckpoint'd to
+    * cut lineage, and the convergence probe is a count(), never a
+    * collect. The corpus-sized table is touched exactly twice: once to
+    * build edges, once for the final left-join that assigns singleton
+    * clusters. */
+  def d15DedupClusters(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    val near = verifiedPairs(d).select("doc_a", "doc_b")
+    val exact = exactGroups(d).filter(col("doc_id") =!= col("rep"))
+      .select(col("rep").as("doc_a"), col("doc_id").as("doc_b"))
+    val pairs = near.union(exact)
+    val edges = pairs.select(col("doc_a").as("s"), col("doc_b").as("dd"))
+      .union(pairs.select(col("doc_b").as("s"), col("doc_a").as("dd")))
+      .localCheckpoint()
+
+    var labels = edges.select(col("s").as("node")).distinct()
+      .withColumn("label", col("node"))
+      .localCheckpoint()
+    var changed = 1L
+    var rounds = 0
+    while (changed > 0 && rounds < 50) {
+      val prop = edges.join(labels, col("s") === col("node"))
+        .select(col("dd").as("node"), col("label"))
+      val next = labels.union(prop)
+        .groupBy("node").agg(min("label").as("label"))
+        .localCheckpoint()
+      changed = next
+        .join(labels.select(col("node"), col("label").as("prev")), "node")
+        .filter(col("label") < col("prev")).count()
+      labels = next
+      rounds += 1
     }
-    docs(spark, dir)
-      .withColumn("hs", hs)
-      .select(col("doc_id"), bits.reduce(_ + _).as("simhash"))
+
+    d.select("doc_id")
+      .join(labels.withColumnRenamed("node", "doc_id"), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("label"), col("doc_id")).as("cluster_id"))
+      .withColumn("keep",
+        when(col("doc_id") === col("cluster_id"), 1).otherwise(0))
       .orderBy("doc_id")
   }
 
-  val d3Oracle: String = {
-    val terms = (0 until 16).map(i =>
-      s"CASE WHEN 2 * len(list_filter(h, x -> ((x >> $i) & 1) = 1)) > len(h) THEN ${1 << i} ELSE 0 END")
+  /** Connected components in the oracle: recursive reachability closure
+    * (x reaches y), then label = min reachable per node — identical
+    * fixpoint to the Spark label propagation. */
+  val d15Oracle: String =
+    s"""WITH RECURSIVE $d2Ctes,
+       exact_rep AS (
+         SELECT doc_id, min(doc_id) OVER (PARTITION BY md5(text)) AS rep
+         FROM documents),
+       edges0 AS (
+         SELECT doc_a AS s, doc_b AS d FROM verified
+         UNION ALL
+         SELECT rep, doc_id FROM exact_rep WHERE doc_id <> rep),
+       edges AS (
+         SELECT s, d FROM edges0 UNION ALL SELECT d, s FROM edges0),
+       reach(x, y) AS (
+         SELECT DISTINCT s, s FROM edges
+         UNION
+         SELECT r.x, e.d FROM reach r JOIN edges e ON e.s = r.y),
+       comp AS (SELECT x AS node, min(y) AS label FROM reach GROUP BY x)
+       SELECT doc_id,
+         coalesce(label, doc_id) AS cluster_id,
+         CASE WHEN coalesce(label, doc_id) = doc_id THEN 1 ELSE 0 END AS keep
+       FROM documents LEFT JOIN comp ON node = doc_id
+       ORDER BY doc_id"""
+
+  // ---------------------------------------------------------------- d3
+  /** SimHash bit width. 48 bits (of the 60-bit token hashes) because the
+    * fingerprint must separate random same-vocabulary pairs from true
+    * near-dups: measured on the gate corpus, 16 bits put 22% of ALL
+    * pairs within Hamming ≤3 (saturated — every band bucket goes
+    * quadratic), while 48 bits put 0.08% there with the planted
+    * near-dups still at distance ≤3. */
+  private val SimBits = 48
+
+  /** SimHash fingerprint per document: every token votes its bit
+    * pattern; a bit is set when set-votes are the strict majority. Pure
+    * map stage; the cheap grouping key consumed by the banded near-dup
+    * join in [[d16SimhashDedup]]. */
+  def d3Simhash(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .withColumn("hs", transform(TextOps.tokens(col("text")), t => TextOps.hash60(t)))
+      .select(col("doc_id"), simhashOf(col("hs")).as("simhash"))
+      .orderBy("doc_id")
+
+  /** The 48-bit simhash of an array of token hashes. ONE `aggregate`
+    * fold accumulates all 48 vote counters per row (O(tokens·bits) adds
+    * in a single array traversal — the previous per-bit
+    * `size(filter(...))` formulation re-scanned the token array once per
+    * bit). `call_function("shiftright", …)` shifts by the lambda's index
+    * column (the Scala `shiftright` helper only accepts a literal Int
+    * shift; the underlying SQL function takes any expression). */
+  private def simhashOf(hs: Column): Column = {
+    val votes = aggregate(
+      hs,
+      array((0 until SimBits).map(_ => lit(0L)): _*),
+      (acc, h) => zip_with(acc,
+        transform(acc, (_, i) =>
+          call_function("shiftright", h, i).bitwiseAND(lit(1L))),
+        (a, b) => a + b))
+    val n = size(hs)
+    aggregate(
+      zip_with(votes,
+        transform(votes, (_, i) => call_function("shiftleft", lit(1L), i)),
+        (v, p) => when(v * 2 > n, p).otherwise(lit(0L))),
+      lit(0L), (a, x) => a + x)
+  }
+
+  /** Per-bit CASE chain — the readable (if slower) SQL equivalent of the
+    * Spark fold; the oracle runs once over the small gate corpus. */
+  private def simhashSqlTerms: String =
+    (0 until SimBits).map(i =>
+      s"CASE WHEN 2 * len(list_filter(h, x -> ((x >> $i) & 1) = 1)) > len(h) THEN ${1L << i} ELSE 0 END")
       .mkString("\n         + ")
+
+  val d3Oracle: String =
     s"""WITH hs AS (
          SELECT doc_id,
            list_transform(regexp_extract_all(text, '\\S+'),
                           t -> ('0x'||substr(md5(t),1,15))::BIGINT) AS h
          FROM documents)
        SELECT doc_id,
-         $terms AS simhash
+         $simhashSqlTerms AS simhash
        FROM hs ORDER BY doc_id"""
+
+  // --------------------------------------------------------------- d16
+  /** Banded SimHash near-dup join — the consumer of d3's fingerprint:
+    * the 48-bit simhash splits into 4 bands of 12 bits; documents
+    * agreeing on ANY band become candidates via an equi-join on
+    * (band, 12-bit value) (pigeonhole: Hamming distance ≤ 3 guarantees
+    * at least one untouched band, so recall at the verify threshold is
+    * exact); candidates are verified by popcount of the XOR'd
+    * fingerprints.
+    *
+    * Same scale shape as d2: the shuffle key is a 12-bit band value plus
+    * band index, payload is (doc_id, 48-bit fingerprint) — no text moves.
+    * Worst-case quadratic only within a (band, value) bucket; for
+    * boilerplate-heavy corpora compose the d1 exact pre-pass exactly as
+    * d2 does. */
+  def d16SimhashDedup(spark: SparkSession, dir: String): DataFrame = {
+    val fp = docs(spark, dir)
+      .withColumn("hs", transform(TextOps.tokens(col("text")), t => TextOps.hash60(t)))
+      .select(col("doc_id"), simhashOf(col("hs")).as("simhash"))
+
+    val bandStructs = (0 until 4).map { b =>
+      struct(lit(b).as("band"),
+        shiftright(col("simhash"), 12 * b).bitwiseAND(lit(4095L)).as("nib"))
+    }
+    val bands = fp
+      .select(col("doc_id"), col("simhash"), explode(array(bandStructs: _*)).as("e"))
+      .select(col("doc_id"), col("simhash"),
+        col("e.band").as("band"), col("e.nib").as("nib"))
+
+    bands.as("l")
+      .join(bands.as("r"),
+        col("l.band") === col("r.band") && col("l.nib") === col("r.nib") &&
+          col("l.doc_id") < col("r.doc_id"))
+      .select(col("l.doc_id").as("doc_a"), col("r.doc_id").as("doc_b"),
+        col("l.simhash").as("sa"), col("r.simhash").as("sb"))
+      .distinct()
+      .select(col("doc_a"), col("doc_b"),
+        bit_count(col("sa").bitwiseXOR(col("sb"))).as("hamming"))
+      .filter(col("hamming") <= 3)
+      .orderBy("doc_a", "doc_b")
+  }
+
+  val d16Oracle: String = {
+    s"""WITH hs AS (
+         SELECT doc_id,
+           list_transform(regexp_extract_all(text, '\\S+'),
+                          t -> ('0x'||substr(md5(t),1,15))::BIGINT) AS h
+         FROM documents),
+       fp AS (
+         SELECT doc_id,
+           $simhashSqlTerms AS simhash
+         FROM hs),
+       bands AS (
+         SELECT doc_id, simhash, b, (simhash >> (12 * b)) & 4095 AS nib
+         FROM fp, (SELECT unnest([0,1,2,3]) AS b)),
+       cand AS (
+         SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b,
+           l.simhash AS sa, r.simhash AS sb
+         FROM bands l JOIN bands r
+           ON l.b = r.b AND l.nib = r.nib AND l.doc_id < r.doc_id)
+       SELECT doc_a, doc_b, hamming FROM (
+         SELECT doc_a, doc_b, bit_count(xor(sa, sb)) AS hamming FROM cand)
+       WHERE hamming <= 3
+       ORDER BY doc_a, doc_b"""
   }
 
   // ---------------------------------------------------------------- d4
@@ -257,12 +502,16 @@ object FuzzyDedup {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d2_minhash_dedup" -> (d2MinhashDedup _),
     "d3_simhash" -> (d3Simhash _),
-    "d4_ngram_jaccard" -> (d4NgramJaccard _)
+    "d4_ngram_jaccard" -> (d4NgramJaccard _),
+    "d15_dedup_clusters" -> (d15DedupClusters _),
+    "d16_simhash_dedup" -> (d16SimhashDedup _)
   )
 
   val oracles: Map[String, String] = Map(
     "d2_minhash_dedup" -> d2Oracle,
     "d3_simhash" -> d3Oracle,
-    "d4_ngram_jaccard" -> d4Oracle
+    "d4_ngram_jaccard" -> d4Oracle,
+    "d15_dedup_clusters" -> d15Oracle,
+    "d16_simhash_dedup" -> d16Oracle
   )
 }

@@ -87,7 +87,10 @@ object TextOps {
     * stopword ratio, and a length-window flag — the standard cheap
     * filters applied before expensive pipeline stages. Pure map stage:
     * at 100 TB this runs at scan speed with zero shuffles (the final
-    * orderBy exists only for the deterministic driver compare). */
+    * orderBy exists only for the deterministic driver compare).
+    * Token-less documents get NULL ratios in BOTH engines (the guard,
+    * not engine division semantics, decides — Spark's non-ANSI x/0 is
+    * NULL while DuckDB's is NaN, so an unguarded ratio would diverge). */
   def d6QualityScore(spark: SparkSession, dir: String): DataFrame = {
     val toks = tokens(col("text"))
     val nTok = size(toks)
@@ -95,10 +98,12 @@ object TextOps {
       .select(
         col("doc_id"),
         nTok.as("n_tokens"),
-        round(length(regexp_replace(col("text"), "\\s+", "")).cast("double") / nTok, 4)
+        when(nTok > 0,
+          round(length(regexp_replace(col("text"), "\\s+", "")).cast("double") / nTok, 4))
           .as("avg_word_len"),
-        round(size(filter(toks, t => t === "the" || t === "a" || t === "of"))
-          .cast("double") / nTok, 4).as("stopword_ratio"),
+        when(nTok > 0,
+          round(size(filter(toks, t => t === "the" || t === "a" || t === "of"))
+            .cast("double") / nTok, 4)).as("stopword_ratio"),
         when(col("n_chars").between(150, 450), lit(1)).otherwise(lit(0)).as("len_ok"))
       .orderBy("doc_id")
   }
@@ -107,10 +112,10 @@ object TextOps {
     """SELECT doc_id,
        len(regexp_extract_all(text, '\S+')) AS n_tokens,
        round(length(regexp_replace(text, '\s+', '', 'g')) * 1.0
-             / len(regexp_extract_all(text, '\S+')), 4) AS avg_word_len,
+             / NULLIF(len(regexp_extract_all(text, '\S+')), 0), 4) AS avg_word_len,
        round(len(list_filter(regexp_extract_all(text, '\S+'),
                              t -> t IN ('the', 'a', 'of'))) * 1.0
-             / len(regexp_extract_all(text, '\S+')), 4) AS stopword_ratio,
+             / NULLIF(len(regexp_extract_all(text, '\S+')), 0), 4) AS stopword_ratio,
        CASE WHEN n_chars BETWEEN 150 AND 450 THEN 1 ELSE 0 END AS len_ok
        FROM documents ORDER BY doc_id"""
 

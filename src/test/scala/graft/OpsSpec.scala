@@ -44,6 +44,59 @@ class OpsSpec extends AnyFunSuite with SparkSpec {
     assertNoAllPairs("d12_embedding_dedup", Similarity.d12EmbeddingDedup(spark, dir))
   }
 
+  test("simhash banded dedup plan is bucketed — no cartesian / nested-loop join") {
+    assertNoAllPairs("d16_simhash_dedup", FuzzyDedup.d16SimhashDedup(spark, dir))
+  }
+
+  test("dedup clusters: one canonical survivor per cluster, pairs co-clustered") {
+    val docs = Tables.load(spark, dir, "documents")
+    val out = FuzzyDedup.d15DedupClusters(spark, dir).collect()
+    assert(out.length == docs.count(), "every doc gets a cluster assignment")
+    val byCluster = out.groupBy(_.getLong(1))
+    byCluster.foreach { case (cid, members) =>
+      assert(members.count(_.getInt(2) == 1) == 1,
+        s"cluster $cid must have exactly one survivor")
+      assert(members.map(_.getLong(0)).min == cid,
+        s"cluster $cid label must be its minimum doc_id")
+      assert(members.find(_.getInt(2) == 1).get.getLong(0) == cid,
+        s"cluster $cid survivor must be the canonical minimum")
+    }
+    // every verified near-dup pair must land in the same cluster
+    val cluster = out.map(r => r.getLong(0) -> r.getLong(1)).toMap
+    FuzzyDedup.d2MinhashDedup(spark, dir).collect().foreach { p =>
+      assert(cluster(p.getLong(0)) == cluster(p.getLong(1)),
+        s"pair (${p.getLong(0)}, ${p.getLong(1)}) split across clusters")
+    }
+  }
+
+  test("minhash skew defense: 1000 identical docs collapse before banding") {
+    import spark.implicits._
+    val boiler = (0L until 1000L)
+      .map(i => (i, "the same boilerplate text repeated in every single document"))
+      .toDF("doc_id", "text")
+    // exact pre-pass leaves ONE representative → zero near-dup pairs and
+    // zero band buckets over the cap; completes without a quadratic blowup
+    assert(FuzzyDedup.verifiedPairs(boiler).count() == 0)
+    assert(FuzzyDedup.overflowBuckets(boiler).count() == 0)
+  }
+
+  test("minhash bucket cap drops degenerate near-constant-band buckets") {
+    import spark.implicits._
+    val common = (1 to 20).map(i => s"word$i").mkString(" ")
+    val nearDups = (0L until 300L).map(i => (i, s"$common unique$i"))
+      .toDF("doc_id", "text")
+    // distinct texts, ~0.9 pairwise shingle-jaccard: all 300 share the
+    // dominant minhash signature, so the main bucket is ~corpus-sized
+    assert(FuzzyDedup.overflowBuckets(nearDups, 64).count() > 0,
+      "degenerate corpus must surface overflowing buckets")
+    val capped = FuzzyDedup.verifiedPairs(nearDups, maxBucket = 64).count()
+    val uncapped = FuzzyDedup.verifiedPairs(nearDups, maxBucket = Int.MaxValue).count()
+    // banding recall is <1 by construction; nearly all of the 44850
+    // possible pairs collide in at least one band on this corpus
+    assert(uncapped > 40000L, s"uncapped pair count $uncapped unexpectedly low")
+    assert(capped < uncapped / 10, "the cap must refuse the degenerate buckets")
+  }
+
   test("exact dedup keeps one row per distinct text, lowest doc_id") {
     val docs = Tables.load(spark, dir, "documents")
     val out = TextOps.d1ExactDedup(spark, dir).collect()
@@ -64,6 +117,19 @@ class OpsSpec extends AnyFunSuite with SparkSpec {
     val top = Similarity.d9CosineTopk(spark, dir).head()
     assert(top.getLong(0) == 0L)
     assert(math.abs(top.getDouble(2) - 1.0) < 1e-9)
+  }
+
+  test("documents fixture is pure ASCII (d11 byte-op / char-op oracle parity)") {
+    // d11 measures UTF-8 BYTES (encode + binary substring) while its
+    // DuckDB oracle uses character ops; the two agree only on ASCII
+    // payloads. This enforces that documented assumption on the fixture.
+    import org.apache.spark.sql.functions._
+    Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01").foreach { d =>
+      val nonAscii = Tables.load(spark, d, "documents")
+        .filter(length(encode(col("text"), "UTF-8")) =!= length(col("text")))
+        .count()
+      assert(nonAscii == 0, s"$d documents contain non-ASCII text")
+    }
   }
 
   test("multimodal decode: frame counts and feature shape") {
