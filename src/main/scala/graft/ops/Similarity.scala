@@ -68,22 +68,39 @@ object Similarity {
        ORDER BY cos_sim DESC, vec_id LIMIT 10"""
 
   // --------------------------------------------------------------- d10
-  /** Sign-LSH bucketed ANN: bucket = sign bits of the first 8 dimensions
-    * (8 axis-aligned hyperplanes → 256 buckets). Queries (vec_id < 8)
-    * join candidates on bucket EQUALITY — a hash join keyed on the
-    * bucket, never a cross product — then score and keep top-3 per query.
+  /** Sign-LSH bucket: sign bits of the first 8 dimensions (8 axis-aligned
+    * hyperplanes → 256 buckets). */
+  private def signBucket(v: Column): Column =
+    (1 to 8)
+      .map(i => when(element_at(v, i) > 0, lit(1 << (i - 1))).otherwise(lit(0)))
+      .reduce(_ + _)
+
+  /** Sign-LSH bucketed ANN with MULTI-PROBE: each query (vec_id < 8)
+    * probes its own bucket plus the 8 Hamming-1 neighbor buckets (one
+    * sign bit flipped), i.e. 9 probe rows per query, then joins
+    * candidates on bucket EQUALITY — a hash join keyed on the bucket,
+    * never a cross product — scores, and keeps top-3 per query. Each
+    * corpus vector lives in exactly ONE bucket and the 9 probe buckets
+    * are distinct, so no candidate dedup is needed.
     *
     * At 100 TB both sides shuffle/broadcast on `bucket`: work per query
-    * is |bucket| ≈ N/256, and recall is tunable by probing neighboring
-    * buckets (Hamming-1 expansion) — the structure, not the constants, is
-    * what survives the scale-up. */
-  def d10AnnLsh(spark: SparkSession, dir: String): DataFrame = {
-    val bucket = (1 to 8)
-      .map(i => when(element_at(col("v"), i) > 0, lit(1 << (i - 1))).otherwise(lit(0)))
-      .reduce(_ + _)
-    val e = emb(spark, dir).withColumn("bucket", bucket)
+    * is 9·N/256, and recall/cost trade off by the probe radius (the
+    * query side fans out, the corpus side never replicates) — the
+    * structure, not the constants, is what survives the scale-up. */
+  def d10AnnLsh(spark: SparkSession, dir: String): DataFrame =
+    annLsh(spark, dir, multiProbe = true)
+
+  /** [[d10AnnLsh]] with the probe radius as a switch — `multiProbe =
+    * false` is the single-bucket variant the recall test compares
+    * against. */
+  private[graft] def annLsh(spark: SparkSession, dir: String,
+      multiProbe: Boolean): DataFrame = {
+    val e = emb(spark, dir).withColumn("bucket", signBucket(col("v")))
+    val flips = if (multiProbe) 0 +: (0 until 8).map(1 << _) else Seq(0)
     val qs = e.filter(col("vec_id") < 8)
-      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("bucket"))
+      .select(col("vec_id").as("q_id"), col("v").as("qv"),
+        explode(array(flips.map(f => col("bucket").bitwiseXOR(lit(f))): _*))
+          .as("bucket"))
     val w = Window.partitionBy("q_id").orderBy(col("cos_sim").desc, col("vec_id"))
     e.join(qs, Seq("bucket"))
       .filter(col("vec_id") =!= col("q_id"))
@@ -103,7 +120,10 @@ object Similarity {
     s"""WITH e AS (
          SELECT vec_id, embedding::DOUBLE[] AS v, $bucketSql AS bucket
          FROM embeddings),
-       qs AS (SELECT vec_id AS q_id, v AS qv, bucket FROM e WHERE vec_id < 8),
+       qs AS (
+         SELECT vec_id AS q_id, v AS qv, xor(bucket, f) AS bucket
+         FROM e, (SELECT unnest([0,1,2,4,8,16,32,64,128]) AS f)
+         WHERE vec_id < 8),
        scored AS (
          SELECT qs.q_id, e.vec_id, ${cosineSql("e.v", "qs.qv")} AS cos_sim
          FROM e JOIN qs ON e.bucket = qs.bucket AND e.vec_id <> qs.q_id)
@@ -158,30 +178,81 @@ object Similarity {
   }
 
   // --------------------------------------------------------------- d14
-  /** IVF-style ANN: a coarse quantizer (K fixed centroids; here the
-    * first 8 vectors stand in for trained k-means centers — training IS
-    * this same assignment primitive iterated driver-side) assigns every
-    * vector to its nearest cell, and each probe searches only its own
-    * cell's inverted list via an equi-join on the cell id.
+  /** IVF parameters: K cells, Lloyd refinement rounds over a
+    * deterministic 1-in-TrainMod sample, and the number of inverted
+    * cells each probe searches. */
+  private val IvfK = 8
+  private val LloydIters = 2
+  private val TrainMod = 5
+  private val NProbe = 2
+
+  /** Nearest-cell assignment — the primitive shared by training and
+    * search. The O(K) centroid table is broadcast (the one deliberate
+    * K-row nested loop in this file: K is a constant, not data-scaled);
+    * the argmax is ONE partial-aggregating groupBy (`max` of a
+    * (sim, -cent_id, v) struct, tie-broken toward the lowest cent_id),
+    * so at most N rows shuffle — not the K·N sorted rows a row_number
+    * window would move. */
+  private def assignCells(vecs: DataFrame, cents: DataFrame): DataFrame =
+    vecs.crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("v"), col("cent_id"),
+        cosine(col("v"), col("cv")).as("sim"))
+      .groupBy("vec_id")
+      .agg(max(struct(col("sim"), (-col("cent_id")).as("nc"), col("v"))).as("m"))
+      .select(col("vec_id"), col("m.v").as("v"), (-col("m.nc")).as("cell"))
+
+  /** One Lloyd update: element-wise mean of each cell's member vectors.
+    * Means are rounded to 4dp so the trained centroids are reproducible
+    * across engines and across shuffle merge orders (double summation
+    * order is otherwise nondeterministic); `collect_list` of (i, mean)
+    * structs is array_sort'ed so element order never depends on
+    * aggregation order. */
+  private def updateCentroids(assigned: DataFrame): DataFrame =
+    assigned.select(col("cell"), posexplode(col("v")).as(Seq("i", "x")))
+      .groupBy("cell", "i").agg(round(avg("x"), 4).as("cx"))
+      .groupBy("cell")
+      .agg(array_sort(collect_list(struct(col("i"), col("cx")))).as("a"))
+      .select(col("cell").as("cent_id"),
+        transform(col("a"), s => s.getField("cx")).as("cv"))
+
+  /** IVF ANN with a TRAINED coarse quantizer: centroids start as the
+    * first K vectors, then LloydIters assign→mean rounds over a
+    * deterministic 1-in-TrainMod sample refine them (driver-coordinated
+    * loop; each round reuses [[assignCells]]). Every corpus vector is
+    * assigned to its nearest trained cell; each probe (vec_id < 3)
+    * searches its NProbe nearest cells' inverted lists via an equi-join
+    * on the cell id.
     *
-    * Scale shape: the centroid table is O(K) and broadcast (the one
-    * deliberate K-row nested-loop in this file — K is a constant, not
-    * data-scaled); the corpus-sized side moves exactly once, shuffled on
-    * its cell id. Recall is tuned by probing the nProbe nearest cells —
-    * structure unchanged. */
-  def d14AnnIvf(spark: SparkSession, dir: String): DataFrame = {
+    * Scale shape: training touches only the sample; the corpus-sized
+    * side moves exactly once, shuffled on its cell id; the probe table
+    * fans out NProbe rows per query. Recall/cost trade off by NProbe and
+    * K — structure unchanged. */
+  def d14AnnIvf(spark: SparkSession, dir: String): DataFrame =
+    annIvf(spark, dir, trained = true, nProbe = NProbe)
+
+  /** [[d14AnnIvf]] with training and probe width as switches — the
+    * `trained = false, nProbe = 1` corner is the baseline the recall
+    * test compares against. */
+  private[graft] def annIvf(spark: SparkSession, dir: String,
+      trained: Boolean, nProbe: Int): DataFrame = {
     val e = emb(spark, dir)
-    val cents = e.filter(col("vec_id") < 8)
+    val c0 = e.filter(col("vec_id") < IvfK)
       .select(col("vec_id").as("cent_id"), col("v").as("cv"))
-    val wAssign = Window.partitionBy("vec_id")
-      .orderBy(col("sim").desc, col("cent_id"))
-    val assigned = e.crossJoin(broadcast(cents))
-      .withColumn("sim", cosine(col("v"), col("cv")))
-      .withColumn("rk", row_number().over(wAssign))
-      .filter(col("rk") === 1)
-      .select(col("vec_id"), col("v"), col("cent_id").as("cell"))
-    val probes = assigned.filter(col("vec_id") < 3)
-      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("cell"))
+    val train = e.filter(col("vec_id") % TrainMod === 0)
+    val cents =
+      if (!trained) c0
+      else (1 to LloydIters).foldLeft(c0) { (c, _) =>
+        updateCentroids(assignCells(train, c))
+      }.localCheckpoint() // 8 rows; reused by assignment AND probe ranking
+    val assigned = assignCells(e, cents)
+    val probes = e.filter(col("vec_id") < 3)
+      .crossJoin(broadcast(cents))
+      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("cent_id"),
+        cosine(col("v"), col("cv")).as("sim"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("q_id").orderBy(col("sim").desc, col("cent_id"))))
+      .filter(col("rk") <= nProbe)
+      .select(col("q_id"), col("qv"), col("cent_id").as("cell"))
     val wTop = Window.partitionBy("q_id").orderBy(col("cos_sim").desc, col("vec_id"))
     assigned.join(probes, Seq("cell"))
       .filter(col("vec_id") =!= col("q_id"))
@@ -192,17 +263,41 @@ object Similarity {
       .orderBy("q_id", "rk")
   }
 
-  val d14Oracle: String =
+  /** The same trained pipeline with the Lloyd rounds unrolled as CTEs
+    * (the oracle favors clarity over efficiency: assignments use a
+    * row_number window, means use an explicit 1..64 dimension unnest —
+    * the fixture embeddings are 64-dim). Rounding matches the Spark
+    * side: centroid means at 4dp, similarities at 4dp, identical
+    * tie-break order. */
+  val d14Oracle: String = {
+    def assignSql(vecsCte: String, centsCte: String): String =
+      s"""SELECT vec_id, v, cent_id AS cell FROM (
+         SELECT t.vec_id, t.v, c.cent_id,
+           row_number() OVER (PARTITION BY t.vec_id
+             ORDER BY ${cosineSql("t.v", "c.cv")} DESC, c.cent_id) AS rk
+         FROM $vecsCte t, $centsCte c)
+         WHERE rk = 1"""
+    def updateSql(assignCte: String): String =
+      s"""SELECT cell AS cent_id, list(cx ORDER BY i) AS cv FROM (
+         SELECT cell, i, round(avg(v[i]), 4) AS cx
+         FROM $assignCte, (SELECT unnest(range(1, 65)) AS i)
+         GROUP BY cell, i)
+         GROUP BY cell"""
     s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-       cents AS (SELECT vec_id AS cent_id, v AS cv FROM e WHERE vec_id < 8),
-       assigned AS (
-         SELECT vec_id, v, cent_id AS cell FROM (
-           SELECT e.vec_id, e.v, cents.cent_id,
-             row_number() OVER (PARTITION BY e.vec_id
-               ORDER BY ${cosineSql("e.v", "cents.cv")} DESC, cents.cent_id) AS rk
-           FROM e, cents)
-         WHERE rk = 1),
-       probes AS (SELECT vec_id AS q_id, v AS qv, cell FROM assigned WHERE vec_id < 3),
+       train AS (SELECT vec_id, v FROM e WHERE vec_id % $TrainMod = 0),
+       c0 AS (SELECT vec_id AS cent_id, v AS cv FROM e WHERE vec_id < $IvfK),
+       a1 AS (${assignSql("train", "c0")}),
+       c1 AS (${updateSql("a1")}),
+       a2 AS (${assignSql("train", "c1")}),
+       c2 AS (${updateSql("a2")}),
+       assigned AS (${assignSql("e", "c2")}),
+       probes AS (
+         SELECT q_id, qv, cell FROM (
+           SELECT t.vec_id AS q_id, t.v AS qv, c.cent_id AS cell,
+             row_number() OVER (PARTITION BY t.vec_id
+               ORDER BY ${cosineSql("t.v", "c.cv")} DESC, c.cent_id) AS rk
+           FROM e t, c2 c WHERE t.vec_id < 3)
+         WHERE rk <= $NProbe),
        scored AS (
          SELECT q_id, a.vec_id, ${cosineSql("a.v", "probes.qv")} AS cos_sim
          FROM assigned a JOIN probes ON a.cell = probes.cell AND a.vec_id <> probes.q_id)
@@ -211,6 +306,44 @@ object Similarity {
            row_number() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, vec_id) AS rk
          FROM scored)
        WHERE rk <= 3 ORDER BY q_id, rk"""
+  }
+
+  /** Mean cosine similarity of every corpus vector to its assigned
+    * centroid — the quantization quality Lloyd training optimizes (the
+    * recall of a single probe is chance on isotropic data, but this
+    * objective must improve with training). */
+  private[graft] def meanAssignSim(spark: SparkSession, dir: String,
+      trained: Boolean): Double = {
+    val e = emb(spark, dir)
+    val c0 = e.filter(col("vec_id") < IvfK)
+      .select(col("vec_id").as("cent_id"), col("v").as("cv"))
+    val train = e.filter(col("vec_id") % TrainMod === 0)
+    val cents =
+      if (!trained) c0
+      else (1 to LloydIters).foldLeft(c0) { (c, _) =>
+        updateCentroids(assignCells(train, c))
+      }
+    e.crossJoin(broadcast(cents))
+      .select(col("vec_id"), cosine(col("v"), col("cv")).as("sim"))
+      .groupBy("vec_id").agg(max("sim").as("best"))
+      .agg(avg("best")).head().getDouble(0)
+  }
+
+  /** Exact brute-force cosine top-3 for the first `numProbes` vectors —
+    * the ground truth the ANN recall tests measure d10/d14 against. */
+  private[graft] def exactTopk(spark: SparkSession, dir: String,
+      numProbes: Int): DataFrame = {
+    val e = emb(spark, dir)
+    val qs = e.filter(col("vec_id") < numProbes)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"))
+    val w = Window.partitionBy("q_id").orderBy(col("cos_sim").desc, col("vec_id"))
+    e.crossJoin(broadcast(qs))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"), cosine(col("v"), col("qv")).as("cos_sim"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 3)
+      .select("q_id", "rk", "vec_id", "cos_sim")
+  }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d9_cosine_topk" -> (d9CosineTopk _),
