@@ -64,6 +64,29 @@ object Multimodal {
     }
   }
 
+  /** Blob source from REAL files: Spark's `binaryFile` format over a
+    * directory tree — the actual ingest path for media at scale (each
+    * file is one row; `spark.sql.files.maxPartitionBytes` and the
+    * format's own file listing parallelize the scan). doc_id parses from
+    * the numeric file stem, modality from the extension; everything
+    * downstream ([[decodeFrames]], the [[d11MultimodalMeta]] shape) is
+    * source-agnostic, so swapping the derived-from-text stand-in
+    * ([[blobs]]) for this source changes no pipeline code. */
+  def blobsFromDir(spark: SparkSession, dir: String): Dataset[MediaBlob] = {
+    import spark.implicits._
+    val ext = lower(regexp_extract(col("path"), "\\.([A-Za-z0-9]+)$", 1))
+    spark.read.format("binaryFile").load(dir)
+      .select(
+        regexp_extract(col("path"), "([0-9]+)\\.[A-Za-z0-9]+$", 1)
+          .cast("long").as("doc_id"),
+        when(ext.isin("jpg", "jpeg", "png", "bmp"), "image")
+          .when(ext.isin("wav", "mp3", "flac"), "audio")
+          .when(ext.isin("mp4", "avi", "mkv", "webm"), "video")
+          .otherwise("binary").as("modality"),
+        col("content").as("data"))
+      .as[MediaBlob]
+  }
+
   /** documents → MediaBlob dataset (UTF-8 payload, modality fanned out
     * deterministically from doc_id — stand-in for a real media table). */
   def blobs(spark: SparkSession, dir: String): Dataset[MediaBlob] = {

@@ -2,7 +2,7 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 import org.apache.spark.sql.types._
 
 /** Structured Streaming counterparts of the batch event queries
@@ -60,7 +60,16 @@ object EventStreams {
     * user; each micro-batch folds its (batch-sorted) events into the
     * user's state, counting a new session whenever the gap from the
     * previous event exceeds 30 minutes. State is one record per user —
-    * O(users) memory regardless of stream length. */
+    * O(users) memory regardless of stream length.
+    *
+    * CONTRACT: this fast path assumes per-user event-time order ACROSS
+    * micro-batches (within a batch it sorts). An event arriving in a
+    * later batch with an earlier timestamp folds against the stored
+    * last-timestamp and miscounts the boundary. For unordered arrival
+    * use [[closedSessions]], which buffers under a watermark. State
+    * never expires here (NoTimeout — running counts are meant to live as
+    * long as the user); [[closedSessions]] is also the bounded-state
+    * variant. */
   def sessionCounts(events: DataFrame): Dataset[UserSessions] = {
     import events.sparkSession.implicits._
     events
@@ -77,6 +86,70 @@ object EventStreams {
           }
           state.update(st)
           UserSessions(user, st.nSessions, st.nEvents)
+      }
+  }
+
+  /** One finalized session: emitted exactly once, when the watermark
+    * proves no further event can extend it. */
+  final case class ClosedSession(
+    user_id: Long, start_us: Long, end_us: Long, n_events: Long)
+
+  /** Per-user buffer of event timestamps not yet part of a closed
+    * session. */
+  final case class SessionBuffer(tsUs: Seq[Long])
+
+  /** Watermarked sessionization that tolerates OUT-OF-ORDER arrival
+    * across micro-batches: event times are buffered per user, and a
+    * session is only finalized (emitted, Append mode) once the event-time
+    * watermark passes its end + the 30-minute gap — at which point no
+    * admissible event can extend or reorder it, so late-but-in-watermark
+    * events land in the right session instead of corrupting a running
+    * count (the failure mode of [[sessionCounts]] under unordered
+    * input).
+    *
+    * State is BOUNDED: closed sessions leave the buffer immediately, so
+    * a user's state holds only events newer than (watermark − gap) —
+    * the watermark horizon — and the whole map is dropped via
+    * `state.remove()` when a user has no open tail. The event-time
+    * timeout re-invokes the function with no rows once the watermark
+    * passes the open tail's close time, so sessions finalize even if the
+    * user never sends another event. */
+  def closedSessions(events: DataFrame): Dataset[ClosedSession] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", "1 hour")
+      // the watermarked `ts` column must reach the stateful operator;
+      // the micros long rides alongside it
+      .select(col("user_id"), col("ts"), unix_micros(col("ts")).as("ts_us"))
+      .as[(Long, java.sql.Timestamp, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[SessionBuffer, ClosedSession](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (user: Long, rows: Iterator[(Long, java.sql.Timestamp, Long)],
+            state: GroupState[SessionBuffer]) =>
+          val wmMs = state.getCurrentWatermarkMs()
+          val wmUs = wmMs * 1000L
+          val buf = (state.getOption.map(_.tsUs).getOrElse(Seq.empty) ++
+            rows.map(_._3)).sorted
+          // split the buffered, sorted times into gap-delimited sessions
+          // (each inner list is built in reverse: head = latest event)
+          val sessions = buf.foldLeft(List.empty[List[Long]]) { (acc, t) =>
+            acc match {
+              case (cur @ (last :: _)) :: rest if t - last <= GapUs =>
+                (t :: cur) :: rest
+              case _ => List(t) :: acc
+            }
+          }.map(_.reverse).reverse
+          val (closed, open) = sessions.partition(_.last + GapUs < wmUs)
+          if (open.isEmpty) state.remove()
+          else {
+            state.update(SessionBuffer(open.flatten))
+            val closeMs = (open.map(_.last).max + GapUs) / 1000L + 1
+            // the timeout must sit strictly beyond the current watermark
+            state.setTimeoutTimestamp(math.max(closeMs, wmMs + 1))
+          }
+          closed.iterator
+            .map(s => ClosedSession(user, s.head, s.last, s.length.toLong))
       }
   }
 }

@@ -127,6 +127,31 @@ class MainEndToEndSpec extends SparkSpec {
       .count() == 2)
   }
 
+  test("json input validates end-to-end via the format argument") {
+    val base = Files.createTempDirectory("graft-json-cli")
+    Files.createDirectories(base.resolve("inputs"))
+    Files.createDirectories(base.resolve("metadata/csv"))
+    Files.writeString(base.resolve("metadata/csv/acct_metadata.csv"),
+      """COLUMN_NAME;DATA_TYPE;STRING_SEPARATOR;FIELD_SEPARATOR;DECIMAL_SEPARATOR;NULLABLE;DATA_FORMAT
+        |ID;VARCHAR2;;|;.;FALSE;
+        |AMOUNT;NUMBER;;|;.;TRUE;
+        |""".stripMargin)
+    import spark.implicits._
+    // good table → exit 0
+    Seq(("1", "12.5"), ("2", "7.0")).toDF("ID", "AMOUNT")
+      .write.mode("overwrite").json(base.resolve("inputs/acct.json").toString)
+    assert(Main.run(spark, base.toString, "acct",
+      graft.io.SourceFormat.Json) == 0)
+    // bad NUMBER + null ID → exit 1, typed bad rows written
+    Seq(("1", "abc"), (null.asInstanceOf[String], "7.0")).toDF("ID", "AMOUNT")
+      .write.mode("overwrite").json(base.resolve("inputs/acct.json").toString)
+    assert(Main.run(spark, base.toString, "acct",
+      graft.io.SourceFormat.Json) == 1)
+    assert(spark.read
+      .parquet(base.resolve("inputs/VALIDATION/acct_TMP_TYPED").toString)
+      .count() == 2)
+  }
+
   test("typed checks skip declared columns missing from the file") {
     val base = Files.createTempDirectory("graft-missing")
     Files.createDirectories(base.resolve("inputs"))

@@ -180,6 +180,24 @@ class OpsSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("binaryFile blob source: ids, modalities, and decode plumbing") {
+    import java.nio.file.Files
+    val bdir = Files.createTempDirectory("graft-blobs")
+    Files.write(bdir.resolve("0.jpg"), Array.fill[Byte](300)(1))
+    Files.write(bdir.resolve("1.wav"), Array.fill[Byte](700)(2))
+    Files.write(bdir.resolve("2.bin"), "hello".getBytes)
+    val blobs = Multimodal.blobsFromDir(spark, bdir.toString)
+    val byId = blobs.collect().map(b => b.doc_id -> b).toMap
+    assert(byId.keySet == Set(0L, 1L, 2L))
+    assert(byId(0L).modality == "image" && byId(0L).data.length == 300)
+    assert(byId(1L).modality == "audio" && byId(1L).data.length == 700)
+    assert(byId(2L).modality == "binary" && byId(2L).data.length == 5)
+    val frames = Multimodal.decodeFrames(blobs).collect()
+    val counts = frames.groupBy(_.doc_id).view.mapValues(_.length).toMap
+    assert(counts == Map(0L -> 2, 1L -> 3, 2L -> 1),
+      "frame counts must be ceil(byte_len / FrameBytes)")
+  }
+
   test("multimodal decode: frame counts and feature shape") {
     val blobs = Multimodal.blobs(spark, dir)
     val frames = Multimodal.decodeFrames(blobs).collect()

@@ -95,6 +95,109 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("closed sessions: out-of-order arrival across batches lands correctly") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // user 100 truly has TWO sessions (events 40 min apart), but the
+    // later event ARRIVES first; the earlier one follows in the next
+    // micro-batch (within the 1-hour watermark). A run-length fold over
+    // arrival order (sessionCounts' contract) would see t going
+    // backwards and count ONE session; the buffered variant must emit
+    // two. A far-future sentinel user advances the watermark so both
+    // close.
+    val base = 1000000000000000L // micros
+    val min = 60L * 1000 * 1000
+    def ev(id: Long, tsUs: Long, user: Long) =
+      (id, tsUs, user, "click", 1.0, "{}")
+    val staged = Files.createTempDirectory("graft-ooo-in")
+    Seq(
+      Seq(ev(1, base + 60 * min, 100L)),
+      Seq(ev(2, base + 20 * min, 100L)),
+      Seq(ev(3, base + 720 * min, 999L))
+    ).zipWithIndex.foreach { case (rows, i) =>
+      val tmp = Files.createTempDirectory(s"graft-ooo-$i")
+      rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .coalesce(1).write.parquet(tmp.resolve("p").toString)
+      val src = Files.list(tmp.resolve("p")).toArray.map(_.toString)
+        .filter(_.endsWith(".parquet")).head
+      val dst = staged.resolve(s"b$i.parquet")
+      Files.copy(Paths.get(src), dst)
+      dst.toFile.setLastModified(1000000L + i * 60000L)
+    }
+    val stream = spark.readStream
+      .schema(graft.streaming.EventStreams.eventSchema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(staged.toString)
+      .withColumn("ts", timestamp_micros(col("ts")))
+    val q = EventStreams.closedSessions(stream)
+      .writeStream.format("memory").queryName("closed_ooo")
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    val out = spark.table("closed_ooo")
+      .filter(col("user_id") === 100)
+      .orderBy("start_us").collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.toSeq == Seq(
+      (base + 20 * min, base + 20 * min, 1L),
+      (base + 60 * min, base + 60 * min, 1L)),
+      s"expected two single-event sessions, got ${out.toSeq}")
+  }
+
+  test("closed sessions: expiry fires and totals equal batch q18") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val events = Tables.load(spark, sfDir, "events")
+    val asLong = events.withColumn("ts", unix_micros(col("ts")))
+    val maxTs = asLong.agg(max("ts")).head().getLong(0)
+    val staged = Files.createTempDirectory("graft-closed-in")
+    // batch 1: the real corpus; batch 2: one far-future sentinel event
+    // whose watermark closes every real session
+    val tmp1 = Files.createTempDirectory("graft-closed-b1")
+    asLong.coalesce(1).write.parquet(tmp1.resolve("p").toString)
+    val src1 = Files.list(tmp1.resolve("p")).toArray.map(_.toString)
+      .filter(_.endsWith(".parquet")).head
+    val dst1 = staged.resolve("b1.parquet")
+    Files.copy(Paths.get(src1), dst1)
+    dst1.toFile.setLastModified(1000000L)
+    val tmp2 = Files.createTempDirectory("graft-closed-b2")
+    Seq((-1L, maxTs + 20L * 3600 * 1000 * 1000, -1L, "sentinel", 0.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.parquet(tmp2.resolve("p").toString)
+    val src2 = Files.list(tmp2.resolve("p")).toArray.map(_.toString)
+      .filter(_.endsWith(".parquet")).head
+    val dst2 = staged.resolve("b2.parquet")
+    Files.copy(Paths.get(src2), dst2)
+    dst2.toFile.setLastModified(1060000L)
+
+    val stream = spark.readStream
+      .schema(graft.streaming.EventStreams.eventSchema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(staged.toString)
+      .withColumn("ts", timestamp_micros(col("ts")))
+    val q = EventStreams.closedSessions(stream)
+      .writeStream.format("memory").queryName("closed_all")
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    val closed = spark.table("closed_all").filter(col("user_id") >= 0)
+    assert(closed.count() > 0, "event-time expiry must finalize sessions")
+    val streamed = closed.groupBy("user_id")
+      .agg(count(lit(1)).as("n_sessions"), sum("n_events").as("n_events"))
+      .orderBy("user_id").collect()
+    val batch = Queries.q18Sessionize(spark, sfDir).collect()
+    assert(streamed.length == batch.length,
+      s"all ${batch.length} users' sessions must close under the sentinel " +
+        s"watermark (got ${streamed.length})")
+    streamed.zip(batch).foreach { case (s, b) =>
+      assert(s.getLong(0) == b.getLong(0))
+      assert(s.getLong(1) == b.getLong(1), s"user ${s.getLong(0)} sessions")
+      assert(s.getLong(2) == b.getLong(2), s"user ${s.getLong(0)} events")
+    }
+  }
+
   test("streaming sessionization equals batch q18") {
     val dir = stageEventsDir()
     val q = EventStreams.sessionCounts(EventStreams.readEvents(spark, dir))
