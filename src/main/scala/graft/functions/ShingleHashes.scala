@@ -1,0 +1,112 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, GraftColumns}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
+
+/** Native Catalyst expression computing the 3-word shingle hashes of a
+  * token array: each token is md5-hashed once (first 15 hex chars as a
+  * 60-bit long, mod M — bit-identical to the DuckDB oracle's
+  * `('0x'||substr(md5(t),1,15))::BIGINT % M`), and consecutive triples
+  * combine by the rolling polynomial
+  * `((t0·K1 + t1) mod M)·K2 + t2 mod M`. Fewer than 3 tokens falls back
+  * to a single-element array holding `fallback` (the caller passes the
+  * whole-text hash, so short docs still dedup exactly).
+  *
+  * WHY an Expression: the column formulation — a `transform` binding
+  * token hashes to a column, then `element_at` reads inside a second
+  * `transform` — is correct only while the optimizer keeps the binding
+  * projection intact. When the array feeds `explode`, CollapseProject
+  * re-inlines the producing transform into every `element_at`, turning
+  * the stage O(tokens²·md5) (measured: 48 s to explode the sf0.1
+  * corpus's shingles vs 1.5 s to compute them). A native expression has
+  * no projection to collapse: one pass, one md5 per token, inside
+  * whole-stage codegen.
+  *
+  * Semantics are pinned by the d2/d15/d17 DuckDB oracles through the
+  * driver gate and by a unit test against the fold formulation.
+  */
+case class ShingleHashes(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
+
+  override def inputTypes = Seq(ArrayType(StringType), LongType)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "shingle_hashes"
+
+  override def nullSafeEval(tokens: Any, fallback: Any): Any = {
+    val arr = tokens.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    if (n < 3) {
+      new GenericArrayData(Array(fallback.asInstanceOf[Long]))
+    } else {
+      val th = new Array[Long](n)
+      var i = 0
+      while (i < n) {
+        th(i) = ShingleHashes.tokenHash(arr.getUTF8String(i).getBytes)
+        i += 1
+      }
+      val out = new Array[Long](n - 2)
+      i = 0
+      while (i < n - 2) {
+        out(i) = (((th(i) * ShingleHashes.K1 + th(i + 1)) % ShingleHashes.M) *
+          ShingleHashes.K2 + th(i + 2)) % ShingleHashes.M
+        i += 1
+      }
+      new GenericArrayData(out)
+    }
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (tokens, fallback) => {
+      val n = ctx.freshName("n")
+      val th = ctx.freshName("th")
+      val out = ctx.freshName("out")
+      val i = ctx.freshName("i")
+      val cls = ShingleHashes.getClass.getName.stripSuffix("$") + "$"
+      s"""
+         |int $n = $tokens.numElements();
+         |long[] $out;
+         |if ($n < 3) {
+         |  $out = new long[] { $fallback };
+         |} else {
+         |  long[] $th = new long[$n];
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $th[$i] = $cls.MODULE$$.tokenHash($tokens.getUTF8String($i).getBytes());
+         |  }
+         |  $out = new long[$n - 2];
+         |  for (int $i = 0; $i < $n - 2; $i++) {
+         |    $out[$i] = ((($th[$i] * ${ShingleHashes.K1}L + $th[$i + 1]) % ${ShingleHashes.M}L)
+         |      * ${ShingleHashes.K2}L + $th[$i + 2]) % ${ShingleHashes.M}L;
+         |  }
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): ShingleHashes =
+    copy(left = newLeft, right = newRight)
+}
+
+object ShingleHashes {
+  /** Modulus / rolling-poly constants — MUST stay in sync with the
+    * DuckDB oracle strings in [[graft.ops.FuzzyDedup]]. */
+  val M = 2147483647L
+  val K1 = 1000003L
+  val K2 = 999983L
+
+  /** 60-bit md5-prefix hash mod M — `('0x'||substr(md5(t),1,15))::BIGINT
+    * % M` in the oracle. Public because generated code calls it. */
+  def tokenHash(utf8Bytes: Array[Byte]): Long =
+    java.lang.Long.parseLong(
+      org.apache.commons.codec.digest.DigestUtils.md5Hex(utf8Bytes)
+        .substring(0, 15), 16) % M
+
+  /** Column-level entry point. `fallback` is the value used for docs
+    * with fewer than 3 tokens (pass the whole-text hash). */
+  def apply(tokens: Column, fallback: Column): Column =
+    GraftColumns.column(ShingleHashes(
+      GraftColumns.expression(tokens), GraftColumns.expression(fallback)))
+}

@@ -55,8 +55,10 @@ object FuzzyDedup {
     * seed-concatenated md5s (measured: the md5 was the whole cost of the
     * stage). M = 2^31-1 keeps every product < 2^62 (no overflow in either
     * engine); constants are fixed odd multipliers so the oracle
-    * reproduces values exactly. */
-  private val M = 2147483647L
+    * reproduces values exactly. M/K1/K2 are owned by the native shingle
+    * expression ([[graft.functions.ShingleHashes]]) and aliased here for
+    * the oracle strings. */
+  private val M = graft.functions.ShingleHashes.M
   private val PermA = Seq(1103515245L, 1140671485L, 214013L, 69069L,
     1664525L, 22695477L, 134775813L, 1099087573L)
   private val PermB = Seq(12345L, 12820163L, 2531011L, 362437L,
@@ -65,8 +67,8 @@ object FuzzyDedup {
   /** Rolling-hash constants for combining token hashes into 3-word
     * shingle hashes (order-sensitive polynomial; all intermediates stay
     * under 2^62). */
-  private val K1 = 1000003L
-  private val K2 = 999983L
+  private val K1 = graft.functions.ShingleHashes.K1
+  private val K2 = graft.functions.ShingleHashes.K2
 
   /** Exact-duplicate groups: doc_id → lowest doc_id sharing the same
     * md5(text). One window-min over the 16-byte hash — the shuffle moves
@@ -86,29 +88,24 @@ object FuzzyDedup {
       .filter(col("rn") === 1)
       .select("doc_id", "text")
 
-  /** 3-word shingle HASHES of the representative texts. Shingle strings
-    * are never materialized (measured: building ~n_tokens concat'd
-    * strings per doc was 8× the cost of everything else in this
-    * pipeline) — each token is hashed once (md5, engine-reproducible) and
-    * consecutive triples combine by rolling polynomial:
-    * h = ((t0·K1 + t1) mod M)·K2 + t2 mod M. Documents with fewer than 3
-    * tokens fall back to one whole-text hash so they still dedup exactly.
-    * Token hashes are bound to a named column (`th`) in their own
-    * projection so each is computed once per row — inlining the transform
-    * into every `element_at` would re-hash the whole token list per
-    * shingle. */
-  private def shingled(df: DataFrame): DataFrame = {
-    val th = col("th")
-    representatives(df)
-      .select(col("doc_id"), col("text"),
-        transform(TextOps.tokens(col("text")), t => TextOps.hash60(t) % M).as("th"))
-      .select(col("doc_id"),
-        when(size(th) >= 3,
-          transform(sequence(lit(1), size(th) - 2),
-            i => (((element_at(th, i) * K1 + element_at(th, i + 1)) % M) * K2 +
-              element_at(th, i + 2)) % M))
-          .otherwise(array(TextOps.hash60(col("text")) % M)).as("shingles"))
-  }
+  /** 3-word shingle HASHES per document, via the native
+    * [[graft.functions.ShingleHashes]] expression: one md5 per token,
+    * rolling-poly triple combination, single codegen'd pass. Shingle
+    * strings are never materialized (measured: 8× the cost of everything
+    * else), and unlike the earlier bind-then-`element_at` column
+    * formulation, there is no projection for CollapseProject to re-inline
+    * into O(tokens²) hashing when the array feeds `explode` (measured:
+    * 48 s → scan speed on the d17 explode path). Documents with fewer
+    * than 3 tokens fall back to one whole-text hash so they still dedup
+    * exactly. */
+  private[graft] def shingleHashes(df: DataFrame): DataFrame =
+    df.select(col("doc_id"),
+      graft.functions.ShingleHashes(
+        TextOps.tokens(col("text")),
+        TextOps.hash60(col("text")) % M).as("shingles"))
+
+  private def shingled(df: DataFrame): DataFrame =
+    shingleHashes(representatives(df))
 
   /** (doc_id, band, band-hash) rows: 8 min-hashes → 4 2-row band hashes,
     * exploded. The downstream self-join and the bucket-size cap both key
@@ -341,28 +338,15 @@ object FuzzyDedup {
       .select(col("doc_id"), simhashOf(col("hs")).as("simhash"))
       .orderBy("doc_id")
 
-  /** The 48-bit simhash of an array of token hashes. ONE `aggregate`
-    * fold accumulates all 48 vote counters per row (O(tokens·bits) adds
-    * in a single array traversal — the previous per-bit
-    * `size(filter(...))` formulation re-scanned the token array once per
-    * bit). `call_function("shiftright", …)` shifts by the lambda's index
-    * column (the Scala `shiftright` helper only accepts a literal Int
-    * shift; the underlying SQL function takes any expression). */
-  private def simhashOf(hs: Column): Column = {
-    val votes = aggregate(
-      hs,
-      array((0 until SimBits).map(_ => lit(0L)): _*),
-      (acc, h) => zip_with(acc,
-        transform(acc, (_, i) =>
-          call_function("shiftright", h, i).bitwiseAND(lit(1L))),
-        (a, b) => a + b))
-    val n = size(hs)
-    aggregate(
-      zip_with(votes,
-        transform(votes, (_, i) => call_function("shiftleft", lit(1L), i)),
-        (v, p) => when(v * 2 > n, p).otherwise(lit(0L))),
-      lit(0L), (a, x) => a + x)
-  }
+  /** The 48-bit simhash of an array of token hashes — a native codegen
+    * Expression ([[graft.functions.SimHash48]]): one tight loop per row.
+    * Spark's higher-order array functions are CodegenFallback (every
+    * lambda application interpreted), which made both an
+    * `aggregate`-fold and a per-bit `size(filter(...))` formulation the
+    * dominant cost of the simhash stages (4.9 s map / 37 s join at
+    * sf0.1 → scan-speed after). */
+  private def simhashOf(hs: Column): Column =
+    graft.functions.SimHash48(hs)
 
   /** Per-bit CASE chain — the readable (if slower) SQL equivalent of the
     * Spark fold; the oracle runs once over the small gate corpus. */
@@ -396,9 +380,13 @@ object FuzzyDedup {
     * boilerplate-heavy corpora compose the d1 exact pre-pass exactly as
     * d2 does. */
   def d16SimhashDedup(spark: SparkSession, dir: String): DataFrame = {
+    // localCheckpoint: the fingerprint table (doc_id, 48-bit long) is
+    // tiny but feeds BOTH sides of the band self-join — without it the
+    // tokenize+hash scan runs twice
     val fp = docs(spark, dir)
       .withColumn("hs", transform(TextOps.tokens(col("text")), t => TextOps.hash60(t)))
       .select(col("doc_id"), simhashOf(col("hs")).as("simhash"))
+      .localCheckpoint()
 
     val bandStructs = (0 until 4).map { b =>
       struct(lit(b).as("band"),
@@ -445,6 +433,64 @@ object FuzzyDedup {
        WHERE hamming <= 3
        ORDER BY doc_a, doc_b"""
   }
+
+  // --------------------------------------------------------------- d17
+  /** Benchmark DECONTAMINATION scan — the "did my training corpus leak
+    * the eval set" check every LLM pipeline runs before training: the
+    * benchmark (here the first 5 documents stand in for an eval set) is
+    * reduced to its distinct shingle hashes, every corpus document
+    * counts how many of its own shingles appear in that set, and the 20
+    * highest-overlap documents surface for removal.
+    *
+    * Scale shape: the benchmark side is tiny (an eval set, not a
+    * corpus) and hash-joins against the exploded corpus shingles — the
+    * corpus moves once, keyed on the 31-bit shingle hash; no text
+    * strings are materialized or shuffled. */
+  def d17Decontaminate(spark: SparkSession, dir: String): DataFrame = {
+    val s = shingleHashes(docs(spark, dir))
+      .select(col("doc_id"), array_distinct(col("shingles")).as("s"))
+    val ex = s.select(col("doc_id"), explode(col("s")).as("sh"))
+    val bench = ex.filter(col("doc_id") < 5).select("sh").distinct()
+    val counts = ex.filter(col("doc_id") >= 5)
+      .join(bench, "sh")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_shared"))
+    s.filter(col("doc_id") >= 5)
+      .select(col("doc_id"), size(col("s")).as("n_shingles"))
+      .join(counts, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_shared"), lit(0L)).as("n_shared"),
+        col("n_shingles"),
+        round(coalesce(col("n_shared"), lit(0L)).cast("double") /
+          col("n_shingles"), 4).as("overlap"))
+      .orderBy(col("overlap").desc, col("doc_id"))
+      .limit(20)
+  }
+
+  val d17Oracle: String =
+    s"""WITH th AS (
+         SELECT doc_id, text,
+           list_transform(regexp_extract_all(text, '\\S+'),
+                          t -> ('0x'||substr(md5(t),1,15))::BIGINT % $M) AS th
+         FROM documents),
+       sh AS (
+         SELECT doc_id,
+           CASE WHEN len(th) >= 3
+             THEN list_transform(range(1, len(th)-1),
+                    i -> (((th[i] * $K1 + th[i+1]) % $M) * $K2 + th[i+2]) % $M)
+             ELSE [('0x'||substr(md5(text),1,15))::BIGINT % $M] END AS shingles
+         FROM th),
+       s2 AS (SELECT doc_id, list_distinct(shingles) AS s FROM sh),
+       ex AS (SELECT doc_id, unnest(s) AS sh FROM s2),
+       bench AS (SELECT DISTINCT sh FROM ex WHERE doc_id < 5),
+       counts AS (
+         SELECT doc_id, count(*) AS n_shared
+         FROM ex JOIN bench USING (sh) WHERE doc_id >= 5 GROUP BY doc_id),
+       tot AS (SELECT doc_id, len(s) AS n_shingles FROM s2 WHERE doc_id >= 5)
+       SELECT doc_id, CAST(coalesce(n_shared, 0) AS BIGINT) AS n_shared,
+         n_shingles,
+         round(coalesce(n_shared, 0) * 1.0 / n_shingles, 4) AS overlap
+       FROM tot LEFT JOIN counts USING (doc_id)
+       ORDER BY overlap DESC, doc_id LIMIT 20"""
 
   // ---------------------------------------------------------------- d4
   /** Character-3-gram Jaccard similarity of every document against a
@@ -504,7 +550,8 @@ object FuzzyDedup {
     "d3_simhash" -> (d3Simhash _),
     "d4_ngram_jaccard" -> (d4NgramJaccard _),
     "d15_dedup_clusters" -> (d15DedupClusters _),
-    "d16_simhash_dedup" -> (d16SimhashDedup _)
+    "d16_simhash_dedup" -> (d16SimhashDedup _),
+    "d17_decontaminate" -> (d17Decontaminate _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -512,6 +559,7 @@ object FuzzyDedup {
     "d3_simhash" -> d3Oracle,
     "d4_ngram_jaccard" -> d4Oracle,
     "d15_dedup_clusters" -> d15Oracle,
-    "d16_simhash_dedup" -> d16Oracle
+    "d16_simhash_dedup" -> d16Oracle,
+    "d17_decontaminate" -> d17Oracle
   )
 }

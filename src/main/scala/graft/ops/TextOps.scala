@@ -218,13 +218,75 @@ object TextOps {
        GROUP BY lang, predicted ORDER BY lang, predicted"""
   }
 
+  // --------------------------------------------------------------- d18
+  /** Deterministic STRATIFIED SAMPLING ("data mixing"): each source
+    * stratum keeps a target fraction of its documents — the mixture-
+    * weighting primitive of corpus assembly. The demo derives each
+    * stratum's target rate from the source-name hash (20/50/80% — a
+    * stand-in for a real mixture config); selection hashes the doc_id,
+    * so membership is CONTENT-STABLE: re-runs, retries, and incremental
+    * extensions of a 100 TB job keep exactly the same documents, with
+    * no RNG state to coordinate across executors. Pure map stage + a
+    * tiny per-source aggregate. */
+  def d18SampleMix(spark: SparkSession, dir: String): DataFrame = {
+    val rate = (hash60(col("source")) % 3) * 30 + 20
+    val keep = (hash60(col("doc_id").cast("string")) % 100) < rate
+    docs(spark, dir)
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(keep, 1L).otherwise(0L)).as("n_kept"),
+        max(rate).as("target_pct"))
+      .withColumn("kept_pct",
+        round(col("n_kept") * 100.0 / col("n_docs"), 1))
+      .orderBy("source")
+  }
+
+  val d18Oracle: String =
+    """SELECT source, count(*) AS n_docs,
+       CAST(sum(CASE WHEN ('0x'||substr(md5(doc_id::VARCHAR),1,15))::BIGINT % 100
+                       < ('0x'||substr(md5(source),1,15))::BIGINT % 3 * 30 + 20
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       max(('0x'||substr(md5(source),1,15))::BIGINT % 3 * 30 + 20) AS target_pct,
+       round(sum(CASE WHEN ('0x'||substr(md5(doc_id::VARCHAR),1,15))::BIGINT % 100
+                        < ('0x'||substr(md5(source),1,15))::BIGINT % 3 * 30 + 20
+                 THEN 1 ELSE 0 END) * 100.0 / count(*), 1) AS kept_pct
+       FROM documents GROUP BY source ORDER BY source"""
+
+  // --------------------------------------------------------------- d19
+  /** Corpus VOCABULARY: top-30 case-normalized tokens by frequency with
+    * rank — the vocabulary/frequency-table primitive behind tokenizer
+    * training and stopword induction. At 100 TB the explode dominates
+    * and partial aggregation collapses per-partition counts before the
+    * one shuffle on token; the final window ranks the already-tiny
+    * aggregate. */
+  def d19Vocab(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .select(explode(tokens(lower(col("text")))).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("n"))
+      .withColumn("rank",
+        row_number().over(Window.orderBy(col("n").desc, col("token"))))
+      .filter(col("rank") <= 30)
+      .orderBy("rank")
+
+  val d19Oracle: String =
+    """SELECT token, n, rank FROM (
+         SELECT token, count(*) AS n,
+           row_number() OVER (ORDER BY count(*) DESC, token) AS rank
+         FROM (SELECT unnest(regexp_extract_all(lower(text), '\S+')) AS token
+               FROM documents)
+         GROUP BY token)
+       WHERE rank <= 30 ORDER BY rank"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d1_exact_dedup" -> (d1ExactDedup _),
     "d5_text_stats" -> (d5TextStats _),
     "d6_quality_score" -> (d6QualityScore _),
     "d7_token_count" -> (d7TokenCount _),
     "d8_fingerprint" -> (d8Fingerprint _),
-    "d13_lang_id" -> (d13LangId _)
+    "d13_lang_id" -> (d13LangId _),
+    "d18_sample_mix" -> (d18SampleMix _),
+    "d19_vocab" -> (d19Vocab _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -233,6 +295,8 @@ object TextOps {
     "d6_quality_score" -> d6Oracle,
     "d7_token_count" -> d7Oracle,
     "d8_fingerprint" -> d8Oracle,
-    "d13_lang_id" -> d13Oracle
+    "d13_lang_id" -> d13Oracle,
+    "d18_sample_mix" -> d18Oracle,
+    "d19_vocab" -> d19Oracle
   )
 }

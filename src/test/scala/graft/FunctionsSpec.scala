@@ -1,0 +1,89 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.SimHash48
+
+/** Native Catalyst expressions: semantics pinned against independent
+  * Scala reimplementations (the driver's DuckDB gate pins them again,
+  * end-to-end, via the d3/d16 oracles). Collect exercises the codegen
+  * path; the explicit eval test covers the interpreted fallback. */
+class FunctionsSpec extends SparkSpec {
+
+  /** Straight-line reimplementation of the 48-bit majority vote. */
+  private def reference(hs: Seq[Long]): Long = {
+    val votes = Array.fill(48)(0)
+    hs.foreach(h => (0 until 48).foreach(i =>
+      if (((h >>> i) & 1L) == 1L) votes(i) += 1))
+    (0 until 48).map(i => if (votes(i) * 2 > hs.length) 1L << i else 0L).sum
+  }
+
+  test("SimHash48 matches the reference implementation on random input") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    val rows = (0 until 200).map(i =>
+      (i, Seq.fill(rnd.nextInt(50) + 1)(rnd.nextLong() & ((1L << 60) - 1))))
+    val got = rows.toDF("id", "hs")
+      .select(col("id"), SimHash48(col("hs")).as("s"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    rows.foreach { case (i, a) =>
+      assert(got(i) == reference(a), s"row $i")
+    }
+  }
+
+  test("SimHash48 edge cases: empty array → 0, null → null") {
+    import spark.implicits._
+    val df = Seq((0, Some(Seq.empty[Long])), (1, None))
+      .toDF("id", "hs")
+      .select(col("id"), SimHash48(col("hs")).as("s"))
+    val rows = df.collect().map(r => r.getInt(0) -> (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+    assert(rows(0).contains(0L))
+    assert(rows(1).isEmpty)
+  }
+
+  test("ShingleHashes matches an independent reimplementation") {
+    import spark.implicits._
+    import graft.functions.ShingleHashes
+    def md5Mod(s: String): Long =
+      java.lang.Long.parseLong(
+        java.security.MessageDigest.getInstance("MD5")
+          .digest(s.getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString.substring(0, 15), 16) % ShingleHashes.M
+    def refShingles(text: String): Seq[Long] = {
+      val toks = text.split("\\s+").filter(_.nonEmpty).toSeq
+      if (toks.length < 3) Seq(md5Mod(text))
+      else {
+        val th = toks.map(md5Mod)
+        (0 until toks.length - 2).map(i =>
+          (((th(i) * ShingleHashes.K1 + th(i + 1)) % ShingleHashes.M) *
+            ShingleHashes.K2 + th(i + 2)) % ShingleHashes.M)
+      }
+    }
+    val texts = Seq(
+      "the quick brown fox jumps over the lazy dog",
+      "two words",
+      "one",
+      "a b c",
+      "repeated repeated repeated repeated")
+    val got = texts.zipWithIndex.map { case (t, i) => (i, t) }
+      .toDF("id", "text")
+      .select($"id", ShingleHashes(
+        org.apache.spark.sql.functions.regexp_extract_all(
+          $"text", org.apache.spark.sql.functions.lit("\\S+"),
+          org.apache.spark.sql.functions.lit(0)),
+        graft.ops.TextOps.hash60($"text") % ShingleHashes.M).as("sh"))
+      .collect().map(r => r.getInt(0) -> r.getSeq[Long](1)).toMap
+    texts.zipWithIndex.foreach { case (t, i) =>
+      assert(got(i) == refShingles(t), s"text '$t'")
+    }
+  }
+
+  test("SimHash48 interpreted eval agrees with codegen") {
+    val hs = Seq(7L, 7L, 1L << 47, (1L << 47) | 3L)
+    val lit = org.apache.spark.sql.catalyst.expressions.Literal.create(
+      hs, org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.LongType))
+    val interpreted = graft.functions.SimHash48(lit).eval(null)
+    assert(interpreted == reference(hs))
+  }
+}
