@@ -486,6 +486,45 @@ object Queries {
          FROM lineitem GROUP BY l_orderkey) ON o_orderkey = l_orderkey
        WHERE n_items >= 6 ORDER BY o_orderkey"""
 
+  // --------------------------------------------------------------- q21
+  /** AS-OF JOIN — each purchase matched to the user's most recent
+    * strictly-earlier click. Spark has no asof operator; the Spark-first
+    * expression is a tagged UNION + one window (`last(click_ts,
+    * ignoreNulls)` over a range frame ending at -1 µs): ONE shuffle on
+    * user_id, no join node at all — cheaper than any join-shaped
+    * formulation when both sides share the partition key. The range
+    * frame (not rows) pins the strict `>` semantics the oracle's native
+    * `ASOF LEFT JOIN ... ON p.ts > c.ts` uses, independent of same-
+    * timestamp tie order. */
+  def q21Asof(spark: SparkSession, dir: String): DataFrame = {
+    val e = t(spark, dir, "events")
+      .filter(col("event_type").isin("click", "purchase"))
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("ts_us"))
+    val w = Window.partitionBy("user_id").orderBy(col("ts_us"))
+      .rangeBetween(Window.unboundedPreceding, -1)
+    e.withColumn("click_us",
+        last(when(col("event_type") === "click", col("ts_us")),
+          ignoreNulls = true).over(w))
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"),
+        col("ts_us").as("purchase_us"), col("click_us"),
+        (col("ts_us") - col("click_us")).as("gap_us"))
+      .orderBy("event_id")
+  }
+
+  val q21Oracle: String =
+    """WITH e AS (
+         SELECT event_id, user_id, event_type, epoch_us(ts) AS ts_us
+         FROM events WHERE event_type IN ('click', 'purchase')),
+       p AS (SELECT event_id, user_id, ts_us FROM e WHERE event_type = 'purchase'),
+       c AS (SELECT user_id, ts_us FROM e WHERE event_type = 'click')
+       SELECT p.event_id, p.user_id, p.ts_us AS purchase_us,
+         c.ts_us AS click_us, p.ts_us - c.ts_us AS gap_us
+       FROM p ASOF LEFT JOIN c
+         ON p.user_id = c.user_id AND p.ts_us > c.ts_us
+       ORDER BY p.event_id"""
+
   // ------------------------------------------------------------ registry
   val relational: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_agg" -> (q1Agg _),
@@ -507,7 +546,8 @@ object Queries {
     "q17_events_hourly" -> (q17EventsHourly _),
     "q18_sessionize" -> (q18Sessionize _),
     "q19_topk_per_group" -> (q19TopKPerGroup _),
-    "q20_agg_join" -> (q20AggJoin _)
+    "q20_agg_join" -> (q20AggJoin _),
+    "q21_asof" -> (q21Asof _)
   )
 
   val relationalOracles: Map[String, String] = Map(
@@ -530,7 +570,8 @@ object Queries {
     "q17_events_hourly" -> q17Oracle,
     "q18_sessionize" -> q18Oracle,
     "q19_topk_per_group" -> q19Oracle,
-    "q20_agg_join" -> q20Oracle
+    "q20_agg_join" -> q20Oracle,
+    "q21_asof" -> q21Oracle
   )
 
   val all: Map[String, (SparkSession, String) => DataFrame] =

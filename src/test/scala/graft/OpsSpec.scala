@@ -48,6 +48,14 @@ class OpsSpec extends AnyFunSuite with SparkSpec {
     assertNoAllPairs("d16_simhash_dedup", FuzzyDedup.d16SimhashDedup(spark, dir))
   }
 
+  test("asof join compiles to a window-only plan — no join node at all") {
+    val nodes = collectPlans(Queries.q21Asof(spark, dir).queryExecution.executedPlan)
+    val joins = nodes.filter(
+      _.isInstanceOf[org.apache.spark.sql.execution.joins.BaseJoinExec])
+    assert(joins.isEmpty,
+      s"asof must be the union+window composition, found ${joins.map(_.nodeName)}")
+  }
+
   test("dedup clusters: one canonical survivor per cluster, pairs co-clustered") {
     val docs = Tables.load(spark, dir, "documents")
     val out = FuzzyDedup.d15DedupClusters(spark, dir).collect()
