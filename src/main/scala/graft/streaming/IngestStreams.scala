@@ -1,0 +1,40 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Streaming-ingest operators for the documents pipeline — the
+  * streaming counterparts of the batch corpus-hygiene ops, applied in
+  * cheapest-first order BEFORE any expensive downstream stage (shingle
+  * hashing, embedding, decode), same rule as the batch pipeline.
+  */
+object IngestStreams {
+
+  /** Cheap quality gate at ingest: token count and length window —
+    * the streaming twin of the d6 scoring thresholds. Pure map, no
+    * state. */
+  def qualityFiltered(docs: DataFrame, minTokens: Int = 3,
+      maxChars: Int = 1 << 20): DataFrame =
+    docs.filter(
+      size(regexp_extract_all(col("text"), lit("\\S+"), lit(0))) >= minTokens &&
+        length(col("text")) <= maxChars)
+
+  /** Exact content dedup at ingest — the streaming counterpart of the
+    * batch d1: any document whose md5(text) was already seen within the
+    * watermark horizon is dropped, keeping the FIRST arrival.
+    * `dropDuplicatesWithinWatermark` bounds the hash-set state to the
+    * horizon (a plain `dropDuplicates` would grow state forever), which
+    * is the right trade at ingest: at-least-once re-deliveries and
+    * boilerplate bursts arrive close in time; corpus-wide exact dedup
+    * remains the batch d1/d15 pass. The state payload is the 16-byte
+    * hash, never the text. */
+  def dedupedDocs(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("text_hash", md5(col("text")))
+      .withWatermark("ingest_ts", "1 hour")
+      .dropDuplicatesWithinWatermark("text_hash")
+
+  /** The composed ingest front: quality gate → exact dedup. */
+  def ingest(docs: DataFrame): DataFrame =
+    dedupedDocs(qualityFiltered(docs))
+}

@@ -78,6 +78,51 @@ class FunctionsSpec extends SparkSpec {
     }
   }
 
+  test("property: SimHash48 and ShingleHashes match references on arbitrary input") {
+    import org.scalacheck.{Gen, Prop}
+    import org.scalacheck.Prop.forAll
+    import graft.functions.{ShingleHashes, SimHash48}
+    // interpreted-eval properties (no Spark job per case: direct eval)
+    val hashGen = Gen.chooseNum(0L, (1L << 60) - 1)
+    val arrGen = Gen.listOfN(40, hashGen).flatMap(l =>
+      Gen.chooseNum(0, 40).map(l.take))
+    val simProp = forAll(arrGen) { hs =>
+      val lit = org.apache.spark.sql.catalyst.expressions.Literal.create(
+        hs, org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.LongType))
+      SimHash48(lit).eval(null) == reference(hs)
+    }
+    val tokenGen = Gen.nonEmptyListOf(Gen.alphaNumChar).map(_.mkString)
+    val docGen = Gen.listOfN(8, tokenGen).flatMap(l =>
+      Gen.chooseNum(0, 8).map(l.take))
+    def md5Mod(s: String): Long = ShingleHashes.tokenHash(s.getBytes("UTF-8"))
+    val shingleProp = forAll(docGen) { toks =>
+      val fallback = 12345L
+      val lit = org.apache.spark.sql.catalyst.expressions.Literal.create(
+        toks, org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.StringType))
+      val fb = org.apache.spark.sql.catalyst.expressions.Literal(fallback)
+      val got = ShingleHashes(lit, fb).eval(null)
+        .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+        .toLongArray.toSeq
+      val want =
+        if (toks.length < 3) Seq(fallback)
+        else {
+          val th = toks.map(md5Mod)
+          (0 until toks.length - 2).map(i =>
+            (((th(i) * ShingleHashes.K1 + th(i + 1)) % ShingleHashes.M) *
+              ShingleHashes.K2 + th(i + 2)) % ShingleHashes.M)
+        }
+      got == want
+    }
+    val res1 = org.scalacheck.Test.check(
+      org.scalacheck.Test.Parameters.default.withMinSuccessfulTests(200), simProp)
+    val res2 = org.scalacheck.Test.check(
+      org.scalacheck.Test.Parameters.default.withMinSuccessfulTests(200), shingleProp)
+    assert(res1.passed, s"SimHash48 property failed: ${res1.status}")
+    assert(res2.passed, s"ShingleHashes property failed: ${res2.status}")
+  }
+
   test("SimHash48 interpreted eval agrees with codegen") {
     val hs = Seq(7L, 7L, 1L << 47, (1L << 47) | 3L)
     val lit = org.apache.spark.sql.catalyst.expressions.Literal.create(

@@ -198,6 +198,51 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("ingest dedup: duplicate content across batches is dropped, first wins") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types._
+    import spark.implicits._
+    val base = 2000000000000000L // micros
+    val min = 60L * 1000 * 1000
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("text", StringType),
+      StructField("ingest_ts", LongType)))
+    // batch 1: A, B (same text as A, later), C distinct
+    // batch 2: D (same text as A again), E distinct — within the 1 h horizon
+    val batches = Seq(
+      Seq((1L, "alpha beta gamma delta", base),
+        (2L, "alpha beta gamma delta", base + 10 * min),
+        (3L, "one two three four", base + 5 * min)),
+      Seq((4L, "alpha beta gamma delta", base + 20 * min),
+        (5L, "five six seven eight", base + 25 * min)))
+    val staged = Files.createTempDirectory("graft-ingest-in")
+    batches.zipWithIndex.foreach { case (rows, i) =>
+      val tmp = Files.createTempDirectory(s"graft-ingest-$i")
+      rows.toDF("doc_id", "text", "ingest_ts")
+        .coalesce(1).write.parquet(tmp.resolve("p").toString)
+      val src = Files.list(tmp.resolve("p")).toArray.map(_.toString)
+        .filter(_.endsWith(".parquet")).head
+      val dst = staged.resolve(s"b$i.parquet")
+      Files.copy(Paths.get(src), dst)
+      dst.toFile.setLastModified(1000000L + i * 60000L)
+    }
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(staged.toString)
+      .withColumn("ingest_ts", timestamp_micros(col("ingest_ts")))
+    val q = graft.streaming.IngestStreams.ingest(stream)
+      .writeStream.format("memory").queryName("ingest_dedup")
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    val kept = spark.table("ingest_dedup")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L, 3L, 5L),
+      s"first arrival of each distinct text must survive, got $kept")
+  }
+
   test("streaming sessionization equals batch q18") {
     val dir = stageEventsDir()
     val q = EventStreams.sessionCounts(EventStreams.readEvents(spark, dir))
