@@ -272,7 +272,8 @@ object FuzzyDedup {
       .localCheckpoint()
     var changed = 1L
     var rounds = 0
-    while (changed > 0 && rounds < 50) {
+    val maxRounds = 100 // propagation needs O(component diameter) rounds
+    while (changed > 0 && rounds < maxRounds) {
       val prop = edges.join(labels, col("s") === col("node"))
         .select(col("dd").as("node"), col("label"))
       val next = labels.union(prop)
@@ -284,6 +285,11 @@ object FuzzyDedup {
       labels = next
       rounds += 1
     }
+    // fail LOUDLY rather than emit silently-wrong clusters: a >100-hop
+    // near-dup chain means degenerate input (or switch this operator to
+    // the large-star/small-star O(log n) variant before raising the cap)
+    require(changed == 0,
+      s"d15 label propagation did not converge within $maxRounds rounds")
 
     d.select("doc_id")
       .join(labels.withColumnRenamed("node", "doc_id"), Seq("doc_id"), "left")
@@ -492,6 +498,45 @@ object FuzzyDedup {
        FROM tot LEFT JOIN counts USING (doc_id)
        ORDER BY overlap DESC, doc_id LIMIT 20"""
 
+  // --------------------------------------------------------------- d20
+  /** Intra-document REPETITION ratio — the degenerate-text detector
+    * (boilerplate loops, copy-paste padding, runaway generation): the
+    * fraction of a document's 3-word shingles that are repeats of an
+    * earlier shingle in the same document. Pure map stage over the
+    * native shingle hashes; flagged docs (> 0.2) are the ones a quality
+    * pipeline drops or truncates before training. */
+  def d20Repetition(spark: SparkSession, dir: String): DataFrame = {
+    val s = col("shingles")
+    shingleHashes(docs(spark, dir))
+      .select(col("doc_id"),
+        size(s).as("n_shingles"),
+        round(lit(1.0) - size(array_distinct(s)).cast("double") / size(s), 4)
+          .as("rep_ratio"))
+      .withColumn("flagged",
+        when(col("rep_ratio") > 0.2, 1).otherwise(0))
+      .orderBy("doc_id")
+  }
+
+  val d20Oracle: String =
+    s"""WITH th AS (
+         SELECT doc_id, text,
+           list_transform(regexp_extract_all(text, '\\S+'),
+                          t -> ('0x'||substr(md5(t),1,15))::BIGINT % $M) AS th
+         FROM documents),
+       sh AS (
+         SELECT doc_id,
+           CASE WHEN len(th) >= 3
+             THEN list_transform(range(1, len(th)-1),
+                    i -> (((th[i] * $K1 + th[i+1]) % $M) * $K2 + th[i+2]) % $M)
+             ELSE [('0x'||substr(md5(text),1,15))::BIGINT % $M] END AS shingles
+         FROM th)
+       SELECT doc_id, len(shingles) AS n_shingles,
+         round(1.0 - len(list_distinct(shingles)) * 1.0 / len(shingles), 4)
+           AS rep_ratio,
+         CASE WHEN round(1.0 - len(list_distinct(shingles)) * 1.0 / len(shingles), 4) > 0.2
+              THEN 1 ELSE 0 END AS flagged
+       FROM sh ORDER BY doc_id"""
+
   // ---------------------------------------------------------------- d4
   /** Character-3-gram Jaccard similarity of every document against a
     * fixed probe document (doc_id 0) — the "find near-dups of this item"
@@ -551,7 +596,8 @@ object FuzzyDedup {
     "d4_ngram_jaccard" -> (d4NgramJaccard _),
     "d15_dedup_clusters" -> (d15DedupClusters _),
     "d16_simhash_dedup" -> (d16SimhashDedup _),
-    "d17_decontaminate" -> (d17Decontaminate _)
+    "d17_decontaminate" -> (d17Decontaminate _),
+    "d20_repetition" -> (d20Repetition _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -560,6 +606,7 @@ object FuzzyDedup {
     "d4_ngram_jaccard" -> d4Oracle,
     "d15_dedup_clusters" -> d15Oracle,
     "d16_simhash_dedup" -> d16Oracle,
-    "d17_decontaminate" -> d17Oracle
+    "d17_decontaminate" -> d17Oracle,
+    "d20_repetition" -> d20Oracle
   )
 }
