@@ -278,6 +278,45 @@ object TextOps {
          GROUP BY token)
        WHERE rank <= 30 ORDER BY rank"""
 
+  // --------------------------------------------------------------- d21
+  /** SEQUENCE PACKING: assign documents to fixed-token-budget bins (the
+    * step right before training shards are written — concatenate docs
+    * until the context budget fills, start the next bin). Exact greedy
+    * packing is inherently sequential; the distributed formulation packs
+    * WITHIN each source partition by running-token-cumsum div budget —
+    * each shard's packing is local to its partition key, so the whole
+    * pass is one window per source (no global sequential bottleneck),
+    * which is how packing actually runs over a 100 TB corpus: per
+    * output shard, not per corpus. Bins can overflow by at most one
+    * document — the standard "pack then truncate/pad" contract. */
+  private val PackBudget = 512
+
+  def d21Packing(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("source").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs(spark, dir)
+      .withColumn("n_tokens", size(tokens(col("text"))))
+      .withColumn("cum_tokens", sum("n_tokens").over(w))
+      .select(col("doc_id"), col("source"), col("n_tokens"),
+        floor((col("cum_tokens") - 1) / PackBudget).as("bin_id"),
+        col("cum_tokens"))
+      .orderBy("doc_id")
+  }
+
+  val d21Oracle: String =
+    s"""SELECT doc_id, source, n_tokens,
+         CAST(floor((cum_tokens - 1) / $PackBudget) AS BIGINT) AS bin_id,
+         cum_tokens
+       FROM (
+         SELECT doc_id, source,
+           len(regexp_extract_all(text, '\\S+')) AS n_tokens,
+           CAST(sum(len(regexp_extract_all(text, '\\S+'))) OVER (
+             PARTITION BY source ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+             AS cum_tokens
+         FROM documents)
+       ORDER BY doc_id"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d1_exact_dedup" -> (d1ExactDedup _),
     "d5_text_stats" -> (d5TextStats _),
@@ -286,7 +325,8 @@ object TextOps {
     "d8_fingerprint" -> (d8Fingerprint _),
     "d13_lang_id" -> (d13LangId _),
     "d18_sample_mix" -> (d18SampleMix _),
-    "d19_vocab" -> (d19Vocab _)
+    "d19_vocab" -> (d19Vocab _),
+    "d21_packing" -> (d21Packing _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -297,6 +337,7 @@ object TextOps {
     "d8_fingerprint" -> d8Oracle,
     "d13_lang_id" -> d13Oracle,
     "d18_sample_mix" -> d18Oracle,
-    "d19_vocab" -> d19Oracle
+    "d19_vocab" -> d19Oracle,
+    "d21_packing" -> d21Oracle
   )
 }
