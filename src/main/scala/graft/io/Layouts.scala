@@ -38,10 +38,11 @@ object Layouts {
     * their respective keys (same bucket count): exchange-free
     * SortMergeJoin. */
   def bucketedJoin(spark: SparkSession, leftTable: String, leftKey: String,
-      rightTable: String, rightKey: String): DataFrame =
-    spark.table(leftTable)
-      .join(spark.table(rightTable),
-        spark.table(leftTable)(leftKey) === spark.table(rightTable)(rightKey))
+      rightTable: String, rightKey: String): DataFrame = {
+    val l = spark.table(leftTable)
+    val r = spark.table(rightTable)
+    l.join(r, l(leftKey) === r(rightKey))
+  }
 
   /** Write `df` partitioned by a low-cardinality column — the directory
     * layout that turns selective filters into partition pruning. */

@@ -123,6 +123,23 @@ class FunctionsSpec extends SparkSpec {
     assert(res2.passed, s"ShingleHashes property failed: ${res2.status}")
   }
 
+  test("native expressions compile under CODEGEN_ONLY (no silent fallback)") {
+    // a janino error in doGenCode would otherwise silently fall back to
+    // interpreted eval — correct results, lost performance
+    val prev = spark.conf.getOption("spark.sql.codegen.factoryMode")
+    spark.conf.set("spark.sql.codegen.factoryMode", "CODEGEN_ONLY")
+    try {
+      val rows = graft.ops.FuzzyDedup.d3Simhash(spark, "/root/testdata/sf0.001")
+        .collect()
+      assert(rows.nonEmpty)
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set("spark.sql.codegen.factoryMode", v)
+        case None => spark.conf.unset("spark.sql.codegen.factoryMode")
+      }
+    }
+  }
+
   test("SimHash48 interpreted eval agrees with codegen") {
     val hs = Seq(7L, 7L, 1L << 47, (1L << 47) | 3L)
     val lit = org.apache.spark.sql.catalyst.expressions.Literal.create(
