@@ -380,16 +380,19 @@ object FuzzyDedup {
     * exact); candidates are verified by popcount of the XOR'd
     * fingerprints.
     *
-    * Same scale shape as d2: the shuffle key is a 12-bit band value plus
-    * band index, payload is (doc_id, 48-bit fingerprint) — no text moves.
-    * Worst-case quadratic only within a (band, value) bucket; for
-    * boilerplate-heavy corpora compose the d1 exact pre-pass exactly as
-    * d2 does. */
+    * Same scale shape as d2, with the SAME two skew defenses: the
+    * exact-dedup pre-pass collapses byte-identical docs (which would
+    * otherwise share identical fingerprints and go quadratic in every
+    * band), and (band, value) buckets over [[MaxBucket]] members are
+    * refused. The shuffle key is a 12-bit band value plus band index,
+    * payload is (doc_id, 48-bit fingerprint) — no text moves (at sf0.1
+    * the cap trims the measured worst bucket of 549 near-constant
+    * fingerprints). */
   def d16SimhashDedup(spark: SparkSession, dir: String): DataFrame = {
     // localCheckpoint: the fingerprint table (doc_id, 48-bit long) is
     // tiny but feeds BOTH sides of the band self-join — without it the
     // tokenize+hash scan runs twice
-    val fp = docs(spark, dir)
+    val fp = representatives(docs(spark, dir))
       .withColumn("hs", transform(TextOps.tokens(col("text")), t => TextOps.hash60(t)))
       .select(col("doc_id"), simhashOf(col("hs")).as("simhash"))
       .localCheckpoint()
@@ -402,6 +405,9 @@ object FuzzyDedup {
       .select(col("doc_id"), col("simhash"), explode(array(bandStructs: _*)).as("e"))
       .select(col("doc_id"), col("simhash"),
         col("e.band").as("band"), col("e.nib").as("nib"))
+      .withColumn("bsz", count(lit(1)).over(Window.partitionBy("band", "nib")))
+      .filter(col("bsz") <= MaxBucket)
+      .drop("bsz")
 
     bands.as("l")
       .join(bands.as("r"),
@@ -421,14 +427,18 @@ object FuzzyDedup {
          SELECT doc_id,
            list_transform(regexp_extract_all(text, '\\S+'),
                           t -> ('0x'||substr(md5(t),1,15))::BIGINT) AS h
-         FROM documents),
+         FROM documents
+         QUALIFY row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) = 1),
        fp AS (
          SELECT doc_id,
            $simhashSqlTerms AS simhash
          FROM hs),
-       bands AS (
+       bands_all AS (
          SELECT doc_id, simhash, b, (simhash >> (12 * b)) & 4095 AS nib
          FROM fp, (SELECT unnest([0,1,2,3]) AS b)),
+       bands AS (
+         SELECT * FROM bands_all
+         QUALIFY count(*) OVER (PARTITION BY b, nib) <= $MaxBucket),
        cand AS (
          SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b,
            l.simhash AS sa, r.simhash AS sb
