@@ -1,0 +1,60 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Distributed connected components — the pair→cluster primitive behind
+  * the dedup surface (text near-dups in
+  * [[FuzzyDedup.d15DedupClusters]], embedding near-dups in
+  * [[Similarity.d22EmbeddingClusters]]).
+  *
+  * Algorithm: iterative min-label propagation. Labels start as self;
+  * each round every node takes the min of its own and its neighbors'
+  * labels (one equi-join edges⋈labels + one min-aggregate, both keyed
+  * on node id — small-key shuffles over the EDGE set, which is
+  * O(duplicate pairs), not the corpus). Converges in O(component
+  * diameter) rounds — near-dup components are overwhelmingly small and
+  * dense, so a handful in practice. Each round is localCheckpoint'd to
+  * cut lineage; the convergence probe is a count(), never a collect.
+  */
+object Clustering {
+
+  /** Connected-component labels for an undirected pair list.
+    *
+    * @param pairs two numeric columns `a`, `b` (one row per edge)
+    * @return (node, label) — label = minimum node id in the component;
+    *         only nodes appearing in `pairs` are returned (isolated
+    *         nodes are their own cluster: left-join and coalesce at the
+    *         call site)
+    */
+  def minLabelComponents(pairs: DataFrame): DataFrame = {
+    val edges = pairs.select(col("a").as("s"), col("b").as("dd"))
+      .union(pairs.select(col("b").as("s"), col("a").as("dd")))
+      .localCheckpoint()
+
+    var labels = edges.select(col("s").as("node")).distinct()
+      .withColumn("label", col("node"))
+      .localCheckpoint()
+    var changed = 1L
+    var rounds = 0
+    val maxRounds = 100 // propagation needs O(component diameter) rounds
+    while (changed > 0 && rounds < maxRounds) {
+      val prop = edges.join(labels, col("s") === col("node"))
+        .select(col("dd").as("node"), col("label"))
+      val next = labels.union(prop)
+        .groupBy("node").agg(min("label").as("label"))
+        .localCheckpoint()
+      changed = next
+        .join(labels.select(col("node"), col("label").as("prev")), "node")
+        .filter(col("label") < col("prev")).count()
+      labels = next
+      rounds += 1
+    }
+    // fail LOUDLY rather than emit silently-wrong clusters: a >100-hop
+    // near-dup chain means degenerate input (or switch to the
+    // large-star/small-star O(log n) variant before raising the cap)
+    require(changed == 0,
+      s"label propagation did not converge within $maxRounds rounds")
+    labels
+  }
+}

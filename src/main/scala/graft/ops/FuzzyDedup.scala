@@ -241,55 +241,20 @@ object FuzzyDedup {
   // --------------------------------------------------------------- d15
   /** Near-dup CLUSTERS with a canonical survivor — the capability that
     * turns pair output into "the corpus minus near-dups": connected
-    * components over the union of near-dup pair edges ([[verifiedPairs]])
-    * and exact-duplicate group edges ([[exactGroups]]), labeling every
-    * component by its minimum doc_id; `keep = 1` marks the one canonical
-    * survivor per cluster (singletons survive trivially).
-    *
-    * Algorithm: distributed min-label propagation. Labels start as
-    * self; each round every node takes the min of its own label and its
-    * neighbors' labels (one equi-join edges⋈labels + one min-aggregate,
-    * both keyed on node id — small-key shuffles over the EDGE set, which
-    * is O(duplicate pairs), not the corpus). Converges in O(component
-    * diameter) rounds — near-dup components are overwhelmingly small and
-    * dense, so a handful in practice; each round is localCheckpoint'd to
-    * cut lineage, and the convergence probe is a count(), never a
-    * collect. The corpus-sized table is touched exactly twice: once to
-    * build edges, once for the final left-join that assigns singleton
-    * clusters. */
+    * components ([[Clustering.minLabelComponents]]) over the union of
+    * near-dup pair edges ([[verifiedPairs]]) and exact-duplicate group
+    * edges ([[exactGroups]]), labeling every component by its minimum
+    * doc_id; `keep = 1` marks the one canonical survivor per cluster
+    * (singletons survive trivially). The corpus-sized table is touched
+    * exactly twice: once to build edges, once for the final left-join
+    * that assigns singleton clusters. */
   def d15DedupClusters(spark: SparkSession, dir: String): DataFrame = {
     val d = docs(spark, dir)
     val near = verifiedPairs(d).select("doc_a", "doc_b")
     val exact = exactGroups(d).filter(col("doc_id") =!= col("rep"))
       .select(col("rep").as("doc_a"), col("doc_id").as("doc_b"))
-    val pairs = near.union(exact)
-    val edges = pairs.select(col("doc_a").as("s"), col("doc_b").as("dd"))
-      .union(pairs.select(col("doc_b").as("s"), col("doc_a").as("dd")))
-      .localCheckpoint()
-
-    var labels = edges.select(col("s").as("node")).distinct()
-      .withColumn("label", col("node"))
-      .localCheckpoint()
-    var changed = 1L
-    var rounds = 0
-    val maxRounds = 100 // propagation needs O(component diameter) rounds
-    while (changed > 0 && rounds < maxRounds) {
-      val prop = edges.join(labels, col("s") === col("node"))
-        .select(col("dd").as("node"), col("label"))
-      val next = labels.union(prop)
-        .groupBy("node").agg(min("label").as("label"))
-        .localCheckpoint()
-      changed = next
-        .join(labels.select(col("node"), col("label").as("prev")), "node")
-        .filter(col("label") < col("prev")).count()
-      labels = next
-      rounds += 1
-    }
-    // fail LOUDLY rather than emit silently-wrong clusters: a >100-hop
-    // near-dup chain means degenerate input (or switch this operator to
-    // the large-star/small-star O(log n) variant before raising the cap)
-    require(changed == 0,
-      s"d15 label propagation did not converge within $maxRounds rounds")
+    val labels = Clustering.minLabelComponents(
+      near.union(exact).toDF("a", "b"))
 
     d.select("doc_id")
       .join(labels.withColumnRenamed("node", "doc_id"), Seq("doc_id"), "left")

@@ -177,6 +177,54 @@ object Similarity {
        ORDER BY vec_a, vec_b"""
   }
 
+  // --------------------------------------------------------------- d22
+  /** Embedding near-dup CLUSTERS with a canonical survivor — the d15
+    * counterpart for the vector side: connected components
+    * ([[graft.ops.Clustering.minLabelComponents]]) over d12's verified
+    * pair output, every component labeled by its minimum vec_id,
+    * `keep = 1` on the survivor. "The embedding corpus minus near-dups"
+    * is `keep = 1`. */
+  def d22EmbeddingClusters(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = d12EmbeddingDedup(spark, dir)
+      .select(col("vec_a").as("a"), col("vec_b").as("b"))
+    val labels = Clustering.minLabelComponents(pairs)
+    emb(spark, dir).select("vec_id")
+      .join(labels.withColumnRenamed("node", "vec_id"), Seq("vec_id"), "left")
+      .select(col("vec_id"),
+        coalesce(col("label"), col("vec_id")).as("cluster_id"))
+      .withColumn("keep",
+        when(col("vec_id") === col("cluster_id"), 1).otherwise(0))
+      .orderBy("vec_id")
+  }
+
+  val d22Oracle: String = {
+    val bucketSql = (1 to 8)
+      .map(i => s"CASE WHEN embedding[$i] > 0 THEN ${1 << (i - 1)} ELSE 0 END")
+      .mkString(" + ")
+    s"""WITH RECURSIVE emb AS (
+         SELECT vec_id, embedding::DOUBLE[] AS v, $bucketSql AS bucket
+         FROM embeddings),
+       pairs AS (
+         SELECT vec_a, vec_b FROM (
+           SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+             ${cosineSql("a.v", "b.v")} AS cos_sim
+           FROM emb a JOIN emb b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
+         WHERE cos_sim >= 0.4),
+       edges AS (
+         SELECT vec_a AS s, vec_b AS d FROM pairs
+         UNION ALL SELECT vec_b, vec_a FROM pairs),
+       reach(x, y) AS (
+         SELECT DISTINCT s, s FROM edges
+         UNION
+         SELECT r.x, e2.d FROM reach r JOIN edges e2 ON e2.s = r.y),
+       comp AS (SELECT x AS node, min(y) AS cl FROM reach GROUP BY x)
+       SELECT vec_id,
+         coalesce(cl, vec_id) AS cluster_id,
+         CASE WHEN coalesce(cl, vec_id) = vec_id THEN 1 ELSE 0 END AS keep
+       FROM embeddings LEFT JOIN comp ON node = vec_id
+       ORDER BY vec_id"""
+  }
+
   // --------------------------------------------------------------- d14
   /** IVF parameters: K cells, Lloyd refinement rounds over a
     * deterministic 1-in-TrainMod sample, and the number of inverted
@@ -349,13 +397,15 @@ object Similarity {
     "d9_cosine_topk" -> (d9CosineTopk _),
     "d10_ann_lsh" -> (d10AnnLsh _),
     "d12_embedding_dedup" -> (d12EmbeddingDedup _),
-    "d14_ann_ivf" -> (d14AnnIvf _)
+    "d14_ann_ivf" -> (d14AnnIvf _),
+    "d22_embedding_clusters" -> (d22EmbeddingClusters _)
   )
 
   val oracles: Map[String, String] = Map(
     "d9_cosine_topk" -> d9Oracle,
     "d10_ann_lsh" -> d10Oracle,
     "d12_embedding_dedup" -> d12Oracle,
-    "d14_ann_ivf" -> d14Oracle
+    "d14_ann_ivf" -> d14Oracle,
+    "d22_embedding_clusters" -> d22Oracle
   )
 }

@@ -77,6 +77,20 @@ class OpsSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("embedding clusters: one survivor per cluster, d12 pairs co-clustered") {
+    val out = Similarity.d22EmbeddingClusters(spark, "/root/testdata/sf0.01").collect()
+    val byCluster = out.groupBy(_.getLong(1))
+    byCluster.foreach { case (cid, members) =>
+      assert(members.count(_.getInt(2) == 1) == 1, s"cluster $cid survivors")
+      assert(members.map(_.getLong(0)).min == cid, s"cluster $cid label")
+    }
+    val cluster = out.map(r => r.getLong(0) -> r.getLong(1)).toMap
+    Similarity.d12EmbeddingDedup(spark, "/root/testdata/sf0.01").collect().foreach { p =>
+      assert(cluster(p.getLong(0)) == cluster(p.getLong(1)),
+        s"pair (${p.getLong(0)}, ${p.getLong(1)}) split across clusters")
+    }
+  }
+
   test("minhash skew defense: 1000 identical docs collapse before banding") {
     import spark.implicits._
     val boiler = (0L until 1000L)
