@@ -525,6 +525,29 @@ object Queries {
          ON p.user_id = c.user_id AND p.ts_us > c.ts_us
        ORDER BY p.event_id"""
 
+  // --------------------------------------------------------------- q22
+  /** Exact percentiles per group: median and p90 order value by
+    * priority. Spark's `percentile` and DuckDB's `quantile_cont` share
+    * the linear-interpolation definition at rank (n−1)·p; 2dp rounding
+    * absorbs last-ulp noise. Exact percentiles sort within each group —
+    * at 100 TB prefer `percentile_approx` (t-digest, mergeable
+    * map-side) when ±ε is acceptable; this query is the exact
+    * oracle-comparable variant. */
+  def q22Percentiles(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "orders")
+      .groupBy("o_orderpriority")
+      .agg(
+        count(lit(1)).as("n"),
+        round(percentile(col("o_totalprice"), lit(0.5)), 2).as("median_price"),
+        round(percentile(col("o_totalprice"), lit(0.9)), 2).as("p90_price"))
+      .orderBy("o_orderpriority")
+
+  val q22Oracle: String =
+    """SELECT o_orderpriority, count(*) AS n,
+       round(quantile_cont(o_totalprice, 0.5), 2) AS median_price,
+       round(quantile_cont(o_totalprice, 0.9), 2) AS p90_price
+       FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority"""
+
   // ------------------------------------------------------------ registry
   val relational: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_agg" -> (q1Agg _),
@@ -547,7 +570,8 @@ object Queries {
     "q18_sessionize" -> (q18Sessionize _),
     "q19_topk_per_group" -> (q19TopKPerGroup _),
     "q20_agg_join" -> (q20AggJoin _),
-    "q21_asof" -> (q21Asof _)
+    "q21_asof" -> (q21Asof _),
+    "q22_percentiles" -> (q22Percentiles _)
   )
 
   val relationalOracles: Map[String, String] = Map(
@@ -571,7 +595,8 @@ object Queries {
     "q18_sessionize" -> q18Oracle,
     "q19_topk_per_group" -> q19Oracle,
     "q20_agg_join" -> q20Oracle,
-    "q21_asof" -> q21Oracle
+    "q21_asof" -> q21Oracle,
+    "q22_percentiles" -> q22Oracle
   )
 
   val all: Map[String, (SparkSession, String) => DataFrame] =

@@ -519,23 +519,18 @@ object FuzzyDedup {
     * scalar query side), so the pass stays a narrow map over the corpus;
     * for many probes at once, use the d2 banding shape instead.
     *
-    * Grams are HASHED, never materialized as strings (same measured 3.5×
-    * win as the d2 shingles): char codes once per doc, consecutive
-    * triples combined by rolling polynomial into 31-bit gram hashes;
-    * set ops then compare longs, not strings. */
+    * Grams are HASHED, never materialized as strings, via the native
+    * [[graft.functions.CharGramHashes]] expression (one codegen'd pass
+    * over the code points — the previous `split`+`ascii`+transform
+    * column formulation built a single-char string per character and
+    * interpreted two lambdas per gram); set ops then compare longs,
+    * not strings. */
   def d4NgramJaccard(spark: SparkSession, dir: String): DataFrame = {
-    val cc = col("cc")
-    val gramHashes =
-      when(size(cc) >= 3,
-        transform(sequence(lit(1), size(cc) - 2),
-          i => (((element_at(cc, i) * 131L + element_at(cc, i + 1)) % M) * 131L +
-            element_at(cc, i + 2)) % M))
-        .otherwise(array(TextOps.hash60(col("tl")) % M))
     val g = docs(spark, dir)
       .withColumn("tl", lower(col("text")))
-      .select(col("doc_id"), col("tl"),
-        transform(split(col("tl"), ""), c => ascii(c).cast("long")).as("cc"))
-      .select(col("doc_id"), array_distinct(gramHashes).as("g"))
+      .select(col("doc_id"), array_distinct(
+        graft.functions.CharGramHashes(col("tl"),
+          TextOps.hash60(col("tl")) % M)).as("g"))
     val probe = g.filter(col("doc_id") === 0).select(col("g").as("qg"))
     g.crossJoin(broadcast(probe))
       .select(col("doc_id"),

@@ -140,6 +140,28 @@ class FunctionsSpec extends SparkSpec {
     }
   }
 
+  test("CharGramHashes matches an independent reimplementation") {
+    import spark.implicits._
+    import graft.functions.CharGramHashes
+    def ref2(s: String, fallback: Long): Seq[Long] = {
+      val cps = s.codePoints().toArray.map(_.toLong)
+      if (cps.length < 3) Seq(fallback)
+      else (0 until cps.length - 2).map(i =>
+        ((cps(i) * 131L + cps(i + 1)) % CharGramHashes.M * 131L +
+          cps(i + 2)) % CharGramHashes.M)
+    }
+    val texts = Seq("hello world", "ab", "", "aaa", "mixed case TEXT 123!")
+    val fb = 777L
+    val got = texts.zipWithIndex.map { case (t, i) => (i, t) }
+      .toDF("id", "text")
+      .select($"id", CharGramHashes($"text",
+        org.apache.spark.sql.functions.lit(fb)).as("g"))
+      .collect().map(r => r.getInt(0) -> r.getSeq[Long](1)).toMap
+    texts.zipWithIndex.foreach { case (t, i) =>
+      assert(got(i) == ref2(t, fb), s"text '$t'")
+    }
+  }
+
   test("SimHash48 interpreted eval agrees with codegen") {
     val hs = Seq(7L, 7L, 1L << 47, (1L << 47) | 3L)
     val lit = org.apache.spark.sql.catalyst.expressions.Literal.create(
