@@ -75,10 +75,14 @@ object Multimodal {
   def blobsFromDir(spark: SparkSession, dir: String): Dataset[MediaBlob] = {
     import spark.implicits._
     val ext = lower(regexp_extract(col("path"), "\\.([A-Za-z0-9]+)$", 1))
+    val stem = regexp_extract(col("path"), "([0-9]+)\\.[A-Za-z0-9]+$", 1)
     spark.read.format("binaryFile").load(dir)
+      // naming contract is <numeric id>.<ext>; anything else would cast
+      // to a null doc_id and die opaquely inside the non-nullable-Long
+      // Encoder, so drop it here instead
+      .filter(stem =!= "")
       .select(
-        regexp_extract(col("path"), "([0-9]+)\\.[A-Za-z0-9]+$", 1)
-          .cast("long").as("doc_id"),
+        stem.cast("long").as("doc_id"),
         when(ext.isin("jpg", "jpeg", "png", "bmp"), "image")
           .when(ext.isin("wav", "mp3", "flac"), "audio")
           .when(ext.isin("mp4", "avi", "mkv", "webm"), "video")

@@ -258,15 +258,22 @@ object TextOps {
     * rank — the vocabulary/frequency-table primitive behind tokenizer
     * training and stopword induction. At 100 TB the explode dominates
     * and partial aggregation collapses per-partition counts before the
-    * one shuffle on token; the final window ranks the already-tiny
-    * aggregate. */
+    * one shuffle on token; the top-30 is then a distributed
+    * TakeOrderedAndProject (per-partition heaps, 30 rows to the driver
+    * side of the exchange) — NOT a global-sort window, which would drag
+    * the entire vocabulary (easily 10^8 rows for a web corpus) through
+    * a single partition. TakeOrderedAndProject emits ONE partition in
+    * sort order, so rank is simply the row position: a narrow
+    * `monotonically_increasing_id` projection over the 30 survivors.
+    * No window node at all — an empty-partition-spec window here would
+    * re-sort and log the single-partition scale warning. */
   def d19Vocab(spark: SparkSession, dir: String): DataFrame =
     docs(spark, dir)
       .select(explode(tokens(lower(col("text")))).as("token"))
       .groupBy("token").agg(count(lit(1)).as("n"))
-      .withColumn("rank",
-        row_number().over(Window.orderBy(col("n").desc, col("token"))))
-      .filter(col("rank") <= 30)
+      .orderBy(col("n").desc, col("token"))
+      .limit(30)
+      .withColumn("rank", (monotonically_increasing_id() + 1).cast("int"))
       .orderBy("rank")
 
   val d19Oracle: String =
@@ -298,14 +305,17 @@ object TextOps {
       .withColumn("n_tokens", size(tokens(col("text"))))
       .withColumn("cum_tokens", sum("n_tokens").over(w))
       .select(col("doc_id"), col("source"), col("n_tokens"),
-        floor((col("cum_tokens") - 1) / PackBudget).as("bin_id"),
+        // greatest(·,1) pins a leading zero-token doc to bin 0 (a raw
+        // cum_tokens of 0 would otherwise floor to bin -1)
+        floor((greatest(col("cum_tokens"), lit(1)) - 1) / PackBudget)
+          .as("bin_id"),
         col("cum_tokens"))
       .orderBy("doc_id")
   }
 
   val d21Oracle: String =
     s"""SELECT doc_id, source, n_tokens,
-         CAST(floor((cum_tokens - 1) / $PackBudget) AS BIGINT) AS bin_id,
+         CAST(floor((greatest(cum_tokens, 1) - 1) / $PackBudget) AS BIGINT) AS bin_id,
          cum_tokens
        FROM (
          SELECT doc_id, source,

@@ -129,9 +129,13 @@ class FunctionsSpec extends SparkSpec {
     val prev = spark.conf.getOption("spark.sql.codegen.factoryMode")
     spark.conf.set("spark.sql.codegen.factoryMode", "CODEGEN_ONLY")
     try {
-      val rows = graft.ops.FuzzyDedup.d3Simhash(spark, "/root/testdata/sf0.001")
-        .collect()
-      assert(rows.nonEmpty)
+      // one query per native expression: SimHash48, ShingleHashes,
+      // CharGramHashes — any of them failing to janino-compile would
+      // throw here instead of silently interpreting
+      val sf = "/root/testdata/sf0.001"
+      assert(graft.ops.FuzzyDedup.d3Simhash(spark, sf).collect().nonEmpty)
+      assert(graft.ops.FuzzyDedup.d17Decontaminate(spark, sf).collect().nonEmpty)
+      assert(graft.ops.FuzzyDedup.d4NgramJaccard(spark, sf).collect().nonEmpty)
     } finally {
       prev match {
         case Some(v) => spark.conf.set("spark.sql.codegen.factoryMode", v)

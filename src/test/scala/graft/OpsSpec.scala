@@ -14,9 +14,17 @@ class OpsSpec extends AnyFunSuite with SparkSpec {
 
   private val dir = "/root/testdata/sf0.001"
 
-  private def collectPlans(plan: SparkPlan): Seq[SparkPlan] =
-    plan +: (plan.children.flatMap(collectPlans) ++
-      plan.subqueries.flatMap(collectPlans))
+  private def collectPlans(plan: SparkPlan): Seq[SparkPlan] = plan match {
+    // AdaptiveSparkPlanExec is a LEAF node — without unwrapping it the
+    // traversal sees exactly one node and every plan assertion passes
+    // vacuously. Assert over the AQE initial plan (the static shape;
+    // AQE runtime re-planning only ever improves on it).
+    case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+      a +: collectPlans(a.initialPlan)
+    case p =>
+      p +: (p.children.flatMap(collectPlans) ++
+        p.subqueries.flatMap(collectPlans))
+  }
 
   private def assertNoAllPairs(name: String,
       df: org.apache.spark.sql.DataFrame): Unit = {
@@ -54,6 +62,31 @@ class OpsSpec extends AnyFunSuite with SparkSpec {
       _.isInstanceOf[org.apache.spark.sql.execution.joins.BaseJoinExec])
     assert(joins.isEmpty,
       s"asof must be the union+window composition, found ${joins.map(_.nodeName)}")
+  }
+
+  test("vocab top-k is a distributed TakeOrderedAndProject, not a global sort") {
+    val plan = TextOps.d19Vocab(spark, dir).queryExecution.executedPlan
+    assert(collectPlans(plan).exists(
+      _.isInstanceOf[org.apache.spark.sql.execution.TakeOrderedAndProjectExec]),
+      "top-30 must be per-partition heaps, not a full-vocab sort")
+  }
+
+  test("no registered query windows over an empty partition spec") {
+    // an empty partitionSpec drags ALL rows through one partition — the
+    // WindowExec warning in the bench logs; every window in the surface
+    // must either partition on a real key or (rank-of-top-k) a constant
+    // applied after the data is already reduced to O(k) rows
+    for ((name, q) <- SparkEntry.queries) {
+      val offenders = collectPlans(q(spark, dir).queryExecution.executedPlan)
+        .collect {
+          case w: org.apache.spark.sql.execution.window.WindowExec
+              if w.partitionSpec.isEmpty => w
+          case w: org.apache.spark.sql.execution.window.WindowGroupLimitExec
+              if w.partitionSpec.isEmpty => w
+        }
+      assert(offenders.isEmpty,
+        s"$name has a window with no partition spec: ${offenders.map(_.nodeName)}")
+    }
   }
 
   test("dedup clusters: one canonical survivor per cluster, pairs co-clustered") {
