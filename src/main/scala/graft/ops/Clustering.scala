@@ -28,26 +28,35 @@ object Clustering {
     *         call site)
     */
   def minLabelComponents(pairs: DataFrame): DataFrame = {
+    // partition the edge set on the propagation key ONCE — every round's
+    // join then reuses the checkpointed partitioning instead of
+    // re-shuffling the edges
     val edges = pairs.select(col("a").as("s"), col("b").as("dd"))
       .union(pairs.select(col("b").as("s"), col("a").as("dd")))
+      .repartition(col("s"))
       .localCheckpoint()
 
     var labels = edges.select(col("s").as("node")).distinct()
       .withColumn("label", col("node"))
       .localCheckpoint()
+    val labelType = labels.schema("label").dataType
     var changed = 1L
     var rounds = 0
     val maxRounds = 100 // propagation needs O(component diameter) rounds
     while (changed > 0 && rounds < maxRounds) {
+      // carry each node's previous label through the aggregate (max over
+      // {prev, null…} = the unique previous value) so convergence falls
+      // out of the SAME pass — no per-round next⋈labels probe join
       val prop = edges.join(labels, col("s") === col("node"))
-        .select(col("dd").as("node"), col("label"))
-      val next = labels.union(prop)
-        .groupBy("node").agg(min("label").as("label"))
+        .select(col("dd").as("node"), col("label"),
+          lit(null).cast(labelType).as("prev"))
+      val next = labels.select(col("node"), col("label"),
+          col("label").as("prev"))
+        .union(prop)
+        .groupBy("node").agg(min("label").as("label"), max("prev").as("prev"))
         .localCheckpoint()
-      changed = next
-        .join(labels.select(col("node"), col("label").as("prev")), "node")
-        .filter(col("label") < col("prev")).count()
-      labels = next
+      changed = next.filter(col("label") < col("prev")).count()
+      labels = next.select("node", "label")
       rounds += 1
     }
     // fail LOUDLY rather than emit silently-wrong clusters: a >100-hop
