@@ -1,0 +1,239 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Corpus-preparation operators — the steps between a cleaned corpus and
+  * training shards: chunking long documents to the context budget,
+  * term-weighting (TF-IDF), language-model surprisal scoring (the CCNet
+  *-style "how unusual is this document under the corpus distribution"
+  * quality signal), and PII redaction.
+  *
+  * Everything is codegen'd Catalyst expressions (regex + higher-order
+  * array functions) — no UDFs, no driver-side loops. Per-operator scale
+  * notes are on each method; the common theme is that the only data that
+  * ever shuffles is exploded token keys or per-doc aggregates, never the
+  * document bodies (except d23, whose OUTPUT is by definition the corpus
+  * re-sharded into chunks).
+  */
+object CorpusOps {
+
+  private def docs(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "documents")
+
+  import TextOps.tokens
+
+  // --------------------------------------------------------------- d23
+  /** Chunk size / stride in tokens (overlap = size - stride). Real
+    * pipelines use the model context length (2k-8k); the 32/24 test
+    * values keep the fixture output multi-chunk. */
+  private val ChunkSize = 32
+  private val ChunkStride = 24
+
+  /** Fixed-token-window CHUNKING with overlap — splits every document
+    * into `ChunkSize`-token windows starting every `ChunkStride` tokens
+    * (trailing chunks may be short). This is the map-side re-sharding
+    * step before embedding or training-example generation.
+    *
+    * Scale shape: pure narrow map — tokenize once, `sequence`+`explode`
+    * the chunk starts, `slice` the token array per chunk. No shuffle at
+    * all (the final ORDER BY is presentation only); output size is
+    * corpus × (1 + overlap fraction). */
+  def d23Chunking(spark: SparkSession, dir: String): DataFrame = {
+    val toks = tokens(col("text"))
+    docs(spark, dir)
+      .select(col("doc_id"), toks.as("toks"), size(toks).as("n"))
+      .select(col("doc_id"), col("toks"), col("n"),
+        explode(sequence(lit(0L),
+          floor((greatest(col("n"), lit(1)) - 1) / ChunkStride).cast("long")))
+          .as("chunk_id"))
+      .select(col("doc_id"), col("chunk_id"),
+        size(slice(col("toks"), (col("chunk_id") * ChunkStride + 1).cast("int"),
+          lit(ChunkSize))).as("chunk_len"),
+        concat_ws(" ", slice(col("toks"),
+          (col("chunk_id") * ChunkStride + 1).cast("int"), lit(ChunkSize)))
+          .as("chunk_text"))
+      .orderBy("doc_id", "chunk_id")
+  }
+
+  val d23Oracle: String =
+    s"""WITH t AS (
+         SELECT doc_id, regexp_extract_all(text, '\\S+') AS toks,
+                len(regexp_extract_all(text, '\\S+')) AS n
+         FROM documents),
+       x AS (
+         SELECT doc_id, CAST(gs AS BIGINT) AS chunk_id, toks, n
+         FROM t, unnest(range(0,
+           CAST(floor((greatest(n,1)-1)/$ChunkStride) AS BIGINT)+1)) AS u(gs))
+       SELECT doc_id, chunk_id,
+         len(toks[chunk_id*$ChunkStride+1 :
+             least(chunk_id*$ChunkStride+$ChunkSize, n)]) AS chunk_len,
+         array_to_string(toks[chunk_id*$ChunkStride+1 :
+             least(chunk_id*$ChunkStride+$ChunkSize, n)], ' ') AS chunk_text
+       FROM x ORDER BY doc_id, chunk_id"""
+
+  // --------------------------------------------------------------- d24
+  /** TF-IDF top-3 terms per document — tf(t,d)·ln(N/df(t)), the
+    * term-weighting primitive behind keyword extraction and sparse
+    * retrieval.
+    *
+    * Scale shape: one shuffle on (doc_id, term) for tf (partial-agg'd
+    * map-side), doc length via a window on the SAME doc_id partitioning,
+    * one vocab-sized shuffle for df, the corpus count as a 1-row
+    * broadcast, and the tf⋈df equi-join keyed on term (AQE broadcasts
+    * the vocab side when it fits). Nothing document-sized moves. */
+  def d24Tfidf(spark: SparkSession, dir: String): DataFrame = {
+    val tok = docs(spark, dir)
+      .select(col("doc_id"), explode(tokens(lower(col("text")))).as("term"))
+    val tf = tok.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      .withColumn("dl", sum("tf").over(Window.partitionBy("doc_id")))
+    val dfreq = tok.select("doc_id", "term").groupBy("term")
+      .agg(count_distinct(col("doc_id")).as("df"))
+    val ndocs = docs(spark, dir).agg(count(lit(1)).as("n_docs"))
+    val w = Window.partitionBy("doc_id").orderBy(col("tfidf").desc, col("term"))
+    tf.join(dfreq, "term").crossJoin(broadcast(ndocs))
+      .select(col("doc_id"), col("term"),
+        round((col("tf").cast("double") / col("dl")) *
+          log(col("n_docs").cast("double") / col("df")), 4).as("tfidf"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 3)
+      .select("doc_id", "rk", "term", "tfidf")
+      .orderBy("doc_id", "rk")
+  }
+
+  val d24Oracle: String =
+    """WITH tok AS (
+         SELECT doc_id, unnest(regexp_extract_all(lower(text), '\S+')) AS term
+         FROM documents),
+       tf AS (
+         SELECT doc_id, term, count(*) AS tf,
+           sum(count(*)) OVER (PARTITION BY doc_id) AS dl
+         FROM tok GROUP BY doc_id, term),
+       dfq AS (SELECT term, count(DISTINCT doc_id) AS df FROM tok GROUP BY term),
+       n AS (SELECT count(*) AS n_docs FROM documents),
+       scored AS (
+         SELECT doc_id, tf.term,
+           round((tf::DOUBLE / dl) * ln(n_docs::DOUBLE / df), 4) AS tfidf
+         FROM tf JOIN dfq ON tf.term = dfq.term, n)
+       SELECT doc_id, rk, term, tfidf FROM (
+         SELECT doc_id, term, tfidf,
+           row_number() OVER (PARTITION BY doc_id
+             ORDER BY tfidf DESC, term) AS rk
+         FROM scored)
+       WHERE rk <= 3 ORDER BY doc_id, rk"""
+
+  // --------------------------------------------------------------- d25
+  /** Unigram-LM SURPRISAL per document: mean −ln p(token) under the
+    * corpus's own unigram distribution — the cheap stand-in for the
+    * KenLM perplexity filter (CCNet): documents far from the corpus
+    * distribution (boilerplate, wrong-language, gibberish) score at the
+    * tails and get filtered or down-weighted.
+    *
+    * Scale shape: token-frequency table = one vocab shuffle; total count
+    * = 1-row broadcast; the per-token probability lookup is an equi-join
+    * on term over the exploded stream (broadcastable vocab); the per-doc
+    * mean is one partial-agg'd shuffle on doc_id. The document text
+    * itself never shuffles. */
+  def d25Surprisal(spark: SparkSession, dir: String): DataFrame = {
+    val tok = docs(spark, dir)
+      .select(col("doc_id"), explode(tokens(lower(col("text")))).as("term"))
+    val freq = tok.groupBy("term").agg(count(lit(1)).as("cnt"))
+    val total = freq.agg(sum("cnt").as("total"))
+    tok.join(freq, "term").crossJoin(broadcast(total))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        round(avg(-log(col("cnt").cast("double") / col("total"))), 4)
+          .as("surprisal"))
+      .orderBy("doc_id")
+  }
+
+  val d25Oracle: String =
+    """WITH tok AS (
+         SELECT doc_id, unnest(regexp_extract_all(lower(text), '\S+')) AS term
+         FROM documents),
+       freq AS (SELECT term, count(*) AS cnt FROM tok GROUP BY term),
+       tot AS (SELECT sum(cnt) AS total FROM freq)
+       SELECT doc_id, count(*) AS n_tokens,
+         round(avg(-ln(cnt::DOUBLE / total)), 4) AS surprisal
+       FROM tok JOIN freq ON tok.term = freq.term, tot
+       GROUP BY doc_id ORDER BY doc_id"""
+
+  // --------------------------------------------------------------- d26
+  /** PII patterns — RE2-compatible (no lookarounds), so the DuckDB
+    * oracle runs the byte-identical regex. Email, then the two numeric
+    * shapes; phone (3-3-4) and SSN (3-2-4) cannot match the same span. */
+  private[graft] val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private[graft] val PhoneRe = "\\b[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}\\b"
+  private[graft] val SsnRe = "\\b[0-9]{3}-[0-9]{2}-[0-9]{4}\\b"
+
+  /** Redacted text: PII spans replaced by typed placeholder tags. */
+  def piiRedact(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, EmailRe, "[EMAIL]"),
+        SsnRe, "[SSN]"),
+      PhoneRe, "[PHONE]")
+
+  /** Per-document PII match counts (email, phone, SSN). */
+  def piiCounts(text: Column): Column =
+    struct(
+      size(regexp_extract_all(text, lit(EmailRe), lit(0))).as("n_email"),
+      size(regexp_extract_all(text, lit(PhoneRe), lit(0))).as("n_phone"),
+      size(regexp_extract_all(text, lit(SsnRe), lit(0))).as("n_ssn"))
+
+  /** PII SCRUB audit over an arbitrary (source, text) frame — per-source
+    * document counts, per-type match counts, and how many documents
+    * contained any PII. The redaction itself ([[piiRedact]]) is a narrow
+    * map a pipeline applies in-line; this audit is what lands in the
+    * curation report.
+    *
+    * Scale shape: three regex scans fused into one codegen'd map stage +
+    * a tiny-key aggregate (one partial-agg'd shuffle on source).
+    *
+    * Honesty note: the synthetic fixture corpus contains no PII, so the
+    * driver-gated counts are all zero — the gate pins the mechanism and
+    * the zero-false-positive side; the unit test plants real matches and
+    * checks detection + redaction. */
+  def piiStats(d: DataFrame): DataFrame =
+    d.select(col("source"), piiCounts(col("text")).as("c"))
+      .select(col("source"), col("c.n_email"), col("c.n_phone"), col("c.n_ssn"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_email").as("n_email"),
+        sum("n_phone").as("n_phone"),
+        sum("n_ssn").as("n_ssn"),
+        sum(when(col("n_email") + col("n_phone") + col("n_ssn") > 0, 1)
+          .otherwise(0)).as("n_pii_docs"))
+      .orderBy("source")
+
+  def d26PiiScrub(spark: SparkSession, dir: String): DataFrame =
+    piiStats(docs(spark, dir))
+
+  val d26Oracle: String =
+    s"""SELECT source, count(*) AS n_docs,
+         sum(len(regexp_extract_all(text, '$EmailRe'))) AS n_email,
+         sum(len(regexp_extract_all(text, '$PhoneRe'))) AS n_phone,
+         sum(len(regexp_extract_all(text, '$SsnRe'))) AS n_ssn,
+         sum(CASE WHEN len(regexp_extract_all(text, '$EmailRe'))
+                     + len(regexp_extract_all(text, '$PhoneRe'))
+                     + len(regexp_extract_all(text, '$SsnRe')) > 0
+             THEN 1 ELSE 0 END) AS n_pii_docs
+       FROM documents GROUP BY source ORDER BY source"""
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d23_chunking" -> (d23Chunking _),
+    "d24_tfidf" -> (d24Tfidf _),
+    "d25_surprisal" -> (d25Surprisal _),
+    "d26_pii_scrub" -> (d26PiiScrub _)
+  )
+
+  val oracles: Map[String, String] = Map(
+    "d23_chunking" -> d23Oracle,
+    "d24_tfidf" -> d24Oracle,
+    "d25_surprisal" -> d25Oracle,
+    "d26_pii_scrub" -> d26Oracle
+  )
+}

@@ -1,0 +1,108 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.CorpusOps
+
+/** Corpus-prep operators (d23–d26): semantics on sf0.001 plus the
+  * planted-PII cases the all-clean fixture corpus cannot exercise. Value
+  * parity with DuckDB is the driver gate; these pin behavior. */
+class CorpusOpsSpec extends AnyFunSuite with SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("chunking reconstructs every document (stride-overlap contract)") {
+    import spark.implicits._
+    val chunks = CorpusOps.d23Chunking(spark, dir).collect()
+      .groupBy(_.getLong(0))
+    val docs = Tables.load(spark, dir, "documents")
+      .select($"doc_id", $"text").collect()
+    assert(chunks.size == docs.length, "every doc must produce chunks")
+    docs.foreach { r =>
+      val toks = r.getString(1).split("\\s+").filter(_.nonEmpty)
+      val cs = chunks(r.getLong(0)).sortBy(_.getLong(1))
+      // first 24 (stride) tokens of each chunk, then the final chunk's
+      // tail, concatenate back to the original token stream
+      val rebuilt = cs.flatMap { c =>
+        val t = c.getString(3).split(" ").filter(_.nonEmpty)
+        if (c eq cs.last) t else t.take(24)
+      }
+      assert(rebuilt.toSeq == toks.toSeq, s"doc ${r.getLong(0)} not rebuilt")
+      // every chunk is at most ChunkSize long, its recorded length is
+      // honest, and each successor starts with its predecessor's
+      // past-stride tail (the overlap; short when the doc ends inside
+      // the predecessor's window)
+      cs.foreach { c =>
+        assert(c.getInt(2) <= 32)
+        assert(c.getString(3).split(" ").count(_.nonEmpty) == c.getInt(2))
+      }
+      cs.init.zip(cs.tail).foreach { case (a, b) =>
+        val ov = a.getString(3).split(" ").filter(_.nonEmpty).drop(24)
+        assert(b.getString(3).split(" ").filter(_.nonEmpty)
+          .take(ov.length).toSeq == ov.toSeq)
+      }
+    }
+  }
+
+  test("tfidf: rank-1 term has max weight; common-to-all terms weigh 0") {
+    val rows = CorpusOps.d24Tfidf(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getLong(0)).foreach { case (_, rs) =>
+      val byRank = rs.sortBy(_.getInt(1)).map(_.getDouble(3))
+      assert(byRank.zip(byRank.tail).forall { case (a, b) => a >= b })
+    }
+    // a term present in EVERY doc has idf = ln(1) = 0 → never a top term
+    // unless everything ties at 0; on this fixture top-1 weights are > 0
+    assert(rows.filter(_.getInt(1) == 1).forall(_.getDouble(3) > 0))
+  }
+
+  test("surprisal: a rare-token doc scores above a common-token doc") {
+    import spark.implicits._
+    // 99 docs of a common token, one doc of a rare token
+    val d = ((0L until 99L).map(i => (i, "common common common")) :+
+      (99L, "rarity rarity rarity")).toDF("doc_id", "text")
+    val tok = d.select(col("doc_id"),
+      explode(graft.ops.TextOps.tokens(col("text"))).as("term"))
+    val freq = tok.groupBy("term").agg(count(lit(1)).as("cnt"))
+    val total = freq.agg(sum("cnt").as("total"))
+    val out = tok.join(freq, "term").crossJoin(broadcast(total))
+      .groupBy("doc_id")
+      .agg(round(avg(-log(col("cnt").cast("double") / col("total"))), 4)
+        .as("surprisal"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(out(99L) > out(0L))
+  }
+
+  test("pii: planted emails/phones/ssns are counted and redacted") {
+    import spark.implicits._
+    val d = Seq(
+      ("s1", "contact john.doe+x@corp-mail.example.com today"),
+      ("s1", "call 555-867-5309 or 555.867.5309 now"),
+      ("s2", "ssn 123-45-6789 on file"),
+      ("s2", "clean document with no pii at all")
+    ).toDF("source", "text")
+    val stats = CorpusOps.piiStats(d).collect()
+      .map(r => r.getString(0) -> (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+      .toMap
+    assert(stats("s1") == ((1L, 2L, 0L, 2L)), s"got ${stats("s1")}")
+    assert(stats("s2") == ((0L, 0L, 1L, 1L)), s"got ${stats("s2")}")
+
+    val red = d.select(CorpusOps.piiRedact(col("text")).as("t"))
+      .collect().map(_.getString(0))
+    assert(red.exists(_ == "contact [EMAIL] today"))
+    assert(red.exists(_ == "call [PHONE] or [PHONE] now"))
+    assert(red.exists(_ == "ssn [SSN] on file"))
+    assert(red.exists(_ == "clean document with no pii at all"))
+    // a phone number must never be mis-redacted as an SSN
+    assert(!red.exists(_.contains("[SSN]") && red.mkString.contains("555")))
+  }
+
+  test("fixture corpus is PII-free (gate pins the zero-false-positive side)") {
+    val rows = CorpusOps.d26PiiScrub(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(2) == 0 && r.getLong(3) == 0 && r.getLong(4) == 0)
+    }
+  }
+}
