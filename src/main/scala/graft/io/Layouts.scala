@@ -8,9 +8,13 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *  - BUCKETING: tables that are repeatedly joined or aggregated on the
   *    same key are written `bucketBy(n, key).sortBy(key)`. Both sides
   *    bucketed on the join key with the same bucket count give a
-  *    SortMergeJoin with ZERO Exchange (and zero Sort, buckets are
-  *    pre-sorted) — the shuffle is paid once at write time and amortized
-  *    over every subsequent join. Pinned by `LayoutSpec`.
+  *    SortMergeJoin with ZERO Exchange — the shuffle (the scale-dominant
+  *    cost) is paid once at write time and amortized over every
+  *    subsequent join. A per-bucket LOCAL sort remains: since 3.1 Spark
+  *    ignores written bucket sort order at scan time (gated behind the
+  *    legacy `bucketedTableScanOutputOrdering` flag), but that sort
+  *    operates on one pre-clustered bucket with no data movement.
+  *    Pinned by `LayoutSpec`.
   *  - PARTITIONING: low-cardinality, high-selectivity columns
   *    (date, event_type, lang, source) become directory partitions via
   *    `partitionBy`; selective filters then prune entire directories at
@@ -30,7 +34,11 @@ object Layouts {
     * table size. */
   def writeBucketed(df: DataFrame, table: String, buckets: Int,
       key: String): Unit =
-    df.write.mode("overwrite")
+    // repartition on the SAME hash the bucketizer uses so every bucket
+    // is written as exactly ONE file — without it each write task emits
+    // a file per bucket it touches (tasks × buckets tiny files at scale)
+    df.repartition(buckets, df(key))
+      .write.mode("overwrite")
       .bucketBy(buckets, key).sortBy(key)
       .format("parquet").saveAsTable(table)
 
@@ -48,4 +56,25 @@ object Layouts {
     * layout that turns selective filters into partition pruning. */
   def writePartitioned(df: DataFrame, path: String, column: String): Unit =
     df.write.mode("overwrite").partitionBy(column).parquet(path)
+
+  /** Write the frame as `numShards` deterministic TRAINING SHARDS —
+    * the terminal step of the corpus pipeline (the thing data loaders
+    * actually read). Shard assignment is hash-based
+    * (`xxhash64(key) mod numShards`), so shard sizes stay balanced for
+    * ANY key distribution — a range split would inherit whatever skew
+    * the id space has; rows are sorted by key within each shard so a
+    * re-run writes byte-stable shards (reproducible training inputs).
+    * One shuffle total, clustered on the shard id so each output
+    * directory is written by as few tasks as possible. At 100 TB pick
+    * `numShards` so a shard ≈ a few GB (loader-friendly, and small
+    * enough to re-download on preemption). */
+  def writeShards(df: DataFrame, path: String, numShards: Int,
+      key: String = "doc_id"): Unit =
+    df.withColumn("shard",
+        org.apache.spark.sql.functions.pmod(
+          org.apache.spark.sql.functions.xxhash64(df(key)),
+          org.apache.spark.sql.functions.lit(numShards.toLong)))
+      .repartition(numShards, org.apache.spark.sql.functions.col("shard"))
+      .sortWithinPartitions("shard", key)
+      .write.mode("overwrite").partitionBy("shard").parquet(path)
 }

@@ -90,8 +90,9 @@ object CorpusOps {
       .select(col("doc_id"), explode(tokens(lower(col("text")))).as("term"))
     val tf = tok.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
       .withColumn("dl", sum("tf").over(Window.partitionBy("doc_id")))
-    val dfreq = tok.select("doc_id", "term").groupBy("term")
-      .agg(count_distinct(col("doc_id")).as("df"))
+    // tf rows are already one per distinct (doc, term), so df is a plain
+    // count over tf — no second explode of the corpus token stream
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val ndocs = docs(spark, dir).agg(count(lit(1)).as("n_docs"))
     val w = Window.partitionBy("doc_id").orderBy(col("tfidf").desc, col("term"))
     tf.join(dfreq, "term").crossJoin(broadcast(ndocs))

@@ -34,6 +34,35 @@ object IngestStreams {
       .withWatermark("ingest_ts", "1 hour")
       .dropDuplicatesWithinWatermark("text_hash")
 
+  /** Streaming DECONTAMINATION gate — the streaming twin of the batch
+    * d17 scan: any arriving document whose distinct-shingle overlap with
+    * the benchmark/eval set reaches `threshold` is dropped before it can
+    * enter the corpus.
+    *
+    * Shape: the benchmark side is an EVAL SET, i.e. tiny by definition,
+    * so it collapses to a single array row broadcast to every task; the
+    * per-document overlap is then `array_intersect` in a stateless map —
+    * no stream-stream join, no state store, nothing to expire. Overlap
+    * semantics (distinct shingles, same rolling-poly hashes) match d17
+    * exactly, so batch and streaming agree on what "contaminated" means.
+    *
+    * @param docs streaming (doc_id, text, …) frame
+    * @param bench static benchmark documents (doc_id, text)
+    */
+  def decontaminated(docs: DataFrame, bench: DataFrame,
+      threshold: Double = 0.5): DataFrame = {
+    val benchSet = graft.ops.FuzzyDedup.shingleHashes(bench)
+      .agg(array_distinct(flatten(collect_list("shingles"))).as("bench_sh"))
+    graft.ops.FuzzyDedup.shingleHashes(docs)
+      .select(col("doc_id"), array_distinct(col("shingles")).as("sh"))
+      .join(broadcast(benchSet))
+      .withColumn("overlap",
+        size(array_intersect(col("sh"), col("bench_sh"))).cast("double") /
+          greatest(size(col("sh")), lit(1)))
+      .filter(col("overlap") < threshold)
+      .select(col("doc_id"), round(col("overlap"), 4).as("overlap"))
+  }
+
   /** The composed ingest front: quality gate → exact dedup. */
   def ingest(docs: DataFrame): DataFrame =
     dedupedDocs(qualityFiltered(docs))

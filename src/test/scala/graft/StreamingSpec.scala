@@ -243,6 +243,42 @@ class StreamingSpec extends SparkSpec {
       s"first arrival of each distinct text must survive, got $kept")
   }
 
+  test("streaming decontamination drops eval-overlapping docs statelessly") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types._
+    import spark.implicits._
+    val bench = Seq(
+      (1000L, "the quick brown fox jumps over the lazy dog again and again"))
+      .toDF("doc_id", "text")
+    val contaminated = // near-copy of the benchmark doc
+      "the quick brown fox jumps over the lazy dog again and again indeed"
+    val clean = "completely unrelated words about spark shuffles and parquet"
+    val staged = Files.createTempDirectory("graft-decon-in")
+    val tmp = Files.createTempDirectory("graft-decon-w")
+    Seq((1L, contaminated), (2L, clean)).toDF("doc_id", "text")
+      .coalesce(1).write.parquet(tmp.resolve("p").toString)
+    val src = Files.list(tmp.resolve("p")).toArray.map(_.toString)
+      .filter(_.endsWith(".parquet")).head
+    Files.copy(Paths.get(src), staged.resolve("b0.parquet"))
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    val stream = spark.readStream.schema(schema).parquet(staged.toString)
+    val q = graft.streaming.IngestStreams.decontaminated(stream, bench)
+      .writeStream.format("memory").queryName("decon")
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    val kept = spark.table("decon").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(kept.keySet == Set(2L),
+      s"the near-copy of the eval doc must be dropped, got $kept")
+    assert(kept(2L) < 0.1, "the clean doc's overlap must be ~0")
+    // the streaming plan must be stateless — no state-store operator
+    val hasState = q.lastProgress.stateOperators.length == 0
+    assert(hasState, "decontamination must not create streaming state")
+  }
+
   test("streaming sessionization equals batch q18") {
     val dir = stageEventsDir()
     val q = EventStreams.sessionCounts(EventStreams.readEvents(spark, dir))
