@@ -560,7 +560,105 @@ object FuzzyDedup {
        FROM g, probe
        ORDER BY jaccard DESC, doc_id LIMIT 20"""
 
+  // --------------------------------------------------------------- d27
+  /** Incoming-batch boundary for the incremental gate: documents below
+    * are "the existing corpus", at or above are "today's batch". A real
+    * deployment keys this on an ingest date/partition; a fixed doc_id
+    * split keeps the fixture deterministic at every SF. */
+  private val IncSplit = 400L
+
+  /** INCREMENTAL ingest gate — the daily-batch question "which of these
+    * new documents are already in the corpus, nearly in it, or novel?"
+    * without ever re-deduplicating the corpus against itself:
+    *
+    *  - exact tier: md5(text) equi-join against the corpus hash set
+    *    (16-byte keys; `exact_dup_of` = lowest matching corpus doc);
+    *  - novelty tier: the fraction of the document's distinct shingles
+    *    absent from the corpus's distinct-shingle set (a LEFT SEMI join
+    *    on the shingle hash — membership only, nothing replicates);
+    *    `novelty ≤ 0.5` without an exact match ⇒ `near_dup`, else
+    *    `novel`.
+    *
+    * Scale shape: the corpus side reduces to two hash sets (md5s +
+    * distinct shingles) built with one shuffle each and REUSED across
+    * every daily batch in a real deployment; the batch side — the small
+    * side, by definition — moves through two equi-joins keyed on those
+    * hashes. Work is O(batch + corpus-set lookup), not
+    * O(batch × corpus), and no document text ever shuffles. */
+  def d27IncrementalNovelty(spark: SparkSession, dir: String): DataFrame =
+    incrementalNovelty(docs(spark, dir), IncSplit)
+
+  private[graft] def incrementalNovelty(d: DataFrame,
+      split: Long): DataFrame = {
+    val corpusHashes = d.filter(col("doc_id") < split)
+      .select(md5(col("text")).as("h"), col("doc_id"))
+      .groupBy("h").agg(min("doc_id").as("exact_dup_of"))
+    val exact = d.filter(col("doc_id") >= split)
+      .select(col("doc_id"), md5(col("text")).as("h"))
+      .join(corpusHashes, Seq("h"), "left")
+      .select(col("doc_id"), col("exact_dup_of"))
+    val s = shingleHashes(d)
+      .select(col("doc_id"), array_distinct(col("shingles")).as("s"))
+    val ex = s.select(col("doc_id"), explode(col("s")).as("sh"))
+    val corpusSh = ex.filter(col("doc_id") < split).select("sh").distinct()
+    val known = ex.filter(col("doc_id") >= split)
+      .join(corpusSh, Seq("sh"), "left_semi")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_known"))
+    s.filter(col("doc_id") >= split)
+      .select(col("doc_id"), size(col("s")).as("n_shingles"))
+      .join(known, Seq("doc_id"), "left")
+      .join(exact, "doc_id")
+      .select(col("doc_id"), col("exact_dup_of"),
+        round(lit(1.0) - coalesce(col("n_known"), lit(0L)).cast("double") /
+          col("n_shingles"), 4).as("novelty"))
+      .withColumn("verdict",
+        when(col("exact_dup_of").isNotNull, "exact_dup")
+          .when(col("novelty") <= 0.5, "near_dup")
+          .otherwise("novel"))
+      .orderBy("doc_id")
+  }
+
+  val d27Oracle: String =
+    s"""WITH th AS (
+         SELECT doc_id, text,
+           list_transform(regexp_extract_all(text, '\\S+'),
+                          t -> ('0x'||substr(md5(t),1,15))::BIGINT % $M) AS th
+         FROM documents),
+       sh AS (
+         SELECT doc_id,
+           CASE WHEN len(th) >= 3
+             THEN list_transform(range(1, len(th)-1),
+                    i -> (((th[i] * $K1 + th[i+1]) % $M) * $K2 + th[i+2]) % $M)
+             ELSE [('0x'||substr(md5(text),1,15))::BIGINT % $M] END AS shingles
+         FROM th),
+       s2 AS (SELECT doc_id, list_distinct(shingles) AS s FROM sh),
+       ex AS (SELECT doc_id, unnest(s) AS sh FROM s2),
+       corpus_sh AS (SELECT DISTINCT sh FROM ex WHERE doc_id < $IncSplit),
+       known AS (
+         SELECT e.doc_id, count(*) AS n_known
+         FROM ex e JOIN corpus_sh USING (sh) WHERE e.doc_id >= $IncSplit
+         GROUP BY e.doc_id),
+       ch AS (SELECT md5(text) AS h, min(doc_id) AS exact_dup_of
+              FROM documents WHERE doc_id < $IncSplit GROUP BY 1),
+       exact AS (
+         SELECT doc_id, exact_dup_of
+         FROM (SELECT doc_id, md5(text) AS h FROM documents
+               WHERE doc_id >= $IncSplit) bt
+         LEFT JOIN ch USING (h)),
+       tot AS (SELECT doc_id, len(s) AS n_shingles FROM s2
+               WHERE doc_id >= $IncSplit)
+       SELECT doc_id, exact_dup_of, novelty,
+         CASE WHEN exact_dup_of IS NOT NULL THEN 'exact_dup'
+              WHEN novelty <= 0.5 THEN 'near_dup'
+              ELSE 'novel' END AS verdict
+       FROM (
+         SELECT t.doc_id, exact_dup_of,
+           round(1 - coalesce(n_known, 0) * 1.0 / n_shingles, 4) AS novelty
+         FROM tot t LEFT JOIN known USING (doc_id) JOIN exact USING (doc_id))
+       ORDER BY doc_id"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d27_incremental_novelty" -> (d27IncrementalNovelty _),
     "d2_minhash_dedup" -> (d2MinhashDedup _),
     "d3_simhash" -> (d3Simhash _),
     "d4_ngram_jaccard" -> (d4NgramJaccard _),
@@ -571,6 +669,7 @@ object FuzzyDedup {
   )
 
   val oracles: Map[String, String] = Map(
+    "d27_incremental_novelty" -> d27Oracle,
     "d2_minhash_dedup" -> d2Oracle,
     "d3_simhash" -> d3Oracle,
     "d4_ngram_jaccard" -> d4Oracle,

@@ -124,6 +124,28 @@ class OpsSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("incremental novelty gate: exact, near, and novel verdicts") {
+    import spark.implicits._
+    val corpusText = "alpha beta gamma delta epsilon zeta eta theta"
+    val d = Seq(
+      (0L, corpusText), // corpus
+      (1L, "one two three four five six seven eight"), // corpus
+      (100L, corpusText), // exact copy of 0
+      (101L, "alpha beta gamma delta epsilon zeta eta iota"), // near: most shingles shared
+      (102L, "totally different words appear in this document here now")
+    ).toDF("doc_id", "text")
+    val out = FuzzyDedup.incrementalNovelty(d, split = 100L).collect()
+      .map(r => r.getLong(0) -> ((Option(r.get(1)), r.getDouble(2), r.getString(3))))
+      .toMap
+    assert(out.keySet == Set(100L, 101L, 102L))
+    assert(out(100L)._1.contains(0L) && out(100L)._3 == "exact_dup")
+    assert(out(101L)._1.isEmpty && out(101L)._3 == "near_dup",
+      s"shared-shingle doc must be near_dup, got ${out(101L)}")
+    assert(out(101L)._2 > 0 && out(101L)._2 <= 0.5)
+    assert(out(102L)._1.isEmpty && out(102L)._2 == 1.0 &&
+      out(102L)._3 == "novel")
+  }
+
   test("minhash skew defense: 1000 identical docs collapse before banding") {
     import spark.implicits._
     val boiler = (0L until 1000L)
