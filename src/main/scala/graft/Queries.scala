@@ -488,25 +488,22 @@ object Queries {
 
   // --------------------------------------------------------------- q21
   /** AS-OF JOIN — each purchase matched to the user's most recent
-    * strictly-earlier click. Spark has no asof operator; the Spark-first
-    * expression is a tagged UNION + one window (`last(click_ts,
-    * ignoreNulls)` over a range frame ending at -1 µs): ONE shuffle on
-    * user_id, no join node at all — cheaper than any join-shaped
-    * formulation when both sides share the partition key. The range
-    * frame (not rows) pins the strict `>` semantics the oracle's native
-    * `ASOF LEFT JOIN ... ON p.ts > c.ts` uses, independent of same-
-    * timestamp tie order. */
+    * strictly-earlier click, via the reusable
+    * [[graft.ops.Relational.asofJoin]] operator (tagged UNION + one
+    * range-frame window: ONE shuffle on user_id, no join node — see its
+    * scaladoc for why this beats join-shaped encodings). The oracle uses
+    * DuckDB's native `ASOF LEFT JOIN ... ON p.ts > c.ts`; the range
+    * frame ending at -1 µs pins the same strict `>` independent of
+    * same-timestamp tie order. */
   def q21Asof(spark: SparkSession, dir: String): DataFrame = {
     val e = t(spark, dir, "events")
-      .filter(col("event_type").isin("click", "purchase"))
       .select(col("event_id"), col("user_id"), col("event_type"),
         unix_micros(col("ts")).as("ts_us"))
-    val w = Window.partitionBy("user_id").orderBy(col("ts_us"))
-      .rangeBetween(Window.unboundedPreceding, -1)
-    e.withColumn("click_us",
-        last(when(col("event_type") === "click", col("ts_us")),
-          ignoreNulls = true).over(w))
-      .filter(col("event_type") === "purchase")
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select("event_id", "user_id", "ts_us")
+    val clicks = e.filter(col("event_type") === "click")
+      .select("user_id", "ts_us")
+    ops.Relational.asofJoin(purchases, clicks, "user_id", "ts_us", "click_us")
       .select(col("event_id"), col("user_id"),
         col("ts_us").as("purchase_us"), col("click_us"),
         (col("ts_us") - col("click_us")).as("gap_us"))

@@ -224,17 +224,66 @@ object CorpusOps {
              THEN 1 ELSE 0 END) AS n_pii_docs
        FROM documents GROUP BY source ORDER BY source"""
 
+  // --------------------------------------------------------------- d28
+  /** Per-source CARDINALITY stats: documents, total tokens, distinct
+    * tokens, distinct content hashes — the corpus-composition numbers
+    * every curation report leads with.
+    *
+    * The driver-gated query computes EXACT distinct counts (DuckDB can
+    * verify those); [[cardinalityApprox]] is the same report on
+    * `approx_count_distinct` (HyperLogLog++), which is the 100 TB path:
+    * one pass, fixed-size mergeable sketches, no distinct shuffle of
+    * the key universe — the spec pins the sketch within 5% of exact.
+    * Exact `count_distinct` rewrites to a two-phase aggregate whose
+    * first shuffle carries every distinct (source, token) pair; fine at
+    * report cardinalities, quadratic pain when keys approach corpus
+    * size. */
+  def d28Cardinality(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .select(col("source"), col("doc_id"), md5(col("text")).as("h"),
+        explode(tokens(lower(col("text")))).as("term"))
+      .groupBy("source")
+      .agg(count_distinct(col("doc_id")).as("n_docs"),
+        count(lit(1)).as("n_tokens"),
+        count_distinct(col("term")).as("n_distinct_tokens"),
+        count_distinct(col("h")).as("n_distinct_texts"))
+      .orderBy("source")
+
+  val d28Oracle: String =
+    """SELECT source, count(DISTINCT doc_id) AS n_docs,
+         count(*) AS n_tokens,
+         count(DISTINCT term) AS n_distinct_tokens,
+         count(DISTINCT h) AS n_distinct_texts
+       FROM (
+         SELECT source, doc_id, md5(text) AS h,
+           unnest(regexp_extract_all(lower(text), '\S+')) AS term
+         FROM documents)
+       GROUP BY source ORDER BY source"""
+
+  /** The sketch-based twin of [[d28Cardinality]] (see scaladoc there). */
+  def cardinalityApprox(d: DataFrame, rsd: Double = 0.02): DataFrame =
+    d.select(col("source"), col("doc_id"), md5(col("text")).as("h"),
+        explode(tokens(lower(col("text")))).as("term"))
+      .groupBy("source")
+      .agg(approx_count_distinct(col("doc_id"), rsd).as("n_docs"),
+        count(lit(1)).as("n_tokens"),
+        approx_count_distinct(col("term"), rsd).as("n_distinct_tokens"),
+        approx_count_distinct(col("h"), rsd).as("n_distinct_texts"))
+      .orderBy("source")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d23_chunking" -> (d23Chunking _),
     "d24_tfidf" -> (d24Tfidf _),
     "d25_surprisal" -> (d25Surprisal _),
-    "d26_pii_scrub" -> (d26PiiScrub _)
+    "d26_pii_scrub" -> (d26PiiScrub _),
+    "d28_cardinality" -> (d28Cardinality _)
   )
 
   val oracles: Map[String, String] = Map(
     "d23_chunking" -> d23Oracle,
     "d24_tfidf" -> d24Oracle,
     "d25_surprisal" -> d25Oracle,
-    "d26_pii_scrub" -> d26Oracle
+    "d26_pii_scrub" -> d26Oracle,
+    "d28_cardinality" -> d28Oracle
   )
 }

@@ -1,0 +1,60 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Reusable relational operators Spark lacks as built-ins, packaged as
+  * library functions (the query registry exercises them; users call them
+  * directly). */
+object Relational {
+
+  /** AS-OF JOIN: attach to every `left` row the timestamp of the most
+    * recent `right` row with the same key and a STRICTLY earlier
+    * timestamp (the classic "match each trade to the latest prior
+    * quote").
+    *
+    * Spark has no asof operator; the join-shaped encodings (range join,
+    * or join + groupBy-max) shuffle both sides and then fight skew on
+    * the range predicate. This is the window encoding instead: tag the
+    * two inputs, UNION them, and take `last(right ts, ignoreNulls)` over
+    * a per-key range frame ending at −1 — ONE shuffle on the key, no
+    * join node at all (plan-pinned via q21's test). The range frame (not
+    * rows) pins strict `<` semantics independent of same-timestamp tie
+    * order.
+    *
+    * @param left  rows to annotate (any columns; must contain `key`, `ts`)
+    * @param right rows looked up as-of (`key`, `ts` used; rest dropped)
+    * @param key   equi-key column name, both sides
+    * @param ts    integral timestamp column name, both sides (use
+    *              `unix_micros` upstream — range frames need numeric
+    *              order)
+    * @param out   name of the attached as-of timestamp column (null when
+    *              no earlier right row exists)
+    */
+  def asofJoin(left: DataFrame, right: DataFrame, key: String, ts: String,
+      out: String): DataFrame = {
+    val extra = left.columns.filterNot(c => c == key || c == ts)
+    val rAligned = extra.foldLeft(right.select(col(key), col(ts))) {
+      (d, c) => d.withColumn(c, lit(null).cast(left.schema(c).dataType))
+    }.withColumn("_is_left", lit(false))
+    val u = left.withColumn("_is_left", lit(true)).unionByName(rAligned)
+    val w = Window.partitionBy(key).orderBy(col(ts))
+      .rangeBetween(Window.unboundedPreceding, -1)
+    u.withColumn(out,
+        last(when(!col("_is_left"), col(ts)), ignoreNulls = true).over(w))
+      .filter(col("_is_left")).drop("_is_left")
+  }
+
+  /** TOP-K PER GROUP: the `row_number ≤ k` idiom packaged (Spark 4 plans
+    * it as a map-side WindowGroupLimit before the shuffle, so only ≤k
+    * rows per group per partition move).
+    *
+    * @param order within-group ranking (make it total for determinism)
+    */
+  def topKPerGroup(df: DataFrame, k: Int, keys: Seq[String],
+      order: Seq[Column], rankCol: String = "rk"): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(order: _*)
+    df.withColumn(rankCol, row_number().over(w)).filter(col(rankCol) <= k)
+  }
+}

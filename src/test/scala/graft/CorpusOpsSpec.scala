@@ -98,6 +98,24 @@ class CorpusOpsSpec extends AnyFunSuite with SparkSpec {
     assert(!red.exists(_.contains("[SSN]") && red.mkString.contains("555")))
   }
 
+  test("cardinality sketches land within 5% of exact counts") {
+    val exact = CorpusOps.d28Cardinality(spark, dir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(3), r.getLong(4)))
+      .toMap
+    val approx = CorpusOps
+      .cardinalityApprox(Tables.load(spark, dir, "documents")).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(3), r.getLong(4)))
+      .toMap
+    assert(exact.keySet == approx.keySet)
+    def close(a: Long, b: Long): Boolean =
+      math.abs(a - b) <= math.max(1L, (0.05 * b).toLong)
+    exact.foreach { case (src, (ed, et, eh)) =>
+      val (ad, at, ah) = approx(src)
+      assert(close(ad, ed) && close(at, et) && close(ah, eh),
+        s"$src sketch drifted: approx=($ad,$at,$ah) exact=($ed,$et,$eh)")
+    }
+  }
+
   test("fixture corpus is PII-free (gate pins the zero-false-positive side)") {
     val rows = CorpusOps.d26PiiScrub(spark, dir).collect()
     assert(rows.nonEmpty)

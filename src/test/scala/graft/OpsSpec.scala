@@ -124,6 +124,18 @@ class OpsSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("asofJoin: strictly-earlier match, ties excluded, null when none") {
+    import spark.implicits._
+    val left = Seq((1L, 10L, "p1"), (1L, 20L, "p2"), (2L, 5L, "p3"))
+      .toDF("k", "t", "tag")
+    val right = Seq((1L, 10L), (1L, 15L), (1L, 25L), (3L, 1L)).toDF("k", "t")
+    val out = graft.ops.Relational.asofJoin(left, right, "k", "t", "asof")
+      .collect().map(r => r.getString(2) -> Option(r.get(3))).toMap
+    assert(out("p1").isEmpty, "tie at t=10 must NOT match (strict <)")
+    assert(out("p2").contains(15L))
+    assert(out("p3").isEmpty, "no right rows for key 2")
+  }
+
   test("incremental novelty gate: exact, near, and novel verdicts") {
     import spark.implicits._
     val corpusText = "alpha beta gamma delta epsilon zeta eta theta"
