@@ -442,14 +442,12 @@ object Queries {
     * no forced broadcast — AQE picks broadcast at small SF and a shuffle
     * join at scale (the semi-filter shares the window's o_custkey shuffle). */
   def q19TopKPerGroup(spark: SparkSession, dir: String): DataFrame = {
-    val w = Window.partitionBy("o_custkey")
-      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
     val c = t(spark, dir, "customer")
       .filter(col("c_mktsegment") === "MACHINERY").select("c_custkey")
-    t(spark, dir, "orders")
-      .join(c, col("o_custkey") === col("c_custkey"))
-      .withColumn("rk", row_number().over(w))
-      .filter(col("rk") <= 3)
+    ops.Relational.topKPerGroup(
+        t(spark, dir, "orders").join(c, col("o_custkey") === col("c_custkey")),
+        k = 3, keys = Seq("o_custkey"),
+        order = Seq(col("o_totalprice").desc, col("o_orderkey")))
       .select("o_custkey", "rk", "o_orderkey", "o_totalprice")
       .orderBy("o_custkey", "rk")
   }
