@@ -597,8 +597,12 @@ object FuzzyDedup {
       .select(col("doc_id"), md5(col("text")).as("h"))
       .join(corpusHashes, Seq("h"), "left")
       .select(col("doc_id"), col("exact_dup_of"))
+    // eager checkpoint: three branches consume the shingle sets (corpus
+    // set, batch membership, batch sizes) — without it each branch
+    // re-runs the md5+rolling-poly hashing over the whole input
     val s = shingleHashes(d)
       .select(col("doc_id"), array_distinct(col("shingles")).as("s"))
+      .localCheckpoint()
     val ex = s.select(col("doc_id"), explode(col("s")).as("sh"))
     val corpusSh = ex.filter(col("doc_id") < split).select("sh").distinct()
     val known = ex.filter(col("doc_id") >= split)
