@@ -408,20 +408,14 @@ object Queries {
   // --------------------------------------------------------------- q18
   /** Sessionization: 30-minute-gap sessions per user via lag + running
     * sum of session-start flags — single shuffle on user_id. */
-  def q18Sessionize(spark: SparkSession, dir: String): DataFrame = {
-    val byUser = Window.partitionBy("user_id")
-      .orderBy(col("ts"), col("event_id"))
-    val gapUs = lit(30L * 60 * 1000 * 1000)
-    t(spark, dir, "events")
-      .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(byUser))
-      .withColumn("new_session",
-        when(col("prev_us").isNull ||
-          unix_micros(col("ts")) - col("prev_us") > gapUs, 1L).otherwise(0L))
+  def q18Sessionize(spark: SparkSession, dir: String): DataFrame =
+    ops.Relational.sessionize(t(spark, dir, "events"),
+        key = "user_id", ts = "ts", gapUs = 30L * 60 * 1000 * 1000,
+        order = Seq(col("event_id")))
       .groupBy("user_id")
-      .agg(sum("new_session").as("n_sessions"),
+      .agg(max("session_id").as("n_sessions"),
         count(lit(1)).as("n_events"))
       .orderBy("user_id")
-  }
 
   val q18Oracle: String =
     """SELECT user_id, CAST(sum(new_session) AS BIGINT) AS n_sessions, count(*) AS n_events

@@ -46,6 +46,30 @@ object Relational {
       .filter(col("_is_left")).drop("_is_left")
   }
 
+  /** GAP-BASED SESSIONIZATION: assign a per-key `session_id` (1-based,
+    * in time order) that increments whenever the gap to the previous
+    * event exceeds `gapUs`. One shuffle on the key; the lag and the
+    * running session counter share the same partitioning (no second
+    * exchange). Batch twin of the streaming
+    * [[graft.streaming.EventStreams]] sessionizers.
+    *
+    * @param ts    timestamp column (TimestampType; compared in micros)
+    * @param order extra columns making the within-key order total (ties
+    *              in `ts` otherwise make session ids nondeterministic)
+    */
+  def sessionize(df: DataFrame, key: String, ts: String, gapUs: Long,
+      order: Seq[Column] = Nil): DataFrame = {
+    val w = Window.partitionBy(key).orderBy(col(ts) +: order: _*)
+    val tsUs = unix_micros(col(ts))
+    df.withColumn("_prev_us", lag(tsUs, 1).over(w))
+      .withColumn("_new_session",
+        when(col("_prev_us").isNull || tsUs - col("_prev_us") > gapUs, 1L)
+          .otherwise(0L))
+      .withColumn("session_id", sum("_new_session")
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .drop("_prev_us", "_new_session")
+  }
+
   /** TOP-K PER GROUP: the `row_number ≤ k` idiom packaged (Spark 4 plans
     * it as a map-side WindowGroupLimit before the shuffle, so only ≤k
     * rows per group per partition move).

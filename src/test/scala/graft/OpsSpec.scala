@@ -136,6 +136,21 @@ class OpsSpec extends AnyFunSuite with SparkSpec {
     assert(out("p3").isEmpty, "no right rows for key 2")
   }
 
+  test("sessionize: ids increment exactly at gaps, per key") {
+    import spark.implicits._
+    val min = 60L * 1000 * 1000
+    val rows = Seq( // (user, event, micros)
+      (1L, 1L, 0L), (1L, 2L, 10 * min), (1L, 3L, 50 * min), // gap at 3
+      (2L, 4L, 0L)
+    ).toDF("user_id", "event_id", "us")
+      .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros($"us"))
+    val out = graft.ops.Relational
+      .sessionize(rows, "user_id", "ts", gapUs = 30 * min,
+        order = Seq($"event_id"))
+      .collect().map(r => r.getLong(1) -> r.getLong(4)).toMap
+    assert(out == Map(1L -> 1L, 2L -> 1L, 3L -> 2L, 4L -> 1L), s"got $out")
+  }
+
   test("incremental novelty gate: exact, near, and novel verdicts") {
     import spark.implicits._
     val corpusText = "alpha beta gamma delta epsilon zeta eta theta"
