@@ -271,12 +271,85 @@ object CorpusOps {
         approx_count_distinct(col("h"), rsd).as("n_distinct_texts"))
       .orderBy("source")
 
+  // --------------------------------------------------------------- d29
+  /** CURATION GATE — the filter a pipeline actually applies: the three
+    * per-doc quality signals (token/length stats from d6, duplicate-
+    * shingle repetition from d20, unigram surprisal from d25) joined on
+    * doc_id into a single `keep` verdict with an explicit `drop_reason`.
+    * Composes the signal operators directly — each remains a map (or
+    * one-aggregate) stage; the composition is two equi-joins on the
+    * doc key, so the gate costs what its signals cost plus doc-id
+    * shuffles of the tiny signal rows, never the text. Surprisal rides
+    * along as a reported column (real deployments threshold it against
+    * a held-out distribution; a corpus-relative cut here would make the
+    * verdict depend on float summation order at the boundary). */
+  def d29CurationGate(spark: SparkSession, dir: String): DataFrame = {
+    val q = TextOps.d6QualityScore(spark, dir)
+      .select("doc_id", "n_tokens", "len_ok")
+    val r = FuzzyDedup.d20Repetition(spark, dir).select("doc_id", "rep_ratio")
+    val s = d25Surprisal(spark, dir).select("doc_id", "surprisal")
+    val pass = col("n_tokens") >= 5 && col("len_ok") === 1 &&
+      col("rep_ratio") <= 0.2
+    q.join(r, "doc_id").join(s, "doc_id")
+      .withColumn("keep", when(pass, 1).otherwise(0))
+      .withColumn("drop_reason",
+        when(pass, lit(null).cast("string"))
+          .when(col("n_tokens") < 5, "too_short")
+          .when(col("len_ok") =!= 1, "bad_length")
+          .otherwise("repetitive"))
+      .orderBy("doc_id")
+  }
+
+  val d29Oracle: String = {
+    val m = graft.functions.ShingleHashes.M
+    val k1 = graft.functions.ShingleHashes.K1
+    val k2 = graft.functions.ShingleHashes.K2
+    s"""WITH th AS (
+         SELECT doc_id, text,
+           list_transform(regexp_extract_all(text, '\\S+'),
+                          t -> ('0x'||substr(md5(t),1,15))::BIGINT % $m) AS th
+         FROM documents),
+       sh AS (
+         SELECT doc_id,
+           CASE WHEN len(th) >= 3
+             THEN list_transform(range(1, len(th)-1),
+                    i -> (((th[i] * $k1 + th[i+1]) % $m) * $k2 + th[i+2]) % $m)
+             ELSE [('0x'||substr(md5(text),1,15))::BIGINT % $m] END AS shingles
+         FROM th),
+       rep AS (SELECT doc_id,
+           round(1 - len(list_distinct(shingles)) * 1.0 / len(shingles), 4)
+             AS rep_ratio FROM sh),
+       q AS (SELECT doc_id,
+           len(regexp_extract_all(text, '\\S+')) AS n_tokens,
+           CASE WHEN n_chars BETWEEN 150 AND 450 THEN 1 ELSE 0 END AS len_ok
+         FROM documents),
+       tok AS (
+         SELECT doc_id, unnest(regexp_extract_all(lower(text), '\\S+')) AS term
+         FROM documents),
+       freq AS (SELECT term, count(*) AS cnt FROM tok GROUP BY term),
+       tot AS (SELECT sum(cnt) AS total FROM freq),
+       sur AS (
+         SELECT doc_id, round(avg(-ln(cnt::DOUBLE / total)), 4) AS surprisal
+         FROM tok JOIN freq ON tok.term = freq.term, tot
+         GROUP BY doc_id)
+       SELECT q.doc_id, n_tokens, len_ok, rep_ratio, surprisal,
+         CASE WHEN n_tokens >= 5 AND len_ok = 1 AND rep_ratio <= 0.2
+              THEN 1 ELSE 0 END AS keep,
+         CASE WHEN n_tokens >= 5 AND len_ok = 1 AND rep_ratio <= 0.2 THEN NULL
+              WHEN n_tokens < 5 THEN 'too_short'
+              WHEN len_ok <> 1 THEN 'bad_length'
+              ELSE 'repetitive' END AS drop_reason
+       FROM q JOIN rep USING (doc_id) JOIN sur USING (doc_id)
+       ORDER BY doc_id"""
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d23_chunking" -> (d23Chunking _),
     "d24_tfidf" -> (d24Tfidf _),
     "d25_surprisal" -> (d25Surprisal _),
     "d26_pii_scrub" -> (d26PiiScrub _),
-    "d28_cardinality" -> (d28Cardinality _)
+    "d28_cardinality" -> (d28Cardinality _),
+    "d29_curation_gate" -> (d29CurationGate _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -284,6 +357,7 @@ object CorpusOps {
     "d24_tfidf" -> d24Oracle,
     "d25_surprisal" -> d25Oracle,
     "d26_pii_scrub" -> d26Oracle,
-    "d28_cardinality" -> d28Oracle
+    "d28_cardinality" -> d28Oracle,
+    "d29_curation_gate" -> d29Oracle
   )
 }
