@@ -41,7 +41,10 @@ object CorpusOps {
     * Scale shape: pure narrow map — tokenize once, `sequence`+`explode`
     * the chunk starts, `slice` the token array per chunk. No shuffle at
     * all (the final ORDER BY is presentation only); output size is
-    * corpus × (1 + overlap fraction). */
+    * corpus × (1 + overlap fraction). A zero-token document yields one
+    * empty chunk (length 0) rather than disappearing — chunk output is
+    * a lossless re-sharding; dropping empties is the curation gate's
+    * job ([[d29CurationGate]]), not the chunker's. */
   def d23Chunking(spark: SparkSession, dir: String): DataFrame = {
     val toks = tokens(col("text"))
     docs(spark, dir)
@@ -239,24 +242,33 @@ object CorpusOps {
     * report cardinalities, quadratic pain when keys approach corpus
     * size. */
   def d28Cardinality(spark: SparkSession, dir: String): DataFrame =
-    docs(spark, dir)
+    cardinality(docs(spark, dir))
+
+  private[graft] def cardinality(d: DataFrame): DataFrame =
+    d
+      // explode_OUTER + count(term): a zero-token document must still be
+      // counted in n_docs / n_distinct_texts (a plain explode would drop
+      // it from the report entirely), while its null term row counts
+      // toward neither token figure
       .select(col("source"), col("doc_id"), md5(col("text")).as("h"),
-        explode(tokens(lower(col("text")))).as("term"))
+        explode_outer(tokens(lower(col("text")))).as("term"))
       .groupBy("source")
       .agg(count_distinct(col("doc_id")).as("n_docs"),
-        count(lit(1)).as("n_tokens"),
+        count(col("term")).as("n_tokens"),
         count_distinct(col("term")).as("n_distinct_tokens"),
         count_distinct(col("h")).as("n_distinct_texts"))
       .orderBy("source")
 
   val d28Oracle: String =
     """SELECT source, count(DISTINCT doc_id) AS n_docs,
-         count(*) AS n_tokens,
+         count(term) AS n_tokens,
          count(DISTINCT term) AS n_distinct_tokens,
          count(DISTINCT h) AS n_distinct_texts
        FROM (
          SELECT source, doc_id, md5(text) AS h,
-           unnest(regexp_extract_all(lower(text), '\S+')) AS term
+           unnest(CASE WHEN len(regexp_extract_all(lower(text), '\S+')) = 0
+                  THEN [NULL] ELSE regexp_extract_all(lower(text), '\S+')
+                  END) AS term
          FROM documents)
        GROUP BY source ORDER BY source"""
 
@@ -290,7 +302,10 @@ object CorpusOps {
     val s = d25Surprisal(spark, dir).select("doc_id", "surprisal")
     val pass = col("n_tokens") >= 5 && col("len_ok") === 1 &&
       col("rep_ratio") <= 0.2
-    q.join(r, "doc_id").join(s, "doc_id")
+    // surprisal joins LEFT: a zero-token doc has no unigram rows, but it
+    // must still reach the gate (and be dropped as too_short), not
+    // silently vanish from the verdict table
+    q.join(r, "doc_id").join(s, Seq("doc_id"), "left")
       .withColumn("keep", when(pass, 1).otherwise(0))
       .withColumn("drop_reason",
         when(pass, lit(null).cast("string"))
@@ -339,7 +354,7 @@ object CorpusOps {
               WHEN n_tokens < 5 THEN 'too_short'
               WHEN len_ok <> 1 THEN 'bad_length'
               ELSE 'repetitive' END AS drop_reason
-       FROM q JOIN rep USING (doc_id) JOIN sur USING (doc_id)
+       FROM q JOIN rep USING (doc_id) LEFT JOIN sur USING (doc_id)
        ORDER BY doc_id"""
   }
 

@@ -98,6 +98,20 @@ class CorpusOpsSpec extends AnyFunSuite with SparkSpec {
     assert(!red.exists(_.contains("[SSN]") && red.mkString.contains("555")))
   }
 
+  test("cardinality counts zero-token docs (explode_outer contract)") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "s", "a b a"),
+      (2L, "s", ""), // zero tokens: counted as a doc, adds no tokens
+      (3L, "s", "b c")
+    ).toDF("doc_id", "source", "text")
+    val r = CorpusOps.cardinality(d).collect().head
+    assert(r.getLong(1) == 3, "n_docs must include the empty doc")
+    assert(r.getLong(2) == 5, "n_tokens must not count the null row")
+    assert(r.getLong(3) == 3, "distinct tokens a,b,c")
+    assert(r.getLong(4) == 3, "three distinct texts")
+  }
+
   test("cardinality sketches land within 5% of exact counts") {
     val exact = CorpusOps.d28Cardinality(spark, dir).collect()
       .map(r => r.getString(0) -> (r.getLong(1), r.getLong(3), r.getLong(4)))
