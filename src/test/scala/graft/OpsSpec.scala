@@ -124,6 +124,17 @@ class OpsSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("clustering converges on a 200-hop chain (pointer jumping)") {
+    import org.apache.spark.sql.functions._
+    // a path graph is the worst case for plain min-label propagation
+    // (O(diameter) rounds — this aborted on the pre-compression version)
+    val chain = spark.range(199).toDF("a").withColumn("b", col("a") + 1)
+    val labels = graft.ops.Clustering.minLabelComponents(chain)
+    assert(labels.filter(col("label") =!= 0).count() == 0,
+      "every chain node must take the component minimum label")
+    assert(labels.count() == 200)
+  }
+
   test("asofJoin: strictly-earlier match, ties excluded, null when none") {
     import spark.implicits._
     val left = Seq((1L, 10L, "p1"), (1L, 20L, "p2"), (2L, 5L, "p3"))
