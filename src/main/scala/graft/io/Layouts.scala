@@ -62,19 +62,27 @@ object Layouts {
     * actually read). Shard assignment is hash-based
     * (`xxhash64(key) mod numShards`), so shard sizes stay balanced for
     * ANY key distribution — a range split would inherit whatever skew
-    * the id space has; rows are sorted by key within each shard so a
-    * re-run writes byte-stable shards (reproducible training inputs).
-    * One shuffle total, clustered on the shard id so each output
-    * directory is written by as few tasks as possible. At 100 TB pick
-    * `numShards` so a shard ≈ a few GB (loader-friendly, and small
+    * the id space has. Within-shard row order is deterministic either
+    * way, so a re-run writes byte-stable shards (reproducible training
+    * inputs): by key, or — `shuffled = true`, what training actually
+    * wants — by `xxhash64(key, seed)`, a reproducible PSEUDO-RANDOM
+    * permutation (sequential loaders then see decorrelated examples
+    * without a separate shuffle job; reshuffling between epochs is a
+    * new seed). One shuffle total, clustered on the shard id so each
+    * output directory is written by as few tasks as possible. At 100 TB
+    * pick `numShards` so a shard ≈ a few GB (loader-friendly, and small
     * enough to re-download on preemption). */
   def writeShards(df: DataFrame, path: String, numShards: Int,
-      key: String = "doc_id"): Unit =
-    df.withColumn("shard",
-        org.apache.spark.sql.functions.pmod(
-          org.apache.spark.sql.functions.xxhash64(df(key)),
-          org.apache.spark.sql.functions.lit(numShards.toLong)))
-      .repartition(numShards, org.apache.spark.sql.functions.col("shard"))
-      .sortWithinPartitions("shard", key)
+      key: String = "doc_id", shuffled: Boolean = false,
+      seed: Long = 0L): Unit = {
+    import org.apache.spark.sql.functions._
+    val order =
+      if (shuffled) xxhash64(df(key), lit(seed)) else df(key)
+    df.withColumn("shard", pmod(xxhash64(df(key)), lit(numShards.toLong)))
+      .withColumn("_ord", order)
+      .repartition(numShards, col("shard"))
+      .sortWithinPartitions(col("shard"), col("_ord"))
+      .drop("_ord")
       .write.mode("overwrite").partitionBy("shard").parquet(path)
+  }
 }

@@ -105,4 +105,27 @@ class LayoutSpec extends SparkSpec {
       .map(r => r.getLong(0) -> r.get(1).toString).toMap
     assert(m1 == m2, "shard assignment must not depend on input partitioning")
   }
+
+  test("shuffled shards: same membership, reproducible pseudo-random order") {
+    val docs = Tables.load(spark, dir, "documents")
+      .select("doc_id", "text", "source")
+    def write(seed: Long): Seq[Seq[Long]] = {
+      val out = Files.createTempDirectory(s"graft-shuf$seed").toString
+      Layouts.writeShards(docs, out, 4, shuffled = true, seed = seed)
+      // per-shard file order as a loader would stream it
+      (0 until 4).map { s =>
+        spark.read.parquet(s"$out/shard=$s").select("doc_id")
+          .collect().map(_.getLong(0)).toSeq
+      }
+    }
+    val a = write(1L)
+    val b = write(1L)
+    val c = write(2L)
+    assert(a == b, "same seed must reproduce identical shard files")
+    assert(a.map(_.sorted) == c.map(_.sorted),
+      "seed changes order, never membership")
+    assert(a != c, "a different seed must permute within-shard order")
+    assert(a.forall(s => s != s.sorted),
+      "shuffled order must not be key order")
+  }
 }
