@@ -71,6 +71,22 @@ class OpsSpec extends AnyFunSuite with SparkSpec {
       "top-30 must be per-partition heaps, not a full-vocab sort")
   }
 
+  test("incremental gate plan is hash-joined — no cartesian / nested-loop") {
+    assertNoAllPairs("d27_incremental_novelty",
+      FuzzyDedup.d27IncrementalNovelty(spark, dir))
+  }
+
+  test("no registered query plans a CartesianProduct") {
+    // 1-row scalar broadcasts plan as BroadcastNestedLoopJoin and are
+    // deliberate; an unkeyed CartesianProduct is never acceptable in
+    // this surface — catch regressions across the whole registry
+    for ((name, q) <- SparkEntry.queries) {
+      val bad = collectPlans(q(spark, dir).queryExecution.executedPlan)
+        .filter(_.isInstanceOf[CartesianProductExec])
+      assert(bad.isEmpty, s"$name plans a CartesianProduct")
+    }
+  }
+
   test("no registered query windows over an empty partition spec") {
     // an empty partitionSpec drags ALL rows through one partition — the
     // WindowExec warning in the bench logs; every window in the surface
