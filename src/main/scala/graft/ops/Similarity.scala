@@ -393,7 +393,49 @@ object Similarity {
       .select("q_id", "rk", "vec_id", "cos_sim")
   }
 
+  // --------------------------------------------------------------- d30
+  /** Per-label CLUSTER PROFILES — the "data map" report over an
+    * embedded corpus: member count and cohesion (mean cosine of members
+    * to their label centroid) per label. Low-cohesion labels are mixed
+    * or mislabeled slices; the report is what guides re-labeling and
+    * mixture reweighting.
+    *
+    * Scale shape: the centroid pass is one partial-aggregated shuffle
+    * keyed on (label, dim) — 64·N tiny rows, never the vectors
+    * themselves twice; the K-row centroid table then broadcasts back
+    * for the cohesion pass (one more ≤K-key aggregate). Same
+    * reproducibility discipline as IVF training: means and cosines at
+    * 4dp, element order pinned by `array_sort`. */
+  def d30LabelProfiles(spark: SparkSession, dir: String): DataFrame = {
+    val e = emb(spark, dir)
+    val cents = e.select(col("label"), posexplode(col("v")).as(Seq("i", "x")))
+      .groupBy("label", "i").agg(round(avg("x"), 4).as("cx"))
+      .groupBy("label")
+      .agg(array_sort(collect_list(struct(col("i"), col("cx")))).as("a"))
+      .select(col("label"), transform(col("a"), s => s.getField("cx")).as("cv"))
+    e.join(broadcast(cents), "label")
+      .select(col("label"), cosine(col("v"), col("cv")).as("sim"))
+      .groupBy("label")
+      .agg(count(lit(1)).as("n_vecs"), round(avg("sim"), 4).as("cohesion"))
+      .orderBy("label")
+  }
+
+  val d30Oracle: String =
+    s"""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v
+         FROM embeddings),
+       cents AS (
+         SELECT label, list(cx ORDER BY i) AS cv FROM (
+           SELECT label, i, round(avg(v[i]), 4) AS cx
+           FROM e, (SELECT unnest(range(1, 65)) AS i)
+           GROUP BY label, i)
+         GROUP BY label)
+       SELECT e.label, count(*) AS n_vecs,
+         round(avg(${cosineSql("e.v", "cents.cv")}), 4) AS cohesion
+       FROM e JOIN cents ON e.label = cents.label
+       GROUP BY e.label ORDER BY e.label"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d30_label_profiles" -> (d30LabelProfiles _),
     "d9_cosine_topk" -> (d9CosineTopk _),
     "d10_ann_lsh" -> (d10AnnLsh _),
     "d12_embedding_dedup" -> (d12EmbeddingDedup _),
@@ -402,6 +444,7 @@ object Similarity {
   )
 
   val oracles: Map[String, String] = Map(
+    "d30_label_profiles" -> d30Oracle,
     "d9_cosine_topk" -> d9Oracle,
     "d10_ann_lsh" -> d10Oracle,
     "d12_embedding_dedup" -> d12Oracle,
