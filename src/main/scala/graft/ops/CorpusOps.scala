@@ -45,9 +45,16 @@ object CorpusOps {
     * empty chunk (length 0) rather than disappearing — chunk output is
     * a lossless re-sharding; dropping empties is the curation gate's
     * job ([[d29CurationGate]]), not the chunker's. */
-  def d23Chunking(spark: SparkSession, dir: String): DataFrame = {
+  def d23Chunking(spark: SparkSession, dir: String): DataFrame =
+    chunks(docs(spark, dir)).orderBy("doc_id", "chunk_id")
+
+  /** The chunking transform itself — a STATELESS narrow map (no sort,
+    * no shuffle), so the same call chunks a streaming frame at ingest
+    * (`StreamingSpec` pins that) or a batch corpus (d23 adds the
+    * presentation sort). */
+  def chunks(d: DataFrame): DataFrame = {
     val toks = tokens(col("text"))
-    docs(spark, dir)
+    d
       .select(col("doc_id"), toks.as("toks"), size(toks).as("n"))
       .select(col("doc_id"), col("toks"), col("n"),
         explode(sequence(lit(0L),
@@ -59,7 +66,6 @@ object CorpusOps {
         concat_ws(" ", slice(col("toks"),
           (col("chunk_id") * ChunkStride + 1).cast("int"), lit(ChunkSize)))
           .as("chunk_text"))
-      .orderBy("doc_id", "chunk_id")
   }
 
   val d23Oracle: String =

@@ -140,6 +140,26 @@ class OpsSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("q22 scale path: approx percentiles track exact within 1%") {
+    import org.apache.spark.sql.functions._
+    val sfDir = "/root/testdata/sf0.01"
+    val exact = Queries.q22Percentiles(spark, sfDir).collect()
+      .map(r => r.getString(0) -> ((r.getDouble(2), r.getDouble(3)))).toMap
+    // the documented 100 TB path: a fixed-size mergeable sketch instead
+    // of the exact percentile's full per-group sort
+    val approx = Tables.load(spark, sfDir, "orders")
+      .groupBy("o_orderpriority")
+      .agg(percentile_approx(col("o_totalprice"), lit(0.5), lit(10000))
+          .as("m"),
+        percentile_approx(col("o_totalprice"), lit(0.9), lit(10000)).as("p"))
+      .collect().map(r => r.getString(0) -> ((r.getDouble(1), r.getDouble(2))))
+      .toMap
+    exact.foreach { case (k, (m, p)) =>
+      assert(math.abs(approx(k)._1 - m) / m < 0.01, s"$k median drift")
+      assert(math.abs(approx(k)._2 - p) / p < 0.01, s"$k p90 drift")
+    }
+  }
+
   test("clustering converges on a 200-hop chain (pointer jumping)") {
     import org.apache.spark.sql.functions._
     // a path graph is the worst case for plain min-label propagation

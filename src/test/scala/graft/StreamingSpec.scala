@@ -279,6 +279,38 @@ class StreamingSpec extends SparkSpec {
     assert(hasState, "decontamination must not create streaming state")
   }
 
+  test("chunking is stream-safe and agrees with the batch chunker") {
+    import org.apache.spark.sql.types._
+    import spark.implicits._
+    val staged = Files.createTempDirectory("graft-chunk-in")
+    val tmp = Files.createTempDirectory("graft-chunk-w")
+    val docs = Seq(
+      (1L, (1 to 60).map(i => s"w$i").mkString(" ")), // 3 chunks
+      (2L, "tiny doc"))
+      .toDF("doc_id", "text")
+    docs.coalesce(1).write.parquet(tmp.resolve("p").toString)
+    val src = Files.list(tmp.resolve("p")).toArray.map(_.toString)
+      .filter(_.endsWith(".parquet")).head
+    Files.copy(Paths.get(src), staged.resolve("b0.parquet"))
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    val stream = spark.readStream.schema(schema).parquet(staged.toString)
+    val q = graft.ops.CorpusOps.chunks(stream)
+      .writeStream.format("memory").queryName("chunk_stream")
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    assert(q.lastProgress.stateOperators.isEmpty,
+      "chunking must create no streaming state")
+    val streamed = spark.table("chunk_stream")
+      .orderBy("doc_id", "chunk_id").collect().toSeq
+    val batch = graft.ops.CorpusOps.chunks(docs)
+      .orderBy("doc_id", "chunk_id").collect().toSeq
+    assert(streamed == batch, "stream and batch chunks must be identical")
+    assert(batch.count(_.getLong(0) == 1L) == 3)
+  }
+
   test("streaming sessionization equals batch q18") {
     val dir = stageEventsDir()
     val q = EventStreams.sessionCounts(EventStreams.readEvents(spark, dir))
