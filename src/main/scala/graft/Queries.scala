@@ -489,13 +489,13 @@ object Queries {
     * same-timestamp tie order. */
   def q21Asof(spark: SparkSession, dir: String): DataFrame = {
     val e = t(spark, dir, "events")
+      .filter(col("event_type").isin("click", "purchase"))
       .select(col("event_id"), col("user_id"), col("event_type"),
         unix_micros(col("ts")).as("ts_us"))
-    val purchases = e.filter(col("event_type") === "purchase")
-      .select("event_id", "user_id", "ts_us")
-    val clicks = e.filter(col("event_type") === "click")
-      .select("user_id", "ts_us")
-    ops.Relational.asofJoin(purchases, clicks, "user_id", "ts_us", "click_us")
+    // both sides live in the events table, so the single-frame asof core
+    // keeps it to ONE scan (the two-frame asofJoin would read it twice)
+    ops.Relational.asofTagged(e, col("event_type") === "purchase",
+        "user_id", "ts_us", "click_us")
       .select(col("event_id"), col("user_id"),
         col("ts_us").as("purchase_us"), col("click_us"),
         (col("ts_us") - col("click_us")).as("gap_us"))

@@ -45,7 +45,7 @@ object Clustering {
     val labelType = labels.schema("label").dataType
     var changed = 1L
     var rounds = 0
-    val maxRounds = 100 // propagation needs O(component diameter) rounds
+    val maxRounds = 100 // with pointer jumping: reached only at diameter ~2^100
     while (changed > 0 && rounds < maxRounds) {
       // carry each node's previous label through the aggregate (max over
       // {prev, null…} = the unique previous value) so convergence falls

@@ -51,14 +51,22 @@ object CorpusOps {
   /** The chunking transform itself — a STATELESS narrow map (no sort,
     * no shuffle), so the same call chunks a streaming frame at ingest
     * (`StreamingSpec` pins that) or a batch corpus (d23 adds the
-    * presentation sort). */
+    * presentation sort).
+    *
+    * Chunk count is `1 + ceil(max(n - size, 0) / stride)`: a window
+    * starts only if it contributes tokens past the previous window's
+    * end, so no chunk is ever fully contained in its predecessor (a
+    * naive "every stride tokens" start rule emits a trailing window
+    * that duplicates content outright whenever `n mod stride` lands
+    * inside the overlap — wholly duplicated training examples). */
   def chunks(d: DataFrame): DataFrame = {
     val toks = tokens(col("text"))
     d
       .select(col("doc_id"), toks.as("toks"), size(toks).as("n"))
       .select(col("doc_id"), col("toks"), col("n"),
         explode(sequence(lit(0L),
-          floor((greatest(col("n"), lit(1)) - 1) / ChunkStride).cast("long")))
+          floor((greatest(col("n") - ChunkSize, lit(0)) + ChunkStride - 1)
+            / ChunkStride).cast("long")))
           .as("chunk_id"))
       .select(col("doc_id"), col("chunk_id"),
         size(slice(col("toks"), (col("chunk_id") * ChunkStride + 1).cast("int"),
@@ -76,7 +84,8 @@ object CorpusOps {
        x AS (
          SELECT doc_id, CAST(gs AS BIGINT) AS chunk_id, toks, n
          FROM t, unnest(range(0,
-           CAST(floor((greatest(n,1)-1)/$ChunkStride) AS BIGINT)+1)) AS u(gs))
+           CAST(floor((greatest(n - $ChunkSize, 0) + $ChunkStride - 1)
+                / $ChunkStride) AS BIGINT) + 1)) AS u(gs))
        SELECT doc_id, chunk_id,
          len(toks[chunk_id*$ChunkStride+1 :
              least(chunk_id*$ChunkStride+$ChunkSize, n)]) AS chunk_len,
@@ -187,12 +196,19 @@ object CorpusOps {
         SsnRe, "[SSN]"),
       PhoneRe, "[PHONE]")
 
-  /** Per-document PII match counts (email, phone, SSN). */
-  def piiCounts(text: Column): Column =
+  /** Per-document PII match counts (email, phone, SSN), counted on the
+    * SAME progressively-redacted text [[piiRedact]] operates on — a
+    * span consumed by an earlier pattern (an SSN-shaped email local
+    * part, say) is not double-reported as a second type, so the audit
+    * counts exactly what redaction handles. */
+  def piiCounts(text: Column): Column = {
+    val afterEmail = regexp_replace(text, EmailRe, "[EMAIL]")
+    val afterSsn = regexp_replace(afterEmail, SsnRe, "[SSN]")
     struct(
       size(regexp_extract_all(text, lit(EmailRe), lit(0))).as("n_email"),
-      size(regexp_extract_all(text, lit(PhoneRe), lit(0))).as("n_phone"),
-      size(regexp_extract_all(text, lit(SsnRe), lit(0))).as("n_ssn"))
+      size(regexp_extract_all(afterSsn, lit(PhoneRe), lit(0))).as("n_phone"),
+      size(regexp_extract_all(afterEmail, lit(SsnRe), lit(0))).as("n_ssn"))
+  }
 
   /** PII SCRUB audit over an arbitrary (source, text) frame — per-source
     * document counts, per-type match counts, and how many documents
@@ -224,14 +240,19 @@ object CorpusOps {
 
   val d26Oracle: String =
     s"""SELECT source, count(*) AS n_docs,
-         sum(len(regexp_extract_all(text, '$EmailRe'))) AS n_email,
-         sum(len(regexp_extract_all(text, '$PhoneRe'))) AS n_phone,
-         sum(len(regexp_extract_all(text, '$SsnRe'))) AS n_ssn,
-         sum(CASE WHEN len(regexp_extract_all(text, '$EmailRe'))
-                     + len(regexp_extract_all(text, '$PhoneRe'))
-                     + len(regexp_extract_all(text, '$SsnRe')) > 0
-             THEN 1 ELSE 0 END) AS n_pii_docs
-       FROM documents GROUP BY source ORDER BY source"""
+         sum(e) AS n_email, sum(p) AS n_phone, sum(s) AS n_ssn,
+         sum(CASE WHEN e + p + s > 0 THEN 1 ELSE 0 END) AS n_pii_docs
+       FROM (
+         SELECT source,
+           len(regexp_extract_all(text, '$EmailRe')) AS e,
+           len(regexp_extract_all(
+             regexp_replace(regexp_replace(text, '$EmailRe', '[EMAIL]', 'g'),
+                            '$SsnRe', '[SSN]', 'g'), '$PhoneRe')) AS p,
+           len(regexp_extract_all(
+             regexp_replace(text, '$EmailRe', '[EMAIL]', 'g'),
+             '$SsnRe')) AS s
+         FROM documents)
+       GROUP BY source ORDER BY source"""
 
   // --------------------------------------------------------------- d28
   /** Per-source CARDINALITY stats: documents, total tokens, distinct
@@ -278,13 +299,15 @@ object CorpusOps {
          FROM documents)
        GROUP BY source ORDER BY source"""
 
-  /** The sketch-based twin of [[d28Cardinality]] (see scaladoc there). */
+  /** The sketch-based twin of [[d28Cardinality]] (see scaladoc there) —
+    * same explode_outer contract, so empty documents count identically
+    * in both reports. */
   def cardinalityApprox(d: DataFrame, rsd: Double = 0.02): DataFrame =
     d.select(col("source"), col("doc_id"), md5(col("text")).as("h"),
-        explode(tokens(lower(col("text")))).as("term"))
+        explode_outer(tokens(lower(col("text")))).as("term"))
       .groupBy("source")
       .agg(approx_count_distinct(col("doc_id"), rsd).as("n_docs"),
-        count(lit(1)).as("n_tokens"),
+        count(col("term")).as("n_tokens"),
         approx_count_distinct(col("term"), rsd).as("n_distinct_tokens"),
         approx_count_distinct(col("h"), rsd).as("n_distinct_texts"))
       .orderBy("source")

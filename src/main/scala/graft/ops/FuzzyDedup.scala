@@ -104,6 +104,14 @@ object FuzzyDedup {
         TextOps.tokens(col("text")),
         TextOps.hash60(col("text")) % M).as("shingles"))
 
+  /** Distinct shingle hashes of a text column as a COLUMN expression —
+    * for callers that must keep their other columns (the streaming
+    * decontamination gate). */
+  private[graft] def shingleSetCol(text: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column =
+    array_distinct(graft.functions.ShingleHashes(
+      TextOps.tokens(text), TextOps.hash60(text) % M))
+
   private def shingled(df: DataFrame): DataFrame =
     shingleHashes(representatives(df))
 

@@ -39,11 +39,22 @@ object Relational {
       (d, c) => d.withColumn(c, lit(null).cast(left.schema(c).dataType))
     }.withColumn("_is_left", lit(false))
     val u = left.withColumn("_is_left", lit(true)).unionByName(rAligned)
+    asofTagged(u, col("_is_left"), key, ts, out).drop("_is_left")
+  }
+
+  /** [[asofJoin]]'s single-frame core: when both sides already live in
+    * ONE frame (e.g. an events table where a type column distinguishes
+    * them), pass that frame plus the `isLeft` predicate — the input is
+    * scanned ONCE, where the two-frame API necessarily scans its source
+    * twice if both sides derive from the same table. Left rows get the
+    * latest strictly-earlier non-left timestamp per key. */
+  def asofTagged(df: DataFrame, isLeft: Column, key: String, ts: String,
+      out: String): DataFrame = {
     val w = Window.partitionBy(key).orderBy(col(ts))
       .rangeBetween(Window.unboundedPreceding, -1)
-    u.withColumn(out,
-        last(when(!col("_is_left"), col(ts)), ignoreNulls = true).over(w))
-      .filter(col("_is_left")).drop("_is_left")
+    df.withColumn(out,
+        last(when(!isLeft, col(ts)), ignoreNulls = true).over(w))
+      .filter(isLeft)
   }
 
   /** GAP-BASED SESSIONIZATION: assign a per-key `session_id` (1-based,

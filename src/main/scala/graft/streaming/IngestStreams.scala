@@ -53,14 +53,17 @@ object IngestStreams {
       threshold: Double = 0.5): DataFrame = {
     val benchSet = graft.ops.FuzzyDedup.shingleHashes(bench)
       .agg(array_distinct(flatten(collect_list("shingles"))).as("bench_sh"))
-    graft.ops.FuzzyDedup.shingleHashes(docs)
-      .select(col("doc_id"), array_distinct(col("shingles")).as("sh"))
+    // every input column survives — the gate sits mid-pipeline, so the
+    // surviving documents must still carry text & friends downstream
+    docs
+      .withColumn("_sh", graft.ops.FuzzyDedup.shingleSetCol(col("text")))
       .join(broadcast(benchSet))
-      .withColumn("overlap",
-        size(array_intersect(col("sh"), col("bench_sh"))).cast("double") /
-          greatest(size(col("sh")), lit(1)))
-      .filter(col("overlap") < threshold)
-      .select(col("doc_id"), round(col("overlap"), 4).as("overlap"))
+      .withColumn("_ov",
+        size(array_intersect(col("_sh"), col("bench_sh"))).cast("double") /
+          greatest(size(col("_sh")), lit(1)))
+      .filter(col("_ov") < threshold)
+      .withColumn("overlap", round(col("_ov"), 4))
+      .drop("_sh", "bench_sh", "_ov")
   }
 
   /** The composed ingest front: quality gate → exact dedup. */

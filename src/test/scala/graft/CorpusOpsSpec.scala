@@ -29,18 +29,20 @@ class CorpusOpsSpec extends AnyFunSuite with SparkSpec {
         if (c eq cs.last) t else t.take(24)
       }
       assert(rebuilt.toSeq == toks.toSeq, s"doc ${r.getLong(0)} not rebuilt")
-      // every chunk is at most ChunkSize long, its recorded length is
-      // honest, and each successor starts with its predecessor's
-      // past-stride tail (the overlap; short when the doc ends inside
-      // the predecessor's window)
+      // recorded lengths are honest; every non-last chunk is exactly
+      // full; each successor starts with its predecessor's 8-token
+      // overlap tail AND contributes new tokens beyond it (no chunk is
+      // ever fully contained in its predecessor)
       cs.foreach { c =>
         assert(c.getInt(2) <= 32)
         assert(c.getString(3).split(" ").count(_.nonEmpty) == c.getInt(2))
       }
+      cs.init.foreach(c => assert(c.getInt(2) == 32,
+        s"non-last chunk must be full, got ${c.getInt(2)}"))
       cs.init.zip(cs.tail).foreach { case (a, b) =>
-        val ov = a.getString(3).split(" ").filter(_.nonEmpty).drop(24)
-        assert(b.getString(3).split(" ").filter(_.nonEmpty)
-          .take(ov.length).toSeq == ov.toSeq)
+        val ov = a.getString(3).split(" ").drop(24)
+        assert(b.getString(3).split(" ").take(8).toSeq == ov.toSeq)
+        assert(b.getInt(2) > 8, "a chunk must add tokens past the overlap")
       }
     }
   }
@@ -94,8 +96,23 @@ class CorpusOpsSpec extends AnyFunSuite with SparkSpec {
     assert(red.exists(_ == "call [PHONE] or [PHONE] now"))
     assert(red.exists(_ == "ssn [SSN] on file"))
     assert(red.exists(_ == "clean document with no pii at all"))
-    // a phone number must never be mis-redacted as an SSN
-    assert(!red.exists(_.contains("[SSN]") && red.mkString.contains("555")))
+    // a phone-shaped span must never be consumed by the SSN pattern
+    // (the exact-match asserts above already pin "[PHONE] or [PHONE]",
+    // so any SSN mis-redaction of a phone fails there)
+    assert(!red.exists(r => r.contains("555") && r.contains("[SSN]")))
+  }
+
+  test("pii counts mirror sequential redaction on overlapping spans") {
+    import spark.implicits._
+    // SSN-shaped local part inside an email: redaction emits one
+    // [EMAIL]; the audit must NOT also claim an SSN was found
+    val d = Seq(("s", "reach 123-45-6789@corp.example.com now"))
+      .toDF("source", "text")
+    val r = CorpusOps.piiStats(d).collect().head
+    assert((r.getLong(2), r.getLong(3), r.getLong(4)) == ((1L, 0L, 0L)),
+      s"email only, got ${(r.getLong(2), r.getLong(3), r.getLong(4))}")
+    val red = d.select(CorpusOps.piiRedact(col("text"))).head.getString(0)
+    assert(red == "reach [EMAIL] now")
   }
 
   test("cardinality counts zero-token docs (explode_outer contract)") {

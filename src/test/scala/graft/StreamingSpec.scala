@@ -269,11 +269,15 @@ class StreamingSpec extends SparkSpec {
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination(120000)
-    val kept = spark.table("decon").collect()
-      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val rows = spark.table("decon").collect()
+    val kept = rows.map(r => r.getAs[Long]("doc_id") ->
+      r.getAs[Double]("overlap")).toMap
     assert(kept.keySet == Set(2L),
       s"the near-copy of the eval doc must be dropped, got $kept")
     assert(kept(2L) < 0.1, "the clean doc's overlap must be ~0")
+    // the gate is mid-pipeline: surviving docs keep their columns
+    assert(rows.head.getAs[String]("text") == clean,
+      "document content must survive the gate")
     // the streaming plan must be stateless — no state-store operator
     val hasState = q.lastProgress.stateOperators.length == 0
     assert(hasState, "decontamination must not create streaming state")
