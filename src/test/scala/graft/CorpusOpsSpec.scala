@@ -47,6 +47,33 @@ class CorpusOpsSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("chunking contract holds for EVERY doc length 0..200") {
+    import spark.implicits._
+    // one synthetic doc per length; tokens are position-labeled so any
+    // misalignment is visible
+    val docs = (0 to 200)
+      .map(n => (n.toLong, (0 until n).map(i => s"t$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val byDoc = CorpusOps.chunks(docs).collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.sortBy(_.getLong(1))).toMap
+    (0 to 200).foreach { n =>
+      val cs = byDoc(n.toLong)
+      val toks = (0 until n).map(i => s"t$i")
+      // lossless reconstruction: stride prefix of each chunk + last tail
+      val rebuilt = cs.flatMap { c =>
+        val t = c.getString(3).split(" ").filter(_.nonEmpty)
+        if (c eq cs.last) t else t.take(24)
+      }
+      assert(rebuilt.toSeq == toks, s"n=$n not rebuilt")
+      // expected chunk count: 1 + ceil(max(n-32,0)/24)
+      val want = 1 + math.ceil(math.max(n - 32, 0) / 24.0).toInt
+      assert(cs.length == want, s"n=$n chunks=${cs.length} want=$want")
+      // non-last chunks full; every later chunk adds new tokens
+      cs.init.foreach(c => assert(c.getInt(2) == 32, s"n=$n partial mid-chunk"))
+      cs.tail.foreach(c => assert(c.getInt(2) > 8, s"n=$n contained chunk"))
+    }
+  }
+
   test("tfidf: rank-1 term has max weight; common-to-all terms weigh 0") {
     val rows = CorpusOps.d24Tfidf(spark, dir).collect()
     assert(rows.nonEmpty)
