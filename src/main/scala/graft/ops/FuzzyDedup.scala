@@ -434,7 +434,12 @@ object FuzzyDedup {
     * Scale shape: the benchmark side is tiny (an eval set, not a
     * corpus) and hash-joins against the exploded corpus shingles — the
     * corpus moves once, keyed on the 31-bit shingle hash; no text
-    * strings are materialized or shuffled. */
+    * strings are materialized or shuffled.
+    *
+    * Window note: 3-token shingles here (shared with the dedup family);
+    * production decontamination typically uses 8–13-token windows for
+    * precision — the same rolling-hash machinery with a longer window,
+    * nothing structural changes. */
   def d17Decontaminate(spark: SparkSession, dir: String): DataFrame = {
     val s = shingleHashes(docs(spark, dir))
       .select(col("doc_id"), array_distinct(col("shingles")).as("s"))
