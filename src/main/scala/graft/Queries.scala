@@ -277,7 +277,10 @@ object Queries {
     val w = Window.partitionBy("p_brand")
     t(spark, dir, "part")
       .withColumn("brand_avg", avg("p_retailprice").over(w))
-      .filter(col("p_retailprice") > col("brand_avg") * 1.03)
+      // the threshold is rounded before comparing (file convention):
+      // an unrounded float threshold puts every 2dp price one ulp of
+      // summation-order jitter away from flipping the filter
+      .filter(col("p_retailprice") > round(col("brand_avg") * 1.03, 4))
       // the avg itself is NOT output: a 4dp round can sit exactly on a
       // .00005 boundary and flip between engines' summation orders
       .select(col("p_partkey"), col("p_brand"), col("p_retailprice"))
@@ -289,7 +292,7 @@ object Queries {
        FROM (SELECT p_partkey, p_brand, p_retailprice,
                avg(p_retailprice) OVER (PARTITION BY p_brand) AS brand_avg
              FROM part)
-       WHERE p_retailprice > brand_avg * 1.03 ORDER BY p_partkey"""
+       WHERE p_retailprice > round(brand_avg * 1.03, 4) ORDER BY p_partkey"""
 
   // --------------------------------------------------------------- q12
   /** Conditional aggregation (sum(CASE WHEN)) — the one-pass pivot. */

@@ -53,10 +53,14 @@ object Clustering {
       val prop = edges.join(labels, col("s") === col("node"))
         .select(col("dd").as("node"), col("label"),
           lit(null).cast(labelType).as("prev"))
+      // checkpointed: the jump self-join below consumes `next` twice,
+      // and ReuseExchange only dedups the shuffle write — the final
+      // aggregate would otherwise execute on both sides
       val next = labels.select(col("node"), col("label"),
           col("label").as("prev"))
         .union(prop)
         .groupBy("node").agg(min("label").as("label"), max("prev").as("prev"))
+        .localCheckpoint()
       // pointer jumping: label := label(label). Every label IS a node
       // (labels are mins over node ids), so the inner self-join is
       // total; label(label(x)) ≤ label(x) by monotonicity, `least` only

@@ -77,10 +77,11 @@ object Multimodal {
     val ext = lower(regexp_extract(col("path"), "\\.([A-Za-z0-9]+)$", 1))
     val stem = regexp_extract(col("path"), "([0-9]+)\\.[A-Za-z0-9]+$", 1)
     spark.read.format("binaryFile").load(dir)
-      // naming contract is <numeric id>.<ext>; anything else would cast
-      // to a null doc_id and die opaquely inside the non-nullable-Long
-      // Encoder, so drop it here instead
-      .filter(stem =!= "")
+      // naming contract is <numeric id>.<ext>; a missing OR
+      // Long-overflowing stem would cast to a null doc_id and die
+      // opaquely inside the non-nullable-Long Encoder, so drop both
+      // here (the null filter below covers overflow too)
+      .filter(stem =!= "" && stem.cast("long").isNotNull)
       .select(
         stem.cast("long").as("doc_id"),
         when(ext.isin("jpg", "jpeg", "png", "bmp"), "image")

@@ -75,6 +75,14 @@ object Similarity {
       .map(i => when(element_at(v, i) > 0, lit(1 << (i - 1))).otherwise(lit(0)))
       .reduce(_ + _)
 
+  /** The same bucket in DuckDB SQL — ONE definition shared by the d10 /
+    * d12 / d22 oracles (sign(embedding[i]) is identical before/after
+    * the double cast, so it reads the raw float column). The three
+    * operators must agree bit-for-bit on the bucket scheme. */
+  private val bucketSql: String = (1 to 8)
+    .map(i => s"CASE WHEN embedding[$i] > 0 THEN ${1 << (i - 1)} ELSE 0 END")
+    .mkString(" + ")
+
   /** Sign-LSH bucketed ANN with MULTI-PROBE: each query (vec_id < 8)
     * probes its own bucket plus the 8 Hamming-1 neighbor buckets (one
     * sign bit flipped), i.e. 9 probe rows per query, then joins
@@ -111,12 +119,7 @@ object Similarity {
       .orderBy("q_id", "rk")
   }
 
-  val d10Oracle: String = {
-    // sign(embedding[i]) is identical before/after the double cast, so the
-    // bucket can be computed straight off the float column
-    val bucketSql = (1 to 8)
-      .map(i => s"CASE WHEN embedding[$i] > 0 THEN ${1 << (i - 1)} ELSE 0 END")
-      .mkString(" + ")
+  val d10Oracle: String =
     s"""WITH e AS (
          SELECT vec_id, embedding::DOUBLE[] AS v, $bucketSql AS bucket
          FROM embeddings),
@@ -132,7 +135,6 @@ object Similarity {
            row_number() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, vec_id) AS rk
          FROM scored)
        WHERE rk <= 3 ORDER BY q_id, rk"""
-  }
 
   // --------------------------------------------------------------- d12
   /** Embedding-cosine near-dup dedup: candidate pairs come from a
@@ -148,10 +150,7 @@ object Similarity {
     * scale; 0.4 exercises the full candidate→verify path. The threshold
     * is the operator's tuning parameter, not part of its structure. */
   def d12EmbeddingDedup(spark: SparkSession, dir: String): DataFrame = {
-    val bucket = (1 to 8)
-      .map(i => when(element_at(col("v"), i) > 0, lit(1 << (i - 1))).otherwise(lit(0)))
-      .reduce(_ + _)
-    val e = emb(spark, dir).withColumn("bucket", bucket)
+    val e = emb(spark, dir).withColumn("bucket", signBucket(col("v")))
       .select(col("vec_id"), col("v"), col("bucket"))
     val r = e.select(col("vec_id").as("vec_b"), col("v").as("vb"), col("bucket"))
     e.join(r, Seq("bucket"))
@@ -162,10 +161,7 @@ object Similarity {
       .orderBy("vec_a", "vec_b")
   }
 
-  val d12Oracle: String = {
-    val bucketSql = (1 to 8)
-      .map(i => s"CASE WHEN embedding[$i] > 0 THEN ${1 << (i - 1)} ELSE 0 END")
-      .mkString(" + ")
+  val d12Oracle: String =
     s"""WITH e AS (
          SELECT vec_id, embedding::DOUBLE[] AS v, $bucketSql AS bucket
          FROM embeddings)
@@ -175,7 +171,6 @@ object Similarity {
          FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
        WHERE cos_sim >= 0.4
        ORDER BY vec_a, vec_b"""
-  }
 
   // --------------------------------------------------------------- d22
   /** Embedding near-dup CLUSTERS with a canonical survivor — the d15
@@ -197,10 +192,7 @@ object Similarity {
       .orderBy("vec_id")
   }
 
-  val d22Oracle: String = {
-    val bucketSql = (1 to 8)
-      .map(i => s"CASE WHEN embedding[$i] > 0 THEN ${1 << (i - 1)} ELSE 0 END")
-      .mkString(" + ")
+  val d22Oracle: String =
     s"""WITH RECURSIVE emb AS (
          SELECT vec_id, embedding::DOUBLE[] AS v, $bucketSql AS bucket
          FROM embeddings),
@@ -223,7 +215,6 @@ object Similarity {
          CASE WHEN coalesce(cl, vec_id) = vec_id THEN 1 ELSE 0 END AS keep
        FROM embeddings LEFT JOIN comp ON node = vec_id
        ORDER BY vec_id"""
-  }
 
   // --------------------------------------------------------------- d14
   /** IVF parameters: K cells, Lloyd refinement rounds over a

@@ -266,7 +266,12 @@ object TextOps {
     * sort order, so rank is simply the row position: a narrow
     * `monotonically_increasing_id` projection over the 30 survivors.
     * No window node at all — an empty-partition-spec window here would
-    * re-sort and log the single-partition scale warning. */
+    * re-sort and log the single-partition scale warning. The rank is
+    * only valid while the plan IS TakeOrderedAndProject (a Sort +
+    * GlobalLimit fallback, e.g. under a lowered
+    * `topKSortFallbackThreshold`, would not guarantee fetch order) —
+    * the OpsSpec plan test pins exactly that, so a config drift fails
+    * loudly before the driver gate. */
   def d19Vocab(spark: SparkSession, dir: String): DataFrame =
     docs(spark, dir)
       .select(explode(tokens(lower(col("text")))).as("token"))

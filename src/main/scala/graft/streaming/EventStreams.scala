@@ -144,7 +144,11 @@ object EventStreams {
           if (open.isEmpty) state.remove()
           else {
             state.update(SessionBuffer(open.flatten))
-            val closeMs = (open.map(_.last).max + GapUs) / 1000L + 1
+            // wake at the EARLIEST provable close — with max, an older
+            // quiet session would sit buffered until the newest (possibly
+            // still-active) session's close time instead of emitting as
+            // soon as the watermark proves it closed
+            val closeMs = (open.map(_.last).min + GapUs) / 1000L + 1
             // the timeout must sit strictly beyond the current watermark
             state.setTimeoutTimestamp(math.max(closeMs, wmMs + 1))
           }

@@ -16,7 +16,9 @@ object IngestStreams {
   def qualityFiltered(docs: DataFrame, minTokens: Int = 3,
       maxChars: Int = 1 << 20): DataFrame =
     docs.filter(
-      size(regexp_extract_all(col("text"), lit("\\S+"), lit(0))) >= minTokens &&
+      // TextOps.tokens is THE tokenizer definition — reusing it keeps
+      // this gate's token counts in lock-step with the batch operators
+      size(graft.ops.TextOps.tokens(col("text"))) >= minTokens &&
         length(col("text")) <= maxChars)
 
   /** Exact content dedup at ingest — the streaming counterpart of the
