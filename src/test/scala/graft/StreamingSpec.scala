@@ -145,6 +145,54 @@ class StreamingSpec extends SparkSpec {
       s"expected two single-event sessions, got ${out.toSeq}")
   }
 
+  test("closed sessions: an older session emits at ITS close, not the newest's") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val min = 60L * 1000 * 1000
+    val hour = 60 * min
+    // user 1: session A (0, 10min), then session B starting at 5h (open).
+    // batch 2's sentinel advances the watermark past A's close but NOT
+    // past B's — a timeout keyed to the NEWEST session would sit silent
+    // and leave A buffered; keyed to the EARLIEST it must emit A now.
+    def stage(rows: Seq[(Long, Long, Long, String, Double, String)],
+        dir: java.nio.file.Path, name: String, mtime: Long): Unit = {
+      val tmp = Files.createTempDirectory(s"graft-old-$name")
+      rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .coalesce(1).write.parquet(tmp.resolve("p").toString)
+      val src = Files.list(tmp.resolve("p")).toArray.map(_.toString)
+        .filter(_.endsWith(".parquet")).head
+      val dst = dir.resolve(name)
+      Files.copy(Paths.get(src), dst)
+      dst.toFile.setLastModified(mtime)
+    }
+    val staged = Files.createTempDirectory("graft-oldsession-in")
+    val base = 2000000000000000L // epoch-0 events collide with the initial watermark
+    stage(Seq(
+      (1L, base, 1L, "click", 0.0, "{}"),
+      (2L, base + 10 * min, 1L, "click", 0.0, "{}"),
+      (3L, base + 5 * hour, 1L, "click", 0.0, "{}")),
+      staged, "b1.parquet", 1000000L)
+    stage(Seq((9L, base + 5 * hour + 10 * min, 2L, "click", 0.0, "{}")),
+      staged, "b2.parquet", 1060000L)
+    val stream = spark.readStream
+      .schema(graft.streaming.EventStreams.eventSchema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(staged.toString)
+      .withColumn("ts", timestamp_micros(col("ts")))
+    val q = EventStreams.closedSessions(stream)
+      .writeStream.format("memory").queryName("closed_oldest")
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    val rows = spark.table("closed_oldest")
+      .filter(col("user_id") === 1L).collect()
+    assert(rows.length == 1,
+      s"exactly session A must have closed, got ${rows.length}")
+    assert(rows.head.getAs[Long]("n_events") == 2L,
+      "the closed session must be the two-event session A")
+  }
+
   test("closed sessions: expiry fires and totals equal batch q18") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
