@@ -387,13 +387,68 @@ object CorpusOps {
        ORDER BY doc_id"""
   }
 
+  // --------------------------------------------------------------- d31
+  /** Per-source DUPLICATION report: how much of each source is exact
+    * duplicate content (the headline number deciding whether a source
+    * is worth re-crawling or down-weighting). One shuffle on the
+    * 16-byte content hash per source; text never moves. */
+  def d31DupReport(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .select(col("source"), md5(col("text")).as("h"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        count_distinct(col("h")).as("n_unique_texts"))
+      .withColumn("dup_rate",
+        round(lit(1.0) - col("n_unique_texts").cast("double") / col("n_docs"), 4))
+      .orderBy("source")
+
+  val d31Oracle: String =
+    """SELECT source, count(*) AS n_docs,
+         count(DISTINCT md5(text)) AS n_unique_texts,
+         round(1 - count(DISTINCT md5(text)) * 1.0 / count(*), 4) AS dup_rate
+       FROM documents GROUP BY source ORDER BY source"""
+
+  // --------------------------------------------------------------- d32
+  /** Docs↔embeddings INTEGRITY audit — the cross-store alignment check
+    * a multi-representation pipeline runs before training: documents
+    * with no embedding (stale vector store) and embeddings with no
+    * document (deleted docs, orphaned vectors), counted per side with
+    * id ranges for triage. Two LEFT ANTI joins on the id — each is one
+    * hash-keyed shuffle of ids only; neither text nor vectors move. */
+  def d32IntegrityAudit(spark: SparkSession, dir: String): DataFrame = {
+    val dIds = docs(spark, dir).select(col("doc_id").as("id"))
+    val eIds = Tables.load(spark, dir, "embeddings")
+      .select(col("vec_id").as("id"))
+    def side(name: String, missing: DataFrame): DataFrame =
+      missing.agg(count(lit(1)).as("n_missing"),
+          min("id").as("min_id"), max("id").as("max_id"))
+        .select(lit(name).as("side"), col("n_missing"),
+          col("min_id"), col("max_id"))
+    side("docs_without_embedding", dIds.join(eIds, Seq("id"), "left_anti"))
+      .unionByName(
+        side("embeddings_without_doc", eIds.join(dIds, Seq("id"), "left_anti")))
+      .orderBy("side")
+  }
+
+  val d32Oracle: String =
+    """SELECT side, n_missing, min_id, max_id FROM (
+         SELECT 'docs_without_embedding' AS side, count(*) AS n_missing,
+           min(doc_id) AS min_id, max(doc_id) AS max_id
+         FROM documents WHERE doc_id NOT IN (SELECT vec_id FROM embeddings)
+         UNION ALL
+         SELECT 'embeddings_without_doc', count(*), min(vec_id), max(vec_id)
+         FROM embeddings WHERE vec_id NOT IN (SELECT doc_id FROM documents))
+       ORDER BY side"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d23_chunking" -> (d23Chunking _),
     "d24_tfidf" -> (d24Tfidf _),
     "d25_surprisal" -> (d25Surprisal _),
     "d26_pii_scrub" -> (d26PiiScrub _),
     "d28_cardinality" -> (d28Cardinality _),
-    "d29_curation_gate" -> (d29CurationGate _)
+    "d29_curation_gate" -> (d29CurationGate _),
+    "d31_dup_report" -> (d31DupReport _),
+    "d32_integrity_audit" -> (d32IntegrityAudit _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -402,6 +457,8 @@ object CorpusOps {
     "d25_surprisal" -> d25Oracle,
     "d26_pii_scrub" -> d26Oracle,
     "d28_cardinality" -> d28Oracle,
-    "d29_curation_gate" -> d29Oracle
+    "d29_curation_gate" -> d29Oracle,
+    "d31_dup_report" -> d31Oracle,
+    "d32_integrity_audit" -> d32Oracle
   )
 }
