@@ -240,8 +240,11 @@ object CorpusOps {
 
   val d26Oracle: String =
     s"""SELECT source, count(*) AS n_docs,
-         sum(e) AS n_email, sum(p) AS n_phone, sum(s) AS n_ssn,
-         sum(CASE WHEN e + p + s > 0 THEN 1 ELSE 0 END) AS n_pii_docs
+         CAST(sum(e) AS BIGINT) AS n_email,
+         CAST(sum(p) AS BIGINT) AS n_phone,
+         CAST(sum(s) AS BIGINT) AS n_ssn,
+         CAST(sum(CASE WHEN e + p + s > 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_pii_docs
        FROM (
          SELECT source,
            len(regexp_extract_all(text, '$EmailRe')) AS e,

@@ -77,13 +77,14 @@ object Multimodal {
     val ext = lower(regexp_extract(col("path"), "\\.([A-Za-z0-9]+)$", 1))
     val stem = regexp_extract(col("path"), "([0-9]+)\\.[A-Za-z0-9]+$", 1)
     spark.read.format("binaryFile").load(dir)
-      // naming contract is <numeric id>.<ext>; a missing OR
-      // Long-overflowing stem would cast to a null doc_id and die
-      // opaquely inside the non-nullable-Long Encoder, so drop both
-      // here (the null filter below covers overflow too)
-      .filter(stem =!= "" && stem.cast("long").isNotNull)
+      // naming contract is <numeric id>.<ext>; a missing stem OR a
+      // Long-overflowing one (19+ digits) would otherwise die opaquely —
+      // under ANSI mode (Spark 4 default) a plain cast THROWS on
+      // overflow rather than yielding null, so try_cast both the guard
+      // and the projection and drop the nulls here
+      .filter(stem =!= "" && stem.try_cast("long").isNotNull)
       .select(
-        stem.cast("long").as("doc_id"),
+        stem.try_cast("long").as("doc_id"),
         when(ext.isin("jpg", "jpeg", "png", "bmp"), "image")
           .when(ext.isin("wav", "mp3", "flac"), "audio")
           .when(ext.isin("mp4", "avi", "mkv", "webm"), "video")

@@ -262,24 +262,30 @@ object TextOps {
     * TakeOrderedAndProject (per-partition heaps, 30 rows to the driver
     * side of the exchange) — NOT a global-sort window, which would drag
     * the entire vocabulary (easily 10^8 rows for a web corpus) through
-    * a single partition. TakeOrderedAndProject emits ONE partition in
-    * sort order, so rank is simply the row position: a narrow
-    * `monotonically_increasing_id` projection over the 30 survivors.
-    * No window node at all — an empty-partition-spec window here would
-    * re-sort and log the single-partition scale warning. The rank is
-    * only valid while the plan IS TakeOrderedAndProject (a Sort +
-    * GlobalLimit fallback, e.g. under a lowered
-    * `topKSortFallbackThreshold`, would not guarantee fetch order) —
-    * the OpsSpec plan test pins exactly that, so a config drift fails
-    * loudly before the driver gate. */
+    * a single partition. Rank is then RE-DERIVED from the data rather
+    * than read off the fetch order: the 30 survivors collapse into one
+    * struct array keyed (-n, token) — struct ordering gives n desc then
+    * token asc, the exact top-k sort key — and `array_sort` +
+    * `posexplode` yields the position. No window node (so no
+    * empty-partition-spec single-partition warning, an invariant
+    * OpsSpec pins repo-wide), and unlike
+    * `monotonically_increasing_id` over the fetch order this stays
+    * correct even if a runtime config (e.g. a lowered
+    * `topKSortFallbackThreshold`) swaps TakeOrderedAndProject for a
+    * Sort + GlobalLimit plan whose fetch order is unspecified. The
+    * global aggregate sees only the 30 post-limit rows. */
   def d19Vocab(spark: SparkSession, dir: String): DataFrame =
     docs(spark, dir)
       .select(explode(tokens(lower(col("text")))).as("token"))
       .groupBy("token").agg(count(lit(1)).as("n"))
       .orderBy(col("n").desc, col("token"))
       .limit(30)
-      .withColumn("rank", (monotonically_increasing_id() + 1).cast("int"))
-      .orderBy("rank")
+      .agg(collect_list(
+        struct((-col("n")).as("neg_n"), col("token").as("token"),
+          col("n").as("n"))).as("rows"))
+      .select(posexplode(array_sort(col("rows"))).as(Seq("pos", "r")))
+      .select(col("r.token").as("token"), col("r.n").as("n"),
+        (col("pos") + 1).cast("int").as("rank"))
 
   val d19Oracle: String =
     """SELECT token, n, rank FROM (
