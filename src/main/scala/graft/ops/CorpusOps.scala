@@ -443,6 +443,117 @@ object CorpusOps {
          FROM embeddings WHERE vec_id NOT IN (SELECT doc_id FROM documents))
        ORDER BY side"""
 
+  // --------------------------------------------------------------- d33
+  /** Salt distinguishing the SPLIT hash from every other doc_id hash in
+    * the pipeline (sampling d18, shard order): reusing one hash for two
+    * decisions correlates them (every sampled-out doc would also land in
+    * the same split), so each decision gets its own salted stream. */
+  private val SplitSalt = "split:"
+
+  /** Deterministic TRAIN/VAL/TEST SPLIT — 90/5/5 by salted content hash,
+    * reported per (source, split). Hash-based assignment is the only
+    * split that survives a 100 TB pipeline: content-stable (re-runs,
+    * retries, and incremental corpus extensions keep every existing doc
+    * in its split — no RNG state to coordinate, no reshuffling train
+    * into test on append), and exactly reproducible by any engine that
+    * can md5.
+    *
+    * Scale shape: pure narrow map (one md5 per doc) + a tiny-key
+    * aggregate on (source, split) — the report shuffle carries ≤
+    * 3×|sources| partial rows. The assignment itself (`splitOf`) is a
+    * column a pipeline applies in-line when writing shards. */
+  def splitOf(docId: Column): Column = {
+    val b = TextOps.hash60(concat(lit(SplitSalt), docId.cast("string"))) % 100
+    when(b < 90, "train").when(b < 95, "val").otherwise("test")
+  }
+
+  def d33TrainSplit(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .select(col("source"), splitOf(col("doc_id")).as("split"))
+      .groupBy("source", "split")
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy("source", "split")
+
+  val d33Oracle: String =
+    s"""SELECT source,
+         CASE WHEN b < 90 THEN 'train' WHEN b < 95 THEN 'val'
+              ELSE 'test' END AS split,
+         count(*) AS n_docs
+       FROM (
+         SELECT source,
+           ('0x'||substr(md5('$SplitSalt'||doc_id::VARCHAR),1,15))::BIGINT
+             % 100 AS b
+         FROM documents)
+       GROUP BY 1, 2 ORDER BY source, split"""
+
+  // --------------------------------------------------------------- d34
+  /** Cross-doc boilerplate document-frequency threshold: a 3-token
+    * shingle present in at least this many DISTINCT documents is
+    * boilerplate (site chrome, license headers, navigation text — the
+    * C4/Gopher-style repeated-span filter, but corpus-wide rather than
+    * intra-document like d20). Fixed demo value; production uses a
+    * corpus fraction (e.g. 0.01 % of docs) with the same plan. */
+  private[graft] val BoilerMinDf = 5
+
+  /** Per-document BOILERPLATE ratio — the fraction of a document's
+    * distinct shingles that are corpus-wide boilerplate ([[BoilerMinDf]]).
+    * Complements d20 (intra-doc repetition cannot see a footer stamped
+    * across a million pages; document frequency can).
+    *
+    * Scale shape: shingles are hashed longs (native expression, text
+    * never materializes n-gram strings); distinct-per-doc explode →
+    * one partial-agg'd shuffle on the shingle hash for df; the
+    * boilerplate set (df ≥ threshold) is SMALL by construction — high-df
+    * survivors of a power-law — so it broadcasts back onto the exploded
+    * stream (no second corpus shuffle); final per-doc agg shuffles tiny
+    * count rows on doc_id. Document text never moves. */
+  def d34Boilerplate(spark: SparkSession, dir: String): DataFrame =
+    boilerplate(docs(spark, dir))
+
+  /** The boilerplate scorer on an arbitrary (doc_id, text) frame. */
+  private[graft] def boilerplate(d: DataFrame): DataFrame = {
+    val ex = FuzzyDedup.shingleHashes(d)
+      .select(col("doc_id"), explode(array_distinct(col("shingles"))).as("sh"))
+    // ex is one row per distinct (doc, shingle), so df is a plain count
+    val boiler = ex.groupBy("sh").agg(count(lit(1)).as("df"))
+      .filter(col("df") >= BoilerMinDf)
+      .select(col("sh"), lit(1).as("is_b"))
+    ex.join(broadcast(boiler), Seq("sh"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(coalesce(col("is_b"), lit(0))).cast("long").as("n_boiler"))
+      .withColumn("boiler_ratio",
+        round(col("n_boiler").cast("double") / col("n_shingles"), 4))
+      .orderBy("doc_id")
+  }
+
+  val d34Oracle: String = {
+    val m = graft.functions.ShingleHashes.M
+    val k1 = graft.functions.ShingleHashes.K1
+    val k2 = graft.functions.ShingleHashes.K2
+    s"""WITH th AS (
+         SELECT doc_id, text,
+           list_transform(regexp_extract_all(text, '\\S+'),
+                          t -> ('0x'||substr(md5(t),1,15))::BIGINT % $m) AS th
+         FROM documents),
+       sh AS (
+         SELECT doc_id,
+           CASE WHEN len(th) >= 3
+             THEN list_transform(range(1, len(th)-1),
+                    i -> (((th[i] * $k1 + th[i+1]) % $m) * $k2 + th[i+2]) % $m)
+             ELSE [('0x'||substr(md5(text),1,15))::BIGINT % $m] END AS shingles
+         FROM th),
+       ex AS (SELECT doc_id, unnest(list_distinct(shingles)) AS s FROM sh),
+       b AS (SELECT s FROM ex GROUP BY s HAVING count(*) >= $BoilerMinDf)
+       SELECT ex.doc_id, count(*) AS n_shingles,
+         CAST(sum(CASE WHEN b.s IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_boiler,
+         round(sum(CASE WHEN b.s IS NOT NULL THEN 1 ELSE 0 END) * 1.0
+           / count(*), 4) AS boiler_ratio
+       FROM ex LEFT JOIN b ON ex.s = b.s
+       GROUP BY ex.doc_id ORDER BY ex.doc_id"""
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d23_chunking" -> (d23Chunking _),
     "d24_tfidf" -> (d24Tfidf _),
@@ -451,7 +562,9 @@ object CorpusOps {
     "d28_cardinality" -> (d28Cardinality _),
     "d29_curation_gate" -> (d29CurationGate _),
     "d31_dup_report" -> (d31DupReport _),
-    "d32_integrity_audit" -> (d32IntegrityAudit _)
+    "d32_integrity_audit" -> (d32IntegrityAudit _),
+    "d33_train_split" -> (d33TrainSplit _),
+    "d34_boilerplate" -> (d34Boilerplate _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -462,6 +575,8 @@ object CorpusOps {
     "d28_cardinality" -> d28Oracle,
     "d29_curation_gate" -> d29Oracle,
     "d31_dup_report" -> d31Oracle,
-    "d32_integrity_audit" -> d32Oracle
+    "d32_integrity_audit" -> d32Oracle,
+    "d33_train_split" -> d33Oracle,
+    "d34_boilerplate" -> d34Oracle
   )
 }

@@ -181,4 +181,67 @@ class CorpusOpsSpec extends AnyFunSuite with SparkSpec {
       assert(r.getLong(2) == 0 && r.getLong(3) == 0 && r.getLong(4) == 0)
     }
   }
+
+  test("train split partitions the corpus 90/5/5 and is content-stable") {
+    import spark.implicits._
+    val rows = CorpusOps.d33TrainSplit(spark, dir).collect()
+    val bySplit = rows.groupBy(_.getString(1))
+      .view.mapValues(_.map(_.getLong(2)).sum).toMap
+    val total = bySplit.values.sum
+    val nDocs = Tables.load(spark, dir, "documents").count()
+    assert(total == nDocs, "every doc lands in exactly one split")
+    assert(bySplit.keySet == Set("train", "val", "test"))
+    // binomial tolerance at 500 docs: 90% ± ~4σ
+    assert(bySplit("train") >= (nDocs * 0.84).toLong &&
+      bySplit("train") <= (nDocs * 0.96).toLong,
+      s"train fraction drifted: $bySplit")
+    // content stability: assignment depends only on doc_id, so a
+    // truncated corpus (simulating the pre-append state of an
+    // incremental pipeline) assigns every surviving doc identically
+    val full = Tables.load(spark, dir, "documents")
+      .select($"doc_id", CorpusOps.splitOf($"doc_id").as("s")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val half = Tables.load(spark, dir, "documents")
+      .filter($"doc_id" % 2 === 0)
+      .select($"doc_id", CorpusOps.splitOf($"doc_id").as("s")).collect()
+    half.foreach(r => assert(full(r.getLong(0)) == r.getString(1)))
+  }
+
+  test("boilerplate: a phrase stamped across docs is flagged; unique text is not") {
+    import spark.implicits._
+    // 10 docs share a stamped footer phrase; 5 docs are fully unique.
+    // Fillers are position-labeled so no cross-doc shingle repeats by
+    // accident.
+    val stamped = (0 until 10).map(i =>
+      (i.toLong, s"u${i}a u${i}b u${i}c all rights reserved acme u${i}d u${i}e u${i}f"))
+    val unique = (10 until 15).map(i =>
+      (i.toLong, s"u${i}a u${i}b u${i}c u${i}d u${i}e u${i}f u${i}g"))
+    val d = (stamped ++ unique).toDF("doc_id", "text")
+    val rows = CorpusOps.boilerplate(d).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    (0 until 10).foreach { i =>
+      val (n, b) = rows(i.toLong)
+      // "all rights reserved", "rights reserved acme" appear in 10 docs
+      // (>= BoilerMinDf); the boundary shingles mixing unique fillers
+      // with the stamp do not
+      assert(b >= 2, s"stamped doc $i: $b of $n shingles flagged")
+    }
+    (10 until 15).foreach { i =>
+      val (_, b) = rows(i.toLong)
+      assert(b == 0, s"unique doc $i wrongly flagged")
+    }
+  }
+
+  test("boilerplate on the fixture corpus: ratios well-formed, signal nonzero") {
+    val rows = CorpusOps.d34Boilerplate(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (n, b, ratio) = (r.getLong(1), r.getLong(2), r.getDouble(3))
+      assert(n >= 1 && b >= 0 && b <= n)
+      assert(ratio >= 0.0 && ratio <= 1.0)
+    }
+    // sf0.001 has shingles with df up to 9 (>= BoilerMinDf), so the
+    // corpus-wide filter must fire somewhere
+    assert(rows.exists(_.getLong(2) > 0), "no boilerplate detected at all")
+  }
 }
