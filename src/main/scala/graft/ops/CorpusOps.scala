@@ -554,6 +554,85 @@ object CorpusOps {
        GROUP BY ex.doc_id ORDER BY ex.doc_id"""
   }
 
+  // --------------------------------------------------------------- d35
+  /** Shingles present in MORE than this many sources are excluded from
+    * overlap attribution: content in half the corpus's sources is
+    * generic phrasing, not evidence that one source copies another.
+    * The cap is also the skew bound — a shingle contributes at most
+    * C(cap, 2) = 6 pairs, so the pair expansion can never blow up on
+    * ubiquitous content (the same defense-by-construction as d2's
+    * bucket cap, but semantic rather than imposed). */
+  private[graft] val MaxOverlapSources = 4
+
+  /** CROSS-SOURCE OVERLAP matrix — which sources share discriminative
+    * content (mirror sites, re-crawls, syndication): for every source
+    * pair, the number of distinct 3-token shingles both contain,
+    * counting only shingles in ≤ [[MaxOverlapSources]] sources. The
+    * per-source complement of d31 (within-source dup rate) and d15
+    * (doc-level clusters): this attributes duplication BETWEEN corpus
+    * slices, the report that decides which crawl to drop.
+    *
+    * Scale shape: per-doc shingle hashes (native expression) →
+    * distinct (source, shingle) — one shuffle of hashed longs; the
+    * source-df filter is an aggregate on the same key; the pair
+    * expansion is a self-equi-join on the shingle hash bounded to
+    * ≤ C(4,2) rows per shingle; final count shuffles tiny pair keys.
+    * Text never moves; nothing is ever all-pairs. */
+  def d35SourceOverlap(spark: SparkSession, dir: String): DataFrame =
+    sourceOverlap(docs(spark, dir))
+
+  /** The overlap matrix on an arbitrary (source, text) frame. */
+  private[graft] def sourceOverlap(d: DataFrame): DataFrame = {
+    // shingleHashes keys on a "doc_id" column; the source name rides in
+    // that slot since per-doc identity is irrelevant here. Eager local
+    // checkpoint: ex feeds the df aggregate AND both self-join sides —
+    // without it the md5 shingle pass would run three times.
+    val ex = FuzzyDedup.shingleHashes(
+        d.select(col("source").as("doc_id"), col("text")))
+      .select(col("doc_id").as("source"),
+        explode(array_distinct(col("shingles"))).as("sh"))
+      .distinct()
+      .localCheckpoint()
+    val keep = ex.groupBy("sh").agg(count(lit(1)).as("n_src"))
+      .filter(col("n_src").between(2, MaxOverlapSources))
+      .select("sh")
+    val shared = ex.join(keep, "sh")
+    shared.select(col("sh"), col("source").as("src_a"))
+      .join(shared.select(col("sh"), col("source").as("src_b")), "sh")
+      .filter(col("src_a") < col("src_b"))
+      .groupBy("src_a", "src_b")
+      .agg(count(lit(1)).as("n_shared"))
+      .orderBy(col("n_shared").desc, col("src_a"), col("src_b"))
+      .limit(20)
+  }
+
+  val d35Oracle: String = {
+    val m = graft.functions.ShingleHashes.M
+    val k1 = graft.functions.ShingleHashes.K1
+    val k2 = graft.functions.ShingleHashes.K2
+    s"""WITH th AS (
+         SELECT source, text,
+           list_transform(regexp_extract_all(text, '\\S+'),
+                          t -> ('0x'||substr(md5(t),1,15))::BIGINT % $m) AS th
+         FROM documents),
+       sh AS (
+         SELECT source,
+           CASE WHEN len(th) >= 3
+             THEN list_transform(range(1, len(th)-1),
+                    i -> (((th[i] * $k1 + th[i+1]) % $m) * $k2 + th[i+2]) % $m)
+             ELSE [('0x'||substr(md5(text),1,15))::BIGINT % $m] END AS shingles
+         FROM th),
+       ex AS (SELECT DISTINCT source, unnest(list_distinct(shingles)) AS s
+              FROM sh),
+       keep AS (SELECT s FROM ex GROUP BY s
+                HAVING count(*) BETWEEN 2 AND $MaxOverlapSources)
+       SELECT a.source AS src_a, b.source AS src_b, count(*) AS n_shared
+       FROM ex a JOIN keep USING (s) JOIN ex b USING (s)
+       WHERE a.source < b.source
+       GROUP BY 1, 2
+       ORDER BY n_shared DESC, src_a, src_b LIMIT 20"""
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d23_chunking" -> (d23Chunking _),
     "d24_tfidf" -> (d24Tfidf _),
@@ -564,7 +643,8 @@ object CorpusOps {
     "d31_dup_report" -> (d31DupReport _),
     "d32_integrity_audit" -> (d32IntegrityAudit _),
     "d33_train_split" -> (d33TrainSplit _),
-    "d34_boilerplate" -> (d34Boilerplate _)
+    "d34_boilerplate" -> (d34Boilerplate _),
+    "d35_source_overlap" -> (d35SourceOverlap _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -577,6 +657,7 @@ object CorpusOps {
     "d31_dup_report" -> d31Oracle,
     "d32_integrity_audit" -> d32Oracle,
     "d33_train_split" -> d33Oracle,
-    "d34_boilerplate" -> d34Oracle
+    "d34_boilerplate" -> d34Oracle,
+    "d35_source_overlap" -> d35Oracle
   )
 }

@@ -425,13 +425,73 @@ object Similarity {
        FROM e JOIN cents ON e.label = cents.label
        GROUP BY e.label ORDER BY e.label"""
 
+  // --------------------------------------------------------------- d36
+  /** Salt for the balanced-resample hash stream (see
+    * [[CorpusOps.splitOf]]'s salt note — every hash-based decision gets
+    * its own stream so decisions stay uncorrelated). */
+  private val BalanceSalt = "bal:"
+
+  /** LABEL-BALANCED deterministic RESAMPLE — downsample every label to
+    * the smallest label's count, members chosen by salted content hash:
+    * the class-rebalancing step before training on skewed labeled data.
+    * Hash-ranked selection is content-stable (re-runs and incremental
+    * corpus extensions keep the same members, modulo quota growth) and
+    * engine-reproducible. The report pins exact membership via
+    * `kept_id_sum` — a checksum over the selected ids, not just counts.
+    *
+    * Scale shape: one shuffle on label for the rank window plus a
+    * K-row quota broadcast. The window sorts only (hash, id) pairs,
+    * never vectors. With a FIXED quota (the production config) the
+    * rank filter is a literal and Spark 4 plans it as WindowGroupLimit
+    * — per-partition top-quota heaps map-side before the exchange; the
+    * dynamic min-label quota used here needs the full sort per label
+    * (still only id-width rows). Label skew = partition skew: a
+    * 100TB-scale corpus with one dominant label salts the window key
+    * or pre-filters with an approximate per-label threshold first. */
+  def d36BalancedSample(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.load(spark, dir, "embeddings")
+    val ranked = e.select(col("label"), col("vec_id"),
+        graft.ops.TextOps.hash60(
+          concat(lit(BalanceSalt), col("vec_id").cast("string"))).as("hk"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("label").orderBy("hk", "vec_id")))
+    val quota = broadcast(
+      ranked.groupBy("label").agg(count(lit(1)).as("c"))
+        .agg(min("c").as("quota")))
+    ranked.crossJoin(quota)
+      .groupBy("label")
+      .agg(count(lit(1)).as("n_total"),
+        sum(when(col("rn") <= col("quota"), 1L).otherwise(0L)).as("n_kept"),
+        sum(when(col("rn") <= col("quota"), col("vec_id")).otherwise(0L))
+          .as("kept_id_sum"))
+      .orderBy("label")
+  }
+
+  val d36Oracle: String =
+    s"""WITH r AS (
+         SELECT label, vec_id,
+           row_number() OVER (PARTITION BY label
+             ORDER BY
+               ('0x'||substr(md5('$BalanceSalt'||vec_id::VARCHAR),1,15))::BIGINT,
+               vec_id) AS rn
+         FROM embeddings),
+       q AS (SELECT min(c) AS quota FROM
+             (SELECT count(*) AS c FROM embeddings GROUP BY label))
+       SELECT label, count(*) AS n_total,
+         CAST(sum(CASE WHEN rn <= quota THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_kept,
+         CAST(sum(CASE WHEN rn <= quota THEN vec_id ELSE 0 END) AS BIGINT)
+           AS kept_id_sum
+       FROM r, q GROUP BY label ORDER BY label"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d30_label_profiles" -> (d30LabelProfiles _),
     "d9_cosine_topk" -> (d9CosineTopk _),
     "d10_ann_lsh" -> (d10AnnLsh _),
     "d12_embedding_dedup" -> (d12EmbeddingDedup _),
     "d14_ann_ivf" -> (d14AnnIvf _),
-    "d22_embedding_clusters" -> (d22EmbeddingClusters _)
+    "d22_embedding_clusters" -> (d22EmbeddingClusters _),
+    "d36_balanced_sample" -> (d36BalancedSample _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -440,6 +500,7 @@ object Similarity {
     "d10_ann_lsh" -> d10Oracle,
     "d12_embedding_dedup" -> d12Oracle,
     "d14_ann_ivf" -> d14Oracle,
-    "d22_embedding_clusters" -> d22Oracle
+    "d22_embedding_clusters" -> d22Oracle,
+    "d36_balanced_sample" -> d36Oracle
   )
 }

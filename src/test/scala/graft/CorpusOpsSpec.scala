@@ -244,4 +244,41 @@ class CorpusOpsSpec extends AnyFunSuite with SparkSpec {
     // corpus-wide filter must fire somewhere
     assert(rows.exists(_.getLong(2) > 0), "no boilerplate detected at all")
   }
+
+  test("source overlap: shared phrases attribute pairs; ubiquitous content is excluded") {
+    import spark.implicits._
+    // srcA and srcB share a 5-token phrase (3 shingles); srcC is unique;
+    // a second phrase is stamped into ALL six sources (> MaxOverlapSources)
+    // and must not contribute to any pair
+    val ubiq = "every site has this exact footer line"
+    val d = Seq(
+      ("srcA", s"a1 a2 copied paragraph shared verbatim here a3 a4. $ubiq"),
+      ("srcB", s"b1 b2 copied paragraph shared verbatim here b3 b4. $ubiq"),
+      ("srcC", s"c1 c2 c3 c4 c5 c6 c7 c8. $ubiq"),
+      ("srcD", s"d1 d2 d3 d4 d5 d6 d7 d8. $ubiq"),
+      ("srcE", s"e1 e2 e3 e4 e5 e6 e7 e8. $ubiq"),
+      ("srcF", s"f1 f2 f3 f4 f5 f6 f7 f8. $ubiq")
+    ).toDF("source", "text")
+    val rows = CorpusOps.sourceOverlap(d).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(rows.contains(("srcA", "srcB")), "shared phrase not attributed")
+    // "copied paragraph shared", "paragraph shared verbatim",
+    // "shared verbatim here" — 3 interior shingles survive the boundary
+    assert(rows(("srcA", "srcB")) >= 3)
+    // the ubiquitous footer is in 6 > 4 sources: no other pair exists
+    assert(rows.keySet == Set(("srcA", "srcB")),
+      s"ubiquitous content leaked into pairs: ${rows.keySet}")
+  }
+
+  test("balanced sample: every label downsamples to the smallest label's count") {
+    val rows = ops.Similarity.d36BalancedSample(spark, dir).collect()
+    assert(rows.nonEmpty)
+    val quota = rows.map(_.getLong(1)).min
+    rows.foreach { r =>
+      assert(r.getLong(2) == quota,
+        s"label ${r.getInt(0)} kept ${r.getLong(2)} != quota $quota")
+      assert(r.getLong(1) >= r.getLong(2))
+      assert(r.getLong(3) > 0, "membership checksum must reflect kept ids")
+    }
+  }
 }
