@@ -649,6 +649,74 @@ object CorpusOps {
        ORDER BY n_shared DESC, src_a, src_b LIMIT 20"""
   }
 
+  // --------------------------------------------------------------- d37
+  /** BM25 parameters (the standard Robertson defaults) and the demo
+    * query — three high-frequency corpus terms so the ranking exercises
+    * the length-normalization term, not just term presence. */
+  private val Bm25K1 = 1.2
+  private val Bm25B = 0.75
+  private[graft] val Bm25Query = Seq("column", "window", "scan")
+
+  /** BM25 TOP-20 retrieval for a fixed query — the sparse-retrieval
+    * primitive (the scoring function behind keyword search over a
+    * training corpus, and the first stage of retrieval-augmented
+    * pipelines). Uses the BM25+ idf form ln((N − df + 0.5)/(df + 0.5)
+    * + 1), which stays positive even for terms in most documents.
+    *
+    * Scale shape: ONE corpus scan; doc length rides through the explode
+    * (same trick as d24) and the stream is filtered to query terms
+    * BEFORE the (doc, term) aggregate, so the only shuffle carries
+    * rows for matching terms only. df and the corpus stats (N, avgdl)
+    * are tiny aggregates broadcast back; the final top-20 is a
+    * distributed TakeOrderedAndProject, not a global sort. Query
+    * fan-out (thousands of concurrent queries) batches by making the
+    * query a table and keying the filter-join on term. */
+  def d37Bm25(spark: SparkSession, dir: String): DataFrame = {
+    val toks = tokens(lower(col("text")))
+    val d = docs(spark, dir).select(col("doc_id"), toks.as("toks"))
+    val stats = broadcast(
+      d.agg(count(lit(1)).as("n"), avg(size(col("toks"))).as("avgdl")))
+    val tf = d
+      .select(col("doc_id"), size(col("toks")).as("dl"),
+        explode(col("toks")).as("term"))
+      .filter(col("term").isin(Bm25Query: _*))
+      .groupBy("doc_id", "term")
+      .agg(count(lit(1)).as("tf"), max("dl").as("dl"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    // expression association mirrors the oracle SQL exactly (left-to-
+    // right), so both engines run the identical double operation tree
+    val idf = log((col("n") - col("df") + 0.5) / (col("df") + 0.5) + 1.0)
+    val lenNorm = lit(1.0 - Bm25B) + col("dl") / col("avgdl") * Bm25B
+    val norm = col("tf") + lenNorm * Bm25K1
+    tf.join(broadcast(dfreq), "term").crossJoin(stats)
+      .select(col("doc_id"),
+        (idf * col("tf") * (Bm25K1 + 1.0) / norm).as("s"))
+      .groupBy("doc_id")
+      .agg(round(sum("s"), 4).as("bm25"))
+      .orderBy(col("bm25").desc, col("doc_id"))
+      .limit(20)
+  }
+
+  val d37Oracle: String = {
+    val inList = Bm25Query.map(t => s"'$t'").mkString(", ")
+    s"""WITH d AS (
+         SELECT doc_id, regexp_extract_all(lower(text), '\\S+') AS toks
+         FROM documents),
+       stats AS (SELECT count(*) AS n, avg(len(toks)) AS avgdl FROM d),
+       tok AS (SELECT doc_id, len(toks) AS dl, unnest(toks) AS term FROM d),
+       tf AS (
+         SELECT doc_id, term, count(*) AS tf, max(dl) AS dl
+         FROM tok WHERE term IN ($inList) GROUP BY doc_id, term),
+       dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY term)
+       SELECT doc_id,
+         round(sum(ln((n - df + 0.5) / (df + 0.5) + 1.0)
+           * tf * ${Bm25K1 + 1.0}
+           / (tf + (${1.0 - Bm25B} + dl / avgdl * $Bm25B) * $Bm25K1)), 4)
+           AS bm25
+       FROM tf JOIN dfq USING (term), stats
+       GROUP BY doc_id ORDER BY bm25 DESC, doc_id LIMIT 20"""
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d23_chunking" -> (d23Chunking _),
     "d24_tfidf" -> (d24Tfidf _),
@@ -660,7 +728,8 @@ object CorpusOps {
     "d32_integrity_audit" -> (d32IntegrityAudit _),
     "d33_train_split" -> (d33TrainSplit _),
     "d34_boilerplate" -> (d34Boilerplate _),
-    "d35_source_overlap" -> (d35SourceOverlap _)
+    "d35_source_overlap" -> (d35SourceOverlap _),
+    "d37_bm25" -> (d37Bm25 _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -674,6 +743,7 @@ object CorpusOps {
     "d32_integrity_audit" -> d32Oracle,
     "d33_train_split" -> d33Oracle,
     "d34_boilerplate" -> d34Oracle,
-    "d35_source_overlap" -> d35Oracle
+    "d35_source_overlap" -> d35Oracle,
+    "d37_bm25" -> d37Oracle
   )
 }

@@ -270,6 +270,18 @@ class CorpusOpsSpec extends AnyFunSuite with SparkSpec {
       s"ubiquitous content leaked into pairs: ${rows.keySet}")
   }
 
+  test("bm25: higher tf ranks higher; shorter doc beats longer at equal tf") {
+    val rows = CorpusOps.d37Bm25(spark, dir).collect()
+    assert(rows.length == 20)
+    // descending by score with doc_id tiebreak (the gate hashes this,
+    // the spec pins the contract directly)
+    val scores = rows.map(r => (r.getDouble(1), r.getLong(0)))
+    scores.sliding(2).foreach { case Array((s1, d1), (s2, d2)) =>
+      assert(s1 > s2 || (s1 == s2 && d1 < d2), "top-k not bm25-ordered")
+    }
+    assert(scores.head._1 > 0.0)
+  }
+
   test("balanced sample: every label downsamples to the smallest label's count") {
     val rows = ops.Similarity.d36BalancedSample(spark, dir).collect()
     assert(rows.nonEmpty)
