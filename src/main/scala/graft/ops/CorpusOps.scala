@@ -26,6 +26,15 @@ object CorpusOps {
 
   import TextOps.tokens
 
+  /** Salt distinguishing the SPLIT hash (d33/d38) from every other
+    * doc_id hash in the pipeline (sampling d18, shard order): reusing
+    * one hash for two decisions correlates them (every sampled-out doc
+    * would also land in the same split), so each decision gets its own
+    * salted stream. Declared before every oracle string that
+    * interpolates it — object vals initialize in declaration order, and
+    * a forward reference interpolates as "null". */
+  private val SplitSalt = "split:"
+
   // --------------------------------------------------------------- d23
   /** Chunk size / stride in tokens (overlap = size - stride). Real
     * pipelines use the model context length (2k-8k); the 32/24 test
@@ -359,11 +368,13 @@ object CorpusOps {
       .orderBy("doc_id")
   }
 
-  val d29Oracle: String = {
+  /** The quality-signal CTE block (shingle repetition + token/length
+    * stats) shared by the d29 and d38 oracles. */
+  private lazy val qualityCtes: String = {
     val m = graft.functions.ShingleHashes.M
     val k1 = graft.functions.ShingleHashes.K1
     val k2 = graft.functions.ShingleHashes.K2
-    s"""WITH th AS (
+    s"""th AS (
          SELECT doc_id, text,
            list_transform(regexp_extract_all(text, '\\S+'),
                           t -> ('0x'||substr(md5(t),1,15))::BIGINT % $m) AS th
@@ -381,7 +392,11 @@ object CorpusOps {
        q AS (SELECT doc_id,
            len(regexp_extract_all(text, '\\S+')) AS n_tokens,
            CASE WHEN n_chars BETWEEN 150 AND 450 THEN 1 ELSE 0 END AS len_ok
-         FROM documents),
+         FROM documents)"""
+  }
+
+  val d29Oracle: String = {
+    s"""WITH $qualityCtes,
        tok AS (
          SELECT doc_id, unnest(regexp_extract_all(lower(text), '\\S+')) AS term
          FROM documents),
@@ -401,6 +416,64 @@ object CorpusOps {
        FROM q JOIN rep USING (doc_id) LEFT JOIN sur USING (doc_id)
        ORDER BY doc_id"""
   }
+
+  // --------------------------------------------------------------- d38
+  /** End-to-end CURATION FUNNEL — the pipeline summary report: raw
+    * corpus → quality gate ([[d29CurationGate]] verdicts) → exact-dedup
+    * survivors within the kept set → train/val/test split
+    * ([[splitOf]]), with a document count per stage. This is the
+    * composition a pipeline operator reads first ("where did my data
+    * go?"), gated end-to-end so the STAGES' interaction — not just each
+    * op alone — is oracle-verified.
+    *
+    * Scale shape: the gate's own cost plus one content-hash window over
+    * the kept subset and tiny per-stage aggregates; stage tables are
+    * doc_id-only and eagerly checkpointed where consumed twice. */
+  def d38Funnel(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    val kept = d29CurationGate(spark, dir).filter(col("keep") === 1)
+      .select("doc_id").localCheckpoint()
+    val surv = d.join(kept, "doc_id")
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(md5(col("text"))).orderBy(col("doc_id"))))
+      .filter(col("rn") === 1)
+      .select("doc_id").localCheckpoint()
+    def stage(name: String, df: DataFrame): DataFrame =
+      df.agg(count(lit(1)).as("n_docs"))
+        .select(lit(name).as("stage"), col("n_docs"))
+    stage("00_ingested", d)
+      .unionByName(stage("10_quality_kept", kept))
+      .unionByName(stage("20_dedup_kept", surv))
+      .unionByName(
+        surv.select(concat(lit("30_split_"), splitOf(col("doc_id")))
+            .as("stage"))
+          .groupBy("stage").agg(count(lit(1)).as("n_docs")))
+      .orderBy("stage")
+  }
+
+  val d38Oracle: String =
+    s"""WITH $qualityCtes,
+       kept AS (
+         SELECT q.doc_id FROM q JOIN rep USING (doc_id)
+         WHERE n_tokens >= 5 AND len_ok = 1 AND rep_ratio <= 0.2),
+       surv AS (
+         SELECT doc_id FROM (
+           SELECT d.doc_id, row_number() OVER (PARTITION BY md5(d.text)
+             ORDER BY d.doc_id) AS rn
+           FROM documents d JOIN kept USING (doc_id)) WHERE rn = 1)
+       SELECT stage, n_docs FROM (
+         SELECT '00_ingested' AS stage, count(*) AS n_docs FROM documents
+         UNION ALL SELECT '10_quality_kept', count(*) FROM kept
+         UNION ALL SELECT '20_dedup_kept', count(*) FROM surv
+         UNION ALL
+         SELECT '30_split_' || (CASE WHEN b < 90 THEN 'train'
+                  WHEN b < 95 THEN 'val' ELSE 'test' END), count(*)
+         FROM (SELECT
+             ('0x'||substr(md5('$SplitSalt'||doc_id::VARCHAR),1,15))::BIGINT
+               % 100 AS b
+           FROM surv)
+         GROUP BY 1)
+       ORDER BY stage"""
 
   // --------------------------------------------------------------- d31
   /** Per-source DUPLICATION report: how much of each source is exact
@@ -456,12 +529,6 @@ object CorpusOps {
        ORDER BY side"""
 
   // --------------------------------------------------------------- d33
-  /** Salt distinguishing the SPLIT hash from every other doc_id hash in
-    * the pipeline (sampling d18, shard order): reusing one hash for two
-    * decisions correlates them (every sampled-out doc would also land in
-    * the same split), so each decision gets its own salted stream. */
-  private val SplitSalt = "split:"
-
   /** Deterministic TRAIN/VAL/TEST SPLIT — 90/5/5 by salted content hash,
     * reported per (source, split). Hash-based assignment is the only
     * split that survives a 100 TB pipeline: content-stable (re-runs,
@@ -729,7 +796,8 @@ object CorpusOps {
     "d33_train_split" -> (d33TrainSplit _),
     "d34_boilerplate" -> (d34Boilerplate _),
     "d35_source_overlap" -> (d35SourceOverlap _),
-    "d37_bm25" -> (d37Bm25 _)
+    "d37_bm25" -> (d37Bm25 _),
+    "d38_funnel" -> (d38Funnel _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -744,6 +812,7 @@ object CorpusOps {
     "d33_train_split" -> d33Oracle,
     "d34_boilerplate" -> d34Oracle,
     "d35_source_overlap" -> d35Oracle,
-    "d37_bm25" -> d37Oracle
+    "d37_bm25" -> d37Oracle,
+    "d38_funnel" -> d38Oracle
   )
 }

@@ -282,6 +282,16 @@ class CorpusOpsSpec extends AnyFunSuite with SparkSpec {
     assert(scores.head._1 > 0.0)
   }
 
+  test("funnel: stages are monotone and splits partition the final set") {
+    val rows = CorpusOps.d38Funnel(spark, dir).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val (in, q, dd) = (rows("00_ingested"), rows("10_quality_kept"),
+      rows("20_dedup_kept"))
+    assert(in >= q && q >= dd && dd > 0, s"funnel not monotone: $rows")
+    val splits = rows.collect { case (k, v) if k.startsWith("30_split_") => v }
+    assert(splits.sum == dd, "splits must partition the deduped set")
+  }
+
   test("balanced sample: every label downsamples to the smallest label's count") {
     val rows = ops.Similarity.d36BalancedSample(spark, dir).collect()
     assert(rows.nonEmpty)
