@@ -68,7 +68,18 @@ object IngestStreams {
       .drop("_sh", "bench_sh", "_ov")
   }
 
-  /** The composed ingest front: quality gate → exact dedup. */
+  /** SPLIT ROUTING at ingest — tags every surviving document with its
+    * train/val/test assignment ([[graft.ops.CorpusOps.splitOf]], the
+    * SAME salted hash as the batch d33 report), so the stream writer
+    * can `partitionBy("split")` and documents land in their shard
+    * directly. Stateless narrow map; because the assignment is a pure
+    * content hash, a document gets the identical split whether it
+    * arrives via this stream or a batch backfill — no reconciliation
+    * step. */
+  def routed(docs: DataFrame): DataFrame =
+    docs.withColumn("split", graft.ops.CorpusOps.splitOf(col("doc_id")))
+
+  /** The composed ingest front: quality gate → exact dedup → split. */
   def ingest(docs: DataFrame): DataFrame =
-    dedupedDocs(qualityFiltered(docs))
+    routed(dedupedDocs(qualityFiltered(docs)))
 }

@@ -291,6 +291,39 @@ class StreamingSpec extends SparkSpec {
       s"first arrival of each distinct text must survive, got $kept")
   }
 
+  test("split routing at ingest matches the batch d33 assignment, statelessly") {
+    import org.apache.spark.sql.types._
+    import spark.implicits._
+    val staged = Files.createTempDirectory("graft-route-in")
+    val tmp = Files.createTempDirectory("graft-route-w")
+    val docs = (0L until 200L).map(i => (i, s"doc number $i body")).toDF("doc_id", "text")
+    docs.coalesce(1).write.parquet(tmp.resolve("p").toString)
+    val src = Files.list(tmp.resolve("p")).toArray.map(_.toString)
+      .filter(_.endsWith(".parquet")).head
+    Files.copy(Paths.get(src), staged.resolve("b0.parquet"))
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    val stream = spark.readStream.schema(schema).parquet(staged.toString)
+    val q = graft.streaming.IngestStreams.routed(stream)
+      .writeStream.format("memory").queryName("route_stream")
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    assert(q.lastProgress.stateOperators.isEmpty,
+      "split routing must create no streaming state")
+    val streamed = spark.table("route_stream")
+      .select("doc_id", "split").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val batch = docs
+      .select($"doc_id",
+        graft.ops.CorpusOps.splitOf($"doc_id").as("s"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(streamed == batch,
+      "stream and batch split assignments must be identical")
+    assert(streamed.values.toSet == Set("train", "val", "test"))
+  }
+
   test("streaming decontamination drops eval-overlapping docs statelessly") {
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.types._
