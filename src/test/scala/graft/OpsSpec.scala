@@ -76,6 +76,31 @@ class OpsSpec extends AnyFunSuite with SparkSpec {
       FuzzyDedup.d27IncrementalNovelty(spark, dir))
   }
 
+  test("source overlap pair expansion is an equi-join — no cartesian / BNLJ") {
+    assertNoAllPairs("d35_source_overlap",
+      ops.CorpusOps.d35SourceOverlap(spark, dir))
+  }
+
+  test("bm25 filters to query terms BEFORE the first shuffle") {
+    val nodes = collectPlans(
+      ops.CorpusOps.d37Bm25(spark, dir).queryExecution.executedPlan)
+    // the tf branch must be scan → explode → term filter → partial agg →
+    // exchange: a Filter whose subtree holds the Generate and no Exchange
+    // proves the token stream shrinks to query terms map-side
+    val pushed = nodes.exists {
+      case f: org.apache.spark.sql.execution.FilterExec =>
+        val sub = collectPlans(f)
+        sub.exists(_.isInstanceOf[org.apache.spark.sql.execution.GenerateExec]) &&
+          !sub.exists(
+            _.isInstanceOf[org.apache.spark.sql.execution.exchange.Exchange])
+      case _ => false
+    }
+    assert(pushed, "query-term filter must run below the first exchange")
+    assert(nodes.exists(
+      _.isInstanceOf[org.apache.spark.sql.execution.TakeOrderedAndProjectExec]),
+      "top-20 must be per-partition heaps, not a global sort")
+  }
+
   test("no registered query plans a CartesianProduct") {
     // 1-row scalar broadcasts plan as BroadcastNestedLoopJoin and are
     // deliberate; an unkeyed CartesianProduct is never acceptable in
