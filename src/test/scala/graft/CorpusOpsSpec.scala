@@ -282,6 +282,27 @@ class CorpusOpsSpec extends AnyFunSuite with SparkSpec {
     assert(scores.head._1 > 0.0)
   }
 
+  test("boilerplate and overlap survive sub-3-token docs (whole-text fallback)") {
+    import spark.implicits._
+    // <3 tokens → ShingleHashes falls back to one whole-text hash; two
+    // sources sharing the identical short text must still pair up, and
+    // the boilerplate scorer must not divide by zero anywhere
+    val d = Seq(
+      (1L, "srcA", "same short"),
+      (2L, "srcB", "same short"),
+      (3L, "srcC", ""),
+      (4L, "srcD", "one"),
+      (5L, "srcE", "w1 w2 w3 w4")
+    ).toDF("doc_id", "source", "text")
+    val b = CorpusOps.boilerplate(d.select("doc_id", "text")).collect()
+    assert(b.length == 5)
+    b.foreach(r => assert(r.getLong(1) >= 1 && !r.isNullAt(3)))
+    val ov = CorpusOps.sourceOverlap(d.select("source", "text")).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(ov.keySet == Set(("srcA", "srcB")),
+      s"identical short texts must pair via the fallback hash: ${ov.keySet}")
+  }
+
   test("funnel: stages are monotone and splits partition the final set") {
     val rows = CorpusOps.d38Funnel(spark, dir).collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
