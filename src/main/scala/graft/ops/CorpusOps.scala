@@ -353,8 +353,7 @@ object CorpusOps {
       .select("doc_id", "n_tokens", "len_ok")
     val r = FuzzyDedup.d20Repetition(spark, dir).select("doc_id", "rep_ratio")
     val s = d25Surprisal(spark, dir).select("doc_id", "surprisal")
-    val pass = col("n_tokens") >= 5 && col("len_ok") === 1 &&
-      col("rep_ratio") <= 0.2
+    val pass = curationPass
     // surprisal joins LEFT: a zero-token doc has no unigram rows, but it
     // must still reach the gate (and be dropped as too_short), not
     // silently vanish from the verdict table
@@ -368,24 +367,41 @@ object CorpusOps {
       .orderBy("doc_id")
   }
 
-  /** The quality-signal CTE block (shingle repetition + token/length
-    * stats) shared by the d29 and d38 oracles. */
-  private lazy val qualityCtes: String = {
+  /** th/sh shingle CTE block over `documents`, keyed by `key` — the SQL
+    * twin of [[FuzzyDedup.shingleHashes]] (rolling-poly 3-token hashes
+    * with the <3-token whole-text fallback), shared by the d29, d34,
+    * d35, and d38 oracles so the shingle scheme lives in exactly ONE
+    * string — a missed edit in a drifted copy would surface as a
+    * driver-gate mismatch that looks like an engine bug. */
+  private def shingleCtes(key: String): String = {
     val m = graft.functions.ShingleHashes.M
     val k1 = graft.functions.ShingleHashes.K1
     val k2 = graft.functions.ShingleHashes.K2
     s"""th AS (
-         SELECT doc_id, text,
+         SELECT $key, text,
            list_transform(regexp_extract_all(text, '\\S+'),
                           t -> ('0x'||substr(md5(t),1,15))::BIGINT % $m) AS th
          FROM documents),
        sh AS (
-         SELECT doc_id,
+         SELECT $key,
            CASE WHEN len(th) >= 3
              THEN list_transform(range(1, len(th)-1),
                     i -> (((th[i] * $k1 + th[i+1]) % $m) * $k2 + th[i+2]) % $m)
              ELSE [('0x'||substr(md5(text),1,15))::BIGINT % $m] END AS shingles
-         FROM th),
+         FROM th)"""
+  }
+
+  /** The curation pass predicate — ONE definition consumed by both the
+    * d29 verdict report and the d38 funnel, so the two can never drift
+    * on what "keep" means. Expects n_tokens / len_ok / rep_ratio
+    * columns. */
+  private[graft] def curationPass: Column =
+    col("n_tokens") >= 5 && col("len_ok") === 1 && col("rep_ratio") <= 0.2
+
+  /** The quality-signal CTE block (shingle repetition + token/length
+    * stats) shared by the d29 and d38 oracles. */
+  private lazy val qualityCtes: String =
+    s"""${shingleCtes("doc_id")},
        rep AS (SELECT doc_id,
            round(1 - len(list_distinct(shingles)) * 1.0 / len(shingles), 4)
              AS rep_ratio FROM sh),
@@ -393,7 +409,6 @@ object CorpusOps {
            len(regexp_extract_all(text, '\\S+')) AS n_tokens,
            CASE WHEN n_chars BETWEEN 150 AND 450 THEN 1 ELSE 0 END AS len_ok
          FROM documents)"""
-  }
 
   val d29Oracle: String = {
     s"""WITH $qualityCtes,
@@ -419,24 +434,31 @@ object CorpusOps {
 
   // --------------------------------------------------------------- d38
   /** End-to-end CURATION FUNNEL — the pipeline summary report: raw
-    * corpus → quality gate ([[d29CurationGate]] verdicts) → exact-dedup
-    * survivors within the kept set → train/val/test split
-    * ([[splitOf]]), with a document count per stage. This is the
-    * composition a pipeline operator reads first ("where did my data
-    * go?"), gated end-to-end so the STAGES' interaction — not just each
-    * op alone — is oracle-verified.
+    * corpus → quality gate ([[curationPass]], the exact predicate the
+    * d29 verdicts apply) → exact-dedup survivors within the kept set
+    * ([[FuzzyDedup.representatives]], the same survivor rule as
+    * d1/d15) → train/val/test split ([[splitOf]]), with a document
+    * count per stage. This is the composition a pipeline operator
+    * reads first ("where did my data go?"), gated end-to-end so the
+    * STAGES' interaction — not just each op alone — is oracle-verified.
     *
-    * Scale shape: the gate's own cost plus one content-hash window over
-    * the kept subset and tiny per-stage aggregates; stage tables are
-    * doc_id-only and eagerly checkpointed where consumed twice. */
+    * The funnel joins only the signals its predicate reads (d6 length
+    * stats + d20 repetition) — NOT d25 surprisal, which the d29 report
+    * carries for visibility but which never affects `keep`; pulling the
+    * full verdict table here would pay a corpus-sized token explode and
+    * join for a column the funnel immediately discards.
+    *
+    * Scale shape: the signal ops' own cost plus one content-hash window
+    * over the kept subset and tiny per-stage aggregates; stage tables
+    * are doc_id-only and eagerly checkpointed where consumed twice. */
   def d38Funnel(spark: SparkSession, dir: String): DataFrame = {
     val d = docs(spark, dir)
-    val kept = d29CurationGate(spark, dir).filter(col("keep") === 1)
+    val q = TextOps.d6QualityScore(spark, dir)
+      .select("doc_id", "n_tokens", "len_ok")
+    val r = FuzzyDedup.d20Repetition(spark, dir).select("doc_id", "rep_ratio")
+    val kept = q.join(r, "doc_id").filter(curationPass)
       .select("doc_id").localCheckpoint()
-    val surv = d.join(kept, "doc_id")
-      .withColumn("rn", row_number().over(
-        Window.partitionBy(md5(col("text"))).orderBy(col("doc_id"))))
-      .filter(col("rn") === 1)
+    val surv = FuzzyDedup.representatives(d.join(kept, "doc_id"))
       .select("doc_id").localCheckpoint()
     def stage(name: String, df: DataFrame): DataFrame =
       df.agg(count(lit(1)).as("n_docs"))
@@ -529,20 +551,26 @@ object CorpusOps {
        ORDER BY side"""
 
   // --------------------------------------------------------------- d33
-  /** Deterministic TRAIN/VAL/TEST SPLIT — 90/5/5 by salted content hash,
-    * reported per (source, split). Hash-based assignment is the only
-    * split that survives a 100 TB pipeline: content-stable (re-runs,
-    * retries, and incremental corpus extensions keep every existing doc
-    * in its split — no RNG state to coordinate, no reshuffling train
-    * into test on append), and exactly reproducible by any engine that
-    * can md5.
+  /** Deterministic TRAIN/VAL/TEST SPLIT — 90/5/5 by a salted hash of
+    * the document KEY, reported per (source, split). Hash-based
+    * assignment is the only split that survives a 100 TB pipeline:
+    * key-stable (re-runs, retries, and incremental corpus extensions
+    * keep every existing doc in its split — no RNG state to
+    * coordinate, no reshuffling train into test on append), and
+    * exactly reproducible by any engine that can md5.
+    *
+    * The gated report keys on doc_id, so stability holds exactly as
+    * far as id stability does. A pipeline whose ids change across
+    * re-crawls passes `md5(col("text"))` as the key instead — the same
+    * function gives a content-keyed split, at the cost that editing a
+    * document can migrate it between splits.
     *
     * Scale shape: pure narrow map (one md5 per doc) + a tiny-key
     * aggregate on (source, split) — the report shuffle carries ≤
     * 3×|sources| partial rows. The assignment itself (`splitOf`) is a
     * column a pipeline applies in-line when writing shards. */
-  def splitOf(docId: Column): Column = {
-    val b = TextOps.hash60(concat(lit(SplitSalt), docId.cast("string"))) % 100
+  def splitOf(key: Column): Column = {
+    val b = TextOps.hash60(concat(lit(SplitSalt), key.cast("string"))) % 100
     when(b < 90, "train").when(b < 95, "val").otherwise("test")
   }
 
@@ -595,8 +623,12 @@ object CorpusOps {
 
   /** The boilerplate scorer on an arbitrary (doc_id, text) frame. */
   private[graft] def boilerplate(d: DataFrame): DataFrame = {
+    // eager checkpoint: ex feeds the df aggregate AND the join-back;
+    // the branches prune different columns, so without materialization
+    // the md5 shingle pass (the dominant cost) would run twice
     val ex = FuzzyDedup.shingleHashes(d)
       .select(col("doc_id"), explode(array_distinct(col("shingles"))).as("sh"))
+      .localCheckpoint()
     // ex is one row per distinct (doc, shingle), so df is a plain count
     val boiler = ex.groupBy("sh").agg(count(lit(1)).as("df"))
       .filter(col("df") >= BoilerMinDf)
@@ -610,22 +642,8 @@ object CorpusOps {
       .orderBy("doc_id")
   }
 
-  val d34Oracle: String = {
-    val m = graft.functions.ShingleHashes.M
-    val k1 = graft.functions.ShingleHashes.K1
-    val k2 = graft.functions.ShingleHashes.K2
-    s"""WITH th AS (
-         SELECT doc_id, text,
-           list_transform(regexp_extract_all(text, '\\S+'),
-                          t -> ('0x'||substr(md5(t),1,15))::BIGINT % $m) AS th
-         FROM documents),
-       sh AS (
-         SELECT doc_id,
-           CASE WHEN len(th) >= 3
-             THEN list_transform(range(1, len(th)-1),
-                    i -> (((th[i] * $k1 + th[i+1]) % $m) * $k2 + th[i+2]) % $m)
-             ELSE [('0x'||substr(md5(text),1,15))::BIGINT % $m] END AS shingles
-         FROM th),
+  val d34Oracle: String =
+    s"""WITH ${shingleCtes("doc_id")},
        ex AS (SELECT doc_id, unnest(list_distinct(shingles)) AS s FROM sh),
        b AS (SELECT s FROM ex GROUP BY s HAVING count(*) >= $BoilerMinDf)
        SELECT ex.doc_id, count(*) AS n_shingles,
@@ -635,7 +653,6 @@ object CorpusOps {
            / count(*), 4) AS boiler_ratio
        FROM ex LEFT JOIN b ON ex.s = b.s
        GROUP BY ex.doc_id ORDER BY ex.doc_id"""
-  }
 
   // --------------------------------------------------------------- d35
   /** Shingles present in MORE than this many sources are excluded from
@@ -689,22 +706,8 @@ object CorpusOps {
       .limit(20)
   }
 
-  val d35Oracle: String = {
-    val m = graft.functions.ShingleHashes.M
-    val k1 = graft.functions.ShingleHashes.K1
-    val k2 = graft.functions.ShingleHashes.K2
-    s"""WITH th AS (
-         SELECT source, text,
-           list_transform(regexp_extract_all(text, '\\S+'),
-                          t -> ('0x'||substr(md5(t),1,15))::BIGINT % $m) AS th
-         FROM documents),
-       sh AS (
-         SELECT source,
-           CASE WHEN len(th) >= 3
-             THEN list_transform(range(1, len(th)-1),
-                    i -> (((th[i] * $k1 + th[i+1]) % $m) * $k2 + th[i+2]) % $m)
-             ELSE [('0x'||substr(md5(text),1,15))::BIGINT % $m] END AS shingles
-         FROM th),
+  val d35Oracle: String =
+    s"""WITH ${shingleCtes("source")},
        ex AS (SELECT DISTINCT source, unnest(list_distinct(shingles)) AS s
               FROM sh),
        keep AS (SELECT s FROM ex GROUP BY s
@@ -714,7 +717,6 @@ object CorpusOps {
        WHERE a.source < b.source
        GROUP BY 1, 2
        ORDER BY n_shared DESC, src_a, src_b LIMIT 20"""
-  }
 
   // --------------------------------------------------------------- d37
   /** BM25 parameters (the standard Robertson defaults) and the demo
@@ -730,23 +732,32 @@ object CorpusOps {
     * pipelines). Uses the BM25+ idf form ln((N − df + 0.5)/(df + 0.5)
     * + 1), which stays positive even for terms in most documents.
     *
-    * Scale shape: ONE corpus scan; doc length rides through the explode
-    * (same trick as d24) and the stream is filtered to query terms
-    * BEFORE the (doc, term) aggregate, so the only shuffle carries
-    * rows for matching terms only. df and the corpus stats (N, avgdl)
-    * are tiny aggregates broadcast back; the final top-20 is a
-    * distributed TakeOrderedAndProject, not a global sort. Query
-    * fan-out (thousands of concurrent queries) batches by making the
-    * query a table and keying the filter-join on term. */
-  def d37Bm25(spark: SparkSession, dir: String): DataFrame = {
+    * Scale shape: ONE corpus scan, enforced by construction — the scan
+    * projects straight down to (doc_id, doc length, query-term matches)
+    * and that tiny pruned table is eagerly checkpointed; the corpus
+    * stats (N, avgdl), the tf aggregate, and df all read the
+    * checkpoint, never the parquet again (the plan test pins zero file
+    * scans in the final plan). The only data-sized shuffle carries
+    * rows for matching terms only; df and stats are tiny aggregates
+    * broadcast back; the final top-20 is a distributed
+    * TakeOrderedAndProject, not a global sort. Query fan-out
+    * (thousands of concurrent queries) batches by making the query a
+    * table and keying the filter-join on term. */
+  def d37Bm25(spark: SparkSession, dir: String): DataFrame =
+    bm25(docs(spark, dir), Bm25Query)
+
+  /** The BM25 scorer on an arbitrary (doc_id, text) frame. */
+  private[graft] def bm25(d: DataFrame, query: Seq[String]): DataFrame = {
     val toks = tokens(lower(col("text")))
-    val d = docs(spark, dir).select(col("doc_id"), toks.as("toks"))
-    val stats = broadcast(
-      d.agg(count(lit(1)).as("n"), avg(size(col("toks"))).as("avgdl")))
-    val tf = d
+    val pruned = d
+      .select(col("doc_id"), toks.as("toks"))
       .select(col("doc_id"), size(col("toks")).as("dl"),
-        explode(col("toks")).as("term"))
-      .filter(col("term").isin(Bm25Query: _*))
+        filter(col("toks"), t => t.isin(query: _*)).as("qtoks"))
+      .localCheckpoint()
+    val stats = broadcast(
+      pruned.agg(count(lit(1)).as("n"), avg("dl").as("avgdl")))
+    val tf = pruned
+      .select(col("doc_id"), col("dl"), explode(col("qtoks")).as("term"))
       .groupBy("doc_id", "term")
       .agg(count(lit(1)).as("tf"), max("dl").as("dl"))
     val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))

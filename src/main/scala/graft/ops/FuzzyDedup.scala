@@ -78,10 +78,12 @@ object FuzzyDedup {
       min(col("doc_id")).over(Window.partitionBy(md5(col("text")))).as("rep"))
 
   /** One representative row (lowest doc_id) per distinct text — the
-    * exact-dedup pre-pass in front of the MinHash pipeline. Spark 4 plans
+    * exact-dedup pre-pass in front of the MinHash pipeline, and the
+    * survivor rule the d38 funnel reuses (ONE definition of "exact-dedup
+    * survivor" across d1/d2/d15/d38). Spark 4 plans
     * `row_number()==1` as WindowGroupLimit: the limit applies map-side
     * before the exchange, so N identical docs ship O(partitions) rows. */
-  private def representatives(df: DataFrame): DataFrame =
+  private[graft] def representatives(df: DataFrame): DataFrame =
     df.withColumn("text_hash", md5(col("text")))
       .withColumn("rn",
         row_number().over(Window.partitionBy("text_hash").orderBy("doc_id")))

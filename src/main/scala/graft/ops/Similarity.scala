@@ -449,14 +449,17 @@ object Similarity {
     * 100TB-scale corpus with one dominant label salts the window key
     * or pre-filters with an approximate per-label threshold first. */
   def d36BalancedSample(spark: SparkSession, dir: String): DataFrame = {
-    val e = Tables.load(spark, dir, "embeddings")
-    val ranked = e.select(col("label"), col("vec_id"),
+    // eager checkpoint: the (label, id, hash) projection feeds both the
+    // quota aggregate and the rank window — one table read, not two
+    val base = Tables.load(spark, dir, "embeddings")
+      .select(col("label"), col("vec_id"),
         graft.ops.TextOps.hash60(
           concat(lit(BalanceSalt), col("vec_id").cast("string"))).as("hk"))
-      .withColumn("rn", row_number().over(
-        Window.partitionBy("label").orderBy("hk", "vec_id")))
+      .localCheckpoint()
+    val ranked = base.withColumn("rn", row_number().over(
+      Window.partitionBy("label").orderBy("hk", "vec_id")))
     val quota = broadcast(
-      ranked.groupBy("label").agg(count(lit(1)).as("c"))
+      base.groupBy("label").agg(count(lit(1)).as("c"))
         .agg(min("c").as("quota")))
     ranked.crossJoin(quota)
       .groupBy("label")

@@ -70,12 +70,17 @@ object IngestStreams {
 
   /** SPLIT ROUTING at ingest — tags every surviving document with its
     * train/val/test assignment ([[graft.ops.CorpusOps.splitOf]], the
-    * SAME salted hash as the batch d33 report), so the stream writer
-    * can `partitionBy("split")` and documents land in their shard
-    * directly. Stateless narrow map; because the assignment is a pure
-    * content hash, a document gets the identical split whether it
-    * arrives via this stream or a batch backfill — no reconciliation
-    * step. */
+    * SAME salted doc_id hash as the batch d33 report), so the stream
+    * writer can `partitionBy("split")` and documents land in their
+    * shard directly. Stateless narrow map; because the assignment is a
+    * pure function of the id, a document gets the identical split
+    * whether it arrives via this stream or a batch backfill — provided
+    * ids are stable across paths. A re-ingest under a NEW id past the
+    * dedup watermark horizon would be re-assigned independently; a
+    * pipeline without stable ids should route on the content key
+    * instead (`splitOf(md5(col("text")))` — same function, content-
+    * keyed), trading split stability under document edits for immunity
+    * to id churn. */
   def routed(docs: DataFrame): DataFrame =
     docs.withColumn("split", graft.ops.CorpusOps.splitOf(col("doc_id")))
 

@@ -271,15 +271,29 @@ class CorpusOpsSpec extends AnyFunSuite with SparkSpec {
   }
 
   test("bm25: higher tf ranks higher; shorter doc beats longer at equal tf") {
-    val rows = CorpusOps.d37Bm25(spark, dir).collect()
-    assert(rows.length == 20)
-    // descending by score with doc_id tiebreak (the gate hashes this,
-    // the spec pins the contract directly)
-    val scores = rows.map(r => (r.getDouble(1), r.getLong(0)))
-    scores.sliding(2).foreach { case Array((s1, d1), (s2, d2)) =>
-      assert(s1 > s2 || (s1 == s2 && d1 < d2), "top-k not bm25-ordered")
+    import spark.implicits._
+    // same length, tf 3 vs 1 → doc 1 wins; same tf, 4 vs 12 tokens →
+    // shorter doc 3 beats longer doc 4 (length normalization); doc 5
+    // has no query term and must not appear
+    val d = Seq(
+      (1L, "column column column f1 f2 f3"),
+      (2L, "column g1 g2 g3 g4 g5"),
+      (3L, "scan h1 h2 h3"),
+      (4L, "scan i1 i2 i3 i4 i5 i6 i7 i8 i9 i10 i11"),
+      (5L, "j1 j2 j3 j4 j5 j6")
+    ).toDF("doc_id", "text")
+    val s = CorpusOps.bm25(d, CorpusOps.Bm25Query).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(!s.contains(5L), "doc without query terms must not score")
+    assert(s(1L) > s(2L), s"tf=3 must outrank tf=1 at equal length: $s")
+    assert(s(3L) > s(4L), s"shorter doc must outrank longer at equal tf: $s")
+    // the gate pins exact values; the ordering contract is pinned here
+    val fixture = CorpusOps.d37Bm25(spark, dir).collect()
+    assert(fixture.length == 20 && fixture.head.getDouble(1) > 0.0)
+    fixture.map(r => (r.getDouble(1), r.getLong(0))).sliding(2).foreach {
+      case Array((s1, d1), (s2, d2)) =>
+        assert(s1 > s2 || (s1 == s2 && d1 < d2), "top-k not bm25-ordered")
     }
-    assert(scores.head._1 > 0.0)
   }
 
   test("boilerplate and overlap survive sub-3-token docs (whole-text fallback)") {
