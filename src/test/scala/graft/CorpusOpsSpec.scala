@@ -207,6 +207,35 @@ class CorpusOpsSpec extends AnyFunSuite with SparkSpec {
     half.foreach(r => assert(full(r.getLong(0)) == r.getString(1)))
   }
 
+  test("split salt decorrelates split from the sampling hash") {
+    import spark.implicits._
+    // d18 samples on hash60(doc_id) % 100 < rate; the split hashes a
+    // SALTED id. If the salt were dropped, every doc with bucket < 20
+    // (a 20%-rate stratum's kept set) would land in 'train' en masse —
+    // the kept set would never see 'test'. With the salt, the kept set's
+    // split fractions must stay ~90/5/5.
+    val ids = (0L until 10000L).toDF("doc_id")
+    val sampled = ids.filter(
+      ops.TextOps.hash60($"doc_id".cast("string")) % 100 < 20)
+    val bySplit = sampled
+      .select(CorpusOps.splitOf($"doc_id").as("s"))
+      .groupBy("s").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val n = bySplit.values.sum.toDouble
+    assert(bySplit.keySet == Set("train", "val", "test"),
+      s"sampled stratum must still contain all splits: $bySplit")
+    val trainFrac = bySplit("train") / n
+    assert(trainFrac > 0.85 && trainFrac < 0.95,
+      s"split fractions skewed within the sampled stratum: $bySplit")
+    // and at 10k ids the full-population proportions are tight
+    val full = ids.select(CorpusOps.splitOf($"doc_id").as("s"))
+      .groupBy("s").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(math.abs(full("train") - 9000L) < 300, s"train drifted: $full")
+    assert(math.abs(full("val") - 500L) < 150 &&
+      math.abs(full("test") - 500L) < 150, s"val/test drifted: $full")
+  }
+
   test("boilerplate: a phrase stamped across docs is flagged; unique text is not") {
     import spark.implicits._
     // 10 docs share a stamped footer phrase; 5 docs are fully unique.
