@@ -228,19 +228,24 @@ object TextOps {
     * extensions of a 100 TB job keep exactly the same documents, with
     * no RNG state to coordinate across executors. Pure map stage + a
     * tiny per-source aggregate. */
-  def d18SampleMix(spark: SparkSession, dir: String): DataFrame = {
-    val rate = (hash60(col("source")) % 3) * 30 + 20
-    val keep = (hash60(col("doc_id").cast("string")) % 100) < rate
+  /** The d18 mixture policy as reusable expressions — ONE definition of
+    * the per-source target rate and the hash-stable keep decision,
+    * consumed by the d18 report and the d39 token-yield planner so the
+    * two can never disagree on what the mixture selects. */
+  private[graft] def mixRate: Column = (hash60(col("source")) % 3) * 30 + 20
+  private[graft] def mixKeep: Column =
+    (hash60(col("doc_id").cast("string")) % 100) < mixRate
+
+  def d18SampleMix(spark: SparkSession, dir: String): DataFrame =
     docs(spark, dir)
       .groupBy("source")
       .agg(
         count(lit(1)).as("n_docs"),
-        sum(when(keep, 1L).otherwise(0L)).as("n_kept"),
-        max(rate).as("target_pct"))
+        sum(when(mixKeep, 1L).otherwise(0L)).as("n_kept"),
+        max(mixRate).as("target_pct"))
       .withColumn("kept_pct",
         round(col("n_kept") * 100.0 / col("n_docs"), 1))
       .orderBy("source")
-  }
 
   val d18Oracle: String =
     """SELECT source, count(*) AS n_docs,
@@ -252,6 +257,49 @@ object TextOps {
                         < ('0x'||substr(md5(source),1,15))::BIGINT % 3 * 30 + 20
                  THEN 1 ELSE 0 END) * 100.0 / count(*), 1) AS kept_pct
        FROM documents GROUP BY source ORDER BY source"""
+
+  // --------------------------------------------------------------- d39
+  /** Mixture TOKEN-YIELD planner — what the d18 sampling policy
+    * actually delivers in TOKENS, per source and overall: training
+    * budgets are token-denominated, and doc-level keep rates are a poor
+    * proxy when document lengths vary by source. Reports, per source,
+    * the corpus tokens, the tokens the mixture keeps (exact hash
+    * membership, not rate × total), and the yield percentage, plus a
+    * TOTAL row — "will this mixture hit the token budget?" answered
+    * before any shard is written.
+    *
+    * Scale shape: one tokenize-and-count scan (the count is a narrow
+    * map; token arrays never leave the scan stage) + a tiny per-source
+    * aggregate; the TOTAL row is a rollup of the same partials. */
+  def d39MixtureTokens(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .select(col("source"), size(tokens(col("text"))).as("n_tok"),
+        when(mixKeep, lit(1L)).otherwise(0L).as("k"))
+      .rollup("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_tok").as("n_tokens"),
+        sum(when(col("k") === 1, col("n_tok")).otherwise(0L))
+          .as("kept_tokens"))
+      .select(coalesce(col("source"), lit("TOTAL")).as("source"),
+        col("n_docs"), col("n_tokens"), col("kept_tokens"))
+      .withColumn("kept_token_pct",
+        round(col("kept_tokens") * 100.0 / col("n_tokens"), 1))
+      .orderBy("source")
+
+  val d39Oracle: String =
+    """SELECT coalesce(source, 'TOTAL') AS source, count(*) AS n_docs,
+         CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+         CAST(sum(CASE WHEN k = 1 THEN n_tok ELSE 0 END) AS BIGINT)
+           AS kept_tokens,
+         round(sum(CASE WHEN k = 1 THEN n_tok ELSE 0 END) * 100.0
+           / sum(n_tok), 1) AS kept_token_pct
+       FROM (
+         SELECT source, len(regexp_extract_all(text, '\S+')) AS n_tok,
+           CASE WHEN ('0x'||substr(md5(doc_id::VARCHAR),1,15))::BIGINT % 100
+                  < ('0x'||substr(md5(source),1,15))::BIGINT % 3 * 30 + 20
+                THEN 1 ELSE 0 END AS k
+         FROM documents)
+       GROUP BY ROLLUP (source) ORDER BY source"""
 
   // --------------------------------------------------------------- d19
   /** Corpus VOCABULARY: top-30 case-normalized tokens by frequency with
@@ -346,6 +394,7 @@ object TextOps {
     "d8_fingerprint" -> (d8Fingerprint _),
     "d13_lang_id" -> (d13LangId _),
     "d18_sample_mix" -> (d18SampleMix _),
+    "d39_mixture_tokens" -> (d39MixtureTokens _),
     "d19_vocab" -> (d19Vocab _),
     "d21_packing" -> (d21Packing _)
   )
@@ -358,6 +407,7 @@ object TextOps {
     "d8_fingerprint" -> d8Oracle,
     "d13_lang_id" -> d13Oracle,
     "d18_sample_mix" -> d18Oracle,
+    "d39_mixture_tokens" -> d39Oracle,
     "d19_vocab" -> d19Oracle,
     "d21_packing" -> d21Oracle
   )

@@ -346,6 +346,24 @@ class CorpusOpsSpec extends AnyFunSuite with SparkSpec {
       s"identical short texts must pair via the fallback hash: ${ov.keySet}")
   }
 
+  test("mixture token yield: TOTAL row is the rollup; kept never exceeds corpus") {
+    val rows = ops.TextOps.d39MixtureTokens(spark, dir).collect()
+    val (total, srcs) = rows.partition(_.getString(0) == "TOTAL")
+    assert(total.length == 1 && srcs.nonEmpty)
+    val t = total.head
+    assert(t.getLong(1) == srcs.map(_.getLong(1)).sum)
+    assert(t.getLong(2) == srcs.map(_.getLong(2)).sum)
+    assert(t.getLong(3) == srcs.map(_.getLong(3)).sum)
+    rows.foreach(r => assert(r.getLong(3) <= r.getLong(2),
+      s"${r.getString(0)} keeps more tokens than it has"))
+    // d18's doc keep decisions and d39's token yield must agree: a
+    // source keeping 0 docs keeps 0 tokens
+    val docKept = ops.TextOps.d18SampleMix(spark, dir).collect()
+      .map(r => r.getString(0) -> r.getLong(2)).toMap
+    srcs.foreach(r => assert((docKept(r.getString(0)) == 0L) ==
+      (r.getLong(3) == 0L), s"${r.getString(0)} doc/token yield disagree"))
+  }
+
   test("funnel: stages are monotone and splits partition the final set") {
     val rows = CorpusOps.d38Funnel(spark, dir).collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
