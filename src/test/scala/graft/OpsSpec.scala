@@ -97,6 +97,17 @@ class OpsSpec extends AnyFunSuite with SparkSpec {
       "top-20 must be per-partition heaps, not a global sort")
   }
 
+  test("fixed-quota balanced resample plans as WindowGroupLimit") {
+    val e = Tables.load(spark, dir, "embeddings")
+    val out = Similarity.balancedSampleTo(e, 10)
+    assert(collectPlans(out.queryExecution.executedPlan).exists(
+      _.isInstanceOf[
+        org.apache.spark.sql.execution.window.WindowGroupLimitExec]),
+      "literal quota must get map-side per-label top-k heaps")
+    val counts = out.groupBy("label").count().collect()
+    assert(counts.nonEmpty && counts.forall(_.getLong(1) <= 10))
+  }
+
   test("no registered query plans a CartesianProduct") {
     // 1-row scalar broadcasts plan as BroadcastNestedLoopJoin and are
     // deliberate; an unkeyed CartesianProduct is never acceptable in
