@@ -97,6 +97,25 @@ object ShingleHashes {
   val K1 = 1000003L
   val K2 = 999983L
 
+  /** The DuckDB twin of this expression as a th/sh CTE block over
+    * `documents`, keyed by `key` — owned HERE, beside the constants it
+    * interpolates, so the shingle scheme has exactly one SQL rendering
+    * for every oracle that needs it (d29/d34/d35/d38/d40 compose it;
+    * FuzzyDedup's older oracles carry equivalent inline copies). */
+  def sqlCtes(key: String): String =
+    s"""th AS (
+         SELECT $key, text,
+           list_transform(regexp_extract_all(text, '\\S+'),
+                          t -> ('0x'||substr(md5(t),1,15))::BIGINT % $M) AS th
+         FROM documents),
+       sh AS (
+         SELECT $key,
+           CASE WHEN len(th) >= 3
+             THEN list_transform(range(1, len(th)-1),
+                    i -> (((th[i] * $K1 + th[i+1]) % $M) * $K2 + th[i+2]) % $M)
+             ELSE [('0x'||substr(md5(text),1,15))::BIGINT % $M] END AS shingles
+         FROM th)"""
+
   /** 60-bit md5-prefix hash mod M — `('0x'||substr(md5(t),1,15))::BIGINT
     * % M` in the oracle. Public because generated code calls it. */
   def tokenHash(utf8Bytes: Array[Byte]): Long =

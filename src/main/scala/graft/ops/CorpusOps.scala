@@ -367,29 +367,11 @@ object CorpusOps {
       .orderBy("doc_id")
   }
 
-  /** th/sh shingle CTE block over `documents`, keyed by `key` — the SQL
-    * twin of [[FuzzyDedup.shingleHashes]] (rolling-poly 3-token hashes
-    * with the <3-token whole-text fallback), shared by the d29, d34,
-    * d35, and d38 oracles so the shingle scheme lives in exactly ONE
-    * string — a missed edit in a drifted copy would surface as a
-    * driver-gate mismatch that looks like an engine bug. */
-  private def shingleCtes(key: String): String = {
-    val m = graft.functions.ShingleHashes.M
-    val k1 = graft.functions.ShingleHashes.K1
-    val k2 = graft.functions.ShingleHashes.K2
-    s"""th AS (
-         SELECT $key, text,
-           list_transform(regexp_extract_all(text, '\\S+'),
-                          t -> ('0x'||substr(md5(t),1,15))::BIGINT % $m) AS th
-         FROM documents),
-       sh AS (
-         SELECT $key,
-           CASE WHEN len(th) >= 3
-             THEN list_transform(range(1, len(th)-1),
-                    i -> (((th[i] * $k1 + th[i+1]) % $m) * $k2 + th[i+2]) % $m)
-             ELSE [('0x'||substr(md5(text),1,15))::BIGINT % $m] END AS shingles
-         FROM th)"""
-  }
+  /** th/sh shingle CTE block over `documents` — see
+    * [[graft.functions.ShingleHashes.sqlCtes]], which owns the SQL
+    * beside the constants it interpolates. */
+  private def shingleCtes(key: String): String =
+    graft.functions.ShingleHashes.sqlCtes(key)
 
   /** The curation pass predicate — ONE definition consumed by both the
     * d29 verdict report and the d38 funnel, so the two can never drift

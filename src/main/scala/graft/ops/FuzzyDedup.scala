@@ -442,7 +442,15 @@ object FuzzyDedup {
     * production decontamination typically uses 8–13-token windows for
     * precision — the same rolling-hash machinery with a longer window,
     * nothing structural changes. */
-  def d17Decontaminate(spark: SparkSession, dir: String): DataFrame = {
+  def d17Decontaminate(spark: SparkSession, dir: String): DataFrame =
+    docOverlap(spark, dir)
+      .orderBy(col("overlap").desc, col("doc_id"))
+      .limit(20)
+
+  /** Per-document eval-set overlap (doc_id, n_shared, n_shingles,
+    * overlap) for every corpus doc — the un-truncated table behind the
+    * d17 top-k report and the d40 per-source rollup. */
+  private def docOverlap(spark: SparkSession, dir: String): DataFrame = {
     val s = shingleHashes(docs(spark, dir))
       .select(col("doc_id"), array_distinct(col("shingles")).as("s"))
     val ex = s.select(col("doc_id"), explode(col("s")).as("sh"))
@@ -458,9 +466,51 @@ object FuzzyDedup {
         col("n_shingles"),
         round(coalesce(col("n_shared"), lit(0L)).cast("double") /
           col("n_shingles"), 4).as("overlap"))
-      .orderBy(col("overlap").desc, col("doc_id"))
-      .limit(20)
   }
+
+  // --------------------------------------------------------------- d40
+  /** Per-source CONTAMINATION rollup — d17 surfaces the worst
+    * individual documents; this attributes eval-set leakage to corpus
+    * SLICES: per source, how many docs exceed the contamination
+    * threshold (the same 0.5 the streaming gate drops at), plus mean
+    * and max overlap. "Which crawl leaked the benchmark" is the
+    * actionable question — a source with systematic overlap gets
+    * dropped wholesale, not doc-by-doc.
+    *
+    * Scale shape: d17's own cost (shingle explode + broadcast-sized
+    * bench join) plus one tiny (source)-keyed aggregate of per-doc
+    * overlap rows. */
+  def d40ContaminationBySource(spark: SparkSession, dir: String): DataFrame =
+    docOverlap(spark, dir)
+      .join(docs(spark, dir).select("doc_id", "source"), "doc_id")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("overlap") >= 0.5, 1L).otherwise(0L))
+          .as("n_contaminated"),
+        round(avg("overlap"), 4).as("avg_overlap"),
+        max("overlap").as("max_overlap"))
+      .orderBy("source")
+
+  val d40Oracle: String =
+    s"""WITH ${graft.functions.ShingleHashes.sqlCtes("doc_id")},
+       s2 AS (SELECT doc_id, list_distinct(shingles) AS s FROM sh),
+       ex AS (SELECT doc_id, unnest(s) AS sh FROM s2),
+       bench AS (SELECT DISTINCT sh FROM ex WHERE doc_id < 5),
+       counts AS (
+         SELECT doc_id, count(*) AS n_shared
+         FROM ex JOIN bench USING (sh) WHERE doc_id >= 5 GROUP BY doc_id),
+       tot AS (SELECT doc_id, len(s) AS n_shingles FROM s2 WHERE doc_id >= 5),
+       ov AS (
+         SELECT doc_id,
+           round(coalesce(n_shared, 0) * 1.0 / n_shingles, 4) AS overlap
+         FROM tot LEFT JOIN counts USING (doc_id))
+       SELECT d.source, count(*) AS n_docs,
+         CAST(sum(CASE WHEN overlap >= 0.5 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_contaminated,
+         round(avg(overlap), 4) AS avg_overlap,
+         max(overlap) AS max_overlap
+       FROM ov JOIN documents d USING (doc_id)
+       GROUP BY d.source ORDER BY d.source"""
 
   val d17Oracle: String =
     s"""WITH th AS (
@@ -684,6 +734,7 @@ object FuzzyDedup {
     "d15_dedup_clusters" -> (d15DedupClusters _),
     "d16_simhash_dedup" -> (d16SimhashDedup _),
     "d17_decontaminate" -> (d17Decontaminate _),
+    "d40_contamination_by_source" -> (d40ContaminationBySource _),
     "d20_repetition" -> (d20Repetition _)
   )
 
@@ -695,6 +746,7 @@ object FuzzyDedup {
     "d15_dedup_clusters" -> d15Oracle,
     "d16_simhash_dedup" -> d16Oracle,
     "d17_decontaminate" -> d17Oracle,
+    "d40_contamination_by_source" -> d40Oracle,
     "d20_repetition" -> d20Oracle
   )
 }

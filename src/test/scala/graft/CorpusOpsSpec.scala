@@ -364,6 +364,25 @@ class CorpusOpsSpec extends AnyFunSuite with SparkSpec {
       (r.getLong(3) == 0L), s"${r.getString(0)} doc/token yield disagree"))
   }
 
+  test("contamination rollup agrees with the d17 per-doc report") {
+    val rollup = ops.FuzzyDedup.d40ContaminationBySource(spark, dir).collect()
+    assert(rollup.nonEmpty)
+    rollup.foreach { r =>
+      assert(r.getLong(2) <= r.getLong(1), "contaminated cannot exceed docs")
+      assert(r.getDouble(3) <= r.getDouble(4) + 1e-9,
+        "mean overlap cannot exceed max")
+    }
+    // the rollup covers every non-bench doc exactly once
+    val nDocs = Tables.load(spark, dir, "documents")
+      .filter(org.apache.spark.sql.functions.col("doc_id") >= 5).count()
+    assert(rollup.map(_.getLong(1)).sum == nDocs)
+    // d17's top doc overlap must equal the global max of the rollup
+    val top17 = ops.FuzzyDedup.d17Decontaminate(spark, dir)
+      .collect().head.getDouble(3)
+    assert(math.abs(rollup.map(_.getDouble(4)).max - top17) < 1e-9,
+      "rollup max must equal d17's top overlap")
+  }
+
   test("funnel: stages are monotone and splits partition the final set") {
     val rows = CorpusOps.d38Funnel(spark, dir).collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
