@@ -201,6 +201,81 @@ object CorpusOps {
        FROM tok JOIN freq ON tok.term = freq.term, tot
        GROUP BY doc_id ORDER BY doc_id"""
 
+  // --------------------------------------------------------------- d41
+  /** BIGRAM-LM SURPRISAL per document: mean −ln p(w2|w1) under the
+    * corpus's own bigram distribution (MLE: c(w1 w2)/c(w1), hashed
+    * vocabulary) — the conditional upgrade of d25's unigram signal: a
+    * document of common words in nonsense ORDER scores normal under a
+    * unigram LM but at the tail here. Hash collisions merge bigram
+    * counts (standard for hashed LMs; 31-bit space vs ~10^6 corpus
+    * bigrams keeps the collision rate negligible).
+    *
+    * Scale shape: the token-hash arrays are materialized once (eager
+    * checkpoint — they feed the bigram zip, the unigram counts, and
+    * without a physical column CollapseProject would re-inline the md5
+    * transform into every consumer); bigram pairs are a narrow
+    * `zip_with` map over each array (no position self-join, no token
+    * stream shuffle to FORM pairs); the only shuffles are the two
+    * vocab-sized frequency aggregates and the stream⋈freq equi-joins
+    * (AQE broadcasts the freq side when it fits), then one per-doc
+    * aggregate. Docs with <2 tokens keep a row (LEFT join) with zero
+    * bigrams and null surprisal. */
+  def d41BigramSurprisal(spark: SparkSession, dir: String): DataFrame =
+    bigramSurprisal(docs(spark, dir))
+
+  /** The bigram scorer on an arbitrary (doc_id, text) frame. */
+  private[graft] def bigramSurprisal(src: DataFrame): DataFrame = {
+    val m = graft.functions.ShingleHashes.M
+    val k1 = graft.functions.ShingleHashes.K1
+    val d = src
+      .select(col("doc_id"),
+        transform(tokens(lower(col("text"))), t => TextOps.hash60(t) % m)
+          .as("hs"))
+      .localCheckpoint()
+    val pairs = zip_with(col("hs"), slice(col("hs"), lit(2), size(col("hs"))),
+      (a, b) => struct(a.as("h1"), ((a * k1 + b) % m).as("h12")))
+    val bg = d.select(col("doc_id"),
+        explode(filter(pairs, s => s.getField("h12").isNotNull)).as("e"))
+      .select(col("doc_id"), col("e.h1").as("h1"), col("e.h12").as("h12"))
+    val uni = d.select(explode(col("hs")).as("h1"))
+      .groupBy("h1").agg(count(lit(1)).as("c1"))
+    val bfreq = bg.groupBy("h12").agg(count(lit(1)).as("cb"))
+    val per = bg.join(uni, "h1").join(bfreq, "h12")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(avg(-log(col("cb").cast("double") / col("c1"))), 4)
+          .as("bigram_surprisal"))
+    d.select("doc_id").join(per, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        col("bigram_surprisal"))
+      .orderBy("doc_id")
+  }
+
+  val d41Oracle: String = {
+    val m = graft.functions.ShingleHashes.M
+    val k1 = graft.functions.ShingleHashes.K1
+    s"""WITH th AS (
+         SELECT doc_id,
+           list_transform(regexp_extract_all(lower(text), '\\S+'),
+                          t -> ('0x'||substr(md5(t),1,15))::BIGINT % $m) AS hs
+         FROM documents),
+       bg AS (
+         SELECT doc_id, hs[i] AS h1, (hs[i] * $k1 + hs[i+1]) % $m AS h12
+         FROM th, unnest(range(1, len(hs))) AS u(i)),
+       uni AS (SELECT h1, count(*) AS c1 FROM
+               (SELECT unnest(hs) AS h1 FROM th) GROUP BY h1),
+       bfreq AS (SELECT h12, count(*) AS cb FROM bg GROUP BY h12),
+       per AS (
+         SELECT doc_id, count(*) AS n_bigrams,
+           round(avg(-ln(cb * 1.0 / c1)), 4) AS bigram_surprisal
+         FROM bg JOIN uni USING (h1) JOIN bfreq USING (h12)
+         GROUP BY doc_id)
+       SELECT th.doc_id, coalesce(n_bigrams, 0) AS n_bigrams,
+         bigram_surprisal
+       FROM th LEFT JOIN per USING (doc_id) ORDER BY th.doc_id"""
+  }
+
   // --------------------------------------------------------------- d26
   /** PII patterns — RE2-compatible (no lookarounds), so the DuckDB
     * oracle runs the byte-identical regex. Email, then the two numeric
@@ -781,6 +856,7 @@ object CorpusOps {
     "d23_chunking" -> (d23Chunking _),
     "d24_tfidf" -> (d24Tfidf _),
     "d25_surprisal" -> (d25Surprisal _),
+    "d41_bigram_surprisal" -> (d41BigramSurprisal _),
     "d26_pii_scrub" -> (d26PiiScrub _),
     "d28_cardinality" -> (d28Cardinality _),
     "d29_curation_gate" -> (d29CurationGate _),
@@ -797,6 +873,7 @@ object CorpusOps {
     "d23_chunking" -> d23Oracle,
     "d24_tfidf" -> d24Oracle,
     "d25_surprisal" -> d25Oracle,
+    "d41_bigram_surprisal" -> d41Oracle,
     "d26_pii_scrub" -> d26Oracle,
     "d28_cardinality" -> d28Oracle,
     "d29_curation_gate" -> d29Oracle,

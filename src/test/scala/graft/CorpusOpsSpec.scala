@@ -364,6 +364,27 @@ class CorpusOpsSpec extends AnyFunSuite with SparkSpec {
       (r.getLong(3) == 0L), s"${r.getString(0)} doc/token yield disagree"))
   }
 
+  test("bigram surprisal: scrambled word order scores above common order") {
+    import spark.implicits._
+    // ten docs establish "x y" as the overwhelmingly common transition;
+    // doc 100 follows it, doc 101 uses the SAME unigrams in reversed
+    // order ("y x" transitions are rare) — a unigram LM cannot separate
+    // them, the conditional bigram LM must
+    val background = (0L until 10L).map(i => (i, "x y x y x y x y"))
+    val common = (100L, "x y x y x y x y")
+    val scrambled = (101L, "y x y x y x y x")
+    val d = (background :+ common :+ scrambled).toDF("doc_id", "text")
+    val s = CorpusOps.bigramSurprisal(d).collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(s(101L) > s(100L),
+      s"scrambled order must surprise the bigram LM: $s")
+    // a one-token doc keeps its row with zero bigrams
+    val tiny = CorpusOps.bigramSurprisal(
+      Seq((1L, "solo"), (2L, "a b")).toDF("doc_id", "text")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(tiny(1L) == 0L && tiny(2L) == 1L)
+  }
+
   test("contamination rollup agrees with the d17 per-doc report") {
     val rollup = ops.FuzzyDedup.d40ContaminationBySource(spark, dir).collect()
     assert(rollup.nonEmpty)
