@@ -210,10 +210,11 @@ object CorpusOps {
     * counts (standard for hashed LMs; 31-bit space vs ~10^6 corpus
     * bigrams keeps the collision rate negligible).
     *
-    * Scale shape: the token-hash arrays are materialized once (eager
-    * checkpoint — they feed the bigram zip, the unigram counts, and
-    * without a physical column CollapseProject would re-inline the md5
-    * transform into every consumer); bigram pairs are a narrow
+    * Scale shape: the token-hash arrays come from the native
+    * [[graft.functions.TokenHashes]] expression (one codegen'd md5 per
+    * token — no interpreted HOF, no CollapseProject re-inlining hazard)
+    * and are materialized once (eager checkpoint — they feed both the
+    * bigram zip and the unigram counts); bigram pairs are a narrow
     * `zip_with` map over each array (no position self-join, no token
     * stream shuffle to FORM pairs); the only shuffles are the two
     * vocab-sized frequency aggregates and the stream⋈freq equi-joins
@@ -229,8 +230,7 @@ object CorpusOps {
     val k1 = graft.functions.ShingleHashes.K1
     val d = src
       .select(col("doc_id"),
-        transform(tokens(lower(col("text"))), t => TextOps.hash60(t) % m)
-          .as("hs"))
+        graft.functions.TokenHashes(tokens(lower(col("text"))), m).as("hs"))
       .localCheckpoint()
     val pairs = zip_with(col("hs"), slice(col("hs"), lit(2), size(col("hs"))),
       (a, b) => struct(a.as("h1"), ((a * k1 + b) % m).as("h12")))

@@ -315,7 +315,8 @@ object FuzzyDedup {
     * join in [[d16SimhashDedup]]. */
   def d3Simhash(spark: SparkSession, dir: String): DataFrame =
     docs(spark, dir)
-      .withColumn("hs", transform(TextOps.tokens(col("text")), t => TextOps.hash60(t)))
+      .withColumn("hs",
+        graft.functions.TokenHashes(TextOps.tokens(col("text")), 0L))
       .select(col("doc_id"), simhashOf(col("hs")).as("simhash"))
       .orderBy("doc_id")
 
@@ -444,24 +445,29 @@ object FuzzyDedup {
     * nothing structural changes. */
   def d17Decontaminate(spark: SparkSession, dir: String): DataFrame =
     docOverlap(spark, dir)
+      .select("doc_id", "n_shared", "n_shingles", "overlap")
       .orderBy(col("overlap").desc, col("doc_id"))
       .limit(20)
 
-  /** Per-document eval-set overlap (doc_id, n_shared, n_shingles,
-    * overlap) for every corpus doc — the un-truncated table behind the
-    * d17 top-k report and the d40 per-source rollup. */
+  /** Per-document eval-set overlap (doc_id, source, n_shared,
+    * n_shingles, overlap) for every corpus doc — the un-truncated table
+    * behind the d17 top-k report and the d40 per-source rollup. The
+    * source column rides along from the one documents scan
+    * ([[shingleSetCol]] keeps sibling columns) so d40 needs no second
+    * scan-and-join to recover it. */
   private def docOverlap(spark: SparkSession, dir: String): DataFrame = {
-    val s = shingleHashes(docs(spark, dir))
-      .select(col("doc_id"), array_distinct(col("shingles")).as("s"))
+    val s = docs(spark, dir)
+      .select(col("doc_id"), col("source"),
+        shingleSetCol(col("text")).as("s"))
     val ex = s.select(col("doc_id"), explode(col("s")).as("sh"))
     val bench = ex.filter(col("doc_id") < 5).select("sh").distinct()
     val counts = ex.filter(col("doc_id") >= 5)
       .join(bench, "sh")
       .groupBy("doc_id").agg(count(lit(1)).as("n_shared"))
     s.filter(col("doc_id") >= 5)
-      .select(col("doc_id"), size(col("s")).as("n_shingles"))
+      .select(col("doc_id"), col("source"), size(col("s")).as("n_shingles"))
       .join(counts, Seq("doc_id"), "left")
-      .select(col("doc_id"),
+      .select(col("doc_id"), col("source"),
         coalesce(col("n_shared"), lit(0L)).as("n_shared"),
         col("n_shingles"),
         round(coalesce(col("n_shared"), lit(0L)).cast("double") /
@@ -479,10 +485,10 @@ object FuzzyDedup {
     *
     * Scale shape: d17's own cost (shingle explode + broadcast-sized
     * bench join) plus one tiny (source)-keyed aggregate of per-doc
-    * overlap rows. */
+    * overlap rows — source rides through the shared helper from the
+    * single documents scan, no second scan or corpus-row join. */
   def d40ContaminationBySource(spark: SparkSession, dir: String): DataFrame =
     docOverlap(spark, dir)
-      .join(docs(spark, dir).select("doc_id", "source"), "doc_id")
       .groupBy("source")
       .agg(count(lit(1)).as("n_docs"),
         sum(when(col("overlap") >= 0.5, 1L).otherwise(0L))

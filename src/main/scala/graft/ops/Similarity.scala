@@ -448,22 +448,6 @@ object Similarity {
     * (still only id-width rows). Label skew = partition skew: a
     * 100TB-scale corpus with one dominant label salts the window key
     * or pre-filters with an approximate per-label threshold first. */
-  /** Fixed-quota balanced resample — the production configuration: with
-    * a LITERAL quota the rank filter plans as WindowGroupLimit, so each
-    * task keeps a per-label top-quota heap map-side and only ≤ quota
-    * rows per (partition, label) reach the exchange (plan-tested). The
-    * gated d36 derives its quota from the data (min label count), which
-    * needs the full per-label sort — use this entry point when the
-    * quota is config, which it is in every real rebalancing job. */
-  def balancedSampleTo(d: DataFrame, quota: Int): DataFrame =
-    d.select(col("label"), col("vec_id"),
-        graft.ops.TextOps.hash60(
-          concat(lit(BalanceSalt), col("vec_id").cast("string"))).as("hk"))
-      .withColumn("rn", row_number().over(
-        Window.partitionBy("label").orderBy("hk", "vec_id")))
-      .filter(col("rn") <= quota)
-      .select("label", "vec_id")
-
   def d36BalancedSample(spark: SparkSession, dir: String): DataFrame = {
     // eager checkpoint: the (label, id, hash) projection feeds both the
     // quota aggregate and the rank window — one table read, not two
@@ -485,6 +469,22 @@ object Similarity {
           .as("kept_id_sum"))
       .orderBy("label")
   }
+
+  /** Fixed-quota balanced resample — the production configuration: with
+    * a LITERAL quota the rank filter plans as WindowGroupLimit, so each
+    * task keeps a per-label top-quota heap map-side and only ≤ quota
+    * rows per (partition, label) reach the exchange (plan-tested). The
+    * gated d36 derives its quota from the data (min label count), which
+    * needs the full per-label sort — use this entry point when the
+    * quota is config, which it is in every real rebalancing job. */
+  def balancedSampleTo(d: DataFrame, quota: Int): DataFrame =
+    d.select(col("label"), col("vec_id"),
+        graft.ops.TextOps.hash60(
+          concat(lit(BalanceSalt), col("vec_id").cast("string"))).as("hk"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("label").orderBy("hk", "vec_id")))
+      .filter(col("rn") <= quota)
+      .select("label", "vec_id")
 
   val d36Oracle: String =
     s"""WITH r AS (

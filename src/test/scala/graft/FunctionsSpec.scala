@@ -78,6 +78,27 @@ class FunctionsSpec extends SparkSpec {
     }
   }
 
+  test("TokenHashes matches the hash60 column formulation, modded and not") {
+    import spark.implicits._
+    import graft.functions.{ShingleHashes, TokenHashes}
+    import org.apache.spark.sql.functions.{lit, regexp_extract_all, transform}
+    val texts = Seq(
+      "the quick brown fox", "one", "", "répété unicode tökens", "a a a")
+    val df = texts.zipWithIndex.map { case (t, i) => (i, t) }.toDF("id", "text")
+    val toks = regexp_extract_all($"text", lit("\\S+"), lit(0))
+    val got = df.select($"id",
+        TokenHashes(toks, 0L).as("raw"),
+        TokenHashes(toks, ShingleHashes.M).as("modded"),
+        transform(toks, t => graft.ops.TextOps.hash60(t)).as("ref_raw"),
+        transform(toks,
+          t => graft.ops.TextOps.hash60(t) % ShingleHashes.M).as("ref_mod"))
+      .collect()
+    got.foreach { r =>
+      assert(r.getSeq[Long](1) == r.getSeq[Long](3), s"raw mismatch id=${r.getInt(0)}")
+      assert(r.getSeq[Long](2) == r.getSeq[Long](4), s"mod mismatch id=${r.getInt(0)}")
+    }
+  }
+
   test("property: SimHash48 and ShingleHashes match references on arbitrary input") {
     import org.scalacheck.{Gen, Prop}
     import org.scalacheck.Prop.forAll
