@@ -486,6 +486,62 @@ object Similarity {
       .filter(col("rn") <= quota)
       .select("label", "vec_id")
 
+  // --------------------------------------------------------------- d42
+  /** INT8 SCALAR QUANTIZATION audit — the 4× storage lever for a
+    * 100 TB vector store: per-vector max-abs scale, codes
+    * `floor(x/scale·127 + 0.5)` clamped to [−127, 127], and the
+    * per-label mean absolute reconstruction error the compression
+    * costs. `floor(·+0.5)` rather than `round()` because the two
+    * engines disagree on rounding mode at exact halves (Spark HALF_UP
+    * vs DuckDB half-even on doubles) — the explicit formula is
+    * bit-identical in both. Reported per label so a slice whose value
+    * distribution quantizes badly (high dynamic range) is visible
+    * before the codes replace the floats.
+    *
+    * Scale shape: pure narrow map over each vector (quantize +
+    * reconstruct + error in one projection) + a K-row label aggregate.
+    * The float arrays never shuffle; a production pipeline writes the
+    * codes + scale columns and drops the floats in the same pass. */
+  def d42Quantization(spark: SparkSession, dir: String): DataFrame = {
+    val code = (x: Column) => greatest(lit(-127.0), least(lit(127.0),
+      floor(x / col("scale") + 0.5)))
+    val err = when(col("scale") > 0,
+      aggregate(transform(col("v"),
+          x => abs(x - code(x) * col("scale"))),
+        lit(0.0), (acc, x) => acc + x) / size(col("v")))
+      .otherwise(0.0)
+    Tables.load(spark, dir, "embeddings")
+      .select(col("label"),
+        transform(col("embedding"), x => x.cast("double")).as("v"))
+      .withColumn("scale",
+        aggregate(col("v"), lit(0.0), (acc, x) => greatest(acc, abs(x)))
+          / 127.0)
+      .select(col("label"), err.as("err"))
+      .groupBy("label")
+      .agg(count(lit(1)).as("n_vecs"),
+        round(avg("err"), 6).as("mean_abs_err"))
+      .orderBy("label")
+  }
+
+  val d42Oracle: String =
+    """WITH e AS (
+         SELECT label, embedding::DOUBLE[] AS v,
+           list_max(list_transform(embedding::DOUBLE[], x -> abs(x))) / 127.0
+             AS scale
+         FROM embeddings),
+       per AS (
+         SELECT label,
+           CASE WHEN scale > 0 THEN
+             list_sum(list_transform(v, x ->
+               abs(x - greatest(-127.0, least(127.0, floor(x / scale + 0.5)))
+                       * scale)))
+             / len(v)
+           ELSE 0.0 END AS err
+         FROM e)
+       SELECT label, count(*) AS n_vecs,
+         round(avg(err), 6) AS mean_abs_err
+       FROM per GROUP BY label ORDER BY label"""
+
   val d36Oracle: String =
     s"""WITH r AS (
          SELECT label, vec_id,
@@ -510,7 +566,8 @@ object Similarity {
     "d12_embedding_dedup" -> (d12EmbeddingDedup _),
     "d14_ann_ivf" -> (d14AnnIvf _),
     "d22_embedding_clusters" -> (d22EmbeddingClusters _),
-    "d36_balanced_sample" -> (d36BalancedSample _)
+    "d36_balanced_sample" -> (d36BalancedSample _),
+    "d42_quantization" -> (d42Quantization _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -520,6 +577,7 @@ object Similarity {
     "d12_embedding_dedup" -> d12Oracle,
     "d14_ann_ivf" -> d14Oracle,
     "d22_embedding_clusters" -> d22Oracle,
-    "d36_balanced_sample" -> d36Oracle
+    "d36_balanced_sample" -> d36Oracle,
+    "d42_quantization" -> d42Oracle
   )
 }

@@ -385,6 +385,20 @@ class CorpusOpsSpec extends AnyFunSuite with SparkSpec {
     assert(tiny(1L) == 0L && tiny(2L) == 1L)
   }
 
+  test("int8 quantization: reconstruction error bounded by half a code step") {
+    val rows = ops.Similarity.d42Quantization(spark, dir).collect()
+    assert(rows.nonEmpty)
+    // per-element |x - code*scale| <= scale/2 with scale = max|x|/127,
+    // and the fixture embeddings are unit-ish (|x| <= ~1): the mean
+    // error must be positive (floats rarely quantize exactly) and
+    // below 1/254 + slack
+    rows.foreach { r =>
+      val err = r.getDouble(2)
+      assert(err > 0.0 && err < 0.005,
+        s"label ${r.getInt(0)} mean_abs_err=$err out of range")
+    }
+  }
+
   test("contamination rollup agrees with the d17 per-doc report") {
     val rollup = ops.FuzzyDedup.d40ContaminationBySource(spark, dir).collect()
     assert(rollup.nonEmpty)
