@@ -364,6 +364,42 @@ class StreamingSpec extends SparkSpec {
     assert(hasState, "decontamination must not create streaming state")
   }
 
+  test("pii redaction is stream-safe and agrees with batch") {
+    import org.apache.spark.sql.types._
+    import spark.implicits._
+    val staged = Files.createTempDirectory("graft-pii-in")
+    val tmp = Files.createTempDirectory("graft-pii-w")
+    val docs = Seq(
+      (1L, "mail bob@example.com or call 555-123-4567 now"),
+      (2L, "ssn 123-45-6789 hidden"),
+      (3L, "nothing sensitive here")).toDF("doc_id", "text")
+    docs.coalesce(1).write.parquet(tmp.resolve("p").toString)
+    val src = Files.list(tmp.resolve("p")).toArray.map(_.toString)
+      .filter(_.endsWith(".parquet")).head
+    Files.copy(Paths.get(src), staged.resolve("b0.parquet"))
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    val stream = spark.readStream.schema(schema).parquet(staged.toString)
+    val q = stream
+      .withColumn("text", graft.ops.CorpusOps.piiRedact($"text"))
+      .writeStream.format("memory").queryName("pii_stream")
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    assert(q.lastProgress.stateOperators.isEmpty,
+      "redaction must create no streaming state")
+    val streamed = spark.table("pii_stream")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val batch = docs
+      .withColumn("text", graft.ops.CorpusOps.piiRedact($"text"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(streamed == batch)
+    assert(streamed(1L).contains("[EMAIL]") && streamed(1L).contains("[PHONE]"))
+    assert(streamed(2L).contains("[SSN]"))
+    assert(streamed(3L) == "nothing sensitive here")
+  }
+
   test("chunking is stream-safe and agrees with the batch chunker") {
     import org.apache.spark.sql.types._
     import spark.implicits._
