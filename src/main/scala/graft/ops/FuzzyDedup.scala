@@ -518,6 +518,58 @@ object FuzzyDedup {
        FROM ov JOIN documents d USING (doc_id)
        GROUP BY d.source ORDER BY d.source"""
 
+  // --------------------------------------------------------------- d43
+  /** Bloom-prefiltered decontamination — d17's exact semantics on the
+    * plan a 100 TB corpus needs. d17 hash-joins the exploded corpus
+    * shingles against the benchmark set; that is the right plan while
+    * the benchmark side broadcasts as rows, but a full eval SUITE can
+    * carry 10^8 distinct shingles (GBs as rows — too big to broadcast),
+    * at which point the join shuffles the entire exploded corpus
+    * (10^12+ rows at 100 TB). Here the benchmark side is first reduced
+    * to a bloom sketch (~1.2 bytes/item at 1 % fpp — broadcastable long
+    * past the point rows are not) and probed ON THE SCAN SIDE of the
+    * exchange, so only corpus shingles that can possibly match are
+    * shuffled into the verify join. Bloom filters have no false
+    * negatives and the exact join discards the false positives, so the
+    * result is bit-identical to d17 — the sketch changes the plan,
+    * never the answer ([[graft.functions.BloomFilters]]; equality and
+    * the no-false-negative contract are pinned in tests).
+    *
+    * The driver coordinates two tiny jobs over the benchmark side
+    * (count + sketch aggregate — it receives merged sketch bytes, not
+    * rows) before the corpus-side query, the same driver-as-coordinator
+    * shape as d14's Lloyd rounds. */
+  def d43BloomDecontaminate(spark: SparkSession, dir: String): DataFrame = {
+    val s = docs(spark, dir)
+      .select(col("doc_id"), shingleSetCol(col("text")).as("s"))
+    val bench = s.filter(col("doc_id") < 5)
+      .select(explode(col("s")).as("sh")).distinct()
+    val filterBytes = graft.functions.BloomFilters.buildLong(
+      bench, "sh", bench.count(), 0.01)
+    val candidates = s.filter(col("doc_id") >= 5)
+      .select(col("doc_id"), explode(col("s")).as("sh"))
+      .filter(graft.functions.BloomFilters.mightContainLong(
+        filterBytes, col("sh")))
+    val counts = candidates.join(bench, "sh")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_shared"))
+    s.filter(col("doc_id") >= 5)
+      .select(col("doc_id"), size(col("s")).as("n_shingles"))
+      .join(counts, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_shared"), lit(0L)).as("n_shared"),
+        col("n_shingles"),
+        round(coalesce(col("n_shared"), lit(0L)).cast("double") /
+          col("n_shingles"), 4).as("overlap"))
+      .orderBy(col("overlap").desc, col("doc_id"))
+      .limit(20)
+  }
+
+  /** The bloom stage is result-transparent, so the oracle is exactly
+    * d17's: same exact-join semantics, same top-20 report. Lazy because
+    * d17Oracle is declared below — a strict val here would capture null
+    * (object vals initialize in declaration order). */
+  lazy val d43Oracle: String = d17Oracle
+
   val d17Oracle: String =
     s"""WITH th AS (
          SELECT doc_id, text,
@@ -741,6 +793,7 @@ object FuzzyDedup {
     "d16_simhash_dedup" -> (d16SimhashDedup _),
     "d17_decontaminate" -> (d17Decontaminate _),
     "d40_contamination_by_source" -> (d40ContaminationBySource _),
+    "d43_bloom_decontaminate" -> (d43BloomDecontaminate _),
     "d20_repetition" -> (d20Repetition _)
   )
 
@@ -753,6 +806,7 @@ object FuzzyDedup {
     "d16_simhash_dedup" -> d16Oracle,
     "d17_decontaminate" -> d17Oracle,
     "d40_contamination_by_source" -> d40Oracle,
+    "d43_bloom_decontaminate" -> d43Oracle,
     "d20_repetition" -> d20Oracle
   )
 }

@@ -195,4 +195,23 @@ class FunctionsSpec extends SparkSpec {
     val interpreted = graft.functions.SimHash48(lit).eval(null)
     assert(interpreted == reference(hs))
   }
+
+  test("BloomFilters build→serialize→probe: no false negatives, fpp holds") {
+    import spark.implicits._
+    import graft.functions.BloomFilters
+    // the build (stat.bloomFilter putLong) and the probe (Catalyst
+    // BloomFilterMightContain mightContainLong) are separate code paths
+    // agreeing only by hashing-scheme convention — this pins it. A
+    // single false negative would make the d43 prefilter drop a real
+    // contamination match.
+    val members = (0L until 2000L).map(i => i * 7919L + 11L)
+    val df = members.toDF("v")
+    val bytes = BloomFilters.buildLong(df, "v", 2000L, 0.01)
+    val kept = df.filter(BloomFilters.mightContainLong(bytes, col("v"))).count()
+    assert(kept == 2000L, "bloom prefilter dropped a member (false negative)")
+    // ...and it actually filters: non-members pass at ~fpp, not ~1
+    val non = (0L until 2000L).map(i => i * 7919L + 3L).toDF("v")
+    val fp = non.filter(BloomFilters.mightContainLong(bytes, col("v"))).count()
+    assert(fp < 200L, s"false-positive rate ${fp / 2000.0} far above fpp=0.01")
+  }
 }

@@ -71,6 +71,36 @@ class OpsSpec extends AnyFunSuite with SparkSpec {
       "top-30 must be per-partition heaps, not a full-vocab sort")
   }
 
+  test("bloom decontamination matches the exact-join report bit-for-bit") {
+    // the bloom stage is a plan optimization only — false positives are
+    // discarded by the verify join, false negatives don't exist
+    val exact = FuzzyDedup.d17Decontaminate(spark, dir).collect().toSeq
+    val bloom = FuzzyDedup.d43BloomDecontaminate(spark, dir).collect().toSeq
+    assert(bloom == exact)
+  }
+
+  test("bloom probe filters the corpus on the scan side, below any exchange") {
+    val plan = FuzzyDedup.d43BloomDecontaminate(spark, dir)
+      .queryExecution.executedPlan
+    val probeFilters = collectPlans(plan).collect {
+      case f: org.apache.spark.sql.execution.FilterExec
+          if f.condition.collectFirst {
+            case b: org.apache.spark.sql.catalyst.expressions
+              .BloomFilterMightContain => b
+          }.isDefined => f
+    }
+    assert(probeFilters.nonEmpty, "no bloom might_contain filter in the plan")
+    // at 100 TB the whole point is pre-shuffle pruning: nothing below
+    // the probe may be an exchange (it must sit directly on the
+    // scan+explode pipeline)
+    probeFilters.foreach { f =>
+      val below = collectPlans(f).drop(1)
+      assert(!below.exists(_.isInstanceOf[
+        org.apache.spark.sql.execution.exchange.ShuffleExchangeExec]),
+        "bloom probe sits above a shuffle — prefilter must run scan-side")
+    }
+  }
+
   test("incremental gate plan is hash-joined — no cartesian / nested-loop") {
     assertNoAllPairs("d27_incremental_novelty",
       FuzzyDedup.d27IncrementalNovelty(spark, dir))
