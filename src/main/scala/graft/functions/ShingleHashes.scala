@@ -44,7 +44,9 @@ case class ShingleHashes(left: Expression, right: Expression)
       val th = new Array[Long](n)
       var i = 0
       while (i < n) {
-        th(i) = ShingleHashes.tokenHash(arr.getUTF8String(i).getBytes)
+        th(i) =
+          if (arr.isNullAt(i)) ShingleHashes.EmptyHash
+          else ShingleHashes.tokenHash(arr.getUTF8String(i).getBytes)
         i += 1
       }
       val out = new Array[Long](n - 2)
@@ -73,7 +75,9 @@ case class ShingleHashes(left: Expression, right: Expression)
          |} else {
          |  long[] $th = new long[$n];
          |  for (int $i = 0; $i < $n; $i++) {
-         |    $th[$i] = $cls.MODULE$$.tokenHash($tokens.getUTF8String($i).getBytes());
+         |    $th[$i] = $tokens.isNullAt($i)
+         |      ? $cls.MODULE$$.EmptyHash()
+         |      : $cls.MODULE$$.tokenHash($tokens.getUTF8String($i).getBytes());
          |  }
          |  $out = new long[$n - 2];
          |  for (int $i = 0; $i < $n - 2; $i++) {
@@ -115,6 +119,13 @@ object ShingleHashes {
                     i -> (((th[i] * $K1 + th[i+1]) % $M) * $K2 + th[i+2]) % $M)
              ELSE [('0x'||substr(md5(text),1,15))::BIGINT % $M] END AS shingles
          FROM th)"""
+
+  /** Hash assigned to a null array element (the empty-string hash):
+    * the declared input type accepts `containsNull = true`, so the
+    * expression must not NPE on a null token. Positional alignment with
+    * the input is preserved and `containsNull = false` stays honest.
+    * Public because generated code calls it. */
+  val EmptyHash: Long = tokenHash(Array.emptyByteArray)
 
   /** 60-bit md5-prefix hash mod M — `('0x'||substr(md5(t),1,15))::BIGINT
     * % M` in the oracle. Public because generated code calls it. */

@@ -34,7 +34,9 @@ case class TokenHashes(left: Expression, right: Expression)
     val out = new Array[Long](n)
     var i = 0
     while (i < n) {
-      val h = TokenHashes.hash60(arr.getUTF8String(i).getBytes)
+      val h =
+        if (arr.isNullAt(i)) TokenHashes.EmptyHash
+        else TokenHashes.hash60(arr.getUTF8String(i).getBytes)
       out(i) = if (m > 0) h % m else h
       i += 1
     }
@@ -52,7 +54,9 @@ case class TokenHashes(left: Expression, right: Expression)
          |int $n = $tokens.numElements();
          |long[] $out = new long[$n];
          |for (int $i = 0; $i < $n; $i++) {
-         |  long $h = $cls.MODULE$$.hash60($tokens.getUTF8String($i).getBytes());
+         |  long $h = $tokens.isNullAt($i)
+         |    ? $cls.MODULE$$.EmptyHash()
+         |    : $cls.MODULE$$.hash60($tokens.getUTF8String($i).getBytes());
          |  $out[$i] = ($mod > 0L) ? $h % $mod : $h;
          |}
          |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
@@ -65,6 +69,14 @@ case class TokenHashes(left: Expression, right: Expression)
 }
 
 object TokenHashes {
+  /** Hash assigned to a null array element: the hash of the empty
+    * string. The declared input type accepts `containsNull = true`, so
+    * the expression must not NPE on a null token; mapping null to the
+    * empty-string hash keeps the output array positionally aligned with
+    * the input (no silent drops) and `containsNull = false` honest.
+    * Public because generated code calls it. */
+  val EmptyHash: Long = hash60(Array.emptyByteArray)
+
   /** Unreduced 60-bit md5-prefix hash. Public because generated code
     * calls it. */
   def hash60(utf8Bytes: Array[Byte]): Long =

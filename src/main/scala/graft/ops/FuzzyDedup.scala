@@ -538,12 +538,21 @@ object FuzzyDedup {
     * The driver coordinates two tiny jobs over the benchmark side
     * (count + sketch aggregate — it receives merged sketch bytes, not
     * rows) before the corpus-side query, the same driver-as-coordinator
-    * shape as d14's Lloyd rounds. */
+    * shape as d14's Lloyd rounds.
+    *
+    * Both the corpus-side shingle projection and the distinct benchmark
+    * shingles are eagerly checkpointed: the md5 shingle pass is the
+    * dominant cost (same reasoning as d34/d35), and without the
+    * checkpoints it would re-run for the bench count, the bloom build,
+    * the probe-side scan, the verify join, and the n_shingles join-back
+    * (~5 corpus scans for one answer). */
   def d43BloomDecontaminate(spark: SparkSession, dir: String): DataFrame = {
     val s = docs(spark, dir)
       .select(col("doc_id"), shingleSetCol(col("text")).as("s"))
+      .localCheckpoint()
     val bench = s.filter(col("doc_id") < 5)
       .select(explode(col("s")).as("sh")).distinct()
+      .localCheckpoint()
     val filterBytes = graft.functions.BloomFilters.buildLong(
       bench, "sh", bench.count(), 0.01)
     val candidates = s.filter(col("doc_id") >= 5)
