@@ -67,6 +67,16 @@ case class ShingleHashes(left: Expression, right: Expression)
       val out = ctx.freshName("out")
       val i = ctx.freshName("i")
       val cls = ShingleHashes.getClass.getName.stripSuffix("$") + "$"
+      // per-element null branch only when the input type admits null
+      // elements (see TokenHashes.doGenCode — same hot-loop reasoning)
+      val hashExpr = left.dataType match {
+        case ArrayType(_, true) =>
+          s"""$tokens.isNullAt($i)
+             |      ? $cls.MODULE$$.EmptyHash()
+             |      : $cls.MODULE$$.tokenHash($tokens.getUTF8String($i).getBytes())""".stripMargin
+        case _ =>
+          s"$cls.MODULE$$.tokenHash($tokens.getUTF8String($i).getBytes())"
+      }
       s"""
          |int $n = $tokens.numElements();
          |long[] $out;
@@ -75,9 +85,7 @@ case class ShingleHashes(left: Expression, right: Expression)
          |} else {
          |  long[] $th = new long[$n];
          |  for (int $i = 0; $i < $n; $i++) {
-         |    $th[$i] = $tokens.isNullAt($i)
-         |      ? $cls.MODULE$$.EmptyHash()
-         |      : $cls.MODULE$$.tokenHash($tokens.getUTF8String($i).getBytes());
+         |    $th[$i] = $hashExpr;
          |  }
          |  $out = new long[$n - 2];
          |  for (int $i = 0; $i < $n - 2; $i++) {

@@ -50,13 +50,23 @@ case class TokenHashes(left: Expression, right: Expression)
       val i = ctx.freshName("i")
       val h = ctx.freshName("h")
       val cls = TokenHashes.getClass.getName.stripSuffix("$") + "$"
+      // the per-element null branch is emitted only when the input
+      // array's type admits null elements — the common producers
+      // (regexp_extract_all, split) declare containsNull = false, and
+      // this loop is the hot path of every token-level operator
+      val hashExpr = left.dataType match {
+        case ArrayType(_, true) =>
+          s"""$tokens.isNullAt($i)
+             |    ? $cls.MODULE$$.EmptyHash()
+             |    : $cls.MODULE$$.hash60($tokens.getUTF8String($i).getBytes())""".stripMargin
+        case _ =>
+          s"$cls.MODULE$$.hash60($tokens.getUTF8String($i).getBytes())"
+      }
       s"""
          |int $n = $tokens.numElements();
          |long[] $out = new long[$n];
          |for (int $i = 0; $i < $n; $i++) {
-         |  long $h = $tokens.isNullAt($i)
-         |    ? $cls.MODULE$$.EmptyHash()
-         |    : $cls.MODULE$$.hash60($tokens.getUTF8String($i).getBytes());
+         |  long $h = $hashExpr;
          |  $out[$i] = ($mod > 0L) ? $h % $mod : $h;
          |}
          |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);

@@ -456,9 +456,14 @@ object FuzzyDedup {
     * ([[shingleSetCol]] keeps sibling columns) so d40 needs no second
     * scan-and-join to recover it. */
   private def docOverlap(spark: SparkSession, dir: String): DataFrame = {
+    // eager checkpoint: the md5 shingle pass is the dominant cost (same
+    // reasoning as d34/d35/d43) and `s` feeds the bench distinct, the
+    // corpus-side explode, AND the n_shingles projection — without the
+    // checkpoint the pass re-runs ~3× per answer
     val s = docs(spark, dir)
       .select(col("doc_id"), col("source"),
         shingleSetCol(col("text")).as("s"))
+      .localCheckpoint()
     val ex = s.select(col("doc_id"), explode(col("s")).as("sh"))
     val bench = ex.filter(col("doc_id") < 5).select("sh").distinct()
     val counts = ex.filter(col("doc_id") >= 5)

@@ -437,7 +437,12 @@ object Similarity {
     * Hash-ranked selection is content-stable (re-runs and incremental
     * corpus extensions keep the same members, modulo quota growth) and
     * engine-reproducible. The report pins exact membership via
-    * `kept_id_sum` — a checksum over the selected ids, not just counts.
+    * `kept_id_xor` — the XOR of the members' salted 60-bit hashes.
+    * XOR is order-insensitive and cannot overflow, so the fingerprint
+    * stays meaningful at snowflake-scale ids where a plain `sum(vec_id)`
+    * would silently wrap (and throw under ANSI); hashing first means
+    * equal-sum memberships (e.g. {1,4} vs {2,3}) still fingerprint
+    * differently — pinned by a unit test.
     *
     * Scale shape: one shuffle on label for the rank window plus a
     * K-row quota broadcast. The window sorts only (hash, id) pairs,
@@ -465,8 +470,10 @@ object Similarity {
       .groupBy("label")
       .agg(count(lit(1)).as("n_total"),
         sum(when(col("rn") <= col("quota"), 1L).otherwise(0L)).as("n_kept"),
-        sum(when(col("rn") <= col("quota"), col("vec_id")).otherwise(0L))
-          .as("kept_id_sum"))
+        // XOR-of-hash membership fingerprint; non-kept rows contribute
+        // the XOR identity (0), so no pre-filter pass is needed
+        bit_xor(when(col("rn") <= col("quota"), col("hk")).otherwise(lit(0L)))
+          .as("kept_id_xor"))
       .orderBy("label")
   }
 
@@ -498,30 +505,24 @@ object Similarity {
     * distribution quantizes badly (high dynamic range) is visible
     * before the codes replace the floats.
     *
-    * Scale shape: pure narrow map over each vector (quantize +
-    * reconstruct + error in one projection) + a K-row label aggregate.
-    * The float arrays never shuffle; a production pipeline writes the
-    * codes + scale columns and drops the floats in the same pass. */
-  def d42Quantization(spark: SparkSession, dir: String): DataFrame = {
-    val code = (x: Column) => greatest(lit(-127.0), least(lit(127.0),
-      floor(x / col("scale") + 0.5)))
-    val err = when(col("scale") > 0,
-      aggregate(transform(col("v"),
-          x => abs(x - code(x) * col("scale"))),
-        lit(0.0), (acc, x) => acc + x) / size(col("v")))
-      .otherwise(0.0)
+    * Scale shape: pure narrow map over each vector — the per-vector
+    * scale + reconstruction-error loops run inside whole-stage codegen
+    * via the native [[graft.functions.QuantError]] expression (the
+    * earlier `transform`/`aggregate` formulation was an interpreted
+    * CodegenFallback on the per-element hot path; a parity test pins
+    * the two bit-identical) — plus a K-row label aggregate. The float
+    * arrays never shuffle; a production pipeline writes the codes +
+    * scale columns and drops the floats in the same pass. */
+  def d42Quantization(spark: SparkSession, dir: String): DataFrame =
     Tables.load(spark, dir, "embeddings")
       .select(col("label"),
-        transform(col("embedding"), x => x.cast("double")).as("v"))
-      .withColumn("scale",
-        aggregate(col("v"), lit(0.0), (acc, x) => greatest(acc, abs(x)))
-          / 127.0)
-      .select(col("label"), err.as("err"))
+        graft.functions.QuantError(
+          col("embedding").cast("array<double>")).as("q"))
+      .select(col("label"), col("q.err").as("err"))
       .groupBy("label")
       .agg(count(lit(1)).as("n_vecs"),
         round(avg("err"), 6).as("mean_abs_err"))
       .orderBy("label")
-  }
 
   val d42Oracle: String =
     """WITH e AS (
@@ -543,20 +544,21 @@ object Similarity {
        FROM per GROUP BY label ORDER BY label"""
 
   val d36Oracle: String =
-    s"""WITH r AS (
+    s"""WITH h AS (
          SELECT label, vec_id,
-           row_number() OVER (PARTITION BY label
-             ORDER BY
-               ('0x'||substr(md5('$BalanceSalt'||vec_id::VARCHAR),1,15))::BIGINT,
-               vec_id) AS rn
+           ('0x'||substr(md5('$BalanceSalt'||vec_id::VARCHAR),1,15))::BIGINT
+             AS hk
          FROM embeddings),
+       r AS (
+         SELECT label, vec_id, hk,
+           row_number() OVER (PARTITION BY label ORDER BY hk, vec_id) AS rn
+         FROM h),
        q AS (SELECT min(c) AS quota FROM
              (SELECT count(*) AS c FROM embeddings GROUP BY label))
        SELECT label, count(*) AS n_total,
          CAST(sum(CASE WHEN rn <= quota THEN 1 ELSE 0 END) AS BIGINT)
            AS n_kept,
-         CAST(sum(CASE WHEN rn <= quota THEN vec_id ELSE 0 END) AS BIGINT)
-           AS kept_id_sum
+         bit_xor(CASE WHEN rn <= quota THEN hk ELSE 0 END) AS kept_id_xor
        FROM r, q GROUP BY label ORDER BY label"""
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

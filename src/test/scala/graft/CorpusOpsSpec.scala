@@ -436,7 +436,23 @@ class CorpusOpsSpec extends AnyFunSuite with SparkSpec {
       assert(r.getLong(2) == quota,
         s"label ${r.getInt(0)} kept ${r.getLong(2)} != quota $quota")
       assert(r.getLong(1) >= r.getLong(2))
-      assert(r.getLong(3) > 0, "membership checksum must reflect kept ids")
+      assert(r.getLong(3) != 0, "membership fingerprint must reflect kept ids")
     }
+  }
+
+  test("balanced sample: XOR fingerprint distinguishes equal-sum memberships") {
+    // {1,4} and {2,3} have the same id SUM (the old checksum's collision
+    // mode) but must fingerprint differently under XOR-of-hash; and a
+    // permutation of the same membership must fingerprint identically
+    // (order insensitivity).
+    import spark.implicits._
+    def fp(ids: Seq[Long]): Long = ids.toDF("vec_id")
+      .agg(bit_xor(ops.TextOps.hash60(
+        concat(lit("bal:"), col("vec_id").cast("string")))))
+      .head.getLong(0)
+    assert(fp(Seq(1L, 4L)) != fp(Seq(2L, 3L)),
+      "equal-sum memberships must not collide")
+    assert(fp(Seq(4L, 1L)) == fp(Seq(1L, 4L)),
+      "fingerprint must be order-insensitive")
   }
 }

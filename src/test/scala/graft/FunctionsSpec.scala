@@ -157,6 +157,7 @@ class FunctionsSpec extends SparkSpec {
       assert(graft.ops.FuzzyDedup.d3Simhash(spark, sf).collect().nonEmpty)
       assert(graft.ops.FuzzyDedup.d17Decontaminate(spark, sf).collect().nonEmpty)
       assert(graft.ops.FuzzyDedup.d4NgramJaccard(spark, sf).collect().nonEmpty)
+      assert(graft.ops.Similarity.d42Quantization(spark, sf).collect().nonEmpty)
     } finally {
       prev match {
         case Some(v) => spark.conf.set("spark.sql.codegen.factoryMode", v)
@@ -194,6 +195,58 @@ class FunctionsSpec extends SparkSpec {
         org.apache.spark.sql.types.LongType))
     val interpreted = graft.functions.SimHash48(lit).eval(null)
     assert(interpreted == reference(hs))
+  }
+
+  test("QuantError matches the HOF formulation bit-for-bit") {
+    import graft.functions.QuantError
+    import org.apache.spark.sql.Column
+    // the exact transform/aggregate folds d42 used before the native
+    // expression replaced them — the parity oracle (element order and
+    // arithmetic must be identical, not just close: the driver gate
+    // hashes d42's output)
+    def hofScale(v: Column): Column =
+      aggregate(v, lit(0.0), (acc, x) => greatest(acc, abs(x))) / 127.0
+    def hofErr(v: Column, scale: Column): Column = {
+      val code = (x: Column) => greatest(lit(-127.0), least(lit(127.0),
+        floor(x / scale + 0.5)))
+      when(scale > 0,
+        aggregate(transform(v, x => abs(x - code(x) * scale)),
+          lit(0.0), (acc, x) => acc + x) / size(v))
+        .otherwise(0.0)
+    }
+    val v = col("embedding").cast("array<double>")
+    val rows = graft.Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+      .select(col("vec_id"), QuantError(v).as("q"),
+        hofScale(v).as("ref_scale"), hofErr(v, hofScale(v)).as("ref_err"))
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val q = r.getStruct(1)
+      assert(q.getDouble(0) == r.getDouble(2),
+        s"scale mismatch vec_id=${r.getLong(0)}")
+      assert(q.getDouble(1) == r.getDouble(3),
+        s"err mismatch vec_id=${r.getLong(0)}")
+    }
+  }
+
+  test("QuantError edge cases: zero vector, empty array, null element") {
+    import spark.implicits._
+    import graft.functions.QuantError
+    val df = Seq(
+      (0, Some(Seq(Some(0.0), Some(0.0)))),       // all-zero → scale 0, err 0
+      (1, Some(Seq.empty[Option[Double]])),       // empty → scale 0, err 0
+      (2, Some(Seq(Some(1.0), None))),            // null element → null result
+      (3, None: Option[Seq[Option[Double]]]))     // null array → null result
+      .toDF("id", "v")
+      .select($"id", QuantError($"v").as("q"))
+    val got = df.collect().map(r =>
+      r.getInt(0) -> (if (r.isNullAt(1)) None
+                      else Some((r.getStruct(1).getDouble(0),
+                                 r.getStruct(1).getDouble(1))))).toMap
+    assert(got(0).contains((0.0, 0.0)))
+    assert(got(1).contains((0.0, 0.0)))
+    assert(got(2).isEmpty, "null element must poison the result")
+    assert(got(3).isEmpty)
   }
 
   test("BloomFilters build→serialize→probe: no false negatives, fpp holds") {
