@@ -6,14 +6,19 @@ import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCo
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
 
-/** Native Catalyst expression computing the 3-word shingle hashes of a
-  * token array: each token is md5-hashed once (first 15 hex chars as a
-  * 60-bit long, mod M — bit-identical to the DuckDB oracle's
-  * `('0x'||substr(md5(t),1,15))::BIGINT % M`), and consecutive triples
-  * combine by the rolling polynomial
-  * `((t0·K1 + t1) mod M)·K2 + t2 mod M`. Fewer than 3 tokens falls back
-  * to a single-element array holding `fallback` (the caller passes the
-  * whole-text hash, so short docs still dedup exactly).
+/** Native Catalyst expression computing the `window`-word shingle
+  * hashes of a token array: each token is md5-hashed once (first 15 hex
+  * chars as a 60-bit long, mod M — bit-identical to the DuckDB oracle's
+  * `('0x'||substr(md5(t),1,15))::BIGINT % M`), and each run of `window`
+  * consecutive token hashes combines by the alternating rolling
+  * polynomial `h ← (h·K + tⱼ) mod M` (K = K1 for odd j, K2 for even j).
+  * At the default `window = 3` — the dedup family's gated
+  * configuration — this is exactly the historical
+  * `((t0·K1 + t1) mod M)·K2 + t2 mod M`; production decontamination
+  * runs the same expression at 8–13-token windows for precision.
+  * Fewer than `window` tokens falls back to a single-element array
+  * holding `fallback` (the caller passes the whole-text hash, so short
+  * docs still dedup exactly).
   *
   * WHY an Expression: the column formulation — a `transform` binding
   * token hashes to a column, then `element_at` reads inside a second
@@ -28,8 +33,11 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
   * Semantics are pinned by the d2/d15/d17 DuckDB oracles through the
   * driver gate and by a unit test against the fold formulation.
   */
-case class ShingleHashes(left: Expression, right: Expression)
+case class ShingleHashes(left: Expression, right: Expression,
+    window: Int = 3)
     extends BinaryExpression with ExpectsInputTypes {
+
+  require(window >= 2, s"shingle window must be >= 2, got $window")
 
   override def inputTypes = Seq(ArrayType(StringType), LongType)
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
@@ -38,7 +46,7 @@ case class ShingleHashes(left: Expression, right: Expression)
   override def nullSafeEval(tokens: Any, fallback: Any): Any = {
     val arr = tokens.asInstanceOf[ArrayData]
     val n = arr.numElements()
-    if (n < 3) {
+    if (n < window) {
       new GenericArrayData(Array(fallback.asInstanceOf[Long]))
     } else {
       val th = new Array[Long](n)
@@ -49,11 +57,17 @@ case class ShingleHashes(left: Expression, right: Expression)
           else ShingleHashes.tokenHash(arr.getUTF8String(i).getBytes)
         i += 1
       }
-      val out = new Array[Long](n - 2)
+      val out = new Array[Long](n - window + 1)
       i = 0
-      while (i < n - 2) {
-        out(i) = (((th(i) * ShingleHashes.K1 + th(i + 1)) % ShingleHashes.M) *
-          ShingleHashes.K2 + th(i + 2)) % ShingleHashes.M
+      while (i < n - window + 1) {
+        var h = th(i)
+        var j = 1
+        while (j < window) {
+          val k = if (j % 2 == 1) ShingleHashes.K1 else ShingleHashes.K2
+          h = (h * k + th(i + j)) % ShingleHashes.M
+          j += 1
+        }
+        out(i) = h
         i += 1
       }
       new GenericArrayData(out)
@@ -77,20 +91,25 @@ case class ShingleHashes(left: Expression, right: Expression)
         case _ =>
           s"$cls.MODULE$$.tokenHash($tokens.getUTF8String($i).getBytes())"
       }
+      // `window` is a plan-time constant, so the rolling polynomial is
+      // unrolled straight into the generated source — no inner loop
+      val poly = (1 until window).foldLeft(s"$th[$i]") { (acc, j) =>
+        val k = if (j % 2 == 1) ShingleHashes.K1 else ShingleHashes.K2
+        s"(($acc) * ${k}L + $th[$i + $j]) % ${ShingleHashes.M}L"
+      }
       s"""
          |int $n = $tokens.numElements();
          |long[] $out;
-         |if ($n < 3) {
+         |if ($n < $window) {
          |  $out = new long[] { $fallback };
          |} else {
          |  long[] $th = new long[$n];
          |  for (int $i = 0; $i < $n; $i++) {
          |    $th[$i] = $hashExpr;
          |  }
-         |  $out = new long[$n - 2];
-         |  for (int $i = 0; $i < $n - 2; $i++) {
-         |    $out[$i] = ((($th[$i] * ${ShingleHashes.K1}L + $th[$i + 1]) % ${ShingleHashes.M}L)
-         |      * ${ShingleHashes.K2}L + $th[$i + 2]) % ${ShingleHashes.M}L;
+         |  $out = new long[$n - $window + 1];
+         |  for (int $i = 0; $i < $n - $window + 1; $i++) {
+         |    $out[$i] = $poly;
          |  }
          |}
          |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
@@ -142,9 +161,17 @@ object ShingleHashes {
       org.apache.commons.codec.digest.DigestUtils.md5Hex(utf8Bytes)
         .substring(0, 15), 16) % M
 
-  /** Column-level entry point. `fallback` is the value used for docs
-    * with fewer than 3 tokens (pass the whole-text hash). */
+  /** Column-level entry point at the gated default window (3).
+    * `fallback` is the value used for docs with fewer than `window`
+    * tokens (pass the whole-text hash). */
   def apply(tokens: Column, fallback: Column): Column =
+    apply(tokens, fallback, 3)
+
+  /** Column-level entry point with an explicit shingle window —
+    * production decontamination runs 8–13-token windows for precision
+    * (d17's docstring); the hashing machinery is identical. */
+  def apply(tokens: Column, fallback: Column, window: Int): Column =
     GraftColumns.column(ShingleHashes(
-      GraftColumns.expression(tokens), GraftColumns.expression(fallback)))
+      GraftColumns.expression(tokens), GraftColumns.expression(fallback),
+      window))
 }

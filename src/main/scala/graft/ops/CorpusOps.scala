@@ -214,28 +214,27 @@ object CorpusOps {
     * [[graft.functions.TokenHashes]] expression (one codegen'd md5 per
     * token — no interpreted HOF, no CollapseProject re-inlining hazard)
     * and are materialized once (eager checkpoint — they feed both the
-    * bigram zip and the unigram counts); bigram pairs are a narrow
-    * `zip_with` map over each array (no position self-join, no token
-    * stream shuffle to FORM pairs); the only shuffles are the two
-    * vocab-sized frequency aggregates and the stream⋈freq equi-joins
-    * (AQE broadcasts the freq side when it fits), then one per-doc
-    * aggregate. Docs with <2 tokens keep a row (LEFT join) with zero
-    * bigrams and null surprisal. */
+    * bigram pairs and the unigram counts); bigram pairs come from the
+    * native [[graft.functions.BigramHashes]] expression — a narrow
+    * codegen'd map over each array (the earlier `zip_with`+`filter`
+    * formulation was an interpreted CodegenFallback; no position
+    * self-join, no token stream shuffle to FORM pairs); the only
+    * shuffles are the two vocab-sized frequency aggregates and the
+    * stream⋈freq equi-joins (AQE broadcasts the freq side when it
+    * fits), then one per-doc aggregate. Docs with <2 tokens keep a row
+    * (LEFT join) with zero bigrams and null surprisal. */
   def d41BigramSurprisal(spark: SparkSession, dir: String): DataFrame =
     bigramSurprisal(docs(spark, dir))
 
   /** The bigram scorer on an arbitrary (doc_id, text) frame. */
   private[graft] def bigramSurprisal(src: DataFrame): DataFrame = {
     val m = graft.functions.ShingleHashes.M
-    val k1 = graft.functions.ShingleHashes.K1
     val d = src
       .select(col("doc_id"),
         graft.functions.TokenHashes(tokens(lower(col("text"))), m).as("hs"))
       .localCheckpoint()
-    val pairs = zip_with(col("hs"), slice(col("hs"), lit(2), size(col("hs"))),
-      (a, b) => struct(a.as("h1"), ((a * k1 + b) % m).as("h12")))
     val bg = d.select(col("doc_id"),
-        explode(filter(pairs, s => s.getField("h12").isNotNull)).as("e"))
+        explode(graft.functions.BigramHashes(col("hs"))).as("e"))
       .select(col("doc_id"), col("e.h1").as("h1"), col("e.h12").as("h12"))
     val uni = d.select(explode(col("hs")).as("h1"))
       .groupBy("h1").agg(count(lit(1)).as("c1"))

@@ -108,11 +108,14 @@ object FuzzyDedup {
 
   /** Distinct shingle hashes of a text column as a COLUMN expression —
     * for callers that must keep their other columns (the streaming
-    * decontamination gate). */
-  private[graft] def shingleSetCol(text: org.apache.spark.sql.Column)
-      : org.apache.spark.sql.Column =
+    * decontamination gate). `window` is the shingle length: 3 is the
+    * gated default shared with the dedup family; production
+    * decontamination runs 8–13 for precision (same machinery — the
+    * window is unrolled into the generated code either way). */
+  private[graft] def shingleSetCol(text: org.apache.spark.sql.Column,
+      window: Int = 3): org.apache.spark.sql.Column =
     array_distinct(graft.functions.ShingleHashes(
-      TextOps.tokens(text), TextOps.hash60(text) % M))
+      TextOps.tokens(text), TextOps.hash60(text) % M, window))
 
   private def shingled(df: DataFrame): DataFrame =
     shingleHashes(representatives(df))
@@ -439,12 +442,20 @@ object FuzzyDedup {
     * corpus moves once, keyed on the 31-bit shingle hash; no text
     * strings are materialized or shuffled.
     *
-    * Window note: 3-token shingles here (shared with the dedup family);
-    * production decontamination typically uses 8–13-token windows for
-    * precision — the same rolling-hash machinery with a longer window,
-    * nothing structural changes. */
+    * Window note: 3-token shingles here (shared with the dedup family)
+    * — the gated default; production decontamination typically uses
+    * 8–13-token windows for precision. The window is a real parameter
+    * of [[decontaminateTopK]] (and [[docOverlapOf]] /
+    * [[bloomDecontaminate]]): same rolling-hash machinery, unrolled to
+    * the chosen length in codegen. A unit test runs window = 8 against
+    * a planted 8-token leak. */
   def d17Decontaminate(spark: SparkSession, dir: String): DataFrame =
-    docOverlap(spark, dir)
+    decontaminateTopK(docs(spark, dir), window = 3)
+
+  /** The d17 top-20 report on an arbitrary (doc_id, source, text) frame
+    * with an explicit shingle window. */
+  private[graft] def decontaminateTopK(d: DataFrame, window: Int): DataFrame =
+    docOverlapOf(d, window)
       .select("doc_id", "n_shared", "n_shingles", "overlap")
       .orderBy(col("overlap").desc, col("doc_id"))
       .limit(20)
@@ -455,14 +466,14 @@ object FuzzyDedup {
     * source column rides along from the one documents scan
     * ([[shingleSetCol]] keeps sibling columns) so d40 needs no second
     * scan-and-join to recover it. */
-  private def docOverlap(spark: SparkSession, dir: String): DataFrame = {
+  private[graft] def docOverlapOf(d: DataFrame, window: Int): DataFrame = {
     // eager checkpoint: the md5 shingle pass is the dominant cost (same
     // reasoning as d34/d35/d43) and `s` feeds the bench distinct, the
     // corpus-side explode, AND the n_shingles projection — without the
     // checkpoint the pass re-runs ~3× per answer
-    val s = docs(spark, dir)
+    val s = d
       .select(col("doc_id"), col("source"),
-        shingleSetCol(col("text")).as("s"))
+        shingleSetCol(col("text"), window).as("s"))
       .localCheckpoint()
     val ex = s.select(col("doc_id"), explode(col("s")).as("sh"))
     val bench = ex.filter(col("doc_id") < 5).select("sh").distinct()
@@ -493,7 +504,7 @@ object FuzzyDedup {
     * overlap rows — source rides through the shared helper from the
     * single documents scan, no second scan or corpus-row join. */
   def d40ContaminationBySource(spark: SparkSession, dir: String): DataFrame =
-    docOverlap(spark, dir)
+    docOverlapOf(docs(spark, dir), window = 3)
       .groupBy("source")
       .agg(count(lit(1)).as("n_docs"),
         sum(when(col("overlap") >= 0.5, 1L).otherwise(0L))
@@ -551,9 +562,14 @@ object FuzzyDedup {
     * checkpoints it would re-run for the bench count, the bloom build,
     * the probe-side scan, the verify join, and the n_shingles join-back
     * (~5 corpus scans for one answer). */
-  def d43BloomDecontaminate(spark: SparkSession, dir: String): DataFrame = {
-    val s = docs(spark, dir)
-      .select(col("doc_id"), shingleSetCol(col("text")).as("s"))
+  def d43BloomDecontaminate(spark: SparkSession, dir: String): DataFrame =
+    bloomDecontaminate(docs(spark, dir), window = 3)
+
+  /** The bloom-prefiltered scan on an arbitrary (doc_id, text) frame
+    * with an explicit shingle window. */
+  private[graft] def bloomDecontaminate(d: DataFrame, window: Int): DataFrame = {
+    val s = d
+      .select(col("doc_id"), shingleSetCol(col("text"), window).as("s"))
       .localCheckpoint()
     val bench = s.filter(col("doc_id") < 5)
       .select(explode(col("s")).as("sh")).distinct()

@@ -493,6 +493,33 @@ object Similarity {
       .filter(col("rn") <= quota)
       .select("label", "vec_id")
 
+  // --------------------------------------------------------------- d44
+  /** The quota the gated fixed-quota entry runs at — below the sf0.01
+    * per-label counts (~50) so the gate exercises real truncation, not
+    * a no-op filter. */
+  private val FixedQuota = 20
+
+  /** Driver-gated [[balancedSampleTo]]: the fixed-quota (production)
+    * configuration of the balanced resample, returning the kept
+    * (label, vec_id) membership itself. The literal quota is what lets
+    * Spark 4 plan the rank filter as WindowGroupLimit — per-partition
+    * top-quota heaps BEFORE the exchange (pinned by the plan test in
+    * `OpsSpec`); labels smaller than the quota are kept whole. The
+    * trailing sort is gate determinism only, not part of the operator. */
+  def d44BalancedQuota(spark: SparkSession, dir: String): DataFrame =
+    balancedSampleTo(Tables.load(spark, dir, "embeddings"), FixedQuota)
+      .orderBy("label", "vec_id")
+
+  val d44Oracle: String =
+    s"""SELECT label, vec_id FROM (
+         SELECT label, vec_id,
+           row_number() OVER (PARTITION BY label
+             ORDER BY
+               ('0x'||substr(md5('$BalanceSalt'||vec_id::VARCHAR),1,15))::BIGINT,
+               vec_id) AS rn
+         FROM embeddings)
+       WHERE rn <= $FixedQuota ORDER BY label, vec_id"""
+
   // --------------------------------------------------------------- d42
   /** INT8 SCALAR QUANTIZATION audit — the 4× storage lever for a
     * 100 TB vector store: per-vector max-abs scale, codes
@@ -569,7 +596,8 @@ object Similarity {
     "d14_ann_ivf" -> (d14AnnIvf _),
     "d22_embedding_clusters" -> (d22EmbeddingClusters _),
     "d36_balanced_sample" -> (d36BalancedSample _),
-    "d42_quantization" -> (d42Quantization _)
+    "d42_quantization" -> (d42Quantization _),
+    "d44_balanced_quota" -> (d44BalancedQuota _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -580,6 +608,7 @@ object Similarity {
     "d14_ann_ivf" -> d14Oracle,
     "d22_embedding_clusters" -> d22Oracle,
     "d36_balanced_sample" -> d36Oracle,
-    "d42_quantization" -> d42Oracle
+    "d42_quantization" -> d42Oracle,
+    "d44_balanced_quota" -> d44Oracle
   )
 }

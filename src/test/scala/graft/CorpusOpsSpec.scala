@@ -440,6 +440,40 @@ class CorpusOpsSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("decontamination window is a real parameter: w=8 needs an 8-token leak") {
+    import spark.implicits._
+    val phrase8 = "alpha bravo charlie delta echo foxtrot golf hotel"
+    val prefix5 = "alpha bravo charlie delta echo"
+    // doc_id < 5 is the benchmark side, matching the d17 convention
+    val corpus = Seq(
+      (0L, "bench", s"intro $phrase8 outro closing"),
+      (1L, "bench", "unrelated bench text with several distinct tokens here"),
+      (2L, "bench", "more bench filler text tokens one two three four"),
+      (3L, "bench", "yet another bench document with harmless content words"),
+      (4L, "bench", "final bench entry padded with neutral vocabulary items"),
+      (10L, "web", s"webdoc carries the full leak $phrase8 embedded in padding"),
+      (11L, "web", s"webdoc shares only $prefix5 then diverges completely onto other things"),
+      (12L, "web", "entirely clean web document with no benchmark overlap at all")
+    ).toDF("doc_id", "source", "text")
+    def sharedAt(w: Int): Map[Long, Long] =
+      ops.FuzzyDedup.docOverlapOf(corpus, w).collect()
+        .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val w8 = sharedAt(8)
+    assert(w8(10L) >= 1, "8-token window must catch the planted 8-token leak")
+    assert(w8(11L) == 0, "a 5-token share must NOT trip the 8-token window")
+    assert(w8(12L) == 0)
+    val w3 = sharedAt(3)
+    assert(w3(10L) >= 1 && w3(11L) >= 1,
+      "3-token window flags both docs (recall mode)")
+    // the bloom prefilter stays result-transparent at a non-default window
+    val bloom = ops.FuzzyDedup.bloomDecontaminate(corpus, 8).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val exact = ops.FuzzyDedup.decontaminateTopK(corpus, 8).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(bloom == exact,
+      "bloom decontamination must equal the exact scan at any window")
+  }
+
   test("balanced sample: XOR fingerprint distinguishes equal-sum memberships") {
     // {1,4} and {2,3} have the same id SUM (the old checksum's collision
     // mode) but must fingerprint differently under XOR-of-hash; and a

@@ -78,6 +78,39 @@ class FunctionsSpec extends SparkSpec {
     }
   }
 
+  test("ShingleHashes window parameter generalizes the rolling polynomial") {
+    import spark.implicits._
+    import graft.functions.ShingleHashes
+    def refWindow(toks: Seq[String], w: Int, fallback: Long): Seq[Long] = {
+      val th = toks.map(t => ShingleHashes.tokenHash(t.getBytes("UTF-8")))
+      if (toks.length < w) Seq(fallback)
+      else (0 to toks.length - w).map { i =>
+        (1 until w).foldLeft(th(i)) { (h, j) =>
+          val k = if (j % 2 == 1) ShingleHashes.K1 else ShingleHashes.K2
+          (h * k + th(i + j)) % ShingleHashes.M
+        }
+      }
+    }
+    val text = "one two three four five six seven eight nine ten"
+    val toks = text.split(" ").toSeq
+    val fb = 424242L
+    val got = Seq((0, text)).toDF("id", "text")
+      .select(
+        Seq(2, 3, 5, 8, 11).map(w => ShingleHashes(
+          regexp_extract_all(col("text"), lit("\\S+"), lit(0)),
+          lit(fb), w).as(s"w$w")): _*)
+      .collect().head
+    Seq(2, 3, 5, 8, 11).zipWithIndex.foreach { case (w, idx) =>
+      assert(got.getSeq[Long](idx) == refWindow(toks, w, fb), s"window $w")
+    }
+    // w = 3 must be the historical formulation (the gated dedup default)
+    assert(refWindow(toks, 3, fb) == (0 until toks.length - 2).map { i =>
+      val th = toks.map(t => ShingleHashes.tokenHash(t.getBytes("UTF-8")))
+      (((th(i) * ShingleHashes.K1 + th(i + 1)) % ShingleHashes.M) *
+        ShingleHashes.K2 + th(i + 2)) % ShingleHashes.M
+    })
+  }
+
   test("TokenHashes matches the hash60 column formulation, modded and not") {
     import spark.implicits._
     import graft.functions.{ShingleHashes, TokenHashes}
@@ -158,6 +191,7 @@ class FunctionsSpec extends SparkSpec {
       assert(graft.ops.FuzzyDedup.d17Decontaminate(spark, sf).collect().nonEmpty)
       assert(graft.ops.FuzzyDedup.d4NgramJaccard(spark, sf).collect().nonEmpty)
       assert(graft.ops.Similarity.d42Quantization(spark, sf).collect().nonEmpty)
+      assert(graft.ops.CorpusOps.d41BigramSurprisal(spark, sf).collect().nonEmpty)
     } finally {
       prev match {
         case Some(v) => spark.conf.set("spark.sql.codegen.factoryMode", v)
@@ -226,6 +260,38 @@ class FunctionsSpec extends SparkSpec {
         s"scale mismatch vec_id=${r.getLong(0)}")
       assert(q.getDouble(1) == r.getDouble(3),
         s"err mismatch vec_id=${r.getLong(0)}")
+    }
+  }
+
+  test("BigramHashes matches the zip_with formulation, incl. null elements") {
+    import spark.implicits._
+    import graft.functions.{BigramHashes, ShingleHashes}
+    val m = ShingleHashes.M
+    val k1 = ShingleHashes.K1
+    val rnd = new scala.util.Random(7)
+    val rows = (0 until 100).map { i =>
+      val n = rnd.nextInt(12)
+      // every ~4th element null to exercise the pair-skip path
+      (i, Some(Seq.tabulate(n)(j =>
+        if (rnd.nextInt(4) == 0) None else Some(rnd.nextLong().abs % m))))
+    } :+ ((100, None: Option[Seq[Option[Long]]]))
+    // the exact HOF formulation d41 used before the native expression
+    val pairs = zip_with(col("hs"), slice(col("hs"), lit(2), size(col("hs"))),
+      (a, b) => struct(a.as("h1"), ((a * k1 + b) % m).as("h12")))
+    val ref = filter(pairs,
+      s => s.getField("h1").isNotNull && s.getField("h12").isNotNull)
+    val got = rows.toDF("id", "hs")
+      .select($"id", BigramHashes($"hs").as("native"), ref.as("ref"))
+      .collect()
+    got.foreach { r =>
+      if (r.isNullAt(1)) assert(r.isNullAt(2), s"id=${r.getInt(0)}")
+      else {
+        val n = r.getSeq[org.apache.spark.sql.Row](1)
+          .map(x => (x.getLong(0), x.getLong(1)))
+        val e = r.getSeq[org.apache.spark.sql.Row](2)
+          .map(x => (x.getLong(0), x.getLong(1)))
+        assert(n == e, s"id=${r.getInt(0)}")
+      }
     }
   }
 
