@@ -522,9 +522,9 @@ object Queries {
     * priority. Spark's `percentile` and DuckDB's `quantile_cont` share
     * the linear-interpolation definition at rank (n−1)·p; 2dp rounding
     * absorbs last-ulp noise. Exact percentiles sort within each group —
-    * at 100 TB prefer `percentile_approx` (t-digest, mergeable
-    * map-side) when ±ε is acceptable; this query is the exact
-    * oracle-comparable variant. */
+    * at 100 TB prefer `percentile_approx` (mergeable map-side
+    * summaries) when ±ε is acceptable; that scale path is gated
+    * separately as [[q23ApproxPercentiles]]. */
   def q22Percentiles(spark: SparkSession, dir: String): DataFrame =
     t(spark, dir, "orders")
       .groupBy("o_orderpriority")
@@ -538,6 +538,35 @@ object Queries {
     """SELECT o_orderpriority, count(*) AS n,
        round(quantile_cont(o_totalprice, 0.5), 2) AS median_price,
        round(quantile_cont(o_totalprice, 0.9), 2) AS p90_price
+       FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority"""
+
+  // --------------------------------------------------------------- q23
+  /** q22's 100 TB scale path: `percentile_approx` (Greenwald-Khanna
+    * summaries, merged map-side — no per-group sort, bounded memory
+    * regardless of group size). At gate scale the accuracy parameter
+    * (10^6) exceeds every group's row count, where the summary is
+    * EXACT and returns the order statistic at rank ⌈p·N⌉ — verified to
+    * be the same definition as DuckDB's `quantile_disc`, which is what
+    * lets an "approximate" operator be hash-gated at all. At production
+    * scale the answer is rank-error-bounded by design (ε = N/accuracy);
+    * the gate pins the plan shape and the definitional alignment, not
+    * production exactness. No rounding: both engines return the same
+    * stored element, not a computed interpolation. */
+  def q23ApproxPercentiles(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "orders")
+      .groupBy("o_orderpriority")
+      .agg(
+        count(lit(1)).as("n"),
+        percentile_approx(col("o_totalprice"), lit(0.5), lit(1000000))
+          .as("median_price"),
+        percentile_approx(col("o_totalprice"), lit(0.9), lit(1000000))
+          .as("p90_price"))
+      .orderBy("o_orderpriority")
+
+  val q23Oracle: String =
+    """SELECT o_orderpriority, count(*) AS n,
+       quantile_disc(o_totalprice, 0.5) AS median_price,
+       quantile_disc(o_totalprice, 0.9) AS p90_price
        FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority"""
 
   // ------------------------------------------------------------ registry
@@ -563,7 +592,8 @@ object Queries {
     "q19_topk_per_group" -> (q19TopKPerGroup _),
     "q20_agg_join" -> (q20AggJoin _),
     "q21_asof" -> (q21Asof _),
-    "q22_percentiles" -> (q22Percentiles _)
+    "q22_percentiles" -> (q22Percentiles _),
+    "q23_approx_percentiles" -> (q23ApproxPercentiles _)
   )
 
   val relationalOracles: Map[String, String] = Map(
@@ -588,7 +618,8 @@ object Queries {
     "q19_topk_per_group" -> q19Oracle,
     "q20_agg_join" -> q20Oracle,
     "q21_asof" -> q21Oracle,
-    "q22_percentiles" -> q22Oracle
+    "q22_percentiles" -> q22Oracle,
+    "q23_approx_percentiles" -> q23Oracle
   )
 
   val all: Map[String, (SparkSession, String) => DataFrame] =

@@ -428,4 +428,22 @@ class OpsSpec extends AnyFunSuite with SparkSpec {
     val f2 = Multimodal.fakeFeature("abcdef".getBytes)
     assert(f1.toSeq == f2.toSeq)
   }
+
+  test("q23: percentile_approx at gate accuracy is the rank-⌈p·N⌉ statistic") {
+    // the definitional pin behind the q23 gate: with accuracy ≥ N the
+    // Greenwald-Khanna summary is exact and returns the order statistic
+    // at rank ceil(p*N) — the same definition as DuckDB quantile_disc,
+    // which is what makes the approximate scale path hash-comparable
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val vals = Seq(3.0, 1.0, 4.0, 1.5, 9.0, 2.6, 5.3, 5.8, 9.7, 9.3, 2.3)
+    val sorted = vals.sorted
+    def atRank(p: Double): Double =
+      sorted(math.ceil(p * vals.size).toInt - 1)
+    val r = vals.toDF("v").agg(
+      percentile_approx($"v", lit(0.5), lit(1000000)).as("p50"),
+      percentile_approx($"v", lit(0.9), lit(1000000)).as("p90")).head()
+    assert(r.getDouble(0) == atRank(0.5), "p50 definition drift")
+    assert(r.getDouble(1) == atRank(0.9), "p90 definition drift")
+  }
 }
