@@ -413,25 +413,23 @@ object CorpusOps {
   // --------------------------------------------------------------- d29
   /** CURATION GATE — the filter a pipeline actually applies: the three
     * per-doc quality signals (token/length stats from d6, duplicate-
-    * shingle repetition from d20, unigram surprisal from d25) joined on
-    * doc_id into a single `keep` verdict with an explicit `drop_reason`.
-    * Composes the signal operators directly — each remains a map (or
-    * one-aggregate) stage; the composition is two equi-joins on the
-    * doc key, so the gate costs what its signals cost plus doc-id
-    * shuffles of the tiny signal rows, never the text. Surprisal rides
-    * along as a reported column (real deployments threshold it against
-    * a held-out distribution; a corpus-relative cut here would make the
-    * verdict depend on float summation order at the boundary). */
+    * shingle repetition from d20, unigram surprisal from d25) combined
+    * into a single `keep` verdict with an explicit `drop_reason`. The
+    * two predicate signals are per-row maps, so they fuse into ONE
+    * corpus scan ([[qualitySignals]] — no doc_id join to line them up);
+    * only surprisal, which genuinely needs the corpus-wide unigram
+    * distribution, costs a second pass, joined back on the doc key as
+    * tiny signal rows — never the text. Surprisal rides along as a
+    * reported column (real deployments threshold it against a held-out
+    * distribution; a corpus-relative cut here would make the verdict
+    * depend on float summation order at the boundary). */
   def d29CurationGate(spark: SparkSession, dir: String): DataFrame = {
-    val q = TextOps.d6QualityScore(spark, dir)
-      .select("doc_id", "n_tokens", "len_ok")
-    val r = FuzzyDedup.d20Repetition(spark, dir).select("doc_id", "rep_ratio")
     val s = d25Surprisal(spark, dir).select("doc_id", "surprisal")
     val pass = curationPass
     // surprisal joins LEFT: a zero-token doc has no unigram rows, but it
     // must still reach the gate (and be dropped as too_short), not
     // silently vanish from the verdict table
-    q.join(r, "doc_id").join(s, Seq("doc_id"), "left")
+    qualitySignals(spark, dir).join(s, Seq("doc_id"), "left")
       .withColumn("keep", when(pass, 1).otherwise(0))
       .withColumn("drop_reason",
         when(pass, lit(null).cast("string"))
@@ -453,6 +451,30 @@ object CorpusOps {
     * columns. */
   private[graft] def curationPass: Column =
     col("n_tokens") >= 5 && col("len_ok") === 1 && col("rep_ratio") <= 0.2
+
+  /** The curation-predicate signals — d6's token/length stats and d20's
+    * duplicate-shingle repetition — computed in ONE narrow projection
+    * over a single corpus scan. The standalone gated ops (d6, d20) each
+    * scan and tokenize the corpus themselves; composing them directly
+    * (as d29/d38 once did) pays two scans plus a doc_id exchange+join
+    * just to line the per-doc values back up. Every signal here is a
+    * per-row map, so the fuse removes a full corpus scan AND the join —
+    * at 100 TB that is the difference between reading the corpus once
+    * or twice before the gate even applies. Expressions are shared with
+    * the gated signal ops ([[TextOps.tokens]], [[graft.functions
+    * .ShingleHashes]]), so the values cannot drift from d6/d20. */
+  private def qualitySignals(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.ShingleHashes
+    val toks = tokens(col("text"))
+    val sh = ShingleHashes(toks, TextOps.hash60(col("text")) % ShingleHashes.M)
+    docs(spark, dir).select(
+      col("doc_id"),
+      size(toks).as("n_tokens"),
+      when(col("n_chars").between(150, 450), lit(1)).otherwise(lit(0))
+        .as("len_ok"),
+      round(lit(1.0) - size(array_distinct(sh)).cast("double") / size(sh), 4)
+        .as("rep_ratio"))
+  }
 
   /** The quality-signal CTE block (shingle repetition + token/length
     * stats) shared by the d29 and d38 oracles. */
@@ -498,21 +520,19 @@ object CorpusOps {
     * reads first ("where did my data go?"), gated end-to-end so the
     * STAGES' interaction — not just each op alone — is oracle-verified.
     *
-    * The funnel joins only the signals its predicate reads (d6 length
-    * stats + d20 repetition) — NOT d25 surprisal, which the d29 report
-    * carries for visibility but which never affects `keep`; pulling the
-    * full verdict table here would pay a corpus-sized token explode and
+    * The funnel computes only the signals its predicate reads
+    * ([[qualitySignals]]: d6 length stats + d20 repetition, one fused
+    * corpus scan) — NOT d25 surprisal, which the d29 report carries for
+    * visibility but which never affects `keep`; pulling the full
+    * verdict table here would pay a corpus-sized token explode and
     * join for a column the funnel immediately discards.
     *
-    * Scale shape: the signal ops' own cost plus one content-hash window
+    * Scale shape: one fused signal scan plus one content-hash window
     * over the kept subset and tiny per-stage aggregates; stage tables
     * are doc_id-only and eagerly checkpointed where consumed twice. */
   def d38Funnel(spark: SparkSession, dir: String): DataFrame = {
     val d = docs(spark, dir)
-    val q = TextOps.d6QualityScore(spark, dir)
-      .select("doc_id", "n_tokens", "len_ok")
-    val r = FuzzyDedup.d20Repetition(spark, dir).select("doc_id", "rep_ratio")
-    val kept = q.join(r, "doc_id").filter(curationPass)
+    val kept = qualitySignals(spark, dir).filter(curationPass)
       .select("doc_id").localCheckpoint()
     val surv = FuzzyDedup.representatives(d.join(kept, "doc_id"))
       .select("doc_id").localCheckpoint()
