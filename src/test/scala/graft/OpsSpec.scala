@@ -4,7 +4,7 @@ import org.apache.spark.sql.execution.SparkPlan
 import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, CartesianProductExec}
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.ops.{FuzzyDedup, Multimodal, Similarity, TextOps}
+import graft.ops.{CorpusOps, FuzzyDedup, Multimodal, Similarity, TextOps}
 
 /** LLM-pipeline operators: semantics + physical-plan guarantees on
   * sf0.001. The value-level correctness gate is the driver's DuckDB
@@ -427,6 +427,24 @@ class OpsSpec extends AnyFunSuite with SparkSpec {
     val f1 = Multimodal.fakeFeature("abcdef".getBytes)
     val f2 = Multimodal.fakeFeature("abcdef".getBytes)
     assert(f1.toSeq == f2.toSeq)
+  }
+
+  test("d29/d38 fused signals cannot drift from the gated d6/d20 ops") {
+    // d29/d38 compute their predicate signals in one fused corpus scan
+    // (CorpusOps.qualitySignals) instead of composing d6 ⋈ d20; this
+    // pins the fuse value-equal to the standalone gated ops, so a
+    // change to either formulation that forgets the other fails here
+    // before it reaches the driver gate
+    import org.apache.spark.sql.functions._
+    val fused = CorpusOps.d29CurationGate(spark, dir)
+      .select("doc_id", "n_tokens", "len_ok", "rep_ratio")
+    val composed = TextOps.d6QualityScore(spark, dir)
+      .select("doc_id", "n_tokens", "len_ok")
+      .join(FuzzyDedup.d20Repetition(spark, dir)
+        .select("doc_id", "rep_ratio"), "doc_id")
+      .select("doc_id", "n_tokens", "len_ok", "rep_ratio")
+    assert(fused.exceptAll(composed).isEmpty && composed.exceptAll(fused).isEmpty,
+      "fused qualitySignals diverged from d6 ⋈ d20")
   }
 
   test("q23: percentile_approx at gate accuracy is the rank-⌈p·N⌉ statistic") {
