@@ -17,9 +17,10 @@ import graft.Tables
   *    its bucket (expected corpus/2^bits of the data), never all rows.
   *
   * All arithmetic is promoted to double BEFORE any sum so results are
-  * engine-reproducible (float accumulation order would diverge);
-  * `functions.aggregate` folds sequentially, matching the oracle's
-  * element-order sum.
+  * engine-reproducible (float accumulation order would diverge); the
+  * cosine itself is the native [[graft.functions.CosineSim]] expression,
+  * which accumulates in element order — matching the oracle's
+  * element-order sum exactly.
   */
 object Similarity {
 
@@ -28,16 +29,16 @@ object Similarity {
       .select(col("vec_id"), col("label"),
         transform(col("embedding"), x => x.cast("double")).as("v"))
 
-  private def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
-
-  private def norm(a: Column): Column =
-    sqrt(aggregate(transform(a, x => x * x), lit(0.0), (acc, x) => acc + x))
-
   /** Cosine similarity, rounded to 4dp (the rounding absorbs any last-ulp
-    * difference between engines' summation). */
+    * difference between engines' summation). The arithmetic is the
+    * native [[graft.functions.CosineSim]] expression — one codegen'd
+    * fused loop, bit-identical to the interpreted
+    * `aggregate`/`zip_with`/`transform` HOF folds it replaced (parity
+    * test in `FunctionsSpec`): cosine runs per candidate PAIR (the
+    * bucket join's output, N·K cell assignment), the hottest arithmetic
+    * in this file. */
   private def cosine(a: Column, b: Column): Column =
-    round(dot(a, b) / (norm(a) * norm(b)), 4)
+    round(graft.functions.CosineSim(a, b), 4)
 
   /** The same cosine in DuckDB SQL (explicit formula, not
     * list_cosine_similarity, so both engines run the identical

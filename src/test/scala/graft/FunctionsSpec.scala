@@ -295,6 +295,51 @@ class FunctionsSpec extends SparkSpec {
     }
   }
 
+  test("CosineSim matches the HOF formulation bit-for-bit") {
+    import graft.functions.CosineSim
+    import org.apache.spark.sql.Column
+    // the exact aggregate/zip_with/transform folds the similarity family
+    // used before the native expression replaced them — the parity
+    // oracle (element order and arithmetic must be identical, not just
+    // close: the driver gate hashes d9/d10/d12/d14/d22 outputs)
+    def hofDot(a: Column, b: Column): Column =
+      aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+    def hofNorm(a: Column): Column =
+      sqrt(aggregate(transform(a, x => x * x), lit(0.0), (acc, x) => acc + x))
+    val e = graft.Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val probe = e.filter(col("vec_id") === 0).select(col("v").as("qv"))
+    val rows = e.crossJoin(broadcast(probe))
+      .select(col("vec_id"), CosineSim(col("v"), col("qv")).as("native"),
+        (hofDot(col("v"), col("qv")) /
+          (hofNorm(col("v")) * hofNorm(col("qv")))).as("ref"))
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(java.lang.Double.doubleToLongBits(r.getDouble(1)) ==
+        java.lang.Double.doubleToLongBits(r.getDouble(2)),
+        s"cosine mismatch vec_id=${r.getLong(0)}")
+    }
+  }
+
+  test("CosineSim edge cases: zero vector, length mismatch, null element") {
+    import spark.implicits._
+    import graft.functions.CosineSim
+    val df = Seq(
+      (0, Some(Seq(Some(0.0), Some(0.0))), Some(Seq(Some(1.0), Some(2.0)))),
+      (1, Some(Seq(Some(1.0))), Some(Seq(Some(1.0), Some(2.0)))), // mismatch
+      (2, Some(Seq(Some(1.0), None)), Some(Seq(Some(1.0), Some(2.0)))),
+      (3, None: Option[Seq[Option[Double]]], Some(Seq(Some(1.0)))))
+      .toDF("id", "a", "b")
+      .select($"id", CosineSim($"a", $"b").as("c"))
+    val got = df.collect().map(r =>
+      r.getInt(0) -> (if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
+    assert(got(0).exists(_.isNaN), "zero vector → 0/0 = NaN, like the HOFs")
+    assert(got(1).isEmpty, "length mismatch → null, like zip_with padding")
+    assert(got(2).isEmpty, "null element must poison the result")
+    assert(got(3).isEmpty)
+  }
+
   test("QuantError edge cases: zero vector, empty array, null element") {
     import spark.implicits._
     import graft.functions.QuantError
