@@ -40,7 +40,7 @@ object FuzzyDedup {
     * caught with p≈0.995 while 0.2-similar pairs collide with p≈0.16 —
     * and every candidate is then exactly verified, so false positives
     * only cost compute, never correctness. */
-  private val NumHashes = 8
+  private val NumHashes = graft.functions.MinHashSigs.NumHashes
   private val BandSize = 2
   private val NumBands = NumHashes / BandSize
 
@@ -54,15 +54,13 @@ object FuzzyDedup {
     * permutation family h_s = (A_s·h + B_s) mod M — 8× less hashing than
     * seed-concatenated md5s (measured: the md5 was the whole cost of the
     * stage). M = 2^31-1 keeps every product < 2^62 (no overflow in either
-    * engine); constants are fixed odd multipliers so the oracle
-    * reproduces values exactly. M/K1/K2 are owned by the native shingle
-    * expression ([[graft.functions.ShingleHashes]]) and aliased here for
-    * the oracle strings. */
+    * engine). M/K1/K2 are owned by the native shingle expression
+    * ([[graft.functions.ShingleHashes]]) and the permutation family by
+    * the native signature expression ([[graft.functions.MinHashSigs]]);
+    * both are aliased here for the oracle strings. */
   private val M = graft.functions.ShingleHashes.M
-  private val PermA = Seq(1103515245L, 1140671485L, 214013L, 69069L,
-    1664525L, 22695477L, 134775813L, 1099087573L)
-  private val PermB = Seq(12345L, 12820163L, 2531011L, 362437L,
-    1013904223L, 1L, 1L, 12345L)
+  private val PermA = graft.functions.MinHashSigs.PermA
+  private val PermB = graft.functions.MinHashSigs.PermB
 
   /** Rolling-hash constants for combining token hashes into 3-word
     * shingle hashes (order-sensitive polynomial; all intermediates stay
@@ -126,17 +124,17 @@ object FuzzyDedup {
     * is the same partitioning the join needs. */
   private def bandRows(df: DataFrame): DataFrame = {
     val sh = shingled(df)
-    val mhCols = (0 until NumHashes).map { s =>
-      array_min(transform(col("shingles"),
-        h => (h * PermA(s) + PermB(s)) % M)).as(s"mh$s")
-    }
-    val withMh = sh.select(col("doc_id") +: mhCols: _*)
+    // all signatures in one native pass ([[graft.functions.MinHashSigs]])
+    // instead of one interpreted array_min(transform(…)) per signature;
+    // getItem on the result is codegen'd GetArrayItem
+    val withMh = sh.select(col("doc_id"),
+      graft.functions.MinHashSigs(col("shingles")).as("mh"))
     val bandStructs = (0 until NumBands).map { b =>
       struct(
         lit(b).as("band"),
         md5(concat_ws(",",
-          col(s"mh${BandSize * b}").cast("string"),
-          col(s"mh${BandSize * b + 1}").cast("string"))).as("bh"))
+          col("mh").getItem(BandSize * b).cast("string"),
+          col("mh").getItem(BandSize * b + 1).cast("string"))).as("bh"))
     }
     withMh
       .select(col("doc_id"), explode(array(bandStructs: _*)).as("e"))

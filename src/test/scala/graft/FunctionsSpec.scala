@@ -340,6 +340,42 @@ class FunctionsSpec extends SparkSpec {
     assert(got(3).isEmpty)
   }
 
+  test("MinHashSigs matches the per-signature array_min(transform) folds") {
+    import spark.implicits._
+    import graft.functions.{MinHashSigs, ShingleHashes}
+    val m = ShingleHashes.M
+    // the exact HOF formulation bandRows used before the native
+    // expression — exact long arithmetic, so equality is literal
+    val rnd = new scala.util.Random(11)
+    val rows = (0 until 200).map { i =>
+      (i, Seq.fill(1 + rnd.nextInt(40))(rnd.nextLong().abs % m))
+    }
+    val refCols = (0 until MinHashSigs.NumHashes).map { s =>
+      array_min(transform($"hs",
+        h => (h * MinHashSigs.PermA(s) + MinHashSigs.PermB(s)) % m)).as(s"r$s")
+    }
+    val got = rows.toDF("id", "hs")
+      .select(col("id") +: MinHashSigs($"hs").as("native") +: refCols: _*)
+      .collect()
+    got.foreach { r =>
+      val native = r.getSeq[Long](1)
+      (0 until MinHashSigs.NumHashes).foreach { s =>
+        assert(native(s) == r.getLong(2 + s), s"id=${r.getInt(0)} sig=$s")
+      }
+    }
+    // edge cases: empty array and null-only array → null (array_min
+    // would yield a null per signature); null elements are skipped
+    val edge = Seq(
+      (0, Some(Seq.empty[Option[Long]])),
+      (1, Some(Seq(None: Option[Long]))),
+      (2, Some(Seq(Some(7L), None))),
+      (3, None: Option[Seq[Option[Long]]]))
+      .toDF("id", "hs").select($"id", MinHashSigs($"hs").as("n")).collect()
+      .map(r => r.getInt(0) -> r.isNullAt(1)).toMap
+    assert(edge(0) && edge(1) && edge(3))
+    assert(!edge(2), "null elements are skipped, not poisoning")
+  }
+
   test("QuantError edge cases: zero vector, empty array, null element") {
     import spark.implicits._
     import graft.functions.QuantError
