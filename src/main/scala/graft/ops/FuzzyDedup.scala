@@ -370,7 +370,8 @@ object FuzzyDedup {
     // tiny but feeds BOTH sides of the band self-join — without it the
     // tokenize+hash scan runs twice
     val fp = representatives(docs(spark, dir))
-      .withColumn("hs", transform(TextOps.tokens(col("text")), t => TextOps.hash60(t)))
+      .withColumn("hs",
+        graft.functions.TokenHashes(TextOps.tokens(col("text")), 0L))
       .select(col("doc_id"), simhashOf(col("hs")).as("simhash"))
       .localCheckpoint()
 
