@@ -176,7 +176,13 @@ object CorpusOps {
     * = 1-row broadcast; the per-token probability lookup is an equi-join
     * on term over the exploded stream (broadcastable vocab); the per-doc
     * mean is one partial-agg'd shuffle on doc_id. The document text
-    * itself never shuffles. */
+    * itself never shuffles. The token stream is intentionally derived
+    * TWICE from the columnar source rather than collapsed to a
+    * checkpointed (doc, term, tf) table as d24 does: measured at sf0.1
+    * the materialization costs more than the re-scan here
+    * (0.65 → 0.96 s — d24's checkpoint pays off only because THREE
+    * consumers reuse it), the same trade d2 documents for its shingle
+    * stage. Revisit if the corpus-to-local-disk ratio changes. */
   def d25Surprisal(spark: SparkSession, dir: String): DataFrame = {
     val tok = docs(spark, dir)
       .select(col("doc_id"), explode(tokens(lower(col("text")))).as("term"))
