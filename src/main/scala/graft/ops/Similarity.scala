@@ -27,7 +27,10 @@ object Similarity {
   private def emb(spark: SparkSession, dir: String): DataFrame =
     Tables.load(spark, dir, "embeddings")
       .select(col("vec_id"), col("label"),
-        transform(col("embedding"), x => x.cast("double")).as("v"))
+        // array cast, not transform(_.cast): Cast widens float→double
+        // element-wise inside codegen; the HOF form is an interpreted
+        // lambda per element on every row of the store
+        col("embedding").cast("array<double>").as("v"))
 
   /** Cosine similarity, rounded to 4dp (the rounding absorbs any last-ulp
     * difference between engines' summation). The arithmetic is the

@@ -429,6 +429,30 @@ class OpsSpec extends AnyFunSuite with SparkSpec {
     assert(f1.toSeq == f2.toSeq)
   }
 
+  test("hot-path plans carry no interpreted higher-order functions") {
+    // Spark's array HOFs (transform/aggregate/zip_with/filter) are
+    // CodegenFallback — every lambda application interpreted. The
+    // per-element hot paths all moved to native expressions
+    // (TokenHashes, ShingleHashes, BigramHashes, SimHash48, QuantError,
+    // CosineSim, MinHashSigs); this pins that no HOF sneaks back into
+    // the plans where per-element cost is the operator's dominant term
+    import org.apache.spark.sql.catalyst.expressions.HigherOrderFunction
+    val hot = Seq(
+      "d2" -> FuzzyDedup.d2MinhashDedup(spark, dir),
+      "d3" -> FuzzyDedup.d3Simhash(spark, dir),
+      "d9" -> Similarity.d9CosineTopk(spark, dir),
+      "d12" -> Similarity.d12EmbeddingDedup(spark, dir),
+      "d41" -> graft.ops.CorpusOps.d41BigramSurprisal(spark, dir),
+      "d42" -> Similarity.d42Quantization(spark, dir))
+    hot.foreach { case (name, df) =>
+      val found = collectPlans(df.queryExecution.executedPlan)
+        .flatMap(_.expressions.flatMap(_.collect {
+          case h: HigherOrderFunction => h.prettyName
+        }))
+      assert(found.isEmpty, s"$name plan contains interpreted HOFs: $found")
+    }
+  }
+
   test("d29/d38 fused signals cannot drift from the gated d6/d20 ops") {
     // d29/d38 compute their predicate signals in one fused corpus scan
     // (CorpusOps.qualitySignals) instead of composing d6 ⋈ d20; this
