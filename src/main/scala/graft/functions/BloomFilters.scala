@@ -32,10 +32,19 @@ object BloomFilters {
 
   /** Distributed bloom-filter build over a LONG column, serialized for
     * embedding as a literal. The aggregation runs as a Spark job (the
-    * driver receives only the merged sketch bytes, never rows). */
+    * driver receives only the merged sketch bytes, never rows).
+    *
+    * `expectedItems <= 0` (a zero-row build side — day one of an
+    * incremental pipeline) returns an explicitly-created empty filter:
+    * `stat.bloomFilter` over zero rows yields a sketch whose bit buffer
+    * was never allocated and NPEs on serialization, while an empty
+    * filter with real (all-zero) bits probes false for every value —
+    * exactly "nothing is in the empty set". */
   def buildLong(df: DataFrame, colName: String, expectedItems: Long,
       fpp: Double): Array[Byte] =
-    serialize(df.stat.bloomFilter(colName, math.max(expectedItems, 1L), fpp))
+    serialize(
+      if (expectedItems <= 0L) BloomFilter.create(1L, fpp)
+      else df.stat.bloomFilter(colName, expectedItems, fpp))
 
   def serialize(bf: BloomFilter): Array[Byte] = {
     val bos = new ByteArrayOutputStream()

@@ -413,5 +413,12 @@ class FunctionsSpec extends SparkSpec {
     val non = (0L until 2000L).map(i => i * 7919L + 3L).toDF("v")
     val fp = non.filter(BloomFilters.mightContainLong(bytes, col("v"))).count()
     assert(fp < 200L, s"false-positive rate ${fp / 2000.0} far above fpp=0.01")
+    // a zero-row build (day-one incremental run) serializes cleanly and
+    // probes false for everything — stat.bloomFilter alone would NPE
+    val emptyBytes = BloomFilters.buildLong(
+      df.limit(0), "v", 0L, 0.01)
+    val anyHit = df.filter(
+      BloomFilters.mightContainLong(emptyBytes, col("v"))).count()
+    assert(anyHit == 0L, "empty bloom filter must match nothing")
   }
 }
