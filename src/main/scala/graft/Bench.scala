@@ -39,13 +39,28 @@ object Bench {
           Some(Option(e.getMessage).getOrElse(e.getClass.getName).take(200))
       }
 
-    names.foreach(runOnce) // warmup (untimed)
+    // Several ops localCheckpoint() intermediates; the blocks outlive the
+    // query (freed only when the driver GCs the RDD handle), so over a
+    // 70-query run they pile up in the block manager and later queries
+    // inherit eviction/GC pressure from earlier ones — measured as
+    // occasional 3x outliers (e.g. d34 0.7 s alone vs 2.9 s mid-suite).
+    // Dropping them between queries (untimed) makes timings independent.
+    // Blocking so the removal work lands in the untimed gap, not under
+    // the next query.
+    def releaseCheckpoints(): Unit =
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = true))
+
+    names.foreach { n => runOnce(n); releaseCheckpoints() } // warmup (untimed)
 
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
     val times = names.flatMap { name =>
       val t0 = System.nanoTime()
-      runOnce(name) match {
-        case None => Some(name -> (System.nanoTime() - t0) / 1e9)
+      val r = runOnce(name)
+      val dt = (System.nanoTime() - t0) / 1e9
+      releaseCheckpoints()
+      r match {
+        case None => Some(name -> dt)
         case Some(msg) => errors(name) = msg; None
       }
     }
