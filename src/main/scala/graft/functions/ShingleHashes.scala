@@ -131,9 +131,15 @@ object ShingleHashes {
   /** The DuckDB twin of this expression as a th/sh CTE block over
     * `documents`, keyed by `key` — owned HERE, beside the constants it
     * interpolates, so the shingle scheme has exactly one SQL rendering
-    * for every oracle that needs it (d29/d34/d35/d38/d40 compose it;
-    * FuzzyDedup's older oracles carry equivalent inline copies). */
-  def sqlCtes(key: String): String =
+    * for every oracle that needs it (d17/d29/d34/d35/d38/d40/d45
+    * compose it). The rolling polynomial is unrolled per window by the
+    * same fold as [[doGenCode]], so the two renderings cannot drift. */
+  def sqlCtes(key: String, window: Int = 3): String = {
+    // 1-based like DuckDB lists; alternation matches doGenCode's fold
+    val poly = (1 until window).foldLeft("th[i]") { (acc, j) =>
+      val k = if (j % 2 == 1) K1 else K2
+      s"(($acc) * $k + th[i+$j]) % $M"
+    }
     s"""th AS (
          SELECT $key, text,
            list_transform(regexp_extract_all(text, '\\S+'),
@@ -141,11 +147,12 @@ object ShingleHashes {
          FROM documents),
        sh AS (
          SELECT $key,
-           CASE WHEN len(th) >= 3
-             THEN list_transform(range(1, len(th)-1),
-                    i -> (((th[i] * $K1 + th[i+1]) % $M) * $K2 + th[i+2]) % $M)
+           CASE WHEN len(th) >= $window
+             THEN list_transform(range(1, len(th) - ${window - 2}),
+                    i -> $poly)
              ELSE [('0x'||substr(md5(text),1,15))::BIGINT % $M] END AS shingles
          FROM th)"""
+  }
 
   /** Hash assigned to a null array element (the empty-string hash):
     * the declared input type accepts `containsNull = true`, so the

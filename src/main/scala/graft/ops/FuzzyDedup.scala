@@ -446,10 +446,23 @@ object FuzzyDedup {
     * 8–13-token windows for precision. The window is a real parameter
     * of [[decontaminateTopK]] (and [[docOverlapOf]] /
     * [[bloomDecontaminate]]): same rolling-hash machinery, unrolled to
-    * the chosen length in codegen. A unit test runs window = 8 against
-    * a planted 8-token leak. */
+    * the chosen length in codegen. The production window is gated as
+    * [[d45DecontaminateW8]]; a unit test additionally runs window = 8
+    * against a planted 8-token leak. */
   def d17Decontaminate(spark: SparkSession, dir: String): DataFrame =
     decontaminateTopK(docs(spark, dir), window = 3)
+
+  /** d17 at the PRODUCTION decontamination window (8 tokens) — the
+    * precision configuration real pipelines run (3-token spans collide
+    * on generic phrasing; an 8-token verbatim match is evidence of
+    * leakage). Same plan as d17 — only the unrolled polynomial in the
+    * generated code (and the oracle SQL) is longer — so gating it pins
+    * that the window parameter reaches codegen AND the SQL twin
+    * correctly, not just the default path. */
+  def d45DecontaminateW8(spark: SparkSession, dir: String): DataFrame =
+    decontaminateTopK(docs(spark, dir), window = 8)
+
+  val d45Oracle: String = overlapTopKOracle(window = 8)
 
   /** The d17 top-20 report on an arbitrary (doc_id, source, text) frame
     * with an explicit shingle window. */
@@ -599,19 +612,16 @@ object FuzzyDedup {
     * (object vals initialize in declaration order). */
   lazy val d43Oracle: String = d17Oracle
 
-  val d17Oracle: String =
-    s"""WITH th AS (
-         SELECT doc_id, text,
-           list_transform(regexp_extract_all(text, '\\S+'),
-                          t -> ('0x'||substr(md5(t),1,15))::BIGINT % $M) AS th
-         FROM documents),
-       sh AS (
-         SELECT doc_id,
-           CASE WHEN len(th) >= 3
-             THEN list_transform(range(1, len(th)-1),
-                    i -> (((th[i] * $K1 + th[i+1]) % $M) * $K2 + th[i+2]) % $M)
-             ELSE [('0x'||substr(md5(text),1,15))::BIGINT % $M] END AS shingles
-         FROM th),
+  val d17Oracle: String = overlapTopKOracle(window = 3)
+
+  /** The d17-shape top-20 overlap report as DuckDB SQL at an arbitrary
+    * shingle window — the th/sh CTEs come from
+    * [[graft.functions.ShingleHashes.sqlCtes]] (one rendering of the
+    * shingle scheme, unrolled per window), the report query is shared
+    * verbatim between the gated 3-token default (d17/d43) and the
+    * 8-token production precision config (d45). */
+  private def overlapTopKOracle(window: Int): String =
+    s"""WITH ${graft.functions.ShingleHashes.sqlCtes("doc_id", window)},
        s2 AS (SELECT doc_id, list_distinct(shingles) AS s FROM sh),
        ex AS (SELECT doc_id, unnest(s) AS sh FROM s2),
        bench AS (SELECT DISTINCT sh FROM ex WHERE doc_id < 5),
@@ -823,6 +833,7 @@ object FuzzyDedup {
     "d17_decontaminate" -> (d17Decontaminate _),
     "d40_contamination_by_source" -> (d40ContaminationBySource _),
     "d43_bloom_decontaminate" -> (d43BloomDecontaminate _),
+    "d45_decontaminate_w8" -> (d45DecontaminateW8 _),
     "d20_repetition" -> (d20Repetition _)
   )
 
@@ -836,6 +847,7 @@ object FuzzyDedup {
     "d17_decontaminate" -> d17Oracle,
     "d40_contamination_by_source" -> d40Oracle,
     "d43_bloom_decontaminate" -> d43Oracle,
+    "d45_decontaminate_w8" -> d45Oracle,
     "d20_repetition" -> d20Oracle
   )
 }
