@@ -1,0 +1,247 @@
+package graft.ops
+
+/** Pure-JVM decoders for the uncompressed media containers — the part
+  * of the multimodal decode step that does NOT need a codec library.
+  *
+  * [[Multimodal.decodeFrames]] dispatches on magic bytes: RIFF/WAVE
+  * PCM audio and binary Netpbm (P5 grayscale / P6 RGB) images decode
+  * for real here — sample-accurate, header-tolerant, no dependencies —
+  * while compressed formats (JPEG/PNG/MP3/MP4…), which genuinely
+  * require external codecs absent from this environment, fall through
+  * to the labeled byte-statistics stub. Everything is allocation-lean
+  * and partition-local: these run inside `mapPartitions` over blob
+  * iterators, so no method here may touch Spark or retain state.
+  *
+  * All formats parsed are public specifications: RIFF/WAVE chunk
+  * layout (Microsoft/IBM WAVE format, 1991) and the netpbm P5/P6
+  * headers (pgm(5)/ppm(5) man pages). Luminance uses the Rec.601
+  * weights (0.299 R + 0.587 G + 0.114 B).
+  */
+object MediaCodecs {
+
+  /** Samples per audio analysis frame (mono, after channel mix-down).
+    * ~23 ms at 44.1 kHz — the usual short-time analysis window. */
+  val AudioFrameSamples = 1024
+
+  // ------------------------------------------------------------- sniff
+
+  /** Modality actually decodable from the payload's own magic bytes —
+    * `Some("audio"|"image")` for the real decoders, `None` → stub. */
+  def sniff(data: Array[Byte]): Option[String] =
+    if (isWav(data)) Some("audio")
+    else if (isNetpbm(data)) Some("image")
+    else None
+
+  def isWav(d: Array[Byte]): Boolean =
+    d.length >= 12 &&
+      d(0) == 'R' && d(1) == 'I' && d(2) == 'F' && d(3) == 'F' &&
+      d(8) == 'W' && d(9) == 'A' && d(10) == 'V' && d(11) == 'E'
+
+  def isNetpbm(d: Array[Byte]): Boolean =
+    d.length >= 2 && d(0) == 'P' && (d(1) == '5' || d(1) == '6')
+
+  // --------------------------------------------------------- WAV / PCM
+
+  /** Decoded PCM stream: normalized mono samples in [-1, 1]. */
+  final case class Pcm(sampleRate: Int, channels: Int, mono: Array[Float])
+
+  private def u16(d: Array[Byte], o: Int): Int =
+    (d(o) & 0xff) | ((d(o + 1) & 0xff) << 8)
+  private def u32(d: Array[Byte], o: Int): Long =
+    (d(o) & 0xffL) | ((d(o + 1) & 0xffL) << 8) |
+      ((d(o + 2) & 0xffL) << 16) | ((d(o + 3) & 0xffL) << 24)
+
+  /** Parse a RIFF/WAVE container holding integer PCM (format code 1;
+    * 8-bit unsigned or 16-bit signed little-endian, any channel count).
+    * Channels mix down to mono by averaging — frame features describe
+    * the program material, not the channel layout. Returns None for
+    * non-PCM encodings (float, ADPCM, extensible), truncated headers,
+    * or a missing fmt/data chunk — the caller falls back to the stub
+    * rather than throwing mid-partition. A data chunk longer than the
+    * remaining bytes (truncated upload) decodes the bytes present. */
+  def decodeWav(d: Array[Byte]): Option[Pcm] = {
+    if (!isWav(d)) return None
+    var off = 12
+    var fmtCode = -1; var channels = 0; var rate = 0; var bits = 0
+    var dataOff = -1; var dataLen = 0
+    while (off + 8 <= d.length) {
+      val size = u32(d, off + 4).toInt
+      val body = off + 8
+      val id = new String(d, off, 4, java.nio.charset.StandardCharsets.US_ASCII)
+      id match {
+        case "fmt " if body + 16 <= d.length =>
+          fmtCode = u16(d, body)
+          channels = u16(d, body + 2)
+          rate = u32(d, body + 4).toInt
+          bits = u16(d, body + 14)
+        case "data" =>
+          dataOff = body
+          dataLen = math.max(0, math.min(size, d.length - body))
+        case _ => // skip unknown chunks (LIST, fact, …)
+      }
+      // chunks are word-aligned: odd sizes carry a pad byte
+      off = body + size + (size & 1)
+    }
+    if (fmtCode != 1 || channels <= 0 || rate <= 0 || dataOff < 0 ||
+        (bits != 8 && bits != 16)) return None
+    val bytesPerSample = bits / 8
+    val frameStride = bytesPerSample * channels
+    val nFrames = dataLen / frameStride
+    val mono = new Array[Float](nFrames)
+    var i = 0
+    while (i < nFrames) {
+      var acc = 0f
+      var c = 0
+      while (c < channels) {
+        val o = dataOff + i * frameStride + c * bytesPerSample
+        acc +=
+          (if (bits == 16) (u16(d, o).toShort.toInt / 32768.0f)
+           else (((d(o) & 0xff) - 128) / 128.0f)) // 8-bit WAV is unsigned
+        c += 1
+      }
+      mono(i) = acc / channels
+      i += 1
+    }
+    Some(Pcm(rate, channels, mono))
+  }
+
+  /** Short-time features of one mono frame — [mean, rms, peak, zero-
+    * crossing rate, rms of each temporal quarter]. Exactly
+    * [[Multimodal.FeatureDim]] wide so the decoded frames drop into the
+    * same `Frame` rows the stub produces. */
+  def audioFeature(s: Array[Float], from: Int, until: Int): Array[Float] = {
+    val n = until - from
+    val f = new Array[Float](8)
+    if (n <= 0) return f
+    var sum = 0.0; var sq = 0.0; var peak = 0.0; var zc = 0
+    var i = from
+    while (i < until) {
+      val x = s(i)
+      sum += x; sq += x * x
+      if (math.abs(x) > peak) peak = math.abs(x)
+      if (i > from && (s(i - 1) >= 0) != (x >= 0)) zc += 1
+      i += 1
+    }
+    f(0) = (sum / n).toFloat
+    f(1) = math.sqrt(sq / n).toFloat
+    f(2) = peak.toFloat
+    f(3) = if (n > 1) zc.toFloat / (n - 1) else 0f
+    var q = 0
+    while (q < 4) {
+      val a = from + (n.toLong * q / 4).toInt
+      val b = from + (n.toLong * (q + 1) / 4).toInt
+      var e = 0.0; var j = a
+      while (j < b) { e += s(j) * s(j); j += 1 }
+      f(4 + q) = if (b > a) math.sqrt(e / (b - a)).toFloat else 0f
+      q += 1
+    }
+    f
+  }
+
+  /** All analysis frames of a decoded WAV: tumbling
+    * [[AudioFrameSamples]]-sample windows (a short trailing window is
+    * kept — silence-padding would bias its rms). */
+  def wavFrames(pcm: Pcm): Iterator[Array[Float]] = {
+    val n = pcm.mono.length
+    if (n == 0) Iterator.empty
+    else (0 until n by AudioFrameSamples).iterator.map { a =>
+      audioFeature(pcm.mono, a, math.min(a + AudioFrameSamples, n))
+    }
+  }
+
+  // ------------------------------------------------------ Netpbm P5/P6
+
+  /** Decoded raster: luminance plane in [0, 1], row-major. */
+  final case class Raster(width: Int, height: Int, lum: Array[Float])
+
+  /** Parse binary PGM (P5) / PPM (P6): header of magic, width, height,
+    * maxval separated by whitespace with `#` comments, then raw
+    * samples — 1 byte each for maxval < 256, 2 bytes big-endian up to
+    * 65535 (per the netpbm spec). P6 triples reduce to Rec.601
+    * luminance. None on malformed/truncated input (caller stubs). */
+  def decodeNetpbm(d: Array[Byte]): Option[Raster] = {
+    if (!isNetpbm(d)) return None
+    val rgb = d(1) == '6'
+    var off = 2
+
+    // netpbm header tokens: fields separated by whitespace; '#' starts
+    // a comment running to end-of-line, legal between any two fields
+    def nextInt(): Int = {
+      while (off < d.length &&
+          (d(off) == ' ' || d(off) == '\t' || d(off) == '\n' ||
+           d(off) == '\r' || d(off) == '#')) {
+        if (d(off) == '#') {
+          while (off < d.length && d(off) != '\n') off += 1
+        } else off += 1
+      }
+      var v = -1
+      while (off < d.length && d(off) >= '0' && d(off) <= '9') {
+        v = (if (v < 0) 0 else v) * 10 + (d(off) - '0')
+        off += 1
+      }
+      v
+    }
+
+    val w = nextInt(); val h = nextInt(); val maxval = nextInt()
+    if (w <= 0 || h <= 0 || maxval <= 0 || maxval > 65535) return None
+    off += 1 // exactly ONE whitespace byte after maxval, per spec
+    val wide = maxval > 255
+    val bytesPerSample = if (wide) 2 else 1
+    val samplesPerPx = if (rgb) 3 else 1
+    val need = w.toLong * h * samplesPerPx * bytesPerSample
+    if (off + need > d.length) return None
+
+    def sample(o: Int): Float = {
+      val raw =
+        if (wide) ((d(o) & 0xff) << 8) | (d(o + 1) & 0xff)
+        else d(o) & 0xff
+      raw.toFloat / maxval
+    }
+
+    val lum = new Array[Float](w * h)
+    var p = 0
+    while (p < w * h) {
+      val o = off + p * samplesPerPx * bytesPerSample
+      lum(p) =
+        if (rgb)
+          0.299f * sample(o) + 0.587f * sample(o + bytesPerSample) +
+            0.114f * sample(o + 2 * bytesPerSample)
+        else sample(o)
+      p += 1
+    }
+    Some(Raster(w, h, lum))
+  }
+
+  /** Whole-image feature — [mean, stddev, min, max, quadrant means
+    * (TL, TR, BL, BR)]. One frame per still image. */
+  def imageFeature(r: Raster): Array[Float] = {
+    val f = new Array[Float](8)
+    val n = r.lum.length
+    if (n == 0) return f
+    var sum = 0.0; var sq = 0.0
+    var mn = Float.MaxValue; var mx = Float.MinValue
+    val qSum = new Array[Double](4)
+    val qN = new Array[Int](4)
+    var i = 0
+    while (i < n) {
+      val x = r.lum(i)
+      sum += x; sq += x * x
+      if (x < mn) mn = x
+      if (x > mx) mx = x
+      val q = (if ((i / r.width) * 2 >= r.height) 2 else 0) +
+        (if ((i % r.width) * 2 >= r.width) 1 else 0)
+      qSum(q) += x; qN(q) += 1
+      i += 1
+    }
+    val mean = sum / n
+    f(0) = mean.toFloat
+    f(1) = math.sqrt(math.max(0.0, sq / n - mean * mean)).toFloat
+    f(2) = mn; f(3) = mx
+    var q = 0
+    while (q < 4) {
+      f(4 + q) = if (qN(q) > 0) (qSum(q) / qN(q)).toFloat else 0f
+      q += 1
+    }
+    f
+  }
+}

@@ -9,14 +9,19 @@ import graft.Tables
   * `binary` columns with typed metadata, plus decode/feature-extract
   * plumbing (BASELINE.json north-star "multimodal columns").
   *
-  * The container has no media codecs, so the DECODE step is a
-  * deterministic stub (see [[Multimodal.fakeFeature]]) behind a real
-  * Spark pipeline: the schema, the partition-preserving flatMap batch
-  * shape, and the per-frame output layout are exactly what a JNI/FFmpeg
-  * decoder would slot into — swap `fakeFeature` for the real kernel and
-  * nothing else changes. Blobs here are derived from `documents.text`
-  * (UTF-8 bytes) since the test tables carry no real media; at 100 TB the
-  * binary column arrives from parquet the same way.
+  * The decode step dispatches on the payload's own magic bytes
+  * ([[MediaCodecs.sniff]]): RIFF/WAVE PCM audio and binary Netpbm
+  * (P5/P6) images decode FOR REAL — pure-JVM, sample-accurate, no
+  * codec library ([[MediaCodecs]]). Compressed formats (JPEG/PNG/MP3/
+  * MP4…), which genuinely require external codecs absent from this
+  * container, fall through to the deterministic byte-statistics stub
+  * ([[Multimodal.fakeFeature]]) behind the same Spark pipeline: the
+  * schema, the partition-preserving flatMap batch shape, and the
+  * per-frame output layout are exactly what a JNI/FFmpeg decoder slots
+  * into — add the codec branch and nothing else changes. Blobs in the
+  * gated d11 are derived from `documents.text` (UTF-8 bytes) since the
+  * test tables carry no real media; at 100 TB the binary column
+  * arrives from parquet the same way.
   *
   * Scale notes: frames explode rows ~byte_len/FrameBytes ×, so the decode
   * stage must run AFTER any filtering/dedup (cheapest-first), and
@@ -34,11 +39,13 @@ object Multimodal {
   val FrameBytes = 256
   val FeatureDim = 8
 
-  /** STUB DECODER — deterministic fake standing in for the real
-    * image/audio/video kernel (not available in this environment).
-    * Produces an 8-float feature from byte statistics of one frame-sized
-    * chunk; replace with the real decode+embed call at the integration
-    * point in [[decodeFrames]]. */
+  /** STUB DECODER — deterministic fake standing in for the COMPRESSED-
+    * format kernels (JPEG/PNG/MP3/MP4…, which need codec libraries not
+    * available in this environment). Produces an 8-float feature from
+    * byte statistics of one frame-sized chunk. Uncompressed formats do
+    * NOT hit this path — [[MediaCodecs]] decodes WAV/PCM and Netpbm
+    * for real; add further codec branches at the dispatch in
+    * [[decodeFrames]]. */
   def fakeFeature(chunk: Array[Byte]): Array[Float] = {
     val f = new Array[Float](FeatureDim)
     var i = 0
@@ -49,17 +56,30 @@ object Multimodal {
     f
   }
 
-  /** Frame-sample + decode: each blob becomes ceil(len/FrameBytes) frame
-    * rows. Partition-local (no shuffle), streaming over the iterator —
-    * the batch shape a vectorized decoder needs. */
+  /** Frame-sample + decode, dispatched on the payload's magic bytes:
+    * WAV/PCM → tumbling ~23 ms windows of short-time audio features;
+    * Netpbm stills → one frame of luminance statistics; anything else
+    * (compressed codecs) → byte-statistics stub over FrameBytes chunks.
+    * Partition-local (no shuffle), streaming over the iterator — the
+    * batch shape a vectorized decoder needs. Malformed payloads of a
+    * recognized container (truncated header, non-PCM encoding) fall
+    * back to the stub rather than failing the task: ingest jobs meet
+    * corrupt media as a matter of course, and a poison blob must cost
+    * one bad row, not the stage. */
   def decodeFrames(blobs: Dataset[MediaBlob]): Dataset[Frame] = {
     import blobs.sparkSession.implicits._
     blobs.mapPartitions { it =>
       it.flatMap { m =>
-        // integration point: real decoder consumes m.data per modality
-        m.data.grouped(FrameBytes).zipWithIndex.map { case (chunk, idx) =>
-          Frame(m.doc_id, idx, fakeFeature(chunk))
+        val real: Option[Iterator[Array[Float]]] = MediaCodecs.sniff(m.data) match {
+          case Some("audio") => MediaCodecs.decodeWav(m.data).map(MediaCodecs.wavFrames)
+          case Some("image") =>
+            MediaCodecs.decodeNetpbm(m.data)
+              .map(r => Iterator.single(MediaCodecs.imageFeature(r)))
+          case _ => None
         }
+        val frames = real.getOrElse(
+          m.data.grouped(FrameBytes).map(fakeFeature))
+        frames.zipWithIndex.map { case (f, idx) => Frame(m.doc_id, idx, f) }
       }
     }
   }

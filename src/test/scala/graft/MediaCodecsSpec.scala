@@ -1,0 +1,174 @@
+package graft
+
+import java.io.ByteArrayOutputStream
+import java.nio.{ByteBuffer, ByteOrder}
+import java.nio.charset.StandardCharsets.US_ASCII
+
+import graft.ops.{MediaCodecs, Multimodal}
+
+/** Real-decoder coverage: WAV/PCM and Netpbm payloads are synthesized
+  * byte-by-byte here (no fixtures, no codec libs) and every decoded
+  * value is checked against independent arithmetic. */
+class MediaCodecsSpec extends SparkSpec {
+
+  // ------------------------------------------------------ synthesizers
+
+  /** Standard RIFF/WAVE with integer PCM interleaved samples; optional
+    * extra chunk before `data` to exercise chunk skipping/padding. */
+  private def wav(rate: Int, bits: Int, channels: Seq[Array[Int]],
+      extraChunk: Option[(String, Array[Byte])] = None): Array[Byte] = {
+    val n = channels.head.length
+    val bytesPer = bits / 8
+    val data = ByteBuffer.allocate(n * channels.size * bytesPer)
+      .order(ByteOrder.LITTLE_ENDIAN)
+    for (i <- 0 until n; ch <- channels) {
+      if (bits == 16) data.putShort(ch(i).toShort)
+      else data.put((ch(i) & 0xff).toByte) // 8-bit: unsigned 0..255
+    }
+    val out = new ByteArrayOutputStream()
+    def le16(v: Int) = { out.write(v & 0xff); out.write((v >> 8) & 0xff) }
+    def le32(v: Int) = { le16(v & 0xffff); le16((v >>> 16) & 0xffff) }
+    def tag(s: String) = out.write(s.getBytes(US_ASCII))
+    val blockAlign = channels.size * bytesPer
+    val extraBytes = extraChunk.map { case (_, b) =>
+      8 + b.length + (b.length & 1) }.getOrElse(0)
+    tag("RIFF"); le32(4 + 24 + extraBytes + 8 + data.capacity()); tag("WAVE")
+    tag("fmt "); le32(16)
+    le16(1); le16(channels.size); le32(rate)
+    le32(rate * blockAlign); le16(blockAlign); le16(bits)
+    extraChunk.foreach { case (id, b) =>
+      tag(id); le32(b.length); out.write(b)
+      if ((b.length & 1) == 1) out.write(0) // RIFF word-align pad
+    }
+    tag("data"); le32(data.capacity()); out.write(data.array())
+    out.toByteArray
+  }
+
+  private def netpbm(magic: String, w: Int, h: Int, maxval: Int,
+      samples: Seq[Int], comment: Boolean = false): Array[Byte] = {
+    val out = new ByteArrayOutputStream()
+    out.write(magic.getBytes(US_ASCII))
+    out.write((if (comment) "\n# a header comment\n" else "\n").getBytes(US_ASCII))
+    out.write(s"$w $h\n$maxval\n".getBytes(US_ASCII))
+    samples.foreach { s =>
+      if (maxval > 255) { out.write((s >> 8) & 0xff); out.write(s & 0xff) }
+      else out.write(s & 0xff)
+    }
+    out.toByteArray
+  }
+
+  // -------------------------------------------------------------- WAV
+
+  test("WAV 16-bit mono: exact samples, rate, and frame features") {
+    // alternating +/-8192 → samples ±0.25, rms 0.25, zcr 1.0
+    val sq = Array.tabulate(2048)(i => if (i % 2 == 0) 8192 else -8192)
+    val pcm = MediaCodecs.decodeWav(wav(44100, 16, Seq(sq))).get
+    assert(pcm.sampleRate == 44100 && pcm.channels == 1)
+    assert(pcm.mono.length == 2048)
+    assert(pcm.mono(0) == 0.25f && pcm.mono(1) == -0.25f)
+    val frames = MediaCodecs.wavFrames(pcm).toSeq
+    assert(frames.length == 2) // 2048 / 1024
+    val f = frames.head
+    assert(math.abs(f(0)) < 1e-6, "mean of a symmetric square wave is 0")
+    assert(math.abs(f(1) - 0.25f) < 1e-6, "rms")
+    assert(f(2) == 0.25f, "peak")
+    assert(math.abs(f(3) - 1.0f) < 1e-6, "zcr: every adjacent pair flips")
+    (4 to 7).foreach(q => assert(math.abs(f(q) - 0.25f) < 1e-6, s"quarter rms $q"))
+  }
+
+  test("WAV stereo mixdown averages channels") {
+    val left = Array.fill(1024)(16384)   // +0.5
+    val right = Array.fill(1024)(-16384) // -0.5
+    val pcm = MediaCodecs.decodeWav(wav(8000, 16, Seq(left, right))).get
+    assert(pcm.channels == 2)
+    assert(pcm.mono.forall(_ == 0.0f), "L+R average to silence")
+  }
+
+  test("WAV 8-bit is unsigned with 128 as zero") {
+    val pcm = MediaCodecs.decodeWav(
+      wav(8000, 8, Seq(Array(128, 255, 0, 192)))).get
+    assert(pcm.mono(0) == 0.0f)
+    assert(math.abs(pcm.mono(1) - 127f / 128f) < 1e-6)
+    assert(pcm.mono(2) == -1.0f)
+    assert(pcm.mono(3) == 0.5f)
+  }
+
+  test("WAV chunk walk: odd-sized unknown chunk before data is skipped") {
+    val sq = Array.fill(100)(8192)
+    val bytes = wav(8000, 16, Seq(sq),
+      extraChunk = Some(("LIST", Array[Byte](1, 2, 3)))) // odd size → pad
+    val pcm = MediaCodecs.decodeWav(bytes).get
+    assert(pcm.mono.length == 100 && pcm.mono.forall(_ == 0.25f))
+  }
+
+  test("WAV rejects non-PCM, truncation, and foreign bytes") {
+    val good = wav(8000, 16, Seq(Array.fill(64)(1000)))
+    // format code 3 (IEEE float) lives at fmt body offset 0
+    val float = good.clone(); float(20) = 3
+    assert(MediaCodecs.decodeWav(float).isEmpty)
+    assert(MediaCodecs.decodeWav(good.take(16)).isEmpty)
+    assert(MediaCodecs.decodeWav("not a riff at all".getBytes).isEmpty)
+    // truncated data chunk decodes the samples actually present
+    val cut = MediaCodecs.decodeWav(good.dropRight(20)).get
+    assert(cut.mono.length == 54)
+  }
+
+  // ----------------------------------------------------------- Netpbm
+
+  test("PGM P5: header comments, exact stats and quadrant means") {
+    // 2x2: TL=0, TR=255, BL=255, BR=0 (checkerboard)
+    val img = netpbm("P5", 2, 2, 255, Seq(0, 255, 255, 0), comment = true)
+    val r = MediaCodecs.decodeNetpbm(img).get
+    assert(r.width == 2 && r.height == 2)
+    assert(r.lum.toSeq == Seq(0f, 1f, 1f, 0f))
+    val f = MediaCodecs.imageFeature(r)
+    assert(f(0) == 0.5f && math.abs(f(1) - 0.5f) < 1e-6) // mean, std
+    assert(f(2) == 0.0f && f(3) == 1.0f)                 // min, max
+    assert(f.slice(4, 8).toSeq == Seq(0f, 1f, 1f, 0f))   // quadrants
+  }
+
+  test("PPM P6: Rec.601 luminance weights") {
+    val red = netpbm("P6", 1, 1, 255, Seq(255, 0, 0))
+    assert(math.abs(MediaCodecs.decodeNetpbm(red).get.lum(0) - 0.299f) < 1e-6)
+    val grey = netpbm("P6", 1, 1, 255, Seq(100, 100, 100))
+    assert(math.abs(MediaCodecs.decodeNetpbm(grey).get.lum(0) - 100f / 255f) < 1e-4)
+  }
+
+  test("PGM 16-bit (maxval > 255) reads big-endian samples") {
+    val img = netpbm("P5", 2, 1, 65535, Seq(0, 65535))
+    val r = MediaCodecs.decodeNetpbm(img).get
+    assert(r.lum.toSeq == Seq(0f, 1f))
+  }
+
+  test("Netpbm rejects malformed headers and short payloads") {
+    assert(MediaCodecs.decodeNetpbm("P5\n0 2\n255\n".getBytes).isEmpty)
+    assert(MediaCodecs.decodeNetpbm(
+      netpbm("P5", 4, 4, 255, Seq.fill(7)(1))).isEmpty, "7 of 16 samples")
+    assert(MediaCodecs.decodeNetpbm("P5 looks like a doc".getBytes).isEmpty)
+  }
+
+  // ----------------------------------------- Spark dispatch end-to-end
+
+  test("decodeFrames dispatches per payload: real codecs + stub fallback") {
+    import spark.implicits._
+    val wavBytes = wav(8000, 16, Seq(Array.fill(3000)(8192))) // 3 windows
+    val imgBytes = netpbm("P6", 2, 2, 255, Seq.fill(12)(128))
+    val opaque = Array.fill[Byte](600)(7) // no magic → stub, 3 chunks
+    val blobs = Seq(
+      Multimodal.MediaBlob(1L, "audio", wavBytes),
+      Multimodal.MediaBlob(2L, "image", imgBytes),
+      Multimodal.MediaBlob(3L, "video", opaque)).toDS()
+    val frames = Multimodal.decodeFrames(blobs).collect().groupBy(_.doc_id)
+    assert(frames(1L).length == 3, "ceil(3000 / 1024) audio windows")
+    assert(math.abs(frames(1L).head.feature(1) - 0.25f) < 1e-6, "audio rms")
+    assert(frames(2L).length == 1, "one frame per still image")
+    assert(math.abs(frames(2L).head.feature(0) - 128f / 255f) < 1e-4)
+    assert(frames(3L).length == 3, "ceil(600 / 256) stub chunks")
+    frames.values.flatten.foreach(f =>
+      assert(f.feature.length == Multimodal.FeatureDim))
+    // a recognized-but-corrupt payload must stub, not throw
+    val broken = Seq(Multimodal.MediaBlob(4L, "audio",
+      "RIFFxxxxWAVEgarbage-no-chunks".getBytes)).toDS()
+    assert(Multimodal.decodeFrames(broken).count() == 1)
+  }
+}
