@@ -551,7 +551,13 @@ object Queries {
     * scale the answer is rank-error-bounded by design (ε = N/accuracy);
     * the gate pins the plan shape and the definitional alignment, not
     * production exactness. No rounding: both engines return the same
-    * stored element, not a computed interpolation. */
+    * stored element, not a computed interpolation.
+    *
+    * Measured trade (10× stress, 1.5 M orders): the approx path costs
+    * ~1.4× the exact sort at this scale — with accuracy ≥ group size
+    * the GK summary holds more state than the sort it replaces. Its
+    * value is bounded memory and map-side mergeability once a group no
+    * longer fits a task, not small-scale speed; at small N use q22. */
   def q23ApproxPercentiles(spark: SparkSession, dir: String): DataFrame =
     t(spark, dir, "orders")
       .groupBy("o_orderpriority")
