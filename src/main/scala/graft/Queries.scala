@@ -631,10 +631,12 @@ object Queries {
   val all: Map[String, (SparkSession, String) => DataFrame] =
     relational ++ ops.TextOps.queries ++ ops.FuzzyDedup.queries ++
       ops.Similarity.queries ++ ops.Multimodal.queries ++
-      ops.CorpusOps.queries ++ validate.ValidationQueries.queries
+      ops.CorpusOps.queries ++ ops.SqlSurface.queries ++
+      validate.ValidationQueries.queries
 
   val oracles: Map[String, String] =
     relationalOracles ++ ops.TextOps.oracles ++ ops.FuzzyDedup.oracles ++
       ops.Similarity.oracles ++ ops.Multimodal.oracles ++
-      ops.CorpusOps.oracles ++ validate.ValidationQueries.oracles
+      ops.CorpusOps.oracles ++ ops.SqlSurface.oracles ++
+      validate.ValidationQueries.oracles
 }

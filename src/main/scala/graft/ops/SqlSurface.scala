@@ -1,0 +1,75 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.Tables
+import graft.functions.GraftFunctions
+
+/** The engine's pure-SQL surface: pipelines expressed entirely as SQL
+  * text over the registered `graft_*` functions
+  * ([[graft.functions.GraftFunctions]]) and the table catalog as temp
+  * views — the path a JDBC/Thrift client or a saved SQL pipeline runs,
+  * with no Column API anywhere.
+  *
+  * Each gated query here re-expresses an already-gated Column-API
+  * operator and is pinned to THAT operator's DuckDB oracle (precedent:
+  * d43 runs against d17's oracle): the gate then proves the SQL text,
+  * the analysis-time function resolution, and the Column API all
+  * produce bit-identical results — i.e. the SQL surface is the same
+  * engine, not a parallel implementation. Scale shape is inherited
+  * from the mirrored operator (identical physical plans, pinned by
+  * `ExtensionsSpec`), so per-query scale notes live with the original.
+  */
+object SqlSurface {
+
+  private def run(spark: SparkSession, dir: String, query: String): DataFrame = {
+    GraftFunctions.register(spark) // idempotent
+    Tables.registerAll(spark, dir)
+    spark.sql(query)
+  }
+
+  // --------------------------------------------------------------- d46
+  /** d3's simhash fingerprint pipeline as one SQL statement: whitespace
+    * tokens → native 60-bit token hashes → native 48-bit simhash. Same
+    * plan as d3 (narrow map over the documents scan, both expressions
+    * inside whole-stage codegen); gated against d3's oracle. */
+  def d46SqlSimhash(spark: SparkSession, dir: String): DataFrame =
+    run(spark, dir,
+      """SELECT doc_id,
+           graft_simhash48(graft_token_hashes(
+             regexp_extract_all(text, '\\S+', 0))) AS simhash
+         FROM documents
+         ORDER BY doc_id""")
+
+  val d46Oracle: String = FuzzyDedup.d3Oracle
+
+  // --------------------------------------------------------------- d47
+  /** d9's brute-force cosine top-10 as one SQL statement: the one-row
+    * probe is broadcast (hinted, same as d9's `broadcast(probe)`), the
+    * store scan stays narrow, the fused-loop cosine runs per row inside
+    * codegen, and ORDER BY + LIMIT compile to per-partition top-k heaps
+    * (TakeOrderedAndProject — no global sort). The float→double
+    * widening is the caller-owned array CAST on the scan, exactly where
+    * the Column API puts it; gated against d9's oracle. */
+  def d47SqlCosine(spark: SparkSession, dir: String): DataFrame =
+    run(spark, dir,
+      """WITH e AS (SELECT vec_id, label,
+                      CAST(embedding AS ARRAY<DOUBLE>) AS v
+                    FROM embeddings),
+           probe AS (SELECT v AS qv FROM e WHERE vec_id = 0)
+         SELECT /*+ BROADCAST(probe) */
+           vec_id, label, round(graft_cosine_sim(v, qv), 4) AS cos_sim
+         FROM e CROSS JOIN probe
+         ORDER BY cos_sim DESC, vec_id
+         LIMIT 10""")
+
+  val d47Oracle: String = Similarity.d9Oracle
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d46_sql_simhash" -> (d46SqlSimhash _),
+    "d47_sql_cosine" -> (d47SqlCosine _))
+
+  val oracles: Map[String, String] = Map(
+    "d46_sql_simhash" -> d46Oracle,
+    "d47_sql_cosine" -> d47Oracle)
+}

@@ -10,16 +10,24 @@
  */
 package org.apache.spark.sql
 
+import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
 import org.apache.spark.sql.catalyst.expressions.Expression
 
 /** Bridge for graft's native Catalyst expressions (see
-  * `graft.functions`). Keep this object minimal: two conversions, no
-  * logic — everything interesting belongs in the expressions
-  * themselves. */
+  * `graft.functions`). Keep this object minimal: two conversions plus
+  * the registry accessor, no logic — everything interesting belongs in
+  * the expressions themselves. */
 object GraftColumns {
   def column(e: Expression): Column =
     Column(classic.ExpressionColumnNode(e))
 
   def expression(c: Column): Expression =
     classic.ColumnNodeToExpressionConverter(c.node)
+
+  /** The session's function registry (`sessionState` is `private[sql]`
+    * on the classic session — same shim rationale as above), so
+    * `graft.functions.GraftFunctions.register` can install the SQL
+    * names into a live session. */
+  def functionRegistry(spark: SparkSession): FunctionRegistry =
+    spark.asInstanceOf[classic.SparkSession].sessionState.functionRegistry
 }

@@ -1,0 +1,149 @@
+package graft
+
+import org.apache.spark.sql.{AnalysisException, SparkSession}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions._
+import graft.ops.{FuzzyDedup, Similarity, SqlSurface}
+
+/** SQL surface for the native expressions: both registration paths
+  * (live-session registry and the `spark.sql.extensions` injector),
+  * SQL↔Column parity for every registered function, argument
+  * validation, and the gated pure-SQL queries' equivalence to the
+  * Column-API operators they mirror. */
+class ExtensionsSpec extends AnyFunSuite with SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def probe = {
+    val df = spark.createDataFrame(Seq(
+      ("the quick brown fox jumps over the lazy dog",
+        Seq(0.1, -0.25, 0.3, 0.05), Seq(0.3, 0.2, -0.1, 0.6)),
+      ("ab", Seq(0.0, 0.0, 0.0, 0.0), Seq(1.0, 2.0, 3.0, 4.0))))
+      .toDF("text", "va", "vb")
+    df.createOrReplaceTempView("graft_fn_probe")
+    df
+  }
+
+  test("every registered graft_* function matches its Column-API twin") {
+    GraftFunctions.register(spark)
+    val df = probe
+    val toks = regexp_extract_all(col("text"), lit("\\S+"), lit(0))
+
+    val viaSql = spark.sql(
+      """SELECT
+           graft_token_hashes(regexp_extract_all(text, '\\S+', 0)) AS th,
+           graft_token_hashes(regexp_extract_all(text, '\\S+', 0), 1000003) AS thm,
+           graft_shingle_hashes(regexp_extract_all(text, '\\S+', 0), 7) AS sh3,
+           graft_shingle_hashes(regexp_extract_all(text, '\\S+', 0), 7, 5) AS sh5,
+           graft_chargram_hashes(text, 7) AS cg,
+           graft_bigram_hashes(graft_token_hashes(regexp_extract_all(text, '\\S+', 0))) AS bg,
+           graft_minhash_sigs(graft_shingle_hashes(regexp_extract_all(text, '\\S+', 0), 7)) AS mh,
+           graft_simhash48(graft_token_hashes(regexp_extract_all(text, '\\S+', 0))) AS simh,
+           graft_cosine_sim(va, vb) AS cos,
+           graft_quant_error(va) AS qe
+         FROM graft_fn_probe""").collect()
+
+    val viaColumns = df.select(
+      TokenHashes(toks, 0L).as("th"),
+      TokenHashes(toks, 1000003L).as("thm"),
+      ShingleHashes(toks, lit(7L)).as("sh3"),
+      ShingleHashes(toks, lit(7L), 5).as("sh5"),
+      CharGramHashes(col("text"), lit(7L)).as("cg"),
+      BigramHashes(TokenHashes(toks, 0L)).as("bg"),
+      MinHashSigs(ShingleHashes(toks, lit(7L))).as("mh"),
+      SimHash48(TokenHashes(toks, 0L)).as("simh"),
+      CosineSim(col("va"), col("vb")).as("cos"),
+      QuantError(col("va")).as("qe")).collect()
+
+    assert(viaSql.toSeq == viaColumns.toSeq)
+  }
+
+  test("wrong arity / non-literal window fail at analysis with a clear message") {
+    GraftFunctions.register(spark)
+    probe
+    val noArgs = intercept[Exception](
+      spark.sql("SELECT graft_simhash48() FROM graft_fn_probe").collect())
+    assert(noArgs.getMessage.contains("argument"))
+
+    // the window shapes the generated code — a per-row window must be
+    // refused at analysis time, not miscompiled
+    val perRow = intercept[Exception](
+      spark.sql(
+        """SELECT graft_shingle_hashes(regexp_extract_all(text, '\\S+', 0),
+                                       7, length(text))
+           FROM graft_fn_probe""").collect())
+    assert(perRow.getMessage.contains("literal integer"))
+  }
+
+  test("integral scalar args are accepted at INT width (SQL literal default)") {
+    GraftFunctions.register(spark)
+    probe
+    // 1000003 parses as INT in SQL; the builder widens it to the
+    // expression's BIGINT input so the user never writes 1000003L
+    val r = spark.sql(
+      """SELECT graft_token_hashes(regexp_extract_all(text, '\\S+', 0), 1000003) AS h
+         FROM graft_fn_probe WHERE text LIKE 'the%'""").collect()
+    assert(r.head.getSeq[Long](0).forall(h => h >= 0 && h < 1000003L))
+  }
+
+  test("a session built with GraftExtensions resolves graft_* with no manual registration") {
+    // The injector class is what `spark.sql.extensions=graft.functions.
+    // GraftExtensions` instantiates on a real cluster; that config is
+    // read from the SparkContext's conf at session build, so over the
+    // suite's SHARED context it cannot be set anymore — apply the same
+    // injector through the builder instead. The new session's registry
+    // is its own, so resolution there proves the injector ran — not a
+    // leak from other tests' register() calls on the shared session.
+    val active = SparkSession.getActiveSession
+    val default = SparkSession.getDefaultSession
+    try {
+      SparkSession.clearActiveSession()
+      SparkSession.clearDefaultSession()
+      val s2 = SparkSession.builder()
+        .master("local[2]")
+        .withExtensions(new GraftExtensions)
+        .getOrCreate()
+      assert(s2 ne spark) // a genuinely new session (shared context)
+      val r = s2.sql(
+        "SELECT graft_simhash48(graft_token_hashes(array('a', 'b', 'a')))")
+        .collect()
+      assert(r.length == 1 && !r.head.isNullAt(0))
+      // do NOT s2.stop(): the SparkContext is shared with every suite
+    } finally {
+      SparkSession.clearActiveSession()
+      SparkSession.clearDefaultSession()
+      default.foreach(SparkSession.setDefaultSession)
+      active.foreach(SparkSession.setActiveSession)
+    }
+  }
+
+  test("d46/d47 pure-SQL pipelines are row-identical to the Column-API operators") {
+    val sqlSim = SqlSurface.d46SqlSimhash(spark, dir).collect().toSeq
+    val colSim = FuzzyDedup.d3Simhash(spark, dir).collect().toSeq
+    assert(sqlSim == colSim)
+
+    val sqlCos = SqlSurface.d47SqlCosine(spark, dir).collect().toSeq
+    val colCos = Similarity.d9CosineTopk(spark, dir).collect().toSeq
+    assert(sqlCos == colCos)
+  }
+
+  test("the SQL surface compiles to the same codegen'd hot loops — no interpreted HOFs") {
+    import org.apache.spark.sql.catalyst.expressions.HigherOrderFunction
+    import org.apache.spark.sql.execution.SparkPlan
+    def plans(p: SparkPlan): Seq[SparkPlan] = p match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a +: plans(a.initialPlan)
+      case p => p +: (p.children.flatMap(plans) ++ p.subqueries.flatMap(plans))
+    }
+    Seq("d46" -> SqlSurface.d46SqlSimhash(spark, dir),
+      "d47" -> SqlSurface.d47SqlCosine(spark, dir)).foreach { case (name, df) =>
+      val found = plans(df.queryExecution.executedPlan)
+        .flatMap(_.expressions.flatMap(_.collect {
+          case h: HigherOrderFunction => h.prettyName
+        }))
+      assert(found.isEmpty, s"$name plan contains interpreted HOFs: $found")
+    }
+  }
+}
