@@ -65,11 +65,44 @@ object SqlSurface {
 
   val d47Oracle: String = Similarity.d9Oracle
 
+  // --------------------------------------------------------------- d48
+  /** d20's intra-document repetition ratio as one SQL statement:
+    * whitespace tokens → native rolling-poly 3-shingle hashes (the
+    * whole-text hash mod the shingle modulus as the short-doc
+    * fallback, exactly d20's fallback expression) → duplicate-shingle
+    * fraction. Chosen as the shingle-family SQL gate BECAUSE it is a
+    * pure narrow map (one scan, no reuse): d17/d40's shape depends on
+    * a `localCheckpoint()` of the shingle projection, which SQL text
+    * cannot express — a SQL client wanting decontamination calls the
+    * library entry point (or accepts the re-scan); pinning d20 keeps
+    * the gated SQL surface to plans that are AS GOOD as their Column
+    * twins. Gated against d20's oracle. */
+  def d48SqlRepetition(spark: SparkSession, dir: String): DataFrame =
+    run(spark, dir,
+      s"""WITH sh AS (
+           SELECT doc_id,
+             graft_shingle_hashes(
+               regexp_extract_all(text, '\\\\S+', 0),
+               CAST(conv(substring(md5(text), 1, 15), 16, 10) AS BIGINT)
+                 % ${graft.functions.ShingleHashes.M}) AS s
+           FROM documents)
+         SELECT doc_id,
+           size(s) AS n_shingles,
+           round(1.0 - CAST(size(array_distinct(s)) AS DOUBLE) / size(s), 4)
+             AS rep_ratio,
+           CASE WHEN rep_ratio > 0.2 THEN 1 ELSE 0 END AS flagged
+         FROM sh
+         ORDER BY doc_id""")
+
+  val d48Oracle: String = FuzzyDedup.d20Oracle
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d46_sql_simhash" -> (d46SqlSimhash _),
-    "d47_sql_cosine" -> (d47SqlCosine _))
+    "d47_sql_cosine" -> (d47SqlCosine _),
+    "d48_sql_repetition" -> (d48SqlRepetition _))
 
   val oracles: Map[String, String] = Map(
     "d46_sql_simhash" -> d46Oracle,
-    "d47_sql_cosine" -> d47Oracle)
+    "d47_sql_cosine" -> d47Oracle,
+    "d48_sql_repetition" -> d48Oracle)
 }

@@ -119,7 +119,7 @@ class ExtensionsSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
-  test("d46/d47 pure-SQL pipelines are row-identical to the Column-API operators") {
+  test("d46–d48 pure-SQL pipelines are row-identical to the Column-API operators") {
     val sqlSim = SqlSurface.d46SqlSimhash(spark, dir).collect().toSeq
     val colSim = FuzzyDedup.d3Simhash(spark, dir).collect().toSeq
     assert(sqlSim == colSim)
@@ -127,6 +127,10 @@ class ExtensionsSpec extends AnyFunSuite with SparkSpec {
     val sqlCos = SqlSurface.d47SqlCosine(spark, dir).collect().toSeq
     val colCos = Similarity.d9CosineTopk(spark, dir).collect().toSeq
     assert(sqlCos == colCos)
+
+    val sqlRep = SqlSurface.d48SqlRepetition(spark, dir).collect().toSeq
+    val colRep = FuzzyDedup.d20Repetition(spark, dir).collect().toSeq
+    assert(sqlRep == colRep)
   }
 
   test("the SQL surface compiles to the same codegen'd hot loops — no interpreted HOFs") {
@@ -138,7 +142,8 @@ class ExtensionsSpec extends AnyFunSuite with SparkSpec {
       case p => p +: (p.children.flatMap(plans) ++ p.subqueries.flatMap(plans))
     }
     Seq("d46" -> SqlSurface.d46SqlSimhash(spark, dir),
-      "d47" -> SqlSurface.d47SqlCosine(spark, dir)).foreach { case (name, df) =>
+      "d47" -> SqlSurface.d47SqlCosine(spark, dir),
+      "d48" -> SqlSurface.d48SqlRepetition(spark, dir)).foreach { case (name, df) =>
       val found = plans(df.queryExecution.executedPlan)
         .flatMap(_.expressions.flatMap(_.collect {
           case h: HigherOrderFunction => h.prettyName
