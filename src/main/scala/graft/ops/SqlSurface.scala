@@ -22,9 +22,21 @@ import graft.functions.GraftFunctions
   */
 object SqlSurface {
 
+  /** Last directory registered as temp views, per session. Re-running
+    * `Tables.registerAll` on every query re-reads all ten parquet
+    * footers driver-side (~0.5 s — measured as 2–5× on these
+    * sub-second queries in the bench suite), so registration is
+    * memoized and repeated only when the target directory changes
+    * (the verify/test harnesses drive several scale factors through
+    * one session). */
+  private val registeredDir: java.util.Map[SparkSession, String] =
+    java.util.Collections.synchronizedMap(
+      // weak keys: don't pin dead sessions in a long-running service
+      new java.util.WeakHashMap[SparkSession, String]())
+
   private def run(spark: SparkSession, dir: String, query: String): DataFrame = {
-    GraftFunctions.register(spark) // idempotent
-    Tables.registerAll(spark, dir)
+    GraftFunctions.register(spark) // idempotent, registry-map puts only
+    if (registeredDir.put(spark, dir) != dir) Tables.registerAll(spark, dir)
     spark.sql(query)
   }
 
