@@ -112,6 +112,37 @@ object GraftFunctions {
     reg("graft_quant_error", classOf[QuantError]) {
       case Seq(vec) => QuantError(vec)
       case args => bad("graft_quant_error", "1 (vector)", args.length)
+    },
+    // The bloom build/probe pair behind d43's semi-join prefilter
+    // ([[BloomFilters]]), as SQL: build the sketch with an aggregate
+    // (typically in a scalar subquery), probe it on the scan side of
+    // the exchange. Catalyst's own expressions — the build inserts with
+    // putLong and the probe reads with mightContainLong, the same
+    // contract BloomFilters pins — but Spark registers neither in SQL
+    // (they exist for the optimizer's InjectRuntimeFilter rule, which
+    // only fires on its size/selectivity heuristics; this makes the
+    // pattern explicit). The probe's filter argument must be a constant
+    // or scalar subquery — enforced by the expression's own
+    // analysis-time check, so a per-row filter column fails loudly.
+    reg("graft_bloom_agg",
+      classOf[org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate]) {
+      case Seq(value) =>
+        new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(value)
+      case Seq(value, estItems) =>
+        new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(
+          value, toLong(estItems))
+      case Seq(value, estItems, numBits) =>
+        new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(
+          value, toLong(estItems), toLong(numBits))
+      case args =>
+        bad("graft_bloom_agg", "1 (value), 2 (value, estimated items) or 3 (value, estimated items, bits)", args.length)
+    },
+    reg("graft_bloom_might_contain",
+      classOf[org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain]) {
+      case Seq(filter, value) =>
+        org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(filter, value)
+      case args =>
+        bad("graft_bloom_might_contain", "2 (filter, value)", args.length)
     })
 
   /** Install all functions into a live session's registry. Idempotent
