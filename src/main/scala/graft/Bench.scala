@@ -13,7 +13,12 @@ import org.apache.spark.sql.SparkSession
   *  - queries run in sorted-name order (stable across JVMs — Map order
   *    is not);
   *  - a failing query is reported in an `errors` map, never as a fake
-  *    timing.
+  *    timing;
+  *  - each query is timed THREE times and the MEDIAN is reported
+  *    (VERDICT r8 "what's wrong" #1): two consecutive rounds produced
+  *    phantom 2–4x regressions on unchanged queries because a single
+  *    timed pass is defenseless against external box load landing
+  *    mid-suite; a per-query median survives one noisy window.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -47,21 +52,43 @@ object Bench {
     // Dropping them between queries (untimed) makes timings independent.
     // Blocking so the removal work lands in the untimed gap, not under
     // the next query.
-    def releaseCheckpoints(): Unit =
+    // clearCache additionally frees CACHE TABLE entries (the SQL-script
+    // queries, e.g. d49) — those live in the CacheManager, which
+    // getPersistentRDDs does not see.
+    def releaseCheckpoints(): Unit = {
       spark.sparkContext.getPersistentRDDs.values
         .foreach(_.unpersist(blocking = true))
+      spark.catalog.clearCache()
+    }
 
     names.foreach { n => runOnce(n); releaseCheckpoints() } // warmup (untimed)
 
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
+    val passes = 3
     val times = names.flatMap { name =>
-      val t0 = System.nanoTime()
-      val r = runOnce(name)
-      val dt = (System.nanoTime() - t0) / 1e9
-      releaseCheckpoints()
-      r match {
-        case None => Some(name -> dt)
-        case Some(msg) => errors(name) = msg; None
+      var lastErr: Option[String] = None
+      val samples = (1 to passes).flatMap { _ =>
+        val t0 = System.nanoTime()
+        val r = runOnce(name)
+        val dt = (System.nanoTime() - t0) / 1e9
+        releaseCheckpoints()
+        r match {
+          case None => Some(dt)
+          case Some(msg) => lastErr = Some(msg); None
+        }
+      }
+      // Median of the successful passes: robust to one contaminated
+      // window; an even count (a pass errored) averages the middle two.
+      // A query lands in `errors` only if EVERY pass failed — a query
+      // that succeeds at all is a timing, not an error.
+      if (samples.isEmpty) {
+        errors(name) = lastErr.getOrElse("unknown"); None
+      } else {
+        val s = samples.sorted
+        val mid =
+          if (s.length % 2 == 1) s(s.length / 2)
+          else (s(s.length / 2 - 1) + s(s.length / 2)) / 2
+        Some(name -> mid)
       }
     }
 

@@ -61,7 +61,14 @@ object GraftFunctions {
         "graft_shingle_hashes: the window argument must be a literal integer " +
           "(it parameterizes the generated code, it cannot vary per row)")
     else toLong(e).eval() match {
-      case l: java.lang.Long => l.toInt
+      case l: java.lang.Long =>
+        // A BIGINT literal outside Int range must fail here, not wrap:
+        // `CAST(5000000000 AS BIGINT)` silently truncating to 705032704
+        // would betray the fail-loudly-at-analysis contract.
+        if (l < 1L || l > Int.MaxValue.toLong)
+          throw new IllegalArgumentException(
+            s"graft_shingle_hashes: the window argument must be between 1 and ${Int.MaxValue}, got $l")
+        l.toInt
       case other => throw new IllegalArgumentException(
         s"graft_shingle_hashes: the window argument must be a literal integer, got $other")
     }

@@ -34,9 +34,30 @@ object SqlSurface {
       // weak keys: don't pin dead sessions in a long-running service
       new java.util.WeakHashMap[SparkSession, String]())
 
-  private def run(spark: SparkSession, dir: String, query: String): DataFrame = {
+  private def run(spark: SparkSession, dir: String, query: String): DataFrame =
+    runScript(spark, dir, Nil, query)
+
+  /** Register functions + table views, run eager SETUP statements
+    * (DDL/CACHE commands — `spark.sql` executes commands eagerly), and
+    * return the final query — the multi-statement script shape a saved
+    * SQL pipeline actually ships (views + CACHE TABLE + SELECT).
+    *
+    * The dir memo is recorded only AFTER `registerAll` succeeds: if it
+    * throws on a bad dir, the memo must not claim the dir is live, or a
+    * retry would skip registration and run against the PREVIOUS dir's
+    * views. The whole check→register→record sequence is locked so two
+    * threads sharing a session (the JDBC/Thrift audience) can't leave
+    * the views and the memo disagreeing. */
+  private def runScript(spark: SparkSession, dir: String,
+      setup: Seq[String], query: String): DataFrame = {
     GraftFunctions.register(spark) // idempotent, registry-map puts only
-    if (registeredDir.put(spark, dir) != dir) Tables.registerAll(spark, dir)
+    registeredDir.synchronized {
+      if (registeredDir.get(spark) != dir) {
+        Tables.registerAll(spark, dir)
+        registeredDir.put(spark, dir)
+      }
+    }
+    setup.foreach(spark.sql(_))
     spark.sql(query)
   }
 
@@ -83,12 +104,12 @@ object SqlSurface {
     * whole-text hash mod the shingle modulus as the short-doc
     * fallback, exactly d20's fallback expression) → duplicate-shingle
     * fraction. Chosen as the shingle-family SQL gate BECAUSE it is a
-    * pure narrow map (one scan, no reuse): d17/d40's shape depends on
-    * a `localCheckpoint()` of the shingle projection, which SQL text
-    * cannot express — a SQL client wanting decontamination calls the
-    * library entry point (or accepts the re-scan); pinning d20 keeps
-    * the gated SQL surface to plans that are AS GOOD as their Column
-    * twins. Gated against d20's oracle. */
+    * pure narrow map (one scan, no reuse): a single SQL STATEMENT
+    * cannot express d17/d40's `localCheckpoint()` reuse — pinning d20
+    * keeps the single-statement surface to plans that are AS GOOD as
+    * their Column twins. (A SQL *script* CAN express the reuse via
+    * `CACHE TABLE` — that is [[d49SqlDecontaminate]].) Gated against
+    * d20's oracle. */
   def d48SqlRepetition(spark: SparkSession, dir: String): DataFrame =
     run(spark, dir,
       s"""WITH sh AS (
@@ -108,13 +129,75 @@ object SqlSurface {
 
   val d48Oracle: String = FuzzyDedup.d20Oracle
 
+  // --------------------------------------------------------------- d49
+  /** d43's bloom-prefiltered decontamination as a pure-SQL SCRIPT —
+    * closing the one capability SQL clients previously lacked (the
+    * Scaladoc on [[d48SqlRepetition]] used to document the gap):
+    *
+    *  - the shingle projection that d43 `localCheckpoint()`s is a
+    *    `CACHE TABLE` of a temp view (eager — runs once, and every
+    *    consumer below reads the in-memory relation instead of
+    *    re-hashing the corpus ~4×);
+    *  - the benchmark sketch that d43 builds with a driver-coordinated
+    *    `df.stat.bloomFilter` job is `graft_bloom_agg` in a SCALAR
+    *    SUBQUERY — the aggregate runs as its own tiny job and its
+    *    merged sketch bytes (never rows) ride into the corpus-side
+    *    filter exactly like d43's binary literal;
+    *  - the probe is `graft_bloom_might_contain` in the WHERE of the
+    *    candidate selection — BELOW the verify join's exchange
+    *    (pinned by a plan test in `ExtensionsSpec`), so only corpus
+    *    shingles that can possibly match are shuffled;
+    *  - the exact verify join then discards the sketch's false
+    *    positives; no false negatives means the answer is bit-identical
+    *    to d17/d43 (gated against the same oracle).
+    *
+    * The estimated-items argument (100k) sizes the sketch at gate
+    * scale; a production script passes its eval-suite cardinality —
+    * either way the sketch changes the plan, never the answer. */
+  def d49SqlDecontaminate(spark: SparkSession, dir: String): DataFrame =
+    runScript(spark, dir,
+      Seq(
+        s"""CREATE OR REPLACE TEMPORARY VIEW graft_d49_shingles AS
+            SELECT doc_id,
+              array_distinct(graft_shingle_hashes(
+                regexp_extract_all(text, '\\\\S+', 0),
+                CAST(conv(substring(md5(text), 1, 15), 16, 10) AS BIGINT)
+                  % ${graft.functions.ShingleHashes.M})) AS s
+            FROM documents""",
+        "CACHE TABLE graft_d49_shingles"),
+      """WITH ex AS (
+           SELECT doc_id, explode(s) AS sh FROM graft_d49_shingles),
+         bench AS (SELECT DISTINCT sh FROM ex WHERE doc_id < 5),
+         cand AS (
+           SELECT doc_id, sh FROM ex
+           WHERE doc_id >= 5
+             AND graft_bloom_might_contain(
+                   (SELECT graft_bloom_agg(sh, 100000) FROM bench), sh)),
+         counts AS (
+           SELECT doc_id, count(*) AS n_shared
+           FROM cand JOIN bench USING (sh) GROUP BY doc_id)
+       SELECT g.doc_id,
+         coalesce(n_shared, CAST(0 AS BIGINT)) AS n_shared,
+         size(s) AS n_shingles,
+         round(CAST(coalesce(n_shared, 0) AS DOUBLE) / size(s), 4) AS overlap
+       FROM graft_d49_shingles g LEFT JOIN counts ON g.doc_id = counts.doc_id
+       WHERE g.doc_id >= 5
+       ORDER BY overlap DESC, doc_id
+       LIMIT 20""")
+
+  /** Bit-identical to the exact scan, so the oracle is d17's (the same
+    * precedent d43 set). */
+  val d49Oracle: String = FuzzyDedup.d17Oracle
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d46_sql_simhash" -> (d46SqlSimhash _),
     "d47_sql_cosine" -> (d47SqlCosine _),
-    "d48_sql_repetition" -> (d48SqlRepetition _))
+    "d48_sql_repetition" -> (d48SqlRepetition _),
+    "d49_sql_decontaminate" -> (d49SqlDecontaminate _))
 
   val oracles: Map[String, String] = Map(
     "d46_sql_simhash" -> d46Oracle,
     "d47_sql_cosine" -> d47Oracle,
-    "d48_sql_repetition" -> d48Oracle)
+    "d48_sql_repetition" -> d48Oracle,
+    "d49_sql_decontaminate" -> d49Oracle)
 }
