@@ -33,7 +33,13 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    // SPARK_GRAFT_ONLY=d15_dedup_clusters,d22_… restricts the suite —
+    // an iteration convenience (time one query without 70 others); the
+    // driver never sets it, so the gated run is always the full suite.
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val names = SparkEntry.queries.keys.toSeq.sorted
+      .filter(n => only.forall(_.contains(n)))
     def runOnce(name: String): Option[String] =
       try {
         SparkEntry.queries(name)(spark, sfDir)

@@ -17,8 +17,25 @@ import org.apache.spark.sql.functions._
   * of the label table). The compression step turns O(component
   * diameter) rounds into O(log diameter) — a 10^4-hop boilerplate-drift
   * chain converges in ~14 rounds instead of never finishing inside the
-  * round guard. Each round is localCheckpoint'd to cut lineage; the
-  * convergence probe is a count(), never a collect.
+  * round guard.
+  *
+  * Round cost (VERDICT r8 #5 — the loop is pure driver-coordinated job
+  * overhead at gate scale, so jobs and stages are the wall clock):
+  *  - the identity label table is VIRTUAL: round 1's "join labels" is
+  *    algebraically `least(s, min(dd))` grouped on the checkpointed
+  *    edge partitioning — no initial distinct-and-checkpoint job, no
+  *    round-1 join;
+  *  - the convergence probe rides ON each round's checkpoint pass as an
+  *    `observe` metric (CollectMetrics — computed while the rows are
+  *    written anyway), not a separate count job;
+  *  - convergence is detected on the MIN-PROPAGATION metric: if the min
+  *    step changed nothing, labels are constant per component (equal
+  *    across every edge by stability), so the jump is the identity and
+  *    the final round skips it entirely.
+  * Measured (sf0.1, local[32]): d15 2.48 s → ~1.9 s, same answers.
+  * (A "fused" single-job round and a two-hop jump were both tried and
+  * measured SLOWER — stage count, not job count, dominates once the
+  * probe is fused; see round-9 notes in SURVEY §8.)
   */
 object Clustering {
 
@@ -38,43 +55,64 @@ object Clustering {
       .union(pairs.select(col("b").as("s"), col("a").as("dd")))
       .repartition(col("s"))
       .localCheckpoint()
+    val labelType = edges.schema("s").dataType
 
-    var labels = edges.select(col("s").as("node")).distinct()
-      .withColumn("label", col("node"))
-      .localCheckpoint()
-    val labelType = labels.schema("label").dataType
+    var labels: DataFrame = null // round 1 uses the virtual identity table
     var changed = 1L
     var rounds = 0
     val maxRounds = 100 // with pointer jumping: reached only at diameter ~2^100
     while (changed > 0 && rounds < maxRounds) {
-      // carry each node's previous label through the aggregate (max over
-      // {prev, null…} = the unique previous value) so convergence falls
-      // out of the SAME pass — no per-round next⋈labels probe join
-      val prop = edges.join(labels, col("s") === col("node"))
-        .select(col("dd").as("node"), col("label"),
-          lit(null).cast(labelType).as("prev"))
-      // checkpointed: the jump self-join below consumes `next` twice,
-      // and ReuseExchange only dedups the shuffle write — the final
-      // aggregate would otherwise execute on both sides
-      val next = labels.select(col("node"), col("label"),
-          col("label").as("prev"))
-        .union(prop)
-        .groupBy("node").agg(min("label").as("label"), max("prev").as("prev"))
+      // min over self + neighbor labels, carrying each node's previous
+      // label through the aggregate (max over {prev, null…} = the unique
+      // previous value) so convergence falls out of the SAME pass.
+      // Round 1: labels(x) = x, so the join collapses to an aggregate
+      // straight over the edge table — `least(s, min(dd))` on the
+      // partitioning `edges` already has (both directions are present,
+      // so every node is an `s` and the self-label is the grouping key).
+      val obsProp = org.apache.spark.sql.Observation(s"cc_prop_$rounds")
+      val next = (if (labels == null)
+        edges.groupBy(col("s").as("node"))
+          .agg(least(col("s"), min(col("dd"))).as("label"),
+            col("s").as("prev"))
+      else
+        edges.join(labels, col("s") === col("node"))
+          .select(col("dd").as("node"), col("label"),
+            lit(null).cast(labelType).as("prev"))
+          .union(labels.select(col("node"), col("label"),
+            col("label").as("prev")))
+          .groupBy("node").agg(min("label").as("label"), max("prev").as("prev")))
+        // the convergence metric rides ON the checkpoint pass
+        // (CollectMetrics) — no separate count job; the checkpoint is
+        // eager, so the metric is final when `get` returns
+        .observe(obsProp,
+          sum(when(col("label") < col("prev"), 1L).otherwise(0L)).as("changed"))
+        // checkpointed: the jump self-join consumes `next` twice, and
+        // ReuseExchange only dedups the shuffle write — the aggregate
+        // would otherwise execute on both sides
         .localCheckpoint()
-      // pointer jumping: label := label(label). Every label IS a node
-      // (labels are mins over node ids), so the inner self-join is
-      // total; label(label(x)) ≤ label(x) by monotonicity, `least` only
-      // guards the invariant.
-      val jumped = next
-        .join(next.select(col("node").as("ln"), col("label").as("l2")),
-          col("label") === col("ln"))
-        .select(col("node"),
-          least(col("label"), col("l2")).as("label"), col("prev"))
-        .localCheckpoint()
-      changed = jumped.filter(col("label") < col("prev")).count()
-      labels = jumped.select("node", "label")
+      // sum over zero rows is null (empty edge set → one empty round)
+      changed = Option(obsProp.get("changed")).map(_.asInstanceOf[Long]).getOrElse(0L)
+      if (changed == 0L) {
+        // the min step moved nothing → labels are constant per component
+        // (stability forces equality across every edge), so the jump
+        // would be the identity: skip its job, we are done
+        labels = next.select("node", "label")
+      } else {
+        // pointer jumping: label := label(label). Every label IS a node
+        // (labels are mins over node ids), so the inner self-join is
+        // total; label(label(x)) ≤ label(x) by monotonicity, `least`
+        // only guards the invariant.
+        labels = next
+          .join(next.select(col("node").as("ln"), col("label").as("l2")),
+            col("label") === col("ln"))
+          .select(col("node"),
+            least(col("label"), col("l2")).as("label"))
+          .localCheckpoint()
+      }
       rounds += 1
     }
+    if (sys.env.contains("GRAFT_CC_DEBUG"))
+      System.err.println(s"[cc] converged in $rounds rounds")
     // fail LOUDLY rather than emit silently-wrong clusters: with path
     // compression, exceeding the guard needs a component of diameter
     // ~2^100 — i.e. broken input, not scale

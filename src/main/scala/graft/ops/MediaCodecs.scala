@@ -1,21 +1,27 @@
 package graft.ops
 
-/** Pure-JVM decoders for the uncompressed media containers — the part
-  * of the multimodal decode step that does NOT need a codec library.
+/** Pure-JVM decoders for media containers — the part of the multimodal
+  * decode step that does NOT need an external codec library.
   *
   * [[Multimodal.decodeFrames]] dispatches on magic bytes: RIFF/WAVE
   * PCM audio and binary Netpbm (P5 grayscale / P6 RGB) images decode
-  * for real here — sample-accurate, header-tolerant, no dependencies —
-  * while compressed formats (JPEG/PNG/MP3/MP4…), which genuinely
-  * require external codecs absent from this environment, fall through
-  * to the labeled byte-statistics stub. Everything is allocation-lean
-  * and partition-local: these run inside `mapPartitions` over blob
-  * iterators, so no method here may touch Spark or retain state.
+  * with the hand-rolled parsers here — sample-accurate,
+  * header-tolerant, no dependencies — and compressed STILL images
+  * (PNG/JPEG/GIF/BMP) decode through `javax.imageio.ImageIO`, which
+  * ships in the JDK (java.desktop) and is headless-safe for decoding.
+  * Only formats that genuinely require codecs absent from the JDK —
+  * compressed audio (MP3/FLAC/AAC) and video (MP4/AVI/MKV/WebM) — fall
+  * through to the labeled byte-statistics stub. Everything is
+  * allocation-lean and partition-local: these run inside
+  * `mapPartitions` over blob iterators, so no method here may touch
+  * Spark or retain state.
   *
-  * All formats parsed are public specifications: RIFF/WAVE chunk
-  * layout (Microsoft/IBM WAVE format, 1991) and the netpbm P5/P6
-  * headers (pgm(5)/ppm(5) man pages). Luminance uses the Rec.601
-  * weights (0.299 R + 0.587 G + 0.114 B).
+  * All formats parsed by hand are public specifications: RIFF/WAVE
+  * chunk layout (Microsoft/IBM WAVE format, 1991) and the netpbm P5/P6
+  * headers (pgm(5)/ppm(5) man pages); the PNG/JPEG/GIF/BMP magic bytes
+  * are from their respective public specs (PNG RFC 2083 §12.11, JPEG
+  * ISO/IEC 10918 SOI marker, GIF87a/89a signature, BMP "BM" header).
+  * Luminance uses the Rec.601 weights (0.299 R + 0.587 G + 0.114 B).
   */
 object MediaCodecs {
 
@@ -29,7 +35,7 @@ object MediaCodecs {
     * `Some("audio"|"image")` for the real decoders, `None` → stub. */
   def sniff(data: Array[Byte]): Option[String] =
     if (isWav(data)) Some("audio")
-    else if (isNetpbm(data)) Some("image")
+    else if (isNetpbm(data) || isImageIO(data)) Some("image")
     else None
 
   def isWav(d: Array[Byte]): Boolean =
@@ -39,6 +45,16 @@ object MediaCodecs {
 
   def isNetpbm(d: Array[Byte]): Boolean =
     d.length >= 2 && d(0) == 'P' && (d(1) == '5' || d(1) == '6')
+
+  /** Compressed still formats the JDK's own ImageIO decodes: PNG
+    * (\x89PNG), JPEG (FF D8 FF SOI), GIF ("GIF8"), BMP ("BM"). */
+  def isImageIO(d: Array[Byte]): Boolean =
+    (d.length >= 4 &&
+      (d(0) & 0xff) == 0x89 && d(1) == 'P' && d(2) == 'N' && d(3) == 'G') ||
+    (d.length >= 3 &&
+      (d(0) & 0xff) == 0xff && (d(1) & 0xff) == 0xd8 && (d(2) & 0xff) == 0xff) ||
+    (d.length >= 4 && d(0) == 'G' && d(1) == 'I' && d(2) == 'F' && d(3) == '8') ||
+    (d.length >= 2 && d(0) == 'B' && d(1) == 'M')
 
   // --------------------------------------------------------- WAV / PCM
 
@@ -149,10 +165,55 @@ object MediaCodecs {
     }
   }
 
-  // ------------------------------------------------------ Netpbm P5/P6
+  // ------------------------------------------------------------ images
 
   /** Decoded raster: luminance plane in [0, 1], row-major. */
   final case class Raster(width: Int, height: Int, lum: Array[Float])
+
+  /** Decode any supported still-image payload to a luminance raster:
+    * Netpbm by the hand-rolled parser, PNG/JPEG/GIF/BMP via the JDK's
+    * ImageIO. None when the payload is neither (caller stubs). */
+  def decodeImage(d: Array[Byte]): Option[Raster] =
+    if (isNetpbm(d)) decodeNetpbm(d)
+    else if (isImageIO(d)) decodeImageIO(d)
+    else None
+
+  /** PNG/JPEG/GIF/BMP via `javax.imageio.ImageIO` — pure JDK
+    * (java.desktop), headless-safe for DEcoding (no display or AWT
+    * event thread is touched reading pixels). The ARGB pixels ImageIO
+    * exposes reduce to the same Rec.601 luminance plane as the Netpbm
+    * path, so a PNG and a PPM of identical pixels produce identical
+    * [[imageFeature]] rows. None on malformed/truncated payloads or a
+    * magic-byte match ImageIO cannot actually parse — the caller falls
+    * back to the stub rather than throwing mid-partition. */
+  def decodeImageIO(d: Array[Byte]): Option[Raster] =
+    try {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(d))
+      if (img == null || img.getWidth <= 0 || img.getHeight <= 0) None
+      else {
+        val w = img.getWidth; val h = img.getHeight
+        // one bulk getRGB: ImageIO converts whatever the file's native
+        // layout is (palette, gray, CMYK…) to packed sRGB ARGB ints
+        val px = img.getRGB(0, 0, w, h, null, 0, w)
+        val lum = new Array[Float](w * h)
+        var i = 0
+        while (i < lum.length) {
+          val p = px(i)
+          // same float-op ORDER as the Netpbm path (weight × normalized
+          // sample), so a PNG and a PPM of the same pixels are
+          // bit-identical, not merely close
+          lum(i) = 0.299f * (((p >> 16) & 0xff) / 255.0f) +
+            0.587f * (((p >> 8) & 0xff) / 255.0f) +
+            0.114f * ((p & 0xff) / 255.0f)
+          i += 1
+        }
+        Some(Raster(w, h, lum))
+      }
+    } catch {
+      case _: java.io.IOException | _: RuntimeException => None
+    }
+
+  // ------------------------------------------------------ Netpbm P5/P6
 
   /** Parse binary PGM (P5) / PPM (P6): header of magic, width, height,
     * maxval separated by whitespace with `#` comments, then raw

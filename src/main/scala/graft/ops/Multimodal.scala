@@ -10,18 +10,20 @@ import graft.Tables
   * plumbing (BASELINE.json north-star "multimodal columns").
   *
   * The decode step dispatches on the payload's own magic bytes
-  * ([[MediaCodecs.sniff]]): RIFF/WAVE PCM audio and binary Netpbm
-  * (P5/P6) images decode FOR REAL — pure-JVM, sample-accurate, no
-  * codec library ([[MediaCodecs]]). Compressed formats (JPEG/PNG/MP3/
-  * MP4…), which genuinely require external codecs absent from this
-  * container, fall through to the deterministic byte-statistics stub
-  * ([[Multimodal.fakeFeature]]) behind the same Spark pipeline: the
-  * schema, the partition-preserving flatMap batch shape, and the
-  * per-frame output layout are exactly what a JNI/FFmpeg decoder slots
-  * into — add the codec branch and nothing else changes. Blobs in the
-  * gated d11 are derived from `documents.text` (UTF-8 bytes) since the
-  * test tables carry no real media; at 100 TB the binary column
-  * arrives from parquet the same way.
+  * ([[MediaCodecs.sniff]]): RIFF/WAVE PCM audio, binary Netpbm (P5/P6)
+  * stills, and the JDK-decodable compressed stills (PNG/JPEG/GIF/BMP
+  * via `javax.imageio.ImageIO` — pure JDK, headless-safe) decode FOR
+  * REAL ([[MediaCodecs]]). Only formats that genuinely require codecs
+  * absent from the JDK — compressed audio (MP3/FLAC) and video
+  * (MP4/AVI/MKV/WebM) — fall through to the deterministic
+  * byte-statistics stub ([[Multimodal.fakeFeature]]) behind the same
+  * Spark pipeline: the schema, the partition-preserving flatMap batch
+  * shape, and the per-frame output layout are exactly what a
+  * JNI/FFmpeg decoder slots into — add the codec branch and nothing
+  * else changes. Blobs in the gated d11 are derived from
+  * `documents.text` (UTF-8 bytes) since the test tables carry no real
+  * media; at 100 TB the binary column arrives from parquet the same
+  * way.
   *
   * Scale notes: frames explode rows ~byte_len/FrameBytes ×, so the decode
   * stage must run AFTER any filtering/dedup (cheapest-first), and
@@ -39,13 +41,13 @@ object Multimodal {
   val FrameBytes = 256
   val FeatureDim = 8
 
-  /** STUB DECODER — deterministic fake standing in for the COMPRESSED-
-    * format kernels (JPEG/PNG/MP3/MP4…, which need codec libraries not
-    * available in this environment). Produces an 8-float feature from
-    * byte statistics of one frame-sized chunk. Uncompressed formats do
-    * NOT hit this path — [[MediaCodecs]] decodes WAV/PCM and Netpbm
-    * for real; add further codec branches at the dispatch in
-    * [[decodeFrames]]. */
+  /** STUB DECODER — deterministic fake standing in for the kernels
+    * that need codec libraries the JDK lacks (compressed audio
+    * MP3/FLAC and video MP4/AVI/…). Produces an 8-float feature from
+    * byte statistics of one frame-sized chunk. Stills and PCM audio do
+    * NOT hit this path — [[MediaCodecs]] decodes WAV/PCM, Netpbm, and
+    * PNG/JPEG/GIF/BMP for real; add further codec branches at the
+    * dispatch in [[decodeFrames]]. */
   def fakeFeature(chunk: Array[Byte]): Array[Float] = {
     val f = new Array[Float](FeatureDim)
     var i = 0
@@ -58,14 +60,14 @@ object Multimodal {
 
   /** Frame-sample + decode, dispatched on the payload's magic bytes:
     * WAV/PCM → tumbling ~23 ms windows of short-time audio features;
-    * Netpbm stills → one frame of luminance statistics; anything else
-    * (compressed codecs) → byte-statistics stub over FrameBytes chunks.
-    * Partition-local (no shuffle), streaming over the iterator — the
-    * batch shape a vectorized decoder needs. Malformed payloads of a
-    * recognized container (truncated header, non-PCM encoding) fall
-    * back to the stub rather than failing the task: ingest jobs meet
-    * corrupt media as a matter of course, and a poison blob must cost
-    * one bad row, not the stage. */
+    * stills (Netpbm/PNG/JPEG/GIF/BMP) → one frame of luminance
+    * statistics; anything else (non-JDK codecs) → byte-statistics stub
+    * over FrameBytes chunks. Partition-local (no shuffle), streaming
+    * over the iterator — the batch shape a vectorized decoder needs.
+    * Malformed payloads of a recognized container (truncated header,
+    * non-PCM encoding) fall back to the stub rather than failing the
+    * task: ingest jobs meet corrupt media as a matter of course, and a
+    * poison blob must cost one bad row, not the stage. */
   def decodeFrames(blobs: Dataset[MediaBlob]): Dataset[Frame] = {
     import blobs.sparkSession.implicits._
     blobs.mapPartitions { it =>
@@ -73,7 +75,7 @@ object Multimodal {
         val real: Option[Iterator[Array[Float]]] = MediaCodecs.sniff(m.data) match {
           case Some("audio") => MediaCodecs.decodeWav(m.data).map(MediaCodecs.wavFrames)
           case Some("image") =>
-            MediaCodecs.decodeNetpbm(m.data)
+            MediaCodecs.decodeImage(m.data)
               .map(r => Iterator.single(MediaCodecs.imageFeature(r)))
           case _ => None
         }

@@ -8,7 +8,10 @@ import graft.ops.{MediaCodecs, Multimodal}
 
 /** Real-decoder coverage: WAV/PCM and Netpbm payloads are synthesized
   * byte-by-byte here (no fixtures, no codec libs) and every decoded
-  * value is checked against independent arithmetic. */
+  * value is checked against independent arithmetic; PNG/JPEG/GIF/BMP
+  * payloads are synthesized through the JDK's ImageIO writer and
+  * checked against the hand-rolled Netpbm parser and exact Rec.601
+  * arithmetic. */
 class MediaCodecsSpec extends SparkSpec {
 
   // ------------------------------------------------------ synthesizers
@@ -147,23 +150,95 @@ class MediaCodecsSpec extends SparkSpec {
     assert(MediaCodecs.decodeNetpbm("P5 looks like a doc".getBytes).isEmpty)
   }
 
+  // --------------------------------------- ImageIO (PNG/JPEG/GIF/BMP)
+
+  /** Encode pixels through the JDK's own ImageIO writer — the same
+    * library family the decoder under test uses, but the assertion
+    * target is independent arithmetic (and the hand-rolled Netpbm
+    * parser), not ImageIO round-tripping itself. */
+  private def imageIoBytes(format: String, w: Int, h: Int,
+      rgb: Seq[(Int, Int, Int)]): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var i = 0
+    for (y <- 0 until h; x <- 0 until w) {
+      val (r, g, b) = rgb(i)
+      img.setRGB(x, y, (r << 16) | (g << 8) | b)
+      i += 1
+    }
+    val out = new ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, format, out)
+    out.toByteArray
+  }
+
+  test("PNG decodes via JDK ImageIO, bit-identical to a PPM of the same pixels") {
+    val px = Seq((0, 0, 0), (255, 255, 255), (255, 0, 0), (0, 0, 255))
+    val png = imageIoBytes("png", 2, 2, px)
+    assert(MediaCodecs.isImageIO(png), "PNG magic bytes recognized")
+    assert(MediaCodecs.sniff(png).contains("image"))
+    val r = MediaCodecs.decodeImage(png).get
+    assert(r.width == 2 && r.height == 2)
+    // PNG is lossless: the raster must equal the Netpbm parser's output
+    // for the SAME pixels bit-for-bit (shared Rec.601 float-op order)
+    val ppm = netpbm("P6", 2, 2, 255, px.flatMap { case (a, b, c) => Seq(a, b, c) })
+    val rp = MediaCodecs.decodeNetpbm(ppm).get
+    assert(r.lum.toSeq == rp.lum.toSeq,
+      "PNG and PPM of identical pixels must decode bit-identically")
+    assert(MediaCodecs.imageFeature(r).toSeq ==
+      MediaCodecs.imageFeature(rp).toSeq)
+    // and the red pixel carries the exact Rec.601 red weight
+    assert(r.lum(2) == 0.299f * (255f / 255f))
+  }
+
+  test("JPEG, GIF, and BMP payloads decode with correct dimensions and tone") {
+    val grey = Seq.fill(16)((128, 128, 128))
+    Seq("jpg", "gif", "bmp").foreach { fmt =>
+      val bytes = imageIoBytes(fmt, 4, 4, grey)
+      assert(MediaCodecs.isImageIO(bytes), s"$fmt magic recognized")
+      val r = MediaCodecs.decodeImage(bytes).get
+      assert(r.width == 4 && r.height == 4, s"$fmt dimensions")
+      // jpg is lossy, gif quantizes — a flat grey field still lands
+      // within a hair of 128/255 in every format
+      val f = MediaCodecs.imageFeature(r)
+      assert(math.abs(f(0) - 128f / 255f) < 0.02, s"$fmt mean ${f(0)}")
+    }
+  }
+
+  test("corrupt compressed payloads return None, never throw") {
+    // PNG magic followed by garbage: sniffs as image, fails to parse
+    val fake = Array[Byte](0x89.toByte, 'P', 'N', 'G') ++
+      Array.fill[Byte](64)(42)
+    assert(MediaCodecs.sniff(fake).contains("image"))
+    assert(MediaCodecs.decodeImage(fake).isEmpty)
+    // a JPEG truncated mid-stream must also fail cleanly
+    val jpg = imageIoBytes("jpg", 8, 8, Seq.fill(64)((200, 10, 10)))
+    assert(MediaCodecs.decodeImage(jpg.take(jpg.length / 2)).isEmpty)
+  }
+
   // ----------------------------------------- Spark dispatch end-to-end
 
   test("decodeFrames dispatches per payload: real codecs + stub fallback") {
     import spark.implicits._
     val wavBytes = wav(8000, 16, Seq(Array.fill(3000)(8192))) // 3 windows
     val imgBytes = netpbm("P6", 2, 2, 255, Seq.fill(12)(128))
+    val pngBytes = imageIoBytes("png", 2, 2, Seq.fill(4)((128, 128, 128)))
     val opaque = Array.fill[Byte](600)(7) // no magic → stub, 3 chunks
     val blobs = Seq(
       Multimodal.MediaBlob(1L, "audio", wavBytes),
       Multimodal.MediaBlob(2L, "image", imgBytes),
-      Multimodal.MediaBlob(3L, "video", opaque)).toDS()
+      Multimodal.MediaBlob(3L, "video", opaque),
+      Multimodal.MediaBlob(4L, "image", pngBytes)).toDS()
     val frames = Multimodal.decodeFrames(blobs).collect().groupBy(_.doc_id)
     assert(frames(1L).length == 3, "ceil(3000 / 1024) audio windows")
     assert(math.abs(frames(1L).head.feature(1) - 0.25f) < 1e-6, "audio rms")
     assert(frames(2L).length == 1, "one frame per still image")
     assert(math.abs(frames(2L).head.feature(0) - 128f / 255f) < 1e-4)
     assert(frames(3L).length == 3, "ceil(600 / 256) stub chunks")
+    // the compressed still went through ImageIO, not the stub: one
+    // frame, identical features to the PPM of the same pixels
+    assert(frames(4L).length == 1, "one frame per PNG still")
+    assert(frames(4L).head.feature.toSeq == frames(2L).head.feature.toSeq,
+      "PNG and PPM of the same pixels decode to the same features")
     frames.values.flatten.foreach(f =>
       assert(f.feature.length == Multimodal.FeatureDim))
     // a recognized-but-corrupt payload must stub, not throw
