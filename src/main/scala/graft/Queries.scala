@@ -632,11 +632,13 @@ object Queries {
     relational ++ ops.TextOps.queries ++ ops.FuzzyDedup.queries ++
       ops.Similarity.queries ++ ops.Multimodal.queries ++
       ops.CorpusOps.queries ++ ops.SqlSurface.queries ++
+      streaming.StreamGates.queries ++
       validate.ValidationQueries.queries
 
   val oracles: Map[String, String] =
     relationalOracles ++ ops.TextOps.oracles ++ ops.FuzzyDedup.oracles ++
       ops.Similarity.oracles ++ ops.Multimodal.oracles ++
       ops.CorpusOps.oracles ++ ops.SqlSurface.oracles ++
+      streaming.StreamGates.oracles ++
       validate.ValidationQueries.oracles
 }
