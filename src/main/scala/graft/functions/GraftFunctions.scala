@@ -120,6 +120,10 @@ object GraftFunctions {
       case Seq(vec) => QuantError(vec)
       case args => bad("graft_quant_error", "1 (vector)", args.length)
     },
+    reg("graft_quant_codes", classOf[QuantCodes]) {
+      case Seq(vec) => QuantCodes(vec)
+      case args => bad("graft_quant_codes", "1 (vector)", args.length)
+    },
     // The bloom build/probe pair behind d43's semi-join prefilter
     // ([[BloomFilters]]), as SQL: build the sketch with an aggregate
     // (typically in a scalar subquery), probe it on the scan side of

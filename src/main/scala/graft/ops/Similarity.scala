@@ -555,6 +555,59 @@ object Similarity {
         round(avg("err"), 6).as("mean_abs_err"))
       .orderBy("label")
 
+  // --------------------------------------------------------------- d51
+  /** QUANTIZED similarity search — the d42 storage lever actually
+    * exercised: top-10 cosine for the d9 probe served from the int8
+    * CODES ([[graft.functions.QuantCodes]]) instead of the float
+    * vectors. Cosine is scale-invariant, so code-space similarity
+    * EQUALS similarity over the reconstructed `code·scale` vectors
+    * (the per-vector scale cancels); what the ranking loses vs d9 is
+    * only the rounding to 255 levels — at gate scale the top-10 set is
+    * d9's, with 4-dp similarities shifted by the quantization. A
+    * production store writes the tinyint codes and serves this query
+    * reading a quarter of the bytes.
+    *
+    * Scale shape: identical to d9 — the codes projection is a narrow
+    * codegen'd map (QuantCodes, then one array cast back to double for
+    * the fused cosine loop; both inside whole-stage codegen), the
+    * one-row probe broadcasts, ORDER BY + LIMIT compile to
+    * per-partition top-k heaps (TakeOrderedAndProject, no global
+    * sort). */
+  def d51QuantizedAnn(spark: SparkSession, dir: String): DataFrame = {
+    val c = emb(spark, dir)
+      .select(col("vec_id"), col("label"),
+        graft.functions.QuantCodes(col("v")).cast("array<double>").as("cv"))
+    val probe = c.filter(col("vec_id") === 0).select(col("cv").as("qv"))
+    c.crossJoin(broadcast(probe))
+      .select(col("vec_id"), col("label"),
+        cosine(col("cv"), col("qv")).as("cos_sim_q"))
+      .orderBy(col("cos_sim_q").desc, col("vec_id"))
+      .limit(10)
+  }
+
+  /** d9's oracle shape over the quantized codes: the same explicit
+    * quantization arithmetic as d42's oracle (floor(·+0.5), clamp),
+    * the same explicit cosine as d9's. Integer codes ≤127 over
+    * gate-sized dimensions keep every double sum exact, so engine
+    * summation order cannot move the hashes. */
+  val d51Oracle: String =
+    s"""WITH e AS (
+         SELECT vec_id, label, embedding::DOUBLE[] AS v,
+           list_max(list_transform(embedding::DOUBLE[], x -> abs(x))) / 127.0
+             AS scale
+         FROM embeddings),
+       c AS (
+         SELECT vec_id, label,
+           CASE WHEN scale > 0 THEN
+             list_transform(v, x ->
+               greatest(-127.0, least(127.0, floor(x / scale + 0.5))))
+           ELSE list_transform(v, x -> 0.0) END AS cv
+         FROM e),
+       probe AS (SELECT cv AS qv FROM c WHERE vec_id = 0)
+       SELECT vec_id, label, ${cosineSql("cv", "qv")} AS cos_sim_q
+       FROM c, probe
+       ORDER BY cos_sim_q DESC, vec_id LIMIT 10"""
+
   val d42Oracle: String =
     """WITH e AS (
          SELECT label, embedding::DOUBLE[] AS v,
@@ -601,7 +654,8 @@ object Similarity {
     "d22_embedding_clusters" -> (d22EmbeddingClusters _),
     "d36_balanced_sample" -> (d36BalancedSample _),
     "d42_quantization" -> (d42Quantization _),
-    "d44_balanced_quota" -> (d44BalancedQuota _)
+    "d44_balanced_quota" -> (d44BalancedQuota _),
+    "d51_quantized_ann" -> (d51QuantizedAnn _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -613,6 +667,7 @@ object Similarity {
     "d22_embedding_clusters" -> d22Oracle,
     "d36_balanced_sample" -> d36Oracle,
     "d42_quantization" -> d42Oracle,
-    "d44_balanced_quota" -> d44Oracle
+    "d44_balanced_quota" -> d44Oracle,
+    "d51_quantized_ann" -> d51Oracle
   )
 }

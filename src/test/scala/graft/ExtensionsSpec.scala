@@ -83,6 +83,8 @@ class ExtensionsSpec extends AnyFunSuite with SparkSpec {
         "SELECT graft_cosine_sim(array(1.0D, 0.0D), array(1.0D, 1.0D))",
       "graft_quant_error" ->
         "SELECT graft_quant_error(array(0.1D, -0.2D, 0.3D))",
+      "graft_quant_codes" ->
+        "SELECT graft_quant_codes(array(0.1D, -0.2D, 0.3D))",
       "graft_bloom_agg" ->
         "SELECT graft_bloom_agg(id) FROM range(0, 100)",
       "graft_bloom_might_contain" ->

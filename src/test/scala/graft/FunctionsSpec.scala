@@ -263,6 +263,62 @@ class FunctionsSpec extends SparkSpec {
     }
   }
 
+  test("QuantCodes matches the HOF formulation and round-trips within scale/2") {
+    import graft.functions.QuantCodes
+    import org.apache.spark.sql.Column
+    def hofScale(v: Column): Column =
+      aggregate(v, lit(0.0), (acc, x) => greatest(acc, abs(x))) / 127.0
+    // the transform formulation the native expression replaces
+    def hofCodes(v: Column): Column = {
+      val scale = hofScale(v)
+      when(scale > 0,
+        transform(v, x => greatest(lit(-127.0), least(lit(127.0),
+          floor(x / scale + 0.5))).cast("tinyint")))
+        .otherwise(transform(v, _ => lit(0).cast("tinyint")))
+    }
+    val v = col("embedding").cast("array<double>")
+    val rows = graft.Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+      .select(col("vec_id"), v.as("v"),
+        QuantCodes(v).as("codes"), hofCodes(v).as("ref"),
+        hofScale(v).as("scale"))
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val codes = r.getSeq[Byte](2)
+      assert(codes == r.getSeq[Byte](3),
+        s"code mismatch vec_id=${r.getLong(0)}")
+      // round-trip bound: |x - code*scale| <= scale/2 for every element
+      // (nearest-level quantization; the clamp never binds because the
+      // max element maps to exactly +/-127)
+      val xs = r.getSeq[Double](1)
+      val scale = r.getDouble(4)
+      xs.zip(codes).foreach { case (x, c) =>
+        assert(math.abs(x - c * scale) <= scale / 2 + 1e-12,
+          s"round-trip bound violated vec_id=${r.getLong(0)}")
+      }
+    }
+  }
+
+  test("cosine over QuantCodes equals cosine over reconstructed vectors (scale invariance)") {
+    import graft.functions.{CosineSim, QuantCodes}
+    val v = col("embedding").cast("array<double>")
+    val e = graft.Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+      .select(col("vec_id"), QuantCodes(v).cast("array<double>").as("cv"),
+        // reconstructed = code * scale, elementwise
+        transform(QuantCodes(v).cast("array<double>"),
+          c => c * (aggregate(v, lit(0.0), (a, x) => greatest(a, abs(x))) / 127.0))
+          .as("rv"))
+    val probe = e.filter(col("vec_id") === 0)
+      .select(col("cv").as("qcv"), col("rv").as("qrv"))
+    val rows = e.crossJoin(broadcast(probe))
+      .select(round(CosineSim(col("cv"), col("qcv")), 10).as("code_cos"),
+        round(CosineSim(col("rv"), col("qrv")), 10).as("recon_cos"))
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(r.getDouble(0) == r.getDouble(1),
+      "per-vector scales must cancel out of cosine"))
+  }
+
   test("BigramHashes matches the zip_with formulation, incl. null elements") {
     import spark.implicits._
     import graft.functions.{BigramHashes, ShingleHashes}
