@@ -722,6 +722,99 @@ object FuzzyDedup {
        FROM g, probe
        ORDER BY jaccard DESC, doc_id LIMIT 20"""
 
+  // --------------------------------------------------------------- d52
+  /** Shingles shared by more documents than this are dropped from
+    * containment candidate generation: phrasing that ubiquitous is
+    * generic language, not evidence of copying — and the cap is also
+    * the skew bound (a shingle contributes at most C(16,2) = 120 pairs,
+    * the same defense-by-construction as d35's source-ubiquity cap). */
+  private[graft] val MaxShingleDf = 16
+
+  /** Containment threshold: the overlap coefficient at or above which a
+    * pair is reported as a partial copy. */
+  private[graft] val ContainThreshold = 0.8
+
+  /** PARTIAL-COPY detection via the overlap coefficient
+    * |A∩B| / min(|A|,|B|) — the relation Jaccard-tuned dedup
+    * systematically misses: a 50-word excerpt quoted inside a
+    * 5000-word document has Jaccard ≈ 0.01 (no minhash band ever
+    * collides — d2 is BUILT not to find it) but containment 1.0.
+    * Reports (doc_a, doc_b, shared, overlap_coef, jaccard) for pairs
+    * of exact-representatives at overlap_coef ≥ [[ContainThreshold]].
+    *
+    * Candidate generation is therefore NOT banding but a df-capped
+    * INVERTED-INDEX join: explode distinct shingles, drop shingles in
+    * more than [[MaxShingleDf]] docs (generic phrasing is not evidence
+    * of copying, and the cap bounds the join's per-key fan-out at
+    * C(16,2) pairs — the skew defense), self-join on the shingle hash,
+    * count shared shingles per pair. At 100 TB: the exact-dedup
+    * pre-pass collapses byte-identical families first (same defense as
+    * d2), the exchange carries (doc_id, 31-bit hash) pairs — never
+    * text — and the df window's shuffle on the shingle hash is the
+    * SAME partitioning the self-join needs, so the planner reuses one
+    * exchange for both. The shingle projection is checkpointed: it
+    * feeds the explode and both size join-backs, and the md5 token
+    * pass dominates the stage. */
+  def d52Containment(spark: SparkSession, dir: String): DataFrame =
+    containmentPairs(docs(spark, dir))
+
+  /** The containment report on an arbitrary (doc_id, text) frame. */
+  private[graft] def containmentPairs(d: DataFrame): DataFrame = {
+    val sets = shingled(d)
+      .select(col("doc_id"), array_distinct(col("shingles")).as("s"))
+      .localCheckpoint()
+    val ex = sets.select(col("doc_id"), explode(col("s")).as("sh"))
+      .withColumn("df", count(lit(1)).over(Window.partitionBy("sh")))
+      .filter(col("df") <= MaxShingleDf)
+      .select("doc_id", "sh")
+    val shared = ex.as("l")
+      .join(ex.as("r"),
+        col("l.sh") === col("r.sh") && col("l.doc_id") < col("r.doc_id"))
+      .groupBy(col("l.doc_id").as("doc_a"), col("r.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("shared"))
+    val sizes = sets.select(col("doc_id"), size(col("s")).as("n"))
+    shared
+      .join(sizes.toDF("doc_a", "na"), "doc_a")
+      .join(sizes.toDF("doc_b", "nb"), "doc_b")
+      .filter(col("shared").cast("double") / least(col("na"), col("nb"))
+        >= ContainThreshold)
+      .select(col("doc_a"), col("doc_b"), col("shared"),
+        round(col("shared").cast("double") / least(col("na"), col("nb")), 4)
+          .as("overlap_coef"),
+        round(col("shared").cast("double") /
+          (col("na") + col("nb") - col("shared")), 4).as("jaccard"))
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** Pre-pass mirrored by restricting to representative doc_ids (the
+    * same row_number-over-md5 rule as the d2 oracle); the filter on the
+    * UNROUNDED ratio matches the Spark plan. */
+  val d52Oracle: String =
+    s"""WITH ${graft.functions.ShingleHashes.sqlCtes("doc_id")},
+       reps AS (
+         SELECT doc_id FROM documents
+         QUALIFY row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) = 1),
+       s2 AS (
+         SELECT doc_id, list_distinct(shingles) AS s
+         FROM sh JOIN reps USING (doc_id)),
+       ex0 AS (SELECT doc_id, unnest(s) AS h FROM s2),
+       ex AS (
+         SELECT * FROM ex0
+         QUALIFY count(*) OVER (PARTITION BY h) <= $MaxShingleDf),
+       sizes AS (SELECT doc_id, len(s) AS n FROM s2),
+       pairs AS (
+         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
+         FROM ex a JOIN ex b ON a.h = b.h AND a.doc_id < b.doc_id
+         GROUP BY 1, 2)
+       SELECT doc_a, doc_b, shared,
+         round(shared * 1.0 / least(sa.n, sb.n), 4) AS overlap_coef,
+         round(shared * 1.0 / (sa.n + sb.n - shared), 4) AS jaccard
+       FROM pairs
+       JOIN sizes sa ON sa.doc_id = doc_a
+       JOIN sizes sb ON sb.doc_id = doc_b
+       WHERE shared * 1.0 / least(sa.n, sb.n) >= $ContainThreshold
+       ORDER BY doc_a, doc_b"""
+
   // --------------------------------------------------------------- d27
   /** Incoming-batch boundary for the incremental gate: documents below
     * are "the existing corpus", at or above are "today's batch". A real
@@ -834,6 +927,7 @@ object FuzzyDedup {
     "d40_contamination_by_source" -> (d40ContaminationBySource _),
     "d43_bloom_decontaminate" -> (d43BloomDecontaminate _),
     "d45_decontaminate_w8" -> (d45DecontaminateW8 _),
+    "d52_containment" -> (d52Containment _),
     "d20_repetition" -> (d20Repetition _)
   )
 
@@ -848,6 +942,7 @@ object FuzzyDedup {
     "d40_contamination_by_source" -> d40Oracle,
     "d43_bloom_decontaminate" -> d43Oracle,
     "d45_decontaminate_w8" -> d45Oracle,
+    "d52_containment" -> d52Oracle,
     "d20_repetition" -> d20Oracle
   )
 }

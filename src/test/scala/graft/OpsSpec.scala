@@ -71,6 +71,36 @@ class OpsSpec extends AnyFunSuite with SparkSpec {
       "top-30 must be per-partition heaps, not a full-vocab sort")
   }
 
+  test("containment finds excerpt pairs that Jaccard dedup misses") {
+    import spark.implicits._
+    val words = (0 until 200).map(i => s"w$i")
+    val long = words.mkString(" ")
+    val excerpt = words.slice(50, 80).mkString(" ") // contiguous quote
+    val unrelated = (0 until 50).map(i => s"z$i").mkString(" ")
+    val corpus = Seq((0L, long), (1L, excerpt), (2L, unrelated))
+      .toDF("doc_id", "text")
+    val pairs = FuzzyDedup.containmentPairs(corpus).collect()
+    assert(pairs.map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((0L, 1L)),
+      "exactly the (long, excerpt) pair must be reported")
+    val row = pairs.head
+    assert(row.getAs[Double]("overlap_coef") == 1.0,
+      "every excerpt shingle is contained in the long doc")
+    assert(row.getAs[Double]("jaccard") < 0.5,
+      "the pair must sit BELOW the Jaccard dedup threshold — that is the point")
+    // and the Jaccard-verified pair machinery (d2) indeed rejects it
+    val jac = FuzzyDedup.verifiedPairs(corpus).collect()
+    assert(!jac.exists(r => r.getLong(0) == 0L && r.getLong(1) == 1L),
+      "minhash+verify must not report the excerpt pair (jaccard < 0.5)")
+  }
+
+  test("containment candidate join is equi on the shingle hash — no cartesian") {
+    val plan = FuzzyDedup.d52Containment(spark, dir).queryExecution.executedPlan
+    val bad = collectPlans(plan).filter(p =>
+      p.isInstanceOf[org.apache.spark.sql.execution.joins.CartesianProductExec] ||
+        p.isInstanceOf[org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec])
+    assert(bad.isEmpty, s"found non-equi join: ${bad.map(_.nodeName)}")
+  }
+
   test("bloom decontamination matches the exact-join report bit-for-bit") {
     // the bloom stage is a plan optimization only — false positives are
     // discarded by the verify join, false negatives don't exist
