@@ -750,11 +750,13 @@ object FuzzyDedup {
     * count shared shingles per pair. At 100 TB: the exact-dedup
     * pre-pass collapses byte-identical families first (same defense as
     * d2), the exchange carries (doc_id, 31-bit hash) pairs — never
-    * text — and the df window's shuffle on the shingle hash is the
-    * SAME partitioning the self-join needs, so the planner reuses one
-    * exchange for both. The shingle projection is checkpointed: it
-    * feeds the explode and both size join-backs, and the md5 token
-    * pass dominates the stage. */
+    * text — and the df-capped index is checkpointed once so the
+    * self-join's two sides read the materialized rows instead of each
+    * re-running the explode + df window (plan-verified: the broadcast
+    * side is a different plan shape, so ReuseExchange alone cannot
+    * dedup it). The shingle projection is checkpointed for the same
+    * reason: it feeds the explode and both size join-backs, and the
+    * md5 token pass dominates the stage. */
   def d52Containment(spark: SparkSession, dir: String): DataFrame =
     containmentPairs(docs(spark, dir))
 
@@ -767,6 +769,11 @@ object FuzzyDedup {
       .withColumn("df", count(lit(1)).over(Window.partitionBy("sh")))
       .filter(col("df") <= MaxShingleDf)
       .select("doc_id", "sh")
+      // materialized once: BOTH sides of the self-join consume it, and
+      // without the checkpoint each side re-runs the explode + df
+      // window (verified in the physical plan — the broadcast side is
+      // a different plan shape, so ReuseExchange cannot dedup it)
+      .localCheckpoint()
     val shared = ex.as("l")
       .join(ex.as("r"),
         col("l.sh") === col("r.sh") && col("l.doc_id") < col("r.doc_id"))
