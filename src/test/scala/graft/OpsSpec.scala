@@ -71,6 +71,13 @@ class OpsSpec extends AnyFunSuite with SparkSpec {
       "top-30 must be per-partition heaps, not a full-vocab sort")
   }
 
+  test("quantized ANN top-k is a distributed TakeOrderedAndProject, not a global sort") {
+    val plan = Similarity.d51QuantizedAnn(spark, dir).queryExecution.executedPlan
+    assert(collectPlans(plan).exists(
+      _.isInstanceOf[org.apache.spark.sql.execution.TakeOrderedAndProjectExec]),
+      "top-10 over the codes must be per-partition heaps, like d9")
+  }
+
   test("containment finds excerpt pairs that Jaccard dedup misses") {
     import spark.implicits._
     val words = (0 until 200).map(i => s"w$i")
@@ -473,7 +480,9 @@ class OpsSpec extends AnyFunSuite with SparkSpec {
       "d9" -> Similarity.d9CosineTopk(spark, dir),
       "d12" -> Similarity.d12EmbeddingDedup(spark, dir),
       "d41" -> graft.ops.CorpusOps.d41BigramSurprisal(spark, dir),
-      "d42" -> Similarity.d42Quantization(spark, dir))
+      "d42" -> Similarity.d42Quantization(spark, dir),
+      "d51" -> Similarity.d51QuantizedAnn(spark, dir),
+      "d52" -> FuzzyDedup.d52Containment(spark, dir))
     hot.foreach { case (name, df) =>
       val found = collectPlans(df.queryExecution.executedPlan)
         .flatMap(_.expressions.flatMap(_.collect {
