@@ -575,6 +575,33 @@ object Queries {
        quantile_disc(o_totalprice, 0.9) AS p90_price
        FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority"""
 
+  // --------------------------------------------------------------- q24
+  /** CUBE aggregation — every subtotal combination of (status,
+    * priority) in one pass: Spark expands the grouping sets BEFORE the
+    * exchange (`Expand` feeding one hash aggregate), so the 4 grouping
+    * combinations cost one shuffle, not four scans or a union of four
+    * aggregates. Complements q10's ROLLUP (prefix hierarchy) with the
+    * full lattice — the shape BI dashboards and mixture reports ask
+    * for. Dimension columns are non-null in the data, so the 'ALL'
+    * coalesce marker is unambiguous. */
+  def q24Cube(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "orders")
+      .cube("o_orderstatus", "o_orderpriority")
+      .agg(count(lit(1)).as("n"),
+        round(sum("o_totalprice"), 2).as("total_price"))
+      .select(
+        coalesce(col("o_orderstatus"), lit("ALL")).as("o_orderstatus"),
+        coalesce(col("o_orderpriority"), lit("ALL")).as("o_orderpriority"),
+        col("n"), col("total_price"))
+      .orderBy("o_orderstatus", "o_orderpriority")
+
+  val q24Oracle: String =
+    """SELECT coalesce(o_orderstatus, 'ALL') AS o_orderstatus,
+       coalesce(o_orderpriority, 'ALL') AS o_orderpriority,
+       count(*) AS n, round(sum(o_totalprice), 2) AS total_price
+       FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+       ORDER BY o_orderstatus, o_orderpriority"""
+
   // ------------------------------------------------------------ registry
   val relational: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_agg" -> (q1Agg _),
@@ -599,7 +626,8 @@ object Queries {
     "q20_agg_join" -> (q20AggJoin _),
     "q21_asof" -> (q21Asof _),
     "q22_percentiles" -> (q22Percentiles _),
-    "q23_approx_percentiles" -> (q23ApproxPercentiles _)
+    "q23_approx_percentiles" -> (q23ApproxPercentiles _),
+    "q24_cube" -> (q24Cube _)
   )
 
   val relationalOracles: Map[String, String] = Map(
@@ -625,7 +653,8 @@ object Queries {
     "q20_agg_join" -> q20Oracle,
     "q21_asof" -> q21Oracle,
     "q22_percentiles" -> q22Oracle,
-    "q23_approx_percentiles" -> q23Oracle
+    "q23_approx_percentiles" -> q23Oracle,
+    "q24_cube" -> q24Oracle
   )
 
   val all: Map[String, (SparkSession, String) => DataFrame] =
