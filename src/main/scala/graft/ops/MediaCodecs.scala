@@ -273,6 +273,57 @@ object MediaCodecs {
     Some(Raster(w, h, lum))
   }
 
+  /** AREA-AVERAGE resize of a luminance raster (the standard
+    * thumbnail/downsample filter): every target pixel is the
+    * area-weighted mean of the source pixels its back-projected cell
+    * overlaps, with exact fractional edge weights — deterministic
+    * double arithmetic, no kernel taps to disagree about, correct for
+    * any ratio (down or up). Mean luminance is preserved exactly up to
+    * float rounding, which keeps [[imageFeature]] stats of a thumbnail
+    * comparable to the original's. Partition-local like every decoder
+    * here; the target is typically a fixed model-input size (224², or
+    * 8² for cheap perceptual features). */
+  def resize(r: Raster, w2: Int, h2: Int): Raster = {
+    require(w2 > 0 && h2 > 0, s"resize target must be positive, got ${w2}x$h2")
+    if (w2 == r.width && h2 == r.height) return r
+    val out = new Array[Float](w2 * h2)
+    val sx = r.width.toDouble / w2
+    val sy = r.height.toDouble / h2
+    var ty = 0
+    while (ty < h2) {
+      val y0 = ty * sy
+      val y1 = (ty + 1) * sy
+      var tx = 0
+      while (tx < w2) {
+        val x0 = tx * sx
+        val x1 = (tx + 1) * sx
+        var acc = 0.0
+        var area = 0.0
+        var py = math.floor(y0).toInt
+        while (py < y1 && py < r.height) {
+          // overlap of source row py with the target cell's y-span
+          val wy = math.min(py + 1.0, y1) - math.max(py.toDouble, y0)
+          if (wy > 0) {
+            var px = math.floor(x0).toInt
+            while (px < x1 && px < r.width) {
+              val wx = math.min(px + 1.0, x1) - math.max(px.toDouble, x0)
+              if (wx > 0) {
+                acc += r.lum(py * r.width + px) * wx * wy
+                area += wx * wy
+              }
+              px += 1
+            }
+          }
+          py += 1
+        }
+        out(ty * w2 + tx) = if (area > 0) (acc / area).toFloat else 0f
+        tx += 1
+      }
+      ty += 1
+    }
+    Raster(w2, h2, out)
+  }
+
   /** Whole-image feature — [mean, stddev, min, max, quadrant means
     * (TL, TR, BL, BR)]. One frame per still image. */
   def imageFeature(r: Raster): Array[Float] = {

@@ -215,6 +215,49 @@ class MediaCodecsSpec extends SparkSpec {
     assert(MediaCodecs.decodeImage(jpg.take(jpg.length / 2)).isEmpty)
   }
 
+  // ------------------------------------------------------------ resize
+
+  test("area-average resize: exact averages on integer ratios") {
+    // 4x4 checkerboard of 0/1 -> 2x2: every 2x2 block averages to 0.5
+    val lum = Array.tabulate(16)(i => ((i / 4 + i % 4) % 2).toFloat)
+    val r = MediaCodecs.resize(MediaCodecs.Raster(4, 4, lum), 2, 2)
+    assert(r.width == 2 && r.height == 2)
+    assert(r.lum.forall(_ == 0.5f))
+    // and a flat field stays flat at any target size
+    val flat = MediaCodecs.resize(
+      MediaCodecs.Raster(4, 4, Array.fill(16)(0.25f)), 3, 5)
+    assert(flat.lum.forall(v => math.abs(v - 0.25f) < 1e-6))
+  }
+
+  test("area-average resize: fractional ratios preserve mean luminance") {
+    val rnd = new scala.util.Random(11)
+    val src = MediaCodecs.Raster(7, 5, Array.fill(35)(rnd.nextFloat()))
+    val dst = MediaCodecs.resize(src, 3, 2)
+    def mean(r: MediaCodecs.Raster): Double =
+      r.lum.map(_.toDouble).sum / r.lum.length
+    // every source pixel's area is accounted exactly once across the
+    // target cells, so the (area-weighted = plain, cells are equal-
+    // sized) mean is preserved
+    assert(math.abs(mean(src) - mean(dst)) < 1e-6)
+    // identity resize returns the raster unchanged
+    assert(MediaCodecs.resize(src, 7, 5) eq src)
+    // upscale is the same machinery: a 2x upscale of a flat image is flat
+    val up = MediaCodecs.resize(src, 14, 10)
+    assert(math.abs(mean(up) - mean(src)) < 1e-6)
+  }
+
+  test("resize composes with the decoders: PNG -> thumbnail features") {
+    // a PNG whose left half is black and right half is white: the 2x1
+    // thumbnail must be (0, 1) regardless of the source resolution
+    val px = (0 until 64).map { i =>
+      if (i % 8 < 4) (0, 0, 0) else (255, 255, 255)
+    }
+    val png = imageIoBytes("png", 8, 8, px)
+    val r = MediaCodecs.decodeImage(png).get
+    val thumb = MediaCodecs.resize(r, 2, 1)
+    assert(thumb.lum(0) == 0f && thumb.lum(1) == 1f)
+  }
+
   // ----------------------------------------- Spark dispatch end-to-end
 
   test("decodeFrames dispatches per payload: real codecs + stub fallback") {
