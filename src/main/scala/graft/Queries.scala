@@ -602,6 +602,45 @@ object Queries {
        FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
        ORDER BY o_orderstatus, o_orderpriority"""
 
+  // --------------------------------------------------------------- q25
+  /** LAG + running total — the remaining window-family members (q6
+    * covers rank/avg-over, q19 top-k, q21 range frames, q22 percentile
+    * frames): per customer, each order's days-since-previous-order and
+    * the running revenue up to it. One shuffle on the partition key
+    * serves BOTH window functions (same window spec ⇒ one Window node,
+    * one sort); limited to 3-plus-order customers to keep the gated
+    * row count meaningful. */
+  def q25LeadLag(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    t(spark, dir, "orders")
+      .withColumn("prev_date", lag("o_orderdate", 1).over(w))
+      .withColumn("gap_days",
+        datediff(col("o_orderdate"), col("prev_date")))
+      .withColumn("running_spend",
+        round(sum("o_totalprice").over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)), 2))
+      .withColumn("n_orders", count(lit(1)).over(Window.partitionBy("o_custkey")))
+      .filter(col("n_orders") >= 8)
+      .select(col("o_custkey"), col("o_orderkey"), col("gap_days"),
+        col("running_spend"))
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
+  val q25Oracle: String =
+    """SELECT o_custkey, o_orderkey, gap_days, running_spend FROM (
+         SELECT o_custkey, o_orderkey,
+           date_diff('day',
+             lag(o_orderdate, 1) OVER w, o_orderdate)::INT AS gap_days,
+           round(sum(o_totalprice) OVER (
+             PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2)
+             AS running_spend,
+           count(*) OVER (PARTITION BY o_custkey) AS n_orders
+         FROM orders
+         WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey))
+       WHERE n_orders >= 8
+       ORDER BY o_custkey, o_orderkey"""
+
   // ------------------------------------------------------------ registry
   val relational: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_agg" -> (q1Agg _),
@@ -627,7 +666,8 @@ object Queries {
     "q21_asof" -> (q21Asof _),
     "q22_percentiles" -> (q22Percentiles _),
     "q23_approx_percentiles" -> (q23ApproxPercentiles _),
-    "q24_cube" -> (q24Cube _)
+    "q24_cube" -> (q24Cube _),
+    "q25_lead_lag" -> (q25LeadLag _)
   )
 
   val relationalOracles: Map[String, String] = Map(
@@ -654,7 +694,8 @@ object Queries {
     "q21_asof" -> q21Oracle,
     "q22_percentiles" -> q22Oracle,
     "q23_approx_percentiles" -> q23Oracle,
-    "q24_cube" -> q24Oracle
+    "q24_cube" -> q24Oracle,
+    "q25_lead_lag" -> q25Oracle
   )
 
   val all: Map[String, (SparkSession, String) => DataFrame] =
