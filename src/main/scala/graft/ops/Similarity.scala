@@ -585,6 +585,90 @@ object Similarity {
       .limit(10)
   }
 
+  // --------------------------------------------------------------- d53
+  /** ANN RECALL report — the health metric every approximate index
+    * deployment monitors: per probe, how many of the brute-force top-3
+    * neighbors the d10 multi-probe LSH index actually returned
+    * (`recall@3`). Real pipelines run exactly this loop — sample
+    * probes, compute exact ground truth for the sample only, score the
+    * index — because an index whose recall silently degrades (data
+    * drift moving mass across hyperplanes) poisons every downstream
+    * dedup/retrieval decision.
+    *
+    * Scale shape: ground truth is brute-force ONLY over the probe
+    * sample (the 8 probes broadcast; one corpus scan scores them all,
+    * per-partition top-k heaps — d9's plan per probe, shared scan);
+    * the index side is the d10 bucketed path. The verdict join and
+    * rollup touch 24 rows. At 100 TB the probe sample grows to
+    * thousands and the shape is unchanged — the corpus is still
+    * scanned once for truth and probed via buckets for the index.
+    *
+    * The gate-scale numbers are themselves the demonstration: the
+    * synthetic embeddings are near-orthogonal (no cluster structure),
+    * so 8 sign bits barely correlate with true top-3 neighbors and the
+    * report reads 0–33% — the "your index is not serving its corpus"
+    * signal this monitor exists to raise (d14's trained IVF is the
+    * remediation; its recall test lives in `OpsSpec`). */
+  def d53AnnRecall(spark: SparkSession, dir: String): DataFrame = {
+    val e = emb(spark, dir)
+    val probes = e.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"))
+    val w = Window.partitionBy("q_id").orderBy(col("cos_sim").desc, col("vec_id"))
+    val truth = e.crossJoin(broadcast(probes))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        cosine(col("v"), col("qv")).as("cos_sim"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 3)
+      .select("q_id", "vec_id")
+    val index = annLsh(spark, dir, multiProbe = true).select("q_id", "vec_id")
+    val hits = truth.join(index, Seq("q_id", "vec_id"), "left_semi")
+      .groupBy("q_id").agg(count(lit(1)).as("n_hits"))
+    probes.select("q_id")
+      .join(hits, Seq("q_id"), "left")
+      .select(col("q_id"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        round(coalesce(col("n_hits"), lit(0L)).cast("double") / 3, 4)
+          .as("recall_at_3"))
+      .orderBy("q_id")
+  }
+
+  /** Brute-force truth CTE + d10's index CTEs + a 24-row verdict join. */
+  val d53Oracle: String =
+    s"""WITH e AS (
+         SELECT vec_id, embedding::DOUBLE[] AS v, $bucketSql AS bucket
+         FROM embeddings),
+       probes AS (
+         SELECT vec_id AS q_id, v AS qv, bucket AS qb FROM e WHERE vec_id < 8),
+       truth AS (
+         SELECT q_id, vec_id FROM (
+           SELECT p.q_id, e.vec_id,
+             row_number() OVER (PARTITION BY p.q_id
+               ORDER BY ${cosineSql("e.v", "p.qv")} DESC, e.vec_id) AS rk
+           FROM e JOIN probes p ON e.vec_id <> p.q_id)
+         WHERE rk <= 3),
+       qs AS (
+         SELECT q_id, qv, xor(qb, f) AS bucket
+         FROM probes, (SELECT unnest([0,1,2,4,8,16,32,64,128]) AS f)),
+       scored AS (
+         SELECT qs.q_id, e.vec_id, ${cosineSql("e.v", "qs.qv")} AS cos_sim
+         FROM e JOIN qs ON e.bucket = qs.bucket AND e.vec_id <> qs.q_id),
+       idx AS (
+         SELECT q_id, vec_id FROM (
+           SELECT q_id, vec_id,
+             row_number() OVER (PARTITION BY q_id
+               ORDER BY cos_sim DESC, vec_id) AS rk
+           FROM scored)
+         WHERE rk <= 3),
+       hits AS (
+         SELECT t.q_id, count(*) AS n_hits
+         FROM truth t JOIN idx i ON t.q_id = i.q_id AND t.vec_id = i.vec_id
+         GROUP BY t.q_id)
+       SELECT p.q_id, CAST(coalesce(n_hits, 0) AS BIGINT) AS n_hits,
+         round(coalesce(n_hits, 0) / 3.0, 4) AS recall_at_3
+       FROM probes p LEFT JOIN hits ON p.q_id = hits.q_id
+       ORDER BY p.q_id"""
+
   /** d9's oracle shape over the quantized codes: the same explicit
     * quantization arithmetic as d42's oracle (floor(·+0.5), clamp),
     * the same explicit cosine as d9's. Integer codes ≤127 over
@@ -655,7 +739,8 @@ object Similarity {
     "d36_balanced_sample" -> (d36BalancedSample _),
     "d42_quantization" -> (d42Quantization _),
     "d44_balanced_quota" -> (d44BalancedQuota _),
-    "d51_quantized_ann" -> (d51QuantizedAnn _)
+    "d51_quantized_ann" -> (d51QuantizedAnn _),
+    "d53_ann_recall" -> (d53AnnRecall _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -668,6 +753,7 @@ object Similarity {
     "d36_balanced_sample" -> d36Oracle,
     "d42_quantization" -> d42Oracle,
     "d44_balanced_quota" -> d44Oracle,
-    "d51_quantized_ann" -> d51Oracle
+    "d51_quantized_ann" -> d51Oracle,
+    "d53_ann_recall" -> d53Oracle
   )
 }
