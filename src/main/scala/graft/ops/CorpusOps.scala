@@ -33,7 +33,7 @@ object CorpusOps {
     * salted stream. Declared before every oracle string that
     * interpolates it — object vals initialize in declaration order, and
     * a forward reference interpolates as "null". */
-  private val SplitSalt = "split:"
+  private[graft] val SplitSalt = "split:"
 
   // --------------------------------------------------------------- d23
   /** Chunk size / stride in tokens (overlap = size - stride). Real

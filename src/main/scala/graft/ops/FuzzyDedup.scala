@@ -822,6 +822,79 @@ object FuzzyDedup {
        WHERE shared * 1.0 / least(sa.n, sb.n) >= $ContainThreshold
        ORDER BY doc_a, doc_b"""
 
+  // --------------------------------------------------------------- d54
+  /** SPLIT-LEAKAGE audit — duplicate content straddling the
+    * train/val/test boundary. The d33 split is keyed on doc_id (stable
+    * under re-ingest, the right production default), which means it
+    * CANNOT see content: byte-identical copies under different ids,
+    * and near-duplicate rewrites, land in different splits with
+    * probability ≈ 2·(0.9·0.05 + 0.9·0.05 + 0.05·0.05) ≈ 18% per
+    * duplicate pair — and every such pair is evaluation contamination
+    * (the model is scored on paraphrases of its training data). This
+    * is the audit a pipeline runs after splitting and before training.
+    *
+    * Two leak channels, both reported:
+    *  - EXACT: members of an md5(text) group split away from their
+    *    representative (jaccard 1.0 by definition);
+    *  - NEAR-DUP: verified banding pairs ([[verifiedPairs]], Jaccard
+    *    ≥ 0.5 among representatives) whose endpoints' splits differ.
+    * The channels are disjoint by construction (near-dup pairs connect
+    * representatives; exact pairs connect a non-representative to its
+    * representative).
+    *
+    * Scale shape: inherits d2's (banding + capped buckets; hashes move,
+    * text never does) plus one md5-keyed window for the exact channel;
+    * the split columns are pure per-row functions of the ids. */
+  def d54SplitLeakage(spark: SparkSession, dir: String): DataFrame =
+    splitLeakage(docs(spark, dir))
+
+  /** The leakage audit on an arbitrary (doc_id, text) frame. */
+  private[graft] def splitLeakage(d: DataFrame): DataFrame = {
+    val exact = exactGroups(d)
+      .filter(col("doc_id") =!= col("rep"))
+      .select(col("rep").as("doc_a"), col("doc_id").as("doc_b"),
+        lit(1.0).as("jaccard"))
+    val near = verifiedPairs(d).select("doc_a", "doc_b", "jaccard")
+    exact.union(near)
+      .withColumn("split_a", CorpusOps.splitOf(col("doc_a")))
+      .withColumn("split_b", CorpusOps.splitOf(col("doc_b")))
+      .filter(col("split_a") =!= col("split_b"))
+      .select("doc_a", "doc_b", "jaccard", "split_a", "split_b")
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** d2's verified CTEs + the md5 exact-group pairs + the d33 split
+    * hash on both endpoints. */
+  val d54Oracle: String = {
+    val salt = CorpusOps.SplitSalt
+    s"""WITH $d2Ctes,
+       md AS (SELECT doc_id, md5(text) AS h FROM documents),
+       grp AS (SELECT h, min(doc_id) AS rep FROM md GROUP BY h),
+       ex_pairs AS (
+         SELECT grp.rep AS doc_a, md.doc_id AS doc_b, 1.0 AS jaccard
+         FROM md JOIN grp USING (h) WHERE md.doc_id <> grp.rep),
+       all_pairs AS (
+         SELECT doc_a, doc_b, jaccard FROM ex_pairs
+         UNION ALL
+         SELECT doc_a, doc_b, jaccard FROM verified),
+       sp AS (
+         SELECT doc_id,
+           CASE WHEN b < 90 THEN 'train' WHEN b < 95 THEN 'val'
+                ELSE 'test' END AS split
+         FROM (
+           SELECT doc_id,
+             ('0x'||substr(md5('$salt'||doc_id::VARCHAR),1,15))::BIGINT
+               % 100 AS b
+           FROM documents))
+       SELECT doc_a, doc_b, jaccard,
+         sa.split AS split_a, sb.split AS split_b
+       FROM all_pairs
+       JOIN sp sa ON sa.doc_id = doc_a
+       JOIN sp sb ON sb.doc_id = doc_b
+       WHERE sa.split <> sb.split
+       ORDER BY doc_a, doc_b"""
+  }
+
   // --------------------------------------------------------------- d27
   /** Incoming-batch boundary for the incremental gate: documents below
     * are "the existing corpus", at or above are "today's batch". A real
@@ -935,6 +1008,7 @@ object FuzzyDedup {
     "d43_bloom_decontaminate" -> (d43BloomDecontaminate _),
     "d45_decontaminate_w8" -> (d45DecontaminateW8 _),
     "d52_containment" -> (d52Containment _),
+    "d54_split_leakage" -> (d54SplitLeakage _),
     "d20_repetition" -> (d20Repetition _)
   )
 
@@ -950,6 +1024,7 @@ object FuzzyDedup {
     "d43_bloom_decontaminate" -> d43Oracle,
     "d45_decontaminate_w8" -> d45Oracle,
     "d52_containment" -> d52Oracle,
+    "d54_split_leakage" -> d54Oracle,
     "d20_repetition" -> d20Oracle
   )
 }

@@ -108,6 +108,42 @@ class OpsSpec extends AnyFunSuite with SparkSpec {
     assert(bad.isEmpty, s"found non-equi join: ${bad.map(_.nodeName)}")
   }
 
+  test("split leakage reports exact copies landing in different splits") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    // pick ids the salted split hash routes to DIFFERENT splits (the
+    // assignment is deterministic, so probe it rather than hard-code)
+    val ids = spark.range(0, 200)
+      .select(col("id"), CorpusOps.splitOf(col("id")).as("s"))
+      .collect()
+    val trainId = ids.find(_.getString(1) == "train").get.getLong(0)
+    val otherId = ids.find(_.getString(1) != "train").get.getLong(0)
+    val sameSplitId = ids.filter(_.getString(1) == "train")
+      .map(_.getLong(0)).find(_ != trainId).get
+    val text = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val corpus = Seq(
+      (trainId, text), (otherId, text), // exact copy ACROSS the boundary
+      (sameSplitId, text),              // exact copy within train: no leak row
+      (9999L, "completely different unrelated words about nothing at all"))
+      .toDF("doc_id", "text")
+    val rows = FuzzyDedup.splitLeakage(corpus).collect()
+    val pairs = rows.map(r => (r.getLong(0), r.getLong(1))).toSet
+    // the exact channel pairs every member against the GROUP
+    // REPRESENTATIVE (min id), so the expected rows are (rep, member)
+    // for members whose split differs from the rep's
+    val splitOf = ids.map(r => r.getLong(0) -> r.getString(1)).toMap
+      .withDefaultValue("train")
+    val group = Seq(trainId, otherId, sameSplitId)
+    val rep = group.min
+    val expected = group.filter(m => m != rep && splitOf(m) != splitOf(rep))
+      .map(m => (rep, m)).toSet
+    assert(expected.nonEmpty && pairs == expected,
+      s"expected $expected, got $pairs")
+    assert(rows.forall(_.getDouble(2) == 1.0), "exact channel reports jaccard 1.0")
+    // pairs within one split are not leakage
+    assert(rows.forall(r => r.getString(3) != r.getString(4)))
+  }
+
   test("bloom decontamination matches the exact-join report bit-for-bit") {
     // the bloom stage is a plan optimization only — false positives are
     // discarded by the verify join, false negatives don't exist
