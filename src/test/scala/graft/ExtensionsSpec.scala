@@ -149,6 +149,14 @@ class ExtensionsSpec extends AnyFunSuite with SparkSpec {
                                        7, CAST(5000000000 AS BIGINT))
            FROM graft_fn_probe""").collect())
     assert(overflow.getMessage.contains("between 1 and"))
+
+    // the bloom pair's arity errors carry the same clear message shape
+    val bloomNoArgs = intercept[Exception](
+      spark.sql("SELECT graft_bloom_agg() FROM range(1)").collect())
+    assert(bloomNoArgs.getMessage.contains("argument"))
+    val probeOneArg = intercept[Exception](
+      spark.sql("SELECT graft_bloom_might_contain(CAST(NULL AS BINARY))").collect())
+    assert(probeOneArg.getMessage.contains("argument"))
   }
 
   test("integral scalar args are accepted at INT width (SQL literal default)") {
