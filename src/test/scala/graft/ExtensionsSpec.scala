@@ -246,6 +246,21 @@ class ExtensionsSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("SQL surface re-registers on dir change; a failed registration doesn't poison the memo") {
+    val a = SqlSurface.d46SqlSimhash(spark, "/root/testdata/sf0.001").collect()
+    // a different dir through the same session must re-register the
+    // views, not silently reuse the previous dir's
+    val b = SqlSurface.d46SqlSimhash(spark, "/root/testdata/sf0.1").collect()
+    assert(b.length > a.length, "sf0.1 must read the larger table")
+    // a bad dir throws — and because the memo records only AFTER
+    // registerAll succeeds (ADVICE r8), retrying a good dir re-registers
+    // and reads the right data instead of the previous dir's views
+    intercept[Exception](
+      SqlSurface.d46SqlSimhash(spark, "/nonexistent-graft-dir").collect())
+    val c = SqlSurface.d46SqlSimhash(spark, "/root/testdata/sf0.001").collect()
+    assert(c.toSeq == a.toSeq, "recovery must read the requested dir")
+  }
+
   test("the SQL surface compiles to the same codegen'd hot loops — no interpreted HOFs") {
     import org.apache.spark.sql.catalyst.expressions.HigherOrderFunction
     import org.apache.spark.sql.execution.SparkPlan
