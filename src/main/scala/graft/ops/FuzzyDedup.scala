@@ -278,9 +278,10 @@ object FuzzyDedup {
 
   /** Connected components in the oracle: recursive reachability closure
     * (x reaches y), then label = min reachable per node — identical
-    * fixpoint to the Spark label propagation. */
-  val d15Oracle: String =
-    s"""WITH RECURSIVE $d2Ctes,
+    * fixpoint to the Spark label propagation. Shared by the d15 label
+    * dump and the d55 cluster rollup. */
+  private val d15Ctes: String =
+    s"""$d2Ctes,
        exact_rep AS (
          SELECT doc_id, min(doc_id) OVER (PARTITION BY md5(text)) AS rep
          FROM documents),
@@ -294,12 +295,49 @@ object FuzzyDedup {
          SELECT DISTINCT s, s FROM edges
          UNION
          SELECT r.x, e.d FROM reach r JOIN edges e ON e.s = r.y),
-       comp AS (SELECT x AS node, min(y) AS label FROM reach GROUP BY x)
-       SELECT doc_id,
-         coalesce(label, doc_id) AS cluster_id,
-         CASE WHEN coalesce(label, doc_id) = doc_id THEN 1 ELSE 0 END AS keep
-       FROM documents LEFT JOIN comp ON node = doc_id
-       ORDER BY doc_id"""
+       comp AS (SELECT x AS node, min(y) AS label FROM reach GROUP BY x),
+       clusters AS (
+         SELECT doc_id,
+           coalesce(label, doc_id) AS cluster_id,
+           CASE WHEN coalesce(label, doc_id) = doc_id THEN 1 ELSE 0 END AS keep
+         FROM documents LEFT JOIN comp ON node = doc_id)"""
+
+  val d15Oracle: String =
+    s"""WITH RECURSIVE $d15Ctes
+       SELECT doc_id, cluster_id, keep FROM clusters ORDER BY doc_id"""
+
+  // --------------------------------------------------------------- d55
+  /** TOP DUPLICATE CLUSTERS report — the table a curation team reads
+    * before a mass drop: the largest near-dup/exact-dup clusters with
+    * their canonical survivor (= cluster_id, the minimum doc id), the
+    * member count, and the redundant bytes (chars of every non-survivor
+    * member — what dedup reclaims). d15 answers "which rows do I keep";
+    * this answers "WHAT is duplicated and how much does it cost" —
+    * a handful of giant clusters means template spam worth fixing at
+    * the source, many small ones means organic near-dups.
+    *
+    * Scale shape: d15's clustering (edge-set shuffles, O(log diameter)
+    * rounds) plus one cluster-keyed aggregate of (id, chars) rows and a
+    * top-10 TakeOrderedAndProject — nothing new moves. */
+  def d55TopDupClusters(spark: SparkSession, dir: String): DataFrame =
+    d15DedupClusters(spark, dir)
+      .join(docs(spark, dir).select("doc_id", "n_chars"), "doc_id")
+      .groupBy("cluster_id")
+      .agg(count(lit(1)).as("n_members"),
+        sum(when(col("keep") === 0, col("n_chars")).otherwise(0L))
+          .as("redundant_chars"))
+      .filter(col("n_members") >= 2)
+      .orderBy(col("n_members").desc, col("cluster_id"))
+      .limit(10)
+
+  val d55Oracle: String =
+    s"""WITH RECURSIVE $d15Ctes
+       SELECT cluster_id, count(*) AS n_members,
+         CAST(sum(CASE WHEN keep = 0 THEN n_chars ELSE 0 END) AS BIGINT)
+           AS redundant_chars
+       FROM clusters JOIN documents USING (doc_id)
+       GROUP BY cluster_id HAVING count(*) >= 2
+       ORDER BY n_members DESC, cluster_id LIMIT 10"""
 
   // ---------------------------------------------------------------- d3
   /** SimHash bit width. 48 bits (of the 60-bit token hashes) because the
@@ -1009,6 +1047,7 @@ object FuzzyDedup {
     "d45_decontaminate_w8" -> (d45DecontaminateW8 _),
     "d52_containment" -> (d52Containment _),
     "d54_split_leakage" -> (d54SplitLeakage _),
+    "d55_top_dup_clusters" -> (d55TopDupClusters _),
     "d20_repetition" -> (d20Repetition _)
   )
 
@@ -1025,6 +1064,7 @@ object FuzzyDedup {
     "d45_decontaminate_w8" -> d45Oracle,
     "d52_containment" -> d52Oracle,
     "d54_split_leakage" -> d54Oracle,
+    "d55_top_dup_clusters" -> d55Oracle,
     "d20_repetition" -> d20Oracle
   )
 }
