@@ -207,6 +207,41 @@ object CorpusOps {
        FROM tok JOIN freq ON tok.term = freq.term, tot
        GROUP BY doc_id ORDER BY doc_id"""
 
+  // --------------------------------------------------------------- d56
+  /** CURRICULUM ORDER — the corpus globally ranked easy→hard by d25's
+    * unigram surprisal (curriculum learning's standard difficulty
+    * proxy: low surprisal = close to the corpus distribution = easy).
+    * Emits every scored document's exact global position, the table a
+    * staged-training scheduler consumes directly.
+    *
+    * The interesting part at 100 TB is the RANK, not the score: a bare
+    * `row_number() OVER (ORDER BY surprisal)` is a single-partition
+    * window over the whole corpus. [[GlobalOrder.rank]] produces the
+    * identical numbering from a range exchange + per-bucket windows + a
+    * broadcast bucket-offset table (one row per bucket). Ties on the
+    * 4dp-rounded score are broken by doc_id, so the order is total and
+    * the ranks run-to-run stable. */
+  def d56CurriculumRank(spark: SparkSession, dir: String): DataFrame =
+    GlobalOrder.rank(
+      d25Surprisal(spark, dir).select("doc_id", "surprisal"),
+      Seq(col("surprisal").asc, col("doc_id").asc))
+      .orderBy("rank")
+
+  val d56Oracle: String =
+    """WITH tok AS (
+         SELECT doc_id, unnest(regexp_extract_all(lower(text), '\S+')) AS term
+         FROM documents),
+       freq AS (SELECT term, count(*) AS cnt FROM tok GROUP BY term),
+       tot AS (SELECT sum(cnt) AS total FROM freq),
+       sc AS (
+         SELECT doc_id, round(avg(-ln(cnt::DOUBLE / total)), 4) AS surprisal
+         FROM tok JOIN freq ON tok.term = freq.term, tot
+         GROUP BY doc_id)
+       SELECT doc_id, surprisal,
+         CAST(row_number() OVER (ORDER BY surprisal, doc_id) AS BIGINT)
+           AS rank
+       FROM sc ORDER BY rank"""
+
   // --------------------------------------------------------------- d41
   /** BIGRAM-LM SURPRISAL per document: mean −ln p(w2|w1) under the
     * corpus's own bigram distribution (MLE: c(w1 w2)/c(w1), hashed
@@ -758,6 +793,88 @@ object CorpusOps {
        FROM ex LEFT JOIN b ON ex.s = b.s
        GROUP BY ex.doc_id ORDER BY ex.doc_id"""
 
+  // --------------------------------------------------------------- d58
+  /** BOILERPLATE SCRUB — d34 acts on its own signal: corpus-wide
+    * boilerplate spans (3-token shingles in ≥ [[BoilerMinDf]] distinct
+    * documents) are REMOVED from each document and the cleaned text is
+    * emitted — the C4-style repeated-span scrubber that salvages the
+    * unique prose of a templated page instead of dropping or keeping
+    * the page wholesale (d34 only scores; the scrub is what a pipeline
+    * actually feeds the tokenizer). A flagged shingle at token position
+    * p covers positions p..p+2; a token survives iff no flagged shingle
+    * covers it; output text is the surviving tokens joined by single
+    * spaces (whitespace-normalized — the tokenizer downstream is
+    * whitespace-agnostic anyway). Sub-3-token documents have no
+    * positional shingles (the fallback hash is a whole-text alias) and
+    * pass through unscrubbed.
+    *
+    * Scale shape: d34's df aggregate (shuffles hashed longs, never
+    * text) plus a position rollup — the flagged-start join hits the
+    * posexploded stream with a BROADCAST of the boilerplate set (small
+    * by construction: high-df survivors of a power law), and the only
+    * doc_id-keyed shuffle carries (doc_id, start-position) rows for
+    * flagged spans only. The reconstruction is a per-row array filter
+    * against each doc's own covered-position list (bounded by doc
+    * length). The (toks, shingles) projection is checkpointed: three
+    * consumers (df aggregate, position stream, reconstruction join)
+    * would otherwise each re-run the tokenize+hash scan — the dominant
+    * cost, as measured for d34. */
+  def d58BoilerScrub(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.ShingleHashes
+    val toks = tokens(col("text"))
+    val sh = ShingleHashes(toks, TextOps.hash60(col("text")) % ShingleHashes.M)
+    val base = docs(spark, dir)
+      .select(col("doc_id"), toks.as("toks"), sh.as("shingles"))
+      .localCheckpoint()
+    val boiler = base
+      .select(col("doc_id"), explode(array_distinct(col("shingles"))).as("sh"))
+      .groupBy("sh").agg(count(lit(1)).as("df"))
+      .filter(col("df") >= BoilerMinDf)
+      .select("sh")
+    val starts = base
+      .filter(size(col("toks")) >= 3) // the <3-token fallback hash is not positional
+      .select(col("doc_id"), posexplode(col("shingles")).as(Seq("pos", "sh")))
+      .join(broadcast(boiler), "sh")
+      .groupBy("doc_id")
+      .agg(collect_set(col("pos")).as("starts"))
+    base.join(starts, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("toks"),
+        array_distinct(flatten(transform(
+          coalesce(col("starts"), array().cast("array<int>")),
+          s => array(s, s + 1, s + 2)))).as("covered"))
+      .select(col("doc_id"), size(col("toks")).as("n_tokens"),
+        filter(col("toks"), (_, i) => !array_contains(col("covered"), i))
+          .as("kept"))
+      .select(col("doc_id"), col("n_tokens"), size(col("kept")).as("n_kept"),
+        concat_ws(" ", col("kept")).as("clean_text"))
+      .orderBy("doc_id")
+  }
+
+  val d58Oracle: String =
+    s"""WITH ${shingleCtes("doc_id")},
+       ex AS (SELECT doc_id, unnest(list_distinct(shingles)) AS s FROM sh),
+       b AS (SELECT s FROM ex GROUP BY s HAVING count(*) >= $BoilerMinDf),
+       posx AS (
+         SELECT sh.doc_id, unnest(range(1, len(shingles) + 1)) AS i, shingles
+         FROM sh JOIN th USING (doc_id) WHERE len(th) >= 3),
+       cov AS (
+         SELECT doc_id, flatten(list([i, i + 1, i + 2])) AS covered
+         FROM posx JOIN b ON shingles[i] = b.s
+         GROUP BY doc_id),
+       base AS (
+         SELECT doc_id, regexp_extract_all(text, '\\S+') AS toks
+         FROM documents),
+       kept AS (
+         SELECT base.doc_id, toks,
+           list_transform(
+             list_filter(range(1, len(toks) + 1),
+               j -> NOT list_contains(coalesce(covered, []::BIGINT[]), j)),
+             j -> toks[j]) AS kt
+         FROM base LEFT JOIN cov USING (doc_id))
+       SELECT doc_id, len(toks) AS n_tokens, len(kt) AS n_kept,
+         array_to_string(kt, ' ') AS clean_text
+       FROM kept ORDER BY doc_id"""
+
   // --------------------------------------------------------------- d35
   /** Shingles present in MORE than this many sources are excluded from
     * overlap attribution: content in half the corpus's sources is
@@ -903,6 +1020,7 @@ object CorpusOps {
     "d23_chunking" -> (d23Chunking _),
     "d24_tfidf" -> (d24Tfidf _),
     "d25_surprisal" -> (d25Surprisal _),
+    "d56_curriculum_rank" -> (d56CurriculumRank _),
     "d41_bigram_surprisal" -> (d41BigramSurprisal _),
     "d26_pii_scrub" -> (d26PiiScrub _),
     "d28_cardinality" -> (d28Cardinality _),
@@ -911,6 +1029,7 @@ object CorpusOps {
     "d32_integrity_audit" -> (d32IntegrityAudit _),
     "d33_train_split" -> (d33TrainSplit _),
     "d34_boilerplate" -> (d34Boilerplate _),
+    "d58_boiler_scrub" -> (d58BoilerScrub _),
     "d35_source_overlap" -> (d35SourceOverlap _),
     "d37_bm25" -> (d37Bm25 _),
     "d38_funnel" -> (d38Funnel _)
@@ -920,6 +1039,7 @@ object CorpusOps {
     "d23_chunking" -> d23Oracle,
     "d24_tfidf" -> d24Oracle,
     "d25_surprisal" -> d25Oracle,
+    "d56_curriculum_rank" -> d56Oracle,
     "d41_bigram_surprisal" -> d41Oracle,
     "d26_pii_scrub" -> d26Oracle,
     "d28_cardinality" -> d28Oracle,
@@ -928,6 +1048,7 @@ object CorpusOps {
     "d32_integrity_audit" -> d32Oracle,
     "d33_train_split" -> d33Oracle,
     "d34_boilerplate" -> d34Oracle,
+    "d58_boiler_scrub" -> d58Oracle,
     "d35_source_overlap" -> d35Oracle,
     "d37_bm25" -> d37Oracle,
     "d38_funnel" -> d38Oracle

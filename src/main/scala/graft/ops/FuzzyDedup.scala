@@ -339,6 +339,46 @@ object FuzzyDedup {
        GROUP BY cluster_id HAVING count(*) >= 2
        ORDER BY n_members DESC, cluster_id LIMIT 10"""
 
+  // --------------------------------------------------------------- d57
+  /** Quality-aware survivor selection — d15 with a CONTENT policy
+    * instead of a positional one: the canonical member of each near-dup
+    * cluster is the LONGEST document (most characters, ties to the
+    * smaller doc_id), not the minimum doc_id. The standard curation
+    * policy for partially-copied corpora: when a cluster holds a full
+    * article and its truncated syndication copies, min-doc_id keeps
+    * whichever crawler saw first — longest-member keeps the complete
+    * text. The policy is the only change; cluster membership is d15's.
+    *
+    * Scale shape: d15's clustering plus one cluster-keyed argmax. The
+    * argmax is a partial-aggregated `min(struct(-n_chars, doc_id))` —
+    * NOT a per-cluster sort window, so a degenerate million-member
+    * cluster costs a map-side-combined aggregate row, not a single-task
+    * sort — and the survivor join back is on the same cluster_id key the
+    * aggregate just partitioned by, so no extra exchange shape appears
+    * at 100 TB. */
+  def d57ClusterBest(spark: SparkSession, dir: String): DataFrame = {
+    val members = d15DedupClusters(spark, dir)
+      .join(docs(spark, dir).select("doc_id", "n_chars"), "doc_id")
+      .select("doc_id", "cluster_id", "n_chars")
+    val best = members.groupBy("cluster_id")
+      .agg(min(struct((-col("n_chars")).as("neg_chars"),
+        col("doc_id").as("bid"))).as("m"))
+      .select(col("cluster_id"), col("m.bid").as("best_id"))
+    members.join(best, "cluster_id")
+      .select(col("doc_id"), col("cluster_id"),
+        when(col("doc_id") === col("best_id"), 1).otherwise(0).as("keep"))
+      .orderBy("doc_id")
+  }
+
+  val d57Oracle: String =
+    s"""WITH RECURSIVE $d15Ctes
+       SELECT doc_id, cluster_id,
+         CASE WHEN row_number() OVER (PARTITION BY cluster_id
+             ORDER BY n_chars DESC, doc_id) = 1
+           THEN 1 ELSE 0 END AS keep
+       FROM clusters JOIN documents USING (doc_id)
+       ORDER BY doc_id"""
+
   // ---------------------------------------------------------------- d3
   /** SimHash bit width. 48 bits (of the 60-bit token hashes) because the
     * fingerprint must separate random same-vocabulary pairs from true
@@ -1048,6 +1088,7 @@ object FuzzyDedup {
     "d52_containment" -> (d52Containment _),
     "d54_split_leakage" -> (d54SplitLeakage _),
     "d55_top_dup_clusters" -> (d55TopDupClusters _),
+    "d57_cluster_best" -> (d57ClusterBest _),
     "d20_repetition" -> (d20Repetition _)
   )
 
@@ -1065,6 +1106,7 @@ object FuzzyDedup {
     "d52_containment" -> d52Oracle,
     "d54_split_leakage" -> d54Oracle,
     "d55_top_dup_clusters" -> d55Oracle,
+    "d57_cluster_best" -> d57Oracle,
     "d20_repetition" -> d20Oracle
   )
 }

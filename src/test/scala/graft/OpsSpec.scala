@@ -546,6 +546,49 @@ class OpsSpec extends AnyFunSuite with SparkSpec {
       "fused qualitySignals diverged from d6 ⋈ d20")
   }
 
+  test("globalOrder.rank = single-partition row_number, for ANY bucket count") {
+    // the primitive's whole contract: the scale-safe formulation (range
+    // exchange + per-bucket windows + offset table) must be VALUE-equal
+    // to the naive global window, and invariant to where the sampled
+    // range boundaries land — one bucket, a few, or more buckets than
+    // distinct keys
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    val df = spark.range(500)
+      .select((col("id") * 37 % 100).as("score"), col("id"))
+    val base = df
+      .withColumn("r", row_number().over(Window.orderBy(col("score"), col("id"))))
+      .collect().map(r => r.getLong(1) -> r.getInt(2).toLong).toMap
+    for (b <- Seq(1, 3, 17, 200)) {
+      val got = graft.ops.GlobalOrder
+        .rank(df, Seq(col("score").asc, col("id").asc), b)
+        .collect().map(r => r.getLong(1) -> r.getLong(2)).toMap
+      assert(got == base, s"ranks diverged from the global window at buckets=$b")
+    }
+  }
+
+  test("d57: the LONGEST member survives its near-dup cluster, not the first") {
+    // two near-dup docs where the LATER doc_id is longer — d15's
+    // min-doc_id policy keeps doc 0, the content policy must keep doc 1
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val short = (1 to 38).map(i => s"tok$i").mkString(" ")
+    val long = (1 to 40).map(i => s"tok$i").mkString(" ")
+    val other = (1 to 40).map(i => s"zzz$i").mkString(" ")
+    val dir = java.nio.file.Files.createTempDirectory("graft-d57").toString
+    Seq((0L, short), (1L, long), (2L, other)).toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("src0"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = FuzzyDedup.d57ClusterBest(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getInt(2)))).toMap
+    assert(out(0L)._1 == 0L && out(1L)._1 == 0L,
+      "near-dup pair must share cluster 0 (min member id)")
+    assert(out(1L)._2 == 1 && out(0L)._2 == 0,
+      "the longer member (doc 1) must be the survivor")
+    assert(out(2L) == ((2L, 1)), "singleton survives trivially")
+  }
+
   test("q23: percentile_approx at gate accuracy is the rank-⌈p·N⌉ statistic") {
     // the definitional pin behind the q23 gate: with accuracy ≥ N the
     // Greenwald-Khanna summary is exact and returns the order statistic
