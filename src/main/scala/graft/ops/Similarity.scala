@@ -258,6 +258,21 @@ object Similarity {
       .select(col("cell").as("cent_id"),
         transform(col("a"), s => s.getField("cx")).as("cv"))
 
+  /** The trained coarse quantizer shared by d14 IVF search, the
+    * training-objective monitor, and d59 semantic dedup: centroids
+    * start as the first K vectors, then LloydIters assign→mean rounds
+    * over a deterministic 1-in-TrainMod sample refine them
+    * (driver-coordinated loop — K·LloydIters tiny jobs over the SAMPLE
+    * only; the corpus never enters training). */
+  private def trainedCentroids(e: DataFrame): DataFrame = {
+    val c0 = e.filter(col("vec_id") < IvfK)
+      .select(col("vec_id").as("cent_id"), col("v").as("cv"))
+    val train = e.filter(col("vec_id") % TrainMod === 0)
+    (1 to LloydIters).foldLeft(c0) { (c, _) =>
+      updateCentroids(assignCells(train, c))
+    }
+  }
+
   /** IVF ANN with a TRAINED coarse quantizer: centroids start as the
     * first K vectors, then LloydIters assign→mean rounds over a
     * deterministic 1-in-TrainMod sample refine them (driver-coordinated
@@ -281,12 +296,10 @@ object Similarity {
     val e = emb(spark, dir)
     val c0 = e.filter(col("vec_id") < IvfK)
       .select(col("vec_id").as("cent_id"), col("v").as("cv"))
-    val train = e.filter(col("vec_id") % TrainMod === 0)
     val cents =
       if (!trained) c0
-      else (1 to LloydIters).foldLeft(c0) { (c, _) =>
-        updateCentroids(assignCells(train, c))
-      }.localCheckpoint() // 8 rows; reused by assignment AND probe ranking
+      else trainedCentroids(e)
+        .localCheckpoint() // 8 rows; reused by assignment AND probe ranking
     val assigned = assignCells(e, cents)
     val probes = e.filter(col("vec_id") < 3)
       .crossJoin(broadcast(cents))
@@ -312,28 +325,42 @@ object Similarity {
     * the fixture embeddings are 64-dim). Rounding matches the Spark
     * side: centroid means at 4dp, similarities at 4dp, identical
     * tie-break order. */
-  val d14Oracle: String = {
-    def assignSql(vecsCte: String, centsCte: String): String =
-      s"""SELECT vec_id, v, cent_id AS cell FROM (
-         SELECT t.vec_id, t.v, c.cent_id,
-           row_number() OVER (PARTITION BY t.vec_id
-             ORDER BY ${cosineSql("t.v", "c.cv")} DESC, c.cent_id) AS rk
-         FROM $vecsCte t, $centsCte c)
-         WHERE rk = 1"""
-    def updateSql(assignCte: String): String =
-      s"""SELECT cell AS cent_id, list(cx ORDER BY i) AS cv FROM (
-         SELECT cell, i, round(avg(v[i]), 4) AS cx
-         FROM $assignCte, (SELECT unnest(range(1, 65)) AS i)
-         GROUP BY cell, i)
-         GROUP BY cell"""
-    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+  /** One nearest-cell assignment pass in DuckDB SQL (oracle clarity
+    * over efficiency: a row_number window over the K-way cross). */
+  private def assignSql(vecsCte: String, centsCte: String): String =
+    s"""SELECT vec_id, v, cent_id AS cell FROM (
+       SELECT t.vec_id, t.v, c.cent_id,
+         row_number() OVER (PARTITION BY t.vec_id
+           ORDER BY ${cosineSql("t.v", "c.cv")} DESC, c.cent_id) AS rk
+       FROM $vecsCte t, $centsCte c)
+       WHERE rk = 1"""
+
+  /** One Lloyd mean-update pass in DuckDB SQL (explicit 1..64 dimension
+    * unnest — the fixture embeddings are 64-dim). */
+  private def updateSql(assignCte: String): String =
+    s"""SELECT cell AS cent_id, list(cx ORDER BY i) AS cv FROM (
+       SELECT cell, i, round(avg(v[i]), 4) AS cx
+       FROM $assignCte, (SELECT unnest(range(1, 65)) AS i)
+       GROUP BY cell, i)
+       GROUP BY cell"""
+
+  /** The Lloyd rounds unrolled as CTEs — `c2` is the trained centroid
+    * table, `assigned` every corpus vector with its nearest trained
+    * cell. Shared by the d14 and d59 oracles; rounding matches the
+    * Spark side (centroid means at 4dp, similarities at 4dp, identical
+    * tie-break order). */
+  private def trainedCtesSql: String =
+    s"""e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
        train AS (SELECT vec_id, v FROM e WHERE vec_id % $TrainMod = 0),
        c0 AS (SELECT vec_id AS cent_id, v AS cv FROM e WHERE vec_id < $IvfK),
        a1 AS (${assignSql("train", "c0")}),
        c1 AS (${updateSql("a1")}),
        a2 AS (${assignSql("train", "c1")}),
        c2 AS (${updateSql("a2")}),
-       assigned AS (${assignSql("e", "c2")}),
+       assigned AS (${assignSql("e", "c2")})"""
+
+  val d14Oracle: String = {
+    s"""WITH $trainedCtesSql,
        probes AS (
          SELECT q_id, qv, cell FROM (
            SELECT t.vec_id AS q_id, t.v AS qv, c.cent_id AS cell,
@@ -360,12 +387,9 @@ object Similarity {
     val e = emb(spark, dir)
     val c0 = e.filter(col("vec_id") < IvfK)
       .select(col("vec_id").as("cent_id"), col("v").as("cv"))
-    val train = e.filter(col("vec_id") % TrainMod === 0)
     val cents =
       if (!trained) c0
-      else (1 to LloydIters).foldLeft(c0) { (c, _) =>
-        updateCentroids(assignCells(train, c))
-      }
+      else trainedCentroids(e)
     e.crossJoin(broadcast(cents))
       .select(col("vec_id"), cosine(col("v"), col("cv")).as("sim"))
       .groupBy("vec_id").agg(max("sim").as("best"))
@@ -669,6 +693,96 @@ object Similarity {
        FROM probes p LEFT JOIN hits ON p.q_id = hits.q_id
        ORDER BY p.q_id"""
 
+  // --------------------------------------------------------------- d59
+  /** Pair threshold for semantic duplicate edges. Same calibration note
+    * as d12: the synthetic embeddings are near-orthogonal, so a
+    * production-realistic 0.95 would select nothing at gate scale; 0.4
+    * exercises the full path. The threshold is the tuning knob, not the
+    * structure. */
+  private val SemThreshold = 0.4
+
+  /** SEMANTIC DEDUP — the SemDeDup recipe (Abbas et al. 2023,
+    * arXiv:2303.09540, public): duplicates are found WITHIN the cells
+    * of a trained k-means coarse quantizer, never across the whole
+    * corpus. d12/d22 bucket by data-independent hyperplane signs; here
+    * the buckets are the d14-trained Lloyd cells, which adapt to the
+    * corpus's actual density — the published result is that
+    * cell-bounded pairwise search finds the semantic near-dups that
+    * matter at a tiny fraction of all-pairs cost. Within each cell,
+    * pairs at/above [[SemThreshold]] become edges, connected components
+    * merge them (edges never cross cells, so components are
+    * cell-bounded), and the member MOST similar to its cell centroid
+    * survives (ties to the smaller vec_id) — one swappable line of
+    * policy, same argmax idiom as d57 (the paper explores
+    * keep-low-centroid-similarity; most-central is the conservative
+    * default).
+    *
+    * Scale shape: training touches only the 1-in-TrainMod sample; the
+    * corpus moves once into cell-keyed partitions; the pair join is an
+    * equi-join on the cell id (quadratic only within a cell — K grows
+    * with corpus size in production SemDeDup, ~100k cells for ~100M
+    * docs, bounding cell populations); the survivor argmax is a
+    * partial-aggregated struct-max, not a per-cluster sort window. The
+    * assignment is checkpointed once for its three consumers (centroid
+    * similarity, both pair-join sides). */
+  def d59SemanticDedup(spark: SparkSession, dir: String): DataFrame = {
+    val e = emb(spark, dir)
+    val cents = trainedCentroids(e).localCheckpoint()
+    val assigned = assignCells(e, cents).localCheckpoint()
+    val withSim = assigned
+      .join(broadcast(cents), col("cell") === col("cent_id"))
+      .select(col("vec_id"), col("cell"), cosine(col("v"), col("cv")).as("cent_sim"))
+    val right = assigned
+      .select(col("vec_id").as("vec_b"), col("v").as("vb"), col("cell"))
+    val pairs = assigned.join(right, Seq("cell"))
+      .filter(col("vec_id") < col("vec_b"))
+      .select(col("vec_id").as("a"), col("vec_b").as("b"),
+        cosine(col("v"), col("vb")).as("cs"))
+      .filter(col("cs") >= SemThreshold)
+      .select("a", "b")
+    val labels = Clustering.minLabelComponents(pairs)
+    val members = withSim
+      .join(labels.withColumnRenamed("node", "vec_id"), Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cell"), col("cent_sim"),
+        coalesce(col("label"), col("vec_id")).as("cluster_id"))
+    val best = members.groupBy("cluster_id")
+      .agg(max(struct(col("cent_sim"), (-col("vec_id")).as("nid"))).as("m"))
+      .select(col("cluster_id"), (-col("m.nid")).as("best_id"))
+    members.join(best, "cluster_id")
+      .select(col("vec_id"), col("cell"), col("cluster_id"), col("cent_sim"),
+        when(col("vec_id") === col("best_id"), 1).otherwise(0).as("keep"))
+      .orderBy("vec_id")
+  }
+
+  /** The trained-quantizer CTEs (shared with d14) + within-cell pairs +
+    * d22's recursive-reach components + d57's keep-policy window. */
+  val d59Oracle: String =
+    s"""WITH RECURSIVE $trainedCtesSql,
+       csim AS (
+         SELECT a.vec_id, a.cell, ${cosineSql("a.v", "c.cv")} AS cent_sim
+         FROM assigned a JOIN c2 c ON a.cell = c.cent_id),
+       pairs AS (
+         SELECT a.vec_id AS va, b.vec_id AS vb
+         FROM assigned a JOIN assigned b
+           ON a.cell = b.cell AND a.vec_id < b.vec_id
+         WHERE ${cosineSql("a.v", "b.v")} >= $SemThreshold),
+       edges AS (
+         SELECT va AS s, vb AS d FROM pairs
+         UNION ALL SELECT vb, va FROM pairs),
+       reach(x, y) AS (
+         SELECT DISTINCT s, s FROM edges
+         UNION
+         SELECT r.x, e2.d FROM reach r JOIN edges e2 ON e2.s = r.y),
+       comp AS (SELECT x AS node, min(y) AS cl FROM reach GROUP BY x),
+       members AS (
+         SELECT vec_id, cell, cent_sim, coalesce(cl, vec_id) AS cluster_id
+         FROM csim LEFT JOIN comp ON node = vec_id)
+       SELECT vec_id, cell, cluster_id, cent_sim,
+         CASE WHEN row_number() OVER (PARTITION BY cluster_id
+             ORDER BY cent_sim DESC, vec_id) = 1
+           THEN 1 ELSE 0 END AS keep
+       FROM members ORDER BY vec_id"""
+
   /** d9's oracle shape over the quantized codes: the same explicit
     * quantization arithmetic as d42's oracle (floor(·+0.5), clamp),
     * the same explicit cosine as d9's. Integer codes ≤127 over
@@ -740,7 +854,8 @@ object Similarity {
     "d42_quantization" -> (d42Quantization _),
     "d44_balanced_quota" -> (d44BalancedQuota _),
     "d51_quantized_ann" -> (d51QuantizedAnn _),
-    "d53_ann_recall" -> (d53AnnRecall _)
+    "d53_ann_recall" -> (d53AnnRecall _),
+    "d59_semantic_dedup" -> (d59SemanticDedup _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -754,6 +869,7 @@ object Similarity {
     "d42_quantization" -> d42Oracle,
     "d44_balanced_quota" -> d44Oracle,
     "d51_quantized_ann" -> d51Oracle,
-    "d53_ann_recall" -> d53Oracle
+    "d53_ann_recall" -> d53Oracle,
+    "d59_semantic_dedup" -> d59Oracle
   )
 }

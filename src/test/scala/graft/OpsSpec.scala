@@ -275,6 +275,25 @@ class OpsSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("d59: cell-bounded clusters, one most-central survivor each") {
+    val out = Similarity.d59SemanticDedup(spark, "/root/testdata/sf0.01").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getInt(4)))
+    val byCluster = out.groupBy(_._3)
+    byCluster.foreach { case (cid, members) =>
+      assert(members.count(_._5 == 1) == 1, s"cluster $cid survivors")
+      assert(members.map(_._1).min == cid, s"cluster $cid label")
+      // edges never cross cells, so every member shares the survivor's cell
+      assert(members.map(_._2).distinct.length == 1, s"cluster $cid spans cells")
+      // the survivor is the member MOST similar to the cell centroid
+      // (ties to smaller vec_id) — the keep policy's whole contract
+      val best = members.minBy(m => (-m._4, m._1))
+      assert(members.find(_._5 == 1).get == best, s"cluster $cid keep policy")
+    }
+    // nontrivial at gate scale: some cluster must actually merge pairs
+    assert(byCluster.exists(_._2.length >= 2), "no multi-member cluster found")
+  }
+
   test("q22 scale path: approx percentiles track exact within 1%") {
     import org.apache.spark.sql.functions._
     val sfDir = "/root/testdata/sf0.01"
