@@ -641,6 +641,37 @@ object Queries {
        WHERE n_orders >= 8
        ORDER BY o_custkey, o_orderkey"""
 
+  // --------------------------------------------------------------- q26
+  /** UNPIVOT (melt) — the inverse of q15's pivot: a wide per-flag
+    * stats row becomes (flag, measure, value) long form, the shape
+    * charting/BI tools and generic drift monitors consume. The unpivot
+    * runs AFTER the aggregate, so its Expand multiplies a
+    * flag-cardinality table (3 rows → 9), not the corpus-sized scan —
+    * the cheap side of the q24/d60 Expand lesson. Measure values are
+    * rounded before melting so one rounding rule covers all three
+    * columns in both engines. */
+  def q26Unpivot(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(round(avg("l_quantity"), 4).as("avg_qty"),
+        round(avg("l_extendedprice"), 4).as("avg_price"),
+        round(avg("l_discount"), 4).as("avg_disc"))
+      .unpivot(Array(col("l_returnflag")),
+        Array(col("avg_qty"), col("avg_price"), col("avg_disc")),
+        "measure", "value")
+      .orderBy("l_returnflag", "measure")
+
+  val q26Oracle: String =
+    """WITH a AS (
+         SELECT l_returnflag,
+           round(avg(l_quantity), 4) AS avg_qty,
+           round(avg(l_extendedprice), 4) AS avg_price,
+           round(avg(l_discount), 4) AS avg_disc
+         FROM lineitem GROUP BY 1)
+       SELECT l_returnflag, measure, value
+       FROM a UNPIVOT (value FOR measure IN (avg_qty, avg_price, avg_disc))
+       ORDER BY l_returnflag, measure"""
+
   // ------------------------------------------------------------ registry
   val relational: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_agg" -> (q1Agg _),
@@ -667,7 +698,8 @@ object Queries {
     "q22_percentiles" -> (q22Percentiles _),
     "q23_approx_percentiles" -> (q23ApproxPercentiles _),
     "q24_cube" -> (q24Cube _),
-    "q25_lead_lag" -> (q25LeadLag _)
+    "q25_lead_lag" -> (q25LeadLag _),
+    "q26_unpivot" -> (q26Unpivot _)
   )
 
   val relationalOracles: Map[String, String] = Map(
@@ -695,7 +727,8 @@ object Queries {
     "q22_percentiles" -> q22Oracle,
     "q23_approx_percentiles" -> q23Oracle,
     "q24_cube" -> q24Oracle,
-    "q25_lead_lag" -> q25Oracle
+    "q25_lead_lag" -> q25Oracle,
+    "q26_unpivot" -> q26Oracle
   )
 
   val all: Map[String, (SparkSession, String) => DataFrame] =

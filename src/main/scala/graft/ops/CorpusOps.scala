@@ -636,6 +636,65 @@ object CorpusOps {
          GROUP BY 1)
        ORDER BY stage"""
 
+  // --------------------------------------------------------------- d60
+  /** DATA CARD — the release-notes table every published training
+    * corpus ships: docs, whitespace tokens, and mean document length
+    * per (split, source) slice, WITH per-split subtotals and the grand
+    * total (the `all` rows). One table answers "what exactly is in this
+    * dataset and how is it balanced" — the first artifact a dataset
+    * audit asks for.
+    *
+    * Scale shape: deliberately NOT `rollup("split", "source")` — the
+    * Expand operator behind rollup/cube replays the corpus-sized scan
+    * once per grouping level (the d28 lesson: splitting that Expand
+    * halved its cost). All stats here are decomposable (counts and
+    * sums; the mean derives from sum/count at render time), so the
+    * corpus aggregates ONCE to the (split, source) leaf — tiny by
+    * construction — and the subtotal/total levels re-aggregate leaf
+    * rows. The leaf is checkpointed: three consumers, one corpus
+    * scan. */
+  def d60DataCard(spark: SparkSession, dir: String): DataFrame = {
+    val leaf = docs(spark, dir)
+      .select(splitOf(col("doc_id")).as("split"), col("source"),
+        size(tokens(col("text"))).cast("long").as("n_tok"), col("n_chars"))
+      .groupBy("split", "source")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("n_tokens"),
+        sum("n_chars").as("sum_chars"))
+      .localCheckpoint()
+    def card(df: DataFrame): DataFrame = df.select(
+      col("split"), col("source"), col("n_docs"), col("n_tokens"),
+      round(col("sum_chars").cast("double") / col("n_docs"), 2).as("avg_chars"))
+    val bySplit = leaf.groupBy("split")
+      .agg(sum("n_docs").as("n_docs"), sum("n_tokens").as("n_tokens"),
+        sum("sum_chars").as("sum_chars"))
+      .withColumn("source", lit("all"))
+    val total = leaf
+      .agg(sum("n_docs").as("n_docs"), sum("n_tokens").as("n_tokens"),
+        sum("sum_chars").as("sum_chars"))
+      .withColumn("split", lit("all")).withColumn("source", lit("all"))
+    card(leaf).union(card(bySplit)).union(card(total))
+      .orderBy("split", "source")
+  }
+
+  val d60Oracle: String =
+    s"""SELECT coalesce(split, 'all') AS split,
+         coalesce(source, 'all') AS source,
+         count(*) AS n_docs,
+         sum(n_tok) AS n_tokens,
+         round(sum(n_chars) * 1.0 / count(*), 2) AS avg_chars
+       FROM (
+         SELECT CASE WHEN b < 90 THEN 'train' WHEN b < 95 THEN 'val'
+                  ELSE 'test' END AS split,
+           source, n_tok, n_chars
+         FROM (
+           SELECT source, n_chars,
+             len(regexp_extract_all(text, '\\S+')) AS n_tok,
+             ('0x'||substr(md5('$SplitSalt'||doc_id::VARCHAR),1,15))::BIGINT
+               % 100 AS b
+           FROM documents))
+       GROUP BY ROLLUP(split, source)
+       ORDER BY split, source"""
+
   // --------------------------------------------------------------- d31
   /** Per-source DUPLICATION report: how much of each source is exact
     * duplicate content (the headline number deciding whether a source
@@ -1038,6 +1097,7 @@ object CorpusOps {
     "d31_dup_report" -> (d31DupReport _),
     "d32_integrity_audit" -> (d32IntegrityAudit _),
     "d33_train_split" -> (d33TrainSplit _),
+    "d60_data_card" -> (d60DataCard _),
     "d34_boilerplate" -> (d34Boilerplate _),
     "d58_boiler_scrub" -> (d58BoilerScrub _),
     "d35_source_overlap" -> (d35SourceOverlap _),
@@ -1057,6 +1117,7 @@ object CorpusOps {
     "d31_dup_report" -> d31Oracle,
     "d32_integrity_audit" -> d32Oracle,
     "d33_train_split" -> d33Oracle,
+    "d60_data_card" -> d60Oracle,
     "d34_boilerplate" -> d34Oracle,
     "d58_boiler_scrub" -> d58Oracle,
     "d35_source_overlap" -> d35Oracle,

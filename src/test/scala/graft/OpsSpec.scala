@@ -294,6 +294,31 @@ class OpsSpec extends AnyFunSuite with SparkSpec {
     assert(byCluster.exists(_._2.length >= 2), "no multi-member cluster found")
   }
 
+  test("d60: leaf-reaggregated rollup = Spark's native rollup operator") {
+    // the scale claim behind d60: deriving subtotal/total levels from
+    // the (split, source) leaf must be VALUE-equal to rollup(), whose
+    // Expand replays the corpus scan once per level
+    import org.apache.spark.sql.functions._
+    val sfDir = "/root/testdata/sf0.01"
+    val got = CorpusOps.d60DataCard(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    val naive = Tables.load(spark, sfDir, "documents")
+      .select(CorpusOps.splitOf(col("doc_id")).as("split"), col("source"),
+        size(TextOps.tokens(col("text"))).cast("long").as("n_tok"),
+        col("n_chars"))
+      .rollup("split", "source")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("n_tokens"),
+        round(sum("n_chars").cast("double") / count(lit(1)), 2).as("avg_chars"))
+      .select(coalesce(col("split"), lit("all")).as("split"),
+        coalesce(col("source"), lit("all")).as("source"),
+        col("n_docs"), col("n_tokens"), col("avg_chars"))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    assert(got == naive, "data card diverged from the native rollup")
+  }
+
   test("q22 scale path: approx percentiles track exact within 1%") {
     import org.apache.spark.sql.functions._
     val sfDir = "/root/testdata/sf0.01"
