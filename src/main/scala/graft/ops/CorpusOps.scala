@@ -242,6 +242,64 @@ object CorpusOps {
            AS rank
        FROM sc ORDER BY rank"""
 
+  // --------------------------------------------------------------- d61
+  /** Token budget for demo selection. Production sets the training
+    * run's actual budget; ~37% of the gate corpus's tokens keeps both
+    * verdicts populated at every SF. */
+  private[graft] val TokenBudget = 10000L
+
+  /** BUDGET-CAPPED SELECTION — "train on the easiest B tokens": the
+    * d56 curriculum order plus a GLOBAL running token total, keeping
+    * documents while the running total is within [[TokenBudget]]. This
+    * is the decision a compute-limited run actually makes when the
+    * corpus exceeds the budget — the cut is by cumulative TOKENS in
+    * quality order, not by document count (docs vary 10× in length;
+    * a doc-count cut would overshoot the budget unpredictably).
+    *
+    * The scale problem is the running total: naively `sum(n_tok) OVER
+    * (ORDER BY ...)` — a single-partition window stacked on the rank's.
+    * [[GlobalOrder.runningTotal]] computes rank AND inclusive prefix
+    * sum from one range exchange: the per-bucket offset table carries
+    * (count, token-sum) pairs, and both window functions share the
+    * in-bucket sort. A kept document's `keep` depends only on content
+    * and corpus statistics, so the selection is re-run-stable. */
+  def d61TokenBudget(spark: SparkSession, dir: String): DataFrame = {
+    val nTok = docs(spark, dir)
+      .select(col("doc_id"), size(tokens(col("text"))).cast("long").as("n_tok"))
+    val scored = d25Surprisal(spark, dir).join(nTok, "doc_id")
+    GlobalOrder.runningTotal(scored,
+        Seq(col("surprisal").asc, col("doc_id").asc), col("n_tok"))
+      .select(col("doc_id"), col("surprisal"), col("n_tok"),
+        col("rank"), col("running").as("cum_tokens"),
+        when(col("running") <= TokenBudget, 1).otherwise(0).as("keep"))
+      .orderBy("rank")
+  }
+
+  val d61Oracle: String =
+    s"""WITH tok AS (
+         SELECT doc_id, unnest(regexp_extract_all(lower(text), '\\S+')) AS term
+         FROM documents),
+       freq AS (SELECT term, count(*) AS cnt FROM tok GROUP BY term),
+       tot AS (SELECT sum(cnt) AS total FROM freq),
+       sc AS (
+         SELECT doc_id, round(avg(-ln(cnt::DOUBLE / total)), 4) AS surprisal
+         FROM tok JOIN freq ON tok.term = freq.term, tot
+         GROUP BY doc_id),
+       nt AS (
+         SELECT doc_id, len(regexp_extract_all(text, '\\S+')) AS n_tok
+         FROM documents),
+       r AS (
+         SELECT sc.doc_id, surprisal, n_tok,
+           CAST(row_number() OVER (ORDER BY surprisal, sc.doc_id)
+             AS BIGINT) AS rank,
+           CAST(sum(n_tok) OVER (ORDER BY surprisal, sc.doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS BIGINT) AS cum_tokens
+         FROM sc JOIN nt ON sc.doc_id = nt.doc_id)
+       SELECT doc_id, surprisal, n_tok, rank, cum_tokens,
+         CASE WHEN cum_tokens <= $TokenBudget THEN 1 ELSE 0 END AS keep
+       FROM r ORDER BY rank"""
+
   // --------------------------------------------------------------- d41
   /** BIGRAM-LM SURPRISAL per document: mean −ln p(w2|w1) under the
     * corpus's own bigram distribution (MLE: c(w1 w2)/c(w1), hashed
@@ -1090,6 +1148,7 @@ object CorpusOps {
     "d24_tfidf" -> (d24Tfidf _),
     "d25_surprisal" -> (d25Surprisal _),
     "d56_curriculum_rank" -> (d56CurriculumRank _),
+    "d61_token_budget" -> (d61TokenBudget _),
     "d41_bigram_surprisal" -> (d41BigramSurprisal _),
     "d26_pii_scrub" -> (d26PiiScrub _),
     "d28_cardinality" -> (d28Cardinality _),
@@ -1110,6 +1169,7 @@ object CorpusOps {
     "d24_tfidf" -> d24Oracle,
     "d25_surprisal" -> d25Oracle,
     "d56_curriculum_rank" -> d56Oracle,
+    "d61_token_budget" -> d61Oracle,
     "d41_bigram_surprisal" -> d41Oracle,
     "d26_pii_scrub" -> d26Oracle,
     "d28_cardinality" -> d28Oracle,

@@ -45,34 +45,63 @@ object GlobalOrder {
     *                shuffle partitioning. At 100 TB raise it so each
     *                bucket's sort fits one task comfortably — the offset
     *                table stays one row per bucket either way. */
-  def rank(df: DataFrame, sortCols: Seq[Column], buckets: Int = 0): DataFrame = {
+  def rank(df: DataFrame, sortCols: Seq[Column], buckets: Int = 0): DataFrame =
+    ordered(df, sortCols, None, buckets)
+
+  /** Append `rank` AND `running` — the inclusive global prefix sum of
+    * `valueCol` in rank order — with the same machinery: the per-bucket
+    * offset table carries (count, value-sum) pairs, the in-bucket
+    * window computes both functions over ONE sort. The global
+    * running-total is what budget-capped selection needs ("keep ranked
+    * docs until the token budget"): naively it is a second
+    * single-partition window on top of the rank's. */
+  def runningTotal(df: DataFrame, sortCols: Seq[Column], valueCol: Column,
+      buckets: Int = 0): DataFrame =
+    ordered(df, sortCols, Some(valueCol), buckets)
+
+  private def ordered(df: DataFrame, sortCols: Seq[Column],
+      value: Option[Column], buckets: Int): DataFrame = {
     val n =
       if (buckets > 0) buckets
       else df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
-    val bucketed = df.repartitionByRange(n, sortCols: _*)
-      .withColumn("__bucket", spark_partition_id())
-      .localCheckpoint()
-    // the prefix sum over the per-bucket counts is computed ARRAY-side
-    // on one collapsed aggregate row (the d19-vocab idiom for
-    // already-reduced data) rather than with an unpartitioned window —
-    // same reason d19 re-derives rank: the surface bans empty window
-    // partition specs outright, and a "this one is small, trust me"
-    // exemption would blunt the guard. The O(buckets²) slice-sum runs
-    // once, on one row of `buckets` elements.
+    val withV = value.foldLeft(df.repartitionByRange(n, sortCols: _*)
+      .withColumn("__bucket", spark_partition_id())) {
+      // the value column is materialized only when a running total is
+      // requested — rank-only callers don't pay 8 bytes/row for zeros
+      (d, v) => d.withColumn("__v", v.cast("long"))
+    }
+    val bucketed = withV.localCheckpoint()
+    // the prefix sum over the per-bucket (count, sum) pairs is computed
+    // ARRAY-side on one collapsed aggregate row (the d19-vocab idiom
+    // for already-reduced data) rather than with an unpartitioned
+    // window — same reason d19 re-derives rank: the surface bans empty
+    // window partition specs outright, and a "this one is small, trust
+    // me" exemption would blunt the guard. The O(buckets²) slice-sum
+    // runs once, on one row of `buckets` elements.
     val offsets = bucketed.groupBy("__bucket")
-      .agg(count(lit(1)).as("__cnt"))
+      .agg(count(lit(1)).as("__cnt"),
+        sum(if (value.isDefined) col("__v") else lit(0L)).as("__sum"))
       .agg(array_sort(collect_list(struct(col("__bucket").as("b"),
-        col("__cnt").as("c")))).as("rows"))
+        col("__cnt").as("c"), col("__sum").as("s")))).as("rows"))
       .select(explode(transform(col("rows"), (r, i) =>
         struct(r.getField("b").as("b"),
           aggregate(slice(col("rows"), lit(1), i), lit(0L),
-            (a, x) => a + x.getField("c")).as("o")))).as("x"))
-      .select(col("x.b").as("__bucket"), col("x.o").as("__offset"))
-    bucketed
-      .withColumn("__rn", row_number().over(
-        Window.partitionBy("__bucket").orderBy(sortCols: _*)))
+            (a, x) => a + x.getField("c")).as("o"),
+          aggregate(slice(col("rows"), lit(1), i), lit(0L),
+            (a, x) => a + x.getField("s")).as("so")))).as("x"))
+      .select(col("x.b").as("__bucket"), col("x.o").as("__offset"),
+        col("x.so").as("__sumoff"))
+    val w = Window.partitionBy("__bucket").orderBy(sortCols: _*)
+    val ranked = bucketed
+      .withColumn("__rn", row_number().over(w))
       .join(broadcast(offsets), "__bucket")
       .withColumn("rank", col("__offset") + col("__rn"))
-      .drop("__bucket", "__rn", "__offset")
+    val out = value match {
+      case None => ranked
+      case Some(_) => ranked.withColumn("running",
+        col("__sumoff") + sum(col("__v")).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    }
+    out.drop("__bucket", "__rn", "__offset", "__sumoff", "__v")
   }
 }

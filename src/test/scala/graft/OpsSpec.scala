@@ -611,6 +611,28 @@ class OpsSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("globalOrder.runningTotal = single-partition rank + prefix sum") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    val df = spark.range(500)
+      .select((col("id") * 37 % 100).as("score"), col("id"),
+        (col("id") % 7 + 1).as("v"))
+    val w = Window.orderBy(col("score"), col("id"))
+    val base = df
+      .withColumn("r", row_number().over(w))
+      .withColumn("s", sum("v").over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .collect().map(r => r.getLong(1) -> ((r.getInt(3).toLong, r.getLong(4))))
+      .toMap
+    for (b <- Seq(1, 3, 17, 200)) {
+      val got = graft.ops.GlobalOrder
+        .runningTotal(df, Seq(col("score").asc, col("id").asc), col("v"), b)
+        .collect().map(r => r.getLong(1) -> ((r.getLong(3), r.getLong(4))))
+        .toMap
+      assert(got == base, s"running totals diverged at buckets=$b")
+    }
+  }
+
   test("d57: the LONGEST member survives its near-dup cluster, not the first") {
     // two near-dup docs where the LATER doc_id is longer — d15's
     // min-doc_id policy keeps doc 0, the content policy must keep doc 1
