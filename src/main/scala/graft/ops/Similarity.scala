@@ -717,18 +717,40 @@ object Similarity {
     * keep-low-centroid-similarity; most-central is the conservative
     * default).
     *
-    * Scale shape: training touches only the 1-in-TrainMod sample; the
-    * corpus moves once into cell-keyed partitions; the pair join is an
-    * equi-join on the cell id (quadratic only within a cell — K grows
-    * with corpus size in production SemDeDup, ~100k cells for ~100M
-    * docs, bounding cell populations); the survivor argmax is a
-    * partial-aggregated struct-max, not a per-cluster sort window. The
-    * assignment is checkpointed once for its three consumers (centroid
-    * similarity, both pair-join sides). */
+    * Scale shape: an EXACT pre-pass first (the d2/d52 lesson):
+    * byte-identical vectors collapse to their min-id representative via
+    * a group-by on the vector value BEFORE any quadratic work —
+    * identical vectors always co-cluster (cosine 1.0 ≥ any threshold)
+    * and share cell and centroid-similarity, so collapsing preserves
+    * the result exactly while a replica-dense corpus (the common case
+    * dedup exists for) never inflates the pair join. Training touches
+    * only the 1-in-TrainMod sample; only representatives move into
+    * cell-keyed partitions; the pair join is an equi-join on the cell
+    * id (quadratic only within a cell — K grows with corpus size in
+    * production SemDeDup, ~100k cells for ~100M docs, bounding cell
+    * populations); the survivor argmax is a partial-aggregated
+    * struct-max, not a per-cluster sort window. The rep assignment is
+    * checkpointed once for its three consumers (centroid similarity,
+    * both pair-join sides).
+    *
+    * Identity invariants the expansion step relies on: the rep is its
+    * group's MIN id, so a component's min member id equals its min rep
+    * id (cluster labels are unchanged by collapsing), and the keep
+    * policy's tie-break (max cent_sim, then min id) can only ever pick
+    * a rep — replicas tie on cent_sim but lose the id tie-break. */
   def d59SemanticDedup(spark: SparkSession, dir: String): DataFrame = {
     val e = emb(spark, dir)
     val cents = trainedCentroids(e).localCheckpoint()
-    val assigned = assignCells(e, cents).localCheckpoint()
+    // ONE vector-keyed exchange yields both the member→rep mapping and
+    // the rep set (a groupBy + join-back would move the vectors twice);
+    // checkpointed because the rep pipeline and the final expansion
+    // both consume it
+    val mapped = e.select(col("vec_id"), col("v"))
+      .withColumn("rep_id", min("vec_id").over(Window.partitionBy("v")))
+      .localCheckpoint()
+    val reps = mapped.filter(col("vec_id") === col("rep_id"))
+    val assigned = assignCells(reps.select("vec_id", "v"), cents)
+      .localCheckpoint()
     val withSim = assigned
       .join(broadcast(cents), col("cell") === col("cent_id"))
       .select(col("vec_id"), col("cell"), cosine(col("v"), col("cv")).as("cent_sim"))
@@ -748,22 +770,31 @@ object Similarity {
     val best = members.groupBy("cluster_id")
       .agg(max(struct(col("cent_sim"), (-col("vec_id")).as("nid"))).as("m"))
       .select(col("cluster_id"), (-col("m.nid")).as("best_id"))
-    members.join(best, "cluster_id")
+    val repVerdict = members.join(best, "cluster_id")
+      .withColumnRenamed("vec_id", "rep_id")
+    mapped.select("vec_id", "rep_id")
+      .join(repVerdict, Seq("rep_id"))
       .select(col("vec_id"), col("cell"), col("cluster_id"), col("cent_sim"),
         when(col("vec_id") === col("best_id"), 1).otherwise(0).as("keep"))
       .orderBy("vec_id")
   }
 
-  /** The trained-quantizer CTEs (shared with d14) + within-cell pairs +
-    * d22's recursive-reach components + d57's keep-policy window. */
+  /** The trained-quantizer CTEs (shared with d14) + the exact-collapse
+    * pre-pass + within-cell pairs over representatives + d22's
+    * recursive-reach components + d57's keep-policy window, expanded
+    * back to every vector at the end. */
   val d59Oracle: String =
     s"""WITH RECURSIVE $trainedCtesSql,
+       reps AS (SELECT v, min(vec_id) AS rep_id FROM e GROUP BY v),
+       ra AS (
+         SELECT a.vec_id, a.v, a.cell
+         FROM assigned a JOIN reps r ON a.vec_id = r.rep_id),
        csim AS (
          SELECT a.vec_id, a.cell, ${cosineSql("a.v", "c.cv")} AS cent_sim
-         FROM assigned a JOIN c2 c ON a.cell = c.cent_id),
+         FROM ra a JOIN c2 c ON a.cell = c.cent_id),
        pairs AS (
          SELECT a.vec_id AS va, b.vec_id AS vb
-         FROM assigned a JOIN assigned b
+         FROM ra a JOIN ra b
            ON a.cell = b.cell AND a.vec_id < b.vec_id
          WHERE ${cosineSql("a.v", "b.v")} >= $SemThreshold),
        edges AS (
@@ -776,12 +807,19 @@ object Similarity {
        comp AS (SELECT x AS node, min(y) AS cl FROM reach GROUP BY x),
        members AS (
          SELECT vec_id, cell, cent_sim, coalesce(cl, vec_id) AS cluster_id
-         FROM csim LEFT JOIN comp ON node = vec_id)
-       SELECT vec_id, cell, cluster_id, cent_sim,
-         CASE WHEN row_number() OVER (PARTITION BY cluster_id
-             ORDER BY cent_sim DESC, vec_id) = 1
-           THEN 1 ELSE 0 END AS keep
-       FROM members ORDER BY vec_id"""
+         FROM csim LEFT JOIN comp ON node = vec_id),
+       best AS (
+         SELECT cluster_id, vec_id AS best_id FROM (
+           SELECT cluster_id, vec_id,
+             row_number() OVER (PARTITION BY cluster_id
+               ORDER BY cent_sim DESC, vec_id) AS rn
+           FROM members) WHERE rn = 1)
+       SELECT x.vec_id, m.cell, m.cluster_id, m.cent_sim,
+         CASE WHEN x.vec_id = b.best_id THEN 1 ELSE 0 END AS keep
+       FROM (SELECT e.vec_id, r.rep_id FROM e JOIN reps r ON e.v = r.v) x
+       JOIN members m ON x.rep_id = m.vec_id
+       JOIN best b ON m.cluster_id = b.cluster_id
+       ORDER BY x.vec_id"""
 
   /** d9's oracle shape over the quantized codes: the same explicit
     * quantization arithmetic as d42's oracle (floor(·+0.5), clamp),

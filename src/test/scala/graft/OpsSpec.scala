@@ -294,6 +294,29 @@ class OpsSpec extends AnyFunSuite with SparkSpec {
     assert(byCluster.exists(_._2.length >= 2), "no multi-member cluster found")
   }
 
+  test("d59: byte-identical replicas co-cluster with their rep; only ids ≥ rep lose") {
+    // plants exact replicas — the case the collapse pre-pass exists
+    // for — and pins the expansion step: every replica inherits the
+    // rep's cluster/cell/cent_sim, and keep=1 can only land on a rep
+    import org.apache.spark.sql.functions._
+    val src = Tables.load(spark, "/root/testdata/sf0.01", "embeddings")
+    val replicas = src.filter(col("vec_id") < 4)
+      .withColumn("vec_id", col("vec_id") + 100000L)
+    val dir = java.nio.file.Files.createTempDirectory("graft-d59").toString
+    src.unionByName(replicas).coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val out = Similarity.d59SemanticDedup(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getInt(4)))).toMap
+    for (id <- 0L until 4L) {
+      val (origCell, origCluster, origSim, _) = out(id)
+      val (repCell, repCluster, repSim, repKeep) = out(id + 100000L)
+      assert((repCell, repCluster, repSim) == ((origCell, origCluster, origSim)),
+        s"replica of $id diverged from its rep")
+      assert(repKeep == 0, s"replica of $id must lose the id tie-break")
+    }
+  }
+
   test("d60: leaf-reaggregated rollup = Spark's native rollup operator") {
     // the scale claim behind d60: deriving subtotal/total levels from
     // the (split, source) leaf must be VALUE-equal to rollup(), whose
