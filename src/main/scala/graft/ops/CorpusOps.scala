@@ -849,6 +849,96 @@ object CorpusOps {
          FROM documents)
        GROUP BY 1, 2 ORDER BY source, split"""
 
+  // --------------------------------------------------------------- d62
+  /** Drift-monitor vocabulary width: the KL estimate runs over the
+    * corpus's top-V terms by global count (ties to the
+    * lexicographically smaller term, so the support is deterministic).
+    * Production widens V; the structure is V-invariant. */
+  private[graft] val DriftTopV = 200
+
+  /** SPLIT DRIFT — KL(split ‖ train) of the unigram distribution over
+    * the global top-[[DriftTopV]] terms, one row per split: the "is
+    * val/test distributed like train" audit run before trusting an
+    * evaluation (a d33-style id-hash split SHOULD read ≈0; a
+    * time-sliced or source-sliced split reads high — exactly the drift
+    * this monitor exists to flag). Add-one smoothing over the shared
+    * top-V support keeps every term's probability positive, so the KL
+    * is finite and both engines compute the identical closed form.
+    *
+    * Scale shape: one corpus scan → ONE vocab-sized (split, term)
+    * aggregate (hashes of nothing — term strings move once, the same
+    * cost d19/d24 pay), checkpointed for its three consumers; the
+    * top-V selection is a distributed TakeOrderedAndProject (no global
+    * sort window — d19's lesson); everything downstream operates on a
+    * ≤ V×3-row grid with broadcast joins. */
+  def d62SplitDrift(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val counts = docs(spark, dir)
+      .select(splitOf(col("doc_id")).as("split"),
+        explode(tokens(lower(col("text")))).as("term"))
+      .groupBy("split", "term").agg(count(lit(1)).as("c"))
+      .localCheckpoint()
+    val top = counts.groupBy("term").agg(sum("c").as("g"))
+      .orderBy(col("g").desc, col("term").asc).limit(DriftTopV)
+      .select("term")
+    // the grid manufactures the zero-count (split, term) cells the
+    // smoothed distribution needs — absent rows ARE the drift signal
+    val grid = top.crossJoin(Seq("train", "val", "test").toDF("split"))
+    val filled = grid.join(counts, Seq("term", "split"), "left")
+      .select(col("term"), col("split"), coalesce(col("c"), lit(0L)).as("c"))
+    val totals = filled.groupBy("split").agg(sum("c").as("n"))
+    // the smoothing denominator is the ACTUAL support width, not the
+    // TopV cap — when the vocabulary is narrower than the cap, a
+    // constant-V denominator under-normalizes every split by a
+    // different amount and the "KL" goes negative (Gibbs violated)
+    val vWidth = top.agg(count(lit(1)).as("vw"))
+    val p = filled.join(broadcast(totals), "split")
+      .crossJoin(broadcast(vWidth))
+      .select(col("split"), col("term"),
+        ((col("c") + 1).cast("double") / (col("n") + col("vw"))).as("p"))
+    val pTrain = p.filter(col("split") === "train")
+      .select(col("term"), col("p").as("pt"))
+    p.join(broadcast(pTrain), "term")
+      .groupBy("split")
+      .agg(count(lit(1)).as("n_terms"),
+        round(sum(col("p") * log(col("p") / col("pt"))), 4).as("kl_vs_train"))
+      .orderBy("split")
+  }
+
+  val d62Oracle: String =
+    s"""WITH tok AS (
+         SELECT CASE WHEN b < 90 THEN 'train' WHEN b < 95 THEN 'val'
+                  ELSE 'test' END AS split, term
+         FROM (
+           SELECT unnest(regexp_extract_all(lower(text), '\\S+')) AS term,
+             ('0x'||substr(md5('$SplitSalt'||doc_id::VARCHAR),1,15))::BIGINT
+               % 100 AS b
+           FROM documents)),
+       counts AS (
+         SELECT split, term, count(*) AS c FROM tok GROUP BY split, term),
+       top AS (
+         SELECT term FROM (
+           SELECT term, sum(c) AS g FROM counts GROUP BY term)
+         ORDER BY g DESC, term LIMIT $DriftTopV),
+       grid AS (
+         SELECT term, split FROM top,
+           (SELECT unnest(['train', 'val', 'test']) AS split)),
+       filled AS (
+         SELECT grid.term, grid.split, coalesce(c, 0) AS c
+         FROM grid LEFT JOIN counts
+           ON grid.term = counts.term AND grid.split = counts.split),
+       totals AS (SELECT split, sum(c) AS n FROM filled GROUP BY split),
+       vw AS (SELECT count(*) AS vw FROM top),
+       p AS (
+         SELECT f.split, f.term,
+           (f.c + 1)::DOUBLE / (t.n + vw.vw) AS p
+         FROM filled f JOIN totals t ON f.split = t.split, vw),
+       pt AS (SELECT term, p AS pt FROM p WHERE split = 'train')
+       SELECT p.split, count(*) AS n_terms,
+         round(sum(p.p * ln(p.p / pt.pt)), 4) AS kl_vs_train
+       FROM p JOIN pt ON p.term = pt.term
+       GROUP BY p.split ORDER BY p.split"""
+
   // --------------------------------------------------------------- d34
   /** Cross-doc boilerplate document-frequency threshold: a 3-token
     * shingle present in at least this many DISTINCT documents is
@@ -1157,6 +1247,7 @@ object CorpusOps {
     "d32_integrity_audit" -> (d32IntegrityAudit _),
     "d33_train_split" -> (d33TrainSplit _),
     "d60_data_card" -> (d60DataCard _),
+    "d62_split_drift" -> (d62SplitDrift _),
     "d34_boilerplate" -> (d34Boilerplate _),
     "d58_boiler_scrub" -> (d58BoilerScrub _),
     "d35_source_overlap" -> (d35SourceOverlap _),
@@ -1178,6 +1269,7 @@ object CorpusOps {
     "d32_integrity_audit" -> d32Oracle,
     "d33_train_split" -> d33Oracle,
     "d60_data_card" -> d60Oracle,
+    "d62_split_drift" -> d62Oracle,
     "d34_boilerplate" -> d34Oracle,
     "d58_boiler_scrub" -> d58Oracle,
     "d35_source_overlap" -> d35Oracle,

@@ -317,6 +317,20 @@ class OpsSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("d62: KL(train‖train) = 0, other splits ≥ 0, full top-V support") {
+    val out = CorpusOps.d62SplitDrift(spark, "/root/testdata/sf0.01").collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(out.keySet == Set("train", "val", "test"))
+    // the fixture vocab is smaller than DriftTopV, so the support is
+    // the full vocabulary — identical width for every split either way
+    assert(out.values.map(_._1).toSet.size == 1, "support width differs")
+    assert(out.values.head._1 <= 200L)
+    out.foreach { case (s, (_, kl)) =>
+      assert(kl >= 0.0, s"$s KL must be non-negative (Gibbs)")
+    }
+    assert(out("train")._2 == 0.0, "KL of train against itself")
+  }
+
   test("d60: leaf-reaggregated rollup = Spark's native rollup operator") {
     // the scale claim behind d60: deriving subtotal/total levels from
     // the (split, source) leaf must be VALUE-equal to rollup(), whose
