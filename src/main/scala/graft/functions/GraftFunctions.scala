@@ -124,6 +124,10 @@ object GraftFunctions {
       case Seq(vec) => QuantCodes(vec)
       case args => bad("graft_quant_codes", "1 (vector)", args.length)
     },
+    reg("graft_nfc_clean", classOf[NfcClean]) {
+      case Seq(text) => NfcClean(text)
+      case args => bad("graft_nfc_clean", "1 (text)", args.length)
+    },
     // The bloom build/probe pair behind d43's semi-join prefilter
     // ([[BloomFilters]]), as SQL: build the sketch with an aggregate
     // (typically in a scalar subquery), probe it on the scan side of

@@ -939,6 +939,47 @@ object CorpusOps {
        FROM p JOIN pt ON p.term = pt.term
        GROUP BY p.split ORDER BY p.split"""
 
+  // --------------------------------------------------------------- d63
+  /** TEXT CANONICALIZATION report — every document run through the
+    * native [[graft.functions.NfcClean]] expression (Unicode NFC +
+    * control-character strip; rationale in its scaladoc): the
+    * normalization pass that runs BEFORE every hash-keyed operator,
+    * because `é` as U+00E9 and as `e`+U+0301 are different bytes and
+    * therefore different docs to d1/d17/d19. Reports per-doc
+    * before/after lengths and a changed flag — the corpus-health
+    * number is `sum(changed)`.
+    *
+    * Scale shape: a pure narrow map inside whole-stage codegen (the
+    * expression short-circuits to zero-allocation identity on clean
+    * ASCII, the overwhelming majority of real text). The fixture
+    * corpus is ASCII so the driver gate pins the identity path
+    * end-to-end against DuckDB's `nfc_normalize`; `FunctionsSpec`
+    * plants combining marks, C1 debris, and astral-plane text for the
+    * transforming cases — the d26 PII split. */
+  def d63Normalize(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .select(col("doc_id"), col("text"),
+        graft.functions.NfcClean(col("text")).as("clean_text"))
+      .select(col("doc_id"),
+        length(col("text")).as("n_chars_raw"),
+        length(col("clean_text")).as("n_chars_clean"),
+        when(col("clean_text") === col("text"), 0).otherwise(1).as("changed"),
+        col("clean_text"))
+      .orderBy("doc_id")
+
+  val d63Oracle: String =
+    """SELECT doc_id, length(text) AS n_chars_raw,
+         length(clean_text) AS n_chars_clean,
+         CASE WHEN clean_text = text THEN 0 ELSE 1 END AS changed,
+         clean_text
+       FROM (
+         SELECT doc_id, text,
+           regexp_replace(nfc_normalize(text),
+             '[\x{00}-\x{08}\x{0B}-\x{1F}\x{7F}-\x{9F}]', '', 'g')
+             AS clean_text
+         FROM documents)
+       ORDER BY doc_id"""
+
   // --------------------------------------------------------------- d34
   /** Cross-doc boilerplate document-frequency threshold: a 3-token
     * shingle present in at least this many DISTINCT documents is
@@ -1248,6 +1289,7 @@ object CorpusOps {
     "d33_train_split" -> (d33TrainSplit _),
     "d60_data_card" -> (d60DataCard _),
     "d62_split_drift" -> (d62SplitDrift _),
+    "d63_normalize" -> (d63Normalize _),
     "d34_boilerplate" -> (d34Boilerplate _),
     "d58_boiler_scrub" -> (d58BoilerScrub _),
     "d35_source_overlap" -> (d35SourceOverlap _),
@@ -1270,6 +1312,7 @@ object CorpusOps {
     "d33_train_split" -> d33Oracle,
     "d60_data_card" -> d60Oracle,
     "d62_split_drift" -> d62Oracle,
+    "d63_normalize" -> d63Oracle,
     "d34_boilerplate" -> d34Oracle,
     "d58_boiler_scrub" -> d58Oracle,
     "d35_source_overlap" -> d35Oracle,

@@ -85,6 +85,8 @@ class ExtensionsSpec extends AnyFunSuite with SparkSpec {
         "SELECT graft_quant_error(array(0.1D, -0.2D, 0.3D))",
       "graft_quant_codes" ->
         "SELECT graft_quant_codes(array(0.1D, -0.2D, 0.3D))",
+      "graft_nfc_clean" ->
+        "SELECT graft_nfc_clean('cafe')",
       "graft_bloom_agg" ->
         "SELECT graft_bloom_agg(id) FROM range(0, 100)",
       "graft_bloom_might_contain" ->

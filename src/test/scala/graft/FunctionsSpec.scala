@@ -192,12 +192,43 @@ class FunctionsSpec extends SparkSpec {
       assert(graft.ops.FuzzyDedup.d4NgramJaccard(spark, sf).collect().nonEmpty)
       assert(graft.ops.Similarity.d42Quantization(spark, sf).collect().nonEmpty)
       assert(graft.ops.CorpusOps.d41BigramSurprisal(spark, sf).collect().nonEmpty)
+      assert(graft.ops.CorpusOps.d63Normalize(spark, sf).collect().nonEmpty)
     } finally {
       prev match {
         case Some(v) => spark.conf.set("spark.sql.codegen.factoryMode", v)
         case None => spark.conf.unset("spark.sql.codegen.factoryMode")
       }
     }
+  }
+
+  test("NfcClean: composes combining marks, strips control debris, keeps astral text") {
+    import spark.implicits._
+    import graft.functions.NfcClean
+    import org.apache.spark.unsafe.types.UTF8String
+    val decomposed = "cafe\u0301"  // e + combining acute
+    val composed = "caf\u00e9"     // precomposed
+    val astral = new String(Character.toChars(0x1F600)) + " ok"
+    val cases = Seq(
+      decomposed -> composed,                       // NFC composes
+      composed -> composed,                         // already-NFC fixed point
+      "ab\u0007\u0000c" -> "abc",                   // C0 control debris stripped
+      "x\u0085y\u009fz\u007fw" -> "xyzw",           // C1 + DEL stripped
+      "keep\tthese\nchars" -> "keep\tthese\nchars", // \t and \n survive
+      astral -> astral,                             // astral plane untouched
+      "" -> "")
+    val out = cases.map(_._1).toDF("s")
+      .select(NfcClean(col("s")).as("c")).collect().map(_.getString(0))
+    cases.map(_._2).zip(out).foreach { case (want, got) =>
+      assert(got == want, s"expected ${want.codePoints().toArray.toSeq} " +
+        s"got ${got.codePoints().toArray.toSeq}")
+    }
+    // the ASCII fast path returns the INPUT OBJECT - zero allocation
+    val ascii = UTF8String.fromString("plain ascii, kept as-is")
+    assert(NfcClean.clean(ascii) eq ascii, "ASCII fast path must not copy")
+    // null in -> null out (UnaryExpression null-safety)
+    val nullOut = Seq[Option[String]](None).toDF("s")
+      .select(NfcClean(col("s")).as("c")).collect().head
+    assert(nullOut.isNullAt(0))
   }
 
   test("CharGramHashes matches an independent reimplementation") {
