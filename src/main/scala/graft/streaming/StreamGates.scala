@@ -84,9 +84,46 @@ object StreamGates {
        SELECT doc_id, round(ov_raw, 4) AS overlap
        FROM ov WHERE ov_raw < 0.5 ORDER BY doc_id"""
 
+  // --------------------------------------------------------------- d64
+  /** STATEFUL streaming under the gate: d50 covers the stateless
+    * broadcast-map path; this runs [[EventStreams.sessionCounts]] —
+    * `mapGroupsWithState`, one state record per user — over the events
+    * table arriving through a file-stream source, and checks the final
+    * per-user session/event counts against q18's gap-sessionization
+    * oracle. An update-mode memory sink holds one row per user after
+    * the single AvailableNow batch (the staged events table is one
+    * file); per-user timestamps are batch-sorted inside the state
+    * function, so the counts equal the batch window formulation
+    * exactly — which is precisely the claim the gate hash-checks. */
+  def d64StreamSessions(spark: SparkSession, dir: String): DataFrame = {
+    val staged = Files.createTempDirectory("graft-d64")
+    Files.createSymbolicLink(
+      staged.resolve("events.parquet"),
+      Paths.get(s"$dir/events.parquet").toAbsolutePath)
+    // readEvents declares the nanos-long ts and normalizes to a real
+    // TimestampType at ingest — the same scan contract as the batch side
+    val stream = EventStreams.readEvents(spark, staged.toString)
+    val name = s"graft_d64_run${runSeq.incrementAndGet()}"
+    val query = EventStreams.sessionCounts(stream)
+      .writeStream.format("memory").queryName(name)
+      .outputMode("update")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    query.awaitTermination()
+    spark.table(name)
+      .select(col("user_id"), col("n_sessions"), col("n_events"))
+      .orderBy("user_id")
+  }
+
+  /** q18's oracle verbatim — the streaming path must agree with the
+    * batch sessionization definition, not a streaming-specific one. */
+  val d64Oracle: String = graft.Queries.q18Oracle
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "d50_stream_decontaminate" -> (d50StreamDecontaminate _))
+    "d50_stream_decontaminate" -> (d50StreamDecontaminate _),
+    "d64_stream_sessions" -> (d64StreamSessions _))
 
   val oracles: Map[String, String] = Map(
-    "d50_stream_decontaminate" -> d50Oracle)
+    "d50_stream_decontaminate" -> d50Oracle,
+    "d64_stream_sessions" -> d64Oracle)
 }
