@@ -980,6 +980,42 @@ object CorpusOps {
          FROM documents)
        ORDER BY doc_id"""
 
+  // --------------------------------------------------------------- d65
+  /** SALTED-JOIN enrichment — the skew technique gated: `source` has
+    * FOUR distinct values, so a plain shuffle join on it funnels a
+    * quarter of the corpus through each of four tasks no matter how
+    * many executors exist (and AQE cannot split a partition one key
+    * fills). [[Relational.saltedJoin]] spreads each source over 8
+    * sub-keys (doc-id-hash salt, deterministic) and replicates the
+    * 4-row dim per salt, so the exchange partitions on (source, salt).
+    * The dim here is a derived per-source WEIGHT (the mixture-style
+    * multiplier a curation pipeline attaches); production swaps in its
+    * real dimension table — too dynamic to broadcast-cache is the case
+    * salting serves when the dim is also large.
+    *
+    * The oracle is the PLAIN join — salting must be bitwise invisible
+    * in the result, which is exactly what the gate checks. */
+  def d65SaltedEnrich(spark: SparkSession, dir: String): DataFrame = {
+    val dim = docs(spark, dir).select("source").distinct()
+      .withColumn("weight", TextOps.hash60(col("source")) % 5 + 1)
+    Relational.saltedJoin(
+      docs(spark, dir).select("doc_id", "source", "n_chars"),
+      dim, Seq("source"),
+      TextOps.hash60(col("doc_id").cast("string")), salts = 8)
+      .select(col("doc_id"), col("source"), col("weight"),
+        (col("n_chars") * col("weight")).as("weighted_chars"))
+      .orderBy("doc_id")
+  }
+
+  val d65Oracle: String =
+    """WITH dim AS (
+         SELECT source,
+           ('0x'||substr(md5(source),1,15))::BIGINT % 5 + 1 AS weight
+         FROM (SELECT DISTINCT source FROM documents))
+       SELECT doc_id, d.source, weight, n_chars * weight AS weighted_chars
+       FROM documents d JOIN dim USING (source)
+       ORDER BY doc_id"""
+
   // --------------------------------------------------------------- d34
   /** Cross-doc boilerplate document-frequency threshold: a 3-token
     * shingle present in at least this many DISTINCT documents is
@@ -1290,6 +1326,7 @@ object CorpusOps {
     "d60_data_card" -> (d60DataCard _),
     "d62_split_drift" -> (d62SplitDrift _),
     "d63_normalize" -> (d63Normalize _),
+    "d65_salted_enrich" -> (d65SaltedEnrich _),
     "d34_boilerplate" -> (d34Boilerplate _),
     "d58_boiler_scrub" -> (d58BoilerScrub _),
     "d35_source_overlap" -> (d35SourceOverlap _),
@@ -1313,6 +1350,7 @@ object CorpusOps {
     "d60_data_card" -> d60Oracle,
     "d62_split_drift" -> d62Oracle,
     "d63_normalize" -> d63Oracle,
+    "d65_salted_enrich" -> d65Oracle,
     "d34_boilerplate" -> d34Oracle,
     "d58_boiler_scrub" -> d58Oracle,
     "d35_source_overlap" -> d35Oracle,

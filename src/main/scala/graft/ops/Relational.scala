@@ -92,4 +92,34 @@ object Relational {
     val w = Window.partitionBy(keys.map(col): _*).orderBy(order: _*)
     df.withColumn(rankCol, row_number().over(w)).filter(col(rankCol) <= k)
   }
+
+  /** SALTED equi-join for a SKEWED left side: when the join key has few
+    * (or heavy-hitter) values, a plain shuffle join funnels each hot
+    * key's rows through one task. Salting splits every left key into
+    * `salts` sub-keys — `salt = pmod(saltSrc, salts)` — and replicates
+    * the (small, but too large or too dynamic to broadcast) right side
+    * once per salt with a generator, so the exchange partitions on
+    * (key..., salt) and each hot key spreads over `salts` tasks. Result
+    * rows are identical to the plain join (pinned by test); the cost is
+    * the ×salts replication of the right side — the standard trade.
+    *
+    * AQE's skew-join handles sort-merge skew adaptively at runtime;
+    * this is the PLANNED form for when the skew is structural and known
+    * (a `source` column with four values, a power-law domain key), or
+    * when AQE's post-shuffle splitting is unavailable (it cannot split
+    * a partition that a single key fills — exactly the
+    * few-distinct-keys case this primitive exists for).
+    *
+    * @param saltSrc per-row integral expression over `left`'s columns
+    *                deciding the sub-key (a row-id hash; must be
+    *                deterministic for re-run-stable results)
+    */
+  def saltedJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
+      saltSrc: Column, salts: Int): DataFrame = {
+    require(salts >= 1, s"salts must be >= 1, got $salts")
+    val l = left.withColumn("__salt", pmod(saltSrc, lit(salts)).cast("int"))
+    val r = right.withColumn("__salt",
+      explode(sequence(lit(0), lit(salts - 1))))
+    l.join(r, keys :+ "__salt").drop("__salt")
+  }
 }

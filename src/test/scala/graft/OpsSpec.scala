@@ -4,7 +4,7 @@ import org.apache.spark.sql.execution.SparkPlan
 import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, CartesianProductExec}
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.ops.{CorpusOps, FuzzyDedup, Multimodal, Similarity, TextOps}
+import graft.ops.{CorpusOps, FuzzyDedup, Multimodal, Relational, Similarity, TextOps}
 
 /** LLM-pipeline operators: semantics + physical-plan guarantees on
   * sf0.001. The value-level correctness gate is the driver's DuckDB
@@ -315,6 +315,27 @@ class OpsSpec extends AnyFunSuite with SparkSpec {
         s"replica of $id diverged from its rep")
       assert(repKeep == 0, s"replica of $id must lose the id tie-break")
     }
+  }
+
+  test("saltedJoin = plain join bitwise; the exchange partitions on the salt") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // 3 distinct keys over 3000 rows — the few-hot-keys case AQE's
+    // skew splitting cannot fix (one key fills a whole partition)
+    val fact = spark.range(3000)
+      .select((col("id") % 3).cast("string").as("k"), col("id"))
+    val dim = Seq(("0", 10L), ("1", 20L), ("2", 30L)).toDF("k", "w")
+    val plain = fact.join(dim, "k").select("k", "id", "w")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).sorted
+    val salted = Relational.saltedJoin(fact, dim, Seq("k"), xxhash64(col("id")), 8)
+      .select("k", "id", "w")
+    val got = salted.collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).sorted
+    assert(got.toSeq == plain.toSeq, "salting changed the join result")
+    // the whole point: the shuffle key must include the salt so a hot
+    // key spreads over `salts` partitions instead of filling one
+    val plan = salted.queryExecution.executedPlan.toString
+    assert(plan.contains("__salt"), "salt column missing from the physical plan")
   }
 
   test("d62: KL(train‖train) = 0, other splits ≥ 0, full top-V support") {
