@@ -881,6 +881,70 @@ object Similarity {
          bit_xor(CASE WHEN rn <= quota THEN hk ELSE 0 END) AS kept_id_xor
        FROM r, q GROUP BY label ORDER BY label"""
 
+  // --------------------------------------------------------------- d67
+  /** EMBEDDING OUTLIER audit — per-label centroid z-score: a vector
+    * whose distance to its own label's centroid is > 2σ above that
+    * label's mean distance is flagged (mislabeled rows, encoder
+    * failures, and garbage inputs all surface here before they poison
+    * contrastive training or ANN index quality). Complements d30
+    * (which profiles label GEOMETRY) with a per-ROW verdict.
+    *
+    * Scale shape: the centroid table is (labels × dim) rows built by
+    * ONE dim-exploded partial aggregate of the store, collapsed back
+    * to `labels` array rows and BROADCAST — the store itself never
+    * shuffles: each vector's distance is an element-ordered per-vector
+    * loop against the broadcast centroid (same accumulation order in
+    * both engines), and the per-label mean/σ re-aggregates N scalar
+    * rows. Two corpus-wide narrow passes + label-sized exchanges; at
+    * 100 TB the dim-exploded aggregate map-side-combines to
+    * (labels × 64) rows per partition before its shuffle.
+    *
+    * The per-vector loop is the interpreted `zip_with`/`aggregate`
+    * HOF pair — acceptable here because it runs once per ROW (not per
+    * candidate pair, the d42/CosineSim lesson threshold); promote to a
+    * native expression if a profile ever shows it hot. */
+  def d67EmbeddingOutliers(spark: SparkSession, dir: String): DataFrame = {
+    val e = emb(spark, dir)
+    val cent = e.select(col("label"), posexplode(col("v")).as(Seq("i", "x")))
+      .groupBy("label", "i").agg(avg("x").as("c"))
+      .groupBy("label")
+      .agg(array_sort(collect_list(struct(col("i"), col("c")))).as("ic"))
+      .select(col("label"), transform(col("ic"), s => s.getField("c")).as("cv"))
+    val dist = e.join(broadcast(cent), "label")
+      .select(col("vec_id"), col("label"),
+        sqrt(aggregate(
+          zip_with(col("v"), col("cv"), (x, c) => (x - c) * (x - c)),
+          lit(0.0), (acc, d) => acc + d)).as("dist"))
+    val stats = dist.groupBy("label")
+      .agg(avg("dist").as("m"), stddev_pop("dist").as("s"))
+    dist.join(broadcast(stats), "label")
+      .withColumn("z", (col("dist") - col("m")) / col("s"))
+      .filter(col("z") > 2)
+      .select(col("label"), col("vec_id"),
+        round(col("dist"), 4).as("dist"), round(col("z"), 4).as("z"))
+      .orderBy("label", "vec_id")
+  }
+
+  val d67Oracle: String =
+    """WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v
+                  FROM embeddings),
+       cent AS (
+         SELECT label, i, avg(v[i]) AS c
+         FROM e, (SELECT unnest(range(1, 65)) AS i) GROUP BY label, i),
+       cl AS (SELECT label, list(c ORDER BY i) AS cv FROM cent GROUP BY label),
+       dist AS (
+         SELECT vec_id, e.label,
+           sqrt(list_sum(list_transform(range(1, 65),
+             i -> (v[i] - cv[i]) * (v[i] - cv[i])))) AS dist
+         FROM e JOIN cl ON e.label = cl.label),
+       st AS (SELECT label, avg(dist) AS m, stddev_pop(dist) AS s
+              FROM dist GROUP BY label)
+       SELECT dist.label, vec_id,
+         round(dist, 4) AS dist, round((dist - m) / s, 4) AS z
+       FROM dist JOIN st ON dist.label = st.label
+       WHERE (dist - m) / s > 2
+       ORDER BY dist.label, vec_id"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d30_label_profiles" -> (d30LabelProfiles _),
     "d9_cosine_topk" -> (d9CosineTopk _),
@@ -893,7 +957,8 @@ object Similarity {
     "d44_balanced_quota" -> (d44BalancedQuota _),
     "d51_quantized_ann" -> (d51QuantizedAnn _),
     "d53_ann_recall" -> (d53AnnRecall _),
-    "d59_semantic_dedup" -> (d59SemanticDedup _)
+    "d59_semantic_dedup" -> (d59SemanticDedup _),
+    "d67_embedding_outliers" -> (d67EmbeddingOutliers _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -908,6 +973,7 @@ object Similarity {
     "d44_balanced_quota" -> d44Oracle,
     "d51_quantized_ann" -> d51Oracle,
     "d53_ann_recall" -> d53Oracle,
-    "d59_semantic_dedup" -> d59Oracle
+    "d59_semantic_dedup" -> d59Oracle,
+    "d67_embedding_outliers" -> d67Oracle
   )
 }

@@ -301,6 +301,118 @@ object TextOps {
          FROM documents)
        GROUP BY ROLLUP (source) ORDER BY source"""
 
+  // --------------------------------------------------------------- d66
+  /** TEMPERATURE-SCALED mixture reweighting — the multinomial
+    * source-sampling policy of multilingual/multi-source training runs
+    * (public: XLM-R, Conneau et al. 2020, arXiv:1911.02116 §3.1; mT5):
+    * sampling a source proportionally to its token share p_s starves
+    * small sources, so train-time shares are re-drawn from
+    * q_s ∝ p_s^α (α = 0.3 here, the XLM-R setting) — flattening the
+    * distribution toward uniform while keeping the big-source ordering.
+    * Reports, per source, the raw token share `p_raw`, the tempered
+    * share `p_mix`, and `boost` = q_s/p_s (how many epochs of the
+    * source one pass of the mixture consumes — >1 = upsampled).
+    *
+    * Scale shape: ONE tokenize-and-count corpus scan collapses to a
+    * per-source aggregate (~sources rows); both normalizing totals are
+    * 1-row aggregates OF THAT AGGREGATE, re-attached as broadcast
+    * cross joins — nothing after the scan is corpus-sized, and the
+    * scan itself is the same partial-aggregated map d5/d7 run. */
+  private val MixAlpha = 0.3
+
+  def d66MixtureWeights(spark: SparkSession, dir: String): DataFrame = {
+    val perSource = docs(spark, dir)
+      .select(col("source"), size(tokens(col("text"))).as("n_tok"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("n_tokens"))
+    val totTokens = perSource.agg(sum("n_tokens").as("tot_tokens"))
+    val tempered = perSource.crossJoin(broadcast(totTokens))
+      .withColumn("p", col("n_tokens").cast("double") / col("tot_tokens"))
+      .withColumn("w", pow(col("p"), lit(MixAlpha)))
+    val totW = tempered.agg(sum("w").as("tot_w"))
+    tempered.crossJoin(broadcast(totW))
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        round(col("p"), 4).as("p_raw"),
+        round(col("w") / col("tot_w"), 4).as("p_mix"),
+        round(col("w") / col("tot_w") / col("p"), 4).as("boost"))
+      .orderBy("source")
+  }
+
+  val d66Oracle: String =
+    s"""WITH s AS (
+         SELECT source, count(*) AS n_docs,
+           CAST(sum(len(regexp_extract_all(text, '\\S+'))) AS BIGINT)
+             AS n_tokens
+         FROM documents GROUP BY source),
+       t AS (
+         SELECT source, n_docs, n_tokens,
+           CAST(n_tokens AS DOUBLE)
+             / (SELECT CAST(sum(n_tokens) AS DOUBLE) FROM s) AS p,
+           pow(CAST(n_tokens AS DOUBLE)
+             / (SELECT CAST(sum(n_tokens) AS DOUBLE) FROM s), $MixAlpha)
+             AS w
+         FROM s)
+       SELECT source, n_docs, n_tokens, round(p, 4) AS p_raw,
+         round(w / (SELECT sum(w) FROM t), 4) AS p_mix,
+         round(w / (SELECT sum(w) FROM t) / p, 4) AS boost
+       FROM t ORDER BY source"""
+
+  // --------------------------------------------------------------- d68
+  /** SEQUENCE-LENGTH BUCKETING — the batch-shape audit run before
+    * training: each document lands in the smallest power-of-2 token
+    * bucket that holds it (floor 8, cap 512 = the context budget d21
+    * packs to; longer docs TRUNCATE to the cap), and the report prices
+    * each bucket's padding: `kept_tokens` are real, `padded_tokens` is
+    * what a fixed-shape batch of that bucket actually occupies,
+    * `pad_waste_pct` the difference, plus the tokens truncation loses.
+    * "Which bucket mix wastes the least accelerator time" is read
+    * straight off this table.
+    *
+    * Scale shape: identical to d5/d7 — the bucket is a constant
+    * comparison chain in the scan's map stage, the aggregate has
+    * ~log₂(cap) keys, partial aggregation collapses everything before
+    * a tiny shuffle. */
+  private val SeqCap = 512
+  private val SeqBuckets: Seq[Int] = Seq(8, 16, 32, 64, 128, 256, SeqCap)
+
+  def d68LengthBuckets(spark: SparkSession, dir: String): DataFrame = {
+    val bucket = SeqBuckets.init.foldRight(lit(SeqBuckets.last): Column) {
+      (b, rest) => when(col("n_tok") <= b, lit(b)).otherwise(rest)
+    }
+    docs(spark, dir)
+      .select(size(tokens(col("text"))).as("n_tok"))
+      .withColumn("bucket", bucket)
+      .groupBy("bucket")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(least(col("n_tok"), lit(SeqCap))).as("kept_tokens"),
+        sum(greatest(col("n_tok") - SeqCap, lit(0))).as("truncated_tokens"))
+      .withColumn("padded_tokens", col("n_docs") * col("bucket"))
+      .withColumn("pad_waste_pct",
+        round((col("padded_tokens") - col("kept_tokens")) * 100.0
+          / col("padded_tokens"), 1))
+      .orderBy("bucket")
+  }
+
+  val d68Oracle: String = {
+    val bucketSql = SeqBuckets.init
+      .map(b => s"WHEN n_tok <= $b THEN $b")
+      .mkString("CASE ", " ", s" ELSE ${SeqBuckets.last} END")
+    s"""SELECT bucket, n_docs, kept_tokens, truncated_tokens,
+         n_docs * bucket AS padded_tokens,
+         round(CAST(n_docs * bucket - kept_tokens AS DOUBLE) * 100.0
+           / (n_docs * bucket), 1) AS pad_waste_pct
+       FROM (
+         SELECT $bucketSql AS bucket, count(*) AS n_docs,
+           CAST(sum(least(n_tok, $SeqCap)) AS BIGINT) AS kept_tokens,
+           CAST(sum(greatest(n_tok - $SeqCap, 0)) AS BIGINT)
+             AS truncated_tokens
+         FROM (SELECT len(regexp_extract_all(text, '\\S+')) AS n_tok
+               FROM documents)
+         GROUP BY 1)
+       ORDER BY bucket"""
+  }
+
   // --------------------------------------------------------------- d19
   /** Corpus VOCABULARY: top-30 case-normalized tokens by frequency with
     * rank — the vocabulary/frequency-table primitive behind tokenizer
@@ -395,6 +507,8 @@ object TextOps {
     "d13_lang_id" -> (d13LangId _),
     "d18_sample_mix" -> (d18SampleMix _),
     "d39_mixture_tokens" -> (d39MixtureTokens _),
+    "d66_mixture_weights" -> (d66MixtureWeights _),
+    "d68_length_buckets" -> (d68LengthBuckets _),
     "d19_vocab" -> (d19Vocab _),
     "d21_packing" -> (d21Packing _)
   )
@@ -408,6 +522,8 @@ object TextOps {
     "d13_lang_id" -> d13Oracle,
     "d18_sample_mix" -> d18Oracle,
     "d39_mixture_tokens" -> d39Oracle,
+    "d66_mixture_weights" -> d66Oracle,
+    "d68_length_buckets" -> d68Oracle,
     "d19_vocab" -> d19Oracle,
     "d21_packing" -> d21Oracle
   )

@@ -489,4 +489,43 @@ class CorpusOpsSpec extends AnyFunSuite with SparkSpec {
     assert(fp(Seq(4L, 1L)) == fp(Seq(1L, 4L)),
       "fingerprint must be order-insensitive")
   }
+
+  test("mixture weights: shares normalize; temperature flattens toward uniform") {
+    val rows = ops.TextOps.d66MixtureWeights(spark, dir).collect()
+    val pRaw = rows.map(_.getDouble(3))
+    val pMix = rows.map(_.getDouble(4))
+    // both share columns are distributions (4dp rounding → loose sum)
+    assert(math.abs(pRaw.sum - 1.0) < 0.002, s"p_raw sums to ${pRaw.sum}")
+    assert(math.abs(pMix.sum - 1.0) < 0.002, s"p_mix sums to ${pMix.sum}")
+    // α < 1 flattens: boost = q/p ∝ p^(α-1) is monotone DECREASING in
+    // token share — the smallest source gains mass (>1), the largest
+    // loses (<1). Rounding is monotone, so sorted order must survive it.
+    val byTokens = rows.sortBy(_.getLong(2))
+    val boosts = byTokens.map(_.getDouble(5))
+    assert(boosts.head > 1.0, s"smallest source must upsample, got ${boosts.head}")
+    assert(boosts.last < 1.0, s"largest source must downsample, got ${boosts.last}")
+    boosts.zip(boosts.tail).foreach { case (a, b) =>
+      assert(a >= b, "boost must be monotone decreasing in token share") }
+  }
+
+  test("length buckets: partition the corpus; padding and truncation reconcile") {
+    import spark.implicits._
+    val rows = ops.TextOps.d68LengthBuckets(spark, dir).collect()
+    val docs = Tables.load(spark, dir, "documents")
+    assert(rows.map(_.getLong(1)).sum == docs.count(),
+      "every document lands in exactly one bucket")
+    val pows = Set(8, 16, 32, 64, 128, 256, 512)
+    rows.foreach { r =>
+      assert(pows.contains(r.getInt(0)), s"bucket ${r.getInt(0)} not a 2^k")
+      assert(r.getLong(2) <= r.getLong(4), "kept tokens cannot exceed padded")
+      assert(r.getDouble(5) >= 0.0, "padding waste cannot be negative")
+    }
+    // totals reconcile with an independent per-doc recompute
+    val toks = docs
+      .select(size(ops.TextOps.tokens(col("text"))).as("n")).as[Int].collect()
+    assert(rows.map(_.getLong(2)).sum ==
+      toks.map(t => math.min(t, 512).toLong).sum, "kept-token total")
+    assert(rows.map(_.getLong(3)).sum ==
+      toks.map(t => math.max(t - 512, 0).toLong).sum, "truncated-token total")
+  }
 }

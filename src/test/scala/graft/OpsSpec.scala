@@ -713,6 +713,42 @@ class OpsSpec extends AnyFunSuite with SparkSpec {
     assert(out(2L) == ((2L, 1)), "singleton survives trivially")
   }
 
+  test("d67: flags exactly the >2σ centroid distances (driver recompute)") {
+    import org.apache.spark.sql.functions._
+    val flagged = Similarity.d67EmbeddingOutliers(spark, dir).collect()
+      .map(r => (r.getInt(0), r.getLong(1))).toSet
+
+    val vecs = Tables.load(spark, dir, "embeddings")
+      .select(col("vec_id"), col("label"),
+        col("embedding").cast("array<double>"))
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getSeq[Double](2).toArray))
+    // .toSeq before flatMap: flatMapping a Map with a tuple-valued
+    // function rebuilds a Map and silently collapses to one id per label
+    val expected = vecs.groupBy(_._2).toSeq.flatMap { case (lab, vs) =>
+      val dim = vs.head._3.length
+      val cent = Array.tabulate(dim)(i => vs.map(_._3(i)).sum / vs.length)
+      val dists = vs.map { case (id, _, v) =>
+        id -> math.sqrt((0 until dim)
+          .map(i => (v(i) - cent(i)) * (v(i) - cent(i))).sum)
+      }
+      val m = dists.map(_._2).sum / dists.length
+      val s = math.sqrt(
+        dists.map(d => (d._2 - m) * (d._2 - m)).sum / dists.length)
+      val zs = dists.map { case (id, d) => (id, (d - m) / s) }
+      // guard the equality below against a knife-edge fixture: no z may
+      // sit AT the threshold, else engine-order ulp noise decides the set
+      zs.foreach { case (id, z) =>
+        assert(math.abs(z - 2.0) > 1e-9, s"vec $id has z exactly at 2σ") }
+      zs.filter(_._2 > 2).map { case (id, _) => (lab, id) }.toSeq
+    }.toSet
+
+    assert(flagged == expected,
+      s"flag set mismatch: spark=$flagged expected=$expected")
+    assert(expected.nonEmpty,
+      "fixture should contain at least one outlier or the gate is vacuous")
+  }
+
   test("q23: percentile_approx at gate accuracy is the rank-⌈p·N⌉ statistic") {
     // the definitional pin behind the q23 gate: with accuracy ≥ N the
     // Greenwald-Khanna summary is exact and returns the order statistic
