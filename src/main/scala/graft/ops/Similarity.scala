@@ -945,6 +945,66 @@ object Similarity {
        WHERE (dist - m) / s > 2
        ORDER BY dist.label, vec_id"""
 
+  // --------------------------------------------------------------- d69
+  /** HARD-NEGATIVE / margin audit for contrastive training: per anchor
+    * vector, the most-similar SAME-label candidate (`best_pos`) and the
+    * most-similar DIFFERENT-label candidate (`best_neg`) within its
+    * sign-LSH bucket, and the margin between them. A negative margin
+    * means a wrong-label vector sits closer than any right-label one —
+    * exactly the examples a contrastive/triplet loss needs as hard
+    * negatives, and exactly the rows a labeler should re-check. The
+    * 50 worst margins are reported (the mining output IS a worklist).
+    *
+    * Scale shape: identical to d12 — candidates come from the bucketed
+    * equi-join (each anchor scores only its bucket, never all rows;
+    * directed pairs here because the stats are per-anchor), the native
+    * [[graft.functions.CosineSim]] runs per candidate pair inside
+    * codegen, and the per-anchor conditional max collapses pairs back
+    * to ≤N rows before the final distributed top-50
+    * (TakeOrderedAndProject). Anchors whose bucket lacks a same-label
+    * or different-label neighbor are dropped (no margin is defined),
+    * which also keeps NULL-ordering out of the cross-engine compare. */
+  def d69HardNegatives(spark: SparkSession, dir: String): DataFrame = {
+    val e = emb(spark, dir).withColumn("bucket", signBucket(col("v")))
+    val anchors = e.select(col("bucket"), col("vec_id").as("a_id"),
+      col("label").as("a_label"), col("v").as("av"))
+    val cands = e.select(col("bucket"), col("vec_id").as("b_id"),
+      col("label").as("b_label"), col("v").as("bv"))
+    anchors.join(cands, Seq("bucket"))
+      .filter(col("a_id") =!= col("b_id"))
+      .select(col("a_id"), col("a_label"), col("b_label"),
+        cosine(col("av"), col("bv")).as("cos"))
+      .groupBy(col("a_id").as("vec_id"), col("a_label").as("label"))
+      .agg(
+        max(when(col("a_label") === col("b_label"), col("cos"))).as("best_pos"),
+        max(when(col("a_label") =!= col("b_label"), col("cos"))).as("best_neg"))
+      .filter(col("best_pos").isNotNull && col("best_neg").isNotNull)
+      .withColumn("margin", round(col("best_pos") - col("best_neg"), 4))
+      .orderBy(col("margin").asc, col("vec_id"))
+      .limit(50)
+  }
+
+  val d69Oracle: String =
+    s"""WITH e AS (
+         SELECT vec_id, label, embedding::DOUBLE[] AS v, $bucketSql AS bucket
+         FROM embeddings),
+       pairs AS (
+         SELECT a.vec_id AS vec_id, a.label AS label,
+           CASE WHEN a.label = b.label
+                THEN ${cosineSql("a.v", "b.v")} END AS pos_cos,
+           CASE WHEN a.label <> b.label
+                THEN ${cosineSql("a.v", "b.v")} END AS neg_cos
+         FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id),
+       agg AS (
+         SELECT vec_id, label,
+           max(pos_cos) AS best_pos, max(neg_cos) AS best_neg
+         FROM pairs GROUP BY vec_id, label)
+       SELECT vec_id, label, best_pos, best_neg,
+         round(best_pos - best_neg, 4) AS margin
+       FROM agg
+       WHERE best_pos IS NOT NULL AND best_neg IS NOT NULL
+       ORDER BY margin ASC, vec_id LIMIT 50"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d30_label_profiles" -> (d30LabelProfiles _),
     "d9_cosine_topk" -> (d9CosineTopk _),
@@ -958,7 +1018,8 @@ object Similarity {
     "d51_quantized_ann" -> (d51QuantizedAnn _),
     "d53_ann_recall" -> (d53AnnRecall _),
     "d59_semantic_dedup" -> (d59SemanticDedup _),
-    "d67_embedding_outliers" -> (d67EmbeddingOutliers _)
+    "d67_embedding_outliers" -> (d67EmbeddingOutliers _),
+    "d69_hard_negatives" -> (d69HardNegatives _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -974,6 +1035,7 @@ object Similarity {
     "d51_quantized_ann" -> d51Oracle,
     "d53_ann_recall" -> d53Oracle,
     "d59_semantic_dedup" -> d59Oracle,
-    "d67_embedding_outliers" -> d67Oracle
+    "d67_embedding_outliers" -> d67Oracle,
+    "d69_hard_negatives" -> d69Oracle
   )
 }

@@ -56,6 +56,10 @@ class OpsSpec extends AnyFunSuite with SparkSpec {
     assertNoAllPairs("d16_simhash_dedup", FuzzyDedup.d16SimhashDedup(spark, dir))
   }
 
+  test("hard-negative mining plan is bucketed — no cartesian / nested-loop join") {
+    assertNoAllPairs("d69_hard_negatives", Similarity.d69HardNegatives(spark, dir))
+  }
+
   test("asof join compiles to a window-only plan — no join node at all") {
     val nodes = collectPlans(Queries.q21Asof(spark, dir).queryExecution.executedPlan)
     val joins = nodes.filter(
@@ -747,6 +751,43 @@ class OpsSpec extends AnyFunSuite with SparkSpec {
       s"flag set mismatch: spark=$flagged expected=$expected")
     assert(expected.nonEmpty,
       "fixture should contain at least one outlier or the gate is vacuous")
+  }
+
+  test("d69: worst margins match an exact driver recompute of the bucketed mining") {
+    import org.apache.spark.sql.functions._
+    def r4(x: Double): Double =
+      BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val got = Similarity.d69HardNegatives(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getDouble(4)))
+
+    val vecs = Tables.load(spark, dir, "embeddings")
+      .select(col("vec_id"), col("label"),
+        col("embedding").cast("array<double>"))
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getSeq[Double](2).toArray))
+    def bucket(v: Array[Double]): Int =
+      (0 until 8).map(i => if (v(i) > 0) 1 << i else 0).sum
+    // element-order accumulation — same IEEE op sequence as CosineSim,
+    // so the 4dp rounding lands on the identical double
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      a.indices.foreach { i =>
+        dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i) }
+      r4(dot / (math.sqrt(na) * math.sqrt(nb)))
+    }
+    val expected = vecs.groupBy(v => bucket(v._3)).toSeq.flatMap {
+      case (_, vs) => vs.flatMap { case (id, lab, v) =>
+        val others = vs.filter(_._1 != id)
+        val pos = others.filter(_._2 == lab).map(o => cos(v, o._3))
+        val neg = others.filter(_._2 != lab).map(o => cos(v, o._3))
+        if (pos.isEmpty || neg.isEmpty) None
+        else Some((id, r4(pos.max - neg.max)))
+      }
+    }.sortBy { case (id, m) => (m, id) }.take(50)
+
+    assert(got.toSeq == expected,
+      s"worst-margin list mismatch: spark=${got.toSeq} expected=$expected")
+    assert(expected.nonEmpty, "fixture yields no eligible anchors — gate is vacuous")
   }
 
   test("q23: percentile_approx at gate accuracy is the rank-⌈p·N⌉ statistic") {
