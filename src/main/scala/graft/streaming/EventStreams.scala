@@ -19,9 +19,12 @@ import org.apache.spark.sql.types._
   */
 object EventStreams {
 
-  /** Events stream schema as stored (`ts` is TIMESTAMP(NANOS) in parquet,
-    * surfaced as nanos-long under `spark.sql.legacy.parquet.nanosAsLong`
-    * — same contract as the batch catalog, [[graft.Tables.load]]). */
+  /** Events stream schema: `ts` is declared a raw long meaning
+    * MICROSECONDS since the epoch. The stored table annotates the int64
+    * as TIMESTAMP(MICROS); a file stream must declare its schema up
+    * front, and declaring the long reads the raw µs value unchanged —
+    * [[readEvents]] then normalizes to a real TimestampType, the same
+    * contract as the batch catalog ([[graft.Tables.load]]). */
   val eventSchema: StructType = StructType(Seq(
     StructField("event_id", LongType),
     StructField("ts", LongType),
@@ -36,7 +39,7 @@ object EventStreams {
     spark.readStream
       .schema(eventSchema)
       .parquet(dir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .withColumn("ts", timestamp_micros(col("ts")))
 
   /** Tumbling 1-hour aggregation — streaming q17. The 1-hour watermark
     * lets Spark drop window state once late data can no longer arrive. */

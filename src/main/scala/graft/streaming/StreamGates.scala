@@ -100,7 +100,7 @@ object StreamGates {
     Files.createSymbolicLink(
       staged.resolve("events.parquet"),
       Paths.get(s"$dir/events.parquet").toAbsolutePath)
-    // readEvents declares the nanos-long ts and normalizes to a real
+    // readEvents declares the µs-long ts and normalizes to a real
     // TimestampType at ingest — the same scan contract as the batch side
     val stream = EventStreams.readEvents(spark, staged.toString)
     val name = s"graft_d64_run${runSeq.incrementAndGet()}"
