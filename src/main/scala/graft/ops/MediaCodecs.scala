@@ -324,6 +324,40 @@ object MediaCodecs {
     Raster(w2, h2, out)
   }
 
+  /** 64-bit DIFFERENCE HASH (dHash) — the standard cheap perceptual
+    * fingerprint for image near-dup detection: area-average the
+    * luminance plane to 9×8 ([[resize]]), quantize each cell to
+    * `round(cell * quantScale)`, and set bit `row*8+col` iff the cell
+    * is darker than its right neighbor. Horizontally adjacent cells of
+    * a re-encoded / slightly-edited image keep their relative order, so
+    * near-duplicate images land within a few bits of Hamming distance —
+    * which makes the hash LSH-bandable exactly like SimHash (d16's
+    * 4×16-bit pigeonhole banding applies verbatim).
+    *
+    * `quantScale` sets the comparison granularity. 255 (default) is
+    * the classic 8-bit perceptual quantization. The d70 gate passes
+    * the source box area × maxval instead, which makes each quantized
+    * cell the EXACT integer sum of its source bytes (integer-aligned
+    * boxes only) — bit-for-bit reproducible by an independent engine
+    * with no float-tie hazard. */
+  def dHash(r: Raster, quantScale: Double = 255.0): Long = {
+    val t = resize(r, 9, 8)
+    val q = new Array[Long](72)
+    var i = 0
+    while (i < 72) { q(i) = Math.round(t.lum(i) * quantScale); i += 1 }
+    var h = 0L
+    var cy = 0
+    while (cy < 8) {
+      var cx = 0
+      while (cx < 8) {
+        if (q(cy * 9 + cx) < q(cy * 9 + cx + 1)) h |= 1L << (cy * 8 + cx)
+        cx += 1
+      }
+      cy += 1
+    }
+    h
+  }
+
   /** Whole-image feature — [mean, stddev, min, max, quadrant means
     * (TL, TR, BL, BR)]. One frame per still image. */
   def imageFeature(r: Raster): Array[Float] = {

@@ -158,11 +158,128 @@ object Multimodal {
        CAST(ceil(length(text) / $FrameBytes.0) AS BIGINT) AS n_frames
        FROM documents ORDER BY doc_id"""
 
+  // --------------------------------------------------------------- d70
+  /** IMAGE NEAR-DUP DETECTION via perceptual difference hash: every
+    * payload goes through the REAL still-image path — a P5 Netpbm blob
+    * is synthesized from the document bytes (72×64, cyclic-padded),
+    * decoded by [[MediaCodecs.decodeNetpbm]], area-average resized to
+    * 9×8, and hashed to a 64-bit dHash ([[MediaCodecs.dHash]]); hashes
+    * are then banded 4×16 bits and near-dups (Hamming ≤
+    * [[DHashMaxHamming]]) found by LSH equi-join — the image analog of
+    * d16's SimHash join, and the pipeline a 100 TB image-dedup pass
+    * runs (decode+hash partition-local over the binary column; the
+    * only shuffle moves 8-byte hashes, 4 band rows per image, never
+    * pixels; pigeonhole-exact: Hamming ≤ 3·bands−1 ⇒ some band equal,
+    * so ≤ 6 can't escape 4 bands).
+    *
+    * Output pins EVERY image's hash plus its near-neighbor count, not
+    * just the pairs — a bit-flip in any single hash fails the gate.
+    *
+    * The oracle reproduces the decode arithmetic from the text bytes:
+    * the 72×64 → 9×8 resize has integer-aligned 8×8 boxes, and dHash
+    * is quantized by box-area × maxval (see [[MediaCodecs.dHash]]), so
+    * each quantized cell is exactly the integer sum of its 64 source
+    * bytes — DuckDB recomputes those sums from `unicode()` code points
+    * (ASCII payloads: byte == code point) with zero float hazard. */
+  val DHashW = 72
+  val DHashH = 64
+  val DHashMaxHamming = 6
+
+  def d70ImageDhash(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val n = DHashW * DHashH
+    // P5 header + cyclic-padded body — a real, spec-valid PGM payload
+    val pgm = concat(
+      encode(lit(s"P5\n$DHashW $DHashH\n255\n"), "UTF-8"),
+      encode(expr(s"substr(repeat(text, cast(ceil($n.0 / length(text)) as int)), 1, $n)"),
+        "UTF-8"))
+    val blobs = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), pgm.as("data"))
+      .as[(Long, Array[Byte])]
+    // decode + hash: partition-local, streaming over the iterator — the
+    // same batch shape as decodeFrames; quantized by box area × maxval
+    // for exact integer-sum cells (see Scaladoc above)
+    val quant = (DHashW / 9) * (DHashH / 8) * 255.0
+    val hashes = blobs.mapPartitions { it =>
+      it.flatMap { case (id, bytes) =>
+        MediaCodecs.decodeNetpbm(bytes).map(r =>
+          (id, MediaCodecs.dHash(r, quant)))
+      }
+    }.toDF("doc_id", "dhash").localCheckpoint()
+    // LSH banding: 4 × 16-bit equi-join on (band, bits) — d16's plan
+    val bands = hashes.select(col("doc_id"), col("dhash"),
+      explode(sequence(lit(0), lit(3))).as("k"))
+      .withColumn("bb", expr("shiftright(dhash, 16 * k)").bitwiseAND(lit(65535L)))
+    val a = bands.select(col("doc_id").as("a_id"), col("dhash").as("a_h"),
+      col("k"), col("bb"))
+    val b = bands.select(col("doc_id").as("b_id"), col("dhash").as("b_h"),
+      col("k"), col("bb"))
+    val pairs = a.join(b, Seq("k", "bb"))
+      .filter(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"),
+        bit_count(col("a_h").bitwiseXOR(col("b_h"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= DHashMaxHamming)
+    val neighbors = pairs.select(col("a_id").as("doc_id"))
+      .union(pairs.select(col("b_id").as("doc_id")))
+      .groupBy("doc_id").agg(count(lit(1)).as("n"))
+    hashes.join(neighbors, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("dhash"),
+        coalesce(col("n"), lit(0L)).as("n_neighbors"))
+      .orderBy("doc_id")
+  }
+
+  val d70Oracle: String = {
+    val n = DHashW * DHashH
+    s"""WITH px AS (
+         SELECT doc_id,
+           substr(repeat(text, CAST(ceil($n.0 / len(text)) AS INT)), 1, $n) AS body
+         FROM documents),
+       cell AS (
+         SELECT doc_id, (i // $DHashW) // 8 AS cy, (i % $DHashW) // 8 AS cx,
+           sum(unicode(substr(body, CAST(i AS INT) + 1, 1))) AS s
+         FROM px, (SELECT unnest(range($n)) AS i)
+         GROUP BY 1, 2, 3),
+       bits AS (
+         SELECT a.doc_id, a.cy * 8 + a.cx AS idx,
+           CASE WHEN a.s < b.s THEN 1 ELSE 0 END AS bit
+         FROM cell a JOIN cell b
+           ON a.doc_id = b.doc_id AND a.cy = b.cy AND b.cx = a.cx + 1
+         WHERE a.cx < 8),
+       h AS (
+         SELECT doc_id,
+           CAST(sum(CASE WHEN idx < 63 THEN bit * (1::BIGINT << CAST(idx AS INT))
+                    ELSE 0 END)
+             + CASE WHEN max(CASE WHEN idx = 63 THEN bit ELSE 0 END) = 1
+                    THEN -9223372036854775807 - 1 ELSE 0 END AS BIGINT) AS dhash
+         FROM bits GROUP BY doc_id),
+       bands AS (
+         SELECT doc_id, dhash, k, (dhash >> CAST(k * 16 AS INT)) & 65535 AS bb
+         FROM h, (SELECT unnest(range(4)) AS k)),
+       pairs AS (
+         SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id,
+           bit_count(xor(a.dhash, b.dhash)) AS hamming
+         FROM bands a JOIN bands b
+           ON a.k = b.k AND a.bb = b.bb AND a.doc_id < b.doc_id
+         WHERE bit_count(xor(a.dhash, b.dhash)) <= $DHashMaxHamming),
+       nb AS (
+         SELECT doc_id, count(*) AS n FROM (
+           SELECT a_id AS doc_id FROM pairs
+           UNION ALL SELECT b_id FROM pairs)
+         GROUP BY doc_id)
+       SELECT h.doc_id, h.dhash,
+         coalesce(nb.n, 0)::BIGINT AS n_neighbors
+       FROM h LEFT JOIN nb ON h.doc_id = nb.doc_id
+       ORDER BY h.doc_id"""
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "d11_multimodal_meta" -> (d11MultimodalMeta _)
+    "d11_multimodal_meta" -> (d11MultimodalMeta _),
+    "d70_image_dhash" -> (d70ImageDhash _)
   )
 
   val oracles: Map[String, String] = Map(
-    "d11_multimodal_meta" -> d11Oracle
+    "d11_multimodal_meta" -> d11Oracle,
+    "d70_image_dhash" -> d70Oracle
   )
 }

@@ -289,4 +289,46 @@ class MediaCodecsSpec extends SparkSpec {
       "RIFFxxxxWAVEgarbage-no-chunks".getBytes)).toDS()
     assert(Multimodal.decodeFrames(broken).count() == 1)
   }
+
+  // ------------------------------------------------------------- dHash
+
+  /** Independent integer recompute of the 72×64 dHash: exact 8×8 box
+    * byte sums, bit set iff left sum < right sum — no shared code with
+    * [[MediaCodecs.resize]]/[[MediaCodecs.dHash]]. */
+  private def dhashByHand(bytes: Seq[Int]): Long = {
+    val sums = Array.ofDim[Long](8, 9)
+    for (y <- 0 until 64; x <- 0 until 72)
+      sums(y / 8)(x / 8) += bytes(y * 72 + x)
+    var h = 0L
+    for (cy <- 0 until 8; cx <- 0 until 8)
+      if (sums(cy)(cx) < sums(cy)(cx + 1)) h |= 1L << (cy * 8 + cx)
+    h
+  }
+
+  test("dHash 72x64 equals an exact integer-arithmetic recompute") {
+    // deterministic pseudo-random bytes spanning the full 0..255 range
+    val px = Seq.tabulate(72 * 64)(i => (i * 2654435761L >>> 7).toInt & 0xff)
+    val r = MediaCodecs.decodeNetpbm(netpbm("P5", 72, 64, 255, px)).get
+    // box-area × maxval quantization recovers exact integer byte sums
+    assert(MediaCodecs.dHash(r, 64 * 255.0) == dhashByHand(px))
+    // a gradient image (every right neighbor brighter) is all-ones
+    val grad = Seq.tabulate(72 * 64)(i => (i % 72) * 3)
+    val rg = MediaCodecs.decodeNetpbm(netpbm("P5", 72, 64, 255, grad)).get
+    assert(MediaCodecs.dHash(rg, 64 * 255.0) == -1L, "all 64 bits set")
+  }
+
+  test("dHash is perceptual: PNG == PGM of same pixels; small edits stay near") {
+    val px = Seq.tabulate(72 * 64)(i => (i * 40503 >>> 4) & 0xff)
+    val pgm = MediaCodecs.decodeNetpbm(netpbm("P5", 72, 64, 255, px)).get
+    val png = MediaCodecs.decodeImage(
+      imageIoBytes("png", 72, 64, px.map(v => (v, v, v)))).get
+    // lossless grey PNG → identical luminance plane → identical hash
+    assert(MediaCodecs.dHash(pgm) == MediaCodecs.dHash(png))
+    // one edited pixel perturbs ONE 8x8 cell → at most 2 bits differ
+    val edited = px.updated(0, (px.head + 200) % 256)
+    val re = MediaCodecs.decodeNetpbm(netpbm("P5", 72, 64, 255, edited)).get
+    val ham = java.lang.Long.bitCount(
+      MediaCodecs.dHash(pgm, 64 * 255.0) ^ MediaCodecs.dHash(re, 64 * 255.0))
+    assert(ham <= 2, s"single-pixel edit moved $ham bits")
+  }
 }

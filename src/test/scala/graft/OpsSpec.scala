@@ -56,6 +56,10 @@ class OpsSpec extends AnyFunSuite with SparkSpec {
     assertNoAllPairs("d16_simhash_dedup", FuzzyDedup.d16SimhashDedup(spark, dir))
   }
 
+  test("image dhash near-dup plan is bucketed — no cartesian / nested-loop join") {
+    assertNoAllPairs("d70_image_dhash", Multimodal.d70ImageDhash(spark, dir))
+  }
+
   test("hard-negative mining plan is bucketed — no cartesian / nested-loop join") {
     assertNoAllPairs("d69_hard_negatives", Similarity.d69HardNegatives(spark, dir))
   }
