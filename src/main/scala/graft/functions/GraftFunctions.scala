@@ -158,6 +158,16 @@ object GraftFunctions {
         org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(filter, value)
       case args =>
         bad("graft_bloom_might_contain", "2 (filter, value)", args.length)
+    },
+    // Frequency sibling of the bloom pair: build with Spark's own
+    // `count_min_sketch` aggregate (already a SQL builtin), probe with
+    // this estimate — `graft_cms_estimate(sketch, value) >= threshold`
+    // below the exchange is d71's heavy-hitter prefilter as pure SQL.
+    // Sketch argument must be a constant or scalar subquery (the
+    // expression's own analysis-time check, same as the bloom probe).
+    reg("graft_cms_estimate", classOf[CmsEstimate]) {
+      case Seq(sketch, value) => CmsEstimate(sketch, toLong(value))
+      case args => bad("graft_cms_estimate", "2 (sketch, value)", args.length)
     })
 
   /** Install all functions into a live session's registry. Idempotent

@@ -1310,7 +1310,66 @@ object CorpusOps {
        GROUP BY doc_id ORDER BY bm25 DESC, doc_id LIMIT 20"""
   }
 
+  // --------------------------------------------------------------- d71
+  /** Heavy-hitter frequency: φ of the corpus token stream. */
+  private[graft] val HeavyHitterPhi = 0.02
+
+  /** HEAVY-HITTER TOKENS via count-min-sketch prefilter: tokens whose
+    * corpus frequency is at least [[HeavyHitterPhi]] of the total token
+    * stream — the standard φ-heavy-hitter definition, the signal behind
+    * stopword induction, template detection, and tokenizer-vocab
+    * sanity checks.
+    *
+    * The 100 TB plan is the point ([[graft.functions.CmsSketch]]): an
+    * exact global token count shuffles the ENTIRE vocabulary — at crawl
+    * scale, billions of hapax/low-frequency tokens that can never reach
+    * a φ·N threshold. Pass 1 builds a count-min sketch in one
+    * aggregation (KBs, mergeable; the driver receives the sketch table,
+    * never rows) whose `totalCount` doubles as the exact N. Pass 2
+    * probes the sketch on the scan side — BELOW the exchange — keeping
+    * only tokens the sketch says could reach the threshold; CMS never
+    * underestimates, so no true heavy hitter is dropped, and the exact
+    * `GROUP BY … HAVING` over the surviving sliver restores exact
+    * semantics (overestimated impostors die at the HAVING). The sketch
+    * reshapes the shuffle from vocabulary-sized to candidate-sized;
+    * the answer is bit-identical to the oracle's plain GROUP BY.
+    *
+    * The threshold is `ceil(φ · N)` computed in double by BOTH engines
+    * (same IEEE product, same ceil — no borderline divergence). Probing
+    * hashes ([[TextOps.hash60]]) rather than strings keeps the CMS
+    * long-keyed; collisions only ADD candidates, never drop one. */
+  def d71HeavyHitters(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.CmsSketch
+    val tok = docs(spark, dir)
+      .select(explode(tokens(col("text"))).as("token"))
+      .withColumn("th", TextOps.hash60(col("token")))
+    // pass 1: one distributed aggregation → sketch + exact N (no rows
+    // reach the driver). ε sizes the sketch (width e/ε): the expected
+    // overestimate is ≤ ε·N, two orders below the φ·N threshold, so
+    // impostor candidates stay rare while the serialized sketch stays
+    // ~110 KB — small enough to ride in every task binary.
+    val cms = CmsSketch.buildLong(tok, "th", 1e-3, 0.99, 42)
+    val threshold = math.ceil(HeavyHitterPhi * cms.totalCount()).toLong.max(1L)
+    val sketchBytes = CmsSketch.serialize(cms)
+    // pass 2: probe below the exchange, then exact count over survivors
+    tok.filter(CmsSketch.estimateLong(sketchBytes, col("th")) >= threshold)
+      .groupBy("token")
+      .agg(count(lit(1)).as("n"))
+      .filter(col("n") >= threshold)
+      .orderBy(col("n").desc, col("token"))
+  }
+
+  val d71Oracle: String =
+    s"""WITH tok AS (
+         SELECT unnest(regexp_extract_all(text, '\\S+')) AS token
+         FROM documents),
+       t AS (SELECT greatest(ceil($HeavyHitterPhi * count(*)), 1) AS thr FROM tok)
+       SELECT token, count(*) AS n FROM tok GROUP BY token
+       HAVING count(*) >= (SELECT thr FROM t)
+       ORDER BY n DESC, token"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d71_heavy_hitters" -> (d71HeavyHitters _),
     "d23_chunking" -> (d23Chunking _),
     "d24_tfidf" -> (d24Tfidf _),
     "d25_surprisal" -> (d25Surprisal _),
@@ -1335,6 +1394,7 @@ object CorpusOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "d71_heavy_hitters" -> d71Oracle,
     "d23_chunking" -> d23Oracle,
     "d24_tfidf" -> d24Oracle,
     "d25_surprisal" -> d25Oracle,

@@ -91,7 +91,11 @@ class ExtensionsSpec extends AnyFunSuite with SparkSpec {
         "SELECT graft_bloom_agg(id) FROM range(0, 100)",
       "graft_bloom_might_contain" ->
         """SELECT graft_bloom_might_contain(
-             (SELECT graft_bloom_agg(id) FROM range(0, 100)), 42L)""")
+             (SELECT graft_bloom_agg(id) FROM range(0, 100)), 42L)""",
+      "graft_cms_estimate" ->
+        """SELECT graft_cms_estimate(
+             (SELECT count_min_sketch(id, 0.001d, 0.99d, 42) FROM range(0, 100)),
+             42L)""")
     GraftFunctions.all.foreach { case (ident, _, _) =>
       val name = ident.funcName
       assert(exercise.contains(name),

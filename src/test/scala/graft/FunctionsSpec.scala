@@ -508,4 +508,31 @@ class FunctionsSpec extends SparkSpec {
       BloomFilters.mightContainLong(emptyBytes, col("v"))).count()
     assert(anyHit == 0L, "empty bloom filter must match nothing")
   }
+
+  test("CmsSketch build→serialize→probe: never underestimates, stays tight") {
+    import spark.implicits._
+    import graft.functions.CmsSketch
+    // build (stat.countMinSketch addLong) and probe (CmsEstimate →
+    // estimateCount) are separate code paths agreeing by hashing-scheme
+    // convention. A single UNDERestimate would let d71's prefilter drop
+    // a true heavy hitter — the one error CMS must never make.
+    val rows = (0L until 50L).flatMap(v => Seq.fill(v.toInt + 1)(v * 7919L + 11L))
+    val df = rows.toDF("v")
+    val bytes = CmsSketch.serialize(CmsSketch.buildLong(df, "v", 0.001, 0.99, 42))
+    val est = df.distinct()
+      .select(col("v"), CmsSketch.estimateLong(bytes, col("v")).as("e"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val truth = rows.groupBy(identity).map { case (v, g) => (v, g.size.toLong) }
+    truth.foreach { case (v, n) =>
+      assert(est(v) >= n, s"CMS underestimated $v: ${est(v)} < $n")
+      // ε=0.001 over 1275 inserts ⇒ expected overshoot ≈ 1 — allow slack
+      assert(est(v) <= n + 50, s"CMS estimate for $v wildly loose: ${est(v)} vs $n")
+    }
+    // totalCount is the exact insert count (d71 derives N from it)
+    assert(CmsSketch.buildLong(df, "v", 0.001, 0.99, 42).totalCount() == rows.size)
+    // null value probes null, not a crash or a phantom count
+    val withNull = spark.sql("SELECT CAST(NULL AS BIGINT) AS v")
+    assert(withNull.select(CmsSketch.estimateLong(bytes, col("v")))
+      .collect().head.isNullAt(0))
+  }
 }

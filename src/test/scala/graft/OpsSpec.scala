@@ -60,6 +60,27 @@ class OpsSpec extends AnyFunSuite with SparkSpec {
     assertNoAllPairs("d70_image_dhash", Multimodal.d70ImageDhash(spark, dir))
   }
 
+  test("d71's CMS probe gates the exchange — filter below every shuffle") {
+    import org.apache.spark.sql.execution.FilterExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    val plan = CorpusOps.d71HeavyHitters(spark, dir).queryExecution.executedPlan
+    val probeFilters = collectPlans(plan).collect {
+      case f: FilterExec if f.condition.collectFirst {
+        case m: graft.functions.CmsEstimate => m
+      }.isDefined => f
+    }
+    assert(probeFilters.nonEmpty,
+      "no FilterExec carries the CMS probe — the sketch was optimized away")
+    // the probe must prune the token stream BEFORE the count shuffle:
+    // its subtree is exchange-free or the vocabulary-sized exchange the
+    // sketch exists to shrink already happened
+    probeFilters.foreach { f =>
+      val shuffles = collectPlans(f).collect { case s: ShuffleExchangeLike => s }
+      assert(shuffles.isEmpty,
+        "the CMS probe runs above a shuffle — it must gate the exchange")
+    }
+  }
+
   test("hard-negative mining plan is bucketed — no cartesian / nested-loop join") {
     assertNoAllPairs("d69_hard_negatives", Similarity.d69HardNegatives(spark, dir))
   }
