@@ -1016,6 +1016,82 @@ object CorpusOps {
        FROM documents d JOIN dim USING (source)
        ORDER BY doc_id"""
 
+  // --------------------------------------------------------------- d72
+  /** Top-of-vocabulary size for the Zipf fit: production corpora fit
+    * the head (the tail's hapax cloud is where Zipf's law breaks down
+    * anyway, and it is also the part that cannot be ranked cheaply). */
+  private[graft] val ZipfTopV = 10000
+
+  /** ZIPF RANK-FREQUENCY FIT — corpus-health diagnostic: natural text
+    * follows `freq ∝ rank^(-s)` with s ≈ 1; a log-log regression slope
+    * far from −1 or a poor r² flags synthetic, templated, or
+    * over-deduplicated corpora before any model trains on them. Emits
+    * one row: vocabulary size considered, fitted slope, r².
+    *
+    * Scale shape: the vocabulary aggregate is the only corpus-sized
+    * shuffle (hashed token counts, map-side partial agg). The fit runs
+    * on the TOP-[[ZipfTopV]] head: a sort-limit (TakeOrdered — per-
+    * partition heaps, no full sort) bounds the ranked set, so the
+    * single-partition ranking window touches ≤ 10k rows no matter the
+    * corpus — the same bounded-window discipline as d19/d56. */
+  def d72ZipfFit(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val vocab = docs(spark, dir)
+      .select(explode(tokens(col("text"))).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("token")).limit(ZipfTopV)
+    val ranked = vocab.withColumn("rank",
+      row_number().over(Window.orderBy(col("n").desc, col("token"))))
+    ranked.agg(
+      count(lit(1)).as("n_vocab"),
+      round(expr("regr_slope(ln(n), ln(rank))"), 4).as("slope"),
+      round(expr("regr_r2(ln(n), ln(rank))"), 4).as("r2"))
+  }
+
+  val d72Oracle: String =
+    s"""WITH vocab AS (
+         SELECT token, count(*) AS n
+         FROM (SELECT unnest(regexp_extract_all(text, '\\S+')) AS token
+               FROM documents)
+         GROUP BY token ORDER BY n DESC, token LIMIT $ZipfTopV),
+       ranked AS (
+         SELECT n, row_number() OVER (ORDER BY n DESC, token) AS rank
+         FROM vocab)
+       SELECT count(*) AS n_vocab,
+         round(regr_slope(ln(n), ln(rank)), 4) AS slope,
+         round(regr_r2(ln(n), ln(rank)), 4) AS r2
+       FROM ranked"""
+
+  // --------------------------------------------------------------- d73
+  /** JOIN-KEY SKEW HISTOGRAM — the pre-join diagnostic that decides
+    * between a plain shuffle join, AQE skew splitting, and d65's
+    * salted join: per-key row counts bucketed by power of two, plus
+    * each bucket's heaviest key. A long tail ending in one huge bucket
+    * (or a bucket whose max is orders above the median bucket) is the
+    * signature of a key that will hot-spot one reducer at 100 TB.
+    *
+    * Float-safe by construction: the log₂ bucket is
+    * `length(bin(c)) - 1` — an integer/string computation both engines
+    * evaluate exactly, where `floor(log2(c))` via doubles can land on
+    * either side of a power of two (`log(8)/log(2)` =
+    * 2.9999999999999996 on some libms). Scale shape: one shuffle for
+    * the per-key counts (map-side partials), then a bucket-cardinality
+    * aggregate — the histogram never exceeds 64 rows. */
+  def d73KeySkew(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "events")
+      .groupBy("user_id").agg(count(lit(1)).as("c"))
+      .withColumn("bucket", (length(bin(col("c"))) - 1).cast("long"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_keys"), sum("c").as("n_rows"),
+        max("c").as("max_rows_one_key"))
+      .orderBy("bucket")
+
+  val d73Oracle: String =
+    """SELECT length(bin(c)) - 1 AS bucket, count(*) AS n_keys,
+         sum(c) AS n_rows, max(c) AS max_rows_one_key
+       FROM (SELECT user_id, count(*) AS c FROM events GROUP BY user_id)
+       GROUP BY 1 ORDER BY 1"""
+
   // --------------------------------------------------------------- d34
   /** Cross-doc boilerplate document-frequency threshold: a 3-token
     * shingle present in at least this many DISTINCT documents is
@@ -1370,6 +1446,8 @@ object CorpusOps {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d71_heavy_hitters" -> (d71HeavyHitters _),
+    "d72_zipf_fit" -> (d72ZipfFit _),
+    "d73_key_skew" -> (d73KeySkew _),
     "d23_chunking" -> (d23Chunking _),
     "d24_tfidf" -> (d24Tfidf _),
     "d25_surprisal" -> (d25Surprisal _),
@@ -1395,6 +1473,8 @@ object CorpusOps {
 
   val oracles: Map[String, String] = Map(
     "d71_heavy_hitters" -> d71Oracle,
+    "d72_zipf_fit" -> d72Oracle,
+    "d73_key_skew" -> d73Oracle,
     "d23_chunking" -> d23Oracle,
     "d24_tfidf" -> d24Oracle,
     "d25_surprisal" -> d25Oracle,
