@@ -85,4 +85,38 @@ object Layouts {
       .drop("_ord")
       .write.mode("overwrite").partitionBy("shard").parquet(path)
   }
+
+  /** Morton (Z-order) interleave of two 16-bit dimensions as a SQL
+    * expression string — bit `i` of `a` lands at position `2i`, bit `i`
+    * of `b` at `2i+1`. Emitted as a plain `>>`/`&`/`<<` integer formula
+    * so the SAME text evaluates identically in Spark SQL and in the
+    * DuckDB oracle (inputs must be pre-masked to 0..65535; all
+    * intermediate values stay below 2^32, so sign never enters).
+    *
+    * WHY Z-order: min/max zone maps (parquet row-group stats) prune on
+    * the leading sort column only — a lexicographic (a, b) sort leaves
+    * b-range filters unprunable. Interleaving the bits makes every
+    * z-key range a small rectangle in (a, b) space, so row groups stay
+    * tight in BOTH dimensions and either filter prunes — the standard
+    * multi-dimensional clustering trick for scan-heavy tables. */
+  def mortonSql(a: String, b: String): String =
+    (0 until 16).map(i =>
+      s"((($a >> $i) & 1) << ${2 * i}) + ((($b >> $i) & 1) << ${2 * i + 1})")
+      .mkString("(", " + ", ")")
+
+  /** Write Z-ORDERED shards: range-partition and sort by the morton key
+    * of two query dimensions, so parquet row-group min/max stats prune
+    * range filters on EITHER dimension. The range exchange samples the
+    * key distribution (balanced output files even for skewed keys);
+    * within-file order is fully deterministic. */
+  def writeZOrdered(df: DataFrame, path: String, numShards: Int,
+      dimA: String, dimB: String): Unit = {
+    import org.apache.spark.sql.functions._
+    df.withColumn("_zkey", expr(mortonSql(
+        s"(($dimA) & 65535)", s"(($dimB) & 65535)")))
+      .repartitionByRange(numShards, col("_zkey"))
+      .sortWithinPartitions(col("_zkey"))
+      .drop("_zkey")
+      .write.mode("overwrite").parquet(path)
+  }
 }

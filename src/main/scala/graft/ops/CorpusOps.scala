@@ -1092,6 +1092,101 @@ object CorpusOps {
        FROM (SELECT user_id, count(*) AS c FROM events GROUP BY user_id)
        GROUP BY 1 ORDER BY 1"""
 
+  // --------------------------------------------------------------- d74
+  /** Number of merge candidates reported (one BPE round considers the
+    * global top pair; reporting a slate of 20 shows the ranking). */
+  private[graft] val BpeTopPairs = 20
+
+  /** BPE FIRST-ROUND MERGE CANDIDATES — the tokenizer-training
+    * primitive: the corpus-weighted frequency of every adjacent
+    * character pair, exactly the statistic byte-pair encoding greedily
+    * merges (Sennrich et al. 2016, public). Training a tokenizer ON
+    * the corpus being curated is a standard pipeline step; this op is
+    * its inner loop, distributed.
+    *
+    * Scale shape — aggregate BEFORE exploding: the corpus token stream
+    * collapses to (distinct word, count) first (one corpus-sized
+    * shuffle of tokens, map-side partials), and the quadratic-ish char
+    * pair explode then runs over the VOCABULARY (Heaps-law sublinear),
+    * weighted by word counts — the classic BPE trainer trick of
+    * counting over word types, not the token stream. The pair
+    * aggregate shuffles pair-cardinality rows; top-20 is a
+    * TakeOrdered. A 100× corpus grows the first aggregate linearly
+    * and everything after it barely at all. */
+  def d74BpeMerges(spark: SparkSession, dir: String): DataFrame = {
+    val words = docs(spark, dir)
+      .select(explode(tokens(col("text"))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("wc"))
+    // single-char words carry no pairs — and must be guarded explicitly:
+    // Spark's sequence(1, 0) DESCENDS rather than returning empty
+    words.filter(length(col("w")) >= 2)
+      .select(col("wc"), explode(
+        expr("transform(sequence(1, length(w) - 1), i -> substr(w, i, 2))"))
+        .as("pair"))
+      .groupBy("pair").agg(sum("wc").as("n"))
+      .orderBy(col("n").desc, col("pair")).limit(BpeTopPairs)
+  }
+
+  val d74Oracle: String =
+    s"""WITH words AS (
+         SELECT token AS w, count(*) AS wc
+         FROM (SELECT unnest(regexp_extract_all(text, '\\S+')) AS token
+               FROM documents)
+         GROUP BY 1),
+       pairs AS (
+         SELECT unnest(list_transform(range(1, len(w)),
+                  i -> w[CAST(i AS INT):CAST(i + 1 AS INT)])) AS pair, wc
+         FROM words)
+       SELECT pair, CAST(sum(wc) AS BIGINT) AS n
+       FROM pairs GROUP BY pair
+       ORDER BY n DESC, pair LIMIT $BpeTopPairs"""
+
+  // --------------------------------------------------------------- d75
+  /** Shard count for the Z-order layout gate. */
+  private[graft] val ZOrderShards = 16
+
+  /** Z-ORDER LAYOUT ASSIGNMENT — the multi-dimensional clustering pass
+    * gated end-to-end: every document's Morton key over two query
+    * dimensions (character length, token count — the axes curation
+    * filters range over) and the range-shard it lands in. The write
+    * path is [[graft.io.Layouts.writeZOrdered]]; this gate pins the
+    * key arithmetic and the shard assignment it produces, using
+    * `ntile` as the deterministic stand-in for the range exchange
+    * (`RangePartitioner` draws sampling-based cut points; `ntile` is
+    * its exact-quantile limit, so the gate is reproducible while the
+    * production write keeps the sampled partitioner).
+    *
+    * Scale shape: the key is a narrow codegen'd integer map; the only
+    * wide operation is the range sort the layout EXISTS to pay (one
+    * exchange at write time, amortized over every pruned scan after).
+    * The morton formula is emitted once ([[graft.io.Layouts.mortonSql]])
+    * and interpolated into BOTH engines — the gate fails if the bit
+    * interleave ever drifts. */
+  def d75ZorderLayout(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val z = graft.io.Layouts.mortonSql(
+      "(n_chars & 65535)", "(n_toks & 65535)")
+    docs(spark, dir)
+      .withColumn("n_toks", size(tokens(col("text"))).cast("long"))
+      .withColumn("zkey", expr(z))
+      .withColumn("shard",
+        ntile(ZOrderShards).over(Window.orderBy(col("zkey"), col("doc_id"))) - 1)
+      .select("doc_id", "zkey", "shard")
+      .orderBy("doc_id")
+  }
+
+  val d75Oracle: String = {
+    val z = graft.io.Layouts.mortonSql(
+      "(n_chars & 65535)", "(n_toks & 65535)")
+    s"""WITH t AS (
+         SELECT doc_id, n_chars,
+           len(regexp_extract_all(text, '\\S+')) AS n_toks
+         FROM documents)
+       SELECT doc_id, $z AS zkey,
+         ntile($ZOrderShards) OVER (ORDER BY $z, doc_id) - 1 AS shard
+       FROM t ORDER BY doc_id"""
+  }
+
   // --------------------------------------------------------------- d34
   /** Cross-doc boilerplate document-frequency threshold: a 3-token
     * shingle present in at least this many DISTINCT documents is
@@ -1448,6 +1543,8 @@ object CorpusOps {
     "d71_heavy_hitters" -> (d71HeavyHitters _),
     "d72_zipf_fit" -> (d72ZipfFit _),
     "d73_key_skew" -> (d73KeySkew _),
+    "d74_bpe_merges" -> (d74BpeMerges _),
+    "d75_zorder_layout" -> (d75ZorderLayout _),
     "d23_chunking" -> (d23Chunking _),
     "d24_tfidf" -> (d24Tfidf _),
     "d25_surprisal" -> (d25Surprisal _),
@@ -1475,6 +1572,8 @@ object CorpusOps {
     "d71_heavy_hitters" -> d71Oracle,
     "d72_zipf_fit" -> d72Oracle,
     "d73_key_skew" -> d73Oracle,
+    "d74_bpe_merges" -> d74Oracle,
+    "d75_zorder_layout" -> d75Oracle,
     "d23_chunking" -> d23Oracle,
     "d24_tfidf" -> d24Oracle,
     "d25_surprisal" -> d25Oracle,

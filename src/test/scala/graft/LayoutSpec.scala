@@ -128,4 +128,34 @@ class LayoutSpec extends SparkSpec {
     assert(a.forall(s => s != s.sorted),
       "shuffled order must not be key order")
   }
+
+  test("z-order layout: exact morton interleave, 2-D-tight files vs lexicographic") {
+    import org.apache.spark.sql.functions._
+    // interleave arithmetic pinned on known bits: a=5 (101₂) at even
+    // positions, b=3 (11₂) at odd → 1 + 16 + 2 + 8 = 27
+    val morton = spark.sql(s"SELECT ${Layouts.mortonSql("5", "3")}")
+      .collect().head.getAs[Number](0).longValue
+    assert(morton == 27L)
+    // uniform 128×128 grid: a z-ordered write must keep BOTH dimensions
+    // narrow per file, where a lexicographic sort leaves dim b unpruned
+    val grid = spark.range(128L * 128L)
+      .select((col("id") / 128).cast("long").as("a"),
+        (col("id") % 128).cast("long").as("b"))
+    val out = Files.createTempDirectory("graft-zorder").toString
+    Layouts.writeZOrdered(grid, out, 16, "a", "b")
+    val back = spark.read.parquet(out)
+    assert(back.count() == 128L * 128L, "z-order write must be lossless")
+    // per-FILE zone extents — exactly what parquet min/max stats expose
+    val spans = spark.read.parquet(out)
+      .select(col("a"), col("b"), input_file_name().as("f"))
+      .groupBy("f").agg((max("a") - min("a")).as("sa"), (max("b") - min("b")).as("sb"))
+      .collect().map(r => (r.getLong(1), r.getLong(2)))
+    assert(spans.length >= 8, s"range exchange produced ${spans.length} files")
+    val avgB = spans.map(_._2).sum.toDouble / spans.length
+    // ideal 16-way z-split of a 128² grid is 32×32 tiles (span 31);
+    // sampled range cuts smear boundaries — allow 3× slack, still far
+    // from the 127 a lexicographic (a, b) sort pins every file at
+    assert(avgB < 96, f"avg per-file b-span $avgB%.1f — not 2-D clustered")
+    assert(spans.map(_._1).max < 128, "dim a must also stay partial per file")
+  }
 }
