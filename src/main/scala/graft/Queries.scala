@@ -672,6 +672,37 @@ object Queries {
        FROM a UNPIVOT (value FOR measure IN (avg_qty, avg_price, avg_disc))
        ORDER BY l_returnflag, measure"""
 
+  // --------------------------------------------------------------- q27
+  /** GROUPING SETS — the general form behind q10's ROLLUP and q24's
+    * CUBE: two independent one-dimensional summaries (by event type, by
+    * hour of day) plus the grand total, in ONE pass. Spark plans all
+    * three sets through a single Expand over the scan — one corpus
+    * read, one shuffle — where three separate GROUP BYs would scan
+    * three times; the Expand multiplies rows by the number of SETS (3),
+    * the q24/d60 lesson on keeping the set list, not the scan, small. */
+  def q27GroupingSets(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "events")
+      .withColumn("hr", hour(col("ts")).cast("long"))
+      .groupingSets(
+        Seq(Seq(col("event_type")), Seq(col("hr")), Seq()),
+        col("event_type"), col("hr"))
+      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"))
+      .select(
+        coalesce(col("event_type"), lit("ALL")).as("event_type"),
+        coalesce(col("hr"), lit(-1L)).as("hr"),
+        col("n"), col("sum_value"))
+      .orderBy("event_type", "hr")
+
+  val q27Oracle: String =
+    """WITH e AS (
+         SELECT event_type, CAST(extract(hour FROM ts) AS BIGINT) AS hr, value
+         FROM events)
+       SELECT coalesce(event_type, 'ALL') AS event_type,
+         coalesce(hr, -1) AS hr,
+         count(*) AS n, round(sum(value), 2) AS sum_value
+       FROM e GROUP BY GROUPING SETS ((event_type), (hr), ())
+       ORDER BY event_type, hr"""
+
   // ------------------------------------------------------------ registry
   val relational: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_agg" -> (q1Agg _),
@@ -699,7 +730,8 @@ object Queries {
     "q23_approx_percentiles" -> (q23ApproxPercentiles _),
     "q24_cube" -> (q24Cube _),
     "q25_lead_lag" -> (q25LeadLag _),
-    "q26_unpivot" -> (q26Unpivot _)
+    "q26_unpivot" -> (q26Unpivot _),
+    "q27_grouping_sets" -> (q27GroupingSets _)
   )
 
   val relationalOracles: Map[String, String] = Map(
@@ -728,7 +760,8 @@ object Queries {
     "q23_approx_percentiles" -> q23Oracle,
     "q24_cube" -> q24Oracle,
     "q25_lead_lag" -> q25Oracle,
-    "q26_unpivot" -> q26Oracle
+    "q26_unpivot" -> q26Oracle,
+    "q27_grouping_sets" -> q27Oracle
   )
 
   val all: Map[String, (SparkSession, String) => DataFrame] =

@@ -119,11 +119,57 @@ object StreamGates {
     * batch sessionization definition, not a streaming-specific one. */
   val d64Oracle: String = graft.Queries.q18Oracle
 
+  // --------------------------------------------------------------- d76
+  /** The streaming EXACT-DEDUP gate ([[IngestStreams.dedupedDocs]] —
+    * `dropDuplicatesWithinWatermark` over the md5 content hash) run
+    * end-to-end: the documents table arrives through a file-stream
+    * source with a deterministic per-doc event time, and the gate emits
+    * the SURVIVING content-hash set. The output is the hash set alone,
+    * deliberately: within one micro-batch "first arrival" depends on
+    * partition scheduling, so the surviving doc_ids are
+    * arrival-dependent — but the set of distinct hashes is not, and
+    * "exactly one survivor per distinct content" is the dedup contract
+    * the oracle can pin deterministically. Covers the state-store
+    * dedup path (d50 covers stateless broadcast maps, d64 covers
+    * `mapGroupsWithState`). */
+  def d76StreamDedup(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+    val staged = Files.createTempDirectory("graft-d76")
+    Files.createSymbolicLink(
+      staged.resolve("documents.parquet"),
+      Paths.get(s"$dir/documents.parquet").toAbsolutePath)
+    val stream = spark.readStream.schema(docs.schema).parquet(staged.toString)
+      // deterministic event time (1 s per id) — the watermark column;
+      // one AvailableNow batch, so nothing ages past the 1 h horizon.
+      // Offset well past epoch 0: the stream's INITIAL watermark is 0,
+      // and a row whose event time ties it counts as expired — doc 0
+      // at exactly 1970-01-01T00:00:00 would be silently dropped.
+      .withColumn("ingest_ts",
+        timestamp_micros((col("doc_id") + 86400L) * 1000000L))
+    val name = s"graft_d76_run${runSeq.incrementAndGet()}"
+    val query = IngestStreams.dedupedDocs(stream)
+      .select(col("text_hash"))
+      .writeStream.format("memory").queryName(name)
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    query.awaitTermination()
+    spark.table(name).orderBy("text_hash")
+  }
+
+  /** One row per distinct content — the arrival-order-free projection
+    * of d1's exact dedup. */
+  val d76Oracle: String =
+    """SELECT DISTINCT md5(text) AS text_hash FROM documents
+       ORDER BY text_hash"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d50_stream_decontaminate" -> (d50StreamDecontaminate _),
-    "d64_stream_sessions" -> (d64StreamSessions _))
+    "d64_stream_sessions" -> (d64StreamSessions _),
+    "d76_stream_dedup" -> (d76StreamDedup _))
 
   val oracles: Map[String, String] = Map(
     "d50_stream_decontaminate" -> d50Oracle,
-    "d64_stream_sessions" -> d64Oracle)
+    "d64_stream_sessions" -> d64Oracle,
+    "d76_stream_dedup" -> d76Oracle)
 }
