@@ -1187,6 +1187,99 @@ object CorpusOps {
        FROM t ORDER BY doc_id"""
   }
 
+  // --------------------------------------------------------------- d77
+  /** SNAPSHOT DIFF — corpus versioning: given two corpus snapshots,
+    * report every document that was ADDED, REMOVED, or CHANGED (content
+    * hash differs) — the audit table an incremental pipeline writes
+    * between crawls, and the input to "re-process only what moved".
+    * Snapshot B here is a deterministic transform of the table (drops,
+    * edits, and additions by id residue) so the gate exercises all
+    * three classes; production passes two real snapshot paths.
+    *
+    * Scale shape: both sides reduce to (doc_id, md5) BEFORE the
+    * full-outer join, so the diff shuffles 16-byte hashes on a uniform
+    * key — never text. One exchange per side, output is
+    * change-set-sized. */
+  def d77SnapshotDiff(spark: SparkSession, dir: String): DataFrame = {
+    val a = docs(spark, dir).select(col("doc_id"), md5(col("text")).as("ha"))
+    val base = docs(spark, dir).filter(col("doc_id") % 97 =!= 0)
+      .select(col("doc_id"),
+        md5(when(col("doc_id") % 13 === 0, concat(col("text"), lit(" v2")))
+          .otherwise(col("text"))).as("hb"))
+    val added = docs(spark, dir).filter(col("doc_id") % 89 === 0)
+      .select((col("doc_id") + 1000000L).as("doc_id"),
+        md5(concat(lit("new:"), col("text"))).as("hb"))
+    a.join(base.union(added), Seq("doc_id"), "full_outer")
+      .withColumn("status",
+        when(col("ha").isNull, "added")
+          .when(col("hb").isNull, "removed")
+          .when(col("ha") =!= col("hb"), "changed")
+          .otherwise("unchanged"))
+      .filter(col("status") =!= "unchanged")
+      .select("doc_id", "status")
+      .orderBy("doc_id")
+  }
+
+  val d77Oracle: String =
+    """WITH a AS (SELECT doc_id, md5(text) AS ha FROM documents),
+       b AS (
+         SELECT doc_id,
+           md5(CASE WHEN doc_id % 13 = 0 THEN text || ' v2' ELSE text END) AS hb
+         FROM documents WHERE doc_id % 97 <> 0
+         UNION ALL
+         SELECT doc_id + 1000000 AS doc_id, md5('new:' || text) AS hb
+         FROM documents WHERE doc_id % 89 = 0)
+       SELECT coalesce(a.doc_id, b.doc_id) AS doc_id,
+         CASE WHEN a.doc_id IS NULL THEN 'added'
+              WHEN b.doc_id IS NULL THEN 'removed'
+              WHEN ha <> hb THEN 'changed'
+              ELSE 'unchanged' END AS status
+       FROM a FULL OUTER JOIN b ON a.doc_id = b.doc_id
+       WHERE (CASE WHEN a.doc_id IS NULL THEN 'added'
+              WHEN b.doc_id IS NULL THEN 'removed'
+              WHEN ha <> hb THEN 'changed'
+              ELSE 'unchanged' END) <> 'unchanged'
+       ORDER BY doc_id"""
+
+  // --------------------------------------------------------------- d78
+  /** Sample size for the weighted draw. */
+  private[graft] val WSampleK = 50
+
+  /** WEIGHTED SAMPLING WITHOUT REPLACEMENT — one distributed pass, no
+    * sequential draws: the exponential-clocks formulation of
+    * Efraimidis–Spirakis (2006, public): every document gets key
+    * `-ln(u)/w` with `u` a deterministic hash-uniform in (0,1] and `w`
+    * its weight (characters here — longer docs proportionally
+    * likelier); the k SMALLEST keys are the sample, distributed exactly
+    * like k sequential weighted draws without replacement. d18's
+    * Bernoulli split and d44's per-group quotas cannot express
+    * "exactly k, weight-proportional, one pass" — this is that
+    * primitive, and the keyed form is reproducible and incremental
+    * (a new document competes by its own key; nothing resamples).
+    *
+    * Scale shape: the key is a narrow map; the k-smallest is a
+    * TakeOrdered (per-partition heaps of k, driver merges k) — no
+    * global sort, no shuffle of non-winners. */
+  def d78WeightedSample(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .withColumn("u",
+        (TextOps.hash60(col("doc_id").cast("string")) + 1).cast("double") /
+          lit(math.pow(2, 60)))
+      .withColumn("skey", -log(col("u")) / col("n_chars"))
+      .orderBy(col("skey"), col("doc_id")).limit(WSampleK)
+      .select(col("doc_id"), col("n_chars"), round(col("skey") * 1e6, 4).as("key_ppm"))
+      .orderBy("doc_id")
+
+  val d78Oracle: String =
+    s"""WITH keyed AS (
+         SELECT doc_id, n_chars,
+           -ln((('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT + 1)
+               / 2.0^60) / n_chars AS skey
+         FROM documents)
+       SELECT doc_id, n_chars, round(skey * 1e6, 4) AS key_ppm
+       FROM (SELECT * FROM keyed ORDER BY skey, doc_id LIMIT $WSampleK)
+       ORDER BY doc_id"""
+
   // --------------------------------------------------------------- d34
   /** Cross-doc boilerplate document-frequency threshold: a 3-token
     * shingle present in at least this many DISTINCT documents is
@@ -1545,6 +1638,8 @@ object CorpusOps {
     "d73_key_skew" -> (d73KeySkew _),
     "d74_bpe_merges" -> (d74BpeMerges _),
     "d75_zorder_layout" -> (d75ZorderLayout _),
+    "d77_snapshot_diff" -> (d77SnapshotDiff _),
+    "d78_weighted_sample" -> (d78WeightedSample _),
     "d23_chunking" -> (d23Chunking _),
     "d24_tfidf" -> (d24Tfidf _),
     "d25_surprisal" -> (d25Surprisal _),
@@ -1574,6 +1669,8 @@ object CorpusOps {
     "d73_key_skew" -> d73Oracle,
     "d74_bpe_merges" -> d74Oracle,
     "d75_zorder_layout" -> d75Oracle,
+    "d77_snapshot_diff" -> d77Oracle,
+    "d78_weighted_sample" -> d78Oracle,
     "d23_chunking" -> d23Oracle,
     "d24_tfidf" -> d24Oracle,
     "d25_surprisal" -> d25Oracle,
