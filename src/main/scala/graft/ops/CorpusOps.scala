@@ -1599,14 +1599,16 @@ object CorpusOps {
     * the answer is bit-identical to the oracle's plain GROUP BY.
     *
     * The threshold is `ceil(φ · N)` computed in double by BOTH engines
-    * (same IEEE product, same ceil — no borderline divergence). Probing
-    * hashes ([[TextOps.hash60]]) rather than strings keeps the CMS
-    * long-keyed; collisions only ADD candidates, never drop one. */
+    * (same IEEE product, same ceil — no borderline divergence). The CMS
+    * is keyed on `xxhash64(token)` — the sketch never meets the oracle
+    * (only the exact HAVING does), so the key can be the cheap native
+    * hash rather than the md5-parity [[TextOps.hash60]]; collisions
+    * only ADD candidates, never drop one. */
   def d71HeavyHitters(spark: SparkSession, dir: String): DataFrame = {
     import graft.functions.CmsSketch
     val tok = docs(spark, dir)
       .select(explode(tokens(col("text"))).as("token"))
-      .withColumn("th", TextOps.hash60(col("token")))
+      .withColumn("th", xxhash64(col("token")))
     // pass 1: one distributed aggregation → sketch + exact N (no rows
     // reach the driver). ε sizes the sketch (width e/ε): the expected
     // overestimate is ≤ ε·N, two orders below the φ·N threshold, so
