@@ -1035,13 +1035,14 @@ object CorpusOps {
     * single-partition ranking window touches ≤ 10k rows no matter the
     * corpus — the same bounded-window discipline as d19/d56. */
   def d72ZipfFit(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val vocab = docs(spark, dir)
       .select(explode(tokens(col("text"))).as("token"))
       .groupBy("token").agg(count(lit(1)).as("n"))
       .orderBy(col("n").desc, col("token")).limit(ZipfTopV)
-    val ranked = vocab.withColumn("rank",
-      row_number().over(Window.orderBy(col("n").desc, col("token"))))
+    // ranked via the distributed total-order primitive — the head is
+    // already bounded, but the surface bans empty window partition
+    // specs outright (GlobalOrder's contract), so no exemption here
+    val ranked = GlobalOrder.rank(vocab, Seq(col("n").desc, col("token")))
     ranked.agg(
       count(lit(1)).as("n_vocab"),
       round(expr("regr_slope(ln(n), ln(rank))"), 4).as("slope"),
@@ -1150,27 +1151,33 @@ object CorpusOps {
     * dimensions (character length, token count — the axes curation
     * filters range over) and the range-shard it lands in. The write
     * path is [[graft.io.Layouts.writeZOrdered]]; this gate pins the
-    * key arithmetic and the shard assignment it produces, using
-    * `ntile` as the deterministic stand-in for the range exchange
-    * (`RangePartitioner` draws sampling-based cut points; `ntile` is
-    * its exact-quantile limit, so the gate is reproducible while the
-    * production write keeps the sampled partitioner).
+    * key arithmetic and the shard assignment it produces, using the
+    * even-rank split `shard = (rank-1)*S div N` as the deterministic
+    * stand-in for the range exchange (`RangePartitioner` draws
+    * sampling-based cut points; the exact split is its quantile limit,
+    * so the gate is reproducible while the production write keeps the
+    * sampled partitioner). The rank comes from [[GlobalOrder.rank]] --
+    * the distributed total-order primitive, never an unpartitioned
+    * window.
     *
     * Scale shape: the key is a narrow codegen'd integer map; the only
     * wide operation is the range sort the layout EXISTS to pay (one
     * exchange at write time, amortized over every pruned scan after).
     * The morton formula is emitted once ([[graft.io.Layouts.mortonSql]])
-    * and interpolated into BOTH engines — the gate fails if the bit
+    * and interpolated into BOTH engines -- the gate fails if the bit
     * interleave ever drifts. */
   def d75ZorderLayout(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val z = graft.io.Layouts.mortonSql(
       "(n_chars & 65535)", "(n_toks & 65535)")
-    docs(spark, dir)
+    val keyed = docs(spark, dir)
       .withColumn("n_toks", size(tokens(col("text"))).cast("long"))
       .withColumn("zkey", expr(z))
+    val total = keyed.agg(count(lit(1)).as("n_total"))
+    GlobalOrder.rank(keyed, Seq(col("zkey"), col("doc_id")))
+      .join(broadcast(total)) // 1-row stats broadcast, not a data join
+      .filter(col("n_total") > 0)
       .withColumn("shard",
-        ntile(ZOrderShards).over(Window.orderBy(col("zkey"), col("doc_id"))) - 1)
+        expr(s"((rank - 1) * $ZOrderShards) div n_total"))
       .select("doc_id", "zkey", "shard")
       .orderBy("doc_id")
   }
@@ -1183,7 +1190,8 @@ object CorpusOps {
            len(regexp_extract_all(text, '\\S+')) AS n_toks
          FROM documents)
        SELECT doc_id, $z AS zkey,
-         ntile($ZOrderShards) OVER (ORDER BY $z, doc_id) - 1 AS shard
+         ((row_number() OVER (ORDER BY $z, doc_id) - 1) * $ZOrderShards)
+           // (SELECT count(*) FROM documents) AS shard
        FROM t ORDER BY doc_id"""
   }
 

@@ -206,26 +206,31 @@ object Multimodal {
           (id, MediaCodecs.dHash(r, quant)))
       }
     }.toDF("doc_id", "dhash").localCheckpoint()
+    // exact pre-collapse (the d2/d59 lesson): byte-identical content —
+    // re-posts, mirror copies, the corpus image dedup EXISTS for —
+    // shares a dhash, so the banded join runs over DISTINCT hash values
+    // with multiplicities. A replica-dense corpus (the 10× stress case:
+    // 90 % copies) costs the join nothing; equal-hash neighbors are the
+    // closed-form cnt−1.
+    val groups = hashes.groupBy("dhash").agg(count(lit(1)).as("cnt"))
+      .localCheckpoint() // feeds the band join twice and the final join
     // LSH banding: 4 × 16-bit equi-join on (band, bits) — d16's plan
-    val bands = hashes.select(col("doc_id"), col("dhash"),
+    val bands = groups.select(col("dhash"), col("cnt"),
       explode(sequence(lit(0), lit(3))).as("k"))
       .withColumn("bb", expr("shiftright(dhash, 16 * k)").bitwiseAND(lit(65535L)))
-    val a = bands.select(col("doc_id").as("a_id"), col("dhash").as("a_h"),
+    val a = bands.select(col("dhash").as("a_h"), col("k"), col("bb"))
+    val b = bands.select(col("dhash").as("b_h"), col("cnt").as("b_cnt"),
       col("k"), col("bb"))
-    val b = bands.select(col("doc_id").as("b_id"), col("dhash").as("b_h"),
-      col("k"), col("bb"))
-    val pairs = a.join(b, Seq("k", "bb"))
-      .filter(col("a_id") < col("b_id"))
-      .select(col("a_id"), col("b_id"),
-        bit_count(col("a_h").bitwiseXOR(col("b_h"))).as("hamming"))
-      .distinct()
-      .filter(col("hamming") <= DHashMaxHamming)
-    val neighbors = pairs.select(col("a_id").as("doc_id"))
-      .union(pairs.select(col("b_id").as("doc_id")))
-      .groupBy("doc_id").agg(count(lit(1)).as("n"))
-    hashes.join(neighbors, Seq("doc_id"), "left")
+    val near = a.join(b, Seq("k", "bb"))
+      .filter(col("a_h") =!= col("b_h") &&
+        bit_count(col("a_h").bitwiseXOR(col("b_h"))) <= DHashMaxHamming)
+      .select(col("a_h").as("dhash"), col("b_h"), col("b_cnt"))
+      .distinct() // a hash pair can collide in several bands
+      .groupBy("dhash").agg(sum("b_cnt").as("extra"))
+    hashes.join(groups, "dhash")
+      .join(near, Seq("dhash"), "left")
       .select(col("doc_id"), col("dhash"),
-        coalesce(col("n"), lit(0L)).as("n_neighbors"))
+        (col("cnt") - 1 + coalesce(col("extra"), lit(0L))).as("n_neighbors"))
       .orderBy("doc_id")
   }
 
@@ -253,23 +258,19 @@ object Multimodal {
              + CASE WHEN max(CASE WHEN idx = 63 THEN bit ELSE 0 END) = 1
                     THEN -9223372036854775807 - 1 ELSE 0 END AS BIGINT) AS dhash
          FROM bits GROUP BY doc_id),
+       g AS (SELECT dhash, count(*) AS cnt FROM h GROUP BY dhash),
        bands AS (
-         SELECT doc_id, dhash, k, (dhash >> CAST(k * 16 AS INT)) & 65535 AS bb
-         FROM h, (SELECT unnest(range(4)) AS k)),
-       pairs AS (
-         SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id,
-           bit_count(xor(a.dhash, b.dhash)) AS hamming
+         SELECT dhash, cnt, k, (dhash >> CAST(k * 16 AS INT)) & 65535 AS bb
+         FROM g, (SELECT unnest(range(4)) AS k)),
+       pp AS (
+         SELECT DISTINCT a.dhash AS dhash, b.dhash AS bh, b.cnt AS bc
          FROM bands a JOIN bands b
-           ON a.k = b.k AND a.bb = b.bb AND a.doc_id < b.doc_id
+           ON a.k = b.k AND a.bb = b.bb AND a.dhash <> b.dhash
          WHERE bit_count(xor(a.dhash, b.dhash)) <= $DHashMaxHamming),
-       nb AS (
-         SELECT doc_id, count(*) AS n FROM (
-           SELECT a_id AS doc_id FROM pairs
-           UNION ALL SELECT b_id FROM pairs)
-         GROUP BY doc_id)
+       extra AS (SELECT dhash, sum(bc) AS ex FROM pp GROUP BY dhash)
        SELECT h.doc_id, h.dhash,
-         coalesce(nb.n, 0)::BIGINT AS n_neighbors
-       FROM h LEFT JOIN nb ON h.doc_id = nb.doc_id
+         (g.cnt - 1 + coalesce(ex, 0))::BIGINT AS n_neighbors
+       FROM h JOIN g USING (dhash) LEFT JOIN extra USING (dhash)
        ORDER BY h.doc_id"""
   }
 
