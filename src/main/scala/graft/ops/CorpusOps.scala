@@ -1288,6 +1288,105 @@ object CorpusOps {
        FROM (SELECT * FROM keyed ORDER BY skey, doc_id LIMIT $WSampleK)
        ORDER BY doc_id"""
 
+  // --------------------------------------------------------------- d79
+  /** Debounce horizon: a same-key event inside this many microseconds
+    * of its predecessor is an at-least-once replay / double-fire.
+    * Fixture-calibrated demo value (the synthetic log's minimum
+    * same-key gap is ~8 s, so a production-realistic 5 s horizon would
+    * select nothing at gate scale — d59's threshold note applies);
+    * production uses the delivery layer's replay window, same plan. */
+  private[graft] val DebounceUs = 3600000000L
+
+  /** EVENT DEBOUNCE (temporal dedup) — the log-hygiene pass upstream of
+    * every event-derived statistic: an event repeating its (user, type)
+    * key within [[DebounceUs]] of the previous occurrence is a
+    * duplicate delivery or UI double-fire, not a new action. Emits the
+    * DROPPED events with their gap — the audit view; production keeps
+    * the complement. Time arithmetic is integer microseconds
+    * (`unix_micros` / `epoch_us`), never float seconds, so the
+    * threshold comparison is exact in both engines.
+    *
+    * Scale shape: one shuffle on the (user, type) window key; the
+    * window is per-key ordered (ts, id — a total order, so lag is
+    * deterministic), state is one row of look-behind. The same plan
+    * runs streaming as `dropDuplicatesWithinWatermark` on a truncated
+    * time bucket when exact-gap semantics can relax. */
+  def d79EventDebounce(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id", "event_type")
+      .orderBy("ts", "event_id")
+    Tables.load(spark, dir, "events")
+      .withColumn("gap_us",
+        unix_micros(col("ts")) - lag(unix_micros(col("ts")), 1).over(w))
+      .filter(col("gap_us") < DebounceUs)
+      .select(col("event_id"), col("user_id"), col("event_type"), col("gap_us"))
+      .orderBy("event_id")
+  }
+
+  val d79Oracle: String =
+    s"""SELECT event_id, user_id, event_type, gap_us FROM (
+         SELECT event_id, user_id, event_type,
+           epoch_us(ts) - lag(epoch_us(ts), 1) OVER (
+             PARTITION BY user_id, event_type ORDER BY ts, event_id) AS gap_us
+         FROM events)
+       WHERE gap_us < $DebounceUs ORDER BY event_id"""
+
+  // --------------------------------------------------------------- d80
+  /** Max events kept per training sequence. */
+  private[graft] val SeqMaxLen = 16
+
+  /** PER-SESSION TRAINING SEQUENCES — the terminal shape a
+    * behavioral-sequence model trains on: each user session (q18's
+    * 30-minute-gap definition, verbatim) becomes one ordered
+    * event-type sequence, truncated to [[SeqMaxLen]] — the
+    * sessionize-then-serialize step that turns an event log into
+    * sequence-model training rows.
+    *
+    * Scale shape: both windows (gap flag, session number) and the
+    * final aggregate share the user_id partition key, so ONE exchange
+    * serves the whole query; per-session arrays are bounded by the
+    * truncation, and the sort inside each aggregate row is
+    * session-sized. The sequence is serialized as a comma-joined
+    * string — the loader-friendly (and oracle-comparable) form. */
+  def d80TrainingSequences(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    Tables.load(spark, dir, "events")
+      .withColumn("new_session",
+        when(unix_micros(col("ts")) -
+          lag(unix_micros(col("ts")), 1).over(byUser) > 1800000000L, 1)
+          .when(lag(col("ts"), 1).over(byUser).isNull, 1).otherwise(0))
+      .withColumn("session_idx",
+        sum("new_session").over(byUser.rowsBetween(
+          Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("user_id", "session_idx")
+      .agg(count(lit(1)).as("n_events"),
+        concat_ws(",", slice(transform(
+          array_sort(collect_list(struct(col("ts"), col("event_id"),
+            col("event_type")))),
+          e => e.getField("event_type")), 1, SeqMaxLen)).as("seq"))
+      .orderBy("user_id", "session_idx")
+  }
+
+  val d80Oracle: String =
+    s"""WITH flagged AS (
+         SELECT user_id, ts, event_id, event_type,
+           CASE WHEN epoch_us(ts) - lag(epoch_us(ts), 1) OVER w > 1800000000
+                  THEN 1
+                WHEN lag(ts, 1) OVER w IS NULL THEN 1 ELSE 0 END AS new_session
+         FROM events
+         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+       sessioned AS (
+         SELECT user_id, ts, event_id, event_type,
+           sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx
+         FROM flagged)
+       SELECT user_id, session_idx, count(*) AS n_events,
+         array_to_string(
+           (list(event_type ORDER BY ts, event_id))[1:$SeqMaxLen], ',') AS seq
+       FROM sessioned GROUP BY user_id, session_idx
+       ORDER BY user_id, session_idx"""
+
   // --------------------------------------------------------------- d34
   /** Cross-doc boilerplate document-frequency threshold: a 3-token
     * shingle present in at least this many DISTINCT documents is
@@ -1650,6 +1749,8 @@ object CorpusOps {
     "d75_zorder_layout" -> (d75ZorderLayout _),
     "d77_snapshot_diff" -> (d77SnapshotDiff _),
     "d78_weighted_sample" -> (d78WeightedSample _),
+    "d79_event_debounce" -> (d79EventDebounce _),
+    "d80_training_sequences" -> (d80TrainingSequences _),
     "d23_chunking" -> (d23Chunking _),
     "d24_tfidf" -> (d24Tfidf _),
     "d25_surprisal" -> (d25Surprisal _),
@@ -1681,6 +1782,8 @@ object CorpusOps {
     "d75_zorder_layout" -> d75Oracle,
     "d77_snapshot_diff" -> d77Oracle,
     "d78_weighted_sample" -> d78Oracle,
+    "d79_event_debounce" -> d79Oracle,
+    "d80_training_sequences" -> d80Oracle,
     "d23_chunking" -> d23Oracle,
     "d24_tfidf" -> d24Oracle,
     "d25_surprisal" -> d25Oracle,
