@@ -358,6 +358,44 @@ object MediaCodecs {
     h
   }
 
+  /** 63-bit AUDIO ENVELOPE difference hash — the audio sibling of
+    * [[dHash]]: the mono signal splits into 64 equal tumbling windows,
+    * each quantized to `round(Σ|sample| · quantScale)` (sum of absolute
+    * amplitudes — the loudness envelope), and bit `w` is set iff window
+    * `w` is quieter than window `w+1`. Loudness CONTOUR survives
+    * re-encoding, gain riding, and codec noise far better than raw
+    * samples, which makes the hash LSH-bandable for near-dup audio
+    * exactly like [[dHash]] for stills. 63 bits — the hash stays
+    * positive, which spares the sign-bit reconstruction an independent
+    * engine would otherwise need.
+    *
+    * For 8-bit PCM, `quantScale = 128` makes each quantized window the
+    * EXACT integer sum of `|byte − 128|` (8-bit samples are the dyadic
+    * `(b−128)/128`, summed exactly in float at any order) — the same
+    * zero-float-hazard reproducibility trick as the d70 image gate. */
+  def audioDHash(mono: Array[Float], quantScale: Double): Long = {
+    val windows = 64
+    val wlen = mono.length / windows
+    if (wlen == 0) return 0L
+    val q = new Array[Long](windows)
+    var w = 0
+    while (w < windows) {
+      var acc = 0.0
+      var i = w * wlen
+      val end = i + wlen
+      while (i < end) { acc += math.abs(mono(i)); i += 1 }
+      q(w) = Math.round(acc * quantScale)
+      w += 1
+    }
+    var h = 0L
+    var b = 0
+    while (b < 63) {
+      if (q(b) < q(b + 1)) h |= 1L << b
+      b += 1
+    }
+    h
+  }
+
   /** Whole-image feature — [mean, stddev, min, max, quadrant means
     * (TL, TR, BL, BR)]. One frame per still image. */
   def imageFeature(r: Raster): Array[Float] = {

@@ -169,8 +169,11 @@ object Multimodal {
     * d16's SimHash join, and the pipeline a 100 TB image-dedup pass
     * runs (decode+hash partition-local over the binary column; the
     * only shuffle moves 8-byte hashes, 4 band rows per image, never
-    * pixels; pigeonhole-exact: Hamming ≤ 3·bands−1 ⇒ some band equal,
-    * so ≤ 6 can't escape 4 bands).
+    * pixels). Pigeonhole guarantee: Hamming ≤ bands−1 = 3 always
+    * collides in some band; candidates at 4–6 bits are caught when any
+    * band happens to agree — standard LSH recall beyond the guarantee,
+    * and part of the operator's DEFINITION here (the oracle bands
+    * identically, so the gate stays bit-exact).
     *
     * Output pins EVERY image's hash plus its near-neighbor count, not
     * just the pairs — a bit-flip in any single hash fails the gate.
@@ -274,13 +277,120 @@ object Multimodal {
        ORDER BY h.doc_id"""
   }
 
+  // --------------------------------------------------------------- d81
+  /** Samples per synthesized clip: 64 tumbling windows × 64 samples. */
+  val AudioSamples = 4096
+  /** Hamming cutoff — bands−1, so the 4-band pigeonhole is EXACT (no
+    * recall caveat: every qualifying pair provably collides). */
+  val ADHashMaxHamming = 3
+
+  /** AUDIO NEAR-DUP DETECTION via envelope difference hash — the audio
+    * leg of the multimodal dedup story (d70 covers stills): every
+    * payload goes through the REAL audio path — a spec-valid 8-bit PCM
+    * RIFF/WAVE clip synthesized from the document bytes, parsed by
+    * [[MediaCodecs.decodeWav]] (chunk walk, fmt validation, unsigned
+    * 8-bit decode), hashed by [[MediaCodecs.audioDHash]] (63-bit
+    * loudness-contour fingerprint), then banded 4×16 bits with the
+    * exact-hash pre-collapse and the [[ADHashMaxHamming]] cutoff at
+    * bands−1, where the pigeonhole guarantee is exact. Only 8-byte
+    * hashes shuffle, never samples. Quantizing windows by the 8-bit
+    * amplitude scale makes each window the exact integer sum of
+    * `|byte−128|`, so the oracle reproduces every hash bit-for-bit
+    * from code points — the same reproducibility design as d70. */
+  def d81AudioDhash(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val blobs = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), concat(
+        lit(wavHeader8BitMono(AudioSamples)),
+        encode(expr(s"substr(repeat(text, cast(ceil($AudioSamples.0 / length(text)) as int)), 1, $AudioSamples)"),
+          "UTF-8")).as("data"))
+      .as[(Long, Array[Byte])]
+    val hashes = blobs.mapPartitions { it =>
+      it.flatMap { case (id, bytes) =>
+        MediaCodecs.decodeWav(bytes).map(p =>
+          (id, MediaCodecs.audioDHash(p.mono, 128.0)))
+      }
+    }.toDF("doc_id", "ahash").localCheckpoint()
+    val groups = hashes.groupBy("ahash").agg(count(lit(1)).as("cnt"))
+      .localCheckpoint()
+    val bands = groups.select(col("ahash"), col("cnt"),
+      explode(sequence(lit(0), lit(3))).as("k"))
+      .withColumn("bb", expr("shiftright(ahash, 16 * k)").bitwiseAND(lit(65535L)))
+    val a = bands.select(col("ahash").as("a_h"), col("k"), col("bb"))
+    val b = bands.select(col("ahash").as("b_h"), col("cnt").as("b_cnt"),
+      col("k"), col("bb"))
+    val near = a.join(b, Seq("k", "bb"))
+      .filter(col("a_h") =!= col("b_h") &&
+        bit_count(col("a_h").bitwiseXOR(col("b_h"))) <= ADHashMaxHamming)
+      .select(col("a_h").as("ahash"), col("b_h"), col("b_cnt"))
+      .distinct()
+      .groupBy("ahash").agg(sum("b_cnt").as("extra"))
+    hashes.join(groups, "ahash")
+      .join(near, Seq("ahash"), "left")
+      .select(col("doc_id"), col("ahash"),
+        (col("cnt") - 1 + coalesce(col("extra"), lit(0L))).as("n_neighbors"))
+      .orderBy("doc_id")
+  }
+
+  /** Canonical 44-byte RIFF/WAVE header for `n` 8-bit mono samples at
+    * 8 kHz — a constant for fixed `n`, so the Column-land synthesis is
+    * `concat(headerLiteral, bodyBytes)`. */
+  private[graft] def wavHeader8BitMono(n: Int): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    def tag(s: String) = out.write(s.getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+    def le16(v: Int) = { out.write(v & 0xff); out.write((v >> 8) & 0xff) }
+    def le32(v: Int) = { le16(v & 0xffff); le16((v >>> 16) & 0xffff) }
+    tag("RIFF"); le32(4 + 24 + 8 + n); tag("WAVE")
+    tag("fmt "); le32(16); le16(1); le16(1); le32(8000); le32(8000)
+    le16(1); le16(8)
+    tag("data"); le32(n)
+    out.toByteArray
+  }
+
+  val d81Oracle: String =
+    s"""WITH px AS (
+         SELECT doc_id,
+           substr(repeat(text, CAST(ceil($AudioSamples.0 / len(text)) AS INT)),
+             1, $AudioSamples) AS body
+         FROM documents),
+       env AS (
+         SELECT doc_id, i // 64 AS w,
+           sum(abs(unicode(substr(body, CAST(i AS INT) + 1, 1)) - 128)) AS e
+         FROM px, (SELECT unnest(range($AudioSamples)) AS i)
+         GROUP BY 1, 2),
+       bits AS (
+         SELECT a.doc_id, a.w AS idx,
+           CASE WHEN a.e < b.e THEN 1 ELSE 0 END AS bit
+         FROM env a JOIN env b ON a.doc_id = b.doc_id AND b.w = a.w + 1
+         WHERE a.w < 63),
+       h AS (
+         SELECT doc_id,
+           CAST(sum(bit * (1::BIGINT << CAST(idx AS INT))) AS BIGINT) AS ahash
+         FROM bits GROUP BY doc_id),
+       g AS (SELECT ahash, count(*) AS cnt FROM h GROUP BY ahash),
+       bands AS (
+         SELECT ahash, cnt, k, (ahash >> CAST(k * 16 AS INT)) & 65535 AS bb
+         FROM g, (SELECT unnest(range(4)) AS k)),
+       pp AS (
+         SELECT DISTINCT a.ahash AS ahash, b.ahash AS bh, b.cnt AS bc
+         FROM bands a JOIN bands b
+           ON a.k = b.k AND a.bb = b.bb AND a.ahash <> b.ahash
+         WHERE bit_count(xor(a.ahash, b.ahash)) <= $ADHashMaxHamming),
+       extra AS (SELECT ahash, sum(bc) AS ex FROM pp GROUP BY ahash)
+       SELECT h.doc_id, h.ahash,
+         (g.cnt - 1 + coalesce(ex, 0))::BIGINT AS n_neighbors
+       FROM h JOIN g USING (ahash) LEFT JOIN extra USING (ahash)
+       ORDER BY h.doc_id"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d11_multimodal_meta" -> (d11MultimodalMeta _),
-    "d70_image_dhash" -> (d70ImageDhash _)
+    "d70_image_dhash" -> (d70ImageDhash _),
+    "d81_audio_dhash" -> (d81AudioDhash _)
   )
 
   val oracles: Map[String, String] = Map(
     "d11_multimodal_meta" -> d11Oracle,
-    "d70_image_dhash" -> d70Oracle
+    "d70_image_dhash" -> d70Oracle,
+    "d81_audio_dhash" -> d81Oracle
   )
 }

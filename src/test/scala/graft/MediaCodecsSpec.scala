@@ -331,4 +331,24 @@ class MediaCodecsSpec extends SparkSpec {
       MediaCodecs.dHash(pgm, 64 * 255.0) ^ MediaCodecs.dHash(re, 64 * 255.0))
     assert(ham <= 2, s"single-pixel edit moved $ham bits")
   }
+
+  test("audioDHash: exact integer recompute through a real 8-bit WAV roundtrip") {
+    // deterministic pseudo-random bytes as 8-bit unsigned PCM
+    val bytes = Array.tabulate(4096)(i => ((i * 2654435761L >>> 9) & 0xff).toInt)
+    val wav = Multimodal.wavHeader8BitMono(4096) ++ bytes.map(_.toByte)
+    val pcm = MediaCodecs.decodeWav(wav).get
+    assert(pcm.mono.length == 4096 && pcm.channels == 1)
+    // independent recompute: exact |b-128| window sums, no shared code
+    val sums = Array.tabulate(64)(w =>
+      (w * 64 until (w + 1) * 64).map(i => math.abs(bytes(i) - 128).toLong).sum)
+    var expect = 0L
+    for (b <- 0 until 63) if (sums(b) < sums(b + 1)) expect |= 1L << b
+    assert(MediaCodecs.audioDHash(pcm.mono, 128.0) == expect)
+    assert(expect >= 0L, "63-bit hash stays positive")
+    // a crescendo (every window louder than the last) sets all 63 bits
+    val up = Array.tabulate(4096)(i => 128 + (i / 64) * 2)
+    val pcmUp = MediaCodecs.decodeWav(
+      Multimodal.wavHeader8BitMono(4096) ++ up.map(_.toByte)).get
+    assert(MediaCodecs.audioDHash(pcmUp.mono, 128.0) == (1L << 63) - 1)
+  }
 }

@@ -60,6 +60,10 @@ class OpsSpec extends AnyFunSuite with SparkSpec {
     assertNoAllPairs("d70_image_dhash", Multimodal.d70ImageDhash(spark, dir))
   }
 
+  test("audio dhash near-dup plan is bucketed — no cartesian / nested-loop join") {
+    assertNoAllPairs("d81_audio_dhash", Multimodal.d81AudioDhash(spark, dir))
+  }
+
   test("d71's CMS probe gates the exchange — filter below every shuffle") {
     import org.apache.spark.sql.execution.FilterExec
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
