@@ -189,15 +189,61 @@ object SqlSurface {
     * precedent d43 set). */
   val d49Oracle: String = FuzzyDedup.d17Oracle
 
+  // --------------------------------------------------------------- d82
+  /** d71's CMS-prefiltered heavy-hitter detection as a pure-SQL SCRIPT
+    * — the frequency sibling of [[d49SqlDecontaminate]]'s membership
+    * pattern, and the gated SQL user of `graft_cms_estimate`:
+    *
+    *  - the token stream d71 scans twice is a `CACHE TABLE` (eager —
+    *    one corpus scan feeds the sketch build, the probe, and the
+    *    exact count);
+    *  - the sketch d71 builds with a driver-coordinated
+    *    `stat.countMinSketch` job is Spark's OWN `count_min_sketch`
+    *    aggregate in a scalar subquery (the aggregate runs as its own
+    *    tiny job; merged sketch bytes, never rows, reach the filter),
+    *    with `ceil(φ·N)` riding out of the same subquery — one pass
+    *    yields both;
+    *  - the probe is `graft_cms_estimate(…) >= thr` in the WHERE —
+    *    BELOW the count's exchange, dropping the long-tail vocabulary
+    *    before it shuffles; CMS never underestimates, so no true heavy
+    *    hitter is lost and the exact HAVING restores exact semantics.
+    *
+    * Gated against d71's oracle: the SQL text, Spark's builtin
+    * aggregate, and the native probe must reproduce the Column
+    * pipeline bit-for-bit. */
+  def d82SqlHeavyHitters(spark: SparkSession, dir: String): DataFrame =
+    runScript(spark, dir,
+      Seq(
+        """CREATE OR REPLACE TEMPORARY VIEW graft_d82_tok AS
+           SELECT explode(regexp_extract_all(text, '\\S+', 0)) AS token
+           FROM documents""",
+        "CACHE TABLE graft_d82_tok"),
+      s"""WITH sk AS (
+           SELECT count_min_sketch(xxhash64(token), 0.001d, 0.99d, 42) AS cms,
+             greatest(CAST(ceil(${CorpusOps.HeavyHitterPhi} * count(*)) AS BIGINT),
+               1L) AS thr
+           FROM graft_d82_tok)
+         SELECT token, count(*) AS n
+         FROM graft_d82_tok
+         WHERE graft_cms_estimate((SELECT cms FROM sk), xxhash64(token))
+           >= (SELECT thr FROM sk)
+         GROUP BY token
+         HAVING count(*) >= (SELECT thr FROM sk)
+         ORDER BY n DESC, token""")
+
+  val d82Oracle: String = CorpusOps.d71Oracle
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d46_sql_simhash" -> (d46SqlSimhash _),
     "d47_sql_cosine" -> (d47SqlCosine _),
     "d48_sql_repetition" -> (d48SqlRepetition _),
-    "d49_sql_decontaminate" -> (d49SqlDecontaminate _))
+    "d49_sql_decontaminate" -> (d49SqlDecontaminate _),
+    "d82_sql_heavy_hitters" -> (d82SqlHeavyHitters _))
 
   val oracles: Map[String, String] = Map(
     "d46_sql_simhash" -> d46Oracle,
     "d47_sql_cosine" -> d47Oracle,
     "d48_sql_repetition" -> d48Oracle,
-    "d49_sql_decontaminate" -> d49Oracle)
+    "d49_sql_decontaminate" -> d49Oracle,
+    "d82_sql_heavy_hitters" -> d82Oracle)
 }

@@ -252,6 +252,30 @@ class ExtensionsSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("d82's CMS probe sits below the count's exchange") {
+    import org.apache.spark.sql.execution.{FilterExec, SparkPlan}
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    def nodes(p: SparkPlan): Seq[SparkPlan] = p match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a +: nodes(a.initialPlan)
+      case p => p +: p.children.flatMap(nodes)
+    }
+    val plan = SqlSurface.d82SqlHeavyHitters(spark, dir)
+      .queryExecution.executedPlan
+    val probeFilters = nodes(plan).collect {
+      case f: FilterExec if f.condition.collectFirst {
+        case m: graft.functions.CmsEstimate => m
+      }.isDefined => f
+    }
+    assert(probeFilters.nonEmpty,
+      "no FilterExec carries the CMS probe — the sketch was optimized away")
+    probeFilters.foreach { f =>
+      val shuffles = nodes(f).collect { case s: ShuffleExchangeLike => s }
+      assert(shuffles.isEmpty,
+        "the CMS probe runs above a shuffle — it must gate the exchange")
+    }
+  }
+
   test("SQL surface re-registers on dir change; a failed registration doesn't poison the memo") {
     val a = SqlSurface.d46SqlSimhash(spark, "/root/testdata/sf0.001").collect()
     // a different dir through the same session must re-register the
