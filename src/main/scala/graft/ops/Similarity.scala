@@ -1005,6 +1005,79 @@ object Similarity {
        WHERE best_pos IS NOT NULL AND best_neg IS NOT NULL
        ORDER BY margin ASC, vec_id LIMIT 50"""
 
+  // --------------------------------------------------------------- d83
+  /** Prefix length for the truncation audit (64-dim store -> 16). */
+  private[graft] val MatryoshkaDim = 16
+
+  /** EMBEDDING-TRUNCATION FIDELITY AUDIT (Matryoshka-style, Kusupati
+    * et al. 2022, public): how much of the full-dimension top-k
+    * neighborhood survives when vectors are truncated to their first
+    * [[MatryoshkaDim]] dimensions — the measurement that decides
+    * whether a store can serve candidate retrieval from a cheap prefix
+    * (4x less memory bandwidth here) and rerank with full vectors.
+    * Per probe: top-3 by full cosine vs top-3 by prefix cosine,
+    * overlap@3. The d53 recall-monitor pattern pointed at a different
+    * index approximation.
+    *
+    * Scale shape: K-row probe broadcast (never a data-sized cross
+    * join), the pair frame is checkpointed once for its two ranking
+    * consumers, and both rankings window on the SAME q_id partition
+    * key -> one exchange, two in-partition sorts over K*N rows. */
+  def d83MatryoshkaAudit(spark: SparkSession, dir: String): DataFrame = {
+    val e = emb(spark, dir)
+    val probes = e.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"))
+    val pairs = e.crossJoin(broadcast(probes))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        cosine(col("v"), col("qv")).as("cs_full"),
+        cosine(slice(col("v"), 1, MatryoshkaDim),
+          slice(col("qv"), 1, MatryoshkaDim)).as("cs_trunc"))
+      .localCheckpoint()
+    def top3(by: Column) = pairs
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("q_id").orderBy(by.desc, col("vec_id"))))
+      .filter(col("rk") <= 3).select("q_id", "vec_id")
+    val hits = top3(col("cs_full"))
+      .join(top3(col("cs_trunc")), Seq("q_id", "vec_id"), "left_semi")
+      .groupBy("q_id").agg(count(lit(1)).as("n_kept"))
+    probes.select("q_id")
+      .join(hits, Seq("q_id"), "left")
+      .select(col("q_id"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        round(coalesce(col("n_kept"), lit(0L)).cast("double") / 3, 4)
+          .as("overlap_at_3"))
+      .orderBy("q_id")
+  }
+
+  val d83Oracle: String =
+    s"""WITH e AS (
+         SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       probes AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < 8),
+       pairs AS (
+         SELECT p.q_id, e.vec_id,
+           ${cosineSql("e.v", "p.qv")} AS cs_full,
+           ${cosineSql(s"e.v[1:$MatryoshkaDim]", s"p.qv[1:$MatryoshkaDim]")}
+             AS cs_trunc
+         FROM e JOIN probes p ON e.vec_id <> p.q_id),
+       tf AS (
+         SELECT q_id, vec_id FROM (
+           SELECT q_id, vec_id, row_number() OVER (PARTITION BY q_id
+             ORDER BY cs_full DESC, vec_id) AS rk FROM pairs)
+         WHERE rk <= 3),
+       tt AS (
+         SELECT q_id, vec_id FROM (
+           SELECT q_id, vec_id, row_number() OVER (PARTITION BY q_id
+             ORDER BY cs_trunc DESC, vec_id) AS rk FROM pairs)
+         WHERE rk <= 3),
+       hits AS (
+         SELECT q_id, count(*) AS n_kept
+         FROM tf JOIN tt USING (q_id, vec_id) GROUP BY q_id)
+       SELECT p.q_id, CAST(coalesce(n_kept, 0) AS BIGINT) AS n_kept,
+         round(coalesce(n_kept, 0) / 3.0, 4) AS overlap_at_3
+       FROM probes p LEFT JOIN hits USING (q_id)
+       ORDER BY q_id"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d30_label_profiles" -> (d30LabelProfiles _),
     "d9_cosine_topk" -> (d9CosineTopk _),
@@ -1017,6 +1090,7 @@ object Similarity {
     "d44_balanced_quota" -> (d44BalancedQuota _),
     "d51_quantized_ann" -> (d51QuantizedAnn _),
     "d53_ann_recall" -> (d53AnnRecall _),
+    "d83_matryoshka_audit" -> (d83MatryoshkaAudit _),
     "d59_semantic_dedup" -> (d59SemanticDedup _),
     "d67_embedding_outliers" -> (d67EmbeddingOutliers _),
     "d69_hard_negatives" -> (d69HardNegatives _)
@@ -1034,6 +1108,7 @@ object Similarity {
     "d44_balanced_quota" -> d44Oracle,
     "d51_quantized_ann" -> d51Oracle,
     "d53_ann_recall" -> d53Oracle,
+    "d83_matryoshka_audit" -> d83Oracle,
     "d59_semantic_dedup" -> d59Oracle,
     "d67_embedding_outliers" -> d67Oracle,
     "d69_hard_negatives" -> d69Oracle
