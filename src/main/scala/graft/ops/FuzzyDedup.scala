@@ -180,6 +180,144 @@ object FuzzyDedup {
       .filter(col("jaccard") >= 0.5)
   }
 
+  // --------------------------------------------------------------- d84
+  /** Bounded audit sample: ids divisible by 7 below 700 — ≤100 docs at
+    * ANY corpus size (a production audit samples by hash at a fixed
+    * rate into a fixed cap; the residue form keeps the oracle plain). */
+  private[graft] val RecallSampleMod = 7
+  private[graft] val RecallSampleMax = 700L
+
+  /** Token-prefix drop fractions for the planted variants — three
+    * similarity strengths straddling the banding S-curve. */
+  private[graft] val RecallDropFracs = Seq(0.05, 0.40, 0.70)
+
+  /** MINHASH BANDING RECALL AUDIT — measures, instead of assuming, the
+    * probabilistic half of the d2/d15 dedup stack. Organic near-dup
+    * pairs are too rare in a bounded sample to estimate recall from
+    * (measured: max organic sample-pair Jaccard here is 0.02), so the
+    * audit PLANTS ground truth: each sampled document is paired with
+    * deterministic variants of itself (a token prefix dropped at three
+    * strengths), the exact shingle Jaccard of each pair is computed as
+    * truth, and "would d2's 8-sig/4-band LSH have caught it" (some
+    * band's both signatures equal) is evaluated against it, rolled up
+    * per measured-Jaccard bucket. The S-curve made observable: high
+    * buckets must sit near 1.0, low near 0 — corpus drift (shorter
+    * docs, vocabulary shifts) moves these numbers, and this op notices
+    * BEFORE the dedup silently under-recalls. Completes the
+    * evaluation family: d53 audits the ANN index, d83 the truncated
+    * embeddings, d84 the dedup banding.
+    *
+    * Scale shape: entirely ROW-LOCAL — original and variant live in
+    * the same row, so shingles, signatures, Jaccard, and the band
+    * predicate are one narrow pass over the bounded sample; the only
+    * aggregate is the 3-row bucket rollup. The signature arithmetic is
+    * the same native [[graft.functions.MinHashSigs]] the production
+    * banding uses — auditing a reimplementation would audit nothing. */
+  def d84MinhashRecall(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.{MinHashSigs, ShingleHashes}
+    val sample = docs(spark, dir)
+      .filter(col("doc_id") % RecallSampleMod === 0 &&
+        col("doc_id") < RecallSampleMax)
+      .select(col("doc_id"), col("text"), TextOps.tokens(col("text")).as("toks"))
+      .filter(size(col("toks")) >= 8) // a variant must still have shingles
+    val bandEq = (0 until NumBands).map(b =>
+      col("ma").getItem(BandSize * b) === col("mb").getItem(BandSize * b) &&
+        col("ma").getItem(BandSize * b + 1) === col("mb").getItem(BandSize * b + 1))
+      .reduce(_ || _)
+    val pairs = sample
+      .select(col("doc_id"), col("text"), col("toks"),
+        explode(array(RecallDropFracs.map(lit(_)): _*)).as("f"))
+      .withColumn("k", greatest(lit(1),
+        floor(col("f") * size(col("toks"))).cast("int")))
+      .withColumn("vtext",
+        array_join(slice(col("toks"), col("k") + 1, size(col("toks"))), " "))
+      .select(col("doc_id"), col("f"),
+        array_distinct(ShingleHashes(col("toks"),
+          TextOps.hash60(col("text")) % M)).as("sa"),
+        array_distinct(ShingleHashes(TextOps.tokens(col("vtext")),
+          TextOps.hash60(col("vtext")) % M)).as("sb"),
+        MinHashSigs(ShingleHashes(col("toks"),
+          TextOps.hash60(col("text")) % M)).as("ma"),
+        MinHashSigs(ShingleHashes(TextOps.tokens(col("vtext")),
+          TextOps.hash60(col("vtext")) % M)).as("mb"))
+      .select(col("doc_id"),
+        round(size(array_intersect(col("sa"), col("sb"))).cast("double") /
+          size(array_union(col("sa"), col("sb"))), 4).as("j"),
+        when(bandEq, 1L).otherwise(0L).as("collided"))
+    pairs
+      .withColumn("bucket",
+        when(col("j") >= 0.75, "high >=0.75")
+          .when(col("j") >= 0.45, "mid 0.45-0.75")
+          .otherwise("low <0.45"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_pairs"),
+        sum("collided").as("n_collided"),
+        round(sum("collided").cast("double") / count(lit(1)), 4).as("recall"))
+      .orderBy("bucket")
+  }
+
+  val d84Oracle: String = {
+    def sig(arr: String): Seq[String] = (0 until NumHashes).map(i =>
+      s"list_min(list_transform($arr, h -> (h * ${PermA(i)} + ${PermB(i)}) % $M))")
+    val collideSql = (0 until NumBands).map(b =>
+      s"(ma[${BandSize * b + 1}] = mb[${BandSize * b + 1}] AND ma[${BandSize * b + 2}] = mb[${BandSize * b + 2}])")
+      .mkString(" OR ")
+    val fracs = RecallDropFracs.mkString("[", ", ", "]")
+    s"""WITH sample AS (
+         SELECT doc_id, text, regexp_extract_all(text, '\\S+') AS toks
+         FROM documents
+         WHERE doc_id % $RecallSampleMod = 0 AND doc_id < $RecallSampleMax
+           AND len(regexp_extract_all(text, '\\S+')) >= 8),
+       v AS (
+         SELECT doc_id, text, toks,
+           greatest(1, CAST(floor(f * len(toks)) AS INT)) AS k
+         FROM sample, (SELECT unnest($fracs) AS f)),
+       vt AS (
+         SELECT doc_id, text, toks,
+           toks[k+1:] AS vtoks,
+           array_to_string(toks[k+1:], ' ') AS vtext
+         FROM v),
+       hashed AS (
+         SELECT doc_id,
+           list_transform(toks, t -> ('0x'||substr(md5(t),1,15))::BIGINT % $M) AS tha,
+           list_transform(vtoks, t -> ('0x'||substr(md5(t),1,15))::BIGINT % $M) AS thb,
+           text, vtext
+         FROM vt),
+       sh AS (
+         SELECT doc_id,
+           CASE WHEN len(tha) >= 3
+             THEN list_transform(range(1, len(tha)-1),
+                    i -> (((tha[i] * $K1 + tha[i+1]) % $M) * $K2 + tha[i+2]) % $M)
+             ELSE [('0x'||substr(md5(text),1,15))::BIGINT % $M] END AS sha,
+           CASE WHEN len(thb) >= 3
+             THEN list_transform(range(1, len(thb)-1),
+                    i -> (((thb[i] * $K1 + thb[i+1]) % $M) * $K2 + thb[i+2]) % $M)
+             ELSE [('0x'||substr(md5(vtext),1,15))::BIGINT % $M] END AS shb
+         FROM hashed),
+       sigs AS (
+         SELECT doc_id, list_distinct(sha) AS sa, list_distinct(shb) AS sb,
+           ${sig("sha").zipWithIndex.map { case (e, i) => s"$e AS a$i" }.mkString(", ")},
+           ${sig("shb").zipWithIndex.map { case (e, i) => s"$e AS b$i" }.mkString(", ")}
+         FROM sh),
+       p AS (
+         SELECT doc_id,
+           round(len(list_intersect(sa, sb)) * 1.0
+             / len(list_distinct(list_concat(sa, sb))), 4) AS j,
+           [${(0 until NumHashes).map(i => s"a$i").mkString(", ")}] AS ma,
+           [${(0 until NumHashes).map(i => s"b$i").mkString(", ")}] AS mb
+         FROM sigs),
+       keep AS (
+         SELECT CASE WHEN j >= 0.75 THEN 'high >=0.75'
+                     WHEN j >= 0.45 THEN 'mid 0.45-0.75'
+                     ELSE 'low <0.45' END AS bucket,
+           CASE WHEN $collideSql THEN 1 ELSE 0 END AS collided
+         FROM p)
+       SELECT bucket, count(*) AS n_pairs,
+         CAST(sum(collided) AS BIGINT) AS n_collided,
+         round(sum(collided) * 1.0 / count(*), 4) AS recall
+       FROM keep GROUP BY bucket ORDER BY bucket"""
+  }
+
   // ---------------------------------------------------------------- d2
   /** MinHash + LSH banding dedup:
     * exact-dedup pre-pass → shingle → 8 min-hashes → 4 band hashes →
@@ -1077,6 +1215,7 @@ object FuzzyDedup {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d27_incremental_novelty" -> (d27IncrementalNovelty _),
     "d2_minhash_dedup" -> (d2MinhashDedup _),
+    "d84_minhash_recall" -> (d84MinhashRecall _),
     "d3_simhash" -> (d3Simhash _),
     "d4_ngram_jaccard" -> (d4NgramJaccard _),
     "d15_dedup_clusters" -> (d15DedupClusters _),
@@ -1095,6 +1234,7 @@ object FuzzyDedup {
   val oracles: Map[String, String] = Map(
     "d27_incremental_novelty" -> d27Oracle,
     "d2_minhash_dedup" -> d2Oracle,
+    "d84_minhash_recall" -> d84Oracle,
     "d3_simhash" -> d3Oracle,
     "d4_ngram_jaccard" -> d4Oracle,
     "d15_dedup_clusters" -> d15Oracle,
