@@ -1387,6 +1387,92 @@ object CorpusOps {
        FROM sessioned GROUP BY user_id, session_idx
        ORDER BY user_id, session_idx"""
 
+  // --------------------------------------------------------------- d85
+  /** Boundary divisor: a token whose hash ≡ 0 (mod this) STARTS a new
+    * chunk — expected chunk length equals the divisor. */
+  private[graft] val CdcDivisor = 16L
+
+  /** CONTENT-DEFINED CHUNKING + chunk-level dedup — the FastCDC-family
+    * technique (public) that fixed-window chunking (d23) cannot
+    * replace: boundaries are decided by the CONTENT (token hash ≡ 0
+    * mod [[CdcDivisor]]), so inserting a paragraph shifts every
+    * fixed-window frame but leaves all chunk boundaries after the
+    * insertion untouched — partially-overlapping documents (syndicated
+    * articles with local edits, versioned pages) then share most chunk
+    * hashes, and chunk-level dedup quantifies the overlap that
+    * doc-level dedup (d1) misses and pair similarity (d2) only scores.
+    * Emits per document: chunk count and how many of its chunks also
+    * appear in OTHER documents, with the shared-content ratio.
+    *
+    * Scale shape: the per-token stream is (doc_id, pos, 8-byte hash) —
+    * the native [[graft.functions.TokenHashes]] pass, exploded; the
+    * chunk-id assignment is a running sum over each doc's own
+    * partition (doc-bounded window, the d80 discipline); chunk hashes
+    * aggregate on (doc, chunk) then the dup check shuffles
+    * chunk-cardinality md5 rows. Text never moves — chunk identity is
+    * the md5 of the member HASH sequence, not the substring. */
+  def d85CdcChunks(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val m = graft.functions.ShingleHashes.M
+    val toks = docs(spark, dir)
+      .select(col("doc_id"),
+        posexplode(graft.functions.TokenHashes(tokens(col("text")), m))
+          .as(Seq("pos", "h")))
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+    val chunks = toks
+      .withColumn("boundary", when(col("h") % CdcDivisor === 0, 1).otherwise(0))
+      .withColumn("chunk_id", sum("boundary").over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("doc_id", "chunk_id")
+      .agg(count(lit(1)).as("n_toks"),
+        md5(concat_ws(",", transform(
+          array_sort(collect_list(struct(col("pos"), col("h")))),
+          e => e.getField("h").cast("string")))).as("chunk_hash"))
+    val shared = chunks.groupBy("chunk_hash")
+      .agg(countDistinct("doc_id").as("nd"))
+      .filter(col("nd") > 1)
+      .select(col("chunk_hash"), lit(1).as("is_shared"))
+    chunks.join(broadcast(shared), Seq("chunk_hash"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(coalesce(col("is_shared"), lit(0))).cast("long").as("n_shared"),
+        round(sum(coalesce(col("is_shared"), lit(0))).cast("double") /
+          count(lit(1)), 4).as("shared_ratio"))
+      .orderBy("doc_id")
+  }
+
+  val d85Oracle: String = {
+    val m = graft.functions.ShingleHashes.M
+    s"""WITH th AS (
+         SELECT doc_id,
+           list_transform(regexp_extract_all(text, '\\S+'),
+             t -> ('0x'||substr(md5(t),1,15))::BIGINT % $m) AS th
+         FROM documents),
+       pos AS (
+         SELECT doc_id, CAST(i AS INT) AS pos, th[CAST(i AS INT)] AS h
+         FROM th, (SELECT unnest(range(1, len(th) + 1)) AS i)),
+       assigned AS (
+         SELECT doc_id, pos, h,
+           sum(CASE WHEN h % $CdcDivisor = 0 THEN 1 ELSE 0 END)
+             OVER (PARTITION BY doc_id ORDER BY pos
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS chunk_id
+         FROM pos),
+       chunks AS (
+         SELECT doc_id, chunk_id, count(*) AS n_toks,
+           md5(string_agg(h::VARCHAR, ',' ORDER BY pos)) AS chunk_hash
+         FROM assigned GROUP BY doc_id, chunk_id),
+       shared AS (
+         SELECT chunk_hash FROM chunks
+         GROUP BY chunk_hash HAVING count(DISTINCT doc_id) > 1)
+       SELECT c.doc_id, count(*) AS n_chunks,
+         CAST(sum(CASE WHEN s.chunk_hash IS NOT NULL THEN 1 ELSE 0 END)
+           AS BIGINT) AS n_shared,
+         round(sum(CASE WHEN s.chunk_hash IS NOT NULL THEN 1 ELSE 0 END) * 1.0
+           / count(*), 4) AS shared_ratio
+       FROM chunks c LEFT JOIN shared s ON c.chunk_hash = s.chunk_hash
+       GROUP BY c.doc_id ORDER BY c.doc_id"""
+  }
+
   // --------------------------------------------------------------- d34
   /** Cross-doc boilerplate document-frequency threshold: a 3-token
     * shingle present in at least this many DISTINCT documents is
@@ -1751,6 +1837,7 @@ object CorpusOps {
     "d78_weighted_sample" -> (d78WeightedSample _),
     "d79_event_debounce" -> (d79EventDebounce _),
     "d80_training_sequences" -> (d80TrainingSequences _),
+    "d85_cdc_chunks" -> (d85CdcChunks _),
     "d23_chunking" -> (d23Chunking _),
     "d24_tfidf" -> (d24Tfidf _),
     "d25_surprisal" -> (d25Surprisal _),
@@ -1784,6 +1871,7 @@ object CorpusOps {
     "d78_weighted_sample" -> d78Oracle,
     "d79_event_debounce" -> d79Oracle,
     "d80_training_sequences" -> d80Oracle,
+    "d85_cdc_chunks" -> d85Oracle,
     "d23_chunking" -> d23Oracle,
     "d24_tfidf" -> d24Oracle,
     "d25_surprisal" -> d25Oracle,
