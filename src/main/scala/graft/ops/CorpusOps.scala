@@ -1473,6 +1473,96 @@ object CorpusOps {
        GROUP BY c.doc_id ORDER BY c.doc_id"""
   }
 
+  // --------------------------------------------------------------- d86
+  /** ORDERED-STEP SESSION FUNNEL — view → click → purchase with strict
+    * temporal ordering INSIDE each q18 session: a click only counts if
+    * it follows the session's first view, a purchase only after that
+    * click. The d38 funnel tracks documents through curation stages;
+    * this is the event-side conversion funnel (the other thing the
+    * word means), and the strict-ordering constraint is what separates
+    * it from three independent EXISTS checks — a purchase before the
+    * first view must NOT convert.
+    *
+    * Scale shape: the sequential dependency (step N's cutoff is step
+    * N−1's timestamp) is three conditional-min aggregates, each joined
+    * back on the SAME (user, session) key the sessionization already
+    * partitioned by — no window over the event stream, no per-session
+    * sort, and each pass shuffles one timestamp per session, not
+    * events. Integer-microsecond comparisons throughout. */
+  def d86OrderedFunnel(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val sess = Tables.load(spark, dir, "events")
+      .withColumn("us", unix_micros(col("ts")))
+      .withColumn("new_session",
+        when(col("us") - lag(col("us"), 1).over(byUser) > 1800000000L, 1)
+          .when(lag(col("us"), 1).over(byUser).isNull, 1).otherwise(0))
+      .withColumn("session_idx",
+        sum("new_session").over(byUser.rowsBetween(
+          Window.unboundedPreceding, Window.currentRow)))
+      .select("user_id", "session_idx", "event_type", "us")
+      .localCheckpoint() // three funnel passes re-read the assignment
+    val key = Seq("user_id", "session_idx")
+    val a1 = sess.groupBy(key.map(col): _*)
+      .agg(min(when(col("event_type") === "view", col("us"))).as("s1"))
+    val a2 = sess.join(a1, key)
+      .groupBy(key.map(col): _*)
+      .agg(min(when(col("event_type") === "click" && col("us") > col("s1"),
+        col("us"))).as("s2"))
+    val a3 = sess.join(a2, key)
+      .groupBy(key.map(col): _*)
+      .agg(min(when(col("event_type") === "purchase" && col("us") > col("s2"),
+        col("us"))).as("s3"))
+    a1.join(a2, key).join(a3, key)
+      .agg(count(lit(1)).as("n_sessions"),
+        count(col("s1")).as("n_view"),
+        count(col("s2")).as("n_view_click"),
+        count(col("s3")).as("n_full_funnel"),
+        round(count(col("s1")).cast("double") /
+          greatest(count(lit(1)), lit(1L)), 4).as("r_view"),
+        round(count(col("s2")).cast("double") /
+          greatest(count(col("s1")), lit(1L)), 4).as("r_click_given_view"),
+        round(count(col("s3")).cast("double") /
+          greatest(count(col("s2")), lit(1L)), 4).as("r_purchase_given_click"))
+  }
+
+  val d86Oracle: String =
+    """WITH flagged AS (
+         SELECT user_id, event_id, event_type, epoch_us(ts) AS us,
+           CASE WHEN epoch_us(ts) - lag(epoch_us(ts), 1) OVER w > 1800000000
+                  THEN 1
+                WHEN lag(ts, 1) OVER w IS NULL THEN 1 ELSE 0 END AS new_session
+         FROM events
+         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+       sess AS (
+         SELECT user_id, event_type, us,
+           sum(new_session) OVER (PARTITION BY user_id ORDER BY us, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx
+         FROM flagged),
+       a1 AS (
+         SELECT user_id, session_idx,
+           min(CASE WHEN event_type = 'view' THEN us END) AS s1
+         FROM sess GROUP BY 1, 2),
+       a2 AS (
+         SELECT s.user_id, s.session_idx,
+           min(CASE WHEN event_type = 'click' AND us > s1 THEN us END) AS s2
+         FROM sess s JOIN a1 USING (user_id, session_idx) GROUP BY 1, 2),
+       a3 AS (
+         SELECT s.user_id, s.session_idx,
+           min(CASE WHEN event_type = 'purchase' AND us > s2 THEN us END) AS s3
+         FROM sess s JOIN a2 USING (user_id, session_idx) GROUP BY 1, 2)
+       SELECT count(*) AS n_sessions,
+         count(s1) AS n_view,
+         count(s2) AS n_view_click,
+         count(s3) AS n_full_funnel,
+         round(count(s1) * 1.0 / greatest(count(*), 1), 4) AS r_view,
+         round(count(s2) * 1.0 / greatest(count(s1), 1), 4)
+           AS r_click_given_view,
+         round(count(s3) * 1.0 / greatest(count(s2), 1), 4)
+           AS r_purchase_given_click
+       FROM a1 JOIN a2 USING (user_id, session_idx)
+       JOIN a3 USING (user_id, session_idx)"""
+
   // --------------------------------------------------------------- d34
   /** Cross-doc boilerplate document-frequency threshold: a 3-token
     * shingle present in at least this many DISTINCT documents is
@@ -1838,6 +1928,7 @@ object CorpusOps {
     "d79_event_debounce" -> (d79EventDebounce _),
     "d80_training_sequences" -> (d80TrainingSequences _),
     "d85_cdc_chunks" -> (d85CdcChunks _),
+    "d86_ordered_funnel" -> (d86OrderedFunnel _),
     "d23_chunking" -> (d23Chunking _),
     "d24_tfidf" -> (d24Tfidf _),
     "d25_surprisal" -> (d25Surprisal _),
@@ -1872,6 +1963,7 @@ object CorpusOps {
     "d79_event_debounce" -> d79Oracle,
     "d80_training_sequences" -> d80Oracle,
     "d85_cdc_chunks" -> d85Oracle,
+    "d86_ordered_funnel" -> d86Oracle,
     "d23_chunking" -> d23Oracle,
     "d24_tfidf" -> d24Oracle,
     "d25_surprisal" -> d25Oracle,
