@@ -1078,6 +1078,55 @@ object Similarity {
        FROM probes p LEFT JOIN hits USING (q_id)
        ORDER BY q_id"""
 
+  // --------------------------------------------------------------- d87
+  /** Cosine threshold for vector confirmation — same fixture
+    * calibration note as d59 (synthetic embeddings are
+    * near-orthogonal; production uses ~0.9). */
+  private[graft] val HybridConfirmCos = 0.4
+
+  /** HYBRID TEXT+VECTOR DEDUP CONFIRMATION — the two independent
+    * near-dup signals CROSS-CHECKED: d16's SimHash banding proposes
+    * textual near-dup pairs, and each pair's EMBEDDING cosine either
+    * confirms or disputes it. Surface-level hashes flag template
+    * variants that say different things (same boilerplate frame,
+    * different payload); embeddings flag paraphrases the hashes miss —
+    * a pair both signals agree on is a safe drop, a disputed pair is a
+    * review queue, and the dispute RATE is a corpus-health number.
+    * Emits every text-proposed pair with its Hamming distance, cosine,
+    * and the confirmation verdict (inner join on the id space:
+    * confirmation applies where vectors exist; elsewhere the
+    * text-only verdict stands).
+    *
+    * Scale shape: d16's capped band join proposes candidate pairs
+    * (never all-pairs); the vector join-back touches candidate ids
+    * only — two hash joins moving (id, vector) for candidates, the
+    * native fused [[graft.functions.CosineSim]] per pair. */
+  def d87HybridDedup(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = FuzzyDedup.d16SimhashDedup(spark, dir)
+    val e = emb(spark, dir)
+    pairs
+      .join(e.select(col("vec_id").as("doc_a"), col("v").as("va")), "doc_a")
+      .join(e.select(col("vec_id").as("doc_b"), col("v").as("vb")), "doc_b")
+      .select(col("doc_a"), col("doc_b"), col("hamming"),
+        cosine(col("va"), col("vb")).as("cos"))
+      .withColumn("confirmed",
+        when(col("cos") >= HybridConfirmCos, 1).otherwise(0))
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** d16's full oracle as a CTE, joined to the embedding store. */
+  val d87Oracle: String =
+    s"""WITH pairs AS (${FuzzyDedup.d16Oracle}),
+       ev AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+       SELECT p.doc_a, p.doc_b, p.hamming,
+         ${cosineSql("a.v", "b.v")} AS cos,
+         CASE WHEN ${cosineSql("a.v", "b.v")} >= $HybridConfirmCos
+           THEN 1 ELSE 0 END AS confirmed
+       FROM pairs p
+       JOIN ev a ON a.vec_id = p.doc_a
+       JOIN ev b ON b.vec_id = p.doc_b
+       ORDER BY p.doc_a, p.doc_b"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d30_label_profiles" -> (d30LabelProfiles _),
     "d9_cosine_topk" -> (d9CosineTopk _),
@@ -1091,6 +1140,7 @@ object Similarity {
     "d51_quantized_ann" -> (d51QuantizedAnn _),
     "d53_ann_recall" -> (d53AnnRecall _),
     "d83_matryoshka_audit" -> (d83MatryoshkaAudit _),
+    "d87_hybrid_dedup" -> (d87HybridDedup _),
     "d59_semantic_dedup" -> (d59SemanticDedup _),
     "d67_embedding_outliers" -> (d67EmbeddingOutliers _),
     "d69_hard_negatives" -> (d69HardNegatives _)
@@ -1109,6 +1159,7 @@ object Similarity {
     "d51_quantized_ann" -> d51Oracle,
     "d53_ann_recall" -> d53Oracle,
     "d83_matryoshka_audit" -> d83Oracle,
+    "d87_hybrid_dedup" -> d87Oracle,
     "d59_semantic_dedup" -> d59Oracle,
     "d67_embedding_outliers" -> d67Oracle,
     "d69_hard_negatives" -> d69Oracle
