@@ -1563,6 +1563,53 @@ object CorpusOps {
        FROM a1 JOIN a2 USING (user_id, session_idx)
        JOIN a3 USING (user_id, session_idx)"""
 
+  // --------------------------------------------------------------- d88
+  /** EVENT-RATE ANOMALY DETECTION — the monitoring op an ingest
+    * pipeline alarms on: hourly event counts per type, z-scored
+    * against that type's own hourly distribution, worst 3 hours per
+    * type reported (rank, not threshold: the report is never empty and
+    * surfaces "most anomalous" even on a quiet day — a threshold
+    * variant is the same query with a HAVING). A crawler stall, a
+    * duplicate-delivery storm, or an upstream outage all show up here
+    * first, hours before they show up as corpus skew.
+    *
+    * Scale shape: the hourly rollup is one shuffle with map-side
+    * partials (q17's plan); the per-type stats join a
+    * type-cardinality aggregate back by broadcast; top-3-per-type is a
+    * bounded per-type window (q19's discipline). */
+  def d88RateAnomaly(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val hourly = Tables.load(spark, dir, "events")
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hr"))
+      .agg(count(lit(1)).as("n"))
+    val stats = hourly.groupBy("event_type")
+      .agg(avg("n").as("mu"), stddev_samp(col("n")).as("sd"))
+    val w = Window.partitionBy("event_type")
+      .orderBy(abs(col("z")).desc, col("hr"))
+    hourly.join(broadcast(stats), "event_type")
+      .withColumn("z", (col("n") - col("mu")) / col("sd"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 3)
+      .select(col("event_type"), col("hr"), col("n"), round(col("z"), 4).as("z"))
+      .orderBy("event_type", "hr")
+  }
+
+  val d88Oracle: String =
+    """WITH hourly AS (
+         SELECT event_type, date_trunc('hour', ts) AS hr, count(*) AS n
+         FROM events GROUP BY 1, 2),
+       stats AS (
+         SELECT event_type, avg(n) AS mu, stddev_samp(n) AS sd
+         FROM hourly GROUP BY 1),
+       z AS (
+         SELECT h.event_type, hr, n, (n - mu) / sd AS z
+         FROM hourly h JOIN stats USING (event_type))
+       SELECT event_type, hr, n, round(z, 4) AS z FROM (
+         SELECT *, row_number() OVER (PARTITION BY event_type
+           ORDER BY abs(z) DESC, hr) AS rk FROM z)
+       WHERE rk <= 3
+       ORDER BY event_type, hr"""
+
   // --------------------------------------------------------------- d34
   /** Cross-doc boilerplate document-frequency threshold: a 3-token
     * shingle present in at least this many DISTINCT documents is
@@ -1929,6 +1976,7 @@ object CorpusOps {
     "d80_training_sequences" -> (d80TrainingSequences _),
     "d85_cdc_chunks" -> (d85CdcChunks _),
     "d86_ordered_funnel" -> (d86OrderedFunnel _),
+    "d88_rate_anomaly" -> (d88RateAnomaly _),
     "d23_chunking" -> (d23Chunking _),
     "d24_tfidf" -> (d24Tfidf _),
     "d25_surprisal" -> (d25Surprisal _),
@@ -1964,6 +2012,7 @@ object CorpusOps {
     "d80_training_sequences" -> d80Oracle,
     "d85_cdc_chunks" -> d85Oracle,
     "d86_ordered_funnel" -> d86Oracle,
+    "d88_rate_anomaly" -> d88Oracle,
     "d23_chunking" -> d23Oracle,
     "d24_tfidf" -> d24Oracle,
     "d25_surprisal" -> d25Oracle,
