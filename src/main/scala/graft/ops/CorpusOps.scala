@@ -1610,6 +1610,58 @@ object CorpusOps {
        WHERE rk <= 3
        ORDER BY event_type, hr"""
 
+  // --------------------------------------------------------------- d89
+  /** Calibration grid: 19 interior ventiles → 20 buckets. */
+  private[graft] val CalibEdges: Seq[Double] = (1 to 19).map(_ * 0.05)
+
+  /** PER-SOURCE SCORE CALIBRATION (quantile normalization) — raw
+    * quality signals are not comparable across sources (a "short" web
+    * page and a "short" paper differ by an order of magnitude), so
+    * cross-source selection on a raw score silently reweights the
+    * mixture. Mapping each document's score to its percentile WITHIN
+    * its source makes one threshold mean the same thing everywhere —
+    * the standard per-domain calibration step before any global
+    * quality cut. Gated on the `n_chars` signal; any monotone score
+    * plugs in.
+    *
+    * Scale shape — the q23 lesson applied: a per-source `percent_rank`
+    * window would single-task each source's full slice. Instead the
+    * per-source ventile EDGES come from one `percentile_approx`
+    * aggregate (mergeable map-side summaries, bounded memory; at gate
+    * accuracy the summary returns exact order statistics — the q23
+    * equivalence), the 4-row edge table broadcasts back, and the
+    * bucket is 19 codegen'd scalar comparisons per row — no
+    * higher-order functions on the corpus path, no per-source sort,
+    * nothing single-tasked. */
+  def d89ScoreCalibration(spark: SparkSession, dir: String): DataFrame = {
+    val probs = array(CalibEdges.map(lit(_)): _*)
+    val edges = docs(spark, dir).groupBy("source")
+      .agg(percentile_approx(col("n_chars"), probs, lit(1000000)).as("es"))
+      .select(col("source") +: CalibEdges.indices.map(i =>
+        col("es").getItem(i).as(s"e_$i")): _*)
+    val bucket = CalibEdges.indices.map(i =>
+      when(col(s"e_$i") < col("n_chars"), 1).otherwise(0))
+      .reduce(_ + _)
+    docs(spark, dir).select("doc_id", "source", "n_chars")
+      .join(broadcast(edges), "source")
+      .select(col("doc_id"), col("source"), col("n_chars"),
+        round(bucket.cast("double") / CalibEdges.size.toDouble, 4)
+          .as("calibrated"))
+      .orderBy("doc_id")
+  }
+
+  val d89Oracle: String = {
+    val probList = CalibEdges.mkString("[", ", ", "]")
+    s"""WITH edges AS (
+         SELECT source, quantile_disc(n_chars, $probList) AS es
+         FROM documents GROUP BY source)
+       SELECT doc_id, d.source, n_chars,
+         round(len(list_filter(es, e -> e < n_chars))
+           / ${CalibEdges.size}.0, 4) AS calibrated
+       FROM documents d JOIN edges USING (source)
+       ORDER BY doc_id"""
+  }
+
   // --------------------------------------------------------------- d34
   /** Cross-doc boilerplate document-frequency threshold: a 3-token
     * shingle present in at least this many DISTINCT documents is
@@ -1977,6 +2029,7 @@ object CorpusOps {
     "d85_cdc_chunks" -> (d85CdcChunks _),
     "d86_ordered_funnel" -> (d86OrderedFunnel _),
     "d88_rate_anomaly" -> (d88RateAnomaly _),
+    "d89_score_calibration" -> (d89ScoreCalibration _),
     "d23_chunking" -> (d23Chunking _),
     "d24_tfidf" -> (d24Tfidf _),
     "d25_surprisal" -> (d25Surprisal _),
@@ -2013,6 +2066,7 @@ object CorpusOps {
     "d85_cdc_chunks" -> d85Oracle,
     "d86_ordered_funnel" -> d86Oracle,
     "d88_rate_anomaly" -> d88Oracle,
+    "d89_score_calibration" -> d89Oracle,
     "d23_chunking" -> d23Oracle,
     "d24_tfidf" -> d24Oracle,
     "d25_surprisal" -> d25Oracle,
