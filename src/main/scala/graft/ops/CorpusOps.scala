@@ -1662,6 +1662,110 @@ object CorpusOps {
        ORDER BY doc_id"""
   }
 
+  // --------------------------------------------------------------- d90
+  /** EVENT-TYPE TRANSITION MATRIX — the first-order Markov statistics
+    * of user behavior: for each (previous type → type) adjacency
+    * within a user's event stream, the count and the row-normalized
+    * transition probability. The baseline behavioral-sequence
+    * statistic: d80's sequences train on it, and a transition whose
+    * probability shifts release-over-release is the behavioral twin of
+    * d62's split drift.
+    *
+    * Scale shape: one shuffle on the user window key (lag is one row
+    * of look-behind), then a 25-cell aggregate with map-side partials;
+    * the row normalization joins a type-cardinality aggregate back by
+    * broadcast. Integer-deterministic until the final rounded ratio. */
+  def d90EventTransitions(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val trans = Tables.load(spark, dir, "events")
+      .withColumn("prev_type", lag("event_type", 1).over(w))
+      .filter(col("prev_type").isNotNull)
+      .groupBy("prev_type", "event_type")
+      .agg(count(lit(1)).as("n"))
+    val totals = trans.groupBy("prev_type").agg(sum("n").as("row_n"))
+    trans.join(broadcast(totals), "prev_type")
+      .select(col("prev_type"), col("event_type"), col("n"),
+        round(col("n").cast("double") / col("row_n"), 4).as("p"))
+      .orderBy("prev_type", "event_type")
+  }
+
+  val d90Oracle: String =
+    """WITH trans AS (
+         SELECT prev_type, event_type, count(*) AS n FROM (
+           SELECT event_type,
+             lag(event_type, 1) OVER (PARTITION BY user_id
+               ORDER BY ts, event_id) AS prev_type
+           FROM events)
+         WHERE prev_type IS NOT NULL GROUP BY 1, 2),
+       totals AS (SELECT prev_type, sum(n) AS row_n FROM trans GROUP BY 1)
+       SELECT prev_type, event_type, n, round(n * 1.0 / row_n, 4) AS p
+       FROM trans JOIN totals USING (prev_type)
+       ORDER BY prev_type, event_type"""
+
+  // --------------------------------------------------------------- d91
+  /** Minimum bigram count for the PMI report — hapax pairs produce
+    * unboundedly large, meaningless PMI. */
+  private[graft] val PmiMinCount = 5L
+  private[graft] val PmiTopK = 20
+
+  /** TOP COLLOCATIONS BY PMI — pointwise mutual information over
+    * adjacent token pairs, `ln(c(ab)·N / (c(a)·c(b)))`: the classic
+    * collocation statistic (Church & Hanks 1990, public) behind
+    * phrase detection and multi-word tokenizer entries; d41 scores
+    * documents by bigram SURPRISAL, this ranks the PAIRS themselves.
+    * Hapax noise is cut by [[PmiMinCount]].
+    *
+    * Scale shape: adjacent pairs come from each doc's own ordered
+    * window (doc-bounded, the d85 discipline); unigram and bigram
+    * counts are two partial-agg'd shuffles over hashed-size keys; the
+    * N scalar rides in by broadcast; top-k is a TakeOrdered. Token
+    * STRINGS survive only into the vocabulary-sized aggregates — the
+    * corpus-sized stream carries them once, unavoidably, since the
+    * report is human-readable pairs. */
+  def d91PmiCollocations(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = docs(spark, dir)
+      .select(col("doc_id"), posexplode(tokens(col("text"))).as(Seq("pos", "t")))
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+    val pairs = toks
+      .withColumn("t1", lag("t", 1).over(w))
+      .filter(col("t1").isNotNull)
+      .groupBy(col("t1"), col("t").as("t2"))
+      .agg(count(lit(1)).as("cb"))
+      .filter(col("cb") >= PmiMinCount)
+    val uni = toks.groupBy(col("t")).agg(count(lit(1)).as("c1"))
+    val n = toks.agg(count(lit(1)).as("n_tokens"))
+    pairs
+      .join(uni.select(col("t").as("t1"), col("c1").as("ca")), "t1")
+      .join(uni.select(col("t").as("t2"), col("c1").as("cb1")), "t2")
+      .join(broadcast(n))
+      .select(col("t1"), col("t2"), col("cb"),
+        round(log(col("cb").cast("double") * col("n_tokens") /
+          (col("ca") * col("cb1"))), 4).as("pmi"))
+      .orderBy(col("pmi").desc, col("t1"), col("t2"))
+      .limit(PmiTopK)
+  }
+
+  val d91Oracle: String =
+    s"""WITH toks AS (
+         SELECT doc_id, i AS pos, toks[CAST(i AS INT)] AS t FROM (
+           SELECT doc_id, regexp_extract_all(text, '\\S+') AS toks
+           FROM documents), (SELECT unnest(range(1, len(toks) + 1)) AS i)),
+       adj AS (
+         SELECT t, lag(t, 1) OVER (PARTITION BY doc_id ORDER BY pos) AS t1
+         FROM toks),
+       pairs AS (
+         SELECT t1, t AS t2, count(*) AS cb FROM adj
+         WHERE t1 IS NOT NULL GROUP BY 1, 2
+         HAVING count(*) >= $PmiMinCount),
+       uni AS (SELECT t, count(*) AS c1 FROM toks GROUP BY t),
+       n AS (SELECT count(*) AS n_tokens FROM toks)
+       SELECT t1, t2, cb,
+         round(ln(cb * 1.0 * n_tokens / (a.c1 * b.c1)), 4) AS pmi
+       FROM pairs JOIN uni a ON a.t = t1 JOIN uni b ON b.t = t2, n
+       ORDER BY pmi DESC, t1, t2 LIMIT $PmiTopK"""
+
   // --------------------------------------------------------------- d34
   /** Cross-doc boilerplate document-frequency threshold: a 3-token
     * shingle present in at least this many DISTINCT documents is
@@ -2030,6 +2134,8 @@ object CorpusOps {
     "d86_ordered_funnel" -> (d86OrderedFunnel _),
     "d88_rate_anomaly" -> (d88RateAnomaly _),
     "d89_score_calibration" -> (d89ScoreCalibration _),
+    "d90_event_transitions" -> (d90EventTransitions _),
+    "d91_pmi_collocations" -> (d91PmiCollocations _),
     "d23_chunking" -> (d23Chunking _),
     "d24_tfidf" -> (d24Tfidf _),
     "d25_surprisal" -> (d25Surprisal _),
@@ -2067,6 +2173,8 @@ object CorpusOps {
     "d86_ordered_funnel" -> d86Oracle,
     "d88_rate_anomaly" -> d88Oracle,
     "d89_score_calibration" -> d89Oracle,
+    "d90_event_transitions" -> d90Oracle,
+    "d91_pmi_collocations" -> d91Oracle,
     "d23_chunking" -> d23Oracle,
     "d24_tfidf" -> d24Oracle,
     "d25_surprisal" -> d25Oracle,
