@@ -90,8 +90,10 @@ object Layouts {
     * expression string — bit `i` of `a` lands at position `2i`, bit `i`
     * of `b` at `2i+1`. Emitted as a plain `>>`/`&`/`<<` integer formula
     * so the SAME text evaluates identically in Spark SQL and in the
-    * DuckDB oracle (inputs must be pre-masked to 0..65535; all
-    * intermediate values stay below 2^32, so sign never enters).
+    * DuckDB oracle. Inputs must be pre-masked to 0..65535 AND be
+    * BIGINT-typed: bit 15 of `b` lands at position 31, where 32-bit
+    * INT arithmetic wraps negative — cast before masking (as
+    * [[writeZOrdered]] does).
     *
     * WHY Z-order: min/max zone maps (parquet row-group stats) prune on
     * the leading sort column only — a lexicographic (a, b) sort leaves
@@ -112,8 +114,11 @@ object Layouts {
   def writeZOrdered(df: DataFrame, path: String, numShards: Int,
       dimA: String, dimB: String): Unit = {
     import org.apache.spark.sql.functions._
+    // BIGINT casts are load-bearing: on an IntegerType dim, bit 15 of
+    // dim B lands at position 31 and `<< 31` wraps in INT arithmetic —
+    // b = 40000 produced a NEGATIVE zkey and destroyed the clustering
     df.withColumn("_zkey", expr(mortonSql(
-        s"(($dimA) & 65535)", s"(($dimB) & 65535)")))
+        s"(CAST($dimA AS BIGINT) & 65535)", s"(CAST($dimB AS BIGINT) & 65535)")))
       .repartitionByRange(numShards, col("_zkey"))
       .sortWithinPartitions(col("_zkey"))
       .drop("_zkey")

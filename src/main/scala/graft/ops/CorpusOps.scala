@@ -1270,6 +1270,10 @@ object CorpusOps {
     * global sort, no shuffle of non-winners. */
   def d78WeightedSample(spark: SparkSession, dir: String): DataFrame =
     docs(spark, dir)
+      // a zero-weight doc is never selected under the scheme — and under
+      // ANSI the division would throw rather than yield the +inf key the
+      // math implies, so exclude it explicitly (oracle mirrors)
+      .filter(col("n_chars") > 0)
       .withColumn("u",
         (TextOps.hash60(col("doc_id").cast("string")) + 1).cast("double") /
           lit(math.pow(2, 60)))
@@ -1283,7 +1287,7 @@ object CorpusOps {
          SELECT doc_id, n_chars,
            -ln((('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT + 1)
                / 2.0^60) / n_chars AS skey
-         FROM documents)
+         FROM documents WHERE n_chars > 0)
        SELECT doc_id, n_chars, round(skey * 1e6, 4) AS key_ppm
        FROM (SELECT * FROM keyed ORDER BY skey, doc_id LIMIT $WSampleK)
        ORDER BY doc_id"""
@@ -1335,6 +1339,41 @@ object CorpusOps {
   /** Max events kept per training sequence. */
   private[graft] val SeqMaxLen = 16
 
+  /** q18's 30-minute-gap sessionization as a REUSABLE frame:
+    * (user_id, session_idx, event_id, event_type, us) — the single
+    * in-repo definition d80's sequences and d86's funnel both consume
+    * (three drifting copies of the gap rule would silently fork what
+    * "session" means between ops that claim to share it). One
+    * user-keyed window exchange; `us` is integer microseconds. */
+  private[graft] def sessionizedEvents(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byUser = Window.partitionBy("user_id").orderBy("us", "event_id")
+    Tables.load(spark, dir, "events")
+      .withColumn("us", unix_micros(col("ts")))
+      .withColumn("new_session",
+        when(col("us") - lag(col("us"), 1).over(byUser) > 1800000000L, 1)
+          .when(lag(col("us"), 1).over(byUser).isNull, 1).otherwise(0))
+      .withColumn("session_idx",
+        sum("new_session").over(byUser.rowsBetween(
+          Window.unboundedPreceding, Window.currentRow)))
+      .select("user_id", "session_idx", "event_id", "event_type", "us")
+  }
+
+  /** The same sessionization as oracle CTEs (`sess` is the output). */
+  private[graft] val sessionCtesSql: String =
+    """flagged AS (
+         SELECT user_id, event_id, event_type, epoch_us(ts) AS us,
+           CASE WHEN epoch_us(ts) - lag(epoch_us(ts), 1) OVER w > 1800000000
+                  THEN 1
+                WHEN lag(ts, 1) OVER w IS NULL THEN 1 ELSE 0 END AS new_session
+         FROM events
+         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+       sess AS (
+         SELECT user_id, event_id, event_type, us,
+           sum(new_session) OVER (PARTITION BY user_id ORDER BY us, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx
+         FROM flagged)"""
+
   /** PER-SESSION TRAINING SEQUENCES — the terminal shape a
     * behavioral-sequence model trains on: each user session (q18's
     * 30-minute-gap definition, verbatim) becomes one ordered
@@ -1348,43 +1387,22 @@ object CorpusOps {
     * truncation, and the sort inside each aggregate row is
     * session-sized. The sequence is serialized as a comma-joined
     * string — the loader-friendly (and oracle-comparable) form. */
-  def d80TrainingSequences(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    Tables.load(spark, dir, "events")
-      .withColumn("new_session",
-        when(unix_micros(col("ts")) -
-          lag(unix_micros(col("ts")), 1).over(byUser) > 1800000000L, 1)
-          .when(lag(col("ts"), 1).over(byUser).isNull, 1).otherwise(0))
-      .withColumn("session_idx",
-        sum("new_session").over(byUser.rowsBetween(
-          Window.unboundedPreceding, Window.currentRow)))
+  def d80TrainingSequences(spark: SparkSession, dir: String): DataFrame =
+    sessionizedEvents(spark, dir)
       .groupBy("user_id", "session_idx")
       .agg(count(lit(1)).as("n_events"),
         concat_ws(",", slice(transform(
-          array_sort(collect_list(struct(col("ts"), col("event_id"),
+          array_sort(collect_list(struct(col("us"), col("event_id"),
             col("event_type")))),
           e => e.getField("event_type")), 1, SeqMaxLen)).as("seq"))
       .orderBy("user_id", "session_idx")
-  }
 
   val d80Oracle: String =
-    s"""WITH flagged AS (
-         SELECT user_id, ts, event_id, event_type,
-           CASE WHEN epoch_us(ts) - lag(epoch_us(ts), 1) OVER w > 1800000000
-                  THEN 1
-                WHEN lag(ts, 1) OVER w IS NULL THEN 1 ELSE 0 END AS new_session
-         FROM events
-         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
-       sessioned AS (
-         SELECT user_id, ts, event_id, event_type,
-           sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
-             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx
-         FROM flagged)
+    s"""WITH $sessionCtesSql
        SELECT user_id, session_idx, count(*) AS n_events,
          array_to_string(
-           (list(event_type ORDER BY ts, event_id))[1:$SeqMaxLen], ',') AS seq
-       FROM sessioned GROUP BY user_id, session_idx
+           (list(event_type ORDER BY us, event_id))[1:$SeqMaxLen], ',') AS seq
+       FROM sess GROUP BY user_id, session_idx
        ORDER BY user_id, session_idx"""
 
   // --------------------------------------------------------------- d85
@@ -1490,16 +1508,7 @@ object CorpusOps {
     * sort, and each pass shuffles one timestamp per session, not
     * events. Integer-microsecond comparisons throughout. */
   def d86OrderedFunnel(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    val sess = Tables.load(spark, dir, "events")
-      .withColumn("us", unix_micros(col("ts")))
-      .withColumn("new_session",
-        when(col("us") - lag(col("us"), 1).over(byUser) > 1800000000L, 1)
-          .when(lag(col("us"), 1).over(byUser).isNull, 1).otherwise(0))
-      .withColumn("session_idx",
-        sum("new_session").over(byUser.rowsBetween(
-          Window.unboundedPreceding, Window.currentRow)))
+    val sess = sessionizedEvents(spark, dir)
       .select("user_id", "session_idx", "event_type", "us")
       .localCheckpoint() // three funnel passes re-read the assignment
     val key = Seq("user_id", "session_idx")
@@ -1527,18 +1536,7 @@ object CorpusOps {
   }
 
   val d86Oracle: String =
-    """WITH flagged AS (
-         SELECT user_id, event_id, event_type, epoch_us(ts) AS us,
-           CASE WHEN epoch_us(ts) - lag(epoch_us(ts), 1) OVER w > 1800000000
-                  THEN 1
-                WHEN lag(ts, 1) OVER w IS NULL THEN 1 ELSE 0 END AS new_session
-         FROM events
-         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
-       sess AS (
-         SELECT user_id, event_type, us,
-           sum(new_session) OVER (PARTITION BY user_id ORDER BY us, event_id
-             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx
-         FROM flagged),
+    s"""WITH $sessionCtesSql,
        a1 AS (
          SELECT user_id, session_idx,
            min(CASE WHEN event_type = 'view' THEN us END) AS s1
@@ -1587,6 +1585,10 @@ object CorpusOps {
     val w = Window.partitionBy("event_type")
       .orderBy(abs(col("z")).desc, col("hr"))
     hourly.join(broadcast(stats), "event_type")
+      // a type with constant hourly counts (heartbeats) or one observed
+      // hour has sd = 0/NULL — under ANSI the division would throw, and
+      // "no variance" genuinely means "no anomaly signal": drop the type
+      .filter(col("sd").isNotNull && col("sd") > 0)
       .withColumn("z", (col("n") - col("mu")) / col("sd"))
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") <= 3)
@@ -1603,7 +1605,8 @@ object CorpusOps {
          FROM hourly GROUP BY 1),
        z AS (
          SELECT h.event_type, hr, n, (n - mu) / sd AS z
-         FROM hourly h JOIN stats USING (event_type))
+         FROM hourly h JOIN stats USING (event_type)
+         WHERE sd IS NOT NULL AND sd > 0)
        SELECT event_type, hr, n, round(z, 4) AS z FROM (
          SELECT *, row_number() OVER (PARTITION BY event_type
            ORDER BY abs(z) DESC, hr) AS rk FROM z)

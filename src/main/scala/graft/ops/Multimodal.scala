@@ -158,6 +158,54 @@ object Multimodal {
        CAST(ceil(length(text) / $FrameBytes.0) AS BIGINT) AS n_frames
        FROM documents ORDER BY doc_id"""
 
+  /** Shared tail of both perceptual-hash near-dup ops (d70 stills,
+    * d81 audio): exact-hash pre-collapse → 4×16-bit LSH banding over
+    * DISTINCT hash values with multiplicities → Hamming-verified
+    * neighbor-count expansion. One implementation so a banding fix
+    * cannot silently reach one modality and not the other.
+    * `hashes` must be (doc_id, <hashCol>: LONG). */
+  private def bandedNeighbors(hashes: DataFrame, hashCol: String,
+      maxHamming: Int): DataFrame = {
+    val groups = hashes.groupBy(hashCol).agg(count(lit(1)).as("cnt"))
+      .localCheckpoint() // feeds the band join twice and the final join
+    val bands = groups.select(col(hashCol), col("cnt"),
+      explode(sequence(lit(0), lit(3))).as("k"))
+      .withColumn("bb",
+        expr(s"shiftright($hashCol, 16 * k)").bitwiseAND(lit(65535L)))
+    val a = bands.select(col(hashCol).as("a_h"), col("k"), col("bb"))
+    val b = bands.select(col(hashCol).as("b_h"), col("cnt").as("b_cnt"),
+      col("k"), col("bb"))
+    val near = a.join(b, Seq("k", "bb"))
+      .filter(col("a_h") =!= col("b_h") &&
+        bit_count(col("a_h").bitwiseXOR(col("b_h"))) <= maxHamming)
+      .select(col("a_h").as(hashCol), col("b_h"), col("b_cnt"))
+      .distinct() // a hash pair can collide in several bands
+      .groupBy(hashCol).agg(sum("b_cnt").as("extra"))
+    hashes.join(groups, hashCol)
+      .join(near, Seq(hashCol), "left")
+      .select(col("doc_id"), col(hashCol),
+        (col("cnt") - 1 + coalesce(col("extra"), lit(0L))).as("n_neighbors"))
+      .orderBy("doc_id")
+  }
+
+  /** The same pre-collapse + banding + expansion as oracle CTEs over an
+    * `h(doc_id, <hashCol>)` CTE the caller supplies. */
+  private def bandedNeighborsSql(hashCol: String, maxHamming: Int): String =
+    s"""g AS (SELECT $hashCol, count(*) AS cnt FROM h GROUP BY $hashCol),
+       bands AS (
+         SELECT $hashCol, cnt, k, ($hashCol >> CAST(k * 16 AS INT)) & 65535 AS bb
+         FROM g, (SELECT unnest(range(4)) AS k)),
+       pp AS (
+         SELECT DISTINCT a.$hashCol AS $hashCol, b.$hashCol AS bh, b.cnt AS bc
+         FROM bands a JOIN bands b
+           ON a.k = b.k AND a.bb = b.bb AND a.$hashCol <> b.$hashCol
+         WHERE bit_count(xor(a.$hashCol, b.$hashCol)) <= $maxHamming),
+       extra AS (SELECT $hashCol, sum(bc) AS ex FROM pp GROUP BY $hashCol)
+       SELECT h.doc_id, h.$hashCol,
+         (g.cnt - 1 + coalesce(ex, 0))::BIGINT AS n_neighbors
+       FROM h JOIN g USING ($hashCol) LEFT JOIN extra USING ($hashCol)
+       ORDER BY h.doc_id"""
+
   // --------------------------------------------------------------- d70
   /** IMAGE NEAR-DUP DETECTION via perceptual difference hash: every
     * payload goes through the REAL still-image path — a P5 Netpbm blob
@@ -197,6 +245,9 @@ object Multimodal {
       encode(expr(s"substr(repeat(text, cast(ceil($n.0 / length(text)) as int)), 1, $n)"),
         "UTF-8"))
     val blobs = Tables.load(spark, dir, "documents")
+      // an empty document cannot pad a payload (ANSI: ceil(n/0) throws)
+      // and would decode to nothing anyway — excluded in both engines
+      .filter(length(col("text")) > 0)
       .select(col("doc_id"), pgm.as("data"))
       .as[(Long, Array[Byte])]
     // decode + hash: partition-local, streaming over the iterator — the
@@ -209,32 +260,9 @@ object Multimodal {
           (id, MediaCodecs.dHash(r, quant)))
       }
     }.toDF("doc_id", "dhash").localCheckpoint()
-    // exact pre-collapse (the d2/d59 lesson): byte-identical content —
-    // re-posts, mirror copies, the corpus image dedup EXISTS for —
-    // shares a dhash, so the banded join runs over DISTINCT hash values
-    // with multiplicities. A replica-dense corpus (the 10× stress case:
-    // 90 % copies) costs the join nothing; equal-hash neighbors are the
-    // closed-form cnt−1.
-    val groups = hashes.groupBy("dhash").agg(count(lit(1)).as("cnt"))
-      .localCheckpoint() // feeds the band join twice and the final join
-    // LSH banding: 4 × 16-bit equi-join on (band, bits) — d16's plan
-    val bands = groups.select(col("dhash"), col("cnt"),
-      explode(sequence(lit(0), lit(3))).as("k"))
-      .withColumn("bb", expr("shiftright(dhash, 16 * k)").bitwiseAND(lit(65535L)))
-    val a = bands.select(col("dhash").as("a_h"), col("k"), col("bb"))
-    val b = bands.select(col("dhash").as("b_h"), col("cnt").as("b_cnt"),
-      col("k"), col("bb"))
-    val near = a.join(b, Seq("k", "bb"))
-      .filter(col("a_h") =!= col("b_h") &&
-        bit_count(col("a_h").bitwiseXOR(col("b_h"))) <= DHashMaxHamming)
-      .select(col("a_h").as("dhash"), col("b_h"), col("b_cnt"))
-      .distinct() // a hash pair can collide in several bands
-      .groupBy("dhash").agg(sum("b_cnt").as("extra"))
-    hashes.join(groups, "dhash")
-      .join(near, Seq("dhash"), "left")
-      .select(col("doc_id"), col("dhash"),
-        (col("cnt") - 1 + coalesce(col("extra"), lit(0L))).as("n_neighbors"))
-      .orderBy("doc_id")
+    // exact pre-collapse (the d2/d59 lesson) + capped 4×16 banding +
+    // neighbor expansion — shared with d81 ([[bandedNeighbors]])
+    bandedNeighbors(hashes, "dhash", DHashMaxHamming)
   }
 
   val d70Oracle: String = {
@@ -242,7 +270,7 @@ object Multimodal {
     s"""WITH px AS (
          SELECT doc_id,
            substr(repeat(text, CAST(ceil($n.0 / len(text)) AS INT)), 1, $n) AS body
-         FROM documents),
+         FROM documents WHERE len(text) > 0),
        cell AS (
          SELECT doc_id, (i // $DHashW) // 8 AS cy, (i % $DHashW) // 8 AS cx,
            sum(unicode(substr(body, CAST(i AS INT) + 1, 1))) AS s
@@ -261,20 +289,7 @@ object Multimodal {
              + CASE WHEN max(CASE WHEN idx = 63 THEN bit ELSE 0 END) = 1
                     THEN -9223372036854775807 - 1 ELSE 0 END AS BIGINT) AS dhash
          FROM bits GROUP BY doc_id),
-       g AS (SELECT dhash, count(*) AS cnt FROM h GROUP BY dhash),
-       bands AS (
-         SELECT dhash, cnt, k, (dhash >> CAST(k * 16 AS INT)) & 65535 AS bb
-         FROM g, (SELECT unnest(range(4)) AS k)),
-       pp AS (
-         SELECT DISTINCT a.dhash AS dhash, b.dhash AS bh, b.cnt AS bc
-         FROM bands a JOIN bands b
-           ON a.k = b.k AND a.bb = b.bb AND a.dhash <> b.dhash
-         WHERE bit_count(xor(a.dhash, b.dhash)) <= $DHashMaxHamming),
-       extra AS (SELECT dhash, sum(bc) AS ex FROM pp GROUP BY dhash)
-       SELECT h.doc_id, h.dhash,
-         (g.cnt - 1 + coalesce(ex, 0))::BIGINT AS n_neighbors
-       FROM h JOIN g USING (dhash) LEFT JOIN extra USING (dhash)
-       ORDER BY h.doc_id"""
+       ${bandedNeighborsSql("dhash", DHashMaxHamming)}"""
   }
 
   // --------------------------------------------------------------- d81
@@ -300,6 +315,8 @@ object Multimodal {
   def d81AudioDhash(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val blobs = Tables.load(spark, dir, "documents")
+      // same empty-payload exclusion as d70 (ANSI ceil-by-zero)
+      .filter(length(col("text")) > 0)
       .select(col("doc_id"), concat(
         lit(wavHeader8BitMono(AudioSamples)),
         encode(expr(s"substr(repeat(text, cast(ceil($AudioSamples.0 / length(text)) as int)), 1, $AudioSamples)"),
@@ -311,25 +328,7 @@ object Multimodal {
           (id, MediaCodecs.audioDHash(p.mono, 128.0)))
       }
     }.toDF("doc_id", "ahash").localCheckpoint()
-    val groups = hashes.groupBy("ahash").agg(count(lit(1)).as("cnt"))
-      .localCheckpoint()
-    val bands = groups.select(col("ahash"), col("cnt"),
-      explode(sequence(lit(0), lit(3))).as("k"))
-      .withColumn("bb", expr("shiftright(ahash, 16 * k)").bitwiseAND(lit(65535L)))
-    val a = bands.select(col("ahash").as("a_h"), col("k"), col("bb"))
-    val b = bands.select(col("ahash").as("b_h"), col("cnt").as("b_cnt"),
-      col("k"), col("bb"))
-    val near = a.join(b, Seq("k", "bb"))
-      .filter(col("a_h") =!= col("b_h") &&
-        bit_count(col("a_h").bitwiseXOR(col("b_h"))) <= ADHashMaxHamming)
-      .select(col("a_h").as("ahash"), col("b_h"), col("b_cnt"))
-      .distinct()
-      .groupBy("ahash").agg(sum("b_cnt").as("extra"))
-    hashes.join(groups, "ahash")
-      .join(near, Seq("ahash"), "left")
-      .select(col("doc_id"), col("ahash"),
-        (col("cnt") - 1 + coalesce(col("extra"), lit(0L))).as("n_neighbors"))
-      .orderBy("doc_id")
+    bandedNeighbors(hashes, "ahash", ADHashMaxHamming)
   }
 
   /** Canonical 44-byte RIFF/WAVE header for `n` 8-bit mono samples at
@@ -352,7 +351,7 @@ object Multimodal {
          SELECT doc_id,
            substr(repeat(text, CAST(ceil($AudioSamples.0 / len(text)) AS INT)),
              1, $AudioSamples) AS body
-         FROM documents),
+         FROM documents WHERE len(text) > 0),
        env AS (
          SELECT doc_id, i // 64 AS w,
            sum(abs(unicode(substr(body, CAST(i AS INT) + 1, 1)) - 128)) AS e
@@ -367,20 +366,7 @@ object Multimodal {
          SELECT doc_id,
            CAST(sum(bit * (1::BIGINT << CAST(idx AS INT))) AS BIGINT) AS ahash
          FROM bits GROUP BY doc_id),
-       g AS (SELECT ahash, count(*) AS cnt FROM h GROUP BY ahash),
-       bands AS (
-         SELECT ahash, cnt, k, (ahash >> CAST(k * 16 AS INT)) & 65535 AS bb
-         FROM g, (SELECT unnest(range(4)) AS k)),
-       pp AS (
-         SELECT DISTINCT a.ahash AS ahash, b.ahash AS bh, b.cnt AS bc
-         FROM bands a JOIN bands b
-           ON a.k = b.k AND a.bb = b.bb AND a.ahash <> b.ahash
-         WHERE bit_count(xor(a.ahash, b.ahash)) <= $ADHashMaxHamming),
-       extra AS (SELECT ahash, sum(bc) AS ex FROM pp GROUP BY ahash)
-       SELECT h.doc_id, h.ahash,
-         (g.cnt - 1 + coalesce(ex, 0))::BIGINT AS n_neighbors
-       FROM h JOIN g USING (ahash) LEFT JOIN extra USING (ahash)
-       ORDER BY h.doc_id"""
+       ${bandedNeighborsSql("ahash", ADHashMaxHamming)}"""
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d11_multimodal_meta" -> (d11MultimodalMeta _),

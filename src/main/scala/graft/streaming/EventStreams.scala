@@ -19,12 +19,13 @@ import org.apache.spark.sql.types._
   */
 object EventStreams {
 
-  /** Events stream schema: `ts` is declared a raw long meaning
-    * MICROSECONDS since the epoch. The stored table annotates the int64
-    * as TIMESTAMP(MICROS); a file stream must declare its schema up
-    * front, and declaring the long reads the raw µs value unchanged —
-    * [[readEvents]] then normalizes to a real TimestampType, the same
-    * contract as the batch catalog ([[graft.Tables.load]]). */
+  /** Events stream schema: `ts` is declared a raw long. Declaring the
+    * long reads the stored int64 unchanged for BOTH physical encodings
+    * the table has shipped with — TIMESTAMP(NANOS) (raw nanos under
+    * `nanosAsLong`) and TIMESTAMP(MICROS, NTZ) (raw micros) —
+    * [[readEvents]] then decides the unit and normalizes to a real
+    * TimestampType, the same contract as the batch catalog
+    * ([[graft.Tables.load]]). */
   val eventSchema: StructType = StructType(Seq(
     StructField("event_id", LongType),
     StructField("ts", LongType),
@@ -34,12 +35,28 @@ object EventStreams {
     StructField("props", StringType)))
 
   /** File-stream source over a directory of event parquet files,
-    * normalized to a real TimestampType at ingest. */
-  def readEvents(spark: SparkSession, dir: String): DataFrame =
-    spark.readStream
-      .schema(eventSchema)
-      .parquet(dir)
-      .withColumn("ts", timestamp_micros(col("ts")))
+    * normalized to a real TimestampType at ingest. A file stream
+    * declares its schema up front and cannot inspect annotations, so
+    * the UNIT of the raw long is probed from the directory's footers
+    * via a one-time driver-side batch read (the same dispatch
+    * `Tables.load` does): a batch LongType means TIMESTAMP(NANOS)
+    * surfaced under `nanosAsLong` → divide to µs; anything else is the
+    * MICROS generation → the long already IS µs. Hard-coding one
+    * encoding silently mis-scaled the other generation by 1000×. */
+  def readEvents(spark: SparkSession, dir: String): DataFrame = {
+    // the staged entry can be a bare parquet FILE (testdata layout) or
+    // a directory-shaped table (Spark writes) — the batch probe does
+    // not recurse, so try both shapes; an unreadable dir (day-one
+    // empty) defaults to the current MICROS generation
+    val isNanos = Seq(dir, s"$dir/*").view
+      .flatMap(p => scala.util.Try(spark.read.parquet(p).schema).toOption)
+      .headOption
+      .flatMap(_.find(_.name == "ts"))
+      .exists(_.dataType == LongType)
+    val raw = spark.readStream.schema(eventSchema).parquet(dir)
+    if (isNanos) raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    else raw.withColumn("ts", timestamp_micros(col("ts")))
+  }
 
   /** Tumbling 1-hour aggregation — streaming q17. The 1-hour watermark
     * lets Spark drop window state once late data can no longer arrive. */

@@ -136,6 +136,18 @@ class LayoutSpec extends SparkSpec {
     val morton = spark.sql(s"SELECT ${Layouts.mortonSql("5", "3")}")
       .collect().head.getAs[Number](0).longValue
     assert(morton == 27L)
+    // regression: INT-typed dims with bit 15 set used to wrap negative
+    // (bit 15 of b lands at position 31 — 32-bit arithmetic overflow);
+    // writeZOrdered now casts to BIGINT before masking
+    val intDf = spark.range(2).selectExpr(
+      "CAST(40000 AS INT) AS a", "CAST(40000 AS INT) AS b", "id")
+    val outInt = Files.createTempDirectory("graft-zint").toString
+    Layouts.writeZOrdered(intDf, outInt, 1, "a", "b")
+    assert(spark.read.parquet(outInt).count() == 2)
+    val zkey = spark.sql(s"SELECT ${Layouts.mortonSql(
+      "(CAST(40000 AS BIGINT) & 65535)", "(CAST(40000 AS BIGINT) & 65535)")}")
+      .collect().head.getAs[Number](0).longValue
+    assert(zkey > 0, s"morton key of (40000, 40000) must be positive, got $zkey")
     // uniform 128×128 grid: a z-ordered write must keep BOTH dimensions
     // narrow per file, where a lexicographic sort leaves dim b unpruned
     val grid = spark.range(128L * 128L)
