@@ -738,7 +738,7 @@ object CorpusOps {
     s"""SELECT coalesce(split, 'all') AS split,
          coalesce(source, 'all') AS source,
          count(*) AS n_docs,
-         sum(n_tok) AS n_tokens,
+         CAST(sum(n_tok) AS BIGINT) AS n_tokens,
          round(sum(n_chars) * 1.0 / count(*), 2) AS avg_chars
        FROM (
          SELECT CASE WHEN b < 90 THEN 'train' WHEN b < 95 THEN 'val'
@@ -1089,7 +1089,7 @@ object CorpusOps {
 
   val d73Oracle: String =
     """SELECT length(bin(c)) - 1 AS bucket, count(*) AS n_keys,
-         sum(c) AS n_rows, max(c) AS max_rows_one_key
+         CAST(sum(c) AS BIGINT) AS n_rows, max(c) AS max_rows_one_key
        FROM (SELECT user_id, count(*) AS c FROM events GROUP BY user_id)
        GROUP BY 1 ORDER BY 1"""
 
@@ -1370,8 +1370,10 @@ object CorpusOps {
          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
        sess AS (
          SELECT user_id, event_id, event_type, us,
-           sum(new_session) OVER (PARTITION BY user_id ORDER BY us, event_id
-             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx
+           CAST(sum(new_session) OVER (PARTITION BY user_id
+             ORDER BY us, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS BIGINT) AS session_idx
          FROM flagged)"""
 
   /** PER-SESSION TRAINING SEQUENCES — the terminal shape a

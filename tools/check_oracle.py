@@ -6,9 +6,28 @@ Usage: python3 tools/check_oracle.py <sfDir> <verifyOutDir>
 Loads each <verifyOutDir>/<name> parquet (Spark result), runs the matching
 oracle SQL from oracle_sql.json in DuckDB with the sfDir tables registered
 as views, sorts columns by name, and compares row-by-row hashes.
+
+Type-aware (round 10): also compares DuckDB's result-column TYPES against
+the Spark parquet schema. DuckDB types integer sum() as HUGEINT (int128)
+and decimal arithmetic as DECIMAL; Spark emits BIGINT/DOUBLE. The driver's
+hash gate sees the type difference even when repr() of the Python values
+matches, so a value-blind comparison here ships red gates (d60/d73/d80 in
+round 9). Any oracle column typed HUGEINT, or typed DECIMAL where Spark
+says DOUBLE/FLOAT, is a FAIL here regardless of values.
 """
 import json, sys, glob, os
 import duckdb
+
+# Oracle-side types the driver's hasher canonicalizes differently than the
+# BIGINT/DOUBLE Spark writes. Pairing one of these with the Spark type on
+# the right is the exact bug class that shipped d60/d73/d80 red in round 9.
+def type_defect(spark_t, oracle_t):
+    s, o = spark_t.upper(), oracle_t.upper()
+    if o in ("HUGEINT", "INT128", "UHUGEINT") and s != o:
+        return True
+    if o.startswith("DECIMAL") and s in ("DOUBLE", "FLOAT", "REAL"):
+        return True
+    return False
 
 def canon(rows, cols):
     """Sort columns by name, stringify values deterministically."""
@@ -18,31 +37,74 @@ def canon(rows, cols):
         out.append(tuple(repr(r[i]) for i in order))
     return sorted(out), [cols[i] for i in order]
 
-def main(sf_dir, out_dir):
-    con = duckdb.connect()
+def register_views(con, sf_dir):
     for p in glob.glob(os.path.join(sf_dir, "*.parquet")):
         name = os.path.basename(p)[:-len(".parquet")]
         con.execute(f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{p}')")
+
+
+def lint(sf_dir, out_dir):
+    """Bind (don't run) every oracle; fail on any HUGEINT/DECIMAL output
+    column. Spark cannot emit those types, so any such column is a
+    guaranteed driver hash_match failure waiting to ship."""
+    con = duckdb.connect()
+    register_views(con, sf_dir)
+    oracle = json.load(open(os.path.join(out_dir, "oracle_sql.json")))
+    n_bad = 0
+    for name in sorted(oracle):
+        try:
+            rel = con.sql(f"DESCRIBE {oracle[name]}")
+            cols = rel.fetchall()  # (column_name, column_type, ...)
+        except Exception as e:
+            print(f"  {name}: LINT-BIND-ERROR {e}")
+            n_bad += 1
+            continue
+        bad = [f"{c[0]}:{c[1]}" for c in cols
+               if c[1].upper() in ("HUGEINT", "INT128", "UHUGEINT")
+               or c[1].upper().startswith("DECIMAL")]
+        if bad:
+            n_bad += 1
+            print(f"  {name}: LINT-TYPE {' '.join(bad)} "
+                  f"(cast integer sums: CAST(sum(..) AS BIGINT))")
+    print(f"== lint: {n_bad} oracle(s) with Spark-unrepresentable "
+          f"output types ==")
+    return 1 if n_bad else 0
+
+
+def main(sf_dir, out_dir):
+    con = duckdb.connect()
+    register_views(con, sf_dir)
     oracle = json.load(open(os.path.join(out_dir, "oracle_sql.json")))
     n_pass = n_fail = 0
     names = sorted(d for d in os.listdir(out_dir)
                    if os.path.isdir(os.path.join(out_dir, d)))
     for name in names:
-        res = con.execute(
+        grel = con.sql(
             f"SELECT * FROM read_parquet('{out_dir}/{name}/*.parquet')")
-        got_cols = [d[0] for d in res.description]
-        got_rows = res.fetchall()
+        got_cols = list(grel.columns)
+        got_types = [str(t) for t in grel.types]
+        got_rows = grel.fetchall()
         if name not in oracle:
             print(f"  {name}: NO-ORACLE rows={len(got_rows)} "
                   f"{'ok' if got_rows else 'EMPTY!'}")
             continue
         try:
-            ores = con.execute(oracle[name])
-            exp_cols = [d[0] for d in ores.description]
-            exp_rows = ores.fetchall()
+            orel = con.sql(oracle[name])
+            exp_cols = list(orel.columns)
+            exp_types = [str(t) for t in orel.types]
+            exp_rows = orel.fetchall()
         except Exception as e:
             print(f"  {name}: ORACLE-SQL-ERROR {e}")
             n_fail += 1
+            continue
+        spark_t = dict(zip(got_cols, got_types))
+        bad_types = [
+            f"{c}: spark={spark_t.get(c, '?')} oracle={t}"
+            for c, t in zip(exp_cols, exp_types)
+            if c in spark_t and type_defect(spark_t[c], t)]
+        if bad_types:
+            n_fail += 1
+            print(f"  {name}: TYPE-MISMATCH {'; '.join(bad_types)}")
             continue
         g, gc = canon(got_rows, got_cols)
         e, ec = canon(exp_rows, exp_cols)
@@ -68,4 +130,7 @@ def main(sf_dir, out_dir):
     return 1 if n_fail else 0
 
 if __name__ == "__main__":
+    if "--lint" in sys.argv:
+        args = [a for a in sys.argv[1:] if a != "--lint"]
+        sys.exit(lint(args[0], args[1]))
     sys.exit(main(sys.argv[1], sys.argv[2]))
