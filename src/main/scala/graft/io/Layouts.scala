@@ -33,7 +33,18 @@ object Layouts {
     * MATCH across tables that join, so fix them per key domain, not per
     * table size. */
   def writeBucketed(df: DataFrame, table: String, buckets: Int,
-      key: String): Unit =
+      key: String): Unit = {
+    val spark = df.sparkSession
+    // the default in-memory catalog forgets tables across sessions but
+    // the warehouse DIRECTORY persists — a later session's saveAsTable
+    // (even mode=overwrite) refuses with LOCATION_ALREADY_EXISTS. Drop
+    // any catalog entry, then clear the stale location, so the write is
+    // idempotent across sessions (Verify/Bench re-runs).
+    spark.sql(s"DROP TABLE IF EXISTS `$table`")
+    val loc = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir"), table.toLowerCase)
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(loc)) fs.delete(loc, true)
     // repartition on the SAME hash the bucketizer uses so every bucket
     // is written as exactly ONE file — without it each write task emits
     // a file per bucket it touches (tasks × buckets tiny files at scale)
@@ -41,6 +52,7 @@ object Layouts {
       .write.mode("overwrite")
       .bucketBy(buckets, key).sortBy(key)
       .format("parquet").saveAsTable(table)
+  }
 
   /** Equi-join two tables previously written with [[writeBucketed]] on
     * their respective keys (same bucket count): exchange-free
@@ -50,6 +62,23 @@ object Layouts {
     val l = spark.table(leftTable)
     val r = spark.table(rightTable)
     l.join(r, l(leftKey) === r(rightKey))
+  }
+
+  /** Count ShuffleExchange nodes in a frame's executed plan (AQE root
+    * unwrapped to its initial plan — the adaptive root is a LEAF node,
+    * so a naive walk would count zero vacuously). The write-time
+    * layouts above exist to make this zero on the read path; the d93
+    * gate and LayoutSpec both assert through here. */
+  def exchangeCount(df: DataFrame): Int = {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    def walk(p: SparkPlan): Seq[SparkPlan] = p match {
+      case a: AdaptiveSparkPlanExec => a +: walk(a.initialPlan)
+      case q => q +: q.children.flatMap(walk)
+    }
+    walk(df.queryExecution.executedPlan)
+      .count(_.isInstanceOf[ShuffleExchangeExec])
   }
 
   /** Write `df` partitioned by a low-cardinality column — the directory

@@ -1407,6 +1407,154 @@ object CorpusOps {
        FROM sess GROUP BY user_id, session_idx
        ORDER BY user_id, session_idx"""
 
+  // --------------------------------------------------------------- d92
+  /** Chunk width for the skew-safe sessionization: 6 h in µs — two
+    * orders above the 30-min session gap (so boundary merges stay
+    * rare) while a pathological single-user stream still splits into
+    * time-span / 6 h parallel slices. */
+  private[graft] val SessChunkUs = 21600000000L
+
+  /** HOT-KEY-SAFE SESSIONIZATION — identical session semantics to
+    * [[sessionizedEvents]] (q18's 30-minute-gap rule), different scale
+    * shape. The single `partitionBy("user_id")` window puts EVERY
+    * event of a user into ONE task: one bot account with 100M events
+    * is one straggler task at 100 TB (the skew the d73 histogram
+    * detects but the plain window cannot survive). This variant
+    * windows on (user_id, 6-hour time chunk), so a hot user's stream
+    * splits into parallel chunk slices, then reconciles sessions that
+    * straddle chunk boundaries through a per-(user, chunk) SUMMARY
+    * table whose size is bounded by time-span / chunk-width (a year
+    * is ≤1461 rows per user, independent of event count) — never by
+    * events.
+    *
+    * Three steps, each equi-partitioned on keys that include the
+    * chunk:
+    *  1. LOCAL: gap-flag + running session count within each
+    *     (user, chunk) window — the hot key's parallelism comes back
+    *     here;
+    *  2. SUMMARY: per-chunk (first_us, last_us, n_local), then a tiny
+    *     per-user window over CHUNK SUMMARIES marks each chunk whose
+    *     first event continues the previous chunk's last session
+    *     (`merged`: inter-chunk gap ≤ 30 min) and computes the
+    *     cumulative global-session offset `sum(n_local - merged)` over
+    *     preceding chunks — a session spanning MANY chunks chains
+    *     correctly because each merged chunk contributes
+    *     `n_local - 1`;
+    *  3. JOIN the summary back on (user_id, chunk):
+    *     `session_idx = offset + local_idx - merged`.
+    * Output is column- and value-identical to [[sessionizedEvents]]:
+    * the planted-hot-user equivalence (50% of events on one user,
+    * sessions straddling chunk boundaries, exact-gap and
+    * exact-boundary edges) is pinned by `SkewSessionSpec`; oracle
+    * parity by the d92 gate, which runs d80's aggregate over this
+    * frame against the SAME DuckDB SQL. */
+  private[graft] def sessionizedEventsSkewSafe(spark: SparkSession,
+      dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ev = Tables.load(spark, dir, "events")
+      .withColumn("us", unix_micros(col("ts")))
+      .withColumn("ck", expr(s"us div $SessChunkUs"))
+    val wLoc = Window.partitionBy("user_id", "ck").orderBy("us", "event_id")
+    val local = ev
+      .withColumn("new_session",
+        when(col("us") - lag(col("us"), 1).over(wLoc) > 1800000000L, 1)
+          .when(lag(col("us"), 1).over(wLoc).isNull, 1).otherwise(0))
+      .withColumn("local_idx", sum("new_session").over(
+        wLoc.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val wCk = Window.partitionBy("user_id").orderBy("ck")
+    val offsets = local.groupBy("user_id", "ck")
+      .agg(min("us").as("first_us"), max("us").as("last_us"),
+        max("local_idx").as("n_local"))
+      .withColumn("merged",
+        when(col("first_us") - lag(col("last_us"), 1).over(wCk)
+          <= 1800000000L, 1L).otherwise(0L))
+      .withColumn("offset", coalesce(
+        sum(col("n_local") - col("merged"))
+          .over(wCk.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select("user_id", "ck", "merged", "offset")
+    local.join(offsets, Seq("user_id", "ck"))
+      .withColumn("session_idx",
+        col("offset") + col("local_idx") - col("merged"))
+      .select("user_id", "session_idx", "event_id", "event_type", "us")
+  }
+
+  /** d80's training-sequence output computed through the SKEW-SAFE
+    * sessionization path, gated against the SAME DuckDB oracle as d80
+    * — the driver proves the two-phase chunk-split/boundary-merge
+    * reconstruction is indistinguishable from the single-window
+    * definition on real data, while `SkewSessionSpec` proves it on a
+    * planted 50%-hot-user distribution the plain window would
+    * serialize into one task. */
+  def d92SkewSessions(spark: SparkSession, dir: String): DataFrame =
+    sessionizedEventsSkewSafe(spark, dir)
+      .groupBy("user_id", "session_idx")
+      .agg(count(lit(1)).as("n_events"),
+        concat_ws(",", slice(transform(
+          array_sort(collect_list(struct(col("us"), col("event_id"),
+            col("event_type")))),
+          e => e.getField("event_type")), 1, SeqMaxLen)).as("seq"))
+      .orderBy("user_id", "session_idx")
+
+  /** Same SQL as [[d80Oracle]] by construction: the gate exists to
+    * pin that the skew-safe frame reproduces the canonical sessions. */
+  val d92Oracle: String = d80Oracle
+
+  // --------------------------------------------------------------- d93
+  /** Bucket count for the bucketed-join gate — must match across the
+    * two tables (bucket counts are fixed per key DOMAIN, not per table
+    * size, so repeatedly-joined tables stay co-bucketed). */
+  private[graft] val JoinBuckets = 8
+
+  /** BUCKETED-LAYOUT JOIN, gated end-to-end — the read-path payoff of
+    * [[graft.io.Layouts.writeBucketed]]: both tables are written
+    * `bucketBy(8, orderkey).sortBy(orderkey)`, then the orders ⋈
+    * lineitem join AND the per-order aggregate run with ZERO
+    * ShuffleExchange (asserted inside the op via
+    * [[graft.io.Layouts.exchangeCount]], with auto-broadcast disabled
+    * so the plan is the SortMergeJoin the layout targets — the gate
+    * fails loudly if the exchange-free property ever regresses, not
+    * just in the unit suite). The aggregate reuses the join's
+    * bucket-hash distribution, so ONE write-time shuffle per table
+    * serves every subsequent join and groupBy on that key — the
+    * amortization that matters at 100 TB where the shuffle IS the
+    * dominant cost. Only the final presentation ORDER BY pays a range
+    * exchange, outside the pinned subplan.
+    *
+    * The result is hash-checked against the DuckDB oracle running the
+    * same join+aggregate over the raw tables — proving the bucketed
+    * physical layout changes the PLAN, never the ANSWER. */
+  def d93BucketedJoin(spark: SparkSession, dir: String): DataFrame = {
+    import graft.io.Layouts
+    val orders = Tables.load(spark, dir, "orders")
+      .select("o_orderkey", "o_totalprice")
+    val lineitem = Tables.load(spark, dir, "lineitem")
+      .select("l_orderkey", "l_quantity")
+    Layouts.writeBucketed(orders, "d93_orders_b", JoinBuckets, "o_orderkey")
+    Layouts.writeBucketed(lineitem, "d93_lineitem_b", JoinBuckets,
+      "l_orderkey")
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val agg = Layouts.bucketedJoin(spark,
+          "d93_orders_b", "o_orderkey", "d93_lineitem_b", "l_orderkey")
+        .groupBy("o_orderkey")
+        .agg(count(lit(1)).as("n_items"),
+          round(sum("l_quantity"), 2).as("sum_qty"),
+          round(max("o_totalprice"), 2).as("total_price"))
+      val n = Layouts.exchangeCount(agg)
+      require(n == 0,
+        s"bucketed join+agg must be exchange-free, found $n shuffle(s)")
+      agg.orderBy("o_orderkey")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  val d93Oracle: String =
+    """SELECT o_orderkey, count(*) AS n_items,
+         round(sum(l_quantity), 2) AS sum_qty,
+         round(max(o_totalprice), 2) AS total_price
+       FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+       GROUP BY o_orderkey ORDER BY o_orderkey"""
+
   // --------------------------------------------------------------- d85
   /** Boundary divisor: a token whose hash ≡ 0 (mod this) STARTS a new
     * chunk — expected chunk length equals the divisor. */
@@ -1579,9 +1727,14 @@ object CorpusOps {
     * bounded per-type window (q19's discipline). */
   def d88RateAnomaly(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // eager checkpoint: the hourly rollup feeds BOTH the per-type stats
+    // and the join's probe side — without it each branch re-scans the
+    // event log (hours×types rows are cheap to hold; a second 100 TB
+    // scan is not)
     val hourly = Tables.load(spark, dir, "events")
       .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hr"))
       .agg(count(lit(1)).as("n"))
+      .localCheckpoint()
     val stats = hourly.groupBy("event_type")
       .agg(avg("n").as("mu"), stddev_samp(col("n")).as("sd"))
     val w = Window.partitionBy("event_type")
@@ -2141,6 +2294,8 @@ object CorpusOps {
     "d89_score_calibration" -> (d89ScoreCalibration _),
     "d90_event_transitions" -> (d90EventTransitions _),
     "d91_pmi_collocations" -> (d91PmiCollocations _),
+    "d92_skew_sessions" -> (d92SkewSessions _),
+    "d93_bucketed_join" -> (d93BucketedJoin _),
     "d23_chunking" -> (d23Chunking _),
     "d24_tfidf" -> (d24Tfidf _),
     "d25_surprisal" -> (d25Surprisal _),
@@ -2180,6 +2335,8 @@ object CorpusOps {
     "d89_score_calibration" -> d89Oracle,
     "d90_event_transitions" -> d90Oracle,
     "d91_pmi_collocations" -> d91Oracle,
+    "d92_skew_sessions" -> d92Oracle,
+    "d93_bucketed_join" -> d93Oracle,
     "d23_chunking" -> d23Oracle,
     "d24_tfidf" -> d24Oracle,
     "d25_surprisal" -> d25Oracle,

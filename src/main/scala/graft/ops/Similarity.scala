@@ -1092,10 +1092,13 @@ object Similarity {
     * different payload); embeddings flag paraphrases the hashes miss —
     * a pair both signals agree on is a safe drop, a disputed pair is a
     * review queue, and the dispute RATE is a corpus-health number.
-    * Emits every text-proposed pair with its Hamming distance, cosine,
-    * and the confirmation verdict (inner join on the id space:
-    * confirmation applies where vectors exist; elsewhere the
-    * text-only verdict stands).
+    * Emits each text-proposed pair whose BOTH documents have vectors
+    * in the embedding store, with its Hamming distance, cosine, and
+    * the confirmation verdict — an inner join on the id space, so a
+    * pair with an unembedded side is EXCLUDED from this report (it
+    * stays in d16's own output; a pipeline wanting text-only verdicts
+    * for unembedded docs consumes d16 directly, this op is the
+    * cross-check over the embedded subset).
     *
     * Scale shape: d16's capped band join proposes candidate pairs
     * (never all-pairs); the vector join-back touches candidate ids

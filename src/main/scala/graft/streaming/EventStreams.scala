@@ -46,13 +46,23 @@ object EventStreams {
   def readEvents(spark: SparkSession, dir: String): DataFrame = {
     // the staged entry can be a bare parquet FILE (testdata layout) or
     // a directory-shaped table (Spark writes) — the batch probe does
-    // not recurse, so try both shapes; an unreadable dir (day-one
-    // empty) defaults to the current MICROS generation
-    val isNanos = Seq(dir, s"$dir/*").view
+    // not recurse, so try both shapes
+    val probed = Seq(dir, s"$dir/*").view
       .flatMap(p => scala.util.Try(spark.read.parquet(p).schema).toOption)
       .headOption
       .flatMap(_.find(_.name == "ts"))
-      .exists(_.dataType == LongType)
+    // a day-one-empty dir has no footer to probe: we must still pick a
+    // unit (the stream cannot re-declare its schema later), but doing
+    // so SILENTLY is how a NANOS-generation file landing after stream
+    // start gets mis-scaled 1000× with no trace — make the assumption
+    // loud so the operator can restart the stream against real files
+    if (probed.isEmpty)
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"readEvents: no readable parquet footer under '$dir'; ASSUMING " +
+          "the MICROS timestamp generation. If NANOS-generation files " +
+          "arrive on this stream their event times will be wrong by " +
+          "1000x — restart the stream once files exist to re-probe.")
+    val isNanos = probed.exists(_.dataType == LongType)
     val raw = spark.readStream.schema(eventSchema).parquet(dir)
     if (isNanos) raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
     else raw.withColumn("ts", timestamp_micros(col("ts")))
