@@ -1555,6 +1555,168 @@ object CorpusOps {
        FROM orders JOIN lineitem ON o_orderkey = l_orderkey
        GROUP BY o_orderkey ORDER BY o_orderkey"""
 
+  // --------------------------------------------------------------- d94
+  /** SEMI-STRUCTURED PROPS EXTRACTION — every real event log carries a
+    * JSON properties blob, and "parse it once, at the scan, with a
+    * declared schema" is the scale discipline: `from_json` with an
+    * explicit schema is ONE parse per row no matter how many fields
+    * downstream reads pull out (ad-hoc `get_json_object` calls re-parse
+    * the blob per field), it is a narrow map (no shuffle, no UDF), and
+    * malformed blobs become NULL fields — a per-row data-quality signal
+    * (`n_bad`) instead of a failed stage. Emits the per-event-type
+    * rollup of the extracted field: counts, sum/avg/min/max, and how
+    * many rows failed to parse.
+    *
+    * Scale shape: parse + extract ride the scan projection; the only
+    * shuffle is the 5-row event-type aggregate with map-side partials. */
+  def d94JsonProps(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    val propsSchema = StructType(Seq(StructField("k", LongType)))
+    Tables.load(spark, dir, "events")
+      .select(col("event_type"),
+        from_json(col("props"), propsSchema).getField("k").as("k"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_events"),
+        sum("k").as("sum_k"),
+        round(avg("k"), 4).as("avg_k"),
+        min("k").as("min_k"),
+        max("k").as("max_k"),
+        count(when(col("k").isNull, 1)).as("n_bad"))
+      .orderBy("event_type")
+  }
+
+  val d94Oracle: String =
+    """WITH x AS (
+         SELECT event_type, CAST(props->>'$.k' AS BIGINT) AS k
+         FROM events)
+       SELECT event_type, count(*) AS n_events,
+         CAST(sum(k) AS BIGINT) AS sum_k,
+         round(avg(k), 4) AS avg_k,
+         min(k) AS min_k, max(k) AS max_k,
+         count(CASE WHEN k IS NULL THEN 1 END) AS n_bad
+       FROM x GROUP BY event_type ORDER BY event_type"""
+
+  // --------------------------------------------------------------- d95
+  /** PARTITION-PRUNED SCAN, gated end-to-end — the third write-time
+    * layout with a driver gate (d75 pins Z-order, d93 pins bucketing):
+    * events are written `partitionBy(event_type)` via
+    * [[graft.io.Layouts.writePartitioned]], then read back with a
+    * selective event-type filter. The op REQUIRES the filter to reach
+    * the scan as a partition filter (directory pruning at planning
+    * time — unselected partitions are never listed, let alone read),
+    * not a post-scan row filter: at 100 TB the difference is scanning
+    * 2/5 of the table vs all of it. The result is hash-checked against
+    * DuckDB's plain filtered aggregate over the ORIGINAL table —
+    * layout changes the PLAN, never the ANSWER. */
+  def d95PartitionedScan(spark: SparkSession, dir: String): DataFrame = {
+    val path = new java.io.File(sys.props("java.io.tmpdir"),
+      "graft_d95_events_p").getPath
+    val src = Tables.load(spark, dir, "events")
+      .select(col("event_id"), col("event_type"), col("value"))
+    graft.io.Layouts.writePartitioned(src, path, "event_type")
+    // read back with the DECLARED schema: a zero-row source writes no
+    // partition directories at all, and schema inference over the bare
+    // _SUCCESS marker would fail — the op must stay total on empty
+    // inputs (and at scale the reader knows its schema anyway)
+    val pruned = spark.read.schema(src.schema).parquet(path)
+      .filter(col("event_type").isin("view", "purchase"))
+    // pin the pruning: the event_type predicate must be a PARTITION
+    // filter on the scan (directory pruning), leaving no row-level
+    // filter to apply post-scan. A zero-row source writes no partition
+    // directories, so the read-back relation has no partition schema to
+    // prune — the pin applies exactly when the layout exists.
+    val scans = pruned.queryExecution.executedPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }
+    require(scans.forall(s =>
+        s.relation.partitionSchema.isEmpty || s.partitionFilters.nonEmpty),
+      "event_type filter must prune partitions at the scan")
+    pruned.groupBy("event_type")
+      .agg(count(lit(1)).as("n_events"),
+        round(sum("value"), 2).as("total_value"))
+      .orderBy("event_type")
+  }
+
+  val d95Oracle: String =
+    """SELECT event_type, count(*) AS n_events,
+         round(sum(value), 2) AS total_value
+       FROM events WHERE event_type IN ('view', 'purchase')
+       GROUP BY event_type ORDER BY event_type"""
+
+  // --------------------------------------------------------------- d96
+  /** PROPS SCHEMA CENSUS — the semi-structured drift monitor d94's
+    * fixed-schema extraction depends on: the set of TOP-LEVEL KEYS in
+    * each event's JSON props, canonicalized (sorted, comma-joined) and
+    * counted per event type. An upstream producer adding, renaming, or
+    * dropping a field shows up here as a new key-shape row BEFORE the
+    * d94 extraction starts silently emitting NULLs for it — the
+    * schema-on-read audit every JSON ingest needs. Parsed as
+    * `map<string,string>` (schema-agnostic: any top-level object
+    * parses, values are not interpreted), so the census itself never
+    * chases the schema it is auditing.
+    *
+    * Scale shape: parse + key-sort is a narrow map; the shuffle is the
+    * (type, shape) aggregate — rows bounded by the number of DISTINCT
+    * producer schemas, not events. */
+  def d96PropsSchema(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.{MapType, StringType}
+    Tables.load(spark, dir, "events")
+      .select(col("event_type"),
+        concat_ws(",", array_sort(map_keys(
+          from_json(col("props"), MapType(StringType, StringType)))))
+          .as("key_shape"))
+      .groupBy("event_type", "key_shape")
+      .agg(count(lit(1)).as("n"))
+      .orderBy("event_type", "key_shape")
+  }
+
+  val d96Oracle: String =
+    """SELECT event_type,
+         array_to_string(list_sort(json_keys(props)), ',') AS key_shape,
+         count(*) AS n
+       FROM events GROUP BY 1, 2 ORDER BY 1, 2"""
+
+  // --------------------------------------------------------------- d97
+  /** LAST-TOUCH ATTRIBUTION — for every purchase, the most recent
+    * STRICTLY-earlier view by the same user (and the gap): the
+    * conversion-lag / attribution query behind "which impression gets
+    * credit", and the event-table consumer of the reusable
+    * [[Relational.asofTagged]] as-of primitive (q21 exercises it on
+    * orders; this gates it on the behavioral log against DuckDB's
+    * NATIVE `ASOF LEFT JOIN` — two independent as-of implementations
+    * must agree row-for-row, nulls included for never-viewed
+    * purchasers).
+    *
+    * Scale shape: the single-frame tagged form scans events ONCE
+    * (filtered to the two types at the scan, so only relevant rows
+    * shuffle), one user-keyed window exchange, no join node at all —
+    * the range frame resolves the as-of lookup in-partition. */
+  def d97Attribution(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.load(spark, dir, "events")
+      .filter(col("event_type").isin("purchase", "view"))
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"))
+    Relational.asofTagged(ev, col("event_type") === "purchase",
+        "user_id", "us", "last_view_us")
+      .select(col("event_id"), col("user_id"), col("us"),
+        col("last_view_us"),
+        (col("us") - col("last_view_us")).as("gap_us"))
+      .orderBy("event_id")
+  }
+
+  val d97Oracle: String =
+    """WITH e AS (
+         SELECT user_id, event_id, event_type, epoch_us(ts) AS us
+         FROM events WHERE event_type IN ('purchase', 'view')),
+       p AS (SELECT user_id, event_id, us FROM e
+             WHERE event_type = 'purchase'),
+       v AS (SELECT user_id, us FROM e WHERE event_type = 'view')
+       SELECT p.event_id, p.user_id, p.us, v.us AS last_view_us,
+         p.us - v.us AS gap_us
+       FROM p ASOF LEFT JOIN v
+         ON p.user_id = v.user_id AND v.us < p.us
+       ORDER BY p.event_id"""
+
   // --------------------------------------------------------------- d85
   /** Boundary divisor: a token whose hash ≡ 0 (mod this) STARTS a new
     * chunk — expected chunk length equals the divisor. */
@@ -2296,6 +2458,10 @@ object CorpusOps {
     "d91_pmi_collocations" -> (d91PmiCollocations _),
     "d92_skew_sessions" -> (d92SkewSessions _),
     "d93_bucketed_join" -> (d93BucketedJoin _),
+    "d94_json_props" -> (d94JsonProps _),
+    "d95_partitioned_scan" -> (d95PartitionedScan _),
+    "d96_props_schema" -> (d96PropsSchema _),
+    "d97_attribution" -> (d97Attribution _),
     "d23_chunking" -> (d23Chunking _),
     "d24_tfidf" -> (d24Tfidf _),
     "d25_surprisal" -> (d25Surprisal _),
@@ -2337,6 +2503,10 @@ object CorpusOps {
     "d91_pmi_collocations" -> d91Oracle,
     "d92_skew_sessions" -> d92Oracle,
     "d93_bucketed_join" -> d93Oracle,
+    "d94_json_props" -> d94Oracle,
+    "d95_partitioned_scan" -> d95Oracle,
+    "d96_props_schema" -> d96Oracle,
+    "d97_attribution" -> d97Oracle,
     "d23_chunking" -> d23Oracle,
     "d24_tfidf" -> d24Oracle,
     "d25_surprisal" -> d25Oracle,
