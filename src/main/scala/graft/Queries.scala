@@ -767,14 +767,16 @@ object Queries {
   val all: Map[String, (SparkSession, String) => DataFrame] =
     relational ++ ops.TextOps.queries ++ ops.FuzzyDedup.queries ++
       ops.Similarity.queries ++ ops.Multimodal.queries ++
-      ops.CorpusOps.queries ++ ops.SqlSurface.queries ++
+      ops.CorpusOps.queries ++ ops.GraphOps.queries ++
+      ops.SqlSurface.queries ++
       streaming.StreamGates.queries ++
       validate.ValidationQueries.queries
 
   val oracles: Map[String, String] =
     relationalOracles ++ ops.TextOps.oracles ++ ops.FuzzyDedup.oracles ++
       ops.Similarity.oracles ++ ops.Multimodal.oracles ++
-      ops.CorpusOps.oracles ++ ops.SqlSurface.oracles ++
+      ops.CorpusOps.oracles ++ ops.GraphOps.oracles ++
+      ops.SqlSurface.oracles ++
       streaming.StreamGates.oracles ++
       validate.ValidationQueries.oracles
 }

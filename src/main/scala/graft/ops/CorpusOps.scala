@@ -2440,7 +2440,167 @@ object CorpusOps {
        HAVING count(*) >= (SELECT thr FROM t)
        ORDER BY n DESC, token"""
 
+  // -------------------------------------------------------------- d102
+  /** DSIR feature-space size: hashed-bigram buckets. The public recipe
+    * uses 10k buckets; 4096 keeps the broadcast table tiny while the
+    * smoothing still dominates hash-collision noise at fixture scale. */
+  private[graft] val DsirBuckets = 4096
+  /** The target distribution: English documents (the "domain you want
+    * more of" in the data-selection setting). */
+  private[graft] val DsirTargetLang = "en"
+
+  /** DATA SELECTION VIA IMPORTANCE RESAMPLING (DSIR — Xie et al. 2023,
+    * arXiv:2302.03169, public): score every document by the
+    * log-likelihood ratio of its hashed-bigram features under a TARGET
+    * bag-of-bigrams model vs the RAW corpus model —
+    * `w(doc) = Σ_b count_b(doc) · ln(p̂_t(b) / p̂_r(b))` with add-one
+    * smoothing over [[DsirBuckets]] buckets. High-weight docs "look
+    * like" the target domain; resampling by these weights is the
+    * published way to tilt a 100 TB crawl toward a quality domain
+    * without training a classifier. Complements d56's curriculum (which
+    * ranks by intrinsic quality) with a RELATIVE, target-anchored
+    * score.
+    *
+    * Scale shape: the token-hash projection is computed once
+    * (checkpointed, d41's discipline) with the target flag riding
+    * along; ONE bucket aggregate computes raw and target counts
+    * together (a conditional sum, not two passes); the bucket model is
+    * a [[DsirBuckets]]-row broadcast, so the per-doc scoring pass is
+    * map-side explode → broadcast probe → doc aggregate. Nothing
+    * corpus-sized shuffles except the (doc, bucket) explode, the same
+    * stream d41 already pays for. Bigram hashing reuses
+    * [[graft.functions.BigramHashes]] — codegen'd, oracle-interpolated. */
+  def d102DsirWeights(spark: SparkSession, dir: String): DataFrame = {
+    val m = graft.functions.ShingleHashes.M
+    val d = docs(spark, dir)
+      .select(col("doc_id"),
+        (col("lang") === DsirTargetLang).cast("int").as("is_t"),
+        graft.functions.TokenHashes(tokens(lower(col("text"))), m).as("hs"))
+      .localCheckpoint()
+    val bg = d.select(col("doc_id"), col("is_t"),
+        explode(graft.functions.BigramHashes(col("hs"))).as("e"))
+      .select(col("doc_id"), col("is_t"),
+        pmod(col("e.h12"), lit(DsirBuckets.toLong)).as("b"))
+    val buckets = bg.groupBy("b")
+      .agg(count(lit(1)).as("c_r"), sum(col("is_t").cast("long")).as("c_t"))
+    val totals = broadcast(buckets.agg(
+      sum("c_r").as("n_r"), sum("c_t").as("n_t")))
+    val model = broadcast(buckets.crossJoin(totals)
+      .select(col("b"),
+        (log((col("c_t") + lit(1.0)) / (col("n_t") + lit(DsirBuckets))) -
+         log((col("c_r") + lit(1.0)) / (col("n_r") + lit(DsirBuckets))))
+          .as("lr")))
+    val per = bg.join(model, "b")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(sum("lr"), 4).as("dsir_weight"))
+    d.select("doc_id").join(per, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        col("dsir_weight"))
+      .orderBy("doc_id")
+  }
+
+  val d102Oracle: String = {
+    val m = graft.functions.ShingleHashes.M
+    val k1 = graft.functions.ShingleHashes.K1
+    s"""WITH th AS (
+         SELECT doc_id,
+           CASE WHEN lang = '$DsirTargetLang' THEN 1 ELSE 0 END AS is_t,
+           list_transform(regexp_extract_all(lower(text), '\\S+'),
+                          t -> ('0x'||substr(md5(t),1,15))::BIGINT % $m) AS hs
+         FROM documents),
+       bg AS (
+         SELECT doc_id, is_t,
+           ((hs[i] * $k1 + hs[i+1]) % $m) % $DsirBuckets AS b
+         FROM th, unnest(range(1, len(hs))) AS u(i)),
+       buckets AS (
+         SELECT b, CAST(count(*) AS BIGINT) AS c_r,
+           CAST(sum(is_t) AS BIGINT) AS c_t
+         FROM bg GROUP BY b),
+       totals AS (
+         SELECT CAST(sum(c_r) AS BIGINT) AS n_r,
+           CAST(sum(c_t) AS BIGINT) AS n_t
+         FROM buckets),
+       model AS (
+         SELECT b,
+           ln((c_t + 1.0) / (n_t + $DsirBuckets)) -
+           ln((c_r + 1.0) / (n_r + $DsirBuckets)) AS lr
+         FROM buckets, totals),
+       per AS (
+         SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+           round(sum(lr), 4) AS dsir_weight
+         FROM bg JOIN model USING (b) GROUP BY doc_id)
+       SELECT th.doc_id, coalesce(n_bigrams, 0) AS n_bigrams, dsir_weight
+       FROM th LEFT JOIN per USING (doc_id) ORDER BY th.doc_id"""
+  }
+
+  // -------------------------------------------------------------- d103
+  /** COHORT A/B COMPARISON (Welch's unequal-variance t-test, public
+    * textbook statistics) — the experiment-readout primitive over the
+    * event log: users are split into two cohorts by doc-id parity (in
+    * production, the experiment assignment column), the per-user metric
+    * is total event value, and the report is the two cohorts'
+    * n/mean/variance plus the Welch t statistic and
+    * Welch–Satterthwaite degrees of freedom. The "is this release
+    * change real" question every event pipeline ends at.
+    *
+    * Scale shape: one user-keyed aggregate (map-side partials) collapses
+    * the log to per-user metrics; the cohort moments are a 2-row
+    * aggregate of THAT; the t arithmetic runs on a 1-row frame. The
+    * only corpus-sized exchange is the per-user groupBy — and a salted
+    * two-phase variant is unnecessary because user_id is the natural
+    * high-cardinality key. */
+  def d103AbTest(spark: SparkSession, dir: String): DataFrame = {
+    val perUser = Tables.load(spark, dir, "events")
+      .groupBy("user_id").agg(sum("value").as("metric"))
+      .withColumn("cohort", pmod(col("user_id"), lit(2L)).cast("int"))
+    val moments = perUser.groupBy("cohort")
+      .agg(count(lit(1)).as("n"), avg("metric").as("mean"),
+        var_samp("metric").as("v"))
+    val wide = moments
+      .agg(
+        min_by(col("n"), col("cohort")).as("n_a"),
+        min_by(col("mean"), col("cohort")).as("mean_a"),
+        min_by(col("v"), col("cohort")).as("v_a"),
+        max_by(col("n"), col("cohort")).as("n_b"),
+        max_by(col("mean"), col("cohort")).as("mean_b"),
+        max_by(col("v"), col("cohort")).as("v_b"))
+    val sa = col("v_a") / col("n_a")
+    val sb = col("v_b") / col("n_b")
+    wide.select(
+      col("n_a"), round(col("mean_a"), 4).as("mean_a"),
+      col("n_b"), round(col("mean_b"), 4).as("mean_b"),
+      round((col("mean_a") - col("mean_b")) / sqrt(sa + sb), 4).as("t_stat"),
+      round((sa + sb) * (sa + sb) /
+        (sa * sa / (col("n_a") - 1) + sb * sb / (col("n_b") - 1)), 4)
+        .as("df"))
+  }
+
+  val d103Oracle: String =
+    """WITH pu AS (
+         SELECT user_id, sum(value) AS metric,
+           CAST(user_id % 2 AS INT) AS cohort
+         FROM events GROUP BY user_id),
+       m AS (
+         SELECT cohort, CAST(count(*) AS BIGINT) AS n, avg(metric) AS mean,
+           var_samp(metric) AS v
+         FROM pu GROUP BY cohort),
+       w AS (
+         SELECT min_by(n, cohort) AS n_a, min_by(mean, cohort) AS mean_a,
+           min_by(v, cohort) AS v_a, max_by(n, cohort) AS n_b,
+           max_by(mean, cohort) AS mean_b, max_by(v, cohort) AS v_b
+         FROM m)
+       SELECT n_a, round(mean_a, 4) AS mean_a, n_b, round(mean_b, 4) AS mean_b,
+         round((mean_a - mean_b) / sqrt(v_a / n_a + v_b / n_b), 4) AS t_stat,
+         round((v_a / n_a + v_b / n_b) * (v_a / n_a + v_b / n_b) /
+           ((v_a / n_a) * (v_a / n_a) / (n_a - 1) +
+            (v_b / n_b) * (v_b / n_b) / (n_b - 1)), 4) AS df
+       FROM w"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d102_dsir_weights" -> (d102DsirWeights _),
+    "d103_ab_test" -> (d103AbTest _),
     "d71_heavy_hitters" -> (d71HeavyHitters _),
     "d72_zipf_fit" -> (d72ZipfFit _),
     "d73_key_skew" -> (d73KeySkew _),
@@ -2486,6 +2646,8 @@ object CorpusOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "d102_dsir_weights" -> d102Oracle,
+    "d103_ab_test" -> d103Oracle,
     "d71_heavy_hitters" -> d71Oracle,
     "d72_zipf_fit" -> d72Oracle,
     "d73_key_skew" -> d73Oracle,

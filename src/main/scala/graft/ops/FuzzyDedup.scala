@@ -1212,7 +1212,81 @@ object FuzzyDedup {
          FROM tot t LEFT JOIN known USING (doc_id) JOIN exact USING (doc_id))
        ORDER BY doc_id"""
 
+  // -------------------------------------------------------------- d101
+  /** Edit-distance match threshold for the entity-resolution gate. */
+  private[graft] val ErMaxLev = 3
+
+  /** BLOCKED FUZZY MATCHING (entity resolution) — near-duplicate VALUES
+    * rather than near-duplicate documents: part names within
+    * levenshtein ≤ [[ErMaxLev]] of each other, the record-linkage
+    * primitive behind catalog dedup, address matching, and
+    * typo-tolerant entity canonicalization (Fellegi–Sunter-family
+    * blocking, public since 1969).
+    *
+    * The scale discipline is the dedup family's, applied to values:
+    *  1. EXACT pre-pass — collapse the column to distinct values with
+    *     frequencies (the quadratic stage must never see row
+    *     multiplicity; 2000 part rows hold only 64 distinct names, and
+    *     a 100 TB catalog column is similarly value-compressible);
+    *  2. MULTI-PASS BLOCKING — levenshtein admits no hash bucketing,
+    *     so candidates come from cheap equi-join block keys. One key
+    *     misses pairs that differ inside it (a first-character block
+    *     can never match "cold"/"old"); the standard fix is several
+    *     independent passes unioned — here first-char and last-char of
+    *     the lowercased value, which cannot BOTH sit inside a ≤3-edit
+    *     difference for these short strings unless the strings are
+    *     long enough to also collide elsewhere (recall audit = d84's
+    *     job applied here);
+    *  3. the edit distance runs only inside blocks (each a broadcast
+    *     equi-join at this scale; a salted repartition join on the
+    *     block key at 100 TB), and the pair set is re-deduped across
+    *     passes.
+    * Emits matched value pairs with distance and both frequencies. */
+  def d101FuzzyMatch(spark: SparkSession, dir: String): DataFrame = {
+    val names = Tables.load(spark, dir, "part")
+      .groupBy("p_name").agg(count(lit(1)).as("n"))
+      .localCheckpoint()
+    def pass(key: Column => Column): DataFrame = {
+      val a = names.select(col("p_name").as("name_a"), col("n").as("n_a"),
+        key(col("p_name")).as("k"))
+      val b = names.select(col("p_name").as("name_b"), col("n").as("n_b"),
+        key(col("p_name")).as("k"))
+      a.join(b, Seq("k"))
+        .filter(col("name_a") < col("name_b") &&
+          levenshtein(col("name_a"), col("name_b")) <= ErMaxLev)
+        .select(col("name_a"), col("name_b"),
+          levenshtein(col("name_a"), col("name_b")).as("lev"),
+          col("n_a"), col("n_b"))
+    }
+    pass(c => substring(lower(c), 1, 1))
+      .union(pass(c => substring(lower(c), -1, 1)))
+      .distinct()
+      .orderBy("lev", "name_a", "name_b")
+  }
+
+  val d101Oracle: String =
+    s"""WITH names AS (
+         SELECT p_name, CAST(count(*) AS BIGINT) AS n
+         FROM part GROUP BY p_name),
+       pairs AS (
+         SELECT a.p_name AS name_a, b.p_name AS name_b,
+           levenshtein(a.p_name, b.p_name) AS lev, a.n AS n_a, b.n AS n_b
+         FROM names a JOIN names b
+           ON substr(lower(a.p_name), 1, 1) = substr(lower(b.p_name), 1, 1)
+           AND a.p_name < b.p_name
+         WHERE levenshtein(a.p_name, b.p_name) <= $ErMaxLev
+         UNION
+         SELECT a.p_name, b.p_name, levenshtein(a.p_name, b.p_name),
+           a.n, b.n
+         FROM names a JOIN names b
+           ON substr(lower(a.p_name), -1, 1) = substr(lower(b.p_name), -1, 1)
+           AND a.p_name < b.p_name
+         WHERE levenshtein(a.p_name, b.p_name) <= $ErMaxLev)
+       SELECT name_a, name_b, CAST(lev AS INT) AS lev, n_a, n_b
+       FROM pairs ORDER BY lev, name_a, name_b"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d101_fuzzy_match" -> (d101FuzzyMatch _),
     "d27_incremental_novelty" -> (d27IncrementalNovelty _),
     "d2_minhash_dedup" -> (d2MinhashDedup _),
     "d84_minhash_recall" -> (d84MinhashRecall _),
@@ -1232,6 +1306,7 @@ object FuzzyDedup {
   )
 
   val oracles: Map[String, String] = Map(
+    "d101_fuzzy_match" -> d101Oracle,
     "d27_incremental_novelty" -> d27Oracle,
     "d2_minhash_dedup" -> d2Oracle,
     "d84_minhash_recall" -> d84Oracle,

@@ -498,6 +498,175 @@ object TextOps {
          FROM documents)
        ORDER BY doc_id"""
 
+  // --------------------------------------------------------------- d99
+  /** Per-source repeat cap, in epochs: no source may contribute more
+    * than this many passes over itself to the mixture (UniMax's N). */
+  private[graft] val EpochCap = 3L
+
+  /** Mixture token budget as a fraction of one corpus pass, kept as an
+    * integer ratio (14/5 = 2.8 epochs of the whole corpus) so the
+    * budget — and the whole allocation below it — is computed in exact
+    * BIGINT arithmetic in both engines. */
+  private[graft] val BudgetNum = 14L
+  private[graft] val BudgetDen = 5L
+
+  /** EPOCH-CAPPED MIXTURE ALLOCATION (UniMax — Chung et al. 2023,
+    * arXiv:2304.09151, public): distribute a total token budget across
+    * sources as uniformly as possible subject to a per-source repeat
+    * cap of [[EpochCap]] epochs. The optimum is water-filling:
+    * `alloc_s = min(cap_s, τ)` with the waterline τ chosen so the
+    * allocations exhaust the budget — small sources are fully consumed
+    * at their cap, large sources are leveled at τ. This is the
+    * principled alternative to d66's temperature heuristic: instead of
+    * tuning α, the cap directly bounds repetition (the quantity that
+    * actually degrades models).
+    *
+    * The waterline comes from the sorted-prefix characterization: with
+    * sources ordered by cap ascending, a source is FULLY allocated iff
+    * `cap_i · (k−i+1) ≤ B − Σ_{j<i} cap_j` — the flag is monotone in i
+    * (proof: the difference between consecutive left-hand sides is
+    * `(k−i)(cap_{i+1}−cap_i) ≥ 0`), so the first failing row fixes
+    * τ = ⌊remaining budget / sources remaining⌋, computed here with
+    * `min_by` over the not-full rows. ALL arithmetic below the token
+    * count is BIGINT (the budget is an integer ratio, τ a floor
+    * division), so both engines agree bit-for-bit with no float
+    * tolerance anywhere.
+    *
+    * Scale shape: one tokenize-and-count corpus scan collapses to the
+    * per-source aggregate (~sources rows); the ordering/prefix-sum runs
+    * through [[GlobalOrder.runningTotal]] (range exchange, no
+    * single-partition window even on the tiny aggregate — the repo-wide
+    * ban has no "small enough" exemption), and the waterline is a 1-row
+    * aggregate broadcast back. Nothing after the scan is corpus-sized. */
+  def d99EpochMix(spark: SparkSession, dir: String): DataFrame = {
+    val per = docs(spark, dir)
+      .select(col("source"), size(tokens(col("text"))).cast("long").as("n_tok"))
+      .groupBy("source").agg(sum("n_tok").as("n_tokens"))
+      .withColumn("cap", col("n_tokens") * EpochCap)
+    val totals = broadcast(per.agg(
+      count(lit(1)).as("k"),
+      expr(s"sum(n_tokens) * $BudgetNum div $BudgetDen").as("budget")))
+    val g = GlobalOrder
+      .runningTotal(per, Seq(col("cap").asc, col("source").asc), col("cap"))
+      .crossJoin(totals)
+      .withColumn("is_full",
+        col("cap") * (col("k") - col("rank") + 1) <=
+          col("budget") - (col("running") - col("cap")))
+      .localCheckpoint()
+    val tau = broadcast(g.filter(!col("is_full"))
+      .agg(min_by(col("budget") - (col("running") - col("cap")), col("rank"))
+             .as("num"),
+           min_by(col("k") - col("rank") + 1, col("rank")).as("den"))
+      .select(expr("num div den").as("tau")))
+    val alloc = when(col("is_full"), col("cap"))
+      .otherwise(coalesce(col("tau"), col("cap")))
+    g.crossJoin(tau)
+      .select(col("source"), col("n_tokens"), col("cap"),
+        alloc.as("alloc_tokens"),
+        round(alloc.cast("double") / col("n_tokens").cast("double"), 4)
+          .as("epochs"))
+      .orderBy("source")
+  }
+
+  val d99Oracle: String =
+    s"""WITH s AS (
+         SELECT source,
+           CAST(sum(len(regexp_extract_all(text, '\\S+'))) AS BIGINT)
+             AS n_tokens
+         FROM documents GROUP BY source),
+       caps AS (SELECT source, n_tokens, n_tokens * $EpochCap AS cap FROM s),
+       tot AS (
+         SELECT CAST(count(*) AS BIGINT) AS k,
+           (CAST(sum(n_tokens) AS BIGINT) * $BudgetNum) // $BudgetDen
+             AS budget
+         FROM caps),
+       r AS (
+         SELECT source, n_tokens, cap,
+           row_number() OVER (ORDER BY cap, source) AS rank,
+           CAST(sum(cap) OVER (ORDER BY cap, source
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+             AS running
+         FROM caps),
+       g AS (
+         SELECT r.*, k, budget,
+           cap * (k - rank + 1) <= budget - (running - cap) AS is_full
+         FROM r, tot),
+       tau AS (
+         SELECT min_by(budget - (running - cap), rank)
+                  // min_by(k - rank + 1, rank) AS tau
+         FROM g WHERE NOT is_full)
+       SELECT source, n_tokens, cap,
+         CAST(CASE WHEN is_full THEN cap
+                   ELSE coalesce(tau, cap) END AS BIGINT) AS alloc_tokens,
+         round(CAST(CASE WHEN is_full THEN cap
+                         ELSE coalesce(tau, cap) END AS DOUBLE)
+               / CAST(n_tokens AS DOUBLE), 4) AS epochs
+       FROM g, tau ORDER BY source"""
+
+  // -------------------------------------------------------------- d100
+  /** Vocabulary size for the OOV audit — top-V tokens by corpus
+    * frequency (d19's definition, V raised to a closed-vocab size). */
+  private[graft] val OovVocabSize = 1000
+
+  /** OUT-OF-VOCABULARY RATE — per-document share of tokens outside the
+    * top-[[OovVocabSize]] corpus vocabulary: the coverage statistic
+    * behind closed-vocab tokenizer sizing (what fraction of the corpus
+    * becomes <unk>) and a strong gibberish/boilerplate signal (a doc
+    * whose tokens are mostly corpus-rare is noise, a different failure
+    * mode than d20's self-repetition or d25's distributional
+    * surprisal).
+    *
+    * Scale shape: the tokenized projection is checkpointed once and
+    * feeds both consumers (vocabulary build and per-doc count) — one
+    * corpus tokenize, the d24 discipline. The vocabulary is a
+    * TakeOrdered head (per-partition heaps) broadcast to the
+    * membership join, so the per-doc pass is map-side: explode, probe
+    * the broadcast, re-aggregate on doc_id. Zero-token docs are kept
+    * (NULL rate) — dropping rows is the curation gate's job. */
+  def d100OovRate(spark: SparkSession, dir: String): DataFrame = {
+    val t = docs(spark, dir)
+      .select(col("doc_id"), tokens(lower(col("text"))).as("toks"))
+      .localCheckpoint()
+    val tok = t.select(col("doc_id"), explode(col("toks")).as("token"))
+    val vocab = tok.groupBy("token").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("token")).limit(OovVocabSize)
+      .select(col("token"), lit(1).as("iv"))
+    val per = tok.join(broadcast(vocab), Seq("token"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tok"),
+        sum(when(col("iv").isNull, 1L).otherwise(0L)).as("n_oov"))
+    t.select("doc_id").join(per, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_tok"), lit(0L)).as("n_tok"),
+        coalesce(col("n_oov"), lit(0L)).as("n_oov"),
+        when(coalesce(col("n_tok"), lit(0L)) === 0,
+          lit(null).cast("double"))
+          .otherwise(round(col("n_oov") * lit(1.0) / col("n_tok"), 4))
+          .as("oov_rate"))
+      .orderBy("doc_id")
+  }
+
+  val d100Oracle: String =
+    s"""WITH t AS (
+         SELECT doc_id, regexp_extract_all(lower(text), '\\S+') AS toks
+         FROM documents),
+       tok AS (SELECT doc_id, unnest(toks) AS token FROM t),
+       vocab AS (
+         SELECT token FROM (
+           SELECT token, count(*) AS n FROM tok GROUP BY token
+           ORDER BY n DESC, token LIMIT $OovVocabSize)),
+       per AS (
+         SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tok,
+           CAST(sum(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_oov
+         FROM tok LEFT JOIN vocab v ON tok.token = v.token
+         GROUP BY doc_id)
+       SELECT t.doc_id, coalesce(n_tok, 0) AS n_tok,
+         coalesce(n_oov, 0) AS n_oov,
+         CASE WHEN coalesce(n_tok, 0) = 0 THEN NULL
+              ELSE round(n_oov * 1.0 / n_tok, 4) END AS oov_rate
+       FROM t LEFT JOIN per USING (doc_id) ORDER BY t.doc_id"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d1_exact_dedup" -> (d1ExactDedup _),
     "d5_text_stats" -> (d5TextStats _),
@@ -510,7 +679,9 @@ object TextOps {
     "d66_mixture_weights" -> (d66MixtureWeights _),
     "d68_length_buckets" -> (d68LengthBuckets _),
     "d19_vocab" -> (d19Vocab _),
-    "d21_packing" -> (d21Packing _)
+    "d21_packing" -> (d21Packing _),
+    "d99_epoch_mix" -> (d99EpochMix _),
+    "d100_oov_rate" -> (d100OovRate _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -525,6 +696,8 @@ object TextOps {
     "d66_mixture_weights" -> d66Oracle,
     "d68_length_buckets" -> d68Oracle,
     "d19_vocab" -> d19Oracle,
-    "d21_packing" -> d21Oracle
+    "d21_packing" -> d21Oracle,
+    "d99_epoch_mix" -> d99Oracle,
+    "d100_oov_rate" -> d100Oracle
   )
 }

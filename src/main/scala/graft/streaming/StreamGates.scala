@@ -163,13 +163,55 @@ object StreamGates {
     """SELECT DISTINCT md5(text) AS text_hash FROM documents
        ORDER BY text_hash"""
 
+  // -------------------------------------------------------------- d104
+  /** The WINDOWED-AGGREGATION streaming path under the gate — the one
+    * canonical streaming shape the trio above does not cover (d50 is a
+    * stateless broadcast map, d64 keyed `mapGroupsWithState`, d76 the
+    * dedup state store): [[EventStreams.hourlyCounts]] — event-time
+    * tumbling windows over the watermarked stream — run end-to-end over
+    * the events table arriving through a file-stream source, checked
+    * against q17's batch oracle VERBATIM (the window-start column IS
+    * `date_trunc('hour')` for a tumbling 1-hour window).
+    *
+    * Complete output mode, deliberately: with AvailableNow the final
+    * micro-batch's watermark still trails max event time, so append
+    * mode would withhold the trailing unfinalized windows and the gate
+    * would compare a prefix. Complete mode emits every window — the
+    * right semantics for a bounded backfill run. A LIVE deployment runs
+    * this same plan in append mode, where the watermark both finalizes
+    * windows and BOUNDS STATE to the horizon; complete mode here keeps
+    * all window state, which is fine for a gate over a finite table and
+    * wrong for an unbounded stream — the mode choice, not the plan, is
+    * what differs. */
+  def d104StreamHourly(spark: SparkSession, dir: String): DataFrame = {
+    val staged = Files.createTempDirectory("graft-d104")
+    Files.createSymbolicLink(
+      staged.resolve("events.parquet"),
+      Paths.get(s"$dir/events.parquet").toAbsolutePath)
+    val stream = EventStreams.readEvents(spark, staged.toString)
+    val name = s"graft_d104_run${runSeq.incrementAndGet()}"
+    val query = EventStreams.hourlyCounts(stream)
+      .writeStream.format("memory").queryName(name)
+      .outputMode("complete")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    query.awaitTermination()
+    spark.table(name).orderBy("hour", "event_type")
+  }
+
+  /** q17's oracle verbatim — the streaming windowed aggregation must
+    * agree with the batch hourly rollup definition. */
+  val d104Oracle: String = graft.Queries.q17Oracle
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d50_stream_decontaminate" -> (d50StreamDecontaminate _),
     "d64_stream_sessions" -> (d64StreamSessions _),
-    "d76_stream_dedup" -> (d76StreamDedup _))
+    "d76_stream_dedup" -> (d76StreamDedup _),
+    "d104_stream_hourly" -> (d104StreamHourly _))
 
   val oracles: Map[String, String] = Map(
     "d50_stream_decontaminate" -> d50Oracle,
     "d64_stream_sessions" -> d64Oracle,
-    "d76_stream_dedup" -> d76Oracle)
+    "d76_stream_dedup" -> d76Oracle,
+    "d104_stream_hourly" -> d104Oracle)
 }

@@ -21,6 +21,7 @@ class RegistrySpec extends AnyFunSuite {
     "Similarity" -> ops.Similarity.queries.keySet,
     "Multimodal" -> ops.Multimodal.queries.keySet,
     "CorpusOps" -> ops.CorpusOps.queries.keySet,
+    "GraphOps" -> ops.GraphOps.queries.keySet,
     "SqlSurface" -> ops.SqlSurface.queries.keySet,
     "StreamGates" -> streaming.StreamGates.queries.keySet,
     "ValidationQueries" -> validate.ValidationQueries.queries.keySet)
