@@ -703,6 +703,66 @@ object Queries {
        FROM e GROUP BY GROUPING SETS ((event_type), (hr), ())
        ORDER BY event_type, hr"""
 
+  // --------------------------------------------------------------- q28
+  /** CORRELATED SCALAR SUBQUERY — parts priced above their own brand's
+    * average, counted per brand. The subquery correlates on the outer
+    * row's brand; Catalyst DECORRELATES it into an aggregate + join
+    * (never a per-row re-execution — the plan shape that makes
+    * correlated SQL viable at 100 TB), which is exactly the feature
+    * under test: the analyst writes the per-row formulation, the
+    * optimizer runs the set-based one. The SAME SQL text runs in both
+    * engines (pure ANSI — no dialect translation to hide drift in). */
+  val q28Sql: String =
+    """SELECT p_brand, count(*) AS n_above,
+         round(max(p_retailprice), 2) AS max_price
+       FROM part o
+       WHERE p_retailprice >
+         (SELECT avg(p_retailprice) FROM part i WHERE i.p_brand = o.p_brand)
+       GROUP BY p_brand ORDER BY p_brand"""
+
+  def q28Correlated(spark: SparkSession, dir: String): DataFrame =
+    ops.SqlSurface.run(spark, dir, q28Sql)
+
+  val q28Oracle: String = q28Sql
+
+  // --------------------------------------------------------------- q29
+  /** RECURSIVE CTE (Spark 4's UnionLoop) — a gap-filled daily revenue
+    * report: the date spine is generated by recursion from the quarter
+    * start, then LEFT-joined to orders so zero-order days appear as
+    * explicit zero rows (the reporting shape a naive GROUP BY o_orderdate
+    * silently drops). The recursion depth is the number of DAYS (90),
+    * never the data size — each level adds one spine row while the
+    * orders side stays one distributed join — so the default
+    * 100-level recursion guard comfortably covers the quarter and the
+    * query's cost at 100 TB is the join, not the loop. The oracle runs
+    * the same recursion in DuckDB (dialect differs only in the
+    * date-increment spelling). */
+  private val SpineStart = "1995-01-01"
+  private val SpineEnd = "1995-03-31"
+
+  def q29Recursive(spark: SparkSession, dir: String): DataFrame =
+    ops.SqlSurface.run(spark, dir,
+      s"""WITH RECURSIVE spine(d) AS (
+           SELECT DATE'$SpineStart'
+           UNION ALL
+           SELECT date_add(d, 1) FROM spine WHERE d < DATE'$SpineEnd'
+         )
+         SELECT d AS order_day, count(o_orderkey) AS n_orders,
+           round(coalesce(sum(o_totalprice), 0.0), 2) AS total
+         FROM spine LEFT JOIN orders ON CAST(o_orderdate AS DATE) = d
+         GROUP BY d ORDER BY d""")
+
+  val q29Oracle: String =
+    s"""WITH RECURSIVE spine(d) AS (
+         SELECT DATE '$SpineStart'
+         UNION ALL
+         SELECT d + INTERVAL 1 DAY FROM spine WHERE d < DATE '$SpineEnd'
+       )
+       SELECT d AS order_day, count(o_orderkey) AS n_orders,
+         round(coalesce(sum(o_totalprice), 0.0), 2) AS total
+       FROM spine LEFT JOIN orders ON CAST(o_orderdate AS DATE) = d
+       GROUP BY d ORDER BY d"""
+
   // ------------------------------------------------------------ registry
   val relational: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_agg" -> (q1Agg _),
@@ -731,7 +791,9 @@ object Queries {
     "q24_cube" -> (q24Cube _),
     "q25_lead_lag" -> (q25LeadLag _),
     "q26_unpivot" -> (q26Unpivot _),
-    "q27_grouping_sets" -> (q27GroupingSets _)
+    "q27_grouping_sets" -> (q27GroupingSets _),
+    "q28_correlated" -> (q28Correlated _),
+    "q29_recursive" -> (q29Recursive _)
   )
 
   val relationalOracles: Map[String, String] = Map(
@@ -761,7 +823,9 @@ object Queries {
     "q24_cube" -> q24Oracle,
     "q25_lead_lag" -> q25Oracle,
     "q26_unpivot" -> q26Oracle,
-    "q27_grouping_sets" -> q27Oracle
+    "q27_grouping_sets" -> q27Oracle,
+    "q28_correlated" -> q28Oracle,
+    "q29_recursive" -> q29Oracle
   )
 
   val all: Map[String, (SparkSession, String) => DataFrame] =

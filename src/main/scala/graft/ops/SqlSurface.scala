@@ -34,7 +34,8 @@ object SqlSurface {
       // weak keys: don't pin dead sessions in a long-running service
       new java.util.WeakHashMap[SparkSession, String]())
 
-  private def run(spark: SparkSession, dir: String, query: String): DataFrame =
+  private[graft] def run(spark: SparkSession, dir: String,
+      query: String): DataFrame =
     runScript(spark, dir, Nil, query)
 
   /** Register functions + table views, run eager SETUP statements
