@@ -2598,9 +2598,83 @@ object CorpusOps {
             (v_b / n_b) * (v_b / n_b) / (n_b - 1)), 4) AS df
        FROM w"""
 
+  // -------------------------------------------------------------- d106
+  /** EVAL-SET N-GRAM COVERAGE — the inverse question of
+    * decontamination: d17 asks "does the corpus leak the eval set?",
+    * this asks "does the corpus COVER the eval domain?" — per eval
+    * document, the fraction of its distinct bigrams that appear
+    * anywhere in the training corpus. Low coverage predicts the model
+    * will see the benchmark's phrasing cold (a domain-shift warning
+    * BEFORE training); high coverage with d17 clean is the healthy
+    * state. Same eval-set stand-in as d17 (doc_id < 5).
+    *
+    * Scale shape: the token-hash projection is checkpointed once and
+    * both sides of the split read it; the corpus side collapses to
+    * DISTINCT bigram hashes (vocabulary-sized, not corpus-sized) and
+    * the membership probe is an equi-join on the hash — at 100 TB this
+    * is one hash-keyed exchange (eval side is tiny; a d43-style bloom
+    * prefilter drops non-members below the shuffle if the distinct set
+    * itself is large). Bigram hashing reuses the codegen'd
+    * [[graft.functions.BigramHashes]], oracle-interpolated. */
+  def d106EvalCoverage(spark: SparkSession, dir: String): DataFrame = {
+    val m = graft.functions.ShingleHashes.M
+    val d = docs(spark, dir)
+      .select(col("doc_id"),
+        graft.functions.TokenHashes(tokens(lower(col("text"))), m).as("hs"))
+      .localCheckpoint()
+    val bg = d.select(col("doc_id"),
+        explode(graft.functions.BigramHashes(col("hs"))).as("e"))
+      .select(col("doc_id"), col("e.h12").as("h12"))
+    val corpus = bg.filter(col("doc_id") >= 5).select("h12").distinct()
+      .withColumn("hit", lit(1))
+    val per = bg.filter(col("doc_id") < 5).distinct()
+      .join(corpus, Seq("h12"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(coalesce(col("hit"), lit(0)).cast("long")).as("n_covered"))
+    d.filter(col("doc_id") < 5).select("doc_id")
+      .join(per, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("n_covered"), lit(0L)).as("n_covered"),
+        when(coalesce(col("n_bigrams"), lit(0L)) === 0,
+          lit(null).cast("double"))
+          .otherwise(round(col("n_covered") * lit(1.0) / col("n_bigrams"), 4))
+          .as("coverage"))
+      .orderBy("doc_id")
+  }
+
+  val d106Oracle: String = {
+    val m = graft.functions.ShingleHashes.M
+    val k1 = graft.functions.ShingleHashes.K1
+    s"""WITH th AS (
+         SELECT doc_id,
+           list_transform(regexp_extract_all(lower(text), '\\S+'),
+                          t -> ('0x'||substr(md5(t),1,15))::BIGINT % $m) AS hs
+         FROM documents),
+       bg AS (
+         SELECT doc_id, (hs[i] * $k1 + hs[i+1]) % $m AS h12
+         FROM th, unnest(range(1, len(hs))) AS u(i)),
+       corpus AS (SELECT DISTINCT h12 FROM bg WHERE doc_id >= 5),
+       ev AS (SELECT DISTINCT doc_id, h12 FROM bg WHERE doc_id < 5),
+       per AS (
+         SELECT ev.doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+           CAST(sum(CASE WHEN c.h12 IS NULL THEN 0 ELSE 1 END) AS BIGINT)
+             AS n_covered
+         FROM ev LEFT JOIN corpus c ON ev.h12 = c.h12
+         GROUP BY ev.doc_id)
+       SELECT th.doc_id, coalesce(n_bigrams, 0) AS n_bigrams,
+         coalesce(n_covered, 0) AS n_covered,
+         CASE WHEN coalesce(n_bigrams, 0) = 0 THEN NULL
+              ELSE round(n_covered * 1.0 / n_bigrams, 4) END AS coverage
+       FROM th LEFT JOIN per USING (doc_id)
+       WHERE th.doc_id < 5 ORDER BY th.doc_id"""
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d102_dsir_weights" -> (d102DsirWeights _),
     "d103_ab_test" -> (d103AbTest _),
+    "d106_eval_coverage" -> (d106EvalCoverage _),
     "d71_heavy_hitters" -> (d71HeavyHitters _),
     "d72_zipf_fit" -> (d72ZipfFit _),
     "d73_key_skew" -> (d73KeySkew _),
@@ -2648,6 +2722,7 @@ object CorpusOps {
   val oracles: Map[String, String] = Map(
     "d102_dsir_weights" -> d102Oracle,
     "d103_ab_test" -> d103Oracle,
+    "d106_eval_coverage" -> d106Oracle,
     "d71_heavy_hitters" -> d71Oracle,
     "d72_zipf_fit" -> d72Oracle,
     "d73_key_skew" -> d73Oracle,

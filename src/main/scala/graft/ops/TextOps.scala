@@ -667,6 +667,57 @@ object TextOps {
               ELSE round(n_oov * 1.0 / n_tok, 4) END AS oov_rate
        FROM t LEFT JOIN per USING (doc_id) ORDER BY t.doc_id"""
 
+  // -------------------------------------------------------------- d105
+  /** TOKENIZER FERTILITY per language — BPE-ish tokens per whitespace
+    * word plus characters per token, by language: THE statistic behind
+    * multilingual tokenizer sizing (a language with fertility 3× the
+    * corpus mean pays 3× the context budget for the same content and
+    * trains correspondingly worse — the observation motivating
+    * XLM-R/mT5-style vocabulary rebalancing; fertility is the standard
+    * published term). d7 counts the tokens per source; this computes
+    * the RATIO per language, the number one actually acts on.
+    *
+    * Scale shape: one corpus scan, two regex extractions per row
+    * fused in the same projection, collapsing to a per-language
+    * aggregate (map-side partials). Nothing after the scan is
+    * corpus-sized. Zero-token languages emit NULL ratios (CASE-guarded
+    * in both engines) rather than NaN/divide-by-zero. */
+  def d105TokenizerFertility(spark: SparkSession, dir: String): DataFrame = {
+    val bpe = size(regexp_extract_all(
+      col("text"), lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0)))
+    docs(spark, dir)
+      .select(col("lang"), size(tokens(col("text"))).cast("long").as("n_ws"),
+        bpe.cast("long").as("n_bpe"),
+        length(col("text")).cast("long").as("n_ch"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"), sum("n_ws").as("ws_tokens"),
+        sum("n_bpe").as("bpe_tokens"), sum("n_ch").as("n_chars"))
+      .select(col("lang"), col("n_docs"), col("ws_tokens"), col("bpe_tokens"),
+        when(col("ws_tokens") === 0, lit(null).cast("double"))
+          .otherwise(round(col("bpe_tokens") * lit(1.0) / col("ws_tokens"), 4))
+          .as("fertility"),
+        when(col("bpe_tokens") === 0, lit(null).cast("double"))
+          .otherwise(round(col("n_chars") * lit(1.0) / col("bpe_tokens"), 4))
+          .as("chars_per_token"))
+      .orderBy("lang")
+  }
+
+  val d105Oracle: String =
+    """SELECT lang, n_docs, ws_tokens, bpe_tokens,
+         CASE WHEN ws_tokens = 0 THEN NULL
+              ELSE round(bpe_tokens * 1.0 / ws_tokens, 4) END AS fertility,
+         CASE WHEN bpe_tokens = 0 THEN NULL
+              ELSE round(n_chars * 1.0 / bpe_tokens, 4) END AS chars_per_token
+       FROM (
+         SELECT lang, count(*) AS n_docs,
+           CAST(sum(len(regexp_extract_all(text, '\S+'))) AS BIGINT)
+             AS ws_tokens,
+           CAST(sum(len(regexp_extract_all(text,
+             '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))) AS BIGINT) AS bpe_tokens,
+           CAST(sum(length(text)) AS BIGINT) AS n_chars
+         FROM documents GROUP BY lang)
+       ORDER BY lang"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d1_exact_dedup" -> (d1ExactDedup _),
     "d5_text_stats" -> (d5TextStats _),
@@ -681,7 +732,8 @@ object TextOps {
     "d19_vocab" -> (d19Vocab _),
     "d21_packing" -> (d21Packing _),
     "d99_epoch_mix" -> (d99EpochMix _),
-    "d100_oov_rate" -> (d100OovRate _)
+    "d100_oov_rate" -> (d100OovRate _),
+    "d105_tokenizer_fertility" -> (d105TokenizerFertility _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -698,6 +750,7 @@ object TextOps {
     "d19_vocab" -> d19Oracle,
     "d21_packing" -> d21Oracle,
     "d99_epoch_mix" -> d99Oracle,
-    "d100_oov_rate" -> d100Oracle
+    "d100_oov_rate" -> d100Oracle,
+    "d105_tokenizer_fertility" -> d105Oracle
   )
 }

@@ -183,6 +183,31 @@ class NewOpsSpec extends SparkSpec {
     assert(got == expected, s"got $got")
   }
 
+  // ------------------------------------------------------------- d102
+  test("d102 dsir weights rank target-like docs above off-target docs") {
+    // Target (en) docs share a distinctive phrase; off-target (zh) docs
+    // share a different one. A fresh doc written in the target's
+    // phrasing must outscore one written in the off-target's — the
+    // ordering DSIR selection relies on. Bigram features, so the
+    // discriminative signal is the adjacent PAIRS, not the words.
+    val dir = tmp()
+    import spark.implicits._
+    val docs =
+      (0 until 40).map(i => (i.toLong,
+        s"alpha beta gamma delta run $i", "en", "s0", 10L)) ++
+      (40 until 80).map(i => (i.toLong,
+        s"uno dos tres cuatro corrida $i", "zh", "s0", 10L)) ++
+      Seq((80L, "alpha beta gamma delta fresh", "fr", "s1", 10L),
+          (81L, "uno dos tres cuatro fresco", "fr", "s1", 10L))
+    docs.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val w = CorpusOps.d102DsirWeights(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(w(80L) > w(81L),
+      s"target-phrased doc ${w(80L)} must outscore off-target ${w(81L)}")
+    assert(w(0L) > w(40L)) // and the training rows themselves separate
+  }
+
   // ------------------------------------------------------------- d103
   test("d103 Welch t matches the closed-form computation") {
     val dir = tmp()
