@@ -203,15 +203,72 @@ object StreamGates {
     * agree with the batch hourly rollup definition. */
   val d104Oracle: String = graft.Queries.q17Oracle
 
+  // -------------------------------------------------------------- d107
+  /** STREAM-STREAM INTERVAL JOIN under the gate — the fifth canonical
+    * streaming shape (stateless map d50, keyed state d64, dedup store
+    * d76, windowed agg d104, and now the two-stream join): purchases
+    * joined to the same user's views from the preceding 30 minutes,
+    * both sides watermarked, the time-range predicate bounding join
+    * state to the interval + watermark horizon (without it Spark
+    * rightly refuses the join as unbounded-state). Two independent
+    * file-stream readers over the staged log play the two topics a
+    * real deployment joins; an INNER interval join emits matches
+    * eagerly, so the drained AvailableNow result is the complete,
+    * deterministic pair set — hash-checked against the identical
+    * interval self-join in DuckDB. Emits (purchase, view, gap-µs)
+    * pairs; the gap arithmetic is integer microseconds end to end. */
+  def d107StreamJoin(spark: SparkSession, dir: String): DataFrame = {
+    val staged = Files.createTempDirectory("graft-d107")
+    Files.createSymbolicLink(
+      staged.resolve("events.parquet"),
+      Paths.get(s"$dir/events.parquet").toAbsolutePath)
+    val views = EventStreams.readEvents(spark, staged.toString)
+      .filter(col("event_type") === "view")
+      .select(col("user_id").as("v_user"), col("ts").as("view_ts"),
+        col("event_id").as("view_id"))
+      .withWatermark("view_ts", "1 hour")
+    val purchases = EventStreams.readEvents(spark, staged.toString)
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts").as("p_ts"),
+        col("event_id").as("p_id"))
+      .withWatermark("p_ts", "1 hour")
+    val name = s"graft_d107_run${runSeq.incrementAndGet()}"
+    val query = purchases
+      .join(views,
+        col("v_user") === col("user_id") &&
+          col("view_ts") >= col("p_ts") - expr("INTERVAL 30 MINUTES") &&
+          col("view_ts") < col("p_ts"))
+      .select(col("p_id"), col("view_id"),
+        (unix_micros(col("p_ts")) - unix_micros(col("view_ts")))
+          .as("gap_us"))
+      .writeStream.format("memory").queryName(name)
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    query.awaitTermination()
+    spark.table(name).orderBy("p_id", "view_id")
+  }
+
+  /** The identical interval self-join in DuckDB. */
+  val d107Oracle: String =
+    """SELECT p.event_id AS p_id, v.event_id AS view_id,
+         epoch_us(p.ts) - epoch_us(v.ts) AS gap_us
+       FROM events p JOIN events v ON v.user_id = p.user_id
+         AND p.event_type = 'purchase' AND v.event_type = 'view'
+         AND v.ts >= p.ts - INTERVAL 30 MINUTE AND v.ts < p.ts
+       ORDER BY p_id, view_id"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d50_stream_decontaminate" -> (d50StreamDecontaminate _),
     "d64_stream_sessions" -> (d64StreamSessions _),
     "d76_stream_dedup" -> (d76StreamDedup _),
-    "d104_stream_hourly" -> (d104StreamHourly _))
+    "d104_stream_hourly" -> (d104StreamHourly _),
+    "d107_stream_join" -> (d107StreamJoin _))
 
   val oracles: Map[String, String] = Map(
     "d50_stream_decontaminate" -> d50Oracle,
     "d64_stream_sessions" -> d64Oracle,
     "d76_stream_dedup" -> d76Oracle,
-    "d104_stream_hourly" -> d104Oracle)
+    "d104_stream_hourly" -> d104Oracle,
+    "d107_stream_join" -> d107Oracle)
 }
