@@ -41,8 +41,20 @@ object Layouts {
     // any catalog entry, then clear the stale location, so the write is
     // idempotent across sessions (Verify/Bench re-runs).
     spark.sql(s"DROP TABLE IF EXISTS `$table`")
-    val loc = new org.apache.hadoop.fs.Path(
-      spark.conf.get("spark.sql.warehouse.dir"), table.toLowerCase)
+    // the stale location is derived from the CURRENT database's layout
+    // (default db writes <warehouse>/<table>, any other writes
+    // <warehouse>/<db>.db/<table>) — hardcoding the default-db shape
+    // would miss the stale dir after USE somedb and could delete an
+    // unrelated same-named default-db table's directory
+    val db = spark.catalog.currentDatabase
+    val warehouse = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir"))
+    val loc =
+      if (db == "default")
+        new org.apache.hadoop.fs.Path(warehouse, table.toLowerCase)
+      else new org.apache.hadoop.fs.Path(
+        new org.apache.hadoop.fs.Path(warehouse, s"$db.db"),
+        table.toLowerCase)
     val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(loc)) fs.delete(loc, true)
     // repartition on the SAME hash the bucketizer uses so every bucket

@@ -1544,7 +1544,12 @@ object CorpusOps {
       val n = Layouts.exchangeCount(agg)
       require(n == 0,
         s"bucketed join+agg must be exchange-free, found $n shuffle(s)")
-      agg.orderBy("o_orderkey")
+      // materialize UNDER the pinned conf: the returned frame is
+      // physically planned later (Verify's write), after the finally
+      // restores auto-broadcast — the eager checkpoint makes the
+      // hash-checked rows come from the asserted exchange-free plan,
+      // not from a broadcast replan of a lazy sibling
+      agg.localCheckpoint().orderBy("o_orderkey")
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
@@ -1585,9 +1590,20 @@ object CorpusOps {
       .orderBy("event_type")
   }
 
+  /** The oracle guards the parse the same way `from_json` does:
+    * malformed JSON, a missing key, and a non-numeric value all become
+    * NULL (checked case-by-case against Spark's behavior) — an uncast
+    * `->>' + CAST` would instead ERROR on the first malformed blob,
+    * turning the gate red on exactly the inputs whose tolerance is the
+    * op's selling point. (Known residual: a quoted numeric string
+    * `"5"` extracts as 5 here but NULLs under Spark's LongType
+    * coercion — a producer quoting its numbers shows up in `n_bad`
+    * drift, which is the monitoring this family exists for.) */
   val d94Oracle: String =
     """WITH x AS (
-         SELECT event_type, CAST(props->>'$.k' AS BIGINT) AS k
+         SELECT event_type,
+           CASE WHEN json_valid(props)
+                THEN TRY_CAST(props->>'$.k' AS BIGINT) END AS k
          FROM events)
        SELECT event_type, count(*) AS n_events,
          CAST(sum(k) AS BIGINT) AS sum_k,
@@ -1609,8 +1625,11 @@ object CorpusOps {
     * DuckDB's plain filtered aggregate over the ORIGINAL table —
     * layout changes the PLAN, never the ANSWER. */
   def d95PartitionedScan(spark: SparkSession, dir: String): DataFrame = {
-    val path = new java.io.File(sys.props("java.io.tmpdir"),
-      "graft_d95_events_p").getPath
+    // per-run unique directory (the d104/d107 staging discipline): a
+    // fixed shared path lets a concurrent run's overwrite delete the
+    // layout mid-scan
+    val path = java.nio.file.Files.createTempDirectory("graft-d95")
+      .resolve("events_p").toString
     val src = Tables.load(spark, dir, "events")
       .select(col("event_id"), col("event_type"), col("value"))
     graft.io.Layouts.writePartitioned(src, path, "event_type")
@@ -1670,9 +1689,18 @@ object CorpusOps {
       .orderBy("event_type", "key_shape")
   }
 
+  /** NULL and malformed props must land in the `''` shape bucket the
+    * way Spark's `concat_ws` over a null map does (checked
+    * case-by-case: NULL, non-JSON, JSON array, and `{}` all census as
+    * `''` in both engines) — an unguarded `json_keys` would emit NULL
+    * shapes and ERROR on invalid JSON, failing the census on exactly
+    * the producer anomalies it exists to report. */
   val d96Oracle: String =
     """SELECT event_type,
-         array_to_string(list_sort(json_keys(props)), ',') AS key_shape,
+         CASE WHEN json_valid(props)
+              THEN coalesce(array_to_string(list_sort(json_keys(props)), ','),
+                            '')
+              ELSE '' END AS key_shape,
          count(*) AS n
        FROM events GROUP BY 1, 2 ORDER BY 1, 2"""
 
@@ -2463,12 +2491,16 @@ object CorpusOps {
     *
     * Scale shape: the token-hash projection is computed once
     * (checkpointed, d41's discipline) with the target flag riding
-    * along; ONE bucket aggregate computes raw and target counts
-    * together (a conditional sum, not two passes); the bucket model is
-    * a [[DsirBuckets]]-row broadcast, so the per-doc scoring pass is
-    * map-side explode → broadcast probe → doc aggregate. Nothing
-    * corpus-sized shuffles except the (doc, bucket) explode, the same
-    * stream d41 already pays for. Bigram hashing reuses
+    * along; the bigram explode re-derives from that checkpoint twice —
+    * once for the model build, once for the scoring pass (the d41/d100
+    * two-consumer pattern; checkpointing the exploded stream itself
+    * would materialize a corpus-token-sized frame for no shuffle
+    * saved). ONE bucket aggregate computes raw and target counts
+    * together (a conditional sum, not two passes) and is checkpointed
+    * so the totals and the log-ratio model read it once, not re-run
+    * it; the bucket model is a [[DsirBuckets]]-row broadcast, so the
+    * scoring pass is map-side explode → broadcast probe → doc
+    * aggregate. Bigram hashing reuses
     * [[graft.functions.BigramHashes]] — codegen'd, oracle-interpolated. */
   def d102DsirWeights(spark: SparkSession, dir: String): DataFrame = {
     val m = graft.functions.ShingleHashes.M
@@ -2483,6 +2515,7 @@ object CorpusOps {
         pmod(col("e.h12"), lit(DsirBuckets.toLong)).as("b"))
     val buckets = bg.groupBy("b")
       .agg(count(lit(1)).as("c_r"), sum(col("is_t").cast("long")).as("c_t"))
+      .localCheckpoint()
     val totals = broadcast(buckets.agg(
       sum("c_r").as("n_r"), sum("c_t").as("n_t")))
     val model = broadcast(buckets.crossJoin(totals)
@@ -2538,7 +2571,7 @@ object CorpusOps {
   // -------------------------------------------------------------- d103
   /** COHORT A/B COMPARISON (Welch's unequal-variance t-test, public
     * textbook statistics) — the experiment-readout primitive over the
-    * event log: users are split into two cohorts by doc-id parity (in
+    * event log: users are split into two cohorts by user-id parity (in
     * production, the experiment assignment column), the per-user metric
     * is total event value, and the report is the two cohorts'
     * n/mean/variance plus the Welch t statistic and

@@ -33,6 +33,28 @@ object StreamGates {
     * keeps re-runs (bench warmup + 3 timed passes, verify) apart. */
   private val runSeq = new AtomicLong()
 
+  /** Stage `<dir>/<table>.parquet` behind a fresh symlink directory for
+    * a file-stream source — per-run unique (concurrent runs can't
+    * clobber each other) and read-only over the source testdata. */
+  private def stage(dir: String, table: String,
+      prefix: String): java.nio.file.Path = {
+    val staged = Files.createTempDirectory(prefix)
+    Files.createSymbolicLink(
+      staged.resolve(s"$table.parquet"),
+      Paths.get(s"$dir/$table.parquet").toAbsolutePath)
+    staged
+  }
+
+  /** Delete a staged directory once its stream has drained: the memory
+    * sink's rows are driver-resident, so nothing reads the files after
+    * `awaitTermination` — without this every gate run leaks a temp
+    * directory. Best-effort (a failed delete must not fail the gate). */
+  private def unstage(staged: java.nio.file.Path): Unit =
+    try {
+      Files.list(staged).forEach(p => Files.deleteIfExists(p))
+      Files.deleteIfExists(staged)
+    } catch { case _: java.io.IOException => () }
+
   // --------------------------------------------------------------- d50
   /** The streaming DECONTAMINATION gate ([[IngestStreams.decontaminated]])
     * run end-to-end as a driver-gated query: benchmark = the d17 eval
@@ -47,10 +69,7 @@ object StreamGates {
   def d50StreamDecontaminate(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.load(spark, dir, "documents")
     val bench = docs.filter(col("doc_id") < 5).select("doc_id", "text")
-    val staged = Files.createTempDirectory("graft-d50")
-    Files.createSymbolicLink(
-      staged.resolve("documents.parquet"),
-      Paths.get(s"$dir/documents.parquet").toAbsolutePath)
+    val staged = stage(dir, "documents", "graft-d50")
     val stream = spark.readStream.schema(docs.schema).parquet(staged.toString)
     val name = s"graft_d50_run${runSeq.incrementAndGet()}"
     val query = IngestStreams.decontaminated(stream, bench)
@@ -61,6 +80,7 @@ object StreamGates {
       .trigger(Trigger.AvailableNow())
       .start()
     query.awaitTermination()
+    unstage(staged)
     spark.table(name).orderBy("doc_id")
   }
 
@@ -96,10 +116,7 @@ object StreamGates {
     * function, so the counts equal the batch window formulation
     * exactly — which is precisely the claim the gate hash-checks. */
   def d64StreamSessions(spark: SparkSession, dir: String): DataFrame = {
-    val staged = Files.createTempDirectory("graft-d64")
-    Files.createSymbolicLink(
-      staged.resolve("events.parquet"),
-      Paths.get(s"$dir/events.parquet").toAbsolutePath)
+    val staged = stage(dir, "events", "graft-d64")
     // readEvents declares the µs-long ts and normalizes to a real
     // TimestampType at ingest — the same scan contract as the batch side
     val stream = EventStreams.readEvents(spark, staged.toString)
@@ -110,6 +127,7 @@ object StreamGates {
       .trigger(Trigger.AvailableNow())
       .start()
     query.awaitTermination()
+    unstage(staged)
     spark.table(name)
       .select(col("user_id"), col("n_sessions"), col("n_events"))
       .orderBy("user_id")
@@ -134,10 +152,7 @@ object StreamGates {
     * `mapGroupsWithState`). */
   def d76StreamDedup(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.load(spark, dir, "documents")
-    val staged = Files.createTempDirectory("graft-d76")
-    Files.createSymbolicLink(
-      staged.resolve("documents.parquet"),
-      Paths.get(s"$dir/documents.parquet").toAbsolutePath)
+    val staged = stage(dir, "documents", "graft-d76")
     val stream = spark.readStream.schema(docs.schema).parquet(staged.toString)
       // deterministic event time (1 s per id) — the watermark column;
       // one AvailableNow batch, so nothing ages past the 1 h horizon.
@@ -154,6 +169,7 @@ object StreamGates {
       .trigger(Trigger.AvailableNow())
       .start()
     query.awaitTermination()
+    unstage(staged)
     spark.table(name).orderBy("text_hash")
   }
 
@@ -184,10 +200,7 @@ object StreamGates {
     * wrong for an unbounded stream — the mode choice, not the plan, is
     * what differs. */
   def d104StreamHourly(spark: SparkSession, dir: String): DataFrame = {
-    val staged = Files.createTempDirectory("graft-d104")
-    Files.createSymbolicLink(
-      staged.resolve("events.parquet"),
-      Paths.get(s"$dir/events.parquet").toAbsolutePath)
+    val staged = stage(dir, "events", "graft-d104")
     val stream = EventStreams.readEvents(spark, staged.toString)
     val name = s"graft_d104_run${runSeq.incrementAndGet()}"
     val query = EventStreams.hourlyCounts(stream)
@@ -196,6 +209,7 @@ object StreamGates {
       .trigger(Trigger.AvailableNow())
       .start()
     query.awaitTermination()
+    unstage(staged)
     spark.table(name).orderBy("hour", "event_type")
   }
 
@@ -218,10 +232,7 @@ object StreamGates {
     * interval self-join in DuckDB. Emits (purchase, view, gap-µs)
     * pairs; the gap arithmetic is integer microseconds end to end. */
   def d107StreamJoin(spark: SparkSession, dir: String): DataFrame = {
-    val staged = Files.createTempDirectory("graft-d107")
-    Files.createSymbolicLink(
-      staged.resolve("events.parquet"),
-      Paths.get(s"$dir/events.parquet").toAbsolutePath)
+    val staged = stage(dir, "events", "graft-d107")
     val views = EventStreams.readEvents(spark, staged.toString)
       .filter(col("event_type") === "view")
       .select(col("user_id").as("v_user"), col("ts").as("view_ts"),
@@ -246,6 +257,7 @@ object StreamGates {
       .trigger(Trigger.AvailableNow())
       .start()
     query.awaitTermination()
+    unstage(staged)
     spark.table(name).orderBy("p_id", "view_id")
   }
 
