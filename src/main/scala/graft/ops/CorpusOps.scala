@@ -2704,10 +2704,116 @@ object CorpusOps {
        WHERE th.doc_id < 5 ORDER BY th.doc_id"""
   }
 
+  // -------------------------------------------------------------- d108
+  /** Bootstrap replicate count. 100 keeps the replicate-mean table a
+    * single driver-side sort row while the 2.5/97.5 percentile indices
+    * stay integral. */
+  private[graft] val BootReps = 100
+
+  /** Cumulative Poisson(1) CDF for k = 0..6 (k ≥ 7 has mass ~8·10⁻⁵ —
+    * truncated to the ELSE arm). Computed ONCE here and interpolated
+    * into both engines: `Double.toString` round-trips exactly, so the
+    * CASE thresholds are bit-identical constants in both plans. */
+  private[graft] val PoissonCdf: Seq[Double] = {
+    val terms = Seq(1.0, 1.0, 0.5, 1.0 / 6, 1.0 / 24, 1.0 / 120, 1.0 / 720)
+    terms.scanLeft(0.0)(_ + _).tail.map(_ * math.exp(-1.0))
+  }
+
+  /** 1-based order-statistic indices for the 2.5 %, 50 %, 97.5 %
+    * replicate quantiles (`ceil(q·R)` — the quantile_disc definition
+    * the gate family uses). */
+  private[graft] val BootLoIdx = math.ceil(0.025 * BootReps).toInt
+  private[graft] val BootMedIdx = math.ceil(0.5 * BootReps).toInt
+  private[graft] val BootHiIdx = math.ceil(0.975 * BootReps).toInt
+
+  /** POISSON BOOTSTRAP confidence interval (public: the distributed
+    * bootstrap — Poisson(1) replicate weights approximate multinomial
+    * resampling without any cross-row coordination; Chamandy et al.
+    * 2012 "Estimating Uncertainty for Massive Data Streams" / the bag
+    * of little bootstraps family): a 95 % CI on the mean per-user
+    * event value. The classical bootstrap cannot be distributed (a
+    * resample is a GLOBAL multinomial draw); giving every (user,
+    * replicate) pair an INDEPENDENT Poisson(1) weight makes each
+    * replicate a weighted mean computable with plain map-side
+    * arithmetic — which is why this, not the textbook bootstrap, is
+    * what actually runs at fleet scale. Weights are derived from the
+    * repo's salted-md5 uniform hash (deterministic, engine-mirrored,
+    * re-run-stable — the d18/d33 discipline applied to resampling), so
+    * the gate is exact, not statistical.
+    *
+    * Scale shape: one user-keyed aggregate collapses the log; the
+    * replicate explode multiplies the per-USER table (not the event
+    * log) by [[BootReps]]; replicate means are [[BootReps]] rows; the
+    * final quantile extraction sorts a 100-element array on one row.
+    * d103 answers "is A different from B"; this answers "how sure are
+    * we about the level itself". */
+  def d108PoissonBootstrap(spark: SparkSession, dir: String): DataFrame = {
+    val perUser = Tables.load(spark, dir, "events")
+      .groupBy("user_id").agg(sum("value").as("metric"))
+      .localCheckpoint()
+    val x = TextOps.hash60(concat(lit("boot:"), col("rep").cast("string"),
+      lit(":"), col("user_id").cast("string"))) /
+      lit(1152921504606846976.0) // 2^60 — hash60 is a 60-bit uniform
+    val w = PoissonCdf.zipWithIndex
+      .foldRight(lit(PoissonCdf.size): Column) { case ((c, k), acc) =>
+        when(col("x") < c, k).otherwise(acc)
+      }
+    val repMeans = perUser
+      .select(col("user_id"), col("metric"),
+        explode(sequence(lit(1), lit(BootReps))).as("rep"))
+      .withColumn("x", x)
+      .select(col("rep"), col("metric"), w.as("w"))
+      .groupBy("rep")
+      .agg((sum(col("w") * col("metric")) / sum(col("w"))).as("m"))
+    val stats = broadcast(perUser.agg(
+      count(lit(1)).as("n_users"), avg("metric").as("mean")))
+    repMeans.agg(array_sort(collect_list(col("m"))).as("ms"))
+      .crossJoin(stats)
+      .select(col("n_users"), lit(BootReps).as("n_reps"),
+        round(col("mean"), 4).as("mean"),
+        // try_element_at: a zero-row corpus yields an EMPTY replicate
+        // array, and the op must stay total — NULL bounds, exactly
+        // what DuckDB's out-of-bounds list index returns
+        round(try_element_at(col("ms"), lit(BootLoIdx)), 4).as("ci_lo"),
+        round(try_element_at(col("ms"), lit(BootMedIdx)), 4)
+          .as("boot_median"),
+        round(try_element_at(col("ms"), lit(BootHiIdx)), 4).as("ci_hi"))
+  }
+
+  val d108Oracle: String = {
+    val caseArms = PoissonCdf.zipWithIndex
+      .map { case (c, k) => s"WHEN x < $c THEN $k" }
+      .mkString(" ")
+    s"""WITH pu AS (
+         SELECT user_id, sum(value) AS metric FROM events GROUP BY user_id),
+       reps AS (
+         SELECT user_id, metric, r AS rep
+         FROM pu, range(1, ${BootReps + 1}) t(r)),
+       wx AS (
+         SELECT rep, metric,
+           CASE $caseArms ELSE ${PoissonCdf.size} END AS w
+         FROM (
+           SELECT rep, metric,
+             ('0x'||substr(md5('boot:'||rep::VARCHAR||':'||user_id::VARCHAR),
+               1, 15))::BIGINT / 1152921504606846976.0 AS x
+           FROM reps)),
+       rm AS (SELECT rep, sum(w * metric) / sum(w) AS m FROM wx GROUP BY rep),
+       s AS (SELECT list_sort(list(m)) AS ms FROM rm),
+       st AS (
+         SELECT CAST(count(*) AS BIGINT) AS n_users, avg(metric) AS mean
+         FROM pu)
+       SELECT n_users, $BootReps AS n_reps, round(mean, 4) AS mean,
+         round(ms[$BootLoIdx], 4) AS ci_lo,
+         round(ms[$BootMedIdx], 4) AS boot_median,
+         round(ms[$BootHiIdx], 4) AS ci_hi
+       FROM s, st"""
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d102_dsir_weights" -> (d102DsirWeights _),
     "d103_ab_test" -> (d103AbTest _),
     "d106_eval_coverage" -> (d106EvalCoverage _),
+    "d108_poisson_bootstrap" -> (d108PoissonBootstrap _),
     "d71_heavy_hitters" -> (d71HeavyHitters _),
     "d72_zipf_fit" -> (d72ZipfFit _),
     "d73_key_skew" -> (d73KeySkew _),
@@ -2756,6 +2862,7 @@ object CorpusOps {
     "d102_dsir_weights" -> d102Oracle,
     "d103_ab_test" -> d103Oracle,
     "d106_eval_coverage" -> d106Oracle,
+    "d108_poisson_bootstrap" -> d108Oracle,
     "d71_heavy_hitters" -> d71Oracle,
     "d72_zipf_fit" -> d72Oracle,
     "d73_key_skew" -> d73Oracle,

@@ -208,6 +208,46 @@ class NewOpsSpec extends SparkSpec {
     assert(w(0L) > w(40L)) // and the training rows themselves separate
   }
 
+  // ------------------------------------------------------------- d108
+  test("d108 poisson bootstrap matches an independent JVM recomputation") {
+    val dir = tmp()
+    import spark.implicits._
+    val events = (0 until 60).map { u =>
+      (u.toLong, 1700000000000000L + u * 1000000L, u.toLong, "a",
+        5.0 + (u % 7), "{}")
+    }
+    events.toDF("event_id", "us", "user_id", "event_type", "value", "props")
+      .select(col("event_id"), timestamp_micros(col("us")).as("ts"),
+        col("user_id"), col("event_type"), col("value"), col("props"))
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+
+    // independent path: JVM md5 -> 60-bit uniform -> Poisson weight
+    def u01(s: String): Double = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+      val hex = d.digest(s.getBytes("UTF-8"))
+        .map(b => f"$b%02x").mkString.take(15)
+      java.lang.Long.parseLong(hex, 16) / 1152921504606846976.0
+    }
+    def pw(x: Double): Int = {
+      val i = CorpusOps.PoissonCdf.indexWhere(x < _)
+      if (i < 0) CorpusOps.PoissonCdf.size else i
+    }
+    val metrics = events.groupBy(_._3).map { case (u, es) =>
+      u -> es.map(_._5).sum }
+    val repMeans = (1 to CorpusOps.BootReps).map { r =>
+      val ws = metrics.toSeq.map { case (u, m) =>
+        (pw(u01(s"boot:$r:$u")), m) }
+      ws.map { case (w, m) => w * m }.sum / ws.map(_._1).sum
+    }.sorted
+    val row = CorpusOps.d108PoissonBootstrap(spark, dir).collect().head
+    assert(row.getLong(0) == 60 && row.getInt(1) == CorpusOps.BootReps)
+    assert(math.abs(row.getDouble(3) - repMeans(CorpusOps.BootLoIdx - 1)) < 1e-3)
+    assert(math.abs(row.getDouble(4) - repMeans(CorpusOps.BootMedIdx - 1)) < 1e-3)
+    assert(math.abs(row.getDouble(5) - repMeans(CorpusOps.BootHiIdx - 1)) < 1e-3)
+    // the interval is a real interval around the mean
+    assert(row.getDouble(3) < row.getDouble(2) && row.getDouble(2) < row.getDouble(5))
+  }
+
   // ------------------------------------------------------------- d103
   test("d103 Welch t matches the closed-form computation") {
     val dir = tmp()
