@@ -2809,11 +2809,68 @@ object CorpusOps {
        FROM s, st"""
   }
 
+  // -------------------------------------------------------------- d109
+  /** WEEKLY RETENTION COHORTS — the product-analytics triangle: users
+    * grouped by first-seen ISO week (their cohort), each later week of
+    * activity counted as (cohort, week-offset, active users, retention
+    * vs cohort size). The "do users come back" readout every event
+    * pipeline owes its product team; the synthetic log's uniform
+    * activity makes the fixture triangle shallow (the spec plants a
+    * staggered multi-cohort log to exercise the full shape — the d13
+    * mechanism-gate precedent).
+    *
+    * Scale shape: distinct (user, week) collapses the log first (the
+    * activity stream is bounded by users × weeks, not events), the
+    * first-seen aggregate is user-keyed, cohort sizes are a tiny
+    * broadcast, and the offset arithmetic is exact integer microseconds
+    * between truncated weeks — no calendar float anywhere. */
+  def d109RetentionCohorts(spark: SparkSession, dir: String): DataFrame = {
+    val act = Tables.load(spark, dir, "events")
+      .select(col("user_id"), date_trunc("week", col("ts")).as("wk"))
+      .distinct()
+      .localCheckpoint()
+    val first = act.groupBy("user_id").agg(min("wk").as("cohort"))
+    val sizes = broadcast(first.groupBy("cohort")
+      .agg(count(lit(1)).as("cohort_users")))
+    act.join(first, "user_id")
+      .select(col("cohort"),
+        expr("(unix_micros(wk) - unix_micros(cohort)) div 604800000000")
+          .as("week_offset"))
+      .groupBy("cohort", "week_offset")
+      .agg(count(lit(1)).as("n_active"))
+      .join(sizes, "cohort")
+      .select(col("cohort"), col("week_offset"), col("n_active"),
+        round(col("n_active") * lit(1.0) / col("cohort_users"), 4)
+          .as("retention"))
+      .orderBy("cohort", "week_offset")
+  }
+
+  val d109Oracle: String =
+    """WITH act AS (
+         -- DuckDB types date_trunc('week') as DATE; Spark keeps
+         -- TIMESTAMP — cast so the cohort column hashes identically
+         SELECT DISTINCT user_id,
+           CAST(date_trunc('week', ts) AS TIMESTAMP) AS wk FROM events),
+       f AS (SELECT user_id, min(wk) AS cohort FROM act GROUP BY user_id),
+       sizes AS (
+         SELECT cohort, CAST(count(*) AS BIGINT) AS cohort_users
+         FROM f GROUP BY cohort),
+       cells AS (
+         SELECT cohort,
+           (epoch_us(wk) - epoch_us(cohort)) // 604800000000 AS week_offset,
+           CAST(count(*) AS BIGINT) AS n_active
+         FROM act JOIN f USING (user_id) GROUP BY 1, 2)
+       SELECT cohort, week_offset, n_active,
+         round(n_active * 1.0 / cohort_users, 4) AS retention
+       FROM cells JOIN sizes USING (cohort)
+       ORDER BY cohort, week_offset"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d102_dsir_weights" -> (d102DsirWeights _),
     "d103_ab_test" -> (d103AbTest _),
     "d106_eval_coverage" -> (d106EvalCoverage _),
     "d108_poisson_bootstrap" -> (d108PoissonBootstrap _),
+    "d109_retention_cohorts" -> (d109RetentionCohorts _),
     "d71_heavy_hitters" -> (d71HeavyHitters _),
     "d72_zipf_fit" -> (d72ZipfFit _),
     "d73_key_skew" -> (d73KeySkew _),
@@ -2863,6 +2920,7 @@ object CorpusOps {
     "d103_ab_test" -> d103Oracle,
     "d106_eval_coverage" -> d106Oracle,
     "d108_poisson_bootstrap" -> d108Oracle,
+    "d109_retention_cohorts" -> d109Oracle,
     "d71_heavy_hitters" -> d71Oracle,
     "d72_zipf_fit" -> d72Oracle,
     "d73_key_skew" -> d73Oracle,

@@ -1130,7 +1130,87 @@ object Similarity {
        JOIN ev b ON b.vec_id = p.doc_b
        ORDER BY p.doc_a, p.doc_b"""
 
+  // -------------------------------------------------------------- d110
+  /** Power-iteration count for the principal component. Convergence is
+    * geometric in λ₂/λ₁; five rounds from the uniform start separate
+    * the top component to well past the gate's 4-dp resolution on this
+    * store, and a fixed count keeps the oracle straight-line SQL (the
+    * d98 discipline). */
+  private[graft] val PcaIters = 5
+  private[graft] val PcaDim = 64
+
+  /** TOP PRINCIPAL COMPONENT via distributed POWER ITERATION (textbook
+    * public; the covariance-free formulation behind every large-scale
+    * PCA: never materialize the dim×dim covariance, iterate
+    * `v ← X_cᵀ(X_c v)` with X_c the mean-centered store). The first PC
+    * is embedding-pipeline infrastructure: whitening, drift detection
+    * (a rotating PC1 between snapshots flags an encoder change), and
+    * the "is one direction eating the variance" health check behind
+    * d83's truncation audit. The suite's third iterative shape —
+    * label-algebraic (connected components), stochastic-matrix (d98),
+    * now numeric-linear-algebra.
+    *
+    * Scale shape: the store is exploded ONCE to the tall-skinny
+    * centered form (vec, dim, x−μ) and checkpointed — the form every
+    * iteration reuses; an iteration is two keyed aggregates (project
+    * on vec, accumulate on dim — each a shuffle of the tall-skinny
+    * frame, never a dim×dim product), the 64-row vector re-broadcasts
+    * each round, and the norm is a 1-row aggregate. Power iteration
+    * from a fixed positive start has NO eigen-sign ambiguity — both
+    * engines follow the same sign trajectory, so the gate needs no
+    * sign canonicalization. */
+  def d110PowerPca(spark: SparkSession, dir: String): DataFrame = {
+    val xd = emb(spark, dir)
+      .select(col("vec_id"), posexplode(col("v")).as(Seq("d", "x")))
+    val mu = xd.groupBy("d").agg(avg("x").as("mu"))
+    val xc = xd.join(broadcast(mu), "d")
+      .select(col("vec_id"), col("d"), (col("x") - col("mu")).as("x"))
+      .localCheckpoint()
+    var v = mu.select(col("d"))
+      .crossJoin(broadcast(mu.agg(count(lit(1)).cast("double").as("k"))))
+      .select(col("d"), (lit(1.0) / sqrt(col("k"))).as("v"))
+      .localCheckpoint()
+    for (_ <- 1 to PcaIters) {
+      val y = xc.join(broadcast(v), "d")
+        .groupBy("vec_id").agg(sum(col("x") * col("v")).as("y"))
+      val s = xc.join(y, "vec_id")
+        .groupBy("d").agg(sum(col("x") * col("y")).as("s"))
+      val nrm = broadcast(s.agg(sqrt(sum(col("s") * col("s"))).as("n")))
+      v = s.crossJoin(nrm)
+        .select(col("d"), (col("s") / col("n")).as("v"))
+        .localCheckpoint()
+    }
+    v.select((col("d") + 1).cast("int").as("dim"),
+        round(col("v"), 4).as("loading"))
+      .orderBy("dim")
+  }
+
+  /** The DuckDB twin unrolls the same five iterations as chained CTEs
+    * over the identical tall-skinny centered form. */
+  val d110Oracle: String = {
+    val iters = (1 to PcaIters).map { t =>
+      val prev = s"v${t - 1}"
+      s"""y$t AS (SELECT vec_id, sum(x * v) AS y
+                  FROM xc JOIN $prev USING (d) GROUP BY vec_id),
+        s$t AS (SELECT d, sum(x * y) AS s
+                FROM xc JOIN y$t USING (vec_id) GROUP BY d),
+        v$t AS (SELECT d, s / (SELECT sqrt(sum(s * s)) FROM s$t) AS v
+                FROM s$t)"""
+    }.mkString(",\n", ",\n", "")
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       xd AS (SELECT vec_id, i AS d, v[i] AS x
+              FROM e, (SELECT unnest(range(1, ${PcaDim + 1})) AS i)),
+       mu AS (SELECT d, avg(x) AS mu FROM xd GROUP BY d),
+       xc AS (SELECT vec_id, xd.d, x - mu AS x FROM xd JOIN mu USING (d)),
+       v0 AS (SELECT d, 1.0 / sqrt((SELECT CAST(count(*) AS DOUBLE) FROM mu))
+                AS v
+              FROM mu)$iters
+       SELECT CAST(d AS INT) AS dim, round(v, 4) AS loading
+       FROM v$PcaIters ORDER BY dim"""
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d110_power_pca" -> (d110PowerPca _),
     "d30_label_profiles" -> (d30LabelProfiles _),
     "d9_cosine_topk" -> (d9CosineTopk _),
     "d10_ann_lsh" -> (d10AnnLsh _),
@@ -1150,6 +1230,7 @@ object Similarity {
   )
 
   val oracles: Map[String, String] = Map(
+    "d110_power_pca" -> d110Oracle,
     "d30_label_profiles" -> d30Oracle,
     "d9_cosine_topk" -> d9Oracle,
     "d10_ann_lsh" -> d10Oracle,

@@ -208,6 +208,83 @@ class NewOpsSpec extends SparkSpec {
     assert(w(0L) > w(40L)) // and the training rows themselves separate
   }
 
+  // ------------------------------------------------------------- d109
+  test("d109 retention triangle is exact on a staggered-cohort log") {
+    // the sf fixture's uniform log collapses to one cohort; this plants
+    // two cohorts with known dropout so every (cohort, offset) cell and
+    // retention ratio is hand-checkable
+    val dir = tmp()
+    import spark.implicits._
+    val monday = 1704067200000000L // 2024-01-01T00:00Z, a Monday
+    val week = 604800000000L
+    def active(u: Long): Seq[Long] = {
+      val f = if (u < 10) 0L else 1L // cohorts of 10 users each
+      Seq(f) ++ (if (u % 2 == 0) Seq(f + 1) else Nil) ++
+        (if (u % 4 == 0) Seq(f + 2) else Nil)
+    }
+    val rows = (0L until 20L).flatMap { u =>
+      active(u).zipWithIndex.map { case (w, i) =>
+        (u * 100 + i, monday + w * week + u * 3600000000L, u, "a", 1.0, "{}")
+      }
+    }
+    rows.toDF("event_id", "us", "user_id", "event_type", "value", "props")
+      .select(col("event_id"), timestamp_micros(col("us")).as("ts"),
+        col("user_id"), col("event_type"), col("value"), col("props"))
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+
+    val got = CorpusOps.d109RetentionCohorts(spark, dir).collect()
+      .map(r => (r.getTimestamp(0).getTime, r.getLong(1), r.getLong(2),
+        r.getDouble(3)))
+    // both cohorts: offset 0 = 10 users, offset 1 = evens (5), offset 2
+    // = multiples of 4 (cohort 0 has 0,4,8 -> 3; cohort 1 has 12,16 -> 2)
+    val c0 = monday / 1000; val c1 = (monday + week) / 1000 // µs -> ms
+    val expected = Seq(
+      (c0, 0L, 10L, 1.0), (c0, 1L, 5L, 0.5), (c0, 2L, 3L, 0.3),
+      (c1, 0L, 10L, 1.0), (c1, 1L, 5L, 0.5), (c1, 2L, 2L, 0.2))
+    assert(got.toSeq == expected, s"got ${got.toSeq}")
+  }
+
+  // ------------------------------------------------------------- d110
+  test("d110 power iteration recovers a planted dominant direction") {
+    val dir = tmp()
+    import spark.implicits._
+    // 40 vectors in R^4: big variance along (1,1,0,0)/sqrt(2), small
+    // noise elsewhere — PC1 must align with the planted direction
+    val vecs = (0 until 40).map { i =>
+      val t = (i - 20).toDouble
+      val noise = Seq(0.01 * (i % 3), 0.02 * (i % 5), 0.01 * (i % 7), 0.0)
+      (i.toLong,
+        Seq(t + noise(0), t + noise(1), noise(2), 0.1 * (i % 2) + noise(3))
+          .map(_.toFloat), i % 2)
+    }
+    vecs.toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+
+    // independent JVM power iteration on the same centered data
+    val x = vecs.map(_._2.map(_.toDouble))
+    val n = x.size; val dim = 4
+    val mu = (0 until dim).map(d => x.map(_(d)).sum / n)
+    val xc = x.map(v => v.indices.map(d => v(d) - mu(d)))
+    var v = Seq.fill(dim)(1.0 / math.sqrt(dim))
+    for (_ <- 1 to ops.Similarity.PcaIters) {
+      val y = xc.map(r => r.indices.map(d => r(d) * v(d)).sum)
+      val s = (0 until dim).map(d => xc.zip(y).map { case (r, yi) => r(d) * yi }.sum)
+      val nrm = math.sqrt(s.map(e => e * e).sum)
+      v = s.map(_ / nrm)
+    }
+    val got = ops.Similarity.d110PowerPca(spark, dir).collect()
+      .map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    assert(got.size == dim)
+    (0 until dim).foreach { d =>
+      assert(math.abs(got(d + 1) - v(d)) < 1e-3,
+        s"dim ${d + 1}: ${got(d + 1)} vs ${v(d)}")
+    }
+    // and the recovered direction is the planted one (|cos| > 0.99)
+    val planted = Seq(1.0, 1.0, 0.0, 0.0).map(_ / math.sqrt(2))
+    val cos = (0 until dim).map(d => v(d) * planted(d)).sum
+    assert(math.abs(cos) > 0.99, s"cos=$cos")
+  }
+
   // ------------------------------------------------------------- d108
   test("d108 poisson bootstrap matches an independent JVM recomputation") {
     val dir = tmp()
