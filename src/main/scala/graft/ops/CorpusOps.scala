@@ -2865,7 +2865,243 @@ object CorpusOps {
        FROM cells JOIN sizes USING (cohort)
        ORDER BY cohort, week_offset"""
 
+  // -------------------------------------------------------------- d113
+  /** PER-SOURCE TOKEN ENTROPY — Shannon entropy (nats) of each source's
+    * unigram distribution, beside its token count and vocabulary size.
+    * The corpus-diversity readout mixture design leans on: a source
+    * whose entropy collapses between snapshots has gone templated/
+    * boilerplate (the aggregate twin of d20's per-doc repetition), and
+    * entropy per source is the denominator signal for d66-style
+    * temperature mixing ("diverse sources earn their epochs").
+    *
+    * Computed as `ln(N) − Σ c·ln(c) / N` — algebraically −Σ p·ln p but
+    * one pass over the (source, term) counts with no per-row division
+    * by a joined total until the single final expression; BOTH engines
+    * run this exact tree, so the only float divergence is summation
+    * order, absorbed by the 4dp round.
+    *
+    * Scale shape: the only vocabulary-sized shuffle is the
+    * (source, term) count — hash-partitioned, map-side combined; the
+    * entropy reduction collapses it to one row per source, and the
+    * token totals ride the same aggregate (no second corpus scan). */
+  def d113TokenEntropy(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .select(col("source"), explode(tokens(lower(col("text")))).as("term"))
+      .groupBy("source", "term")
+      .agg(count(lit(1)).as("c"))
+      .groupBy("source")
+      .agg(
+        sum("c").as("n_tokens"),
+        count(lit(1)).as("vocab"),
+        sum(col("c") * log(col("c"))).as("clnc"))
+      .select(col("source"), col("n_tokens"), col("vocab"),
+        round(log(col("n_tokens")) - col("clnc") / col("n_tokens"), 4)
+          .as("entropy"))
+      .orderBy("source")
+
+  val d113Oracle: String =
+    """WITH cnt AS (
+         SELECT source, term, count(*) AS c
+         FROM (SELECT source,
+                 unnest(regexp_extract_all(lower(text), '\S+')) AS term
+               FROM documents)
+         GROUP BY source, term),
+       agg AS (
+         SELECT source, CAST(sum(c) AS BIGINT) AS n_tokens,
+           CAST(count(*) AS BIGINT) AS vocab,
+           sum(c * ln(c)) AS clnc
+         FROM cnt GROUP BY source)
+       SELECT source, n_tokens, vocab,
+         round(ln(n_tokens) - clnc / n_tokens, 4) AS entropy
+       FROM agg ORDER BY source"""
+
+  // -------------------------------------------------------------- d114
+  /** TWO-SAMPLE KOLMOGOROV–SMIRNOV drift between the doc-length
+    * (`n_chars`) distributions of the corpus's two largest sources —
+    * `max_v |F_a(v) − F_b(v)|` over the pooled empirical CDFs, plus the
+    * smallest value attaining it. d62 measures drift on fixed buckets
+    * (KL); KS is its binning-free counterpart — sensitive anywhere the
+    * CDFs separate, the standard "did this source's length profile
+    * move" monitor between corpus snapshots.
+    *
+    * Scale shape: per-(source, value) counts collapse the corpus first
+    * — the CDF walk runs over DISTINCT metric values, whose cardinality
+    * is bounded by the value range (doc lengths: ≤ ~10⁶ rows at any
+    * corpus size), one skinny ordered window; continuous metrics
+    * quantize first (the d89 discipline). The top-2-source pick is a
+    * window over the per-source count aggregate (rows = #sources), and
+    * the final max is a 1-row TakeOrdered. */
+  def d114KsDrift(spark: SparkSession, dir: String): DataFrame = {
+    val bySrc = docs(spark, dir)
+      .groupBy("source").agg(count(lit(1)).as("n"))
+    val top2 = bySrc
+      .withColumn("r",
+        row_number().over(Window.orderBy(col("n").desc, col("source"))))
+      .filter(col("r") <= 2)
+    val roles = broadcast(top2.agg(
+      max(when(col("r") === 1, col("source"))).as("src_a"),
+      max(when(col("r") === 2, col("source"))).as("src_b"),
+      max(when(col("r") === 1, col("n"))).as("n_a"),
+      max(when(col("r") === 2, col("n"))).as("n_b")))
+    val cum = docs(spark, dir)
+      .join(broadcast(top2.select("source", "r")), "source")
+      .groupBy(col("n_chars").as("value"))
+      .agg(
+        sum(when(col("r") === 1, 1L).otherwise(0L)).as("c1"),
+        sum(when(col("r") === 2, 1L).otherwise(0L)).as("c2"))
+      .select(col("value"),
+        sum("c1").over(Window.orderBy("value")).as("f1"),
+        sum("c2").over(Window.orderBy("value")).as("f2"))
+    cum.crossJoin(roles)
+      .select(col("src_a"), col("src_b"), col("n_a"), col("n_b"),
+        col("value"),
+        abs(col("f1").cast("double") / col("n_a")
+          - col("f2").cast("double") / col("n_b")).as("diff"))
+      .orderBy(col("diff").desc, col("value"))
+      .limit(1)
+      .select(col("src_a"), col("src_b"), col("n_a"), col("n_b"),
+        round(col("diff"), 4).as("ks"), col("value").as("ks_at"))
+  }
+
+  val d114Oracle: String =
+    """WITH bysrc AS (
+         SELECT source, CAST(count(*) AS BIGINT) AS n
+         FROM documents GROUP BY source),
+       top2 AS (
+         SELECT source, n,
+           row_number() OVER (ORDER BY n DESC, source) AS r
+         FROM bysrc QUALIFY r <= 2),
+       roles AS (
+         SELECT max(CASE WHEN r = 1 THEN source END) AS src_a,
+           max(CASE WHEN r = 2 THEN source END) AS src_b,
+           max(CASE WHEN r = 1 THEN n END) AS n_a,
+           max(CASE WHEN r = 2 THEN n END) AS n_b
+         FROM top2),
+       piv AS (
+         SELECT n_chars AS value,
+           sum(CASE WHEN r = 1 THEN 1 ELSE 0 END) AS c1,
+           sum(CASE WHEN r = 2 THEN 1 ELSE 0 END) AS c2
+         FROM documents JOIN top2 USING (source)
+         GROUP BY n_chars),
+       cum AS (
+         SELECT value,
+           sum(c1) OVER (ORDER BY value) AS f1,
+           sum(c2) OVER (ORDER BY value) AS f2
+         FROM piv)
+       SELECT src_a, src_b, n_a, n_b,
+         round(abs(CAST(f1 AS DOUBLE) / n_a
+           - CAST(f2 AS DOUBLE) / n_b), 4) AS ks,
+         value AS ks_at
+       FROM cum, roles
+       ORDER BY abs(CAST(f1 AS DOUBLE) / n_a
+         - CAST(f2 AS DOUBLE) / n_b) DESC, value
+       LIMIT 1"""
+
+  // -------------------------------------------------------------- d115
+  /** PER-SOURCE GINI CONCENTRATION of document mass — the Gini
+    * coefficient of each source's per-doc `n_chars`, via the sorted
+    * formula `G = 2·Σᵢ i·xᵢ /(n·Σx) − (n+1)/n` (x ascending, 1-based
+    * rank). The "is this source a few giant documents in a trench
+    * coat" audit: a high-Gini source's token mass concentrates in few
+    * docs, so doc-level sampling (d18/d78) and doc-level dedup verdicts
+    * carry outsized token-level consequences there. Complements d113:
+    * entropy measures vocabulary diversity, Gini measures size
+    * inequality.
+    *
+    * Tie-safety: equal x contribute `x·Σ(ranks)` over the same index
+    * set under ANY permutation, so the rank tie-break (doc_id) cannot
+    * change G — the gate is deterministic without canonical ordering.
+    *
+    * Scale shape: one window rank per source (the d92 hot-key caveat
+    * applies to a pathologically dominant source) and one per-source
+    * aggregate; `i·xᵢ` is promoted to DOUBLE before summing — the
+    * rank×length product summed over a billion-doc source overflows
+    * BIGINT, and double summation is what the 4dp round already
+    * absorbs. Division is left-to-right (`2·si/n/sx`), never forming
+    * the n·Σx integer product, for the same overflow reason. */
+  def d115GiniSources(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("source").orderBy(col("n_chars"), col("doc_id"))
+    docs(spark, dir)
+      .select(col("source"), col("doc_id"), col("n_chars"))
+      .withColumn("i", row_number().over(w))
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum("n_chars").as("sx"),
+        sum(col("i").cast("double") * col("n_chars")).as("si"))
+      .select(col("source"), col("n_docs"), col("sx").as("n_chars"),
+        round(lit(2.0) * col("si") / col("n_docs") / col("sx")
+          - (col("n_docs") + lit(1.0)) / col("n_docs"), 4).as("gini"))
+      .orderBy("source")
+  }
+
+  val d115Oracle: String =
+    """WITH ranked AS (
+         SELECT source, n_chars,
+           row_number() OVER (PARTITION BY source
+             ORDER BY n_chars, doc_id) AS i
+         FROM documents),
+       agg AS (
+         SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS sx,
+           sum(CAST(i AS DOUBLE) * n_chars) AS si
+         FROM ranked GROUP BY source)
+       SELECT source, n_docs, sx AS n_chars,
+         round(2.0 * si / n_docs / sx - (n_docs + 1.0) / n_docs, 4) AS gini
+       FROM agg ORDER BY source"""
+
+  // -------------------------------------------------------------- d116
+  /** Feature-hash dimensionality (production uses 2^18-2^20; 64 keeps
+    * the fixture collisions real). */
+  private[graft] val HashDim = 64
+
+  /** FEATURE HASHING (the hashing trick, Weinberger et al. 2009):
+    * project each document's bag-of-words into a fixed
+    * [[HashDim]]-dimensional signed count vector — index
+    * `h(term) mod D`, sign from the next hash bit, collisions resolved
+    * by signed summation (which keeps the estimate unbiased). The
+    * featurizer behind fastText-style quality classifiers and any
+    * "train a linear probe over the corpus" step: no vocabulary build,
+    * no second pass, memory fixed at D regardless of vocabulary —
+    * THE property that matters when the vocabulary is crawl-sized.
+    *
+    * Emitted in sparse long form (doc_id, idx, val) — the shape a
+    * downstream trainer consumes; zero components are absent, and a
+    * term pair colliding with opposite signs cancels to an explicit 0
+    * row (it was observed, unlike a never-touched index).
+    *
+    * Scale shape: tokenize + hash is a narrow map; the only shuffle is
+    * the (doc_id, idx) aggregation, ≤ D keys per doc with map-side
+    * combine. The hash is [[TextOps.hash60]] (md5 — engine-reproducible
+    * by construction); sign and index read DISJOINT bit ranges (low 6
+    * bits vs bit 6), so index and sign stay independent. */
+  def d116FeatureHash(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .select(col("doc_id"), explode(tokens(lower(col("text")))).as("term"))
+      .withColumn("h", TextOps.hash60(col("term")))
+      .select(col("doc_id"),
+        (col("h") % HashDim).cast("int").as("idx"),
+        (shiftright(col("h"), 6).bitwiseAND(1) * 2 - 1).as("sign"))
+      .groupBy("doc_id", "idx")
+      .agg(sum("sign").as("val"))
+      .orderBy("doc_id", "idx")
+
+  val d116Oracle: String =
+    s"""WITH tok AS (
+         SELECT doc_id,
+           ('0x'||substr(md5(unnest(regexp_extract_all(lower(text), '\\S+'))),
+             1, 15))::BIGINT AS h
+         FROM documents)
+       SELECT doc_id, CAST(h % $HashDim AS INT) AS idx,
+         CAST(sum(((h >> 6) & 1) * 2 - 1) AS BIGINT) AS val
+       FROM tok GROUP BY doc_id, idx
+       ORDER BY doc_id, idx"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d113_token_entropy" -> (d113TokenEntropy _),
+    "d114_ks_drift" -> (d114KsDrift _),
+    "d115_gini_sources" -> (d115GiniSources _),
+    "d116_feature_hash" -> (d116FeatureHash _),
     "d102_dsir_weights" -> (d102DsirWeights _),
     "d103_ab_test" -> (d103AbTest _),
     "d106_eval_coverage" -> (d106EvalCoverage _),
@@ -2916,6 +3152,10 @@ object CorpusOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "d113_token_entropy" -> d113Oracle,
+    "d114_ks_drift" -> d114Oracle,
+    "d115_gini_sources" -> d115Oracle,
+    "d116_feature_hash" -> d116Oracle,
     "d102_dsir_weights" -> d102Oracle,
     "d103_ab_test" -> d103Oracle,
     "d106_eval_coverage" -> d106Oracle,

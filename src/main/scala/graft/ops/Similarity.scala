@@ -1209,8 +1209,163 @@ object Similarity {
        FROM v$PcaIters ORDER BY dim"""
   }
 
+  // -------------------------------------------------------------- d111
+  /** Neighbor count for the label vote. Odd-ish k keeps ties rare; the
+    * deterministic (votes desc, label asc) tie-break keeps the rare
+    * ones engine-stable anyway. */
+  private[graft] val KnnK = 10
+  /** Probe set: the first 16 vectors play "unlabeled" — their stored
+    * labels become the audit ground truth the prediction is scored
+    * against. */
+  private[graft] val KnnProbes = 16
+
+  /** kNN LABEL PROPAGATION (auto-labeling): predict each probe vector's
+    * label by majority vote of its [[KnnK]] nearest neighbors (cosine),
+    * emitting the stored label beside the prediction so the output IS
+    * the agreement audit. This is the weak-supervision primitive behind
+    * classifier-free corpus labeling (quality tiers, topic buckets,
+    * license classes) — embed once, label a seed set, propagate.
+    *
+    * Scale shape: the probe set is a broadcast (queries are always the
+    * small side); the corpus side is ONE narrow scan — cosine per
+    * (probe, candidate) pair, a per-probe top-k via window rank (at
+    * production fan-out the d10/d14 bucketed ANN replaces the exact
+    * scan as the candidate generator — this op is deliberately the
+    * EXACT-retrieval consumer so the gate pins vote semantics, not
+    * recall), then the vote is a (probe, label)-keyed count — grouping
+    * [[KnnK]]·probes tiny rows. Nothing data-sized ever shuffles. */
+  def d111KnnLabels(spark: SparkSession, dir: String): DataFrame = {
+    val e = emb(spark, dir)
+    val probes = e.filter(col("vec_id") < KnnProbes)
+      .select(col("vec_id").as("q_id"), col("label").as("true_label"),
+        col("v").as("qv"))
+    val rk = Window.partitionBy("q_id")
+      .orderBy(col("cos_sim").desc, col("vec_id"))
+    val votes = e.crossJoin(broadcast(probes))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"), col("label"),
+        cosine(col("v"), col("qv")).as("cos_sim"))
+      .withColumn("rk", row_number().over(rk))
+      .filter(col("rk") <= KnnK)
+      .groupBy("q_id", "label")
+      .agg(count(lit(1)).as("votes"))
+    val best = Window.partitionBy("q_id")
+      .orderBy(col("votes").desc, col("label"))
+    votes.withColumn("b", row_number().over(best))
+      .filter(col("b") === 1)
+      .select(col("q_id"), col("label").as("pred_label"), col("votes"))
+      .join(broadcast(probes.select("q_id", "true_label")), "q_id")
+      .select(col("q_id"), col("true_label"), col("pred_label"),
+        col("votes"),
+        when(col("true_label") === col("pred_label"), 1).otherwise(0)
+          .as("agree"))
+      .orderBy("q_id")
+  }
+
+  val d111Oracle: String =
+    s"""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+       probes AS (SELECT vec_id AS q_id, label AS true_label, v AS qv
+                  FROM e WHERE vec_id < $KnnProbes),
+       scored AS (
+         SELECT q_id, vec_id, label, ${cosineSql("v", "qv")} AS cos_sim
+         FROM e, probes WHERE vec_id <> q_id),
+       topk AS (
+         SELECT q_id, label FROM scored
+         QUALIFY row_number() OVER (PARTITION BY q_id
+           ORDER BY cos_sim DESC, vec_id) <= $KnnK),
+       votes AS (
+         SELECT q_id, label, CAST(count(*) AS BIGINT) AS votes
+         FROM topk GROUP BY q_id, label)
+       SELECT q_id, true_label, label AS pred_label, votes,
+         CASE WHEN true_label = label THEN 1 ELSE 0 END AS agree
+       FROM votes JOIN probes USING (q_id)
+       QUALIFY row_number() OVER (PARTITION BY q_id
+         ORDER BY votes DESC, label) = 1
+       ORDER BY q_id"""
+
+  // -------------------------------------------------------------- d112
+  /** The RRF discount constant — k=60 from the original Cormack/Clarke/
+    * Buettcher paper; rank contributions are 1/(k+rank). */
+  private[graft] val RrfK = 60
+  private[graft] val RrfDepth = 20
+
+  /** HYBRID RETRIEVAL via RECIPROCAL RANK FUSION: fuse the sparse
+    * (BM25, d37) and dense (cosine, d9) top-[[RrfDepth]] lists for the
+    * same information need into one ranking by summing 1/(60+rank) per
+    * list — the standard first-stage fusion in RAG retrieval stacks
+    * (keyword recall + semantic recall, neither score comparable to
+    * the other, ranks always are). Documents and vectors share the id
+    * space (the d87 convention); a doc present in only one list keeps
+    * that list's contribution alone — FULL outer fusion, nothing
+    * silently dropped.
+    *
+    * Scale shape: each branch is its own already-gated retrieval plan
+    * (d37's one-scan BM25, d9's narrow-scan top-k) truncated to depth
+    * 20, so the fusion itself joins two 20-row lists — driver-trivial
+    * regardless of corpus size. Fan-out to thousands of queries makes
+    * each list (query_id, doc_id, rank)-keyed and the fusion a
+    * (query_id, doc_id) grouped sum — still rank-depth-sized, never
+    * corpus-sized. */
+  def d112RrfFusion(spark: SparkSession, dir: String): DataFrame = {
+    val sparse = CorpusOps.d37Bm25(spark, dir)
+      .withColumn("r_s",
+        row_number().over(Window.orderBy(col("bm25").desc, col("doc_id"))))
+      .select(col("doc_id"), col("r_s"))
+    val e = emb(spark, dir)
+    val probe = e.filter(col("vec_id") === 0).select(col("v").as("qv"))
+    val dense = e.crossJoin(broadcast(probe))
+      .select(col("vec_id").as("doc_id"),
+        cosine(col("v"), col("qv")).as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col("doc_id"))
+      .limit(RrfDepth)
+      .withColumn("r_d",
+        row_number().over(Window.orderBy(col("cos_sim").desc, col("doc_id"))))
+      .select(col("doc_id"), col("r_d"))
+    sparse.join(dense, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"),
+        round(
+          coalesce(lit(1.0) / (lit(RrfK) + col("r_s")), lit(0.0)) +
+            coalesce(lit(1.0) / (lit(RrfK) + col("r_d")), lit(0.0)), 6)
+          .as("rrf"),
+        // long, matching the oracle's BIGINT row_number (the driver's
+        // hash canonicalizes by type — the d60/d73/d80 lesson)
+        coalesce(col("r_s"), lit(0)).cast("long").as("bm25_rank"),
+        coalesce(col("r_d"), lit(0)).cast("long").as("cos_rank"))
+      .orderBy(col("rrf").desc, col("doc_id"))
+      .limit(10)
+  }
+
+  /** d37's full oracle is the sparse CTE; the dense CTE is the d9 shape
+    * at depth 20. Rank arithmetic is the identical double expression in
+    * both engines. */
+  val d112Oracle: String =
+    s"""WITH sparse0 AS (${CorpusOps.d37Oracle}),
+       sparse AS (SELECT doc_id,
+           CAST(row_number() OVER (ORDER BY bm25 DESC, doc_id) AS BIGINT)
+             AS r_s
+         FROM sparse0),
+       e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       probe AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+       dense0 AS (
+         SELECT vec_id AS doc_id, ${cosineSql("v", "qv")} AS cos_sim
+         FROM e, probe
+         ORDER BY cos_sim DESC, doc_id LIMIT $RrfDepth),
+       dense AS (SELECT doc_id,
+           CAST(row_number() OVER (ORDER BY cos_sim DESC, doc_id) AS BIGINT)
+             AS r_d
+         FROM dense0)
+       SELECT doc_id,
+         round(coalesce(1.0 / ($RrfK + r_s), 0.0)
+             + coalesce(1.0 / ($RrfK + r_d), 0.0), 6) AS rrf,
+         coalesce(r_s, 0) AS bm25_rank,
+         coalesce(r_d, 0) AS cos_rank
+       FROM sparse FULL JOIN dense USING (doc_id)
+       ORDER BY rrf DESC, doc_id LIMIT 10"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d110_power_pca" -> (d110PowerPca _),
+    "d111_knn_labels" -> (d111KnnLabels _),
+    "d112_rrf_fusion" -> (d112RrfFusion _),
     "d30_label_profiles" -> (d30LabelProfiles _),
     "d9_cosine_topk" -> (d9CosineTopk _),
     "d10_ann_lsh" -> (d10AnnLsh _),
@@ -1231,6 +1386,8 @@ object Similarity {
 
   val oracles: Map[String, String] = Map(
     "d110_power_pca" -> d110Oracle,
+    "d111_knn_labels" -> d111Oracle,
+    "d112_rrf_fusion" -> d112Oracle,
     "d30_label_profiles" -> d30Oracle,
     "d9_cosine_topk" -> d9Oracle,
     "d10_ann_lsh" -> d10Oracle,

@@ -363,4 +363,231 @@ class NewOpsSpec extends SparkSpec {
     assert(math.abs(r.getDouble(4) - t) < 1e-3, s"t ${r.getDouble(4)} vs $t")
     assert(math.abs(r.getDouble(5) - df) < 1e-3)
   }
+
+  /** Cosine rounded to 4dp, element-order accumulation — the same
+    * arithmetic [[graft.functions.CosineSim]] runs. */
+  private def cos4(a: Seq[Double], b: Seq[Double]): Double = {
+    val dot = a.lazyZip(b).map(_ * _).sum
+    val c = dot / (math.sqrt(a.map(x => x * x).sum) *
+      math.sqrt(b.map(x => x * x).sum))
+    BigDecimal(c).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+  }
+
+  // ------------------------------------------------------------- d111
+  test("d111 knn vote matches an independent recomputation on planted clusters") {
+    val dir = tmp()
+    import spark.implicits._
+    // two tight clusters on orthogonal axes; label == cluster, small
+    // per-id noise keeps every pairwise cosine distinct
+    val vecs = (0 until 24).map { i =>
+      val lbl = i % 2
+      val base =
+        if (lbl == 0) Seq(1.0, 0.0, 0.05 * (i % 3), 0.0)
+        else Seq(0.0, 1.0, 0.0, 0.05 * (i % 5))
+      (i.toLong, base.map(_.toFloat), lbl)
+    }
+    vecs.toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+
+    val dv = vecs.map { case (id, v, l) => (id, v.map(_.toDouble), l) }
+    val expect = dv.filter(_._1 < ops.Similarity.KnnProbes)
+      .map { case (q, qv, tl) =>
+        val top = dv.filter(_._1 != q)
+          .map { case (id, v, l) => (id, l, cos4(qv, v)) }
+          .sortBy { case (id, _, c) => (-c, id) }
+          .take(ops.Similarity.KnnK)
+        val (pl, n) = top.groupBy(_._2).view.mapValues(_.size).toSeq
+          .sortBy { case (l, n) => (-n, l) }.head
+        (q, tl, pl, n.toLong, if (tl == pl) 1 else 0)
+      }.sortBy(_._1)
+    val got = ops.Similarity.d111KnnLabels(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getLong(3),
+        r.getInt(4))).toSeq
+    assert(got == expect)
+    // the planted separation is clean: unanimous, correct votes
+    assert(got.forall { case (_, _, _, n, a) =>
+      n == ops.Similarity.KnnK && a == 1 })
+  }
+
+  // ------------------------------------------------------------- d112
+  test("d112 rrf fusion matches an independent sparse+dense recomputation") {
+    val dir = tmp()
+    import spark.implicits._
+    // docs mix the BM25 demo query terms at varying tf and lengths;
+    // some docs carry no query term at all (absent from the sparse
+    // list — the FULL-join branch)
+    val words = Seq("column", "window", "scan", "alpha", "beta", "gamma")
+    val docsRows = (0 until 12).map { i =>
+      val toks = (0 to i % 5).map(j => words((i + j) % words.size)) ++
+        Seq.fill(i % 4 + 1)("filler")
+      val text = toks.mkString(" ")
+      (i.toLong, text, "en", "s" + (i % 2), text.length.toLong)
+    }
+    docsRows.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    // docs 8-11 have NO vector (the unembedded tail a real corpus
+    // always has) — they can only enter the fusion through BM25
+    val vecs = (0 until 8).map { i =>
+      (i.toLong,
+        Seq(math.cos(i * 0.3), math.sin(i * 0.3), 0.1 * i, 1.0).map(_.toFloat),
+        i % 2)
+    }
+    vecs.toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+
+    // independent sparse branch: plain-Scala BM25 (Robertson defaults)
+    val toksOf = docsRows.map { case (id, text, _, _, _) =>
+      id -> "\\S+".r.findAllIn(text.toLowerCase).toSeq }.toMap
+    val n = toksOf.size
+    val avgdl = toksOf.values.map(_.size).sum.toDouble / n
+    val tf = for {
+      (id, ts) <- toksOf.toSeq
+      t <- ops.CorpusOps.Bm25Query
+      c = ts.count(_ == t) if c > 0
+    } yield (id, t, c, ts.size)
+    val dfq = tf.groupBy(_._2).view.mapValues(_.size).toMap
+    val sparse = tf.groupBy(_._1).view.mapValues { xs =>
+      val s = xs.map { case (_, t, c, dl) =>
+        math.log((n - dfq(t) + 0.5) / (dfq(t) + 0.5) + 1.0) * c * 2.2 /
+          (c + (0.25 + dl / avgdl * 0.75) * 1.2)
+      }.sum
+      BigDecimal(s).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }.toSeq.sortBy { case (id, s) => (-s, id) }.take(20)
+      .zipWithIndex.map { case ((id, _), r) => id -> (r + 1L) }.toMap
+    // independent dense branch: cosine vs vec 0
+    val dv = vecs.map { case (id, v, _) => id -> v.map(_.toDouble) }.toMap
+    val dense = dv.toSeq.map { case (id, v) => id -> cos4(dv(0L), v) }
+      .sortBy { case (id, c) => (-c, id) }.take(20)
+      .zipWithIndex.map { case ((id, _), r) => id -> (r + 1L) }.toMap
+    val expect = (sparse.keySet ++ dense.keySet).toSeq.map { id =>
+      val rrf = sparse.get(id).map(r => 1.0 / (60 + r)).getOrElse(0.0) +
+        dense.get(id).map(r => 1.0 / (60 + r)).getOrElse(0.0)
+      (id, BigDecimal(rrf).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+        .toDouble, sparse.getOrElse(id, 0L), dense.getOrElse(id, 0L))
+    }.sortBy { case (id, rrf, _, _) => (-rrf, id) }.take(10)
+    val got = ops.Similarity.d112RrfFusion(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getLong(2), r.getLong(3)))
+      .toSeq
+    assert(got.map(_._1) == expect.map(_._1))
+    got.lazyZip(expect).foreach { case ((_, g, gs, gd), (_, e, es, ed)) =>
+      assert(math.abs(g - e) < 1e-6 && gs == es && gd == ed)
+    }
+    // both branches contribute and the full join kept single-list docs
+    assert(got.exists { case (_, _, s, d) => s == 0 || d == 0 })
+    assert(got.exists { case (_, _, s, d) => s > 0 && d > 0 })
+  }
+
+  private def round4(x: Double): Double =
+    BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  private def writeDocs(dir: String,
+      rows: Seq[(Long, String, String)]): Unit = {
+    import spark.implicits._
+    rows.map { case (id, text, src) => (id, text, "en", src, text.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+  }
+
+  // ------------------------------------------------------------- d113
+  test("d113 entropy matches the closed form on planted distributions") {
+    val dir = tmp()
+    // source "uni": 8 equiprobable tokens -> H = ln 8;
+    // source "skew": {a:7, b:1} -> H = ln 8 - (7 ln 7)/8
+    writeDocs(dir, Seq(
+      (1L, "t0 t1 t2 t3", "uni"), (2L, "t4 t5 t6 t7", "uni"),
+      (3L, "a a a a a a a b", "skew")))
+    val got = ops.CorpusOps.d113TokenEntropy(spark, dir).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        r.getDouble(3)))).toMap
+    assert(got("uni") == ((8L, 8L, round4(math.log(8))))
+      && got("skew") == ((8L, 2L,
+        round4(math.log(8) - 7 * math.log(7) / 8))))
+  }
+
+  // ------------------------------------------------------------- d114
+  test("d114 ks picks the top-2 sources and matches a hand ECDF walk") {
+    val dir = tmp()
+    // "big1" lengths 1..10, "big2" lengths 6..15 (shifted): the CDFs
+    // separate maximally at value 5 (F1=0.5, F2=0) before big2 starts
+    // catching up; a 2-doc "tiny" source must be EXCLUDED by the
+    // top-2 pick
+    val rows =
+      (1 to 10).map(i => (i.toLong, "x" * i, "big1")) ++
+        (1 to 10).map(i => (100L + i, "x" * (i + 5), "big2")) ++
+        Seq((201L, "x" * 3, "tiny"), (202L, "x" * 30, "tiny"))
+    writeDocs(dir, rows)
+    // independent walk over pooled distinct values
+    val a = (1 to 10).map(_.toLong); val b = (6 to 15).map(_.toLong)
+    val pooled = (a ++ b).distinct.sorted
+    val diffs = pooled.map { v =>
+      v -> math.abs(a.count(_ <= v) / 10.0 - b.count(_ <= v) / 10.0)
+    }
+    val (atV, ks) = diffs.maxBy { case (v, d) => (d, -v) }
+    val r = ops.CorpusOps.d114KsDrift(spark, dir).collect().head
+    assert((r.getString(0), r.getString(1)) == (("big1", "big2")))
+    assert((r.getLong(2), r.getLong(3)) == ((10L, 10L)))
+    assert(r.getDouble(4) == round4(ks) && r.getLong(5) == atV)
+    assert(ks == 0.5 && atV == 5L)
+  }
+
+  // ------------------------------------------------------------- d115
+  test("d115 gini is 0 for equal mass and matches the sorted formula") {
+    val dir = tmp()
+    // "flat": 4 equal docs -> G = 0; "conc": lengths 1,1,1,37
+    writeDocs(dir, Seq(
+      (1L, "aaaa", "flat"), (2L, "bbbb", "flat"),
+      (3L, "cccc", "flat"), (4L, "dddd", "flat"),
+      (5L, "a", "conc"), (6L, "b", "conc"), (7L, "c", "conc"),
+      (8L, "d" * 37, "conc")))
+    def gini(xs: Seq[Long]): Double = {
+      val s = xs.sorted; val n = s.size
+      val si = s.zipWithIndex.map { case (x, i) => (i + 1.0) * x }.sum
+      round4(2.0 * si / n / s.sum - (n + 1.0) / n)
+    }
+    val got = ops.CorpusOps.d115GiniSources(spark, dir).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        r.getDouble(3)))).toMap
+    assert(got("flat") == ((4L, 16L, 0.0)))
+    assert(got("conc") == ((4L, 40L, gini(Seq(1L, 1L, 1L, 37L)))))
+    assert(got("conc")._3 > 0.6) // concentrated source reads high
+  }
+
+  // ------------------------------------------------------------- d116
+  test("d116 feature hash matches JVM md5 hashing, incl. a cancelling collision") {
+    def h60(s: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+      java.lang.Long.parseLong(
+        d.digest(s.getBytes("UTF-8")).map(b => f"$b%02x").mkString.take(15), 16)
+    }
+    // brute-force a pair of distinct terms in the SAME bucket with
+    // OPPOSITE signs — their doc must emit an explicit val=0 row
+    val pool = (0 until 2000).map(i => s"w$i")
+    val byIdx = pool.groupBy(w => h60(w) % ops.CorpusOps.HashDim)
+    val (cw1, cw2) = byIdx.values.flatMap { ws =>
+      val (pos, neg) = ws.partition(w => ((h60(w) >> 6) & 1) == 1)
+      if (pos.nonEmpty && neg.nonEmpty) Some((pos.head, neg.head)) else None
+    }.head
+    val dir = tmp()
+    writeDocs(dir, Seq(
+      (1L, s"$cw1 $cw2", "s"),           // collision: cancels to 0
+      (2L, s"$cw1 $cw1 w5 w9", "s"),     // repeated term: |val| = 2
+      (3L, "Hello WORLD hello", "s")))   // case-folded before hashing
+    val expect = Seq(
+      (1L, s"$cw1 $cw2"), (2L, s"$cw1 $cw1 w5 w9"),
+      (3L, "hello world hello"))
+      .flatMap { case (id, text) =>
+        text.toLowerCase.split(" ").map { t =>
+          (id, (h60(t) % ops.CorpusOps.HashDim).toInt,
+            ((h60(t) >> 6) & 1) * 2 - 1)
+        }
+      }
+      .groupBy { case (id, idx, _) => (id, idx) }
+      .map { case ((id, idx), xs) => (id, idx, xs.map(_._3).sum) }
+      .toSeq.sorted
+    val got = ops.CorpusOps.d116FeatureHash(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSeq.sorted
+    assert(got == expect)
+    assert(got.exists { case (id, _, v) => id == 1L && v == 0L })
+    assert(got.exists { case (id, _, v) => id == 2L && math.abs(v) == 2L })
+  }
 }
