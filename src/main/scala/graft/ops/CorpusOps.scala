@@ -3097,11 +3097,167 @@ object CorpusOps {
        FROM tok GROUP BY doc_id, idx
        ORDER BY doc_id, idx"""
 
+  // -------------------------------------------------------------- d117
+  /** Minimum document frequency for a term to enter the χ² ranking —
+    * below this the 2×2 table is too sparse for the statistic to mean
+    * anything (the standard expected-count rule of thumb). */
+  private[graft] val Chi2MinDf = 10
+  private[graft] val Chi2TopK = 5
+
+  /** χ² FEATURE SELECTION — the terms most associated with each
+    * language by the chi-squared statistic over the per-term 2×2
+    * presence table (docs in/out of the class × containing/missing the
+    * term). The classic supervised vocabulary-selection step (Yang &
+    * Pedersen 1997): the output IS the feature list for a d116-style
+    * per-class probe, and doubles as a leakage detector — a term
+    * χ²-locked to one split/class that shouldn't be (a URL, a template
+    * header) is contamination the d17 n-gram scan can miss.
+    *
+    * Scale shape: presence is doc-level (`array_distinct` BEFORE the
+    * explode, so a term repeating in one doc counts once and the
+    * exploded stream shrinks to per-doc vocab); the only
+    * vocabulary-sized shuffle is the (term, lang) count, df re-
+    * aggregates THOSE counts (never the corpus), class totals and N
+    * are broadcast 1-row/K-row aggregates, and the min-df filter
+    * prunes the tail before the χ² arithmetic. The 2×2 cells stay
+    * exact integers; the χ² itself is evaluated in DOUBLE (the
+    * four-factor denominator overflows any integer width at corpus
+    * scale) with an identical expression tree in both engines. */
+  def d117Chi2Terms(spark: SparkSession, dir: String): DataFrame = {
+    val td = docs(spark, dir)
+      .select(col("lang"),
+        explode(array_distinct(tokens(lower(col("text"))))).as("term"))
+    val tl = td.groupBy("term", "lang").agg(count(lit(1)).as("a"))
+    val dfr = tl.groupBy("term").agg(sum("a").as("df"))
+      .filter(col("df") >= Chi2MinDf)
+    val nl = docs(spark, dir).groupBy("lang").agg(count(lit(1)).as("nl"))
+    val tot = broadcast(docs(spark, dir).agg(count(lit(1)).as("n")))
+    val aD = col("a").cast("double")
+    val bD = (col("df") - col("a")).cast("double")
+    val cD = (col("nl") - col("a")).cast("double")
+    val dD = (col("n") - col("nl") - col("df") + col("a")).cast("double")
+    val w = Window.partitionBy("lang").orderBy(col("chi2").desc, col("term"))
+    // a zero margin (term in EVERY doc, or a class covering the whole
+    // corpus) makes the table degenerate — no association is
+    // measurable, and the denominator is 0: define χ² = 0 there
+    // rather than tripping ANSI division
+    val denom = (aD + bD) * (aD + cD) * (bD + dD) * (cD + dD)
+    tl.join(dfr, "term").join(broadcast(nl), "lang").crossJoin(tot)
+      .select(col("lang"), col("term"), col("a").as("n_docs"),
+        when(denom === 0, lit(0.0)).otherwise(
+          round(col("n").cast("double") * (aD * dD - bD * cD)
+            * (aD * dD - bD * cD) / denom, 4))
+          .as("chi2"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= Chi2TopK)
+      .select(col("lang"), col("term"), col("n_docs"), col("chi2"))
+      .orderBy(col("lang"), col("chi2").desc, col("term"))
+  }
+
+  val d117Oracle: String =
+    s"""WITH td AS (
+         SELECT lang,
+           unnest(list_distinct(regexp_extract_all(lower(text), '\\S+')))
+             AS term
+         FROM documents),
+       tl AS (SELECT term, lang, CAST(count(*) AS BIGINT) AS a
+              FROM td GROUP BY term, lang),
+       dfr AS (SELECT term, CAST(sum(a) AS BIGINT) AS df
+               FROM tl GROUP BY term HAVING sum(a) >= $Chi2MinDf),
+       nl AS (SELECT lang, CAST(count(*) AS BIGINT) AS nl
+              FROM documents GROUP BY lang),
+       tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+       cells AS (
+         SELECT lang, term, a,
+           CAST(a AS DOUBLE) AS ad, CAST(df - a AS DOUBLE) AS bd,
+           CAST(nl - a AS DOUBLE) AS cd,
+           CAST(n - nl - df + a AS DOUBLE) AS dd, CAST(n AS DOUBLE) AS nd
+         FROM tl JOIN dfr USING (term) JOIN nl USING (lang), tot)
+       SELECT lang, term, a AS n_docs,
+         CASE WHEN (ad + bd) * (ad + cd) * (bd + dd) * (cd + dd) = 0
+           THEN 0.0
+           ELSE round(nd * (ad * dd - bd * cd) * (ad * dd - bd * cd)
+             / ((ad + bd) * (ad + cd) * (bd + dd) * (cd + dd)), 4)
+           END AS chi2
+       FROM cells
+       QUALIFY row_number() OVER (PARTITION BY lang
+         ORDER BY chi2 DESC, term) <= $Chi2TopK
+       ORDER BY lang, chi2 DESC, term"""
+
+  // -------------------------------------------------------------- d118
+  /** PER-TYPE VALUE TREND — ordinary-least-squares fit of each event
+    * type's `value` against elapsed hours: slope (drift per hour),
+    * intercept at the log's start, and R² (how much of the variance is
+    * the trend). The slope-based drift monitor beside d88's z-score
+    * anomalies: d88 flags the worst HOURS, this fits the secular
+    * TREND — a metric quietly decaying 0.1%/hour never produces an
+    * anomalous hour, but its slope is unmistakable.
+    *
+    * Scale shape: closed-form OLS from one map-side-combined aggregate
+    * per type (n, means of x, y, xy, x², y²) — no iteration, no
+    * second scan; the epoch origin is a broadcast 1-row min so `x`
+    * stays small (hours since log start) and the moment arithmetic
+    * well-conditioned. Degenerate groups (zero variance) emit NULL
+    * rather than an engine-dependent inf/NaN. */
+  def d118ValueTrend(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.load(spark, dir, "events")
+    val t0 = broadcast(ev.agg(min(unix_micros(col("ts"))).as("t0")))
+    val m = ev.crossJoin(t0)
+      .select(col("event_type"),
+        ((unix_micros(col("ts")) - col("t0")) / lit(3.6e9)).as("x"),
+        col("value").as("y"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        avg("x").as("mx"), avg("y").as("my"),
+        avg(col("x") * col("y")).as("mxy"),
+        avg(col("x") * col("x")).as("mxx"),
+        avg(col("y") * col("y")).as("myy"))
+    val vx = col("mxx") - col("mx") * col("mx")
+    val vy = col("myy") - col("my") * col("my")
+    val cxy = col("mxy") - col("mx") * col("my")
+    // + 0.0 canonicalizes IEEE -0.0: a near-zero slope whose unrounded
+    // sign differs between engines (summation order) would otherwise
+    // round to -0.0 on one side and 0.0 on the other — a hash flip
+    m.select(col("event_type"), col("n"),
+        when(vx === 0, lit(null)).otherwise(round(cxy / vx, 6) + 0.0)
+          .as("slope"),
+        when(vx === 0, lit(null))
+          .otherwise(round(col("my") - cxy / vx * col("mx"), 6) + 0.0)
+          .as("intercept"),
+        when(vx * vy === 0, lit(null))
+          .otherwise(round(cxy * cxy / (vx * vy), 6) + 0.0).as("r2"))
+      .orderBy("event_type")
+  }
+
+  val d118Oracle: String =
+    """WITH t0 AS (SELECT min(epoch_us(ts)) AS t0 FROM events),
+       xy AS (
+         SELECT event_type, (epoch_us(ts) - t0) / 3.6e9 AS x, value AS y
+         FROM events, t0),
+       m AS (
+         SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+           avg(x) AS mx, avg(y) AS my, avg(x * y) AS mxy,
+           avg(x * x) AS mxx, avg(y * y) AS myy
+         FROM xy GROUP BY event_type)
+       SELECT event_type, n,
+         CASE WHEN mxx - mx * mx = 0 THEN NULL
+           ELSE round((mxy - mx * my) / (mxx - mx * mx), 6) + 0.0
+           END AS slope,
+         CASE WHEN mxx - mx * mx = 0 THEN NULL
+           ELSE round(my - (mxy - mx * my) / (mxx - mx * mx) * mx, 6) + 0.0
+           END AS intercept,
+         CASE WHEN (mxx - mx * mx) * (myy - my * my) = 0 THEN NULL
+           ELSE round((mxy - mx * my) * (mxy - mx * my)
+             / ((mxx - mx * mx) * (myy - my * my)), 6) + 0.0 END AS r2
+       FROM m ORDER BY event_type"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d113_token_entropy" -> (d113TokenEntropy _),
     "d114_ks_drift" -> (d114KsDrift _),
     "d115_gini_sources" -> (d115GiniSources _),
     "d116_feature_hash" -> (d116FeatureHash _),
+    "d117_chi2_terms" -> (d117Chi2Terms _),
+    "d118_value_trend" -> (d118ValueTrend _),
     "d102_dsir_weights" -> (d102DsirWeights _),
     "d103_ab_test" -> (d103AbTest _),
     "d106_eval_coverage" -> (d106EvalCoverage _),
@@ -3156,6 +3312,8 @@ object CorpusOps {
     "d114_ks_drift" -> d114Oracle,
     "d115_gini_sources" -> d115Oracle,
     "d116_feature_hash" -> d116Oracle,
+    "d117_chi2_terms" -> d117Oracle,
+    "d118_value_trend" -> d118Oracle,
     "d102_dsir_weights" -> d102Oracle,
     "d103_ab_test" -> d103Oracle,
     "d106_eval_coverage" -> d106Oracle,

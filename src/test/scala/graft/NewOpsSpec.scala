@@ -590,4 +590,67 @@ class NewOpsSpec extends SparkSpec {
     assert(got.exists { case (id, _, v) => id == 1L && v == 0L })
     assert(got.exists { case (id, _, v) => id == 2L && math.abs(v) == 2L })
   }
+
+  // ------------------------------------------------------------- d117
+  test("d117 chi2 ranks the planted class-locked terms first") {
+    val dir = tmp()
+    // 'alpha' appears ONLY in lang aa, 'beta' only in bb; 'common'
+    // is uniform (chi2 = 0); all three clear the min-df bar
+    val rows = (0 until 20).map { i =>
+      (i.toLong, s"alpha common filler$i", "aa")
+    } ++ (20 until 40).map { i =>
+      (i.toLong, s"beta common filler$i", "bb")
+    }
+    import spark.implicits._
+    rows.map { case (id, t, l) => (id, t, l, "s0", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+
+    // independent chi2: a=20,b=0,c=0,d=20 for the locked terms
+    def chi2(a: Long, b: Long, c: Long, d: Long): Double = {
+      val (ad, bd, cd, dd) = (a.toDouble, b.toDouble, c.toDouble, d.toDouble)
+      val n = ad + bd + cd + dd
+      round4(n * (ad * dd - bd * cd) * (ad * dd - bd * cd) /
+        ((ad + bd) * (ad + cd) * (bd + dd) * (cd + dd)))
+    }
+    val got = ops.CorpusOps.d117Chi2Terms(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getDouble(3)))
+    // per-lang winner is the planted locked term with full-table chi2
+    val byLang = got.groupBy(_._1)
+    assert(byLang("aa").head == (("aa", "alpha", 20L, chi2(20, 0, 0, 20))))
+    assert(byLang("bb").head == (("bb", "beta", 20L, chi2(20, 0, 0, 20))))
+    // the uniform term scores 0 in both classes
+    assert(got.filter(_._2 == "common").forall(_._4 == 0.0))
+    // fillers are below min-df (df=1) and never appear
+    assert(!got.exists(_._2.startsWith("filler")))
+  }
+
+  // ------------------------------------------------------------- d118
+  test("d118 recovers a planted exact linear trend, NULLs a degenerate one") {
+    val dir = tmp()
+    import spark.implicits._
+    // type 'lin': value = 2 + 3*hours exactly -> slope 3, r2 = 1;
+    // type 'flat': constant value -> slope 0, r2 NULL (zero variance)
+    val t0 = 1700000000000000L
+    val events = (0 until 48).flatMap { h =>
+      Seq((h.toLong * 2, t0 + h * 3600000000L, 1L, "lin", 2.0 + 3.0 * h, "{}"),
+        (h.toLong * 2 + 1, t0 + h * 3600000000L, 2L, "flat", 7.0, "{}"))
+    }
+    events.toDF("event_id", "us", "user_id", "event_type", "value", "props")
+      .select(col("event_id"), timestamp_micros(col("us")).as("ts"),
+        col("user_id"), col("event_type"), col("value"), col("props"))
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+
+    val got = ops.CorpusOps.d118ValueTrend(spark, dir).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val lin = got("lin")
+    assert(lin.getLong(1) == 48)
+    assert(math.abs(lin.getDouble(2) - 3.0) < 1e-6)
+    assert(math.abs(lin.getDouble(3) - 2.0) < 1e-6)
+    assert(math.abs(lin.getDouble(4) - 1.0) < 1e-6)
+    val flat = got("flat")
+    assert(math.abs(flat.getDouble(2)) < 1e-6) // zero slope
+    assert(flat.isNullAt(4))                   // r2 undefined
+  }
 }
