@@ -2924,39 +2924,49 @@ object CorpusOps {
     * CDFs separate, the standard "did this source's length profile
     * move" monitor between corpus snapshots.
     *
-    * Scale shape: per-(source, value) counts collapse the corpus first
-    * — the CDF walk runs over DISTINCT metric values, whose cardinality
-    * is bounded by the value range (doc lengths: ≤ ~10⁶ rows at any
-    * corpus size), one skinny ordered window; continuous metrics
-    * quantize first (the d89 discipline). The top-2-source pick is a
-    * window over the per-source count aggregate (rows = #sources), and
-    * the final max is a 1-row TakeOrdered. */
+    * Scale shape: NO unpartitioned window anywhere — the CDF walk is
+    * [[GlobalOrder.runningTotal]] (range exchange + per-bucket windows
+    * + broadcast offsets) over the pooled rows ordered by value, with
+    * the source-a indicator as the summed value; since every pooled
+    * row belongs to exactly one side, `F_b`'s count is `rank −
+    * running` for free — ONE walk yields both CDFs. The per-value CDF
+    * level is the walk's state at each value's LAST row (`max(rank)` /
+    * `max(running)` per value — both monotone in rank, so the maxes
+    * agree). The top-2-source pick is a TakeOrdered head collapsed to
+    * one row (the d19 idiom), and the final max is a 1-row
+    * TakeOrdered. */
   def d114KsDrift(spark: SparkSession, dir: String): DataFrame = {
     val bySrc = docs(spark, dir)
       .groupBy("source").agg(count(lit(1)).as("n"))
-    val top2 = bySrc
-      .withColumn("r",
-        row_number().over(Window.orderBy(col("n").desc, col("source"))))
-      .filter(col("r") <= 2)
-    val roles = broadcast(top2.agg(
-      max(when(col("r") === 1, col("source"))).as("src_a"),
-      max(when(col("r") === 2, col("source"))).as("src_b"),
-      max(when(col("r") === 1, col("n"))).as("n_a"),
-      max(when(col("r") === 2, col("n"))).as("n_b")))
-    val cum = docs(spark, dir)
-      .join(broadcast(top2.select("source", "r")), "source")
-      .groupBy(col("n_chars").as("value"))
-      .agg(
-        sum(when(col("r") === 1, 1L).otherwise(0L)).as("c1"),
-        sum(when(col("r") === 2, 1L).otherwise(0L)).as("c2"))
-      .select(col("value"),
-        sum("c1").over(Window.orderBy("value")).as("f1"),
-        sum("c2").over(Window.orderBy("value")).as("f2"))
-    cum.crossJoin(roles)
+    val roles = broadcast(bySrc
+      .orderBy(col("n").desc, col("source")).limit(2)
+      .agg(collect_list(struct((-col("n")).as("neg"),
+        col("source").as("s"), col("n").as("n"))).as("rows"))
+      .select(array_sort(col("rows")).as("rows"))
+      // get(), not getItem(): the day-one empty catalog has <2 sources
+      // and ANSI getItem throws on out-of-bounds where get() NULLs
+      .select(
+        get(col("rows"), lit(0)).getField("s").as("src_a"),
+        get(col("rows"), lit(1)).getField("s").as("src_b"),
+        get(col("rows"), lit(0)).getField("n").as("n_a"),
+        get(col("rows"), lit(1)).getField("n").as("n_b")))
+    val top2 = roles.select(explode(array(
+        struct(col("src_a").as("source"), lit(1).as("r")),
+        struct(col("src_b").as("source"), lit(2).as("r")))).as("x"))
+      .select(col("x.source"), col("x.r"))
+    val pooled = docs(spark, dir)
+      .join(broadcast(top2), "source")
+      .select(col("n_chars").as("value"), col("r"), col("doc_id"))
+    val walked = GlobalOrder.runningTotal(pooled,
+      Seq(col("value"), col("r"), col("doc_id")),
+      when(col("r") === 1, 1L).otherwise(0L))
+    walked.groupBy("value")
+      .agg(max("rank").as("i"), max("running").as("c1"))
+      .crossJoin(roles)
       .select(col("src_a"), col("src_b"), col("n_a"), col("n_b"),
         col("value"),
-        abs(col("f1").cast("double") / col("n_a")
-          - col("f2").cast("double") / col("n_b")).as("diff"))
+        abs(col("c1").cast("double") / col("n_a")
+          - (col("i") - col("c1")).cast("double") / col("n_b")).as("diff"))
       .orderBy(col("diff").desc, col("value"))
       .limit(1)
       .select(col("src_a"), col("src_b"), col("n_a"), col("n_b"),

@@ -1307,20 +1307,26 @@ object Similarity {
     * (query_id, doc_id) grouped sum — still rank-depth-sized, never
     * corpus-sized. */
   def d112RrfFusion(spark: SparkSession, dir: String): DataFrame = {
-    val sparse = CorpusOps.d37Bm25(spark, dir)
-      .withColumn("r_s",
-        row_number().over(Window.orderBy(col("bm25").desc, col("doc_id"))))
-      .select(col("doc_id"), col("r_s"))
+    // ranks over the depth-bounded lists use the d19 idiom (TakeOrdered
+    // head → one collapsed row → array_sort → posexplode) — never an
+    // unpartitioned window, which the surface bans outright
+    def ranked(list: DataFrame, score: Column, rankCol: String): DataFrame =
+      list
+        .agg(collect_list(struct((-score).as("neg"),
+          col("doc_id").as("id"))).as("rows"))
+        .select(posexplode(array_sort(col("rows"))).as(Seq("p", "r")))
+        .select(col("r.id").as("doc_id"),
+          (col("p") + 1).cast("long").as(rankCol))
+    val sparse = ranked(CorpusOps.d37Bm25(spark, dir), col("bm25"), "r_s")
     val e = emb(spark, dir)
     val probe = e.filter(col("vec_id") === 0).select(col("v").as("qv"))
-    val dense = e.crossJoin(broadcast(probe))
-      .select(col("vec_id").as("doc_id"),
-        cosine(col("v"), col("qv")).as("cos_sim"))
-      .orderBy(col("cos_sim").desc, col("doc_id"))
-      .limit(RrfDepth)
-      .withColumn("r_d",
-        row_number().over(Window.orderBy(col("cos_sim").desc, col("doc_id"))))
-      .select(col("doc_id"), col("r_d"))
+    val dense = ranked(
+      e.crossJoin(broadcast(probe))
+        .select(col("vec_id").as("doc_id"),
+          cosine(col("v"), col("qv")).as("cos_sim"))
+        .orderBy(col("cos_sim").desc, col("doc_id"))
+        .limit(RrfDepth),
+      col("cos_sim"), "r_d")
     sparse.join(dense, Seq("doc_id"), "full_outer")
       .select(col("doc_id"),
         round(
