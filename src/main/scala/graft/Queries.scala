@@ -763,6 +763,57 @@ object Queries {
        FROM spine LEFT JOIN orders ON CAST(o_orderdate AS DATE) = d
        GROUP BY d ORDER BY d"""
 
+  // --------------------------------------------------------------- q30
+  /** 7-DAY TRAILING MOVING AVERAGE of daily order revenue — the sliding
+    * time-RANGE window frame (`RANGE BETWEEN INTERVAL 6 DAY PRECEDING
+    * AND CURRENT ROW`), the last common analytic frame shape the
+    * surface lacked. The oracle runs DuckDB's native range frame; the
+    * Spark side proves the scale-safe equivalent: a naive
+    * `Window.orderBy(day)` is the banned single-partition walk, so the
+    * frame is REWRITTEN as bounded fan-out — each day's total explodes
+    * to the ≤7 target days it contributes to, a (target-day) re-
+    * aggregation sums/counts contributions, and a join back to the
+    * spine keeps exactly the days that exist (range-frame semantics:
+    * the frame averages PRESENT rows only). Fan-out = frame width, so
+    * the rewrite shuffles 7× the DAILY aggregate (calendar-sized,
+    * never data-sized) and needs no global order at all — the gate
+    * pins the rewrite value-equal to the native frame. */
+  def q30MovingAvg(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.load(spark, dir, "orders")
+      .groupBy(to_date(col("o_orderdate")).as("d"))
+      .agg(sum("o_totalprice").as("total"))
+      .localCheckpoint() // both the fan-out and the spine read it
+    val contrib = daily
+      .select(explode(sequence(col("d"), date_add(col("d"), 6))).as("d2"),
+        col("total"))
+      .groupBy("d2")
+      .agg(sum("total").as("s"), count(lit(1)).as("k"))
+    daily.join(contrib, daily("d") === contrib("d2"))
+      .select(col("d").as("order_day"),
+        round(col("total"), 2).as("total"),
+        col("k").as("n_days"),
+        // 4dp, NOT the money 2dp: an average of cent-exact sums can sit
+        // EXACTLY on a half-cent (sum/6 = x.895 here at sf0.01), where
+        // the engines' rounding rules legally diverge; at 4dp the exact
+        // value of cents/(100·k), k ≤ 7, is provably ≥ 1.7e-5 from any
+        // boundary while the float error is ~1e-9 — no coin flips
+        round(col("s") / col("k"), 4).as("avg7"))
+      .orderBy("order_day")
+  }
+
+  val q30Oracle: String =
+    """WITH daily AS (
+         SELECT CAST(o_orderdate AS DATE) AS order_day,
+           sum(o_totalprice) AS total
+         FROM orders GROUP BY 1)
+       SELECT order_day, round(total, 2) AS total,
+         CAST(count(*) OVER w AS BIGINT) AS n_days,
+         round(sum(total) OVER w / count(*) OVER w, 4) AS avg7
+       FROM daily
+       WINDOW w AS (ORDER BY order_day
+         RANGE BETWEEN INTERVAL 6 DAY PRECEDING AND CURRENT ROW)
+       ORDER BY order_day"""
+
   // ------------------------------------------------------------ registry
   val relational: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_agg" -> (q1Agg _),
@@ -793,7 +844,8 @@ object Queries {
     "q26_unpivot" -> (q26Unpivot _),
     "q27_grouping_sets" -> (q27GroupingSets _),
     "q28_correlated" -> (q28Correlated _),
-    "q29_recursive" -> (q29Recursive _)
+    "q29_recursive" -> (q29Recursive _),
+    "q30_moving_avg" -> (q30MovingAvg _)
   )
 
   val relationalOracles: Map[String, String] = Map(
@@ -825,7 +877,8 @@ object Queries {
     "q26_unpivot" -> q26Oracle,
     "q27_grouping_sets" -> q27Oracle,
     "q28_correlated" -> q28Oracle,
-    "q29_recursive" -> q29Oracle
+    "q29_recursive" -> q29Oracle,
+    "q30_moving_avg" -> q30Oracle
   )
 
   val all: Map[String, (SparkSession, String) => DataFrame] =

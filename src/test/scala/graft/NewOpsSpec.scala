@@ -653,4 +653,29 @@ class NewOpsSpec extends SparkSpec {
     assert(math.abs(flat.getDouble(2)) < 1e-6) // zero slope
     assert(flat.isNullAt(4))                   // r2 undefined
   }
+
+  // ------------------------------------------------------------- q30
+  test("q30 fan-out rewrite equals range-frame semantics across day gaps") {
+    val dir = tmp()
+    import spark.implicits._
+    // order days 1,2,3 then a gap to day 10: the trailing 7-day frame
+    // at day 10 must contain ONLY day 10 (present rows, not calendar)
+    val days = Seq(("1995-01-01", 10.0), ("1995-01-02", 20.0),
+      ("1995-01-03", 30.0), ("1995-01-10", 70.0))
+    days.zipWithIndex.map { case ((d, v), i) =>
+      (i.toLong, i.toLong, "O", v, java.sql.Timestamp.valueOf(d + " 00:00:00"),
+        "1-URGENT")
+    }.toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority")
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+
+    val got = Queries.q30MovingAvg(spark, dir).collect()
+      .map(r => (r.getDate(0).toString, r.getDouble(1), r.getLong(2),
+        r.getDouble(3)))
+    assert(got.toSeq == Seq(
+      ("1995-01-01", 10.0, 1L, 10.0),
+      ("1995-01-02", 20.0, 2L, 15.0),
+      ("1995-01-03", 30.0, 3L, 20.0),
+      ("1995-01-10", 70.0, 1L, 70.0))) // the gap resets the frame
+  }
 }
