@@ -3261,7 +3261,161 @@ object CorpusOps {
              / ((mxx - mx * mx) * (myy - my * my)), 6) + 0.0 END AS r2
        FROM m ORDER BY event_type"""
 
+  // -------------------------------------------------------------- d119
+  /** k-anonymity threshold: a quasi-identifier combination shared by
+    * fewer than this many documents is re-identification risk. */
+  private[graft] val AnonK = 5
+  /** Length-bucket width for the quasi-identifier (exact lengths are
+    * near-unique — bucketing is what makes the audit about COMBINATION
+    * rarity, not a length fingerprint). */
+  private[graft] val AnonLenBucket = 100
+
+  /** K-ANONYMITY RISK AUDIT — the release-readiness privacy readout:
+    * treat (lang, source, length-bucket) as the quasi-identifier and
+    * report how much of the corpus lives in combinations shared by
+    * fewer than [[AnonK]] documents. A doc in a size-1 cell is
+    * linkable by its metadata alone even after d26 scrubs the content
+    * PII — the standard Sweeney-style audit run before any corpus
+    * leaves the building. One row: cells, singleton cells, at-risk
+    * cells/docs, risk share.
+    *
+    * Scale shape: one (qid)-keyed count with map-side partials —
+    * cells are bounded by langs × sources × buckets, so the second
+    * aggregate is cell-sized; the whole report is two aggregates and
+    * no join. Empty corpus ⇒ NULL share (guarded division), zero
+    * counts. */
+  def d119KAnonymity(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .groupBy(col("lang"), col("source"),
+        // integer `div`, mirroring the oracle's `//` exactly — never
+        // a double divide + truncate
+        expr(s"n_chars div $AnonLenBucket").as("lb"))
+      .agg(count(lit(1)).as("k"))
+      .agg(
+        count(lit(1)).as("n_cells"),
+        coalesce(sum("k"), lit(0L)).as("n_docs"),
+        coalesce(sum(when(col("k") === 1, 1L).otherwise(0L)), lit(0L))
+          .as("singleton_cells"),
+        coalesce(sum(when(col("k") < AnonK, 1L).otherwise(0L)), lit(0L))
+          .as("small_cells"),
+        coalesce(sum(when(col("k") < AnonK, col("k")).otherwise(0L)),
+          lit(0L)).as("docs_at_risk"))
+      .select(col("n_cells"), col("n_docs"), col("singleton_cells"),
+        col("small_cells"), col("docs_at_risk"),
+        when(col("n_docs") === 0, lit(null))
+          .otherwise(round(col("docs_at_risk").cast("double")
+            / col("n_docs"), 4)).as("risk_share"))
+
+  val d119Oracle: String =
+    s"""WITH cells AS (
+         SELECT lang, source, n_chars // $AnonLenBucket AS lb,
+           CAST(count(*) AS BIGINT) AS k
+         FROM documents GROUP BY 1, 2, 3)
+       SELECT CAST(count(*) AS BIGINT) AS n_cells,
+         CAST(coalesce(sum(k), 0) AS BIGINT) AS n_docs,
+         CAST(coalesce(sum(CASE WHEN k = 1 THEN 1 ELSE 0 END), 0)
+           AS BIGINT) AS singleton_cells,
+         CAST(coalesce(sum(CASE WHEN k < $AnonK THEN 1 ELSE 0 END), 0)
+           AS BIGINT) AS small_cells,
+         CAST(coalesce(sum(CASE WHEN k < $AnonK THEN k ELSE 0 END), 0)
+           AS BIGINT) AS docs_at_risk,
+         CASE WHEN coalesce(sum(k), 0) = 0 THEN NULL
+           ELSE round(CAST(coalesce(sum(CASE WHEN k < $AnonK THEN k
+             ELSE 0 END), 0) AS DOUBLE) / sum(k), 4) END AS risk_share
+       FROM cells"""
+
+  // -------------------------------------------------------------- d120
+  /** Nested-sample count for the growth curve — 8 hash-nested prefixes
+    * (1/8, 2/8, … 8/8 of the corpus). */
+  private[graft] val HeapsBuckets = 8
+  private[graft] val HeapsSalt = "heaps:"
+
+  /** HEAPS'-LAW VOCABULARY GROWTH — fit `V ≈ k·Tᵝ` (distinct tokens
+    * vs tokens seen) over nested corpus samples; the companion to
+    * d72's Zipf fit. β far above the corpus's historical value means
+    * vocabulary isn't saturating (OCR noise, gibberish, id-strings —
+    * the d100 signal at corpus grain); β collapsing toward 0 means a
+    * templated/duplicated corpus. Also THE tokenizer-sizing curve:
+    * where V(T) flattens tells you what vocab size a BPE build can
+    * justify.
+    *
+    * Samples are SALTED-HASH NESTED (doc's bucket = md5 of
+    * "heaps:"+id mod 8; prefix i = buckets 0..i-1), so prefix_i ⊂
+    * prefix_{i+1} by construction — no global doc order, no rank:
+    * each term's earliest PREFIX is just `min(bucket)` over its docs.
+    * Scale shape: one tokenize feeds the per-doc token count AND the
+    * term→min-bucket aggregate (the only vocabulary-sized shuffle);
+    * both series collapse to ≤ 8 rows, the cumulative walk runs
+    * array-side on ONE collapsed row (the d19/GlobalOrder idiom — the
+    * surface bans unpartitioned windows), and the log-log fit is
+    * `regr_slope`/`regr_r2` over ≤ 8 points (the d72 precedent for
+    * cross-engine regr parity). Degenerate points (zero tokens or
+    * vocab) are filtered before the logs in BOTH engines. */
+  def d120HeapsGrowth(spark: SparkSession, dir: String): DataFrame = {
+    val bucket = TextOps.hash60(
+      concat(lit(HeapsSalt), col("doc_id").cast("string"))) % HeapsBuckets
+    val d = docs(spark, dir)
+      .select(col("doc_id"), col("text"), bucket.as("b"))
+      .localCheckpoint()
+    val tser = d.select(col("b"), size(tokens(lower(col("text")))).as("nt"))
+      .groupBy("b").agg(sum("nt").as("t"))
+    val vser = d
+      .select(col("b"), explode(tokens(lower(col("text")))).as("term"))
+      .groupBy("term").agg(min("b").as("b"))
+      .groupBy("b").agg(count(lit(1)).as("v"))
+    val series = tser.join(vser, Seq("b"), "full_outer")
+      .na.fill(0L, Seq("t", "v"))
+      .agg(array_sort(collect_list(
+        struct(col("b"), col("t"), col("v")))).as("rows"))
+      .select(explode(transform(col("rows"), r => struct(
+        aggregate(
+          filter(col("rows"), x => x.getField("b") <= r.getField("b")),
+          lit(0L), (a, x) => a + x.getField("t")).as("ct"),
+        aggregate(
+          filter(col("rows"), x => x.getField("b") <= r.getField("b")),
+          lit(0L), (a, x) => a + x.getField("v")).as("cv")))).as("x"))
+      .select(col("x.ct").as("ct"), col("x.cv").as("cv"))
+      .filter(col("ct") > 0 && col("cv") > 0)
+    series.agg(
+      count(lit(1)).as("n_points"),
+      round(expr("regr_slope(ln(cv), ln(ct))"), 4).as("beta"),
+      round(expr("exp(regr_intercept(ln(cv), ln(ct)))"), 4).as("k_coef"),
+      round(expr("regr_r2(ln(cv), ln(ct))"), 4).as("r2"),
+      coalesce(max("ct"), lit(0L)).as("total_tokens"),
+      coalesce(max("cv"), lit(0L)).as("total_vocab"))
+  }
+
+  val d120Oracle: String =
+    s"""WITH d AS (
+         SELECT doc_id, lower(text) AS text,
+           ('0x'||substr(md5('$HeapsSalt'||doc_id::VARCHAR),1,15))::BIGINT
+             % $HeapsBuckets AS b
+         FROM documents),
+       tser AS (
+         SELECT b, sum(len(regexp_extract_all(text, '\\S+'))) AS t
+         FROM d GROUP BY b),
+       vser AS (
+         SELECT b, count(*) AS v FROM (
+           SELECT term, min(b) AS b FROM (
+             SELECT b, unnest(regexp_extract_all(text, '\\S+')) AS term
+             FROM d)
+           GROUP BY term)
+         GROUP BY b),
+       series AS (
+         SELECT sum(coalesce(t, 0)) OVER (ORDER BY b) AS ct,
+           sum(coalesce(v, 0)) OVER (ORDER BY b) AS cv
+         FROM tser FULL JOIN vser USING (b))
+       SELECT CAST(count(*) AS BIGINT) AS n_points,
+         round(regr_slope(ln(cv), ln(ct)), 4) AS beta,
+         round(exp(regr_intercept(ln(cv), ln(ct))), 4) AS k_coef,
+         round(regr_r2(ln(cv), ln(ct)), 4) AS r2,
+         CAST(coalesce(max(ct), 0) AS BIGINT) AS total_tokens,
+         CAST(coalesce(max(cv), 0) AS BIGINT) AS total_vocab
+       FROM series WHERE ct > 0 AND cv > 0"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d119_k_anonymity" -> (d119KAnonymity _),
+    "d120_heaps_growth" -> (d120HeapsGrowth _),
     "d113_token_entropy" -> (d113TokenEntropy _),
     "d114_ks_drift" -> (d114KsDrift _),
     "d115_gini_sources" -> (d115GiniSources _),
@@ -3318,6 +3472,8 @@ object CorpusOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "d119_k_anonymity" -> d119Oracle,
+    "d120_heaps_growth" -> d120Oracle,
     "d113_token_entropy" -> d113Oracle,
     "d114_ks_drift" -> d114Oracle,
     "d115_gini_sources" -> d115Oracle,

@@ -654,6 +654,68 @@ class NewOpsSpec extends SparkSpec {
     assert(flat.isNullAt(4))                   // r2 undefined
   }
 
+  // ------------------------------------------------------------- d119
+  test("d119 k-anonymity counts planted cell sizes exactly") {
+    val dir = tmp()
+    // all texts < 100 chars -> one length bucket; cells are (lang,
+    // source): 6-doc cell (safe), 2-doc cell (at risk), singleton
+    val rows =
+      (0 until 6).map(i => (i.toLong, s"doc $i", "aa")) ++
+        Seq((10L, "x", "bb"), (11L, "y", "bb"), (20L, "z", "cc"))
+    writeDocs(dir, rows)
+    val r = ops.CorpusOps.d119KAnonymity(spark, dir).collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+      r.getLong(4)) == ((3L, 9L, 1L, 2L, 3L)))
+    assert(r.getDouble(5) == round4(3.0 / 9.0))
+  }
+
+  // ------------------------------------------------------------- d120
+  test("d120 heaps fit matches an independent JVM recomputation") {
+    val dir = tmp()
+    // per-doc: one unique word, one word shared by 5 docs, one by 3
+    val rows = (0 until 40).map { i =>
+      (i.toLong, s"u$i s${i % 5} t${i % 3}", "s0")
+    }
+    writeDocs(dir, rows)
+
+    def h60(s: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+      java.lang.Long.parseLong(
+        d.digest(s.getBytes("UTF-8")).map(b => f"$b%02x").mkString.take(15), 16)
+    }
+    val b = rows.map { case (id, _, _) =>
+      id -> (h60(s"heaps:$id") % ops.CorpusOps.HeapsBuckets) }.toMap
+    val toks = rows.map { case (id, t, _) => id -> t.split(" ").toSeq }.toMap
+    val tser = toks.groupBy { case (id, _) => b(id) }
+      .view.mapValues(_.map(_._2.size).sum.toLong).toMap
+    val vser = toks.toSeq.flatMap { case (id, ts) => ts.map(_ -> b(id)) }
+      .groupBy(_._1).view.mapValues(_.map(_._2).min)
+      .toSeq.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    val buckets = (tser.keySet ++ vser.keySet).toSeq.sorted
+    val pts = buckets.scanLeft((0L, 0L)) { case ((ct, cv), bk) =>
+      (ct + tser.getOrElse(bk, 0L), cv + vser.getOrElse(bk, 0L))
+    }.tail.filter { case (ct, cv) => ct > 0 && cv > 0 }
+    val xs = pts.map(p => math.log(p._1.toDouble))
+    val ys = pts.map(p => math.log(p._2.toDouble))
+    val n = pts.size
+    val mx = xs.sum / n; val my = ys.sum / n
+    val cov = xs.lazyZip(ys).map((a, c) => (a - mx) * (c - my)).sum / n
+    val vx = xs.map(a => (a - mx) * (a - mx)).sum / n
+    val vy = ys.map(c => (c - my) * (c - my)).sum / n
+    val beta = cov / vx
+    val kCoef = math.exp(my - beta * mx)
+    val r2 = cov * cov / (vx * vy)
+
+    val r = ops.CorpusOps.d120HeapsGrowth(spark, dir).collect().head
+    assert(r.getLong(0) == n)
+    assert(math.abs(r.getDouble(1) - beta) < 1e-3, s"beta ${r.getDouble(1)} vs $beta")
+    assert(math.abs(r.getDouble(2) - kCoef) < 1e-2)
+    assert(math.abs(r.getDouble(3) - r2) < 1e-3)
+    assert(r.getLong(4) == 120L && r.getLong(5) == 48L) // 40u + 5s + 3t
+    // growth is sublinear: 0 < beta < 1 on a corpus with shared words
+    assert(r.getDouble(1) > 0 && r.getDouble(1) < 1)
+  }
+
   // ------------------------------------------------------------- q30
   test("q30 fan-out rewrite equals range-frame semantics across day gaps") {
     val dir = tmp()
