@@ -3413,9 +3413,123 @@ object CorpusOps {
          CAST(coalesce(max(cv), 0) AS BIGINT) AS total_vocab
        FROM series WHERE ct > 0 AND cv > 0"""
 
+  // -------------------------------------------------------------- d121
+  /** Modified-z cutoff (Iglewicz & Hoaglin): |0.6745·(x−med)/MAD| >
+    * 3.5 flags an outlier; the division is moved to the threshold side
+    * so a zero MAD (constant-valued source) degenerates to "any
+    * deviation is an outlier" with no division anywhere. */
+  private[graft] val RobustZCut = 3.5 / 0.6745
+
+  /** ROBUST OUTLIER AUDIT per source — median, MAD (median absolute
+    * deviation), and the count of docs beyond the modified-z cutoff on
+    * `n_chars`. The heavy-tail-safe twin of mean/σ z-scoring (d67's
+    * regime): one 10 MB outlier document drags a source's mean and σ
+    * enough to mask every other outlier, while the median/MAD pair
+    * doesn't move — this is the screen that decides whether d115's
+    * concentration is a few legitimate giants or corruption.
+    *
+    * Scale shape: the (source, n_chars) projection is checkpointed
+    * once and feeds all three passes; medians are exact `percentile`
+    * per group (the q22 cross-engine `quantile_cont` parity), each
+    * per-source result broadcast back — two group-sorts over the
+    * skinny projection, no data-sized join. All comparisons are on
+    * deterministic rank-based values, so the gate needs no float
+    * tolerance beyond presentation rounding. */
+  def d121RobustOutliers(spark: SparkSession, dir: String): DataFrame = {
+    val base = docs(spark, dir).select(col("source"), col("n_chars"))
+      .localCheckpoint()
+    val med = base.groupBy("source")
+      .agg(percentile(col("n_chars"), lit(0.5)).as("med"),
+        count(lit(1)).as("n_docs"))
+    val dev = base.join(broadcast(med), "source")
+      .select(col("source"), col("n_docs"), col("med"),
+        abs(col("n_chars") - col("med")).as("ad"))
+    val mad = dev.groupBy("source")
+      .agg(percentile(col("ad"), lit(0.5)).as("mad"))
+    dev.join(broadcast(mad), "source")
+      .groupBy("source")
+      .agg(max("n_docs").as("n_docs"),
+        round(max("med"), 2).as("median_chars"),
+        round(max("mad"), 2).as("mad_chars"),
+        sum(when(col("ad") > lit(RobustZCut) * col("mad"), 1L)
+          .otherwise(0L)).as("n_outliers"))
+      .orderBy("source")
+  }
+
+  val d121Oracle: String =
+    s"""WITH med AS (
+         SELECT source, quantile_cont(n_chars, 0.5) AS med,
+           CAST(count(*) AS BIGINT) AS n_docs
+         FROM documents GROUP BY source),
+       dev AS (
+         SELECT source, n_docs, med, abs(n_chars - med) AS ad
+         FROM documents JOIN med USING (source)),
+       mad AS (
+         SELECT source, quantile_cont(ad, 0.5) AS mad
+         FROM dev GROUP BY source)
+       SELECT source, max(n_docs) AS n_docs,
+         round(max(med), 2) AS median_chars,
+         round(max(mad), 2) AS mad_chars,
+         CAST(sum(CASE WHEN ad > CAST(${RobustZCut} AS DOUBLE) * mad
+           THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+       FROM dev JOIN mad USING (source)
+       GROUP BY source ORDER BY source"""
+
+  // -------------------------------------------------------------- d122
+  /** DP release budget (ε) for the d122 histogram. */
+  private[graft] val DpEpsilon = 1.0
+  private[graft] val DpSalt = "dp:"
+
+  /** DIFFERENTIALLY-PRIVATE HISTOGRAM RELEASE — the (lang, source)
+    * composition counts with Laplace(1/ε) noise, the ε-DP mechanism
+    * for a unit-sensitivity count query (Dwork et al. 2006): the shape
+    * of the corpus can leave the building while any single document's
+    * presence stays deniable. Pairs with d119: the k-anonymity audit
+    * says what's risky to release raw; this is the release path.
+    *
+    * The noise is the inverse-CDF transform of a DETERMINISTIC
+    * salted-md5 uniform per cell (the d108 Poisson-bootstrap trick) —
+    * the gate is exact, not statistical, because both engines derive
+    * the identical uniform and run the identical transform tree.
+    * Production swaps the salted hash for a secret seed; the mechanism
+    * and sensitivity analysis are unchanged.
+    *
+    * Scale shape: one keyed count with map-side partials; the noise is
+    * a per-row map over the cell-sized aggregate. No join at all. */
+  def d122DpRelease(spark: SparkSession, dir: String): DataFrame = {
+    val u = TextOps.hash60(concat(lit(DpSalt), col("lang"), lit(":"),
+      col("source"))).cast("double") / lit(1.152921504606846976e18)
+    val lap = -(lit(1.0) / DpEpsilon) * signum(u - 0.5) *
+      log(lit(1.0) - lit(2.0) * abs(u - 0.5))
+    docs(spark, dir)
+      .groupBy("lang", "source")
+      .agg(count(lit(1)).as("c"))
+      .select(col("lang"), col("source"),
+        round(col("c") + lap, 4).as("released"),
+        lit(DpEpsilon).as("epsilon"))
+      .orderBy("lang", "source")
+  }
+
+  val d122Oracle: String =
+    s"""WITH cells AS (
+         SELECT lang, source, count(*) AS c
+         FROM documents GROUP BY lang, source),
+       noised AS (
+         SELECT lang, source, c,
+           CAST(('0x'||substr(md5('$DpSalt'||lang||':'||source),1,15))::BIGINT
+             AS DOUBLE) / 1.152921504606846976e18 AS u
+         FROM cells)
+       SELECT lang, source,
+         round(c + -(1.0 / $DpEpsilon) * sign(u - 0.5)
+           * ln(1.0 - 2.0 * abs(u - 0.5)), 4) AS released,
+         CAST($DpEpsilon AS DOUBLE) AS epsilon
+       FROM noised ORDER BY lang, source"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d119_k_anonymity" -> (d119KAnonymity _),
     "d120_heaps_growth" -> (d120HeapsGrowth _),
+    "d121_robust_outliers" -> (d121RobustOutliers _),
+    "d122_dp_release" -> (d122DpRelease _),
     "d113_token_entropy" -> (d113TokenEntropy _),
     "d114_ks_drift" -> (d114KsDrift _),
     "d115_gini_sources" -> (d115GiniSources _),
@@ -3474,6 +3588,8 @@ object CorpusOps {
   val oracles: Map[String, String] = Map(
     "d119_k_anonymity" -> d119Oracle,
     "d120_heaps_growth" -> d120Oracle,
+    "d121_robust_outliers" -> d121Oracle,
+    "d122_dp_release" -> d122Oracle,
     "d113_token_entropy" -> d113Oracle,
     "d114_ks_drift" -> d114Oracle,
     "d115_gini_sources" -> d115Oracle,

@@ -716,6 +716,58 @@ class NewOpsSpec extends SparkSpec {
     assert(r.getDouble(1) > 0 && r.getDouble(1) < 1)
   }
 
+  // ------------------------------------------------------------- d121
+  test("d121 median/MAD and modified-z outliers match hand-computed values") {
+    val dir = tmp()
+    // source s: lengths {10,10,10,10,100} -> med 10, MAD 0 (constant
+    // core), so ANY deviation flags: 1 outlier. source t: 1..11 plus a
+    // 1000 -> med 6.5, MAD 3.0, cutoff 3.5/0.6745*3 = 15.57: only the
+    // 1000 (ad 993.5) flags.
+    val rows =
+      (0 until 4).map(i => (i.toLong, "x" * 10, "s")) ++
+        Seq((4L, "x" * 100, "s")) ++
+        (1 to 11).map(i => (100L + i, "x" * i, "t")) ++
+        Seq((200L, "x" * 1000, "t"))
+    writeDocs(dir, rows.map { case (id, txt, src) => (id, txt, src) })
+    val got = ops.CorpusOps.d121RobustOutliers(spark, dir).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getLong(4)))).toMap
+    assert(got("s") == ((5L, 10.0, 0.0, 1L)))
+    assert(got("t") == ((12L, 6.5, 3.0, 1L)))
+  }
+
+  // ------------------------------------------------------------- d122
+  test("d122 dp noise matches the JVM inverse-CDF transform exactly") {
+    val dir = tmp()
+    val rows = (0 until 30).map { i =>
+      (i.toLong, s"doc $i", s"src${i % 4}")
+    }
+    writeDocs(dir, rows)
+    def h60(s: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+      java.lang.Long.parseLong(
+        d.digest(s.getBytes("UTF-8")).map(b => f"$b%02x").mkString.take(15), 16)
+    }
+    val expect = rows.groupBy(_._3).map { case (src, docs) =>
+      val u = h60(s"dp:en:$src").toDouble / 1.152921504606846976e18
+      val lap = -(1.0 / ops.CorpusOps.DpEpsilon) * math.signum(u - 0.5) *
+        math.log(1.0 - 2.0 * math.abs(u - 0.5))
+      (("en", src)) -> BigDecimal(docs.size + lap)
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val got = ops.CorpusOps.d122DpRelease(spark, dir).collect()
+      .map(r => ((r.getString(0), r.getString(1)),
+        (r.getDouble(2), r.getDouble(3)))).toMap
+    assert(got.keySet == expect.keySet)
+    expect.foreach { case (k, e) =>
+      assert(math.abs(got(k)._1 - e) < 1e-9, s"$k: ${got(k)._1} vs $e")
+      assert(got(k)._2 == ops.CorpusOps.DpEpsilon)
+    }
+    // the release is actually noised (not the raw counts)
+    assert(expect.exists { case ((_, src), v) =>
+      v != rows.count(_._3 == src).toDouble })
+  }
+
   // ------------------------------------------------------------- q30
   test("q30 fan-out rewrite equals range-frame semantics across day gaps") {
     val dir = tmp()
