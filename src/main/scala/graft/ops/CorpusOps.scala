@@ -3525,11 +3525,126 @@ object CorpusOps {
          CAST($DpEpsilon AS DOUBLE) AS epsilon
        FROM noised ORDER BY lang, source"""
 
+  // -------------------------------------------------------------- d123
+  /** Path-signature length: the first N events of a session identify
+    * its journey; longer tails fragment the counts into noise. */
+  private[graft] val PathLen = 5
+
+  /** TOP SESSION PATHS — the most common user journeys: each session
+    * reduced to its first-[[PathLen]] event-type signature, counted,
+    * top 10. d90's transition matrix is the 1-step (Markov) view; this
+    * is the sequence-level view that catches multi-step patterns a
+    * memoryless model factorizes away (view>click>purchase vs
+    * view>click>error>view). The funnel designer's input: d86 checks
+    * ONE hypothesized order, this discovers which orders actually
+    * happen.
+    *
+    * Scale shape: rides [[sessionizedEvents]]' one user-keyed
+    * exchange; the per-session signature is a bounded collect (the d80
+    * per-session precedent — state is one session's events, truncated
+    * to [[PathLen]] at projection); path counting is a
+    * signature-keyed aggregate with map-side combine and the top-10 a
+    * TakeOrdered heap. Total order inside a session is (us, event_id)
+    * — the d80 tie-break — so signatures are engine-deterministic. */
+  def d123SessionPaths(spark: SparkSession, dir: String): DataFrame =
+    sessionizedEvents(spark, dir)
+      .groupBy("user_id", "session_idx")
+      .agg(sort_array(collect_list(
+        struct(col("us"), col("event_id"), col("event_type")))).as("evs"))
+      .select(concat_ws(">",
+        slice(transform(col("evs"), e => e.getField("event_type")),
+          1, PathLen)).as("path"))
+      .groupBy("path")
+      .agg(count(lit(1)).as("n_sessions"))
+      .orderBy(col("n_sessions").desc, col("path"))
+      .limit(10)
+
+  val d123Oracle: String =
+    s"""WITH $sessionCtesSql,
+       paths AS (
+         SELECT array_to_string(
+           (list(event_type ORDER BY us, event_id))[1:$PathLen], '>')
+           AS path
+         FROM sess GROUP BY user_id, session_idx)
+       SELECT path, CAST(count(*) AS BIGINT) AS n_sessions
+       FROM paths GROUP BY path
+       ORDER BY n_sessions DESC, path LIMIT 10"""
+
+  // -------------------------------------------------------------- d124
+  /** RFM FEATURE ASSEMBLY — per-user recency (hours since last event,
+    * against the log's end), frequency, monetary value, and type
+    * diversity, plus a frequency-quartile segment label: the classic
+    * behavioral feature block (and segmentation) every churn/LTV model
+    * starts from, and the per-user aggregate that event-side training
+    * pipelines join onto document-side features. The quartile labels
+    * make it a SEGMENTATION op, not just a projection — downstream
+    * mixture/sampling can stratify on them (d36's label-balance over
+    * behavioral segments).
+    *
+    * Scale shape: ONE user-keyed aggregate builds all four features
+    * (map-side partials; `approx`-free — these are exact); the log end
+    * is a broadcast 1-row max, the quartile thresholds an exact
+    * `percentile` over the per-USER table (users ≪ events; the q22
+    * parity precedent) broadcast back for a map-side label. Boundary
+    * docs land identically in both engines because the thresholds are
+    * the identical doubles and frequencies are integers. */
+  def d124RfmFeatures(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.load(spark, dir, "events")
+      .withColumn("us", unix_micros(col("ts")))
+    val logEnd = broadcast(ev.agg(max("us").as("t_end")))
+    val f = ev.crossJoin(logEnd)
+      .groupBy("user_id")
+      .agg(
+        round((max(col("t_end")) - max(col("us"))) / lit(3.6e9), 4)
+          .as("recency_h"),
+        count(lit(1)).as("frequency"),
+        round(sum("value"), 2).as("monetary"),
+        count_distinct(col("event_type")).as("n_types"))
+    val th = broadcast(f.agg(
+      percentile(col("frequency"), lit(0.25)).as("q1"),
+      percentile(col("frequency"), lit(0.5)).as("q2"),
+      percentile(col("frequency"), lit(0.75)).as("q3")))
+    f.crossJoin(th)
+      .select(col("user_id"), col("recency_h"), col("frequency"),
+        col("monetary"), col("n_types"),
+        when(col("frequency") <= col("q1"), "Q1")
+          .when(col("frequency") <= col("q2"), "Q2")
+          .when(col("frequency") <= col("q3"), "Q3")
+          .otherwise("Q4").as("freq_quartile"))
+      .orderBy("user_id")
+  }
+
+  val d124Oracle: String =
+    """WITH ev AS (
+         SELECT user_id, epoch_us(ts) AS us, event_type, value
+         FROM events),
+       logend AS (SELECT max(us) AS t_end FROM ev),
+       f AS (
+         SELECT user_id,
+           round((max(t_end) - max(us)) / 3.6e9, 4) AS recency_h,
+           CAST(count(*) AS BIGINT) AS frequency,
+           round(sum(value), 2) AS monetary,
+           CAST(count(DISTINCT event_type) AS BIGINT) AS n_types
+         FROM ev, logend GROUP BY user_id),
+       th AS (
+         SELECT quantile_cont(frequency, 0.25) AS q1,
+           quantile_cont(frequency, 0.5) AS q2,
+           quantile_cont(frequency, 0.75) AS q3
+         FROM f)
+       SELECT user_id, recency_h, frequency, monetary, n_types,
+         CASE WHEN frequency <= q1 THEN 'Q1'
+              WHEN frequency <= q2 THEN 'Q2'
+              WHEN frequency <= q3 THEN 'Q3'
+              ELSE 'Q4' END AS freq_quartile
+       FROM f, th ORDER BY user_id"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d119_k_anonymity" -> (d119KAnonymity _),
     "d120_heaps_growth" -> (d120HeapsGrowth _),
     "d121_robust_outliers" -> (d121RobustOutliers _),
     "d122_dp_release" -> (d122DpRelease _),
+    "d123_session_paths" -> (d123SessionPaths _),
+    "d124_rfm_features" -> (d124RfmFeatures _),
     "d113_token_entropy" -> (d113TokenEntropy _),
     "d114_ks_drift" -> (d114KsDrift _),
     "d115_gini_sources" -> (d115GiniSources _),
@@ -3590,6 +3705,8 @@ object CorpusOps {
     "d120_heaps_growth" -> d120Oracle,
     "d121_robust_outliers" -> d121Oracle,
     "d122_dp_release" -> d122Oracle,
+    "d123_session_paths" -> d123Oracle,
+    "d124_rfm_features" -> d124Oracle,
     "d113_token_entropy" -> d113Oracle,
     "d114_ks_drift" -> d114Oracle,
     "d115_gini_sources" -> d115Oracle,

@@ -768,6 +768,61 @@ class NewOpsSpec extends SparkSpec {
       v != rows.count(_._3 == src).toDouble })
   }
 
+  // ------------------------------------------------------------- d123
+  test("d123 session paths: gap split, truncation, and counts are exact") {
+    val dir = tmp()
+    import spark.implicits._
+    val t0 = 1700000000000000L
+    val m = 60000000L // one minute in micros
+    def ev(id: Long, u: Long, off: Long, t: String) =
+      (id, t0 + off, u, t, 1.0, "{}")
+    val events =
+      // user 1: a,b,c then a 31-min gap -> second session d,e
+      Seq(ev(1, 1, 0, "a"), ev(2, 1, m, "b"), ev(3, 1, 2 * m, "c"),
+        ev(4, 1, 33 * m, "d"), ev(5, 1, 34 * m, "e")) ++
+        // user 2: a,b,c (same signature as user 1's first session)
+        Seq(ev(11, 2, 0, "a"), ev(12, 2, m, "b"), ev(13, 2, 2 * m, "c")) ++
+        // user 3: 7 events -> signature truncated to the first 5
+        (0 until 7).map(i => ev(21 + i, 3, i * m, ('a' + i).toChar.toString))
+    events.toDF("event_id", "us", "user_id", "event_type", "value", "props")
+      .select(col("event_id"), timestamp_micros(col("us")).as("ts"),
+        col("user_id"), col("event_type"), col("value"), col("props"))
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+
+    val got = ops.CorpusOps.d123SessionPaths(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(got == Seq(("a>b>c", 2L), ("a>b>c>d>e", 1L), ("d>e", 1L)))
+  }
+
+  // ------------------------------------------------------------- d124
+  test("d124 rfm features and quartile labels match hand-computed values") {
+    val dir = tmp()
+    import spark.implicits._
+    val t0 = 1700000000000000L
+    val h = 3600000000L
+    val events = Seq(
+      // user 1: 3 events, last AT log end -> recency 0, monetary 6
+      (1L, t0, 1L, "a", 1.0, "{}"), (2L, t0 + h, 1L, "b", 2.0, "{}"),
+      (3L, t0 + 10 * h, 1L, "a", 3.0, "{}"),
+      // user 2: one event 2h before end
+      (11L, t0 + 8 * h, 2L, "a", 5.0, "{}"),
+      // user 3: two events
+      (21L, t0, 3L, "a", 1.5, "{}"), (22L, t0 + 9 * h, 3L, "b", 2.5, "{}"))
+    events.toDF("event_id", "us", "user_id", "event_type", "value", "props")
+      .select(col("event_id"), timestamp_micros(col("us")).as("ts"),
+        col("user_id"), col("event_type"), col("value"), col("props"))
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+
+    val got = ops.CorpusOps.d124RfmFeatures(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getLong(2), r.getDouble(3),
+        r.getLong(4), r.getString(5))).toSeq
+    // frequencies {3,1,2} -> q1=1.5, q2=2, q3=2.5 (quantile_cont)
+    assert(got == Seq(
+      (1L, 0.0, 3L, 6.0, 2L, "Q4"),
+      (2L, 2.0, 1L, 5.0, 1L, "Q1"),
+      (3L, 1.0, 2L, 4.0, 2L, "Q2")))
+  }
+
   // ------------------------------------------------------------- q30
   test("q30 fan-out rewrite equals range-frame semantics across day gaps") {
     val dir = tmp()
