@@ -26,5 +26,10 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
+  // Xms pinned to Xmx: adaptive heap growth under a full-suite warmup
+  // produced 3-8x per-query timing variance on an idle box (see
+  // SURVEY §8 bench-harness note); a fixed heap removes the GC
+  // ergonomics from the measurement.
+  s"-Xms${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )
