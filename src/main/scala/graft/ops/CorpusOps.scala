@@ -3638,6 +3638,73 @@ object CorpusOps {
               ELSE 'Q4' END AS freq_quartile
        FROM f, th ORDER BY user_id"""
 
+  // -------------------------------------------------------------- d125
+  /** JOIN-CARDINALITY PROFILE — the exact output size of
+    * lineitem ⋈ orders on the order key, computed WITHOUT running the
+    * join: per-key counts on each side, one key-equi-join of the
+    * count tables, `Σ c_l·c_r` over matched keys, plus key/row
+    * coverage and the expansion factor. The pre-join planning readout
+    * beside d73's skew histogram: d73 says whether the key
+    * distribution will hot-spot a reducer, this says how BIG the
+    * output will be — the two numbers that decide broadcast vs
+    * shuffle vs salt vs "don't run that join".
+    *
+    * Scale shape: the profile shuffles per-key COUNTS (key-sized),
+    * never the joined rows — at 100 TB the count tables are orders of
+    * magnitude smaller than the join output being predicted, which is
+    * the entire point of profiling before materializing. The per-key
+    * product is exact BIGINT arithmetic (a single key would need
+    * ~3 × 10⁹ rows on EACH side to overflow the summed product —
+    * d73's histogram flags such a key long before this op is the
+    * problem). */
+  def d125JoinCardinality(spark: SparkSession, dir: String): DataFrame = {
+    val l = Tables.load(spark, dir, "lineitem")
+      .groupBy(col("l_orderkey").as("k")).agg(count(lit(1)).as("cl"))
+    val r = Tables.load(spark, dir, "orders")
+      .groupBy(col("o_orderkey").as("k")).agg(count(lit(1)).as("cr"))
+    l.join(r, Seq("k"), "full_outer")
+      .agg(
+        coalesce(sum(when(col("cl").isNotNull, 1L)), lit(0L))
+          .as("n_keys_left"),
+        coalesce(sum(when(col("cr").isNotNull, 1L)), lit(0L))
+          .as("n_keys_right"),
+        coalesce(sum(when(col("cl").isNotNull && col("cr").isNotNull, 1L)),
+          lit(0L)).as("n_keys_both"),
+        coalesce(sum(coalesce(col("cl"), lit(0L))), lit(0L)).as("rows_left"),
+        coalesce(sum(coalesce(col("cr"), lit(0L))), lit(0L)).as("rows_right"),
+        coalesce(sum(col("cl") * col("cr")), lit(0L)).as("join_rows"))
+      .select(col("n_keys_left"), col("n_keys_right"), col("n_keys_both"),
+        col("rows_left"), col("rows_right"), col("join_rows"),
+        when(col("rows_left") === 0, lit(null))
+          .otherwise(round(col("join_rows").cast("double")
+            / col("rows_left"), 4)).as("expansion"))
+  }
+
+  val d125Oracle: String =
+    """WITH l AS (SELECT l_orderkey AS k, count(*) AS cl
+         FROM lineitem GROUP BY 1),
+       r AS (SELECT o_orderkey AS k, count(*) AS cr
+         FROM orders GROUP BY 1),
+       j AS (SELECT cl, cr FROM l FULL JOIN r USING (k)),
+       agg AS (
+         SELECT
+           CAST(coalesce(sum(CASE WHEN cl IS NOT NULL THEN 1 END), 0)
+             AS BIGINT) AS n_keys_left,
+           CAST(coalesce(sum(CASE WHEN cr IS NOT NULL THEN 1 END), 0)
+             AS BIGINT) AS n_keys_right,
+           CAST(coalesce(sum(CASE WHEN cl IS NOT NULL AND cr IS NOT NULL
+             THEN 1 END), 0) AS BIGINT) AS n_keys_both,
+           CAST(coalesce(sum(coalesce(cl, 0)), 0) AS BIGINT) AS rows_left,
+           CAST(coalesce(sum(coalesce(cr, 0)), 0) AS BIGINT) AS rows_right,
+           CAST(coalesce(sum(cl * cr), 0) AS BIGINT) AS join_rows
+         FROM j)
+       SELECT n_keys_left, n_keys_right, n_keys_both, rows_left,
+         rows_right, join_rows,
+         CASE WHEN rows_left = 0 THEN NULL
+           ELSE round(CAST(join_rows AS DOUBLE) / rows_left, 4)
+           END AS expansion
+       FROM agg"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d119_k_anonymity" -> (d119KAnonymity _),
     "d120_heaps_growth" -> (d120HeapsGrowth _),
@@ -3645,6 +3712,7 @@ object CorpusOps {
     "d122_dp_release" -> (d122DpRelease _),
     "d123_session_paths" -> (d123SessionPaths _),
     "d124_rfm_features" -> (d124RfmFeatures _),
+    "d125_join_cardinality" -> (d125JoinCardinality _),
     "d113_token_entropy" -> (d113TokenEntropy _),
     "d114_ks_drift" -> (d114KsDrift _),
     "d115_gini_sources" -> (d115GiniSources _),
@@ -3707,6 +3775,7 @@ object CorpusOps {
     "d122_dp_release" -> d122Oracle,
     "d123_session_paths" -> d123Oracle,
     "d124_rfm_features" -> d124Oracle,
+    "d125_join_cardinality" -> d125Oracle,
     "d113_token_entropy" -> d113Oracle,
     "d114_ks_drift" -> d114Oracle,
     "d115_gini_sources" -> d115Oracle,

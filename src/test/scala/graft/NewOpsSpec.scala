@@ -823,6 +823,38 @@ class NewOpsSpec extends SparkSpec {
       (3L, 1.0, 2L, 4.0, 2L, "Q2")))
   }
 
+  // ------------------------------------------------------------- d125
+  test("d125 join profile is exact on planted keys, incl. unmatched sides") {
+    val dir = tmp()
+    import spark.implicits._
+    // lineitem keys {1:2, 2:3, 4:1}; orders keys {1, 2, 3}
+    val li = Seq((1L, 1), (1L, 2), (2L, 1), (2L, 2), (2L, 3), (4L, 1))
+    li.map { case (ok, ln) =>
+      (ok, 10L, 20L, ln, 1.0, 2.0, 0.1, 0.05, "N", "O",
+        java.sql.Timestamp.valueOf("1995-01-01 00:00:00"))
+    }.toDF("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+        "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+        "l_returnflag", "l_linestatus", "l_shipdate")
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    Seq(1L, 2L, 3L).map { ok =>
+      (ok, 1L, "O", 10.0,
+        java.sql.Timestamp.valueOf("1995-01-01 00:00:00"), "1-URGENT")
+    }.toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority")
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+
+    val r = ops.CorpusOps.d125JoinCardinality(spark, dir).collect().head
+    // join rows: 2*1 + 3*1 = 5; expansion 5/6
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+      r.getLong(4), r.getLong(5)) == ((3L, 3L, 2L, 6L, 3L, 5L)))
+    assert(r.getDouble(6) == round4(5.0 / 6.0))
+    // cross-check against the materialized join
+    val actual = spark.read.parquet(s"$dir/lineitem.parquet")
+      .join(spark.read.parquet(s"$dir/orders.parquet"),
+        col("l_orderkey") === col("o_orderkey")).count()
+    assert(actual == r.getLong(5))
+  }
+
   // ------------------------------------------------------------- q30
   test("q30 fan-out rewrite equals range-frame semantics across day gaps") {
     val dir = tmp()
