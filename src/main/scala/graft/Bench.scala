@@ -14,11 +14,21 @@ import org.apache.spark.sql.SparkSession
   *    is not);
   *  - a failing query is reported in an `errors` map, never as a fake
   *    timing;
-  *  - each query is timed THREE times and the MEDIAN is reported
-  *    (VERDICT r8 "what's wrong" #1): two consecutive rounds produced
-  *    phantom 2–4x regressions on unchanged queries because a single
-  *    timed pass is defenseless against external box load landing
-  *    mid-suite; a per-query median survives one noisy window.
+  *  - each query is timed THREE times as INTERLEAVED FULL-SUITE SWEEPS
+  *    (sweep 1: q1…v22, sweep 2: q1…v22, sweep 3: q1…v22) and the
+  *    per-query MINIMUM across sweeps is reported (VERDICT r10 "what's
+  *    wrong" #1): the previous structure timed a query's 3 passes
+  *    back-to-back, so a single multi-minute external-contention window
+  *    poisoned ALL THREE samples of every query it overlapped and the
+  *    median was defenseless — r10's driver artifact fabricated a 10.8x
+  *    regression on d80 this way (isolated re-runs showed 1.2 s, not
+  *    13.6 s). With interleaved sweeps the suite takes minutes per
+  *    sweep, so a contention window of any realistic length hits each
+  *    query in at most ONE sweep; the min across sweeps then discards
+  *    the contaminated sample. Min (not median) because the quantity of
+  *    interest is the code's cost, and on an otherwise-idle box every
+  *    source of sample variance (GC, page cache, external load) is
+  *    additive noise — the min is the least-contaminated observation.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -69,32 +79,29 @@ object Bench {
 
     names.foreach { n => runOnce(n); releaseCheckpoints() } // warmup (untimed)
 
-    val errors = scala.collection.mutable.LinkedHashMap[String, String]()
-    val passes = 3
-    val times = names.flatMap { name =>
-      var lastErr: Option[String] = None
-      val samples = (1 to passes).flatMap { _ =>
-        val t0 = System.nanoTime()
-        val r = runOnce(name)
-        val dt = (System.nanoTime() - t0) / 1e9
-        releaseCheckpoints()
-        r match {
-          case None => Some(dt)
-          case Some(msg) => lastErr = Some(msg); None
-        }
+    val sweeps = 3
+    val samples =
+      scala.collection.mutable.LinkedHashMap[String, List[Double]]()
+    val lastErr = scala.collection.mutable.LinkedHashMap[String, String]()
+    names.foreach(n => samples(n) = Nil)
+    for (_ <- 1 to sweeps; name <- names) {
+      val t0 = System.nanoTime()
+      val r = runOnce(name)
+      val dt = (System.nanoTime() - t0) / 1e9
+      releaseCheckpoints()
+      r match {
+        case None => samples(name) = dt :: samples(name)
+        case Some(msg) => lastErr(name) = msg
       }
-      // Median of the successful passes: robust to one contaminated
-      // window; an even count (a pass errored) averages the middle two.
-      // A query lands in `errors` only if EVERY pass failed — a query
-      // that succeeds at all is a timing, not an error.
-      if (samples.isEmpty) {
-        errors(name) = lastErr.getOrElse("unknown"); None
-      } else {
-        val s = samples.sorted
-        val mid =
-          if (s.length % 2 == 1) s(s.length / 2)
-          else (s(s.length / 2 - 1) + s(s.length / 2)) / 2
-        Some(name -> mid)
+    }
+    // A query lands in `errors` only if EVERY sweep failed — a query
+    // that succeeds at all is a timing, not an error.
+    val errors = scala.collection.mutable.LinkedHashMap[String, String]()
+    val times = names.flatMap { name =>
+      samples(name) match {
+        case Nil =>
+          errors(name) = lastErr.getOrElse(name, "unknown"); None
+        case ss => Some(name -> ss.min)
       }
     }
 

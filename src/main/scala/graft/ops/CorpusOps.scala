@@ -1340,11 +1340,14 @@ object CorpusOps {
   private[graft] val SeqMaxLen = 16
 
   /** q18's 30-minute-gap sessionization as a REUSABLE frame:
-    * (user_id, session_idx, event_id, event_type, us) — the single
-    * in-repo definition d80's sequences and d86's funnel both consume
-    * (three drifting copies of the gap rule would silently fork what
-    * "session" means between ops that claim to share it). One
-    * user-keyed window exchange; `us` is integer microseconds. */
+    * (user_id, session_idx, event_id, event_type, us) — the CANONICAL
+    * single-window definition of "session" (drifting copies of the gap
+    * rule would silently fork what the word means between ops that
+    * claim to share it). d80 consumes it directly; the session ops
+    * that must survive one bot user holding half the log (d86 funnel,
+    * d123 paths) consume [[sessionizedEventsSkewSafe]], which is gated
+    * output-identical to this frame (d92). One user-keyed window
+    * exchange; `us` is integer microseconds. */
   private[graft] def sessionizedEvents(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val byUser = Window.partitionBy("user_id").orderBy("us", "event_id")
@@ -1357,6 +1360,24 @@ object CorpusOps {
         sum("new_session").over(byUser.rowsBetween(
           Window.unboundedPreceding, Window.currentRow)))
       .select("user_id", "session_idx", "event_id", "event_type", "us")
+  }
+
+  /** [[sessionizedEvents]] plus `sess_rk` — the event's 1-based rank
+    * within its session by (us, event_id). The bounded-collect guard
+    * d80/d123 filter on: a gap-defined session has NO length bound (a
+    * bot that never pauses 30 min is ONE session however many events
+    * it emits), so any per-session `collect_list` must be fed a
+    * rank-capped subset or its aggregate buffer is unbounded (VERDICT
+    * r10 "what's wrong" #2). The rank window refines the existing
+    * user_id clustering (no new exchange — `ClusteredDistribution` is
+    * satisfied by the subset key), adding only a partition-local sort. */
+  private[graft] def sessionizedEventsRanked(spark: SparkSession,
+      dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    sessionizedEvents(spark, dir)
+      .withColumn("sess_rk", row_number().over(
+        Window.partitionBy("user_id", "session_idx")
+          .orderBy("us", "event_id")))
   }
 
   /** The same sessionization as oracle CTEs (`sess` is the output). */
@@ -1383,19 +1404,23 @@ object CorpusOps {
     * sessionize-then-serialize step that turns an event log into
     * sequence-model training rows.
     *
-    * Scale shape: both windows (gap flag, session number) and the
-    * final aggregate share the user_id partition key, so ONE exchange
-    * serves the whole query; per-session arrays are bounded by the
-    * truncation, and the sort inside each aggregate row is
-    * session-sized. The sequence is serialized as a comma-joined
-    * string — the loader-friendly (and oracle-comparable) form. */
+    * Scale shape: both windows (gap flag, session number), the rank
+    * window, and the final aggregate share the user_id partition key,
+    * so ONE exchange serves the whole query. The collect is BOUNDED
+    * BEFORE aggregation: only rows with `sess_rk` ≤ [[SeqMaxLen]]
+    * enter the `collect_list` (a `when` guard — `collect_list` skips
+    * NULLs), so the aggregate buffer holds at most [[SeqMaxLen]]
+    * structs per session even for a never-pausing bot whose single
+    * gap-defined session is unbounded; `n_events` still counts every
+    * row. The sequence is serialized as a comma-joined string — the
+    * loader-friendly (and oracle-comparable) form. */
   def d80TrainingSequences(spark: SparkSession, dir: String): DataFrame =
-    sessionizedEvents(spark, dir)
+    sessionizedEventsRanked(spark, dir)
       .groupBy("user_id", "session_idx")
       .agg(count(lit(1)).as("n_events"),
         concat_ws(",", slice(transform(
-          array_sort(collect_list(struct(col("us"), col("event_id"),
-            col("event_type")))),
+          array_sort(collect_list(when(col("sess_rk") <= SeqMaxLen,
+            struct(col("us"), col("event_id"), col("event_type"))))),
           e => e.getField("event_type")), 1, SeqMaxLen)).as("seq"))
       .orderBy("user_id", "session_idx")
 
@@ -1449,6 +1474,22 @@ object CorpusOps {
     * parity by the d92 gate, which runs d80's aggregate over this
     * frame against the SAME DuckDB SQL. */
   private[graft] def sessionizedEventsSkewSafe(spark: SparkSession,
+      dir: String): DataFrame =
+    sessionizedEventsSkewSafeRanked(spark, dir).drop("sess_rk")
+
+  /** [[sessionizedEventsSkewSafe]] plus `sess_rk` — the event's
+    * 1-based rank within its CHUNK-LOCAL session, which is a LOWER
+    * BOUND on the true within-session rank: for any event, local rank
+    * = global rank − (events of the session in earlier chunks) ≤
+    * global rank, with equality throughout the session's first chunk.
+    * So `sess_rk <= K` keeps a SUPERSET of the session's true first K
+    * events — every global-first-K event survives the filter — and a
+    * downstream sort + `slice(…, 1, K)` recovers exactly the global
+    * first K. The superset is bounded by K × chunks-spanned, i.e. by
+    * TIME (≤ 1461 chunks/year), never by event count — the same
+    * boundedness contract as the summary table. The rank window rides
+    * the existing (user_id, ck) exchange (subset-key clustering). */
+  private[graft] def sessionizedEventsSkewSafeRanked(spark: SparkSession,
       dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val ev = Tables.load(spark, dir, "events")
@@ -1461,6 +1502,9 @@ object CorpusOps {
           .when(lag(col("us"), 1).over(wLoc).isNull, 1).otherwise(0))
       .withColumn("local_idx", sum("new_session").over(
         wLoc.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("sess_rk", row_number().over(
+        Window.partitionBy("user_id", "ck", "local_idx")
+          .orderBy("us", "event_id")))
     val wCk = Window.partitionBy("user_id").orderBy("ck")
     val offsets = local.groupBy("user_id", "ck")
       .agg(min("us").as("first_us"), max("us").as("last_us"),
@@ -1475,7 +1519,8 @@ object CorpusOps {
     local.join(offsets, Seq("user_id", "ck"))
       .withColumn("session_idx",
         col("offset") + col("local_idx") - col("merged"))
-      .select("user_id", "session_idx", "event_id", "event_type", "us")
+      .select("user_id", "session_idx", "event_id", "event_type", "us",
+        "sess_rk")
   }
 
   /** d80's training-sequence output computed through the SKEW-SAFE
@@ -1484,14 +1529,21 @@ object CorpusOps {
     * reconstruction is indistinguishable from the single-window
     * definition on real data, while `SkewSessionSpec` proves it on a
     * planted 50%-hot-user distribution the plain window would
-    * serialize into one task. */
+    * serialize into one task.
+    *
+    * The collect is bounded before aggregation exactly like d80's,
+    * via the skew-safe frame's lower-bound `sess_rk` (see
+    * [[sessionizedEventsSkewSafeRanked]]): the `when` guard admits a
+    * time-bounded superset of each session's first [[SeqMaxLen]]
+    * events into the buffer, and the existing sort + `slice`
+    * truncates it to exactly the global first [[SeqMaxLen]]. */
   def d92SkewSessions(spark: SparkSession, dir: String): DataFrame =
-    sessionizedEventsSkewSafe(spark, dir)
+    sessionizedEventsSkewSafeRanked(spark, dir)
       .groupBy("user_id", "session_idx")
       .agg(count(lit(1)).as("n_events"),
         concat_ws(",", slice(transform(
-          array_sort(collect_list(struct(col("us"), col("event_id"),
-            col("event_type")))),
+          array_sort(collect_list(when(col("sess_rk") <= SeqMaxLen,
+            struct(col("us"), col("event_id"), col("event_type"))))),
           e => e.getField("event_type")), 1, SeqMaxLen)).as("seq"))
       .orderBy("user_id", "session_idx")
 
@@ -1846,9 +1898,13 @@ object CorpusOps {
     * back on the SAME (user, session) key the sessionization already
     * partitioned by — no window over the event stream, no per-session
     * sort, and each pass shuffles one timestamp per session, not
-    * events. Integer-microsecond comparisons throughout. */
+    * events. Integer-microsecond comparisons throughout. Rides the
+    * SKEW-SAFE session frame (d92 proved it output-identical to the
+    * single-window definition), so one bot user cannot serialize the
+    * session assignment into a straggler task; the funnel's aggregates
+    * were already hot-key-safe (conditional mins, map-side combined). */
   def d86OrderedFunnel(spark: SparkSession, dir: String): DataFrame = {
-    val sess = sessionizedEvents(spark, dir)
+    val sess = sessionizedEventsSkewSafe(spark, dir)
       .select("user_id", "session_idx", "event_type", "us")
       .localCheckpoint() // three funnel passes re-read the assignment
     val key = Seq("user_id", "session_idx")
@@ -3539,15 +3595,21 @@ object CorpusOps {
     * ONE hypothesized order, this discovers which orders actually
     * happen.
     *
-    * Scale shape: rides [[sessionizedEvents]]' one user-keyed
-    * exchange; the per-session signature is a bounded collect (the d80
-    * per-session precedent — state is one session's events, truncated
-    * to [[PathLen]] at projection); path counting is a
+    * Scale shape: rides the SKEW-SAFE session frame (one bot user
+    * splits into parallel chunk slices; d92 proved it
+    * output-identical), and the signature needs no per-session counts,
+    * so rows beyond the frame's lower-bound rank [[PathLen]] are
+    * FILTERED before the aggregate — the collect buffer is at most
+    * [[PathLen]] × chunks-spanned structs per session (time-bounded,
+    * never event-bounded), and the sort + `slice` recovers exactly the
+    * global first [[PathLen]] (see
+    * [[sessionizedEventsSkewSafeRanked]]). Path counting is a
     * signature-keyed aggregate with map-side combine and the top-10 a
     * TakeOrdered heap. Total order inside a session is (us, event_id)
     * — the d80 tie-break — so signatures are engine-deterministic. */
   def d123SessionPaths(spark: SparkSession, dir: String): DataFrame =
-    sessionizedEvents(spark, dir)
+    sessionizedEventsSkewSafeRanked(spark, dir)
+      .where(col("sess_rk") <= PathLen)
       .groupBy("user_id", "session_idx")
       .agg(sort_array(collect_list(
         struct(col("us"), col("event_id"), col("event_type")))).as("evs"))

@@ -85,6 +85,100 @@ class SkewSessionSpec extends SparkSpec {
       "planted hot user must have many multi-chunk sessions")
   }
 
+  test("a never-pausing mega-session keeps a bounded collect buffer " +
+      "and exact first-K sequences through both frames") {
+    // ONE user, 20 000 events, 90 s spacing — never a 30-minute pause,
+    // so the gap rule makes it ONE session spanning 1.8 Ms ≈ 21 days
+    // ≈ 83 six-hour chunks. This is exactly the adversary of VERDICT
+    // r10 finding #2: before the sess_rk guard, the per-session
+    // collect_list buffered all 20 000 structs in one aggregate row.
+    val n = 20000
+    val rows = (0 until n).map { i =>
+      (i.toLong, Base + i.toLong * 90L * 1000000L, 1L, s"t${i % 7}")
+    }
+    val dir = writeEvents(rows)
+    val expectSeq = (0 until CorpusOps.SeqMaxLen).map(i => s"t${i % 7}")
+      .mkString(",")
+    for (df <- Seq(CorpusOps.d80TrainingSequences(spark, dir),
+        CorpusOps.d92SkewSessions(spark, dir))) {
+      val out = df.collect()
+      assert(out.length == 1, "one unbroken session expected")
+      assert(out(0).getAs[Long]("n_events") == n.toLong)
+      assert(out(0).getAs[String]("seq") == expectSeq)
+    }
+    // The guard must be INSIDE the aggregate: the collect_list input is
+    // conditional on sess_rk, so the buffer never exceeds SeqMaxLen
+    // structs (d80) / SeqMaxLen × chunks (d92) regardless of session
+    // length.
+    for (df <- Seq(CorpusOps.d80TrainingSequences(spark, dir),
+        CorpusOps.d92SkewSessions(spark, dir))) {
+      val plan = df.queryExecution.optimizedPlan.toString
+      assert(plan.contains("sess_rk"),
+        s"bounded-collect guard missing from plan:\n$plan")
+    }
+    // The rank window must RIDE the existing user exchange, not add
+    // one: d80's only hash exchange is the user_id shuffle (the final
+    // orderBy adds a range exchange, which is output formatting).
+    val phys = CorpusOps.d80TrainingSequences(spark, dir)
+      .queryExecution.executedPlan.toString
+    val hashEx = "Exchange hashpartitioning".r.findAllIn(phys).length
+    assert(hashEx == 1,
+      s"expected exactly 1 hash exchange in d80, got $hashEx:\n$phys")
+    // d123 on the same log: the path is the first 5 events' types.
+    val paths = CorpusOps.d123SessionPaths(spark, dir).collect()
+    assert(paths.length == 1)
+    assert(paths(0).getAs[String]("path") == "t0>t1>t2>t3>t4")
+    assert(paths(0).getAs[Long]("n_sessions") == 1L)
+  }
+
+  test("mega-session straddling chunk boundaries mid-prefix still " +
+      "yields the exact global first K") {
+    // Place the session so a 6 h chunk boundary falls INSIDE the first
+    // SeqMaxLen events: events 5 µs apart crossing a boundary — later
+    // chunks restart the lower-bound rank at 1, so the collected set is
+    // a strict superset of the first K and the slice must discard the
+    // extras, keeping exactly the global first K.
+    val b0 = (Base / CorpusOps.SessChunkUs + 7) * CorpusOps.SessChunkUs
+    val n = 40
+    val rows = (0 until n).map { i =>
+      (i.toLong, b0 - 8L * 5000000L + i.toLong * 5000000L, 3L, s"e$i")
+    }
+    val dir = writeEvents(rows)
+    val expectSeq = (0 until CorpusOps.SeqMaxLen).map(i => s"e$i")
+      .mkString(",")
+    val out = CorpusOps.d92SkewSessions(spark, dir).collect()
+    assert(out.length == 1)
+    assert(out(0).getAs[Long]("n_events") == n.toLong)
+    assert(out(0).getAs[String]("seq") == expectSeq,
+      s"got ${out(0).getAs[String]("seq")}")
+    val paths = CorpusOps.d123SessionPaths(spark, dir).collect()
+    assert(paths(0).getAs[String]("path") == "e0>e1>e2>e3>e4")
+  }
+
+  test("funnel strict ordering holds across a chunk boundary: a " +
+      "purchase before the first view must not convert") {
+    val b0 = (Base / CorpusOps.SessChunkUs + 11) * CorpusOps.SessChunkUs
+    val rows = Seq(
+      // user 7, one session straddling the boundary: purchase BEFORE
+      // the first view (must not count), then view | boundary | click,
+      // purchase → converts at every step.
+      (1L, b0 - 3000000L, 7L, "purchase"),
+      (2L, b0 - 2000000L, 7L, "view"),
+      (3L, b0 + 1000000L, 7L, "click"),
+      (4L, b0 + 2000000L, 7L, "purchase"),
+      // user 8, one session: view then purchase then click — purchase
+      // precedes the click, so the funnel stops at view→click.
+      (5L, b0, 8L, "view"),
+      (6L, b0 + 1000000L, 8L, "purchase"),
+      (7L, b0 + 2000000L, 8L, "click"))
+    val dir = writeEvents(rows)
+    val r = CorpusOps.d86OrderedFunnel(spark, dir).collect()(0)
+    assert(r.getAs[Long]("n_sessions") == 2L)
+    assert(r.getAs[Long]("n_view") == 2L)
+    assert(r.getAs[Long]("n_view_click") == 2L)
+    assert(r.getAs[Long]("n_full_funnel") == 1L)
+  }
+
   test("skew-safe path windows on (user_id, chunk), not user_id alone") {
     val dir = fixture
     val plan = CorpusOps.sessionizedEventsSkewSafe(spark, dir)
