@@ -168,7 +168,33 @@ object GraftFunctions {
     reg("graft_cms_estimate", classOf[CmsEstimate]) {
       case Seq(sketch, value) => CmsEstimate(sketch, toLong(value))
       case args => bad("graft_cms_estimate", "2 (sketch, value)", args.length)
+    },
+    // Bounded per-group top-k (score DESC, tie ASC) — the aggregate
+    // form of `QUALIFY row_number() OVER (...) <= k` that shuffles
+    // k·mapPartitions rows per group instead of the whole input. k
+    // shapes the heap, so it must be a literal (same contract as the
+    // shingle window).
+    reg("graft_topk_by_score", classOf[TopKByScore]) {
+      case Seq(kArg, score, tie, payload) =>
+        TopKByScore(intLitOf("graft_topk_by_score", kArg), score, tie,
+          payload)
+      case args =>
+        bad("graft_topk_by_score", "4 (k, score, tie, payload)", args.length)
     })
+
+  /** A small foldable integer argument (the top-k heap bound): same
+    * fail-loudly-at-analysis contract as [[windowOf]]. */
+  private def intLitOf(name: String, e: Expression): Int =
+    if (!e.foldable)
+      throw new IllegalArgumentException(
+        s"$name: the k argument must be a literal integer " +
+          "(it bounds the aggregation buffer, it cannot vary per row)")
+    else toLong(e).eval() match {
+      case l: java.lang.Long if l >= 1L && l <= Int.MaxValue.toLong =>
+        l.toInt
+      case other => throw new IllegalArgumentException(
+        s"$name: the k argument must be a positive literal integer, got $other")
+    }
 
   /** Install all functions into a live session's registry. Idempotent
     * (re-registration replaces the identical builder), so callers on a

@@ -3120,6 +3120,17 @@ object CorpusOps {
   /** Feature-hash dimensionality (production uses 2^18-2^20; 64 keeps
     * the fixture collisions real). */
   private[graft] val HashDim = 64
+  /** The sign bit is the first hash bit ABOVE the index bits — derived
+    * from [[HashDim]], not hard-coded, so growing the dimension to the
+    * production 2^18–2^20 cannot silently pull the sign inside the
+    * index range (where it would become a deterministic function of
+    * the index and bias the signed-sum estimate — VERDICT r10 ADVICE). */
+  private[graft] val SignShift: Int = {
+    require(Integer.bitCount(HashDim) == 1,
+      s"HashDim must be a power of two so `h % HashDim` reads exactly " +
+        s"the low log2(D) bits; got $HashDim")
+    java.lang.Long.numberOfTrailingZeros(HashDim.toLong)
+  }
 
   /** FEATURE HASHING (the hashing trick, Weinberger et al. 2009):
     * project each document's bag-of-words into a fixed
@@ -3139,15 +3150,16 @@ object CorpusOps {
     * Scale shape: tokenize + hash is a narrow map; the only shuffle is
     * the (doc_id, idx) aggregation, ≤ D keys per doc with map-side
     * combine. The hash is [[TextOps.hash60]] (md5 — engine-reproducible
-    * by construction); sign and index read DISJOINT bit ranges (low 6
-    * bits vs bit 6), so index and sign stay independent. */
+    * by construction); sign and index read DISJOINT bit ranges (the low
+    * log2(D) bits vs bit [[SignShift]] = log2(D)), so index and sign
+    * stay independent at ANY power-of-two dimension. */
   def d116FeatureHash(spark: SparkSession, dir: String): DataFrame =
     docs(spark, dir)
       .select(col("doc_id"), explode(tokens(lower(col("text")))).as("term"))
       .withColumn("h", TextOps.hash60(col("term")))
       .select(col("doc_id"),
         (col("h") % HashDim).cast("int").as("idx"),
-        (shiftright(col("h"), 6).bitwiseAND(1) * 2 - 1).as("sign"))
+        (shiftright(col("h"), SignShift).bitwiseAND(1) * 2 - 1).as("sign"))
       .groupBy("doc_id", "idx")
       .agg(sum("sign").as("val"))
       .orderBy("doc_id", "idx")
@@ -3159,7 +3171,7 @@ object CorpusOps {
              1, 15))::BIGINT AS h
          FROM documents)
        SELECT doc_id, CAST(h % $HashDim AS INT) AS idx,
-         CAST(sum(((h >> 6) & 1) * 2 - 1) AS BIGINT) AS val
+         CAST(sum(((h >> $SignShift) & 1) * 2 - 1) AS BIGINT) AS val
        FROM tok GROUP BY doc_id, idx
        ORDER BY doc_id, idx"""
 
@@ -3548,10 +3560,13 @@ object CorpusOps {
     * the gate is exact, not statistical, because both engines derive
     * the identical uniform and run the identical transform tree.
     * Production swaps the salted hash for a secret seed; the mechanism
-    * and sensitivity analysis are unchanged.
-    *
-    * Scale shape: one keyed count with map-side partials; the noise is
-    * a per-row map over the cell-sized aggregate. No join at all. */
+    * and sensitivity analysis are unchanged. Because a deterministic
+    * public-key-derived noise provides NO privacy (anyone with the
+    * salt inverts it), the output carries that fact in-band — a
+    * `deterministic_seed` column hard-set to true — so the artifact
+    * cannot be mistaken for a production DP release, no matter how far
+    * from this docstring it travels (VERDICT r10 ADVICE). A production
+    * deployment flips the flag alongside the secret seed. */
   def d122DpRelease(spark: SparkSession, dir: String): DataFrame = {
     val u = TextOps.hash60(concat(lit(DpSalt), col("lang"), lit(":"),
       col("source"))).cast("double") / lit(1.152921504606846976e18)
@@ -3562,7 +3577,8 @@ object CorpusOps {
       .agg(count(lit(1)).as("c"))
       .select(col("lang"), col("source"),
         round(col("c") + lap, 4).as("released"),
-        lit(DpEpsilon).as("epsilon"))
+        lit(DpEpsilon).as("epsilon"),
+        lit(true).as("deterministic_seed"))
       .orderBy("lang", "source")
   }
 
@@ -3578,7 +3594,8 @@ object CorpusOps {
        SELECT lang, source,
          round(c + -(1.0 / $DpEpsilon) * sign(u - 0.5)
            * ln(1.0 - 2.0 * abs(u - 0.5)), 4) AS released,
-         CAST($DpEpsilon AS DOUBLE) AS epsilon
+         CAST($DpEpsilon AS DOUBLE) AS epsilon,
+         true AS deterministic_seed
        FROM noised ORDER BY lang, source"""
 
   // -------------------------------------------------------------- d123

@@ -1228,25 +1228,31 @@ object Similarity {
     *
     * Scale shape: the probe set is a broadcast (queries are always the
     * small side); the corpus side is ONE narrow scan — cosine per
-    * (probe, candidate) pair, a per-probe top-k via window rank (at
-    * production fan-out the d10/d14 bucketed ANN replaces the exact
-    * scan as the candidate generator — this op is deliberately the
-    * EXACT-retrieval consumer so the gate pins vote semantics, not
-    * recall), then the vote is a (probe, label)-keyed count — grouping
-    * [[KnnK]]·probes tiny rows. Nothing data-sized ever shuffles. */
+    * (probe, candidate) pair (at production fan-out the d10/d14
+    * bucketed ANN replaces the exact scan as the candidate generator —
+    * this op is deliberately the EXACT-retrieval consumer so the gate
+    * pins vote semantics, not recall). The per-probe top-k is the
+    * BOUNDED-HEAP aggregate [[graft.functions.TopKByScore]], NOT a
+    * window rank: a `row_number` window over [[KnnProbes]] keys would
+    * shuffle every scored corpus row into ≤[[KnnProbes]] partitions — a
+    * data-sized, low-parallelism exchange (VERDICT r10 ADVICE). The
+    * heap's map-side partials mean the only exchange carries
+    * k·mapPartitions rows per probe; the vote is then a (probe,
+    * label)-keyed count over [[KnnK]]·probes tiny rows. Nothing
+    * data-sized ever shuffles. */
   def d111KnnLabels(spark: SparkSession, dir: String): DataFrame = {
     val e = emb(spark, dir)
     val probes = e.filter(col("vec_id") < KnnProbes)
       .select(col("vec_id").as("q_id"), col("label").as("true_label"),
         col("v").as("qv"))
-    val rk = Window.partitionBy("q_id")
-      .orderBy(col("cos_sim").desc, col("vec_id"))
     val votes = e.crossJoin(broadcast(probes))
       .filter(col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("vec_id"), col("label"),
         cosine(col("v"), col("qv")).as("cos_sim"))
-      .withColumn("rk", row_number().over(rk))
-      .filter(col("rk") <= KnnK)
+      .groupBy("q_id")
+      .agg(graft.functions.TopKByScore.topk(KnnK,
+        col("cos_sim"), col("vec_id"), col("label")).as("top"))
+      .select(col("q_id"), explode(col("top")).as("label"))
       .groupBy("q_id", "label")
       .agg(count(lit(1)).as("votes"))
     val best = Window.partitionBy("q_id")
@@ -1317,7 +1323,12 @@ object Similarity {
         .select(posexplode(array_sort(col("rows"))).as(Seq("p", "r")))
         .select(col("r.id").as("doc_id"),
           (col("p") + 1).cast("long").as(rankCol))
-    val sparse = ranked(CorpusOps.d37Bm25(spark, dir), col("bm25"), "r_s")
+    // d37Bm25 happens to end in its own limit(20), but the fusion depth
+    // must not depend on another op's display constant staying equal to
+    // RrfDepth — truncate HERE so changing either never silently admits
+    // rank tails beyond the documented depth (VERDICT r10 ADVICE).
+    val sparse = ranked(
+      CorpusOps.d37Bm25(spark, dir).limit(RrfDepth), col("bm25"), "r_s")
     val e = emb(spark, dir)
     val probe = e.filter(col("vec_id") === 0).select(col("v").as("qv"))
     val dense = ranked(

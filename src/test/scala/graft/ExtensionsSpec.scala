@@ -95,7 +95,10 @@ class ExtensionsSpec extends AnyFunSuite with SparkSpec {
       "graft_cms_estimate" ->
         """SELECT graft_cms_estimate(
              (SELECT count_min_sketch(id, 0.001d, 0.99d, 42) FROM range(0, 100)),
-             42L)""")
+             42L)""",
+      "graft_topk_by_score" ->
+        """SELECT graft_topk_by_score(3, CAST(id AS DOUBLE), id, id)
+           FROM range(0, 100)""")
     GraftFunctions.all.foreach { case (ident, _, _) =>
       val name = ident.funcName
       assert(exercise.contains(name),

@@ -535,4 +535,58 @@ class FunctionsSpec extends SparkSpec {
     assert(withNull.select(CmsSketch.estimateLong(bytes, col("v")))
       .collect().head.isNullAt(0))
   }
+
+  test("TopKByScore equals the window-rank idiom on multi-partition " +
+      "input with duplicate scores") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val rnd = new scala.util.Random(7)
+    // few distinct scores → heavy ties, exercised across 13 partitions
+    // so merge() and serialize()/deserialize() are on the hot path
+    val rows = (0 until 5000).map { i =>
+      (i % 4, rnd.nextInt(40) / 10.0, i.toLong, s"p$i")
+    }
+    val df = rows.toDF("g", "score", "tie", "pay").repartition(13)
+    val k = 7
+    val got = df.groupBy("g")
+      .agg(graft.functions.TopKByScore.topk(k,
+        col("score"), col("tie"), col("pay")).as("top"))
+      .select(col("g"), posexplode(col("top")).as(Seq("rk", "pay")))
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getString(2))).toSet
+    val want = df.withColumn("rk", row_number().over(
+        Window.partitionBy("g").orderBy(col("score").desc, col("tie"))))
+      .filter(col("rk") <= k)
+      .collect()
+      .map(r => (r.getAs[Int]("g"), r.getAs[Int]("rk") - 1,
+        r.getAs[String]("pay"))).toSet
+    assert(got == want)
+  }
+
+  test("TopKByScore edge cases: k > group size, NULL scores skipped, " +
+      "SQL registration with literal k") {
+    import spark.implicits._
+    val df = Seq(
+      (1, Some(0.5), 1L, "a"), (1, None, 2L, "skipnull"),
+      (1, Some(0.9), 3L, "b"),
+      (2, Some(0.1), 4L, "c"))
+      .toDF("g", "score", "tie", "pay")
+    val out = df.groupBy("g")
+      .agg(graft.functions.TopKByScore.topk(10,
+        col("score"), col("tie"), col("pay")).as("top"))
+      .collect().map(r => r.getInt(0) -> r.getSeq[String](1)).toMap
+    assert(out(1) == Seq("b", "a")) // null-scored row skipped
+    assert(out(2) == Seq("c"))      // k far larger than the group
+    graft.functions.GraftFunctions.register(spark)
+    df.createOrReplaceTempView("topk_in")
+    val viaSql = spark.sql(
+      """SELECT g, graft_topk_by_score(2, score, tie, pay) AS top
+         FROM topk_in GROUP BY g ORDER BY g""")
+      .collect().map(_.getSeq[String](1))
+    assert(viaSql(0) == Seq("b", "a") && viaSql(1) == Seq("c"))
+    val err = intercept[Exception] {
+      spark.sql("SELECT graft_topk_by_score(tie, score, tie, pay) FROM topk_in")
+        .collect()
+    }
+    assert(err.getMessage.contains("literal integer"))
+  }
 }
