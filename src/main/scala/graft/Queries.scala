@@ -607,9 +607,16 @@ object Queries {
     * covers rank/avg-over, q19 top-k, q21 range frames, q22 percentile
     * frames): per customer, each order's days-since-previous-order and
     * the running revenue up to it. One shuffle on the partition key
-    * serves BOTH window functions (same window spec ⇒ one Window node,
-    * one sort); limited to 3-plus-order customers to keep the gated
-    * row count meaningful. */
+    * serves ALL THREE window functions, and all three share the SAME
+    * (partition, order) spec — differing only in frame — so they plan
+    * into ONE Window node and one sort. The per-customer count
+    * deliberately uses the ordered spec with an unbounded frame rather
+    * than the natural order-less `partitionBy("o_custkey")`: the
+    * order-less spec is a SECOND Window node (specs don't merge across
+    * orderings), which re-buffers every partition for a pass that
+    * computes nothing the unbounded frame doesn't (the r10 q25 drift —
+    * measured ~25% of the query walking rows twice). Limited to
+    * 8-plus-order customers to keep the gated row count meaningful. */
   def q25LeadLag(spark: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
     t(spark, dir, "orders")
@@ -619,7 +626,8 @@ object Queries {
       .withColumn("running_spend",
         round(sum("o_totalprice").over(
           w.rowsBetween(Window.unboundedPreceding, Window.currentRow)), 2))
-      .withColumn("n_orders", count(lit(1)).over(Window.partitionBy("o_custkey")))
+      .withColumn("n_orders", count(lit(1)).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
       .filter(col("n_orders") >= 8)
       .select(col("o_custkey"), col("o_orderkey"), col("gap_days"),
         col("running_spend"))

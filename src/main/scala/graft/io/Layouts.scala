@@ -115,11 +115,17 @@ object Layouts {
     * enough to re-download on preemption). */
   def writeShards(df: DataFrame, path: String, numShards: Int,
       key: String = "doc_id", shuffled: Boolean = false,
-      seed: Long = 0L): Unit = {
+      seed: Long = 0L,
+      assign: Option[org.apache.spark.sql.Column] = None): Unit = {
     import org.apache.spark.sql.functions._
     val order =
       if (shuffled) xxhash64(df(key), lit(seed)) else df(key)
-    df.withColumn("shard", pmod(xxhash64(df(key)), lit(numShards.toLong)))
+    // default assignment is xxhash64 (fastest); `assign` lets a caller
+    // swap in an engine-portable hash when the assignment itself must
+    // be recomputable outside Spark (the d126 gate recomputes it in
+    // DuckDB — xxhash64's seed-42 XXH64 has no DuckDB equivalent)
+    df.withColumn("shard",
+        assign.getOrElse(pmod(xxhash64(df(key)), lit(numShards.toLong))))
       .withColumn("_ord", order)
       .repartition(numShards, col("shard"))
       .sortWithinPartitions(col("shard"), col("_ord"))

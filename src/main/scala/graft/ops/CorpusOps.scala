@@ -3784,7 +3784,101 @@ object CorpusOps {
            END AS expansion
        FROM agg"""
 
+  // -------------------------------------------------------------- d126
+  /** Shard count for the d126 gate; the gate's balance bound (no empty
+    * shard, max ≤ 2.5× mean) is generous for md5's uniformity at the
+    * fixture size and tightens naturally as rows grow. */
+  private[graft] val GateShards = 8
+
+  /** TRAINING-SHARD EMISSION, gated end-to-end — the fourth and
+    * terminal storage layout under the driver gate (d75 Z-order, d93
+    * bucketing, d95 partition pruning): documents are written as
+    * [[GateShards]] hash-assigned shuffled shards via
+    * [[graft.io.Layouts.writeShards]], READ BACK from disk, and
+    * summarized per shard — count, bit_xor content fingerprint,
+    * id range. The oracle recomputes the ASSIGNMENT itself in DuckDB
+    * (the engine-portable [[TextOps.hash60]] assignment, injected via
+    * `writeShards`' `assign` hook) and aggregates the original table
+    * the same way, so equality proves, row-for-row: nothing lost,
+    * nothing duplicated, and every document landed in EXACTLY the
+    * shard the hash says — losslessness and placement in one hash
+    * check (VERDICT r10 "what's missing" #3). The bit_xor fingerprint
+    * is order-free and overflow-free (a sum of 60-bit hashes would
+    * overflow BIGINT into DuckDB's HUGEINT — the d60/d73/d80 type trap).
+    *
+    * In-op requires pin what the aggregate can't see: exactly
+    * [[GateShards]] shard directories on disk (the partitionBy layout
+    * materialized) and shard balance (no empty shard, max ≤ 2.5×
+    * mean) — the property a loader fleet actually cares about.
+    *
+    * Scale shape: the write is `writeShards`' single clustered
+    * shuffle; the read-back summary is one scan + shard-keyed
+    * aggregate with map-side partials. Byte-stable determinism of the
+    * shard files themselves is pinned by `LayoutSpec`. */
+  def d126ShardGate(spark: SparkSession, dir: String): DataFrame = {
+    import graft.io.Layouts
+    val path = java.nio.file.Files.createTempDirectory("graft-d126")
+    val d = docs(spark, dir).select("doc_id", "text")
+    Layouts.writeShards(d, path.toString, GateShards,
+      key = "doc_id", shuffled = true, seed = 42L,
+      assign = Some(pmod(TextOps.hash60(col("doc_id").cast("string")),
+        lit(GateShards.toLong))))
+    val dirs = java.nio.file.Files.list(path).iterator()
+    val shardDirs = Iterator.continually(dirs)
+      .takeWhile(_.hasNext).map(_.next().getFileName.toString)
+      .filter(_.startsWith("shard=")).toSeq
+    // a zero-row corpus writes no shard directories at all (only
+    // _SUCCESS) — the summary is legitimately empty, and neither the
+    // directory-count nor the balance pin applies to nothing
+    if (shardDirs.isEmpty) {
+      import org.apache.spark.sql.types._
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        StructType(Seq(
+          StructField("shard", IntegerType),
+          StructField("n_docs", LongType, nullable = false),
+          StructField("xor_content", LongType),
+          StructField("min_id", LongType),
+          StructField("max_id", LongType))))
+    }
+    require(shardDirs.size == GateShards,
+      s"expected $GateShards shard directories, found ${shardDirs.size}")
+    // fingerprint the CONTENT as stored — read back from the shards
+    val summarized = spark.read.parquet(path.toString)
+      .withColumn("h", TextOps.hash60(col("text")))
+      .groupBy(col("shard").cast("int").as("shard"))
+      .agg(count(lit(1)).as("n_docs"),
+        expr("bit_xor(h)").as("xor_content"),
+        min("doc_id").as("min_id"), max("doc_id").as("max_id"))
+      .orderBy("shard")
+      .localCheckpoint() // the temp layout can be deleted after this
+    val counts = summarized.select("n_docs").collect().map(_.getLong(0))
+    require(counts.length == GateShards && counts.forall(_ > 0L),
+      s"every shard must be nonempty: ${counts.mkString(",")}")
+    require(counts.max.toDouble <= 2.5 * (counts.sum.toDouble / counts.length),
+      s"shard imbalance beyond 2.5x mean: ${counts.mkString(",")}")
+    try {
+      java.nio.file.Files.walk(path)
+        .sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => java.nio.file.Files.deleteIfExists(p))
+    } catch { case _: java.io.IOException => () }
+    summarized
+  }
+
+  val d126Oracle: String =
+    s"""WITH a AS (
+         SELECT CAST(('0x'||substr(md5(CAST(doc_id AS VARCHAR)),1,15))::BIGINT
+             % $GateShards AS INT) AS shard,
+           doc_id,
+           ('0x'||substr(md5(text),1,15))::BIGINT AS h
+         FROM documents)
+       SELECT shard, count(*) AS n_docs,
+         CAST(bit_xor(h) AS BIGINT) AS xor_content,
+         min(doc_id) AS min_id, max(doc_id) AS max_id
+       FROM a GROUP BY shard ORDER BY shard"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d126_shard_gate" -> (d126ShardGate _),
     "d119_k_anonymity" -> (d119KAnonymity _),
     "d120_heaps_growth" -> (d120HeapsGrowth _),
     "d121_robust_outliers" -> (d121RobustOutliers _),
@@ -3855,6 +3949,7 @@ object CorpusOps {
     "d123_session_paths" -> d123Oracle,
     "d124_rfm_features" -> d124Oracle,
     "d125_join_cardinality" -> d125Oracle,
+    "d126_shard_gate" -> d126Oracle,
     "d113_token_entropy" -> d113Oracle,
     "d114_ks_drift" -> d114Oracle,
     "d115_gini_sources" -> d115Oracle,

@@ -280,17 +280,98 @@ object StreamGates {
          AND v.ts >= p.ts - INTERVAL 30 MINUTE AND v.ts < p.ts
        ORDER BY p_id, view_id"""
 
+  // -------------------------------------------------------------- d127
+  /** CHECKPOINT RECOVERY — the exactly-once-across-restart contract a
+    * production ingest actually rests on, which none of the five
+    * one-shot `AvailableNow` drains above exercises (VERDICT r10
+    * "what's missing" #2): a STATEFUL query (d104's windowed hourly
+    * rollup) processes HALF the event log, stops, and a fresh query
+    * object resumes from the SAME checkpoint directory to drain the
+    * other half. The final complete-mode output must equal q17's batch
+    * oracle over the whole log — which can only happen if the restart
+    * (a) reloaded the state store (the first half's counts exist ONLY
+    * in recovered state: the source log marks its file processed, so
+    * those rows are never re-read) and (b) did not re-process the
+    * first file (complete mode would double-count it). Either failure
+    * trips the hash gate.
+    *
+    * The halves are split by event_id PARITY, so nearly every
+    * (hour, event_type) window spans both micro-batches — a lost state
+    * store corrupts nearly every output row, not just a boundary.
+    * `StreamingSpec` additionally pins, on a planted log, that the
+    * resumed run's input-row count is exactly the second half
+    * (recovery, not reprocessing).
+    *
+    * Gate-scale mechanics as elsewhere: memory sink (complete mode is
+    * the recoverable mode for it), temp source/checkpoint dirs per
+    * run. A production deployment keeps checkpoint + state store on
+    * durable storage and an exactly-once file/Kafka sink; the recovery
+    * path — offset log, state-store reload, no-reprocess — is the same
+    * machinery this gate drives. */
+  def d127StreamRecovery(spark: SparkSession, dir: String): DataFrame = {
+    val staged = Files.createTempDirectory("graft-d127-src")
+    val ckpt = Files.createTempDirectory("graft-d127-ckpt")
+    // split the raw file (read WITHOUT timestamp normalization, so the
+    // written halves keep the source generation's ts encoding and
+    // readEvents' unit probe applies unchanged)
+    val raw = spark.read.parquet(s"$dir/events.parquet")
+    def drop(pred: org.apache.spark.sql.Column, name: String): Unit = {
+      val tmp = Files.createTempDirectory("graft-d127-w")
+      raw.filter(pred).coalesce(1)
+        .write.mode("overwrite").parquet(tmp.resolve("out").toString)
+      val part = Files.list(tmp.resolve("out"))
+        .filter(p => p.getFileName.toString.endsWith(".parquet"))
+        .findFirst().get()
+      Files.move(part, staged.resolve(name))
+      deltree(tmp)
+    }
+    def run(): String = {
+      val name = s"graft_d127_run${runSeq.incrementAndGet()}"
+      val query = EventStreams
+        .hourlyCounts(EventStreams.readEvents(spark, staged.toString))
+        .writeStream.format("memory").queryName(name)
+        .outputMode("complete")
+        .option("checkpointLocation", ckpt.toString)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      query.awaitTermination()
+      name
+    }
+    drop(col("event_id") % 2 === 0, "a.parquet")
+    run() // phase 1: even half, then a clean stop
+    drop(col("event_id") % 2 === 1, "b.parquet")
+    val name2 = run() // phase 2: resume from the same checkpoint
+    // the memory table is driver-resident; the temp trees can go now
+    deltree(staged); deltree(ckpt)
+    spark.table(name2).orderBy("hour", "event_type")
+  }
+
+  /** q17's oracle verbatim over the WHOLE log — only a true resume
+    * (recovered state + no reprocessing) reproduces it. */
+  val d127Oracle: String = graft.Queries.q17Oracle
+
+  /** Best-effort recursive delete (checkpoint trees are directories of
+    * directories; a failed delete must not fail the gate). */
+  private def deltree(root: java.nio.file.Path): Unit =
+    try {
+      Files.walk(root)
+        .sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => Files.deleteIfExists(p))
+    } catch { case _: java.io.IOException => () }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d50_stream_decontaminate" -> (d50StreamDecontaminate _),
     "d64_stream_sessions" -> (d64StreamSessions _),
     "d76_stream_dedup" -> (d76StreamDedup _),
     "d104_stream_hourly" -> (d104StreamHourly _),
-    "d107_stream_join" -> (d107StreamJoin _))
+    "d107_stream_join" -> (d107StreamJoin _),
+    "d127_stream_recovery" -> (d127StreamRecovery _))
 
   val oracles: Map[String, String] = Map(
     "d50_stream_decontaminate" -> d50Oracle,
     "d64_stream_sessions" -> d64Oracle,
     "d76_stream_dedup" -> d76Oracle,
     "d104_stream_hourly" -> d104Oracle,
-    "d107_stream_join" -> d107Oracle)
+    "d107_stream_join" -> d107Oracle,
+    "d127_stream_recovery" -> d127Oracle)
 }

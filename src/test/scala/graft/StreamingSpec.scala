@@ -42,6 +42,57 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("checkpoint recovery: a resumed query reloads state and reads " +
+      "ONLY the new file") {
+    // The d127 gate proves output equality end-to-end; this pins the
+    // mechanism on a planted log — the resumed run's processed-row
+    // count is exactly the second file, so the correct totals can only
+    // come from the recovered state store.
+    val staged = Files.createTempDirectory("graft-recovery-src")
+    val ckpt = Files.createTempDirectory("graft-recovery-ckpt")
+    val full = spark.read.parquet(s"$sfDir/events.parquet")
+    val nOdd = full.filter(org.apache.spark.sql.functions.col("event_id") % 2 === 1).count()
+    def drop(parity: Int, name: String): Unit = {
+      val tmp = Files.createTempDirectory("graft-recovery-w")
+      full.filter(org.apache.spark.sql.functions.col("event_id") % 2 === parity)
+        .coalesce(1).write.mode("overwrite").parquet(tmp.resolve("o").toString)
+      val part = Files.list(tmp.resolve("o"))
+        .filter(p => p.getFileName.toString.endsWith(".parquet"))
+        .findFirst().get()
+      Files.move(part, staged.resolve(name))
+    }
+    def run(name: String) = {
+      val q = EventStreams.hourlyCounts(
+          EventStreams.readEvents(spark, staged.toString))
+        .writeStream.format("memory").queryName(name)
+        .outputMode("complete")
+        .option("checkpointLocation", ckpt.toString)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination(120000)
+      q
+    }
+    drop(0, "a.parquet")
+    run("recovery_phase1")
+    drop(1, "b.parquet")
+    val q2 = run("recovery_phase2")
+    val resumedRows = q2.recentProgress.map(_.numInputRows).sum
+    assert(resumedRows == nOdd,
+      s"resumed run must read only the new file: read $resumedRows, " +
+        s"second file has $nOdd")
+    val streamed = spark.table("recovery_phase2")
+      .orderBy("hour", "event_type").collect()
+    val batch = Queries.q17EventsHourly(spark, sfDir).collect()
+    assert(streamed.length == batch.length)
+    streamed.zip(batch).foreach { case (s, b) =>
+      assert(s.getAs[java.sql.Timestamp]("hour") == b.getAs[java.sql.Timestamp]("hour"))
+      assert(s.getAs[String]("event_type") == b.getAs[String]("event_type"))
+      assert(s.getAs[Long]("n") == b.getAs[Long]("n"),
+        s"window (${s.get(0)}, ${s.get(1)}): recovered count ${s.get(2)} != batch ${b.get(2)}")
+      assert(math.abs(s.getAs[Double]("total_value") - b.getAs[Double]("total_value")) < 1e-6)
+    }
+  }
+
   test("sessionization state carries across micro-batches") {
     // split events at the median ts into two files and force one file
     // per trigger, so users spanning the split exercise the carried
