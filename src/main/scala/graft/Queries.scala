@@ -822,6 +822,34 @@ object Queries {
          RANGE BETWEEN INTERVAL 6 DAY PRECEDING AND CURRENT ROW)
        ORDER BY order_day"""
 
+  // --------------------------------------------------------------- q31
+  /** LATERAL JOIN — the correlated top-3 customers by account balance
+    * per nation, written as the analyst writes it (a per-nation
+    * `ORDER BY … LIMIT 3` subquery referencing the outer row). The
+    * feature under test is the DECORRELATION: Catalyst rewrites the
+    * per-row subquery into `WindowGroupLimit` — a per-key top-k that
+    * runs PARTIALLY on the map side (each input partition keeps ≤3
+    * rows per nation before the exchange) — plus one broadcast join
+    * of the 25-row nation table; the naive reading (re-run the
+    * subquery per outer row) never executes. Same plan family as the
+    * hand-built [[graft.functions.TopKByScore]], reached from pure
+    * SQL. Ties break on c_name, so the pick is deterministic; the
+    * LIMIT compares the raw stored doubles (identical bytes in both
+    * engines — no arithmetic before the comparison). The identical
+    * ANSI text runs in DuckDB as the oracle. */
+  val q31Sql: String =
+    """SELECT n.n_name, t.c_name, round(t.c_acctbal, 2) AS acctbal
+       FROM nation n, LATERAL (
+         SELECT c_name, c_acctbal FROM customer c
+         WHERE c.c_nationkey = n.n_nationkey
+         ORDER BY c_acctbal DESC, c_name LIMIT 3) t
+       ORDER BY n.n_name, acctbal DESC, c_name"""
+
+  def q31Lateral(spark: SparkSession, dir: String): DataFrame =
+    ops.SqlSurface.run(spark, dir, q31Sql)
+
+  val q31Oracle: String = q31Sql
+
   // ------------------------------------------------------------ registry
   val relational: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_agg" -> (q1Agg _),
@@ -853,7 +881,8 @@ object Queries {
     "q27_grouping_sets" -> (q27GroupingSets _),
     "q28_correlated" -> (q28Correlated _),
     "q29_recursive" -> (q29Recursive _),
-    "q30_moving_avg" -> (q30MovingAvg _)
+    "q30_moving_avg" -> (q30MovingAvg _),
+    "q31_lateral_topk" -> (q31Lateral _)
   )
 
   val relationalOracles: Map[String, String] = Map(
@@ -886,7 +915,8 @@ object Queries {
     "q27_grouping_sets" -> q27Oracle,
     "q28_correlated" -> q28Oracle,
     "q29_recursive" -> q29Oracle,
-    "q30_moving_avg" -> q30Oracle
+    "q30_moving_avg" -> q30Oracle,
+    "q31_lateral_topk" -> q31Oracle
   )
 
   val all: Map[String, (SparkSession, String) => DataFrame] =

@@ -7,8 +7,15 @@ object TmpExplain {
       .config("spark.sql.legacy.parquet.nanosAsLong","true")
       .config("spark.ui.enabled","false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    val df = Queries.q25LeadLag(spark, "/root/testdata/sf0.1")
-    println(df.queryExecution.executedPlan.toString)
+    val df = ops.SqlSurface.run(spark, "/root/testdata/sf0.01",
+      """SELECT n.n_name, t.c_name, round(t.c_acctbal, 2) AS acctbal
+         FROM nation n, LATERAL (
+           SELECT c_name, c_acctbal FROM customer c
+           WHERE c.c_nationkey = n.n_nationkey
+           ORDER BY c_acctbal DESC, c_name LIMIT 3) t
+         ORDER BY n.n_name, acctbal DESC, c_name""")
+    df.show(8)
+    println(df.queryExecution.executedPlan.toString.take(3000))
     spark.stop()
   }
 }

@@ -3175,6 +3175,168 @@ object CorpusOps {
        FROM tok GROUP BY doc_id, idx
        ORDER BY doc_id, idx"""
 
+  // -------------------------------------------------------------- d130
+  /** HASHED-FEATURE LINEAR-PROBE INFERENCE — the APPLY step of a
+    * fastText-style quality classifier: each document's d116 signed
+    * hashed bag-of-words, length-normalized, dotted with a fixed
+    * [[HashDim]]-weight vector and squashed through a logistic — the
+    * "train a linear probe offline, score the whole corpus with it"
+    * pattern every learned quality/toxicity/language filter reduces to
+    * at serving time. Emits (doc_id, n_tokens, quality_score, verdict)
+    * with verdict = keep/drop at the 0.5 midpoint — the direct input
+    * to a curation predicate (d20's family).
+    *
+    * The weight vector is a DETERMINISTIC RATIONAL stand-in for
+    * offline-trained weights — `w(i) = ((37·i mod 101) − 50)/100` —
+    * integer-exact in both engines (the d122 seed discipline: the gate
+    * pins the inference plumbing; production broadcasts real learned
+    * weights, same shape). Length normalization keeps |z| ≤ 0.5, so
+    * the logistic never saturates and the 4dp rounding is far from
+    * any boundary.
+    *
+    * Scale shape: tokenize + hash is the d116 narrow map; features
+    * aggregate on (doc_id, idx) with map-side combine (≤[[HashDim]]
+    * keys per doc), the dot product is a second doc-keyed aggregate
+    * over ≤[[HashDim]] rows each — weights enter as an EXPRESSION of
+    * idx, so there is no weight join at all (a learned model would
+    * broadcast a [[HashDim]]-row map instead). Zero-token documents
+    * carry no feature rows and are absent on both sides; the n=0
+    * guard still protects the division under ANSI. */
+  def d130LinearProbe(spark: SparkSession, dir: String): DataFrame = {
+    val w = ((col("idx") * 37 % 101) - 50) / lit(100.0)
+    docs(spark, dir)
+      .select(col("doc_id"), explode(tokens(lower(col("text")))).as("term"))
+      .withColumn("h", TextOps.hash60(col("term")))
+      .select(col("doc_id"),
+        (col("h") % HashDim).cast("int").as("idx"),
+        (shiftright(col("h"), SignShift).bitwiseAND(1) * 2 - 1).as("sign"))
+      .groupBy("doc_id", "idx")
+      .agg(sum("sign").as("v"), count(lit(1)).as("n"))
+      .groupBy("doc_id")
+      .agg(sum(col("v") * w).as("dot"), sum("n").as("n_tokens"))
+      .select(col("doc_id"), col("n_tokens"),
+        when(col("n_tokens") === 0, lit(0.5))
+          .otherwise(round(lit(1.0) /
+            (lit(1.0) + exp(-(col("dot") / col("n_tokens")))), 4))
+          .as("quality_score"))
+      .withColumn("verdict",
+        when(col("quality_score") >= 0.5, lit("keep")).otherwise(lit("drop")))
+      .orderBy("doc_id")
+  }
+
+  val d130Oracle: String =
+    s"""WITH tok AS (
+         SELECT doc_id,
+           ('0x'||substr(md5(unnest(regexp_extract_all(lower(text), '\\S+'))),
+             1, 15))::BIGINT AS h
+         FROM documents),
+       f AS (
+         SELECT doc_id, CAST(h % $HashDim AS INT) AS idx,
+           sum(((h >> $SignShift) & 1) * 2 - 1) AS v, count(*) AS n
+         FROM tok GROUP BY doc_id, idx),
+       d AS (
+         SELECT doc_id,
+           sum(v * (((idx * 37) % 101) - 50) / 100.0) AS dot,
+           CAST(sum(n) AS BIGINT) AS n_tokens
+         FROM f GROUP BY doc_id),
+       s AS (
+         SELECT doc_id, n_tokens,
+           CASE WHEN n_tokens = 0 THEN 0.5
+             ELSE round(1.0 / (1.0 + exp(-(dot / n_tokens))), 4)
+             END AS quality_score
+         FROM d)
+       SELECT doc_id, n_tokens, quality_score,
+         CASE WHEN quality_score >= 0.5 THEN 'keep' ELSE 'drop' END
+           AS verdict
+       FROM s ORDER BY doc_id"""
+
+  // -------------------------------------------------------------- d131
+  /** The two heuristic "annotators" (chars vs tokens) and their `high`
+    * thresholds — correlated but not identical signals, which is
+    * exactly when chance-corrected agreement is informative. */
+  private[graft] val KappaCharsHigh = 250L
+  private[graft] val KappaTokensHigh = 40
+
+  /** COHEN'S KAPPA ANNOTATOR AGREEMENT (Cohen 1960) — chance-corrected
+    * agreement between two binary document-quality annotators: raw
+    * agreement `po` overstates consensus whenever the label base rates
+    * are skewed (two annotators calling 95% of docs "high" agree 90%+
+    * by luck alone); κ = (po − pe)/(1 − pe) subtracts the agreement
+    * their marginals predict. THE acceptance statistic for labeled
+    * training data: below ~0.6 the "labels" are mostly noise and a
+    * classifier trained on them learns the annotators' disagreement.
+    * Here the two annotators are two cheap quality heuristics
+    * (char-length vs token-count tiers — the d6 signal family); in a
+    * labeling pipeline they are two human or model raters, same
+    * arithmetic.
+    *
+    * Scale shape: both annotations are per-row maps fused into the
+    * scan; ONE global aggregate of four indicator sums (map-side
+    * combined) → a single scalar row; κ closed-form from the cells.
+    * Degenerate marginals (pe = 1: both raters constant) yield NULL κ
+    * rather than a division blow-up — the ANSI guard discipline. */
+  def d131CohensKappa(spark: SparkSession, dir: String): DataFrame = {
+    // coalesce: a NULL text is "not high" on both sides, matching the
+    // oracle's CASE-WHEN (whose non-true branch is the ELSE 0)
+    val a = coalesce((length(col("text")) >= KappaCharsHigh).cast("long"),
+      lit(0L))
+    val b = coalesce((size(tokens(col("text"))) >= KappaTokensHigh)
+      .cast("long"), lit(0L))
+    docs(spark, dir)
+      .select(a.as("a"), b.as("b"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("a") * col("b")).as("n_both_high"),
+        sum((lit(1) - col("a")) * (lit(1) - col("b"))).as("n_both_low"),
+        sum(col("a") * (lit(1) - col("b"))).as("n_only_a"),
+        sum(col("b") * (lit(1) - col("a"))).as("n_only_b"))
+      .select(col("n_docs"), col("n_both_high"), col("n_both_low"),
+        col("n_only_a"), col("n_only_b"),
+        when(col("n_docs") === 0, lit(null)).otherwise(
+          round((col("n_both_high") + col("n_both_low")).cast("double")
+            / col("n_docs"), 4)).as("po"),
+        when(col("n_docs") === 0, lit(null)).otherwise(round(
+          ((col("n_both_high") + col("n_only_a"))
+            * (col("n_both_high") + col("n_only_b"))
+            + (col("n_both_low") + col("n_only_b"))
+            * (col("n_both_low") + col("n_only_a"))).cast("double")
+          / (col("n_docs") * col("n_docs")), 4)).as("pe"))
+      .withColumn("kappa",
+        when(col("po").isNull || col("pe") >= 1.0, lit(null))
+          .otherwise(round((col("po") - col("pe")) / (lit(1.0) - col("pe")),
+            4)))
+  }
+
+  val d131Oracle: String =
+    s"""WITH x AS (
+         SELECT CASE WHEN length(text) >= $KappaCharsHigh THEN 1 ELSE 0 END
+             AS a,
+           CASE WHEN length(regexp_extract_all(text, '\\S+'))
+             >= $KappaTokensHigh THEN 1 ELSE 0 END AS b
+         FROM documents),
+       c AS (
+         SELECT CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(coalesce(sum(a * b), 0) AS BIGINT) AS n_both_high,
+           CAST(coalesce(sum((1 - a) * (1 - b)), 0) AS BIGINT) AS n_both_low,
+           CAST(coalesce(sum(a * (1 - b)), 0) AS BIGINT) AS n_only_a,
+           CAST(coalesce(sum(b * (1 - a)), 0) AS BIGINT) AS n_only_b
+         FROM x),
+       p AS (
+         SELECT *,
+           CASE WHEN n_docs = 0 THEN NULL
+             ELSE round((n_both_high + n_both_low) * 1.0 / n_docs, 4)
+             END AS po,
+           CASE WHEN n_docs = 0 THEN NULL
+             ELSE round(((n_both_high + n_only_a)
+                 * (n_both_high + n_only_b)
+                 + (n_both_low + n_only_b) * (n_both_low + n_only_a))
+               * 1.0 / (n_docs * n_docs), 4)
+             END AS pe
+         FROM c)
+       SELECT n_docs, n_both_high, n_both_low, n_only_a, n_only_b, po, pe,
+         CASE WHEN po IS NULL OR pe >= 1.0 THEN NULL
+           ELSE round((po - pe) / (1.0 - pe), 4) END AS kappa
+       FROM p"""
+
   // -------------------------------------------------------------- d117
   /** Minimum document frequency for a term to enter the χ² ranking —
     * below this the 2×2 table is too sparse for the statistic to mean
@@ -3877,7 +4039,72 @@ object CorpusOps {
          min(doc_id) AS min_id, max(doc_id) AS max_id
        FROM a GROUP BY shard ORDER BY shard"""
 
+  // -------------------------------------------------------------- d128
+  /** Salt fan-out for the skew-safe join: the hot key's row mass is
+    * split across this many reducer tasks. */
+  private[graft] val JoinSalts = 8
+
+  /** SALTED SKEW-SAFE JOIN, gated end-to-end — the third leg of the
+    * join-skew toolkit (d73 DETECTS the hot key, d125 PREDICTS the
+    * output size; this EXECUTES the join safely): the fact side's key
+    * is salted with a deterministic per-row `hash(row id) mod
+    * [[JoinSalts]]`, the dimension side is replicated ×[[JoinSalts]]
+    * via a literal-range explode, and the join runs on
+    * (key, salt) — so a key holding 50% of the fact table spreads
+    * over [[JoinSalts]] reducer tasks instead of serializing into
+    * one straggler. This is the lever BETWEEN broadcast (replicate
+    * the dim ×tasks — unbeatable until the dim outgrows memory) and
+    * the plain shuffle join (no replication, full skew exposure):
+    * replication cost is dim×S rows, straggler bound improves ×S.
+    * AQE's skew-join split covers sort-merge cases adaptively;
+    * explicit salting remains the deterministic, plan-stable form —
+    * and the point of the gate is that the REWRITE (salt column on
+    * one side, explode on the other, compound key) changes the plan,
+    * never the answer.
+    *
+    * In-op pins: auto-broadcast disabled (the d93 conf discipline —
+    * a broadcast plan would bypass the salted exchange being
+    * exercised) and the physical join keys must include the salt.
+    * The per-nation rollup is hash-checked against DuckDB running
+    * the PLAIN unsalted join. */
+  def d128SaltedJoin(spark: SparkSession, dir: String): DataFrame = {
+    val fact = Tables.load(spark, dir, "orders")
+      .select(col("o_custkey"), col("o_totalprice"),
+        pmod(xxhash64(col("o_orderkey")), lit(JoinSalts.toLong)).as("salt"))
+    val dim = Tables.load(spark, dir, "customer")
+      .select(col("c_custkey"), col("c_nationkey"),
+        explode(array((0 until JoinSalts).map(s => lit(s.toLong)): _*))
+          .as("salt"))
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val agg = fact.join(dim,
+          fact("o_custkey") === dim("c_custkey") &&
+            fact("salt") === dim("salt"))
+        .groupBy("c_nationkey")
+        .agg(count(lit(1)).as("n_orders"),
+          round(sum("o_totalprice"), 2).as("total_price"))
+      val plan = agg.queryExecution.executedPlan.toString
+      require(!plan.contains("BroadcastHashJoin"),
+        s"salted join must exercise the shuffle path:\n$plan")
+      require("(?i)join.*salt".r.findFirstIn(plan).isDefined,
+        s"physical join keys must include the salt:\n$plan")
+      // materialize under the pinned conf (the d93 rationale)
+      agg.localCheckpoint().orderBy("c_nationkey")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  /** The PLAIN join — salting must be answer-invisible. */
+  val d128Oracle: String =
+    """SELECT c_nationkey, count(*) AS n_orders,
+         round(sum(o_totalprice), 2) AS total_price
+       FROM orders JOIN customer ON o_custkey = c_custkey
+       GROUP BY c_nationkey ORDER BY c_nationkey"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d128_salted_join" -> (d128SaltedJoin _),
+    "d130_linear_probe" -> (d130LinearProbe _),
+    "d131_cohens_kappa" -> (d131CohensKappa _),
     "d126_shard_gate" -> (d126ShardGate _),
     "d119_k_anonymity" -> (d119KAnonymity _),
     "d120_heaps_growth" -> (d120HeapsGrowth _),
@@ -3950,6 +4177,9 @@ object CorpusOps {
     "d124_rfm_features" -> d124Oracle,
     "d125_join_cardinality" -> d125Oracle,
     "d126_shard_gate" -> d126Oracle,
+    "d128_salted_join" -> d128Oracle,
+    "d130_linear_probe" -> d130Oracle,
+    "d131_cohens_kappa" -> d131Oracle,
     "d113_token_entropy" -> d113Oracle,
     "d114_ks_drift" -> d114Oracle,
     "d115_gini_sources" -> d115Oracle,

@@ -1379,7 +1379,65 @@ object Similarity {
        FROM sparse FULL JOIN dense USING (doc_id)
        ORDER BY rrf DESC, doc_id LIMIT 10"""
 
+  // -------------------------------------------------------------- d129
+  /** Eval-set size and cosine threshold for the semantic
+    * decontamination audit. The fixture's cross-set max cosine is
+    * ~0.49, so 0.40 flags a real (small) tail; production sets τ from
+    * a held-out calibration of paraphrase pairs. */
+  private[graft] val SemEvalN = 32
+  private[graft] val SemContamTau = 0.40
+
+  /** SEMANTIC DECONTAMINATION AUDIT — the embedding-space twin of the
+    * d17 n-gram overlap scan: flag every corpus vector whose cosine to
+    * ANY eval-set vector reaches [[SemContamTau]], with the best-match
+    * eval id beside it. n-gram decontamination (d17/d50) misses
+    * paraphrases and translations; embedding similarity is how those
+    * leak into training sets, and "which eval item is it close to" is
+    * the triage column a removal reviewer needs.
+    *
+    * Scale shape: the eval set is tiny by definition — broadcast; the
+    * corpus side is ONE narrow scan with [[SemEvalN]] codegen'd
+    * cosines per row. The argmax is a per-vec_id `max(struct(cos,
+    * -eval_id))` aggregate whose map-side partial collapses each
+    * vector's [[SemEvalN]] scored rows to ONE before any exchange
+    * (the scored rows for a vector never leave their input
+    * partition), so the shuffle carries one 24-byte struct per corpus
+    * vector — and the τ-filter drops the non-flagged mass before the
+    * final presentation sort. Ranking compares the 4dp-ROUNDED cosine
+    * (the rounding absorbs cross-engine ulp), ties broken toward the
+    * LOWEST eval id via the negated struct field. */
+  def d129SemanticDecontam(spark: SparkSession, dir: String): DataFrame = {
+    val e = emb(spark, dir)
+    val evalSet = e.filter(col("vec_id") < SemEvalN)
+      .select(col("vec_id").as("eval_id"), col("v").as("ev"))
+    e.filter(col("vec_id") >= SemEvalN)
+      .crossJoin(broadcast(evalSet))
+      .select(col("vec_id"),
+        cosine(col("v"), col("ev")).as("cos_sim"),
+        col("eval_id"))
+      .groupBy("vec_id")
+      .agg(max(struct(col("cos_sim"), (-col("eval_id")).as("neg"))).as("b"))
+      .filter(col("b.cos_sim") >= SemContamTau)
+      .select(col("vec_id"), (-col("b.neg")).as("eval_id"),
+        col("b.cos_sim").as("max_cos"))
+      .orderBy("vec_id")
+  }
+
+  val d129Oracle: String =
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       ev AS (SELECT vec_id AS eval_id, v AS qv FROM e
+              WHERE vec_id < $SemEvalN),
+       s AS (SELECT e.vec_id, eval_id, ${cosineSql("v", "qv")} AS cos
+             FROM e, ev WHERE e.vec_id >= $SemEvalN),
+       b AS (SELECT vec_id, max(cos) AS max_cos FROM s GROUP BY vec_id)
+       SELECT s.vec_id, min(eval_id) AS eval_id, b.max_cos
+       FROM s JOIN b ON s.vec_id = b.vec_id AND s.cos = b.max_cos
+       WHERE b.max_cos >= $SemContamTau
+       GROUP BY s.vec_id, b.max_cos
+       ORDER BY s.vec_id"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d129_semantic_decontam" -> (d129SemanticDecontam _),
     "d110_power_pca" -> (d110PowerPca _),
     "d111_knn_labels" -> (d111KnnLabels _),
     "d112_rrf_fusion" -> (d112RrfFusion _),
@@ -1402,6 +1460,7 @@ object Similarity {
   )
 
   val oracles: Map[String, String] = Map(
+    "d129_semantic_decontam" -> d129Oracle,
     "d110_power_pca" -> d110Oracle,
     "d111_knn_labels" -> d111Oracle,
     "d112_rrf_fusion" -> d112Oracle,

@@ -538,7 +538,20 @@ object TextOps {
     * single-partition window even on the tiny aggregate — the repo-wide
     * ban has no "small enough" exemption), and the waterline is a 1-row
     * aggregate broadcast back. Nothing after the scan is corpus-sized. */
-  def d99EpochMix(spark: SparkSession, dir: String): DataFrame = {
+  def d99EpochMix(spark: SparkSession, dir: String): DataFrame =
+    epochAlloc(spark, dir)
+      .select(col("source"), col("n_tokens"), col("cap"),
+        col("alloc_tokens"),
+        round(col("alloc_tokens").cast("double")
+          / col("n_tokens").cast("double"), 4).as("epochs"))
+      .orderBy("source")
+
+  /** The UniMax allocation frame (source, n_tokens, cap, alloc_tokens)
+    * — d99's water-filling core, reused by d132's epoch-plan
+    * materializer (two drifting copies of the waterline would fork
+    * what "the mixture" means between the decision and its
+    * execution). */
+  private[graft] def epochAlloc(spark: SparkSession, dir: String): DataFrame = {
     val per = docs(spark, dir)
       .select(col("source"), size(tokens(col("text"))).cast("long").as("n_tok"))
       .groupBy("source").agg(sum("n_tok").as("n_tokens"))
@@ -562,14 +575,14 @@ object TextOps {
       .otherwise(coalesce(col("tau"), col("cap")))
     g.crossJoin(tau)
       .select(col("source"), col("n_tokens"), col("cap"),
-        alloc.as("alloc_tokens"),
-        round(alloc.cast("double") / col("n_tokens").cast("double"), 4)
-          .as("epochs"))
-      .orderBy("source")
+        alloc.as("alloc_tokens"))
   }
 
-  val d99Oracle: String =
-    s"""WITH s AS (
+  /** The d99 water-filling as oracle CTEs (`alloc` is the output) —
+    * shared verbatim by d99 and d132, the same single-definition rule
+    * as the Spark side's [[epochAlloc]]. */
+  private[graft] val epochAllocCtes: String =
+    s"""s AS (
          SELECT source,
            CAST(sum(len(regexp_extract_all(text, '\\S+'))) AS BIGINT)
              AS n_tokens
@@ -594,14 +607,115 @@ object TextOps {
        tau AS (
          SELECT min_by(budget - (running - cap), rank)
                   // min_by(k - rank + 1, rank) AS tau
-         FROM g WHERE NOT is_full)
-       SELECT source, n_tokens, cap,
-         CAST(CASE WHEN is_full THEN cap
-                   ELSE coalesce(tau, cap) END AS BIGINT) AS alloc_tokens,
-         round(CAST(CASE WHEN is_full THEN cap
-                         ELSE coalesce(tau, cap) END AS DOUBLE)
-               / CAST(n_tokens AS DOUBLE), 4) AS epochs
-       FROM g, tau ORDER BY source"""
+         FROM g WHERE NOT is_full),
+       alloc AS (
+         SELECT source, n_tokens, cap,
+           CAST(CASE WHEN is_full THEN cap
+                     ELSE coalesce(tau, cap) END AS BIGINT) AS alloc_tokens
+         FROM g, tau)"""
+
+  val d99Oracle: String =
+    s"""WITH $epochAllocCtes
+       SELECT source, n_tokens, cap, alloc_tokens,
+         round(CAST(alloc_tokens AS DOUBLE) / CAST(n_tokens AS DOUBLE), 4)
+           AS epochs
+       FROM alloc ORDER BY source"""
+
+  // -------------------------------------------------------------- d132
+  /** EPOCH-PLAN MATERIALIZATION — d99 decides HOW MANY tokens each
+    * source contributes; this turns the decision into an executable
+    * plan: each source's allocation is `n_full_epochs` complete passes
+    * (every document) plus one FRACTIONAL pass — the hash-ordered
+    * document prefix whose cumulative tokens first covers the
+    * fractional remainder (a document is in the fractional pass iff
+    * its running total STARTS below the target, so the pass overshoots
+    * by at most one document — the greedy fill a sequential shard
+    * writer implements). The order is a seeded reproducible
+    * pseudo-random permutation per source (md5 of source:doc_id — the
+    * `writeShards shuffled` discipline), so re-materializing the plan
+    * is deterministic and a new epoch reshuffles by changing the salt.
+    * Emits the per-source plan summary: doc and token realization
+    * against the allocation, all in exact BIGINT.
+    *
+    * Scale shape: the allocation side is a broadcast (~sources rows);
+    * the corpus side pays ONE source-keyed window exchange for the
+    * per-source running totals (hash order makes every prefix
+    * unbiased, so the fractional pick needs no second pass), then
+    * collapses to the per-source summary in the same partitioning —
+    * one exchange total. The materialized pick itself would be the
+    * filter `running − t < frac_target` on the SAME frame — this op
+    * gates the plan arithmetic; the full pick list is that filter's
+    * output, not a separate computation. */
+  def d132EpochPlan(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val alloc = broadcast(epochAlloc(spark, dir)
+      .withColumn("n_full_epochs",
+        when(col("n_tokens") === 0, lit(0L))
+          .otherwise(expr("alloc_tokens div n_tokens")))
+      .withColumn("frac_target",
+        when(col("n_tokens") === 0, lit(0L))
+          .otherwise(col("alloc_tokens") % col("n_tokens")))
+      .select("source", "n_tokens", "alloc_tokens", "n_full_epochs",
+        "frac_target"))
+    val w = Window.partitionBy("source").orderBy("hh", "doc_id")
+    docs(spark, dir)
+      .select(col("source"), col("doc_id"),
+        size(tokens(col("text"))).cast("long").as("t"))
+      .withColumn("hh", hash60(concat(col("source"), lit(":"),
+        col("doc_id").cast("string"))))
+      .withColumn("running", sum("t").over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .join(alloc, "source")
+      .withColumn("sel", col("running") - col("t") < col("frac_target"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        first("n_tokens").as("n_tokens"),
+        first("alloc_tokens").as("alloc_tokens"),
+        first("n_full_epochs").as("n_full_epochs"),
+        first("frac_target").as("frac_target"),
+        coalesce(sum(when(col("sel"), 1L)), lit(0L)).as("n_frac_docs"),
+        coalesce(sum(when(col("sel"), col("t"))), lit(0L)).as("frac_real"))
+      .withColumn("realized_tokens",
+        col("n_full_epochs") * col("n_tokens") + col("frac_real"))
+      .orderBy("source")
+  }
+
+  val d132Oracle: String =
+    s"""WITH $epochAllocCtes,
+       plan AS (
+         SELECT source, n_tokens, alloc_tokens,
+           CASE WHEN n_tokens = 0 THEN 0
+             ELSE alloc_tokens // n_tokens END AS n_full_epochs,
+           CASE WHEN n_tokens = 0 THEN 0
+             ELSE alloc_tokens % n_tokens END AS frac_target
+         FROM alloc),
+       t2 AS (
+         SELECT source, doc_id,
+           CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS t,
+           ('0x'||substr(md5(source||':'||CAST(doc_id AS VARCHAR)),1,15))
+             ::BIGINT AS hh
+         FROM documents),
+       r2 AS (
+         SELECT source, doc_id, t,
+           CAST(sum(t) OVER (PARTITION BY source ORDER BY hh, doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+             AS running
+         FROM t2),
+       j AS (SELECT r2.*, p.n_tokens, p.alloc_tokens, p.n_full_epochs,
+               p.frac_target
+             FROM r2 JOIN plan p USING (source))
+       SELECT source, CAST(count(*) AS BIGINT) AS n_docs, n_tokens,
+         alloc_tokens, n_full_epochs, frac_target,
+         CAST(coalesce(sum(CASE WHEN running - t < frac_target THEN 1 END),
+           0) AS BIGINT) AS n_frac_docs,
+         CAST(coalesce(sum(CASE WHEN running - t < frac_target THEN t END),
+           0) AS BIGINT) AS frac_real,
+         CAST(n_full_epochs * n_tokens
+           + coalesce(sum(CASE WHEN running - t < frac_target THEN t END), 0)
+           AS BIGINT) AS realized_tokens
+       FROM j
+       GROUP BY source, n_tokens, alloc_tokens, n_full_epochs, frac_target
+       ORDER BY source"""
 
   // -------------------------------------------------------------- d100
   /** Vocabulary size for the OOV audit — top-V tokens by corpus
@@ -732,6 +846,7 @@ object TextOps {
     "d19_vocab" -> (d19Vocab _),
     "d21_packing" -> (d21Packing _),
     "d99_epoch_mix" -> (d99EpochMix _),
+    "d132_epoch_plan" -> (d132EpochPlan _),
     "d100_oov_rate" -> (d100OovRate _),
     "d105_tokenizer_fertility" -> (d105TokenizerFertility _)
   )
@@ -750,6 +865,7 @@ object TextOps {
     "d19_vocab" -> d19Oracle,
     "d21_packing" -> d21Oracle,
     "d99_epoch_mix" -> d99Oracle,
+    "d132_epoch_plan" -> d132Oracle,
     "d100_oov_rate" -> d100Oracle,
     "d105_tokenizer_fertility" -> d105Oracle
   )
