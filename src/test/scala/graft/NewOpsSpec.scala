@@ -879,4 +879,146 @@ class NewOpsSpec extends SparkSpec {
       ("1995-01-03", 30.0, 3L, 20.0),
       ("1995-01-10", 70.0, 1L, 70.0))) // the gap resets the frame
   }
+
+  /** JVM twin of [[TextOps.hash60]] (first 15 md5 hex chars as long). */
+  private def jvmHash60(s: String): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+    val hex = d.digest(s.getBytes("UTF-8"))
+      .map(b => f"${b & 0xff}%02x").mkString
+    java.lang.Long.parseLong(hex.take(15), 16)
+  }
+
+  // ------------------------------------------------------------- d128
+  test("d128 salted join equals the plain join on a planted hot key") {
+    val dir = tmp()
+    import spark.implicits._
+    // customer 7 holds 60% of orders — the key the salt must spread
+    val orders = (0 until 200).map { i =>
+      val cust = if (i < 120) 7L else (i % 10).toLong
+      (i.toLong, cust, (i % 13) * 10.0 + 5.0)
+    }
+    orders.toDF("o_orderkey", "o_custkey", "o_totalprice")
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    (0L to 9L).map(c => (c, (c % 3).toInt))
+      .toDF("c_custkey", "c_nationkey")
+      .write.mode("overwrite").parquet(s"$dir/customer.parquet")
+    // independent sequential join + rollup
+    val nationOf = (0L to 9L).map(c => c -> (c % 3).toInt).toMap
+    val want = orders.groupBy(o => nationOf(o._2)).map { case (n, os) =>
+      (n, os.size.toLong,
+        BigDecimal(os.map(_._3).sum).setScale(2,
+          BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }.toSeq.sortBy(_._1)
+    val got = ops.CorpusOps.d128SaltedJoin(spark, dir).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(got == want)
+  }
+
+  // ------------------------------------------------------------- d129
+  test("d129 flags by threshold and breaks argmax ties to the lowest eval id") {
+    val dir = tmp()
+    import spark.implicits._
+    // eval 0 and 1 are the SAME direction (tie at cosine 1.0 for any
+    // corpus vector along it); eval 2 is orthogonal. Corpus: vec 40
+    // along the shared eval direction (ties 0 and 1 — must report 0),
+    // vec 41 orthogonal to evals 0/1 but aligned with 2, vec 42 at
+    // ~45 degrees (cos ~0.707), vec 43 far from everything (cos 0 —
+    // must NOT be flagged).
+    val rows = Seq(
+      (0L, "e", Seq(1.0f, 0.0f, 0.0f)),
+      (1L, "e", Seq(2.0f, 0.0f, 0.0f)),
+      (2L, "e", Seq(0.0f, 1.0f, 0.0f)),
+      (40L, "c", Seq(3.0f, 0.0f, 0.0f)),
+      (41L, "c", Seq(0.0f, 5.0f, 0.0f)),
+      (42L, "c", Seq(1.0f, 1.0f, 0.0f)),
+      (43L, "c", Seq(0.0f, 0.0f, 2.0f)))
+    rows.toDF("vec_id", "label", "embedding")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val got = ops.Similarity.d129SemanticDecontam(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(got.toSeq == Seq(
+      (40L, 0L, 1.0),          // tie between eval 0 and 1 → lowest id
+      (41L, 2L, 1.0),
+      (42L, 0L, round4(1.0 / math.sqrt(2.0)))))
+  }
+
+  // ------------------------------------------------------------- d130
+  test("d130 linear-probe score matches a JVM recomputation") {
+    val dir = tmp()
+    writeDocs(dir, Seq(
+      (1L, "alpha beta alpha gamma", "s"),
+      (2L, "one-token", "s")))
+    def score(text: String): (Long, Double) = {
+      val toks = text.toLowerCase.split("\\s+").filter(_.nonEmpty)
+      val feats = toks.groupBy { t =>
+        val h = jvmHash60(t)
+        (h % 64, if (((h >> 6) & 1L) == 1L) 1L else -1L)
+      }
+      // signed sum per idx, then dot with w(idx)
+      val byIdx = feats.toSeq.groupBy(_._1._1).map { case (idx, gs) =>
+        idx -> gs.map { case ((_, sgn), ts) => sgn * ts.length }.sum
+      }
+      val dot = byIdx.map { case (idx, v) =>
+        v * (((idx * 37) % 101) - 50) / 100.0
+      }.sum
+      val z = dot / toks.length
+      (toks.length.toLong,
+        BigDecimal(1.0 / (1.0 + math.exp(-z))).setScale(4,
+          BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }
+    val got = ops.CorpusOps.d130LinearProbe(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(got(1L) == score("alpha beta alpha gamma"))
+    assert(got(2L) == score("one-token"))
+  }
+
+  // ------------------------------------------------------------- d131
+  test("d131 kappa matches the closed form on planted cells") {
+    val dir = tmp()
+    // a=1 iff >=250 chars, b=1 iff >=40 tokens. Plant the four cells:
+    // both-high x3, both-low x4, a-only x2 (long text, few tokens:
+    // one 300-char token), b-only x1 (49 short tokens, <250 chars).
+    val bothHigh = "tok " * 100           // 400 chars, 100 tokens
+    val bothLow = "short text"
+    val aOnly = "x" * 300                 // 300 chars, 1 token
+    val bOnly = Array.fill(49)("ab").mkString(" ") // 146 chars, 49 toks
+    val rows = (0 until 3).map(i => (i.toLong, bothHigh, "s")) ++
+      (10 until 14).map(i => (i.toLong, bothLow, "s")) ++
+      (20 until 22).map(i => (i.toLong, aOnly, "s")) ++
+      Seq((30L, bOnly, "s"))
+    writeDocs(dir, rows)
+    val r = ops.CorpusOps.d131CohensKappa(spark, dir).collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+      r.getLong(4)) == ((10L, 3L, 4L, 2L, 1L)))
+    val po = round4(7.0 / 10.0)
+    val pe = round4((5.0 * 4.0 + 5.0 * 6.0) / 100.0)
+    assert(r.getDouble(5) == po && r.getDouble(6) == pe)
+    assert(r.getDouble(7) == round4((po - pe) / (1.0 - pe)))
+  }
+
+  // ------------------------------------------------------------- d132
+  test("d132 fractional pass follows the seeded hash order exactly") {
+    val dir = tmp()
+    // one source, 4 docs of 10 tokens each (n_tokens 40). Budget
+    // 14/5 of 40 = 112; single source → cap 120 binds? is_full:
+    // cap(120)*1 <= 112 → false → tau = 112 → alloc 112 =
+    // 2 full epochs + 32 fractional tokens → hash-first 4 docs? No:
+    // 32 tokens = first 3 docs (30 < 32 start of 4th doc is 30 < 32
+    // → 4th doc also selected) → frac docs = 4? Compute exactly below.
+    val docs4 = (0 until 4).map(i =>
+      (i.toLong, (0 until 10).map(j => s"t$i$j").mkString(" "), "src"))
+    writeDocs(dir, docs4)
+    val r = ops.TextOps.d132EpochPlan(spark, dir).collect().head
+    assert(r.getAs[Long]("n_tokens") == 40L)
+    assert(r.getAs[Long]("alloc_tokens") == 112L)
+    assert(r.getAs[Long]("n_full_epochs") == 2L)
+    assert(r.getAs[Long]("frac_target") == 32L)
+    // independent: hash order of the 4 docs, greedy fill to 32
+    val order = docs4.map(_._1).sortBy(id => (jvmHash60(s"src:$id"), id))
+    var run = 0L; var picked = 0L
+    order.foreach { _ => if (run < 32L) { picked += 1 }; run += 10L }
+    assert(r.getAs[Long]("n_frac_docs") == picked)
+    assert(r.getAs[Long]("frac_real") == picked * 10L)
+    assert(r.getAs[Long]("realized_tokens") == 2L * 40L + picked * 10L)
+  }
 }
