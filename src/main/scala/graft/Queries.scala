@@ -850,6 +850,32 @@ object Queries {
 
   val q31Oracle: String = q31Sql
 
+  // --------------------------------------------------------------- q32
+  /** SET OPERATIONS — INTERSECT / EXCEPT with their ANSI DISTINCT
+    * semantics: customers active in BOTH halves of 1995, minus those
+    * in arrears. Spark plans INTERSECT as a left-semi join and EXCEPT
+    * as a left-anti join over distinct inputs — the same physical
+    * shapes as q9's explicit semi/anti joins, reached from the set
+    * algebra an analyst actually writes; at 100 TB each leg is one
+    * key-only shuffle (the projection prunes to the key column before
+    * any exchange). Identical ANSI text is the oracle. */
+  val q32Sql: String =
+    """SELECT o_custkey FROM orders
+       WHERE o_orderdate >= DATE '1995-01-01'
+         AND o_orderdate < DATE '1995-07-01'
+       INTERSECT
+       SELECT o_custkey FROM orders
+       WHERE o_orderdate >= DATE '1995-07-01'
+         AND o_orderdate < DATE '1996-01-01'
+       EXCEPT
+       SELECT c_custkey FROM customer WHERE c_acctbal < 0
+       ORDER BY o_custkey"""
+
+  def q32SetOps(spark: SparkSession, dir: String): DataFrame =
+    ops.SqlSurface.run(spark, dir, q32Sql)
+
+  val q32Oracle: String = q32Sql
+
   // ------------------------------------------------------------ registry
   val relational: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_agg" -> (q1Agg _),
@@ -882,7 +908,8 @@ object Queries {
     "q28_correlated" -> (q28Correlated _),
     "q29_recursive" -> (q29Recursive _),
     "q30_moving_avg" -> (q30MovingAvg _),
-    "q31_lateral_topk" -> (q31Lateral _)
+    "q31_lateral_topk" -> (q31Lateral _),
+    "q32_set_ops" -> (q32SetOps _)
   )
 
   val relationalOracles: Map[String, String] = Map(
@@ -916,7 +943,8 @@ object Queries {
     "q28_correlated" -> q28Oracle,
     "q29_recursive" -> q29Oracle,
     "q30_moving_avg" -> q30Oracle,
-    "q31_lateral_topk" -> q31Oracle
+    "q31_lateral_topk" -> q31Oracle,
+    "q32_set_ops" -> q32Oracle
   )
 
   val all: Map[String, (SparkSession, String) => DataFrame] =

@@ -3337,6 +3337,261 @@ object CorpusOps {
            ELSE round((po - pe) / (1.0 - pe), 4) END AS kappa
        FROM p"""
 
+  // -------------------------------------------------------------- d133
+  /** INCREMENTAL AGGREGATE MAINTENANCE — the moment-merge that lets a
+    * 100 TB corpus keep per-source statistics current per ingest batch
+    * instead of rescanning history: the mergeable state is
+    * (n, Σx, Σx², min, max), two BATCHES of the corpus (a planted
+    * 80/20 base/delta split by doc_id) aggregate INDEPENDENTLY, and
+    * the op merges the two state tables with pure column arithmetic —
+    * count/sum/sumsq add, min/max fold, mean and sample variance
+    * derive from the merged moments. The gate hash-checks the merged
+    * result against DuckDB's single full-table aggregate: merge ≡
+    * recompute is exactly the contract an incremental pipeline (or
+    * any partial-aggregation engine) rests on.
+    *
+    * Scale shape: each batch is one source-keyed aggregate with
+    * map-side partials (in production the base table is the few-KB
+    * persisted state, not a scan); the merge is a sources-sized
+    * full-outer join — a source may appear in only one batch. Variance
+    * from raw moments is fine at token-count magnitudes (values ~10²,
+    * far from the cancellation regime); both engines evaluate the
+    * IDENTICAL double expression tree, and n=1 groups yield NULL
+    * variance by guard, not by division semantics. */
+  def d133IncrementalStats(spark: SparkSession, dir: String): DataFrame = {
+    val x = docs(spark, dir)
+      .select(col("source"), col("doc_id"),
+        size(tokens(col("text"))).cast("long").as("x"))
+    def batch(pred: org.apache.spark.sql.Column, tag: String): DataFrame =
+      x.filter(pred).groupBy("source")
+        .agg(count(lit(1)).as(s"n_$tag"), sum("x").as(s"s_$tag"),
+          sum(col("x") * col("x")).as(s"ss_$tag"),
+          min("x").as(s"mn_$tag"), max("x").as(s"mx_$tag"))
+    val base = batch(col("doc_id") % 5 =!= 0, "b")
+    val delta = batch(col("doc_id") % 5 === 0, "d")
+    val n = coalesce(col("n_b"), lit(0L)) + coalesce(col("n_d"), lit(0L))
+    val s = coalesce(col("s_b"), lit(0L)) + coalesce(col("s_d"), lit(0L))
+    val ss = coalesce(col("ss_b"), lit(0L)) + coalesce(col("ss_d"), lit(0L))
+    base.join(delta, Seq("source"), "full_outer")
+      .select(col("source"), n.as("n_docs"), s.as("sum_tokens"),
+        least(col("mn_b"), col("mn_d")).as("min_tokens"),
+        greatest(col("mx_b"), col("mx_d")).as("max_tokens"),
+        round(s.cast("double") / n, 4).as("mean_tokens"),
+        when(n > 1, round((ss.cast("double") - s.cast("double") * s / n)
+          / (n - 1), 4)).as("var_tokens"))
+      .orderBy("source")
+  }
+
+  /** One full-table aggregate — merge must equal recompute. */
+  val d133Oracle: String =
+    """WITH x AS (
+         SELECT source,
+           CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS x
+         FROM documents)
+       SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(x) AS BIGINT) AS sum_tokens,
+         min(x) AS min_tokens, max(x) AS max_tokens,
+         round(CAST(sum(x) AS DOUBLE) / count(*), 4) AS mean_tokens,
+         CASE WHEN count(*) > 1 THEN
+           round((CAST(sum(x * x) AS DOUBLE)
+             - CAST(sum(x) AS DOUBLE) * sum(x) / count(*))
+             / (count(*) - 1), 4) END AS var_tokens
+       FROM x GROUP BY source ORDER BY source"""
+
+  // -------------------------------------------------------------- d134
+  /** SCD TYPE-2 INTERVAL BUILD — compress an event stream into the
+    * slowly-changing-dimension form a warehouse joins against: per
+    * user, consecutive runs of the SAME event_type collapse to one
+    * row with [valid_from, valid_to) microsecond bounds (valid_to
+    * NULL on the open current run). The gaps-and-islands problem: the
+    * island id is `row_number over user` minus `row_number over
+    * (user, value)` — constant exactly within a run of equal values —
+    * then one aggregate per island and a `lead` for the closing
+    * bound. This is how "what was the user's state AT time t" queries
+    * (d97's as-of family) get their dimension table.
+    *
+    * Scale shape: all three windows and the island aggregate share
+    * the user_id clustering (subset-key rule — one exchange; the
+    * (user, value) window refines it), islands are ≤ events, and the
+    * output is runs, not events — the compression is the point. Total
+    * order is (us, event_id), the d80 tie-break. */
+  def d134Scd2Intervals(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wAll = Window.partitionBy("user_id").orderBy("us", "event_id")
+    val wVal = Window.partitionBy("user_id", "event_type")
+      .orderBy("us", "event_id")
+    val isl = Tables.load(spark, dir, "events")
+      .withColumn("us", unix_micros(col("ts")))
+      .withColumn("grp",
+        row_number().over(wAll) - row_number().over(wVal))
+    val runs = isl.groupBy("user_id", "event_type", "grp")
+      .agg(min("us").as("valid_from"), count(lit(1)).as("n_events"))
+      .drop("grp")
+    // adjacent runs alternate event_type, so (valid_from, event_type)
+    // is a total order even when two runs tie on the boundary µs
+    val wRun = Window.partitionBy("user_id")
+      .orderBy(col("valid_from"), col("event_type"))
+    runs
+      .withColumn("valid_to", lead("valid_from", 1).over(wRun))
+      .select("user_id", "event_type", "valid_from", "valid_to", "n_events")
+      .orderBy("user_id", "valid_from", "event_type")
+  }
+
+  val d134Oracle: String =
+    """WITH e AS (
+         SELECT user_id, event_type, event_id, epoch_us(ts) AS us,
+           row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+             - row_number() OVER (PARTITION BY user_id, event_type
+                                  ORDER BY ts, event_id) AS grp
+         FROM events),
+       runs AS (
+         SELECT user_id, event_type, min(us) AS valid_from,
+           CAST(count(*) AS BIGINT) AS n_events
+         FROM e GROUP BY user_id, event_type, grp)
+       SELECT user_id, event_type, valid_from,
+         lead(valid_from, 1) OVER (PARTITION BY user_id
+           ORDER BY valid_from, event_type) AS valid_to,
+         n_events
+       FROM runs ORDER BY user_id, valid_from, event_type"""
+
+  // -------------------------------------------------------------- d135
+  /** REFERENTIAL-INTEGRITY AUDIT — orphan counts across the catalog's
+    * foreign keys (lineitem→orders, orders→customer, customer→nation,
+    * events→customer-as-user): broken FKs are how join-based pipeline
+    * stages silently drop or duplicate mass, and the audit row is the
+    * monitor that catches an upstream extract regression before the
+    * joins do. Emits per edge: child rows, distinct child keys, orphan
+    * rows, orphan keys, and the orphan-row rate.
+    *
+    * Scale shape: each edge is ONE left-anti join on the key — at
+    * 100 TB Spark plans these as broadcast-anti where the parent key
+    * set fits, shuffle-anti otherwise; counts are single-row
+    * aggregates unioned driver-side (4 rows total, one per edge — the
+    * union is of RESULTS, not data). NULL child keys count as orphan
+    * rows (a null FK violates the reference too — anti-join keeps
+    * them because `null = x` is never true). */
+  def d135FkAudit(spark: SparkSession, dir: String): DataFrame = {
+    def edge(name: String, child: DataFrame, key: String,
+        parent: DataFrame, pkey: String): DataFrame = {
+      val orphans = child.join(parent,
+        child(key) === parent(pkey), "left_anti")
+      val tot = child.agg(count(lit(1)).as("child_rows"),
+        count_distinct(col(key)).as("child_keys"))
+      val orph = orphans.agg(count(lit(1)).as("orphan_rows"),
+        count_distinct(col(key)).as("orphan_keys"))
+      tot.crossJoin(orph) // two 1-row frames
+        .select(lit(name).as("fk_edge"), col("child_rows"),
+          col("child_keys"), col("orphan_rows"), col("orphan_keys"),
+          when(col("child_rows") === 0, lit(null)).otherwise(
+            round(col("orphan_rows").cast("double") / col("child_rows"), 6))
+            .as("orphan_rate"))
+    }
+    val li = Tables.load(spark, dir, "lineitem").select("l_orderkey")
+    val o = Tables.load(spark, dir, "orders")
+      .select("o_orderkey", "o_custkey")
+    val c = Tables.load(spark, dir, "customer")
+      .select("c_custkey", "c_nationkey")
+    val n = Tables.load(spark, dir, "nation").select("n_nationkey")
+    val ev = Tables.load(spark, dir, "events").select("user_id")
+    edge("lineitem.orderkey", li, "l_orderkey", o, "o_orderkey")
+      .unionAll(edge("orders.custkey", o, "o_custkey", c, "c_custkey"))
+      .unionAll(edge("customer.nationkey", c, "c_nationkey", n,
+        "n_nationkey"))
+      .unionAll(edge("events.user_id", ev, "user_id", c, "c_custkey"))
+      .orderBy("fk_edge")
+  }
+
+  val d135Oracle: String =
+    """WITH edges AS (
+         SELECT 'lineitem.orderkey' AS fk_edge,
+           CAST(count(*) AS BIGINT) AS child_rows,
+           CAST(count(DISTINCT l_orderkey) AS BIGINT) AS child_keys,
+           CAST(count(*) FILTER (WHERE o_orderkey IS NULL) AS BIGINT)
+             AS orphan_rows,
+           CAST(count(DISTINCT l_orderkey)
+             FILTER (WHERE o_orderkey IS NULL) AS BIGINT) AS orphan_keys
+         FROM lineitem LEFT JOIN orders ON l_orderkey = o_orderkey
+         UNION ALL
+         SELECT 'orders.custkey', count(*), count(DISTINCT o_custkey),
+           count(*) FILTER (WHERE c_custkey IS NULL),
+           count(DISTINCT o_custkey) FILTER (WHERE c_custkey IS NULL)
+         FROM orders LEFT JOIN customer ON o_custkey = c_custkey
+         UNION ALL
+         SELECT 'customer.nationkey', count(*), count(DISTINCT c_nationkey),
+           count(*) FILTER (WHERE n_nationkey IS NULL),
+           count(DISTINCT c_nationkey) FILTER (WHERE n_nationkey IS NULL)
+         FROM customer LEFT JOIN nation ON c_nationkey = n_nationkey
+         UNION ALL
+         SELECT 'events.user_id', count(*), count(DISTINCT user_id),
+           count(*) FILTER (WHERE c_custkey IS NULL),
+           count(DISTINCT user_id) FILTER (WHERE c_custkey IS NULL)
+         FROM events LEFT JOIN customer ON user_id = c_custkey)
+       SELECT fk_edge, child_rows, child_keys, orphan_rows, orphan_keys,
+         CASE WHEN child_rows = 0 THEN NULL
+           ELSE round(CAST(orphan_rows AS DOUBLE) / child_rows, 6)
+           END AS orphan_rate
+       FROM edges ORDER BY fk_edge"""
+
+  // -------------------------------------------------------------- d136
+  /** Pack capacity in tokens — a stand-in for the trainer's sequence
+    * length (production: 2048/4096/8192). */
+  private[graft] val PackCapacity = 512L
+
+  /** SEQUENCE PACKING PLAN — assign documents to fixed-capacity
+    * training packs by greedy fill over a seeded hash order:
+    * `pack_id = (running − t) div capacity` (a document belongs to the
+    * pack where its tokens START). Padding waste is what packing
+    * exists to kill — a naive one-doc-per-sequence loader wastes
+    * `capacity − doc` tokens per row — and the plan's summary emits
+    * the realized per-pack fill so the waste is measured, not assumed.
+    * Boundary-straddling documents count toward their starting pack
+    * (the split-and-continue the loader performs is an offset read,
+    * not a plan concern). The hash order is the d132 seeded
+    * permutation, so packs mix sources and re-materialization is
+    * deterministic.
+    *
+    * Scale shape: the global running total is
+    * [[GlobalOrder.runningTotal]] — a range exchange plus an in-bucket
+    * window, NEVER a single-partition walk — and the pack summary is a
+    * pack-keyed aggregate with map-side partials. Output is
+    * pack-sized, not doc-sized. */
+  def d136SequencePacking(spark: SparkSession, dir: String): DataFrame = {
+    val toks = docs(spark, dir)
+      .select(col("doc_id"),
+        size(tokens(col("text"))).cast("long").as("t"),
+        TextOps.hash60(concat(lit("pack:"), col("doc_id").cast("string")))
+          .as("hh"))
+    GlobalOrder.runningTotal(toks,
+        Seq(col("hh").asc, col("doc_id").asc), col("t"))
+      .withColumn("pack_id", expr(s"(running - t) div $PackCapacity"))
+      .groupBy("pack_id")
+      .agg(count(lit(1)).as("n_docs"), sum("t").as("n_tokens"),
+        min("doc_id").as("first_doc"))
+      .withColumn("fill",
+        round(col("n_tokens").cast("double") / PackCapacity, 4))
+      .orderBy("pack_id")
+  }
+
+  val d136Oracle: String =
+    s"""WITH t0 AS (
+         SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS t,
+           ('0x'||substr(md5('pack:'||CAST(doc_id AS VARCHAR)),1,15))
+             ::BIGINT AS hh
+         FROM documents),
+       r AS (
+         SELECT doc_id, t,
+           CAST(sum(t) OVER (ORDER BY hh, doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+             AS running
+         FROM t0)
+       SELECT (running - t) // $PackCapacity AS pack_id,
+         CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(t) AS BIGINT) AS n_tokens,
+         min(doc_id) AS first_doc,
+         round(CAST(sum(t) AS DOUBLE) / $PackCapacity, 4) AS fill
+       FROM r GROUP BY pack_id ORDER BY pack_id"""
+
   // -------------------------------------------------------------- d117
   /** Minimum document frequency for a term to enter the χ² ranking —
     * below this the 2×2 table is too sparse for the statistic to mean
@@ -4105,6 +4360,10 @@ object CorpusOps {
     "d128_salted_join" -> (d128SaltedJoin _),
     "d130_linear_probe" -> (d130LinearProbe _),
     "d131_cohens_kappa" -> (d131CohensKappa _),
+    "d133_incremental_stats" -> (d133IncrementalStats _),
+    "d134_scd2_intervals" -> (d134Scd2Intervals _),
+    "d135_fk_audit" -> (d135FkAudit _),
+    "d136_sequence_packing" -> (d136SequencePacking _),
     "d126_shard_gate" -> (d126ShardGate _),
     "d119_k_anonymity" -> (d119KAnonymity _),
     "d120_heaps_growth" -> (d120HeapsGrowth _),
@@ -4180,6 +4439,10 @@ object CorpusOps {
     "d128_salted_join" -> d128Oracle,
     "d130_linear_probe" -> d130Oracle,
     "d131_cohens_kappa" -> d131Oracle,
+    "d133_incremental_stats" -> d133Oracle,
+    "d134_scd2_intervals" -> d134Oracle,
+    "d135_fk_audit" -> d135Oracle,
+    "d136_sequence_packing" -> d136Oracle,
     "d113_token_entropy" -> d113Oracle,
     "d114_ks_drift" -> d114Oracle,
     "d115_gini_sources" -> d115Oracle,
