@@ -1348,19 +1348,9 @@ object CorpusOps {
     * d123 paths) consume [[sessionizedEventsSkewSafe]], which is gated
     * output-identical to this frame (d92). One user-keyed window
     * exchange; `us` is integer microseconds. */
-  private[graft] def sessionizedEvents(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val byUser = Window.partitionBy("user_id").orderBy("us", "event_id")
-    Tables.load(spark, dir, "events")
-      .withColumn("us", unix_micros(col("ts")))
-      .withColumn("new_session",
-        when(col("us") - lag(col("us"), 1).over(byUser) > 1800000000L, 1)
-          .when(lag(col("us"), 1).over(byUser).isNull, 1).otherwise(0))
-      .withColumn("session_idx",
-        sum("new_session").over(byUser.rowsBetween(
-          Window.unboundedPreceding, Window.currentRow)))
+  private[graft] def sessionizedEvents(spark: SparkSession, dir: String): DataFrame =
+    sessionizedCore(spark, dir)
       .select("user_id", "session_idx", "event_id", "event_type", "us")
-  }
 
   /** [[sessionizedEvents]] plus `sess_rk` — the event's 1-based rank
     * within its session by (us, event_id). The bounded-collect guard
@@ -1368,16 +1358,37 @@ object CorpusOps {
     * bot that never pauses 30 min is ONE session however many events
     * it emits), so any per-session `collect_list` must be fed a
     * rank-capped subset or its aggregate buffer is unbounded (VERDICT
-    * r10 "what's wrong" #2). The rank window refines the existing
-    * user_id clustering (no new exchange — `ClusteredDistribution` is
-    * satisfied by the subset key), adding only a partition-local sort. */
+    * r10 "what's wrong" #2). */
   private[graft] def sessionizedEventsRanked(spark: SparkSession,
-      dir: String): DataFrame = {
+      dir: String): DataFrame =
+    sessionizedCore(spark, dir)
+      .select("user_id", "session_idx", "event_id", "event_type", "us",
+        "sess_rk")
+
+  /** The shared session computation. `sess_rk` is DERIVED, not a new
+    * window partition: `rn − (running max of rn at session starts) + 1`
+    * over the SAME (user_id)-partitioned (us, event_id)-ordered spec
+    * as the gap flag — a `row_number` over (user_id, session_idx)
+    * would need a partition-local RE-SORT by the refined key (the
+    * planner can't know session_idx is monotone in the existing
+    * order), measured at ~1.4× on the session family at sf0.1. Same
+    * values, zero extra exchanges, zero extra sorts: WindowExec
+    * preserves child ordering, so the follow-up window node that reads
+    * `rn` rides the same sorted stream. */
+  private def sessionizedCore(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    sessionizedEvents(spark, dir)
-      .withColumn("sess_rk", row_number().over(
-        Window.partitionBy("user_id", "session_idx")
-          .orderBy("us", "event_id")))
+    val byUser = Window.partitionBy("user_id").orderBy("us", "event_id")
+    val run = byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.load(spark, dir, "events")
+      .withColumn("us", unix_micros(col("ts")))
+      .withColumn("new_session",
+        when(col("us") - lag(col("us"), 1).over(byUser) > 1800000000L, 1)
+          .when(lag(col("us"), 1).over(byUser).isNull, 1).otherwise(0))
+      .withColumn("session_idx", sum("new_session").over(run))
+      .withColumn("rn", row_number().over(byUser))
+      .withColumn("sess_rk",
+        col("rn") - max(when(col("new_session") === 1, col("rn"))).over(run)
+          + 1)
   }
 
   /** The same sessionization as oracle CTEs (`sess` is the output). */
@@ -1487,8 +1498,11 @@ object CorpusOps {
     * downstream sort + `slice(…, 1, K)` recovers exactly the global
     * first K. The superset is bounded by K × chunks-spanned, i.e. by
     * TIME (≤ 1461 chunks/year), never by event count — the same
-    * boundedness contract as the summary table. The rank window rides
-    * the existing (user_id, ck) exchange (subset-key clustering). */
+    * boundedness contract as the summary table. The rank is the
+    * [[sessionizedCore]] running-max derivation over the SAME
+    * (user_id, ck) window spec as the gap flag — no extra exchange,
+    * no extra sort (a row_number over (user_id, ck, local_idx) would
+    * re-sort every partition by the refined key). */
   private[graft] def sessionizedEventsSkewSafeRanked(spark: SparkSession,
       dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -1496,15 +1510,17 @@ object CorpusOps {
       .withColumn("us", unix_micros(col("ts")))
       .withColumn("ck", expr(s"us div $SessChunkUs"))
     val wLoc = Window.partitionBy("user_id", "ck").orderBy("us", "event_id")
+    val runLoc = wLoc.rowsBetween(Window.unboundedPreceding,
+      Window.currentRow)
     val local = ev
       .withColumn("new_session",
         when(col("us") - lag(col("us"), 1).over(wLoc) > 1800000000L, 1)
           .when(lag(col("us"), 1).over(wLoc).isNull, 1).otherwise(0))
-      .withColumn("local_idx", sum("new_session").over(
-        wLoc.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-      .withColumn("sess_rk", row_number().over(
-        Window.partitionBy("user_id", "ck", "local_idx")
-          .orderBy("us", "event_id")))
+      .withColumn("local_idx", sum("new_session").over(runLoc))
+      .withColumn("rn", row_number().over(wLoc))
+      .withColumn("sess_rk",
+        col("rn") - max(when(col("new_session") === 1, col("rn")))
+          .over(runLoc) + 1)
     val wCk = Window.partitionBy("user_id").orderBy("ck")
     val offsets = local.groupBy("user_id", "ck")
       .agg(min("us").as("first_us"), max("us").as("last_us"),
@@ -3592,6 +3608,56 @@ object CorpusOps {
          round(CAST(sum(t) AS DOUBLE) / $PackCapacity, 4) AS fill
        FROM r GROUP BY pack_id ORDER BY pack_id"""
 
+  // -------------------------------------------------------------- d137
+  /** Target relative standard deviation for the HLL sketch and the
+    * audit's acceptance bound (5×rsd — roughly the 5σ of the sketch's
+    * error distribution; a miss means the sketch path is broken, not
+    * unlucky). */
+  private[graft] val HllRsd = 0.02
+  private[graft] val HllBound = 5 * 0.02
+
+  /** APPROX-DISTINCT AUDIT — per-source distinct token counts computed
+    * BOTH ways: exact `count_distinct` (the full term shuffle — the
+    * thing that is unaffordable at 100 TB, where the distinct term set
+    * is itself crawl-sized) and HyperLogLog++
+    * `approx_count_distinct` (KB-sized mergeable sketch, map-side
+    * partials, no term ever shuffles). The op REQUIRES the estimate
+    * within [[HllBound]] of exact in-op and emits the exact counts
+    * plus the always-true bound flag — so the driver gate replays the
+    * audit on real data every round: the oracle can't see the
+    * estimate (DuckDB's HLL is a different sketch), but it pins the
+    * exact side and the flag pins that OUR estimate held its
+    * documented error. The production pattern is the d71 CMS
+    * discipline inverted: there the sketch changes the plan and the
+    * answer stays exact; here the sketch IS the answer and this audit
+    * is the periodic recalibration that keeps trusting it honest. */
+  def d137ApproxDistinct(spark: SparkSession, dir: String): DataFrame = {
+    val out = docs(spark, dir)
+      .select(col("source"), explode(tokens(lower(col("text")))).as("term"))
+      .groupBy("source")
+      .agg(count_distinct(col("term")).as("exact_distinct"),
+        approx_count_distinct(col("term"), HllRsd).as("approx"))
+      .select(col("source"), col("exact_distinct"),
+        (abs(col("approx") - col("exact_distinct")).cast("double")
+          / greatest(col("exact_distinct"), lit(1L)) <= HllBound)
+          .as("hll_within_bound"))
+      .orderBy("source")
+      .localCheckpoint() // audit once; the gate reads the audited rows
+    val misses = out.filter(!col("hll_within_bound")).count()
+    require(misses == 0L,
+      s"HLL estimate outside ${HllBound * 100}% of exact on $misses source(s)")
+    out
+  }
+
+  val d137Oracle: String =
+    """SELECT source,
+         CAST(count(DISTINCT term) AS BIGINT) AS exact_distinct,
+         true AS hll_within_bound
+       FROM (SELECT source,
+               unnest(regexp_extract_all(lower(text), '\S+')) AS term
+             FROM documents) t
+       GROUP BY source ORDER BY source"""
+
   // -------------------------------------------------------------- d117
   /** Minimum document frequency for a term to enter the χ² ranking —
     * below this the 2×2 table is too sparse for the statistic to mean
@@ -4364,6 +4430,7 @@ object CorpusOps {
     "d134_scd2_intervals" -> (d134Scd2Intervals _),
     "d135_fk_audit" -> (d135FkAudit _),
     "d136_sequence_packing" -> (d136SequencePacking _),
+    "d137_approx_distinct" -> (d137ApproxDistinct _),
     "d126_shard_gate" -> (d126ShardGate _),
     "d119_k_anonymity" -> (d119KAnonymity _),
     "d120_heaps_growth" -> (d120HeapsGrowth _),
@@ -4443,6 +4510,7 @@ object CorpusOps {
     "d134_scd2_intervals" -> d134Oracle,
     "d135_fk_audit" -> d135Oracle,
     "d136_sequence_packing" -> d136Oracle,
+    "d137_approx_distinct" -> d137Oracle,
     "d113_token_entropy" -> d113Oracle,
     "d114_ks_drift" -> d114Oracle,
     "d115_gini_sources" -> d115Oracle,

@@ -536,6 +536,44 @@ class FunctionsSpec extends SparkSpec {
       .collect().head.isNullAt(0))
   }
 
+  test("property: TopKHeap keeps exactly the k best under random " +
+      "inserts, splits, and merges") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    import org.scalacheck.Prop.forAll
+    import graft.functions.TopKHeap
+    val entryGen = for {
+      s <- Gen.chooseNum(0, 9).map(_ / 2.0) // few scores → heavy ties
+      t <- Gen.chooseNum(0L, 1000L)
+    } yield (s, t)
+    val caseGen = for {
+      n <- Gen.chooseNum(0, 120)
+      es <- Gen.listOfN(n, entryGen)
+      k <- Gen.chooseNum(1, 12)
+      cut <- Gen.chooseNum(0, n)
+    } yield (es, k, cut)
+    def ref(es: Seq[(Double, Long)], k: Int): Seq[(Double, Long)] =
+      es.distinct.sortBy { case (s, t) => (-s, t) }.take(k)
+    val prop = forAll(caseGen) { case (es0, k, cut) =>
+      // distinct (score, tie) pairs: the heap's order is total on them,
+      // so duplicates would make "the" top-k ambiguous
+      val es = es0.distinct
+      val payload = es.map { case (s, t) => (s, t, s"p$s:$t") }
+      // split at an arbitrary point, fill two heaps, merge — the
+      // partial-aggregation path the executor actually runs
+      val (l, r) = payload.splitAt(math.min(cut, payload.length))
+      val h1 = new TopKHeap(k); val h2 = new TopKHeap(k)
+      l.foreach { case (s, t, p) => h1.offer(s, t, () => p) }
+      r.foreach { case (s, t, p) => h2.offer(s, t, () => p) }
+      h2.foreach((s, t, p) => h1.offer(s, t, () => p))
+      val got = h1.sortedPayloads.toSeq
+      val want = ref(es, k).map { case (s, t) => s"p$s:$t" }
+      Prop(got == want) :| s"got $got want $want"
+    }
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(300), prop)
+    assert(res.passed, s"TopKHeap property failed: ${res.status}")
+  }
+
   test("TopKByScore equals the window-rank idiom on multi-partition " +
       "input with duplicate scores") {
     import spark.implicits._
