@@ -86,13 +86,17 @@ case class TopKByScore(
   override def eval(buf: TopKHeap): Any =
     new GenericArrayData(buf.sortedPayloads)
 
-  private def rowSchema = StructType(Seq(
+  // Depend only on payload.dataType — computed once per expression
+  // instance, not once per group per partial flush. The projection is
+  // codegen'd, hence @transient (rebuilt lazily on each executor).
+  private lazy val rowSchema = StructType(Seq(
     StructField("s", DoubleType, nullable = false),
     StructField("t", LongType, nullable = false),
     StructField("p", payload.dataType, nullable = true)))
+  @transient private lazy val serProj = UnsafeProjection.create(rowSchema)
 
   override def serialize(buf: TopKHeap): Array[Byte] = {
-    val proj = UnsafeProjection.create(rowSchema)
+    val proj = serProj
     val bos = new ByteArrayOutputStream()
     val out = new DataOutputStream(bos)
     out.writeInt(buf.size)
@@ -154,7 +158,7 @@ final class TopKHeap(k: Int) {
   private final class Entry(val s: Double, val t: Long, val p: Any)
   private val worstFirst = new Comparator[Entry] {
     override def compare(a: Entry, b: Entry): Int = {
-      val c = java.lang.Double.compare(a.s, b.s)
+      val c = TopKHeap.compareScores(a.s, b.s)
       if (c != 0) c else java.lang.Long.compare(b.t, a.t)
     }
   }
@@ -166,7 +170,8 @@ final class TopKHeap(k: Int) {
     if (heap.size < k) heap.add(new Entry(s, t, p()))
     else {
       val w = heap.peek()
-      if (s > w.s || (s == w.s && t < w.t)) {
+      val c = TopKHeap.compareScores(s, w.s)
+      if (c > 0 || (c == 0 && t < w.t)) {
         heap.poll()
         heap.add(new Entry(s, t, p()))
       }
@@ -183,4 +188,20 @@ final class TopKHeap(k: Int) {
     java.util.Arrays.sort(arr, worstFirst.reversed())
     arr.map(_.p)
   }
+}
+
+object TopKHeap {
+  /** ONE score ordering for both the heap comparator and the full-heap
+    * acceptance test, with Spark/DuckDB SQL semantics (SQLOrderingUtil):
+    * -0.0 == 0.0 (primitive `==` ties them; the tie column decides) and
+    * NaN sorts GREATER than everything (so a NaN score ranks first under
+    * score DESC, exactly as `row_number() OVER (ORDER BY s DESC)` would),
+    * where `java.lang.Double.compare` would order -0.0 < 0.0 and was
+    * previously inconsistent with the primitive-compare acceptance test. */
+  def compareScores(x: Double, y: Double): Int =
+    if (x < y) -1
+    else if (x > y) 1
+    else if (x == y) 0 // covers -0.0 vs 0.0
+    else if (java.lang.Double.isNaN(x)) { if (java.lang.Double.isNaN(y)) 0 else 1 }
+    else -1
 }

@@ -3614,7 +3614,7 @@ object CorpusOps {
     * error distribution; a miss means the sketch path is broken, not
     * unlucky). */
   private[graft] val HllRsd = 0.02
-  private[graft] val HllBound = 5 * 0.02
+  private[graft] val HllBound = 5 * HllRsd
 
   /** APPROX-DISTINCT AUDIT — per-source distinct token counts computed
     * BOTH ways: exact `count_distinct` (the full term shuffle — the
@@ -4301,51 +4301,55 @@ object CorpusOps {
   def d126ShardGate(spark: SparkSession, dir: String): DataFrame = {
     import graft.io.Layouts
     val path = java.nio.file.Files.createTempDirectory("graft-d126")
-    val d = docs(spark, dir).select("doc_id", "text")
-    Layouts.writeShards(d, path.toString, GateShards,
-      key = "doc_id", shuffled = true, seed = 42L,
-      assign = Some(pmod(TextOps.hash60(col("doc_id").cast("string")),
-        lit(GateShards.toLong))))
-    val dirs = java.nio.file.Files.list(path).iterator()
-    val shardDirs = Iterator.continually(dirs)
-      .takeWhile(_.hasNext).map(_.next().getFileName.toString)
-      .filter(_.startsWith("shard=")).toSeq
-    // a zero-row corpus writes no shard directories at all (only
-    // _SUCCESS) — the summary is legitimately empty, and neither the
-    // directory-count nor the balance pin applies to nothing
-    if (shardDirs.isEmpty) {
-      import org.apache.spark.sql.types._
-      return spark.createDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-        StructType(Seq(
-          StructField("shard", IntegerType),
-          StructField("n_docs", LongType, nullable = false),
-          StructField("xor_content", LongType),
-          StructField("min_id", LongType),
-          StructField("max_id", LongType))))
-    }
-    require(shardDirs.size == GateShards,
-      s"expected $GateShards shard directories, found ${shardDirs.size}")
-    // fingerprint the CONTENT as stored — read back from the shards
-    val summarized = spark.read.parquet(path.toString)
-      .withColumn("h", TextOps.hash60(col("text")))
-      .groupBy(col("shard").cast("int").as("shard"))
-      .agg(count(lit(1)).as("n_docs"),
-        expr("bit_xor(h)").as("xor_content"),
-        min("doc_id").as("min_id"), max("doc_id").as("max_id"))
-      .orderBy("shard")
-      .localCheckpoint() // the temp layout can be deleted after this
-    val counts = summarized.select("n_docs").collect().map(_.getLong(0))
-    require(counts.length == GateShards && counts.forall(_ > 0L),
-      s"every shard must be nonempty: ${counts.mkString(",")}")
-    require(counts.max.toDouble <= 2.5 * (counts.sum.toDouble / counts.length),
-      s"shard imbalance beyond 2.5x mean: ${counts.mkString(",")}")
+    // Cleanup runs on EVERY exit — including a failed require() pin —
+    // so a failed gate never strands the sharded parquet copy on disk.
     try {
-      java.nio.file.Files.walk(path)
-        .sorted(java.util.Comparator.reverseOrder())
-        .forEach(p => java.nio.file.Files.deleteIfExists(p))
-    } catch { case _: java.io.IOException => () }
-    summarized
+      val d = docs(spark, dir).select("doc_id", "text")
+      Layouts.writeShards(d, path.toString, GateShards,
+        key = "doc_id", shuffled = true, seed = 42L,
+        assign = Some(pmod(TextOps.hash60(col("doc_id").cast("string")),
+          lit(GateShards.toLong))))
+      // File.list (not Files.list) — no stream handle to leak.
+      val shardDirs = Option(path.toFile.list()).getOrElse(Array.empty[String])
+        .toSeq.filter(_.startsWith("shard="))
+      // a zero-row corpus writes no shard directories at all (only
+      // _SUCCESS) — the summary is legitimately empty, and neither the
+      // directory-count nor the balance pin applies to nothing
+      if (shardDirs.isEmpty) {
+        import org.apache.spark.sql.types._
+        return spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          StructType(Seq(
+            StructField("shard", IntegerType),
+            StructField("n_docs", LongType, nullable = false),
+            StructField("xor_content", LongType),
+            StructField("min_id", LongType),
+            StructField("max_id", LongType))))
+      }
+      require(shardDirs.size == GateShards,
+        s"expected $GateShards shard directories, found ${shardDirs.size}")
+      // fingerprint the CONTENT as stored — read back from the shards
+      val summarized = spark.read.parquet(path.toString)
+        .withColumn("h", TextOps.hash60(col("text")))
+        .groupBy(col("shard").cast("int").as("shard"))
+        .agg(count(lit(1)).as("n_docs"),
+          expr("bit_xor(h)").as("xor_content"),
+          min("doc_id").as("min_id"), max("doc_id").as("max_id"))
+        .orderBy("shard")
+        .localCheckpoint() // the temp layout can be deleted after this
+      val counts = summarized.select("n_docs").collect().map(_.getLong(0))
+      require(counts.length == GateShards && counts.forall(_ > 0L),
+        s"every shard must be nonempty: ${counts.mkString(",")}")
+      require(counts.max.toDouble <= 2.5 * (counts.sum.toDouble / counts.length),
+        s"shard imbalance beyond 2.5x mean: ${counts.mkString(",")}")
+      summarized
+    } finally {
+      try {
+        java.nio.file.Files.walk(path)
+          .sorted(java.util.Comparator.reverseOrder())
+          .forEach(p => java.nio.file.Files.deleteIfExists(p))
+      } catch { case _: java.io.IOException => () }
+    }
   }
 
   val d126Oracle: String =

@@ -541,8 +541,15 @@ class FunctionsSpec extends SparkSpec {
     import org.scalacheck.{Gen, Prop, Test => SCTest}
     import org.scalacheck.Prop.forAll
     import graft.functions.TopKHeap
+    // Include the special-float regimes (-0.0 ties 0.0; NaN sorts
+    // GREATEST, i.e. rank-first under score DESC — Spark/DuckDB SQL
+    // ordering) alongside the heavy-tie finite scores.
+    val scoreGen = Gen.frequency(
+      (8, Gen.chooseNum(0, 9).map(_ / 2.0)), // few scores → heavy ties
+      (1, Gen.oneOf(0.0, -0.0)),
+      (1, Gen.const(Double.NaN)))
     val entryGen = for {
-      s <- Gen.chooseNum(0, 9).map(_ / 2.0) // few scores → heavy ties
+      s <- scoreGen
       t <- Gen.chooseNum(0L, 1000L)
     } yield (s, t)
     val caseGen = for {
@@ -551,12 +558,21 @@ class FunctionsSpec extends SparkSpec {
       k <- Gen.chooseNum(1, 12)
       cut <- Gen.chooseNum(0, n)
     } yield (es, k, cut)
+    // canonical score key: -0.0 → 0.0, all NaN bit patterns → one NaN —
+    // the equivalence classes of TopKHeap.compareScores
+    def canon(s: Double): Long = java.lang.Double.doubleToLongBits(s + 0.0)
+    def refOrder(a: (Double, Long), b: (Double, Long)): Boolean = {
+      val c = TopKHeap.compareScores(a._1, b._1)
+      if (c != 0) c > 0 else a._2 < b._2
+    }
     def ref(es: Seq[(Double, Long)], k: Int): Seq[(Double, Long)] =
-      es.distinct.sortBy { case (s, t) => (-s, t) }.take(k)
+      es.sortWith(refOrder).take(k)
     val prop = forAll(caseGen) { case (es0, k, cut) =>
-      // distinct (score, tie) pairs: the heap's order is total on them,
-      // so duplicates would make "the" top-k ambiguous
-      val es = es0.distinct
+      // distinct (score, tie) pairs UNDER THE HEAP'S ORDER (so 0.0 and
+      // -0.0 with the same tie count once): the heap's order is total
+      // on them, so duplicates would make "the" top-k ambiguous
+      val es = es0.groupBy { case (s, t) => (canon(s), t) }
+        .map(_._2.head).toSeq
       val payload = es.map { case (s, t) => (s, t, s"p$s:$t") }
       // split at an arbitrary point, fill two heaps, merge — the
       // partial-aggregation path the executor actually runs
