@@ -1909,32 +1909,44 @@ object CorpusOps {
     * it from three independent EXISTS checks — a purchase before the
     * first view must NOT convert.
     *
-    * Scale shape: the sequential dependency (step N's cutoff is step
-    * N−1's timestamp) is three conditional-min aggregates, each joined
-    * back on the SAME (user, session) key the sessionization already
-    * partitioned by — no window over the event stream, no per-session
-    * sort, and each pass shuffles one timestamp per session, not
-    * events. Integer-microsecond comparisons throughout. Rides the
-    * SKEW-SAFE session frame (d92 proved it output-identical to the
-    * single-window definition), so one bot user cannot serialize the
-    * session assignment into a straggler task; the funnel's aggregates
-    * were already hot-key-safe (conditional mins, map-side combined). */
+    * Scale shape: ONE pass over the session frame. The sequential
+    * dependency (step N's cutoff is step N−1's timestamp) is two
+    * chained running conditional-mins over the SAME
+    * (user_id, session_idx) window spec ordered by `us` with a
+    * RANGE frame [unbounded, −1] — integer microseconds make that
+    * frame exactly "strictly earlier in time", so `pv` (earliest view
+    * before this event) is non-null on a click iff `us > s1`, and
+    * `pqc` (earliest such click before this event) is non-null on a
+    * purchase iff `us > s2` — the three-step strict ordering without
+    * joining the aggregates back onto the events (the previous shape:
+    * three sequential join-reaggregate passes over a checkpointed
+    * frame, VERDICT r11 next #4). Both window nodes and the
+    * per-session aggregate share one hash exchange + one sort; the
+    * running mins are O(1)-per-row streaming frames. Session
+    * ASSIGNMENT rides the SKEW-SAFE frame (d92 proved it
+    * output-identical), so a hot user's stream sessionizes in
+    * parallel chunk slices; the funnel window partitions by the finer
+    * (user, session) key, so the residual straggler is a single
+    * mega-SESSION — a sort-and-stream task, spillable, and exactly
+    * what the d73 skew histogram surfaces. */
   def d86OrderedFunnel(spark: SparkSession, dir: String): DataFrame = {
-    val sess = sessionizedEventsSkewSafe(spark, dir)
+    import org.apache.spark.sql.expressions.Window
+    // {rows with us' < us}: range frame, strict via integer microseconds
+    val before = Window.partitionBy("user_id", "session_idx")
+      .orderBy("us").rangeBetween(Window.unboundedPreceding, -1)
+    val staged = sessionizedEventsSkewSafe(spark, dir)
       .select("user_id", "session_idx", "event_type", "us")
-      .localCheckpoint() // three funnel passes re-read the assignment
-    val key = Seq("user_id", "session_idx")
-    val a1 = sess.groupBy(key.map(col): _*)
-      .agg(min(when(col("event_type") === "view", col("us"))).as("s1"))
-    val a2 = sess.join(a1, key)
-      .groupBy(key.map(col): _*)
-      .agg(min(when(col("event_type") === "click" && col("us") > col("s1"),
-        col("us"))).as("s2"))
-    val a3 = sess.join(a2, key)
-      .groupBy(key.map(col): _*)
-      .agg(min(when(col("event_type") === "purchase" && col("us") > col("s2"),
-        col("us"))).as("s3"))
-    a1.join(a2, key).join(a3, key)
+      .withColumn("pv",
+        min(when(col("event_type") === "view", col("us"))).over(before))
+      .withColumn("qual_click",
+        col("event_type") === "click" && col("pv").isNotNull)
+      .withColumn("pqc",
+        min(when(col("qual_click"), col("us"))).over(before))
+    staged.groupBy("user_id", "session_idx")
+      .agg(min(when(col("event_type") === "view", col("us"))).as("s1"),
+        min(when(col("qual_click"), col("us"))).as("s2"),
+        min(when(col("event_type") === "purchase" && col("pqc").isNotNull,
+          col("us"))).as("s3"))
       .agg(count(lit(1)).as("n_sessions"),
         count(col("s1")).as("n_view"),
         count(col("s2")).as("n_view_click"),
@@ -4426,8 +4438,113 @@ object CorpusOps {
        FROM orders JOIN customer ON o_custkey = c_custkey
        GROUP BY c_nationkey ORDER BY c_nationkey"""
 
+  /** AQE SKEW-JOIN SPLIT, gated end-to-end — the FOURTH leg of the
+    * join-skew toolkit, and the everyday one: d73 DETECTS the hot key,
+    * d125 PREDICTS the output size, d128 executes the MANUAL salt for
+    * structural always-hot keys — this gate exercises the ADAPTIVE
+    * remedy, `OptimizeSkewedJoin`, which splits an oversized
+    * post-shuffle partition into parallel slices at runtime with no
+    * query rewrite at all. Half the fact table is planted onto one
+    * join key (`h % 2 = 0 → k = 0`, the rest spread over 64 keys), so
+    * the sort-merge join's k=0 partition holds ~50% of the bytes; the
+    * op then REQUIRES, from the final adaptive plan, that the skew
+    * split actually fired (`AQEShuffleRead … skewed`) — the d93/d128
+    * discipline of pinning the physical property IN the op, so the
+    * gate fails loudly if a conf default or planner change ever stops
+    * splitting, instead of silently reverting to a straggler.
+    *
+    * The downstream rollup groups on the DIM-side attribute `g`
+    * (deliberately NOT the join key): grouping on `k` would let the
+    * aggregate reuse the join's hash distribution, and AQE refuses a
+    * skew split that would break a reusable distribution (that case
+    * needs `forceOptimizeSkewedJoin`, a correct refusal this gate
+    * must not fight). In-op conf pins (saved/restored): broadcast off
+    * (a broadcast join has no shuffle to split) and the skew
+    * threshold/advisory sizes scaled to the test corpus — at
+    * production scale the 256 MB defaults play the same role.
+    * Hash-checked against DuckDB running the plain join: the split
+    * changes the SCHEDULE, never the answer. */
+  def d138AqeSkewJoin(spark: SparkSession, dir: String): DataFrame = {
+    val h = TextOps.hash60(concat_ws(":",
+      col("l_orderkey").cast("string"), col("l_linenumber").cast("string")))
+    // Two properties the TEST corpus needs planted for the adaptive
+    // machinery to even be exercisable (at production scale both hold
+    // for free):
+    //  1. carry `h` as a high-entropy payload — without it the hot
+    //    partition is thousands of near-identical (0, qty) rows that
+    //    lz4 collapses to roughly a COLD partition's size, and AQE,
+    //    which sees compressed map-output bytes, correctly reports no
+    //    skew (real rows carry incompressible payloads);
+    //  2. repartition the scan — the corpus is ONE small parquet file
+    //    = one map task, and a skewed reduce partition splits on map-
+    //    output granularity, so a single mapper is unsplittable (a
+    //    real table has thousands of mappers).
+    val fact = Tables.load(spark, dir, "lineitem")
+      .select(when(pmod(h, lit(2L)) === 0L, lit(0L))
+        .otherwise(pmod(h, lit(64L))).as("k"), col("l_quantity"), h.as("h"))
+      .repartition(8)
+    val dim = spark.range(64).select(col("id").as("k"),
+      (col("id") % 8).as("g"))
+    val prevB = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val prevT = spark.conf.get(
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes")
+    val prevA = spark.conf.get("spark.sql.adaptive.advisoryPartitionSizeInBytes")
+    val prevF = spark.conf.get("spark.sql.adaptive.skewJoin.skewedPartitionFactor")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set(
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "32k")
+    spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16k")
+    // At few shuffle partitions the cold keys concentrate too: the hot
+    // partition is "only" ~5x the median, exactly the default factor —
+    // pin 2x so the gate tests the SPLIT mechanism, not the boundary.
+    spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2.0")
+    try {
+      val agg = fact.join(dim, "k")
+        .groupBy("g")
+        .agg(count(lit(1)).as("n_rows"),
+          round(sum("l_quantity"), 2).as("sum_qty"),
+          expr("bit_xor(h)").as("xor_h"))
+      // adaptive decisions exist only in the EXECUTED plan: materialize
+      // first (under the pinned confs — the d93 rationale), then assert
+      val out = agg.localCheckpoint()
+      val plan = agg.queryExecution.executedPlan.toString
+      require(plan.contains("isFinalPlan=true"),
+        s"expected a finalized adaptive plan:\n$plan")
+      // On a ZERO-ROW corpus AQE propagates EmptyRelation through the
+      // join — there is no shuffle left to split, and that collapse is
+      // itself the adaptive planner working as designed.
+      require(plan.contains("EmptyRelation") ||
+          "(?i)AQEShuffleRead.*skewed".r.findFirstIn(plan).isDefined,
+        s"AQE skew-join split must fire on the planted hot key:\n$plan")
+      out.orderBy("g")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevB)
+      spark.conf.set(
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", prevT)
+      spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", prevA)
+      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", prevF)
+    }
+  }
+
+  /** The plain join in DuckDB — the adaptive split must be
+    * answer-invisible. */
+  val d138Oracle: String =
+    """WITH f AS (
+         SELECT CASE WHEN h % 2 = 0 THEN 0 ELSE h % 64 END AS k,
+           l_quantity, h
+         FROM (SELECT ('0x'||substr(md5(CAST(l_orderkey AS VARCHAR)
+                  ||':'||CAST(l_linenumber AS VARCHAR)),1,15))::BIGINT AS h,
+               l_quantity FROM lineitem)),
+       dim AS (SELECT CAST(unnest(range(0,64)) AS BIGINT) AS k)
+       SELECT dim.k % 8 AS g, count(*) AS n_rows,
+         round(sum(l_quantity), 2) AS sum_qty,
+         CAST(bit_xor(h) AS BIGINT) AS xor_h
+       FROM f JOIN dim ON f.k = dim.k
+       GROUP BY 1 ORDER BY 1"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d128_salted_join" -> (d128SaltedJoin _),
+    "d138_aqe_skew_join" -> (d138AqeSkewJoin _),
     "d130_linear_probe" -> (d130LinearProbe _),
     "d131_cohens_kappa" -> (d131CohensKappa _),
     "d133_incremental_stats" -> (d133IncrementalStats _),
@@ -4508,6 +4625,7 @@ object CorpusOps {
     "d125_join_cardinality" -> d125Oracle,
     "d126_shard_gate" -> d126Oracle,
     "d128_salted_join" -> d128Oracle,
+    "d138_aqe_skew_join" -> d138Oracle,
     "d130_linear_probe" -> d130Oracle,
     "d131_cohens_kappa" -> d131Oracle,
     "d133_incremental_stats" -> d133Oracle,

@@ -179,6 +179,22 @@ class SkewSessionSpec extends SparkSpec {
     assert(r.getAs[Long]("n_full_funnel") == 1L)
   }
 
+  test("rank columns are pruned from plans that drop sess_rk: the " +
+      "funnel never pays for the d80/d92 collect bound") {
+    // sessionizedEventsSkewSafe computes rn + the running-max sess_rk
+    // derivation and drops them; consumers like d86 must not carry the
+    // dropped window expressions into their physical plan (VERDICT r11
+    // next #5 — if this regresses, split the ranked frame so only the
+    // collect-bounded consumers pay for ranks).
+    val dir = fixture
+    val plan = CorpusOps.d86OrderedFunnel(spark, dir)
+      .queryExecution.optimizedPlan.toString
+    assert(!plan.contains("sess_rk"),
+      s"d86 plan must prune the dropped sess_rk derivation; plan:\n$plan")
+    assert(!"\\brn#\\d".r.findFirstIn(plan).isDefined,
+      s"d86 plan must prune the dropped rn row_number; plan:\n$plan")
+  }
+
   test("skew-safe path windows on (user_id, chunk), not user_id alone") {
     val dir = fixture
     val plan = CorpusOps.sessionizedEventsSkewSafe(spark, dir)
