@@ -115,7 +115,20 @@ object Bench {
     val qs = times.map { case (k, v) => s"${jstr(k)}:$v" }.mkString("{", ",", "}")
     val es = errors.map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }.mkString("{", ",", "}")
     val total = times.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$es,"sf":${jstr(sfDir)}}""")
+    val line =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$es,"sf":${jstr(sfDir)}}"""
+    println(line)
+    // The driver's BENCH_r{N}.json artifact keeps only a 2000-char
+    // stdout tail — at 170+ queries that truncates 2/3 of the map, so
+    // cross-round timing diffs were only possible on the alphabetical
+    // tail (VERDICT r11 missing #3). Persist the SAME line to a file
+    // the repo keeps (committed each round as BENCH_FULL_r{N}.json).
+    // Best-effort: a read-only cwd must not fail the bench itself.
+    val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_FULL.json")
+    if (out.nonEmpty) try {
+      java.nio.file.Files.write(java.nio.file.Paths.get(out),
+        (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    } catch { case _: Exception => () }
     spark.stop()
   }
 }
