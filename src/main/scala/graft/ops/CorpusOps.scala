@@ -4542,9 +4542,120 @@ object CorpusOps {
        FROM f JOIN dim ON f.k = dim.k
        GROUP BY 1 ORDER BY 1"""
 
+  /** Per-source sample cap for the deterministic reservoir. */
+  private[graft] val ReservoirK = 5
+
+  /** PER-KEY DETERMINISTIC RESERVOIR — "cap every source at K docs,
+    * uniformly, reproducibly": rank each doc by a salted content-free
+    * hash of its id and keep each source's K best. This is the
+    * class-balancing subsample step (cap the mega-source so the
+    * long-tail sources survive mixing) and the per-stratum eval-split
+    * draw, and at 100 TB the shape matters more than the arithmetic:
+    * the window idiom (`row_number() OVER (PARTITION BY source ORDER
+    * BY hash)`) shuffles EVERY doc into its source's partition —
+    * data-sized exchange, hot-source straggler — while the
+    * [[graft.functions.TopKByScore]] native aggregate keeps a K-heap
+    * per (source, map partition), so the exchange moves at most
+    * K·mapPartitions rows per source and a 50%-of-corpus source costs
+    * the same as a tiny one. Uniformity comes from hash order;
+    * determinism from the fixed salt; reproducibility across engines
+    * is the GATE (DuckDB ranks the same md5-derived hashes with the
+    * same double-rounded sort key and must pick the identical docs).
+    *
+    * The double sort key loses the hash's low bits (53-bit mantissa),
+    * so the UNIQUE `doc_id` is the tie column on both sides — rank
+    * order is total, no sort ambiguity. */
+  def d140ReservoirPerKey(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .select(col("source"), col("doc_id"),
+        TextOps.hash60(col("doc_id").cast("string")).cast("double").as("s"))
+      .groupBy("source")
+      .agg(graft.functions.TopKByScore.topk(ReservoirK,
+        col("s"), col("doc_id"), col("doc_id")).as("picks"))
+      .select(col("source"), posexplode(col("picks")).as(Seq("rk", "doc_id")))
+      .orderBy("source", "rk")
+
+  val d140Oracle: String =
+    s"""WITH h AS (
+         SELECT source, doc_id,
+           CAST(('0x'||substr(md5(CAST(doc_id AS VARCHAR)),1,15))::BIGINT
+             AS DOUBLE) AS s
+         FROM documents),
+       r AS (
+         SELECT source, doc_id,
+           row_number() OVER (PARTITION BY source
+             ORDER BY s DESC, doc_id) AS rn
+         FROM h)
+       SELECT source, CAST(rn - 1 AS INT) AS rk, doc_id
+       FROM r WHERE rn <= $ReservoirK
+       ORDER BY source, rk"""
+
+  /** CHANGELOG APPLY (MERGE/upsert) — the lakehouse primitive that
+    * turns "base snapshot + CDC stream" into the next snapshot:
+    * last-writer-wins per key across base and changelog, with DELETE
+    * as a tombstone that erases the key. The changelog here is derived
+    * deterministically from the orders table (every 7th key an UPDATE
+    * repricing by +10.00 — an exact cent-space delta, no half-cent
+    * rounding hazard — every 11th a DELETE; 7·11 overlaps take the
+    * later delete: version order, not op precedence, decides), so
+    * DuckDB can replay the identical merge from the raw table.
+    *
+    * Scale shape: ONE hash exchange on the merge key serves the
+    * whole op — base and changelog union into a single (key, version,
+    * op) stream, the winner per key is a max-version aggregate (NOT a
+    * window: map-side partials collapse each key to one row per
+    * partition before the exchange, so a hot key cannot straggle),
+    * and tombstones drop in the same aggregate via a conditional on
+    * the winning version's op. No join-back: `max_by(struct)` carries
+    * the winning row's payload through the aggregate. */
+  def d141ChangelogApply(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables.load(spark, dir, "orders")
+      .select(col("o_orderkey").as("k"),
+        col("o_totalprice").as("price"),
+        lit(0L).as("version"), lit("U").as("op"))
+    val updates = Tables.load(spark, dir, "orders")
+      .filter(col("o_orderkey") % 7 === 0)
+      .select(col("o_orderkey").as("k"),
+        (col("o_totalprice") + 10.0).as("price"),
+        lit(1L).as("version"), lit("U").as("op"))
+    val deletes = Tables.load(spark, dir, "orders")
+      .filter(col("o_orderkey") % 11 === 0)
+      .select(col("o_orderkey").as("k"),
+        lit(null).cast("double").as("price"),
+        lit(2L).as("version"), lit("D").as("op"))
+    base.unionByName(updates).unionByName(deletes)
+      .groupBy("k")
+      .agg(expr("max_by(struct(op, price), version)").as("w"))
+      .filter(col("w.op") === "U")
+      .select(col("k"), col("w.price").as("price"))
+      .agg(count(lit(1)).as("n_rows"),
+        round(sum("price"), 2).as("total_price"),
+        expr("bit_xor(k)").as("xor_keys"))
+  }
+
+  val d141Oracle: String =
+    """WITH log AS (
+         SELECT o_orderkey AS k, o_totalprice AS price,
+           0 AS version, 'U' AS op FROM orders
+         UNION ALL
+         SELECT o_orderkey, o_totalprice + 10.0, 1, 'U'
+         FROM orders WHERE o_orderkey % 7 = 0
+         UNION ALL
+         SELECT o_orderkey, NULL, 2, 'D'
+         FROM orders WHERE o_orderkey % 11 = 0),
+       w AS (
+         SELECT k, max_by(op, version) AS op,
+           max_by(price, version) AS price
+         FROM log GROUP BY k)
+       SELECT count(*) AS n_rows, round(sum(price), 2) AS total_price,
+         CAST(bit_xor(k) AS BIGINT) AS xor_keys
+       FROM w WHERE op = 'U'"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d128_salted_join" -> (d128SaltedJoin _),
     "d138_aqe_skew_join" -> (d138AqeSkewJoin _),
+    "d140_reservoir_per_key" -> (d140ReservoirPerKey _),
+    "d141_changelog_apply" -> (d141ChangelogApply _),
     "d130_linear_probe" -> (d130LinearProbe _),
     "d131_cohens_kappa" -> (d131CohensKappa _),
     "d133_incremental_stats" -> (d133IncrementalStats _),
@@ -4626,6 +4737,8 @@ object CorpusOps {
     "d126_shard_gate" -> d126Oracle,
     "d128_salted_join" -> d128Oracle,
     "d138_aqe_skew_join" -> d138Oracle,
+    "d140_reservoir_per_key" -> d140Oracle,
+    "d141_changelog_apply" -> d141Oracle,
     "d130_linear_probe" -> d130Oracle,
     "d131_cohens_kappa" -> d131Oracle,
     "d133_incremental_stats" -> d133Oracle,

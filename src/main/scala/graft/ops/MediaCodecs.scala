@@ -10,8 +10,11 @@ package graft.ops
   * (PNG/JPEG/GIF/BMP) decode through `javax.imageio.ImageIO`, which
   * ships in the JDK (java.desktop) and is headless-safe for decoding.
   * Only formats that genuinely require codecs absent from the JDK —
-  * compressed audio (MP3/FLAC/AAC) and video (MP4/AVI/MKV/WebM) — fall
-  * through to the labeled byte-statistics stub. Everything is
+  * compressed audio SAMPLES (MP3/FLAC/AAC) and video
+  * (MP4/AVI/MKV/WebM) — fall through to the labeled byte-statistics
+  * stub; MPEG-audio frame-header METADATA (frame count, duration,
+  * bitrate, CBR/VBR) is parsed for real by [[parseMp3]], since the
+  * header layout and tables are pure public spec. Everything is
   * allocation-lean and partition-local: these run inside
   * `mapPartitions` over blob iterators, so no method here may touch
   * Spark or retain state.
@@ -394,6 +397,112 @@ object MediaCodecs {
       b += 1
     }
     h
+  }
+
+  // ------------------------------------------------------- MP3 headers
+  // Frame-header METADATA parsing for MPEG audio (MP3 and friends) —
+  // the compressed-audio half-step that IS possible pure-JVM: the
+  // frame header layout, bitrate/sample-rate tables, and frame-length
+  // arithmetic are the public ISO/IEC 11172-3 / 13818-3 specification,
+  // so frame count, duration, bitrate, and CBR/VBR-ness are exactly
+  // computable without any codec. SAMPLE decode (Huffman + IMDCT +
+  // synthesis filterbank) still genuinely needs a non-JDK codec and
+  // remains the labeled stub — see SURVEY §8 compressed-codec note.
+
+  /** MPEG audio stream metadata from a frame-header walk. `samples` is
+    * the exact PCM sample count the frames would decode to; `cbr` is
+    * false if any two frames declare different bitrates. */
+  final case class Mp3Meta(frames: Int, sampleRate: Int,
+      firstBitrateKbps: Int, samples: Long, cbr: Boolean)
+
+  /** An MPEG audio payload: optional ID3v2 tag followed by a frame
+    * sync (0xFF Ex). */
+  def isMp3(d: Array[Byte]): Boolean = {
+    val off = id3v2End(d)
+    (d.length >= 3 && d(0) == 'I' && d(1) == 'D' && d(2) == '3') ||
+      (d.length >= off + 2 && (d(off) & 0xff) == 0xff &&
+        (d(off + 1) & 0xe0) == 0xe0)
+  }
+
+  /** Byte offset just past an ID3v2 tag (0 when absent): 10-byte
+    * header "ID3" + version(2) + flags(1) + 28-bit SYNCSAFE size. */
+  private def id3v2End(d: Array[Byte]): Int =
+    if (d.length >= 10 && d(0) == 'I' && d(1) == 'D' && d(2) == '3')
+      10 + (((d(6) & 0x7f) << 21) | ((d(7) & 0x7f) << 14) |
+        ((d(8) & 0x7f) << 7) | (d(9) & 0x7f))
+    else 0
+
+  // bitrate tables (kbps), indexed 1..14; index 0 = free-form and
+  // index 15 = reserved, both rejected. Rows: MPEG1 L1/L2/L3, then
+  // MPEG2/2.5 L1 and L2+L3 (which share a table).
+  private val BrV1L1 = Array(0, 32, 64, 96, 128, 160, 192, 224, 256, 288, 320, 352, 384, 416, 448)
+  private val BrV1L2 = Array(0, 32, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320, 384)
+  private val BrV1L3 = Array(0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320)
+  private val BrV2L1 = Array(0, 32, 48, 56, 64, 80, 96, 112, 128, 144, 160, 176, 192, 224, 256)
+  private val BrV2L23 = Array(0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160)
+  // sample rates by version (MPEG1 / MPEG2 / MPEG2.5), index 0..2
+  private val SrV1 = Array(44100, 48000, 32000)
+  private val SrV2 = Array(22050, 24000, 16000)
+  private val SrV25 = Array(11025, 12000, 8000)
+
+  /** Walk MPEG audio frames from the first sync: per frame, decode
+    * version/layer/bitrate-index/sample-rate-index/padding and step by
+    * the spec frame length (Layer I: `(12·bit/rate + pad)·4` slots;
+    * Layers II/III: `spf/8·bit/rate + pad` where spf is the samples
+    * per frame — 384 for L1, 1152 for L2, 1152/576 for L3 in
+    * MPEG1/MPEG2). The walk STOPS (keeping frames so far) at lost
+    * sync, a reserved/free-form header, or a truncated final frame —
+    * trailing garbage and cut-off uploads yield the parsed prefix, not
+    * a throw mid-partition. None when no complete frame parses. */
+  def parseMp3(d: Array[Byte]): Option[Mp3Meta] = {
+    var off = id3v2End(d)
+    var frames = 0
+    var rate = 0
+    var firstKbps = 0
+    var cbr = true
+    var samples = 0L
+    var done = false
+    while (!done && off + 4 <= d.length) {
+      val b1 = d(off) & 0xff
+      val b2 = d(off + 1) & 0xff
+      val b3 = d(off + 2) & 0xff
+      val verBits = (b2 >> 3) & 3 // 3=MPEG1, 2=MPEG2, 0=MPEG2.5, 1=reserved
+      val layerBits = (b2 >> 1) & 3 // 3=L1, 2=L2, 1=L3, 0=reserved
+      val brIdx = (b3 >> 4) & 0xf
+      val srIdx = (b3 >> 2) & 3
+      val pad = (b3 >> 1) & 1
+      if (b1 != 0xff || (b2 & 0xe0) != 0xe0 || verBits == 1 ||
+          layerBits == 0 || brIdx == 0 || brIdx == 15 || srIdx == 3) {
+        done = true
+      } else {
+        val v1 = verBits == 3
+        val kbps = (layerBits match {
+          case 3 => if (v1) BrV1L1 else BrV2L1
+          case 2 => if (v1) BrV1L2 else BrV2L23
+          case _ => if (v1) BrV1L3 else BrV2L23
+        })(brIdx)
+        val sr = (if (v1) SrV1 else if (verBits == 2) SrV2 else SrV25)(srIdx)
+        val spf = layerBits match {
+          case 3 => 384
+          case 2 => 1152
+          case _ => if (v1) 1152 else 576
+        }
+        val flen =
+          if (layerBits == 3) (12 * kbps * 1000 / sr + pad) * 4
+          else spf / 8 * kbps * 1000 / sr + pad
+        if (frames > 0 && (sr != rate)) done = true // rate change: stop
+        else if (off + flen > d.length) done = true // truncated frame
+        else {
+          if (frames == 0) { rate = sr; firstKbps = kbps }
+          else if (kbps != firstKbps) cbr = false
+          frames += 1
+          samples += spf
+          off += flen
+        }
+      }
+    }
+    if (frames == 0) None
+    else Some(Mp3Meta(frames, rate, firstKbps, samples, cbr))
   }
 
   /** Whole-image feature — [mean, stddev, min, max, quadrant means

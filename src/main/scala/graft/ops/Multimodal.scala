@@ -368,15 +368,114 @@ object Multimodal {
          FROM bits GROUP BY doc_id),
        ${bandedNeighborsSql("ahash", ADHashMaxHamming)}"""
 
+  // --------------------------------------------------------------- d139
+  /** COMPRESSED-AUDIO METADATA EXTRACTION via the MPEG frame-header
+    * walk ([[MediaCodecs.parseMp3]]) — the real half of the
+    * compressed-codec story (sample decode stays the labeled stub; see
+    * SURVEY §8): a crawl triages compressed audio by duration /
+    * bitrate / sample-rate BEFORE any transcoding fleet runs, and all
+    * of that is frame-header arithmetic from the public ISO 11172-3
+    * spec, no codec needed.
+    *
+    * Each document synthesizes a spec-valid MPEG1 Layer III stream
+    * whose parameters derive from `doc_id` — frame count
+    * `1 + id mod 4`, sample rate by `id mod 3`, bitrate by `id mod 5`,
+    * padding bit `id mod 2`, an ID3v2 tag (syncsafe size
+    * `id mod 100`) on even ids — with adversarial details planted:
+    * each frame BODY starts with a fake 0xFF 0xFB sync (a parser that
+    * scans for syncs instead of stepping by computed frame length
+    * miscounts), and the stream ends with a truncated 2-byte sync
+    * (must not count). The parse runs partition-local in the same
+    * `mapPartitions` batch shape as the real decoders — at 100 TB the
+    * only thing that ever shuffles is the K-byte metadata row, never
+    * the media. The DuckDB oracle predicts every output column
+    * CLOSED-FORM from `doc_id` (the synthesis parameters), so a wrong
+    * bitrate table entry, frame-length formula, ID3 skip, or padding
+    * step desyncs the walk and fails the hash; the frame-length
+    * arithmetic is additionally pinned against public reference
+    * values (417/418 bytes at 44.1 kHz 128 kbps) in `MediaSpec`. */
+  def d139Mp3Meta(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ids = Tables.load(spark, dir, "documents").select("doc_id")
+      .as[Long]
+    val parsed = ids.mapPartitions { it =>
+      it.flatMap { id =>
+        val payload = mp3Payload(id)
+        MediaCodecs.parseMp3(payload).map { m =>
+          (id, m.frames.toLong, m.sampleRate, m.firstBitrateKbps,
+            m.samples * 1000000L / m.sampleRate, m.cbr)
+        }
+      }
+    }.toDF("doc_id", "n_frames", "sample_rate", "bitrate_kbps",
+      "duration_us", "cbr")
+    parsed.orderBy("doc_id")
+  }
+
+  /** MPEG1 Layer III sample rates / bitrates the d139 synthesis draws
+    * from (indices into the public tables: sr 0..2, br 5/7/9/11/13). */
+  private val D139Rates = Array(44100, 48000, 32000)
+  private val D139Kbps = Array(64, 96, 128, 192, 256)
+  private val D139BrIdx = Array(5, 7, 9, 11, 13)
+
+  /** Deterministic spec-valid MPEG1-L3 stream for one doc id: optional
+    * ID3v2 tag, `1 + id%4` CBR frames (fake sync planted at each body
+    * start), then a truncated trailing sync. */
+  private[graft] def mp3Payload(id: Long): Array[Byte] = {
+    val nFrames = (1 + id % 4).toInt
+    val rateIdx = (id % 3).toInt
+    val brSel = (id % 5).toInt
+    val pad = (id % 2).toInt
+    val out = new java.io.ByteArrayOutputStream()
+    if (id % 2 == 0) {
+      val tagSize = (id % 100).toInt // syncsafe: < 128 fits last byte
+      out.write('I'); out.write('D'); out.write('3')
+      out.write(4); out.write(0) // version 2.4.0
+      out.write(0) // flags
+      out.write(0); out.write(0); out.write(0); out.write(tagSize)
+      var i = 0
+      while (i < tagSize) { out.write(0); i += 1 }
+    }
+    val flen = 144 * D139Kbps(brSel) * 1000 / D139Rates(rateIdx) + pad
+    var f = 0
+    while (f < nFrames) {
+      out.write(0xff)
+      out.write(0xfb) // sync + MPEG1 + Layer III + no CRC
+      out.write((D139BrIdx(brSel) << 4) | (rateIdx << 2) | (pad << 1))
+      out.write(0x44) // mode/emphasis bits — length-irrelevant
+      // body: planted fake sync, then zeros
+      out.write(0xff); out.write(0xfb)
+      var i = 6
+      while (i < flen) { out.write(0); i += 1 }
+      f += 1
+    }
+    out.write(0xff); out.write(0xe2) // truncated trailing sync
+    out.toByteArray
+  }
+
+  val d139Oracle: String =
+    """SELECT doc_id,
+         1 + doc_id % 4 AS n_frames,
+         CASE doc_id % 3 WHEN 0 THEN 44100 WHEN 1 THEN 48000
+           ELSE 32000 END AS sample_rate,
+         CASE doc_id % 5 WHEN 0 THEN 64 WHEN 1 THEN 96 WHEN 2 THEN 128
+           WHEN 3 THEN 192 ELSE 256 END AS bitrate_kbps,
+         (1 + doc_id % 4) * 1152 * 1000000
+           // (CASE doc_id % 3 WHEN 0 THEN 44100 WHEN 1 THEN 48000
+              ELSE 32000 END) AS duration_us,
+         TRUE AS cbr
+       FROM documents ORDER BY doc_id"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d11_multimodal_meta" -> (d11MultimodalMeta _),
     "d70_image_dhash" -> (d70ImageDhash _),
-    "d81_audio_dhash" -> (d81AudioDhash _)
+    "d81_audio_dhash" -> (d81AudioDhash _),
+    "d139_mp3_meta" -> (d139Mp3Meta _)
   )
 
   val oracles: Map[String, String] = Map(
     "d11_multimodal_meta" -> d11Oracle,
     "d70_image_dhash" -> d70Oracle,
-    "d81_audio_dhash" -> d81Oracle
+    "d81_audio_dhash" -> d81Oracle,
+    "d139_mp3_meta" -> d139Oracle
   )
 }

@@ -351,4 +351,82 @@ class MediaCodecsSpec extends SparkSpec {
       Multimodal.wavHeader8BitMono(4096) ++ up.map(_.toByte)).get
     assert(MediaCodecs.audioDHash(pcmUp.mono, 128.0) == (1L << 63) - 1)
   }
+
+  // ------------------------------------------------------- MP3 headers
+
+  /** One MPEG audio frame of EXPLICIT total length — the length is
+    * passed in by the test (from public reference values or spelled-out
+    * arithmetic), NOT computed with the parser's own formula, so a
+    * frame-length bug cannot cancel out. */
+  private def mp3Frame(ver: Int, layer: Int, brIdx: Int, srIdx: Int,
+      pad: Int, totalLen: Int): Array[Byte] = {
+    val f = new Array[Byte](totalLen)
+    f(0) = 0xff.toByte
+    f(1) = (0xe0 | (ver << 3) | (layer << 1) | 1).toByte
+    f(2) = ((brIdx << 4) | (srIdx << 2) | (pad << 1)).toByte
+    f(3) = 0x44
+    f
+  }
+
+  test("parseMp3: public reference frame lengths (44.1 kHz 128 kbps " +
+      "MPEG1-L3 = 417/418 bytes) and multi-frame stepping") {
+    // the canonical spec example: floor(144*128000/44100)=417, pad→418
+    val noPad = mp3Frame(3, 1, 9, 0, 0, 417)
+    val pad = mp3Frame(3, 1, 9, 0, 1, 418)
+    val m1 = MediaCodecs.parseMp3(noPad).get
+    assert(m1 == MediaCodecs.Mp3Meta(1, 44100, 128, 1152, cbr = true))
+    // stepping: exact lengths back-to-back parse as separate frames —
+    // and a fake sync planted INSIDE a body must not be counted
+    val body = pad.clone(); body(4) = 0xff.toByte; body(5) = 0xfb.toByte
+    val two = noPad ++ body
+    val m2 = MediaCodecs.parseMp3(two).get
+    assert(m2.frames == 2 && m2.samples == 2304 && m2.cbr)
+    // one byte short: the truncated final frame is not counted
+    val m3 = MediaCodecs.parseMp3(two.dropRight(1)).get
+    assert(m3.frames == 1)
+  }
+
+  test("parseMp3: ID3v2 syncsafe skip, VBR flag, stop conditions") {
+    // ID3v2 tag with a MULTI-BYTE syncsafe size (300 = 2<<7 | 44)
+    val tag = Array[Byte]('I', 'D', '3', 4, 0, 0, 0, 0, 2, 44) ++
+      new Array[Byte](300)
+    val frame = mp3Frame(3, 1, 9, 0, 0, 417)
+    assert(MediaCodecs.isMp3(tag ++ frame))
+    assert(MediaCodecs.parseMp3(tag ++ frame).get.frames == 1)
+    // VBR: 128 kbps then 192 kbps (idx 11; floor(144*192000/44100)=626)
+    val vbr = MediaCodecs.parseMp3(frame ++ mp3Frame(3, 1, 11, 0, 0, 626)).get
+    assert(!vbr.cbr && vbr.firstBitrateKbps == 128 && vbr.frames == 2)
+    // free-form (brIdx 0) and reserved (15) headers parse no frame
+    assert(MediaCodecs.parseMp3(mp3Frame(3, 1, 0, 0, 0, 417)).isEmpty)
+    assert(MediaCodecs.parseMp3(mp3Frame(3, 1, 15, 0, 0, 417)).isEmpty)
+    // trailing garbage after a good frame stops the walk cleanly
+    val m = MediaCodecs.parseMp3(frame ++ Array[Byte](0x12, 0x34, 0x56, 0x78)).get
+    assert(m.frames == 1)
+    assert(!MediaCodecs.isMp3(Multimodal.wavHeader8BitMono(64)))
+  }
+
+  test("parseMp3: MPEG2 Layer III (576 samples) and Layer I slot formula") {
+    // MPEG2 (ver bits 10) L3 at 22.05 kHz, idx 10 → 96 kbps:
+    // floor(72*96000/22050) = 313 bytes, 576 samples/frame
+    val v2 = MediaCodecs.parseMp3(mp3Frame(2, 1, 10, 0, 0, 313)).get
+    assert(v2 == MediaCodecs.Mp3Meta(1, 22050, 96, 576, cbr = true))
+    // MPEG1 Layer I (layer bits 11) at 44.1 kHz, idx 2 → 64 kbps:
+    // (floor(12*64000/44100) + 0) * 4 = 68 bytes, 384 samples/frame
+    val l1 = MediaCodecs.parseMp3(mp3Frame(3, 3, 2, 0, 0, 68)).get
+    assert(l1 == MediaCodecs.Mp3Meta(1, 44100, 64, 384, cbr = true))
+  }
+
+  test("d139 synthesis round-trips to the closed-form metadata the " +
+      "oracle predicts, for every id residue class") {
+    for (id <- 0L until 60L) {
+      val m = MediaCodecs.parseMp3(Multimodal.mp3Payload(id)).get
+      assert(m.frames == 1 + (id % 4).toInt, s"id=$id frames")
+      val rate = Array(44100, 48000, 32000)((id % 3).toInt)
+      assert(m.sampleRate == rate, s"id=$id rate")
+      assert(m.firstBitrateKbps ==
+        Array(64, 96, 128, 192, 256)((id % 5).toInt), s"id=$id kbps")
+      assert(m.samples == (1 + id % 4) * 1152L, s"id=$id samples")
+      assert(m.cbr, s"id=$id cbr")
+    }
+  }
 }

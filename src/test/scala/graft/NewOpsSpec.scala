@@ -1021,4 +1021,46 @@ class NewOpsSpec extends SparkSpec {
     assert(r.getAs[Long]("frac_real") == picked * 10L)
     assert(r.getAs[Long]("realized_tokens") == 2L * 40L + picked * 10L)
   }
+
+  // ------------------------------------------------------------- d140
+  test("d140 reservoir picks exactly the independent hash-ranked top-K " +
+      "per source, honoring the double-rounded sort key") {
+    val dir = tmp()
+    // "big" exceeds the cap (8 docs -> keep 5); "small" fits (3 docs)
+    val rows = (0 until 8).map(i => (10L + i, s"b$i", "big")) ++
+      (0 until 3).map(i => (50L + i, s"s$i", "small"))
+    writeDocs(dir, rows)
+    // independent model: md5-derived 60-bit hash of the id string,
+    // DOUBLE-rounded exactly as the op's sort key, desc, tie id asc
+    def key(id: Long) = (-jvmHash60(id.toString).toDouble, id)
+    val expect = rows.groupBy(_._3).flatMap { case (src, rs) =>
+      rs.map(_._1).sortBy(key).take(CorpusOps.ReservoirK)
+        .zipWithIndex.map { case (id, rk) => (src, rk, id) }
+    }.toSet
+    val got = CorpusOps.d140ReservoirPerKey(spark, dir).collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(2))).toSet
+    assert(got == expect, s"got $got want $expect")
+    assert(got.count(_._1 == "big") == CorpusOps.ReservoirK)
+    assert(got.count(_._1 == "small") == 3)
+  }
+
+  // ------------------------------------------------------------- d141
+  test("d141 changelog apply: update wins over base, delete wins over " +
+      "update, version order decides the 7*11 overlap") {
+    val dir = tmp()
+    import spark.implicits._
+    // keys: plain (5), update-only (7, 14), delete-only (11, 22),
+    // update+delete overlap (77 — the later delete must erase it)
+    val orders = Seq(
+      (5L, 100.25), (7L, 200.50), (14L, 300.75),
+      (11L, 400.00), (22L, 500.00), (77L, 600.00))
+    orders.toDF("o_orderkey", "o_totalprice")
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    val r = CorpusOps.d141ChangelogApply(spark, dir).collect().head
+    // survivors: 5 (base), 7 and 14 (repriced +10); 11/22/77 deleted
+    assert(r.getAs[Long]("n_rows") == 3L)
+    assert(r.getAs[Double]("total_price") ==
+      math.rint((100.25 + 210.50 + 310.75) * 100) / 100)
+    assert(r.getAs[Long]("xor_keys") == (5L ^ 7L ^ 14L))
+  }
 }
