@@ -133,6 +133,25 @@ object Layouts {
       .write.mode("overwrite").partitionBy("shard").parquet(path)
   }
 
+  /** Write `df` as `numShards` RANGE shards: `repartitionByRange` on
+    * the key (sampled, balanced boundaries), locally sorted, one
+    * directory per shard — the sorted-run export whose shard key
+    * ranges are strictly disjoint and ordered by shard id, so a
+    * consumer can merge-read globally ordered data or binary-search a
+    * shard by key. Complements [[writeShards]] (hash assignment:
+    * balanced for any key distribution, but unordered). Boundaries
+    * come from the range sampler, so placement is balanced but not
+    * byte-reproducible run-to-run — the d146 gate pins the ordering
+    * contract, not the placement. */
+  def writeRangeShards(df: DataFrame, path: String, numShards: Int,
+      key: String): Unit = {
+    import org.apache.spark.sql.functions._
+    df.repartitionByRange(numShards, df(key))
+      .withColumn("shard", spark_partition_id())
+      .sortWithinPartitions(key)
+      .write.mode("overwrite").partitionBy("shard").parquet(path)
+  }
+
   /** Morton (Z-order) interleave of two 16-bit dimensions as a SQL
     * expression string — bit `i` of `a` lands at position `2i`, bit `i`
     * of `b` at `2i+1`. Emitted as a plain `>>`/`&`/`<<` integer formula

@@ -3443,7 +3443,16 @@ object CorpusOps {
     * (user, value) window refines it), islands are ≤ events, and the
     * output is runs, not events — the compression is the point. Total
     * order is (us, event_id), the d80 tie-break. */
-  def d134Scd2Intervals(spark: SparkSession, dir: String): DataFrame = {
+  def d134Scd2Intervals(spark: SparkSession, dir: String): DataFrame =
+    scd2Runs(spark, dir)
+      .select("user_id", "event_type", "valid_from", "valid_to", "n_events")
+      .orderBy("user_id", "valid_from", "event_type")
+
+  /** The SCD2 interval frame itself, unordered — d134's gate output and
+    * the dimension side of d142's snapshot census join. One row per
+    * (user, event_type) run with [valid_from, valid_to) µs bounds;
+    * valid_to is NULL on each user's open current run. */
+  private[graft] def scd2Runs(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val wAll = Window.partitionBy("user_id").orderBy("us", "event_id")
     val wVal = Window.partitionBy("user_id", "event_type")
@@ -3459,14 +3468,14 @@ object CorpusOps {
     // is a total order even when two runs tie on the boundary µs
     val wRun = Window.partitionBy("user_id")
       .orderBy(col("valid_from"), col("event_type"))
-    runs
-      .withColumn("valid_to", lead("valid_from", 1).over(wRun))
-      .select("user_id", "event_type", "valid_from", "valid_to", "n_events")
-      .orderBy("user_id", "valid_from", "event_type")
+    runs.withColumn("valid_to", lead("valid_from", 1).over(wRun))
   }
 
-  val d134Oracle: String =
-    """WITH e AS (
+  /** d134's interval build as shared CTE text (`e`, `runs`, `iv`) — the
+    * d142 oracle joins against the SAME `iv` relation d134 emits, so
+    * the two gates cannot drift on what an interval means. */
+  private val Scd2RunsCtes: String =
+    """e AS (
          SELECT user_id, event_type, event_id, epoch_us(ts) AS us,
            row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
              - row_number() OVER (PARTITION BY user_id, event_type
@@ -3475,12 +3484,18 @@ object CorpusOps {
        runs AS (
          SELECT user_id, event_type, min(us) AS valid_from,
            CAST(count(*) AS BIGINT) AS n_events
-         FROM e GROUP BY user_id, event_type, grp)
-       SELECT user_id, event_type, valid_from,
-         lead(valid_from, 1) OVER (PARTITION BY user_id
-           ORDER BY valid_from, event_type) AS valid_to,
-         n_events
-       FROM runs ORDER BY user_id, valid_from, event_type"""
+         FROM e GROUP BY user_id, event_type, grp),
+       iv AS (
+         SELECT user_id, event_type, valid_from,
+           lead(valid_from, 1) OVER (PARTITION BY user_id
+             ORDER BY valid_from, event_type) AS valid_to,
+           n_events
+         FROM runs)"""
+
+  val d134Oracle: String =
+    s"""WITH $Scd2RunsCtes
+       SELECT user_id, event_type, valid_from, valid_to, n_events
+       FROM iv ORDER BY user_id, valid_from, event_type"""
 
   // -------------------------------------------------------------- d135
   /** REFERENTIAL-INTEGRITY AUDIT — orphan counts across the catalog's
@@ -4651,7 +4666,200 @@ object CorpusOps {
          CAST(bit_xor(k) AS BIGINT) AS xor_keys
        FROM w WHERE op = 'U'"""
 
+  // -------------------------------------------------------------- d142
+  /** Snapshot spine granularity (1 hour) and the coarser candidate
+    * bucket (6 hours) the interval join is keyed on. */
+  private[graft] val SnapHourUs = 3600L * 1000000
+  private[graft] val SnapBucketUs = 6L * SnapHourUs
+
+  /** POINT-IN-INTERVAL JOIN (state census) — for every hourly snapshot
+    * time, how many users were in each SCD2 state ([[scd2Runs]], the
+    * d134 dimension): the "what was true AT time t, for every t" query
+    * a warehouse answers off its slowly-changing dimensions. The naive
+    * formulation is an INEQUALITY-ONLY join (valid_from <= s <
+    * valid_to), which Spark can only plan as a broadcast nested loop —
+    * O(snapshots x intervals) compared pairs. The scale rewrite here is
+    * the classic RANGE-JOIN BUCKETING: each interval explodes to the
+    * 6-hour buckets it overlaps, the snapshot spine keys to its bucket,
+    * and the join becomes an EQUI-join on the bucket id with the exact
+    * containment predicate as a residual filter — a hash join whose
+    * compared-pair count is |overlap pairs|, not the cross product.
+    *
+    * Scale shape: the spine is CALENDAR-sized (span/1 h rows, exploded
+    * from a 1-row broadcast bounds aggregate — never data-sized); the
+    * interval expansion is sum(duration)/6 h + runs rows ~= users x
+    * span-hours/6; the equi-join shuffles/broadcasts on `bk`; the
+    * census re-aggregates to (snapshot, state) — calendar x states
+    * rows. Bucket width trades expansion factor against residual
+    * selectivity exactly like any range-join bin. Open intervals cap
+    * at the spine end (they match every later snapshot). */
+  def d142IntervalJoin(spark: SparkSession, dir: String): DataFrame = {
+    val bounds = Tables.load(spark, dir, "events")
+      .agg(
+        (expr(s"unix_micros(min(ts)) div $SnapHourUs") * SnapHourUs).as("t0"),
+        (expr(s"unix_micros(max(ts)) div $SnapHourUs") * SnapHourUs).as("t1"))
+    val spine = bounds.filter(col("t0").isNotNull)
+      .select(explode(sequence(col("t0"), col("t1"), lit(SnapHourUs))).as("s"))
+      .withColumn("bk", expr(s"s div $SnapBucketUs"))
+    val expanded = scd2Runs(spark, dir)
+      .crossJoin(broadcast(bounds)) // 1-row scalar bounds
+      .withColumn("to_eff", coalesce(col("valid_to"), col("t1") + 1))
+      .withColumn("bk", explode(sequence(
+        expr(s"valid_from div $SnapBucketUs"),
+        expr(s"(to_eff - 1) div $SnapBucketUs"))))
+      .select("bk", "event_type", "valid_from", "to_eff")
+    spine.join(expanded, Seq("bk"))
+      .filter(col("valid_from") <= col("s") && col("s") < col("to_eff"))
+      .groupBy(timestamp_micros(col("s")).as("snap"), col("event_type"))
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy("snap", "event_type")
+  }
+
+  /** DuckDB runs the inequality join natively (IEJoin) over the SAME
+    * `iv` CTE text as d134 — equality of the two plans is exactly the
+    * bucketing rewrite's correctness claim. */
+  val d142Oracle: String =
+    s"""WITH $Scd2RunsCtes,
+       b AS (SELECT (epoch_us(min(ts)) // $SnapHourUs) * $SnapHourUs AS t0,
+                    (epoch_us(max(ts)) // $SnapHourUs) * $SnapHourUs AS t1
+             FROM events),
+       spine AS (SELECT unnest(range(t0, t1 + 1, $SnapHourUs)) AS s
+                 FROM b WHERE t0 IS NOT NULL),
+       m AS (SELECT s, iv.event_type
+             FROM spine JOIN iv ON iv.valid_from <= s
+               AND s < coalesce(iv.valid_to, (SELECT t1 + 1 FROM b)))
+       SELECT make_timestamp(s) AS snap, event_type, count(*) AS n_users
+       FROM m GROUP BY 1, 2 ORDER BY 1, 2"""
+
+  // -------------------------------------------------------------- d144
+  /** Rolling window width in days for the sliding-distinct census. */
+  private[graft] val SlideDays = 7
+
+  /** SLIDING-WINDOW COUNT DISTINCT (rolling 7-day active users) — the
+    * DAU/WAU engagement census. Distinct-over-a-sliding-window cannot
+    * reuse q30's sum-decomposition (distinct is not additive across
+    * days), and the naive per-window re-scan reads the log once per
+    * window. The scale shape: pre-collapse the log to DISTINCT
+    * (user, day) — users x days rows, the only data-sized shuffle —
+    * then each (user, day) CONTRIBUTES to the <=7 target days it makes
+    * active, a second distinct collapses multi-day users within each
+    * window, and a count per target day finishes. Fan-out is the
+    * window width over the already-collapsed frame, never over raw
+    * events; no global order, no per-window scan. Target days with no
+    * 7-day activity at all do not appear (inner semantics — the spine
+    * is where activity exists). Emits (day, dau, wau); the
+    * dau/wau "stickiness" ratio is left to the reader deliberately —
+    * an exact-integer output cannot sit on a rounding boundary. */
+  def d144SlidingDistinct(spark: SparkSession, dir: String): DataFrame = {
+    val ud = Tables.load(spark, dir, "events")
+      .select(col("user_id"), date_trunc("day", col("ts")).as("d"))
+      .distinct()
+    val mx = broadcast(ud.agg(max(col("d")).as("mx"))) // 1-row scalar
+    val wau = ud
+      .withColumn("i", explode(sequence(lit(0), lit(SlideDays - 1))))
+      .select(col("user_id"), expr("timestampadd(DAY, i, d)").as("day"))
+      .crossJoin(mx).filter(col("day") <= col("mx"))
+      .distinct()
+      .groupBy("day").agg(count(lit(1)).as("wau"))
+    val dau = ud.groupBy(col("d").as("day")).agg(count(lit(1)).as("dau"))
+    wau.join(dau, Seq("day"), "left")
+      .select(col("day"), coalesce(col("dau"), lit(0L)).as("dau"), col("wau"))
+      .orderBy("day")
+  }
+
+  val d144Oracle: String =
+    s"""WITH ud AS (
+         SELECT DISTINCT user_id, date_trunc('day', ts) AS d FROM events),
+       mx AS (SELECT max(d) AS mx FROM ud),
+       c AS (
+         SELECT DISTINCT user_id, d + to_days(CAST(i AS INT)) AS day
+         FROM ud, (SELECT unnest(range(${SlideDays})) AS i), mx
+         WHERE d + to_days(CAST(i AS INT)) <= mx),
+       wau AS (SELECT day, count(*) AS wau FROM c GROUP BY day),
+       dau AS (SELECT d AS day, count(*) AS dau FROM ud GROUP BY d)
+       SELECT day, coalesce(dau.dau, 0) AS dau, wau.wau
+       FROM wau LEFT JOIN dau USING (day) ORDER BY day"""
+
+  // -------------------------------------------------------------- d146
+  /** TOTAL-ORDER RANGE-SHARD EXPORT, gated — the ordered counterpart
+    * of d126's hash shards: `repartitionByRange` on the key samples
+    * the key distribution for balanced boundaries, each shard is
+    * locally sorted, and shard i's key range sits strictly below
+    * shard i+1's — the sorted-run layout that lets downstream
+    * consumers merge-read a globally ordered corpus (or binary-search
+    * a shard by key) without ever re-sorting. Because the sampled
+    * boundaries are not reproducible run-to-run, the gate pins the
+    * CONTRACT, not the placement: all [[GateShards]] shard directories
+    * exist, per-shard [min,max] key ranges are strictly disjoint and
+    * ordered by shard id, shard sizes stay within 2.5x of the mean
+    * (the sampler's balance claim), and the read-back content —
+    * emitted in (shard, key) order, which the disjointness pin proves
+    * IS global key order — hash-matches the source table exactly
+    * (losslessness). At 100 TB this is the terminal step of any
+    * pipeline whose consumer wants key-ordered data: the sort cost is
+    * one range exchange + local sorts, paid once at write time. */
+  def d146RangeShards(spark: SparkSession, dir: String): DataFrame = {
+    import graft.io.Layouts
+    val path = java.nio.file.Files.createTempDirectory("graft-d146")
+    try {
+      val d = docs(spark, dir).select("doc_id", "text")
+      Layouts.writeRangeShards(d, path.toString, GateShards, "doc_id")
+      val shardDirs = Option(path.toFile.list()).getOrElse(Array.empty[String])
+        .toSeq.filter(_.startsWith("shard="))
+      // a zero-row corpus writes no shard directories — nothing to pin
+      if (shardDirs.isEmpty) {
+        import org.apache.spark.sql.types._
+        return spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          StructType(Seq(
+            StructField("doc_id", LongType),
+            StructField("h", LongType))))
+      }
+      require(shardDirs.size == GateShards,
+        s"expected $GateShards range shards, found ${shardDirs.size}")
+      val back = spark.read.parquet(path.toString)
+        .select(col("doc_id"), TextOps.hash60(col("text")).as("h"),
+          col("shard").cast("int").as("shard"))
+        .localCheckpoint() // the temp layout can be deleted after this
+      val stats = back.groupBy("shard")
+        .agg(min("doc_id").as("mn"), max("doc_id").as("mx"),
+          count(lit(1)).as("n"))
+        .orderBy("shard").collect() // GateShards rows
+      val counts = stats.map(_.getAs[Long]("n"))
+      require(counts.forall(_ > 0L),
+        s"every range shard must be nonempty: ${counts.mkString(",")}")
+      require(counts.max.toDouble <= 2.5 * (counts.sum.toDouble / counts.length),
+        s"range-shard imbalance beyond 2.5x mean: ${counts.mkString(",")}")
+      // strict disjointness: shard i's max key below shard i+1's min —
+      // (shard, doc_id) order is then provably GLOBAL doc_id order
+      stats.toList.sliding(2).foreach {
+        case List(a, b) =>
+          require(a.getAs[Long]("mx") < b.getAs[Long]("mn"),
+            s"shard ranges overlap: ${a.getAs[Int]("shard")} " +
+              s"[..${a.getAs[Long]("mx")}] vs ${b.getAs[Int]("shard")} " +
+              s"[${b.getAs[Long]("mn")}..]")
+        case _ => ()
+      }
+      back.select("doc_id", "h").orderBy("doc_id")
+    } finally {
+      try {
+        java.nio.file.Files.walk(path)
+          .sorted(java.util.Comparator.reverseOrder())
+          .forEach(p => java.nio.file.Files.deleteIfExists(p))
+      } catch { case _: java.io.IOException => () }
+    }
+  }
+
+  /** Losslessness in global key order — the placement pins live in-op
+    * (sampled range boundaries are legitimately run-dependent). */
+  val d146Oracle: String =
+    """SELECT doc_id, ('0x'||substr(md5(text),1,15))::BIGINT AS h
+       FROM documents ORDER BY doc_id"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d142_interval_join" -> (d142IntervalJoin _),
+    "d144_sliding_distinct" -> (d144SlidingDistinct _),
+    "d146_range_shards" -> (d146RangeShards _),
     "d128_salted_join" -> (d128SaltedJoin _),
     "d138_aqe_skew_join" -> (d138AqeSkewJoin _),
     "d140_reservoir_per_key" -> (d140ReservoirPerKey _),
@@ -4727,6 +4935,9 @@ object CorpusOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "d142_interval_join" -> d142Oracle,
+    "d144_sliding_distinct" -> d144Oracle,
+    "d146_range_shards" -> d146Oracle,
     "d119_k_anonymity" -> d119Oracle,
     "d120_heaps_growth" -> d120Oracle,
     "d121_robust_outliers" -> d121Oracle,

@@ -47,9 +47,14 @@ object Similarity {
     * list_cosine_similarity, so both engines run the identical
     * double-precision expression tree). */
   private def cosineSql(a: String, b: String): String =
-    s"""round(list_sum(list_transform(range(1, len($a)+1), i -> $a[i] * $b[i]))
+    s"round(${cosineRawSql(a, b)}, 4)"
+
+  /** The unrounded cosine formula — d143 scales it straight to an
+    * exact e4 integer instead of rounding to a 4dp double. */
+  private def cosineRawSql(a: String, b: String): String =
+    s"""(list_sum(list_transform(range(1, len($a)+1), i -> $a[i] * $b[i]))
        / (sqrt(list_sum(list_transform($a, x -> x*x)))
-          * sqrt(list_sum(list_transform($b, x -> x*x)))), 4)"""
+          * sqrt(list_sum(list_transform($b, x -> x*x)))))"""
 
   // ---------------------------------------------------------------- d9
   /** Brute-force cosine top-10 for one probe vector (vec_id 0). The probe
@@ -1436,7 +1441,127 @@ object Similarity {
        GROUP BY s.vec_id, b.max_cos
        ORDER BY s.vec_id"""
 
+  // -------------------------------------------------------------- d143
+  /** Neighborhood size for the margin denominator (Artetxe & Schwenk
+    * 2019's k) — the average similarity of each vector's k nearest
+    * candidates. */
+  private[graft] val BitextK = 4
+
+  /** MARGIN-BASED BITEXT MINING (Artetxe & Schwenk 2019, "Margin-based
+    * Parallel Corpus Mining with Multilingual Sentence Embeddings") —
+    * align two corpora by embedding similarity, scored not by raw
+    * cosine but by the MARGIN: cos(x,y) divided by the mean of the two
+    * vectors' own top-k candidate similarities. Raw-cosine thresholds
+    * fail on hubness (some vectors are near everything); the margin
+    * normalizes each pair by how promiscuous its endpoints are, and
+    * the mutual-best + margin > 1 rule keeps only pairs that stand
+    * out from BOTH sides' neighborhoods — the standard recipe for
+    * mining parallel text across languages/sources. Sides here are
+    * the vec_id parity split of the embeddings table.
+    *
+    * Scale shape: candidates come from the d10 sign-LSH bucket join
+    * (side A fans out to its 9 Hamming<=1 probe buckets, side B never
+    * replicates) — never all-pairs; the six window passes all share
+    * the two (a_id)/(b_id) clusterings. Cross-engine determinism: the
+    * cosine is scaled ONCE to an exact e4 INTEGER, so every
+    * downstream sum/product/ratio is exact-integer double arithmetic
+    * — identical bits in both engines — and the emitted margin is an
+    * integer-floored e4, never a rounded double on a boundary. */
+  def d143BitextMining(spark: SparkSession, dir: String): DataFrame = {
+    val e = emb(spark, dir).withColumn("bucket", signBucket(col("v")))
+    val a = e.filter(col("vec_id") % 2 === 0)
+      .select(col("vec_id").as("a_id"), col("v").as("va"), col("bucket"))
+    val b = e.filter(col("vec_id") % 2 === 1)
+      .select(col("vec_id").as("b_id"), col("v").as("vb"),
+        col("bucket").as("bb"))
+    val probes = a.withColumn("pb", explode(array(
+      col("bucket") +:
+        (0 until 8).map(i => col("bucket").bitwiseXOR(lit(1 << i))): _*)))
+    val pairs = probes.join(b, col("pb") === col("bb"))
+      .select(col("a_id"), col("b_id"),
+        round(graft.functions.CosineSim(col("va"), col("vb")) * 10000)
+          .cast("long").as("c"))
+    val wa = Window.partitionBy("a_id").orderBy(col("c").desc, col("b_id"))
+    val wb = Window.partitionBy("b_id").orderBy(col("c").desc, col("a_id"))
+    val k = BitextK
+    val scored = pairs
+      .withColumn("ra", row_number().over(wa))
+      .withColumn("rb", row_number().over(wb))
+      .withColumn("sa", sum(when(col("ra") <= k, col("c")))
+        .over(Window.partitionBy("a_id")))
+      .withColumn("na", sum(when(col("ra") <= k, lit(1L)))
+        .over(Window.partitionBy("a_id")))
+      .withColumn("sb", sum(when(col("rb") <= k, col("c")))
+        .over(Window.partitionBy("b_id")))
+      .withColumn("nb", sum(when(col("rb") <= k, lit(1L)))
+        .over(Window.partitionBy("b_id")))
+      .withColumn("den", col("sa") * col("nb") + col("sb") * col("na"))
+      .filter(col("den") > 0)
+      // all operands are exact small integers: the ratio is the same
+      // IEEE double in both engines, so ranking on it is deterministic
+      .withColumn("margin",
+        lit(2.0) * col("c") * col("na") * col("nb") / col("den"))
+    scored
+      .withColumn("fa", row_number().over(
+        Window.partitionBy("a_id").orderBy(col("margin").desc, col("b_id"))))
+      .withColumn("fb", row_number().over(
+        Window.partitionBy("b_id").orderBy(col("margin").desc, col("a_id"))))
+      .filter(col("fa") === 1 && col("fb") === 1 && col("margin") > 1.0)
+      .select(col("a_id"), col("b_id"), col("c").as("cos_e4"),
+        floor(lit(20000.0) * col("c") * col("na") * col("nb") / col("den"))
+          .cast("long").as("margin_e4"))
+      .orderBy("a_id")
+  }
+
+  val d143Oracle: String = {
+    val k = BitextK
+    s"""WITH e AS (
+         SELECT vec_id, embedding::DOUBLE[] AS v, ($bucketSql) AS bucket
+         FROM embeddings),
+       a AS (SELECT vec_id AS a_id, v AS va, bucket FROM e
+             WHERE vec_id % 2 = 0),
+       b AS (SELECT vec_id AS b_id, v AS vb, bucket AS bb FROM e
+             WHERE vec_id % 2 = 1),
+       probes AS (
+         SELECT a_id, va, unnest([bucket,
+           ${(0 until 8).map(i => s"xor(bucket, ${1 << i})").mkString(", ")}])
+           AS pb
+         FROM a),
+       pairs AS (
+         SELECT a_id, b_id,
+           CAST(round(${cosineRawSql("va", "vb")} * 10000) AS BIGINT) AS c
+         FROM probes JOIN b ON pb = bb),
+       ranked AS (
+         SELECT a_id, b_id, c,
+           row_number() OVER (PARTITION BY a_id ORDER BY c DESC, b_id) AS ra,
+           row_number() OVER (PARTITION BY b_id ORDER BY c DESC, a_id) AS rb
+         FROM pairs),
+       scored AS (
+         SELECT a_id, b_id, c,
+           sum(CASE WHEN ra <= $k THEN c END) OVER (PARTITION BY a_id) AS sa,
+           sum(CASE WHEN ra <= $k THEN 1 END) OVER (PARTITION BY a_id) AS na,
+           sum(CASE WHEN rb <= $k THEN c END) OVER (PARTITION BY b_id) AS sb,
+           sum(CASE WHEN rb <= $k THEN 1 END) OVER (PARTITION BY b_id) AS nb
+         FROM ranked),
+       m AS (
+         SELECT a_id, b_id, c, na, nb, sa * nb + sb * na AS den,
+           2.0 * c * na * nb / (sa * nb + sb * na) AS margin
+         FROM scored WHERE sa * nb + sb * na > 0),
+       best AS (
+         SELECT a_id, b_id, c, na, nb, den, margin,
+           row_number() OVER (PARTITION BY a_id
+             ORDER BY margin DESC, b_id) AS fa,
+           row_number() OVER (PARTITION BY b_id
+             ORDER BY margin DESC, a_id) AS fb
+         FROM m)
+       SELECT a_id, b_id, c AS cos_e4,
+         CAST(floor(20000.0 * c * na * nb / den) AS BIGINT) AS margin_e4
+       FROM best WHERE fa = 1 AND fb = 1 AND margin > 1.0
+       ORDER BY a_id"""
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d143_bitext_mining" -> (d143BitextMining _),
     "d129_semantic_decontam" -> (d129SemanticDecontam _),
     "d110_power_pca" -> (d110PowerPca _),
     "d111_knn_labels" -> (d111KnnLabels _),
@@ -1460,6 +1585,7 @@ object Similarity {
   )
 
   val oracles: Map[String, String] = Map(
+    "d143_bitext_mining" -> d143Oracle,
     "d129_semantic_decontam" -> d129Oracle,
     "d110_power_pca" -> d110Oracle,
     "d111_knn_labels" -> d111Oracle,

@@ -68,11 +68,13 @@ object EventStreams {
     else raw.withColumn("ts", timestamp_micros(col("ts")))
   }
 
-  /** Tumbling 1-hour aggregation — streaming q17. The 1-hour watermark
-    * lets Spark drop window state once late data can no longer arrive. */
-  def hourlyCounts(events: DataFrame): DataFrame =
+  /** Tumbling 1-hour aggregation — streaming q17. The watermark (default
+    * 1 hour of allowed lateness) lets Spark drop window state once late
+    * data can no longer arrive; d145 narrows it to exercise the
+    * late-drop path itself. */
+  def hourlyCounts(events: DataFrame, delay: String = "1 hour"): DataFrame =
     events
-      .withWatermark("ts", "1 hour")
+      .withWatermark("ts", delay)
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
       .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("total_value"))
       .select(col("window.start").as("hour"), col("event_type"),

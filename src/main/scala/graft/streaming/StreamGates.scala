@@ -350,6 +350,138 @@ object StreamGates {
     * (recovered state + no reprocessing) reproduces it. */
   val d127Oracle: String = graft.Queries.q17Oracle
 
+  // -------------------------------------------------------------- d145
+  /** Allowed lateness for the late-drop gate (µs and its watermark
+    * string form) — deliberately NARROWER than the log's lateness so
+    * the drop path actually fires. */
+  private[streaming] val LateDelayUs = 30L * 60 * 1000000
+  private[streaming] val LateDelayStr = "30 minutes"
+  /** The planted late set: event_id ≡ 3 (mod 7), ~14% of the log. */
+  private[streaming] val LateMod = 7L
+  private[streaming] val LateRem = 3L
+
+  /** WATERMARK LATE-DATA DROPS — the seventh gated streaming shape, and
+    * the one semantic the other six never exercise: what happens to
+    * data that arrives AFTER the watermark has passed its window. The
+    * hourly rollup (d104's plan, 30-minute allowed lateness) drains the
+    * ON-TIME rows (event_id ≢ 3 mod 7) and stops; a second query
+    * resumes from the same checkpoint (the d127 machinery) and replays
+    * the LATE stragglers plus one watermark-advancing sentinel. The
+    * recovered watermark W = max(on-time ts) − 30 min is already ahead
+    * of most of the log, so a late row lands only if its hour window is
+    * still open (window end > W) — everything older is dropped by the
+    * state store, and the gate REQUIRES the resumed run reported
+    * watermark drops. The union of the two append outputs must equal
+    * the batch oracle that keeps on-time rows plus exactly the late
+    * rows whose window end clears W — i.e. the gate pins WHICH rows a
+    * production pipeline with this watermark would have lost, not just
+    * that some were.
+    *
+    * Append mode (not d104's complete): append is the mode in which
+    * watermark drops are observable output semantics, and the sentinel
+    * (2.5 h past the log, its own never-finalized window) is what
+    * flushes every real window out of the final no-data micro-batch.
+    * At scale the watermark is THE state bound: allowed lateness ×
+    * input rate caps the state store; this gate is the contract for
+    * what that cap costs in data. */
+  def d145StreamLateDrops(spark: SparkSession, dir: String): DataFrame = {
+    val staged = Files.createTempDirectory("graft-d145-src")
+    val ckpt = Files.createTempDirectory("graft-d145-ckpt")
+    // the raw encoding (no ts normalization), exactly as d127 — the
+    // written phase files keep the source generation's ts physical
+    // type, so readEvents' unit probe applies unchanged
+    val raw = spark.read.parquet(s"$dir/events.parquet")
+    val isNanos =
+      raw.schema("ts").dataType == org.apache.spark.sql.types.LongType
+    val late = col("event_id") % LateMod === LateRem
+    def drop(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
+      val tmp = Files.createTempDirectory("graft-d145-w")
+      df.coalesce(1)
+        .write.mode("overwrite").parquet(tmp.resolve("out").toString)
+      val part = Files.list(tmp.resolve("out"))
+        .filter(p => p.getFileName.toString.endsWith(".parquet"))
+        .findFirst().get()
+      Files.move(part, staged.resolve(name))
+      deltree(tmp)
+    }
+    // append + restart needs a fault-tolerant sink (memory only
+    // recovers in complete mode) — the parquet FILE sink is the
+    // production shape anyway: exactly-once via its _spark_metadata
+    // commit log, which the final batch read consults
+    val out = Files.createTempDirectory("graft-d145-out")
+    def run(): org.apache.spark.sql.streaming.StreamingQuery = {
+      val query = EventStreams
+        .hourlyCounts(EventStreams.readEvents(spark, staged.toString),
+          delay = LateDelayStr)
+        .writeStream.format("parquet")
+        .option("path", out.toString)
+        .outputMode("append")
+        .option("checkpointLocation", ckpt.toString)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      query.awaitTermination()
+      query
+    }
+    val onTime = raw.filter(!late)
+    drop(onTime, "a.parquet")
+    run() // phase 1: on-time rows; commits W = max−30min
+    // sentinel = the max-ts on-time row, pushed 2.5 h past the log in
+    // the RAW encoding: finalizes every real window, while its own
+    // window (end > final watermark) is never emitted. An empty log
+    // yields an empty sentinel (limit over nothing) — nothing to flush.
+    val bumpUs = LateDelayUs + 2L * 3600 * 1000000
+    val sentinel = onTime.orderBy(col("ts").desc).limit(1)
+      .select(
+        lit(-1L).as("event_id"),
+        (if (isNanos) col("ts") + lit(bumpUs * 1000L)
+         else col("ts") + expr(s"INTERVAL ${bumpUs / 60000000L} MINUTES"))
+          .as("ts"),
+        lit(-1L).as("user_id"), lit("view").as("event_type"),
+        lit(0.0).as("value"), lit(null).cast("string").as("props"))
+    val hasOnTime = !onTime.isEmpty
+    drop(raw.filter(late).unionByName(sentinel), "b.parquet")
+    val q2 = run() // phase 2: resume; stragglers judged against W
+    if (hasOnTime) {
+      val dropped = q2.recentProgress
+        .flatMap(_.stateOperators).map(_.numRowsDroppedByWatermark).sum
+      require(dropped > 0,
+        "the resumed run must report watermark drops — a 30-day log's " +
+          "late seventh cannot all land inside the final 1.5 h horizon")
+    }
+    // explicit schema: an all-dropped run leaves only the metadata log,
+    // where schema inference has nothing to read
+    import org.apache.spark.sql.types._
+    val result = spark.read
+      .schema(StructType(Seq(
+        StructField("hour", TimestampType), StructField("event_type", StringType),
+        StructField("n", LongType), StructField("total_value", DoubleType))))
+      .parquet(out.toString)
+      .orderBy("hour", "event_type")
+      .localCheckpoint() // the temp sink dir can be deleted after this
+    deltree(staged); deltree(ckpt); deltree(out)
+    result
+  }
+
+  /** Batch replay of the watermark semantics: on-time rows always
+    * count; a late row counts iff its hour window was still open at
+    * the recovered watermark W = max(on-time ts) − 30 min. (The log's
+    * µs-grained timestamps never land exactly on W vs window-end
+    * boundaries, so <=-vs-< eviction conventions cannot diverge.) */
+  val d145Oracle: String =
+    s"""WITH w1 AS (
+         SELECT max(ts) - INTERVAL 30 MINUTE AS w FROM events
+         WHERE event_id % ${LateMod} <> ${LateRem}),
+       kept AS (
+         SELECT ts, event_type, value FROM events
+         WHERE event_id % ${LateMod} <> ${LateRem}
+         UNION ALL
+         SELECT ts, event_type, value FROM events, w1
+         WHERE event_id % ${LateMod} = ${LateRem}
+           AND date_trunc('hour', ts) + INTERVAL 1 HOUR > w)
+       SELECT date_trunc('hour', ts) AS hour, event_type,
+         count(*) AS n, round(sum(value), 2) AS total_value
+       FROM kept GROUP BY 1, 2 ORDER BY hour, event_type"""
+
   /** Best-effort recursive delete (checkpoint trees are directories of
     * directories; a failed delete must not fail the gate). */
   private def deltree(root: java.nio.file.Path): Unit =
@@ -365,7 +497,8 @@ object StreamGates {
     "d76_stream_dedup" -> (d76StreamDedup _),
     "d104_stream_hourly" -> (d104StreamHourly _),
     "d107_stream_join" -> (d107StreamJoin _),
-    "d127_stream_recovery" -> (d127StreamRecovery _))
+    "d127_stream_recovery" -> (d127StreamRecovery _),
+    "d145_stream_late_drops" -> (d145StreamLateDrops _))
 
   val oracles: Map[String, String] = Map(
     "d50_stream_decontaminate" -> d50Oracle,
@@ -373,5 +506,6 @@ object StreamGates {
     "d76_stream_dedup" -> d76Oracle,
     "d104_stream_hourly" -> d104Oracle,
     "d107_stream_join" -> d107Oracle,
-    "d127_stream_recovery" -> d127Oracle)
+    "d127_stream_recovery" -> d127Oracle,
+    "d145_stream_late_drops" -> d145Oracle)
 }

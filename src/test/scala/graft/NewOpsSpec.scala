@@ -1063,4 +1063,122 @@ class NewOpsSpec extends SparkSpec {
       math.rint((100.25 + 210.50 + 310.75) * 100) / 100)
     assert(r.getAs[Long]("xor_keys") == (5L ^ 7L ^ 14L))
   }
+
+  // ------------------------------------------------------------- d142
+  test("d142 interval join: hand-walked census, open intervals, and " +
+      "multi-bucket expansion") {
+    val dir = tmp()
+    import spark.implicits._
+    val H = 3600L * 1000000
+    def us(h: Long, m: Long): Long =
+      1704067200L * 1000000 + h * H + m * 60 * 1000000 // 2024-01-01 UTC
+    // u1: a [00:10, 03:05) b [03:05, 05:30) a [05:30, open)
+    // u2: b [02:40, 13:45) c [13:45, open) — spans three 6 h buckets
+    val ev = Seq(
+      (1L, 1L, "a", us(0, 10)), (2L, 1L, "a", us(1, 20)),
+      (3L, 1L, "b", us(3, 5)), (4L, 1L, "a", us(5, 30)),
+      (5L, 2L, "b", us(2, 40)), (6L, 2L, "c", us(13, 45)))
+    ev.toDF("event_id", "user_id", "event_type", "us")
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        timestamp_micros(col("us")).as("ts"))
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = CorpusOps.d142IntervalJoin(spark, dir).collect()
+      .map(r => (r.getAs[java.sql.Timestamp]("snap").getTime / 1000,
+        r.getAs[String]("event_type"), r.getAs[Long]("n_users"))).toSet
+    def sec(h: Long) = us(h, 0) / 1000000
+    val expect: Set[(Long, String, Long)] =
+      Set((sec(1), "a", 1L), (sec(2), "a", 1L),
+        (sec(3), "a", 1L), (sec(3), "b", 1L),
+        (sec(4), "b", 2L), (sec(5), "b", 2L)) ++
+        (6L to 13L).flatMap(h =>
+          Seq((sec(h), "a", 1L), (sec(h), "b", 1L))).toSet
+    assert(got == expect,
+      s"missing ${expect -- got}; extra ${got -- expect}")
+  }
+
+  // ------------------------------------------------------------- d144
+  test("d144 sliding distinct: 7-day windows, multi-day users counted " +
+      "once, zero-dau days kept, targets capped at the log end") {
+    val dir = tmp()
+    import spark.implicits._
+    val D = 86400L * 1000000
+    val t0 = 1704067200L * 1000000 // 2024-01-01 UTC
+    // u1 on days 0 and 2; u2 on day 0; u3 on day 9
+    val ev = Seq((1L, 1L, 0L), (2L, 1L, 2L), (3L, 2L, 0L), (4L, 3L, 9L))
+    ev.toDF("event_id", "user_id", "day")
+      .select(col("event_id"), col("user_id"), lit("view").as("event_type"),
+        timestamp_micros(lit(t0) + col("day") * D + lit(3700L * 1000000))
+          .as("ts"))
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = CorpusOps.d144SlidingDistinct(spark, dir).collect()
+      .map(r => ((r.getAs[java.sql.Timestamp]("day").getTime * 1000 - t0) / D,
+        r.getAs[Long]("dau"), r.getAs[Long]("wau"))).toList
+    val expect = List(
+      (0L, 2L, 2L), (1L, 0L, 2L), (2L, 1L, 2L), (3L, 0L, 2L),
+      (4L, 0L, 2L), (5L, 0L, 2L), (6L, 0L, 2L),
+      (7L, 0L, 1L), (8L, 0L, 1L), (9L, 1L, 1L))
+    assert(got == expect, s"got $got want $expect")
+  }
+
+  // ------------------------------------------------------------- d143
+  test("d143 bitext margins match an independent brute-force JVM " +
+      "recomputation on planted near-duplicate pairs") {
+    val dir = tmp()
+    import spark.implicits._
+    // all-positive first 8 dims — one shared sign bucket, so the LSH
+    // candidate set IS the full cross product and brute force is exact
+    def base(hot: Int): Array[Float] =
+      (0 until 8).map(i => if (i == hot) 9f else 1f).toArray
+    def pert(hot: Int): Array[Float] =
+      (0 until 8).map(i => if (i == hot) 8f else 1f).toArray
+    val rows = Seq(
+      (0L, base(0), 0), (2L, base(1), 0), (4L, base(2), 0), (6L, base(3), 0),
+      (1L, pert(0), 1), (3L, pert(1), 1), (5L, pert(2), 1), (7L, pert(3), 1))
+    rows.toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    // independent margin recomputation (same e4-integer scheme)
+    def cosE4(a: Array[Float], b: Array[Float]): Long = {
+      val ad = a.map(_.toDouble); val bd = b.map(_.toDouble)
+      val dot = ad.zip(bd).map { case (x, y) => x * y }.sum
+      math.round(dot / (math.sqrt(ad.map(x => x * x).sum) *
+        math.sqrt(bd.map(x => x * x).sum)) * 10000)
+    }
+    val aSide = rows.filter(_._1 % 2 == 0); val bSide = rows.filter(_._1 % 2 == 1)
+    val c = (for (a <- aSide; b <- bSide)
+      yield ((a._1, b._1), cosE4(a._2, b._2))).toMap
+    def topSum(cands: Seq[Long]): (Long, Long) = {
+      val top = cands.sorted(Ordering[Long].reverse).take(4)
+      (top.sum, top.size.toLong)
+    }
+    val expected = aSide.map { a =>
+      val (sa, na) = topSum(bSide.map(b => c((a._1, b._1))))
+      val best = bSide.maxBy { b =>
+        val (sb, nb) = topSum(aSide.map(x => c((x._1, b._1))))
+        2.0 * c((a._1, b._1)) * na * nb / (sa * nb + sb * na)
+      }
+      val (sb, nb) = topSum(aSide.map(x => c((x._1, best._1))))
+      (a._1, best._1,
+        math.floor(20000.0 * c((a._1, best._1)) * na * nb /
+          (sa * nb + sb * na)).toLong)
+    }.toSet
+    val got = graft.ops.Similarity.d143BitextMining(spark, dir).collect()
+      .map(r => (r.getAs[Long]("a_id"), r.getAs[Long]("b_id"),
+        r.getAs[Long]("margin_e4"))).toSet
+    assert(got == expected, s"got $got want $expected")
+    // the planted pairing is the parity twin (0-1, 2-3, 4-5, 6-7)
+    assert(got.map(t => (t._1, t._2)) ==
+      Set((0L, 1L), (2L, 3L), (4L, 5L), (6L, 7L)))
+    assert(got.forall(_._3 > 10000L), "mutual-best margins must clear 1.0")
+  }
+
+  // ------------------------------------------------------------- d146
+  test("d146 range shards: lossless, globally ordered read-back on the " +
+      "sf fixture") {
+    val dir = "/root/testdata/sf0.001"
+    val got = CorpusOps.d146RangeShards(spark, dir).collect()
+    val src = spark.read.parquet(s"$dir/documents.parquet")
+      .select("doc_id").collect().map(_.getLong(0)).sorted
+    assert(got.map(_.getAs[Long]("doc_id")).toSeq == src.toSeq,
+      "read-back must be every source doc exactly once, in key order")
+  }
 }

@@ -93,6 +93,72 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("watermark late drops: a straggler behind the recovered " +
+      "watermark is dropped, one inside the horizon is merged") {
+    // The d145 gate proves output equality on the sf log; this pins the
+    // MECHANISM on a planted two-phase log: after phase 1 the committed
+    // watermark is max(on-time) - 30 min = 02:40; a phase-2 straggler
+    // for window [00:00,01:00) (end <= W) must be DROPPED, one for
+    // [02:00,03:00) (end 03:00 > W) must be MERGED into the count.
+    val staged = Files.createTempDirectory("graft-late-src")
+    val ckpt = Files.createTempDirectory("graft-late-ckpt")
+    import org.apache.spark.sql.functions._
+    val t0 = 1704067200L * 1000000 // 2024-01-01T00:00Z
+    def us(h: Long, m: Long, s: Long) = t0 + (h * 3600 + m * 60 + s) * 1000000L
+    def write(rows: Seq[(Long, Long)], name: String): Unit = {
+      import spark.implicits._
+      val tmp = Files.createTempDirectory("graft-late-w")
+      rows.toDF("event_id", "us")
+        .select(col("event_id"),
+          // NTZ writes INT64 micros — the encoding readEvents probes as
+          // the MICROS generation
+          timestamp_micros(col("us")).cast("timestamp_ntz").as("ts"),
+          lit(7L).as("user_id"), lit("view").as("event_type"),
+          lit(1.5).as("value"), lit(null).cast("string").as("props"))
+        .coalesce(1).write.mode("overwrite").parquet(tmp.resolve("o").toString)
+      val part = Files.list(tmp.resolve("o"))
+        .filter(p => p.getFileName.toString.endsWith(".parquet"))
+        .findFirst().get()
+      Files.move(part, staged.resolve(name))
+    }
+    val out = Files.createTempDirectory("graft-late-out")
+    def run() = {
+      val q = EventStreams.hourlyCounts(
+          EventStreams.readEvents(spark, staged.toString),
+          delay = "30 minutes")
+        .writeStream.format("parquet")
+        .option("path", out.toString)
+        .outputMode("append")
+        .option("checkpointLocation", ckpt.toString)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination(120000)
+      q
+    }
+    // phase 1 (on-time): one event in each of H0..H3; W1 = 03:10-0:30
+    write(Seq((1L, us(0, 10, 7)), (2L, us(1, 10, 7)),
+      (3L, us(2, 10, 7)), (4L, us(3, 10, 7))), "a.parquet")
+    run()
+    // phase 2: H0 straggler (dropped), H2 straggler (kept), sentinel
+    // at 06:40 finalizing every real window but not its own
+    write(Seq((5L, us(0, 20, 7)), (6L, us(2, 20, 7)),
+      (-1L, us(6, 40, 7))), "b.parquet")
+    val q2 = run()
+    val dropped = q2.recentProgress
+      .flatMap(_.stateOperators).map(_.numRowsDroppedByWatermark).sum
+    assert(dropped == 1L,
+      s"exactly the H0 straggler must be dropped, got $dropped")
+    val got = spark.read.parquet(out.toString)
+      .orderBy("hour").collect()
+      .map(r => (r.getAs[java.sql.Timestamp]("hour").getTime,
+        r.getAs[Long]("n"))).toList
+    def hourMs(h: Long) = us(h, 0, 0) / 1000
+    assert(got == List((hourMs(0), 1L), (hourMs(1), 1L),
+      (hourMs(2), 2L), (hourMs(3), 1L)),
+      s"got $got — H2 must count the merged straggler, H0 must not, " +
+        "and the sentinel window must never be emitted")
+  }
+
   test("sessionization state carries across micro-batches") {
     // split events at the median ts into two files and force one file
     // per trigger, so users spanning the split exercise the carried
