@@ -4856,7 +4856,236 @@ object CorpusOps {
     """SELECT doc_id, ('0x'||substr(md5(text),1,15))::BIGINT AS h
        FROM documents ORDER BY doc_id"""
 
+  // -------------------------------------------------------------- d147
+  /** Bottom-k sketch size. 64 keeps even the sf0.01 fixture (~125
+    * distinct contents per source) in the genuine-estimation regime —
+    * the gate checks a real estimate against the exact answer, not a
+    * sketch that happens to hold the whole set. */
+  private[graft] val KmvK = 64
+  /** Acceptance bound on |est − exact| Jaccard: ~4σ at K=64
+    * (σ = sqrt(J(1−J)/K) ≤ 0.0625). */
+  private[graft] val KmvBound = 0.25
+
+  /** KMV (BOTTOM-K) SKETCH OVERLAP AUDIT — the mergeable-sketch answer
+    * to d35's exact cross-source overlap matrix: each source keeps only
+    * its K smallest distinct content hashes (a bottom-k/KMV sketch —
+    * constant size, mergeable by min-union, the thing a 100 TB catalog
+    * can afford to keep PER PARTITION PER DAY), and pairwise Jaccard is
+    * estimated as |bottom-K of the union that lands in both sketches|/K
+    * (Bar-Yossef et al. 2002; Beyer et al. 2007). The gate computes the
+    * estimate AND the exact pairwise Jaccard from the full sets, emits
+    * both, and requires |est − exact| ≤ [[KmvBound]] in-op — the d137
+    * HLL pattern: every round replays sketch-trust calibration on real
+    * data. Ordering note: sketches order by the raw BIGINT hash, which
+    * refines the (hash-as-double, hash) order [[TopKByScore]] uses —
+    * double rounding is monotone on nonneg longs — so the native
+    * bounded-heap aggregate and DuckDB's BIGINT window rank select the
+    * same K values.
+    *
+    * Scale shape: exact dedup pre-collapse to distinct (source, hash)
+    * — the only data-sized shuffle; the sketch build is the bounded
+    * heap (k·mapPartitions rows per source cross the exchange); the
+    * pair stage joins source-count-sized sketch rows (broadcast); the
+    * exact audit's hash self-join expands each hash to ≤ C(sources,2)
+    * pairs, the d35 bound. */
+  def d147KmvOverlap(spark: SparkSession, dir: String): DataFrame = {
+    val dh = docs(spark, dir)
+      .select(col("source"), TextOps.hash60(col("text")).as("h"))
+      .distinct()
+      .localCheckpoint() // feeds sketch, exact audit, and per-source counts
+    val sk = dh.groupBy("source")
+      .agg(graft.functions.TopKByScore.topk(KmvK,
+        negate(col("h").cast("double")), col("h"), col("h")).as("sk"))
+    val n = dh.groupBy("source").agg(count(lit(1)).as("n"))
+    val left = sk.join(n, "source")
+      .select(col("source").as("src_a"), col("sk").as("ska"), col("n").as("n_a"))
+    val rightRenamed = sk.join(n, "source")
+      .select(col("source").as("src_b"), col("sk").as("skb"), col("n").as("n_b"))
+    val pairFrame = left.join(broadcast(rightRenamed),
+      col("src_a") < col("src_b")) // sources-count rows, K-row broadcast
+    val inter = dh.as("x").join(dh.as("y"),
+        col("x.h") === col("y.h") && col("x.source") < col("y.source"))
+      .groupBy(col("x.source").as("src_a"), col("y.source").as("src_b"))
+      .agg(count(lit(1)).as("inter_raw"))
+    val uk = slice(array_sort(array_union(col("ska"), col("skb"))), 1, KmvK)
+    val assembled = pairFrame.join(inter, Seq("src_a", "src_b"), "left")
+      .withColumn("inter_exact", coalesce(col("inter_raw"), lit(0L)))
+      .withColumn("uni", col("n_a") + col("n_b") - col("inter_exact"))
+      .withColumn("sk_k", size(uk).cast("long"))
+      .withColumn("sk_shared",
+        size(array_intersect(array_intersect(uk, col("ska")), col("skb")))
+          .cast("long"))
+      .select(col("src_a"), col("src_b"), col("n_a"), col("n_b"),
+        col("inter_exact"),
+        floor(lit(10000.0) * col("inter_exact") / col("uni")).cast("long")
+          .as("jaccard_exact_e4"),
+        col("sk_shared"), col("sk_k"),
+        floor(lit(10000.0) * col("sk_shared") / col("sk_k")).cast("long")
+          .as("jaccard_est_e4"))
+      .orderBy("src_a", "src_b")
+    val rows = assembled.collect() // C(sources, 2) rows
+    rows.foreach { r =>
+      val est = r.getAs[Long]("sk_shared").toDouble / r.getAs[Long]("sk_k")
+      val exact = r.getAs[Long]("inter_exact").toDouble /
+        (r.getAs[Long]("n_a") + r.getAs[Long]("n_b") -
+          r.getAs[Long]("inter_exact"))
+      require(math.abs(est - exact) <= KmvBound,
+        s"KMV estimate off by ${math.abs(est - exact)} for " +
+          s"${r.getAs[String]("src_a")}/${r.getAs[String]("src_b")} " +
+          s"(est $est, exact $exact) — beyond the ${KmvBound} bound")
+    }
+    assembled
+  }
+
+  val d147Oracle: String =
+    s"""WITH dh AS (
+         SELECT DISTINCT source,
+           ('0x'||substr(md5(text),1,15))::BIGINT AS h
+         FROM documents),
+       sk AS (
+         SELECT source, h FROM (
+           SELECT source, h,
+             row_number() OVER (PARTITION BY source ORDER BY h) AS rk
+           FROM dh) WHERE rk <= $KmvK),
+       n AS (SELECT source, count(*) AS n FROM dh GROUP BY source),
+       pairs AS (
+         SELECT a.source AS src_a, b.source AS src_b
+         FROM (SELECT DISTINCT source FROM dh) a
+         JOIN (SELECT DISTINCT source FROM dh) b ON a.source < b.source),
+       su AS (
+         SELECT DISTINCT p.src_a, p.src_b, s.h
+         FROM pairs p JOIN sk s ON s.source IN (p.src_a, p.src_b)),
+       uk AS (
+         SELECT src_a, src_b, h FROM (
+           SELECT src_a, src_b, h,
+             row_number() OVER (PARTITION BY src_a, src_b ORDER BY h) AS rk
+           FROM su) WHERE rk <= $KmvK),
+       ku AS (SELECT src_a, src_b, count(*) AS sk_k FROM uk GROUP BY 1, 2),
+       shared AS (
+         SELECT u.src_a, u.src_b, count(*) AS sk_shared
+         FROM uk u
+         WHERE EXISTS (SELECT 1 FROM sk x
+                       WHERE x.source = u.src_a AND x.h = u.h)
+           AND EXISTS (SELECT 1 FROM sk y
+                       WHERE y.source = u.src_b AND y.h = u.h)
+         GROUP BY u.src_a, u.src_b),
+       inter AS (
+         SELECT x.source AS src_a, y.source AS src_b, count(*) AS i
+         FROM dh x JOIN dh y ON x.h = y.h AND x.source < y.source
+         GROUP BY 1, 2)
+       SELECT p.src_a, p.src_b, na.n AS n_a, nb.n AS n_b,
+         coalesce(i.i, 0) AS inter_exact,
+         CAST(floor(10000.0 * coalesce(i.i, 0)
+           / (na.n + nb.n - coalesce(i.i, 0))) AS BIGINT)
+           AS jaccard_exact_e4,
+         coalesce(s.sk_shared, 0) AS sk_shared, k.sk_k,
+         CAST(floor(10000.0 * coalesce(s.sk_shared, 0) / k.sk_k) AS BIGINT)
+           AS jaccard_est_e4
+       FROM pairs p
+       JOIN n na ON na.source = p.src_a
+       JOIN n nb ON nb.source = p.src_b
+       JOIN ku k ON k.src_a = p.src_a AND k.src_b = p.src_b
+       LEFT JOIN shared s ON s.src_a = p.src_a AND s.src_b = p.src_b
+       LEFT JOIN inter i ON i.src_a = p.src_a AND i.src_b = p.src_b
+       ORDER BY p.src_a, p.src_b"""
+
+  // -------------------------------------------------------------- d148
+  /** SCHEMA-EVOLUTION SCAN — ingest reality: a long-lived table's files
+    * span writer generations (v1 lacks a column v2 added), and the scan
+    * must reconcile them without a rewrite. Two generations are staged
+    * from orders (v1: key+price for even keys; v2 adds a priority
+    * column for odd keys), read back in ONE scan with
+    * `mergeSchema=true`, the merged schema is REQUIRED in-op (the
+    * by-name union semantics: v1 rows surface the v2 column as NULL),
+    * and the per-priority rollup — v1 rows under a sentinel bucket —
+    * is hash-checked against DuckDB recomputing the same union from
+    * the source table.
+    *
+    * Scale note: merge-schema reconciles FOOTERS (one per file) at
+    * planning time, not data; at 100 TB the cost is file-listing, and
+    * the practice it gates — additive columns only, never retyping —
+    * is what keeps decade-old partitions readable. */
+  def d148SchemaEvolution(spark: SparkSession, dir: String): DataFrame = {
+    val path = java.nio.file.Files.createTempDirectory("graft-d148")
+    try {
+      val o = Tables.load(spark, dir, "orders")
+      o.filter(col("o_orderkey") % 2 === 0)
+        .select(col("o_orderkey"), col("o_totalprice"))
+        .write.mode("overwrite").parquet(s"$path/gen1")
+      o.filter(col("o_orderkey") % 2 === 1)
+        .select(col("o_orderkey"), col("o_totalprice"),
+          upper(col("o_orderpriority")).as("priority"))
+        .write.mode("overwrite").parquet(s"$path/gen2")
+      val merged = spark.read.option("mergeSchema", "true")
+        .parquet(s"$path/gen1", s"$path/gen2")
+      require(merged.schema.fieldNames.sorted.toSeq ==
+        Seq("o_orderkey", "o_totalprice", "priority"),
+        s"merged schema must union by name, got ${merged.schema.fieldNames.toSeq}")
+      merged
+        .groupBy(coalesce(col("priority"), lit("(pre-v2)")).as("priority"))
+        .agg(count(lit(1)).as("n"),
+          round(sum("o_totalprice"), 2).as("total"))
+        .orderBy("priority")
+        .localCheckpoint() // the staged generations can be deleted now
+    } finally {
+      try {
+        java.nio.file.Files.walk(path)
+          .sorted(java.util.Comparator.reverseOrder())
+          .forEach(p => java.nio.file.Files.deleteIfExists(p))
+      } catch { case _: java.io.IOException => () }
+    }
+  }
+
+  val d148Oracle: String =
+    """SELECT coalesce(CASE WHEN o_orderkey % 2 = 1
+             THEN upper(o_orderpriority) END, '(pre-v2)') AS priority,
+         count(*) AS n, round(sum(o_totalprice), 2) AS total
+       FROM orders GROUP BY 1 ORDER BY priority"""
+
+  // -------------------------------------------------------------- d149
+  /** Decay half-life in hours for the recency-weighted score. */
+  private[graft] val DecayHalfLifeH = 24.0
+
+  /** EXPONENTIAL TIME-DECAY ENGAGEMENT SCORE — the feature-store
+    * recency aggregate: per user, Σ value·2^(−Δt/half-life) with Δt
+    * measured back from the log end, so yesterday's activity counts
+    * half of today's. The order-independent formulation (each event's
+    * weight depends only on its OWN timestamp and the shared anchor,
+    * never on a running state) is what makes it a plain commutative
+    * aggregate — one map + one map-side-combined groupBy — instead of
+    * the sequential EWMA recurrence a naive port would write; the same
+    * property is why it streams (d104's shape) and merges across
+    * partitions. Companions: d124's RFM buckets (coarse recency),
+    * d118's OLS trend (secular drift) — this is the smooth recency
+    * kernel between them. Rounded at 4dp: the engines sum the per-event
+    * terms in different orders and pow differs by ≤1 ulp per term, both
+    * ~1e-13 relative — the d113 ln-entropy precedent. */
+  def d149DecayScore(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.load(spark, dir, "events")
+    val t1 = broadcast(ev.agg(max(unix_micros(col("ts"))).as("t1")))
+    ev.crossJoin(t1) // 1-row scalar anchor
+      .select(col("user_id"), col("value"),
+        ((col("t1") - unix_micros(col("ts"))) / lit(3.6e9)).as("dh"))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_events"),
+        round(sum(col("value") *
+          pow(lit(0.5), col("dh") / lit(DecayHalfLifeH))), 4)
+          .as("decay_score"))
+      .orderBy("user_id")
+  }
+
+  val d149Oracle: String =
+    s"""WITH t AS (SELECT max(epoch_us(ts)) AS t1 FROM events)
+       SELECT user_id, count(*) AS n_events,
+         round(sum(value * power(0.5,
+           ((t1 - epoch_us(ts)) / 3.6e9) / ${DecayHalfLifeH})), 4)
+           AS decay_score
+       FROM events, t GROUP BY user_id ORDER BY user_id"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d147_kmv_overlap" -> (d147KmvOverlap _),
+    "d148_schema_evolution" -> (d148SchemaEvolution _),
+    "d149_decay_score" -> (d149DecayScore _),
     "d142_interval_join" -> (d142IntervalJoin _),
     "d144_sliding_distinct" -> (d144SlidingDistinct _),
     "d146_range_shards" -> (d146RangeShards _),
@@ -4935,6 +5164,9 @@ object CorpusOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "d147_kmv_overlap" -> d147Oracle,
+    "d148_schema_evolution" -> d148Oracle,
+    "d149_decay_score" -> d149Oracle,
     "d142_interval_join" -> d142Oracle,
     "d144_sliding_distinct" -> d144Oracle,
     "d146_range_shards" -> d146Oracle,

@@ -1171,6 +1171,96 @@ class NewOpsSpec extends SparkSpec {
     assert(got.forall(_._3 > 10000L), "mutual-best margins must clear 1.0")
   }
 
+  // ------------------------------------------------------------- d147
+  test("d147 kmv sketch matches an independent JVM bottom-k recomputation " +
+      "in both the above-K and small-set regimes") {
+    val dir = tmp()
+    import spark.implicits._
+    // P: texts 0..199, Q: 100..299 (inter 100, union 300, J = 1/3) —
+    // both above K=64, so the sketch genuinely estimates; R: 10 texts
+    // shared with P's head (small sets: sketch holds all, est exact)
+    val docs =
+      (0 until 200).map(i => (s"t$i", "P")) ++
+        (100 until 300).map(i => (s"t$i", "Q")) ++
+        (0 until 10).map(i => (s"t$i", "R"))
+    docs.zipWithIndex.map { case ((t, s), id) => (id.toLong, t, s) }
+      .toDF("doc_id", "text", "source")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    // independent hash60 (first 15 hex chars of md5) + bottom-k
+    def h60(s: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(15)
+      java.lang.Long.parseLong(hex, 16)
+    }
+    def sketch(texts: Seq[String]): Seq[Long] =
+      texts.map(h60).distinct.sorted.take(CorpusOps.KmvK)
+    def expect(xs: Seq[String], ys: Seq[String]): (Long, Long) = {
+      val (sx, sy) = (sketch(xs), sketch(ys))
+      val uk = (sx ++ sy).distinct.sorted.take(CorpusOps.KmvK)
+      (uk.count(v => sx.contains(v) && sy.contains(v)).toLong,
+        uk.size.toLong)
+    }
+    val pTexts = (0 until 200).map(i => s"t$i")
+    val qTexts = (100 until 300).map(i => s"t$i")
+    val rTexts = (0 until 10).map(i => s"t$i")
+    val rows = CorpusOps.d147KmvOverlap(spark, dir).collect()
+      .map(r => ((r.getAs[String]("src_a"), r.getAs[String]("src_b")), r))
+      .toMap
+    val pq = rows(("P", "Q"))
+    assert(pq.getAs[Long]("inter_exact") == 100L)
+    assert(pq.getAs[Long]("jaccard_exact_e4") == 3333L) // floor(1e4/3)
+    val (pqShared, pqK) = expect(pTexts, qTexts)
+    assert(pqK == CorpusOps.KmvK.toLong)
+    assert(pq.getAs[Long]("sk_shared") == pqShared,
+      s"sketch shared ${pq.getAs[Long]("sk_shared")} != JVM $pqShared")
+    val pr = rows(("P", "R"))
+    val (prShared, prK) = expect(pTexts, rTexts)
+    assert(pr.getAs[Long]("jaccard_exact_e4") == 500L) // 10/200
+    assert((pr.getAs[Long]("sk_shared"), pr.getAs[Long]("sk_k")) ==
+      ((prShared, prK)),
+      s"(P,R) sketch (${pr.getAs[Long]("sk_shared")}, " +
+        s"${pr.getAs[Long]("sk_k")}) != JVM ($prShared, $prK)")
+  }
+
+  // ------------------------------------------------------------- d148
+  test("d148 merged scan equals a direct recomputation and nulls the " +
+      "pre-evolution column") {
+    val dir = "/root/testdata/sf0.001"
+    val got = CorpusOps.d148SchemaEvolution(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1),
+        r.getAs[Double]("total"))).toList
+    val expect = spark.read.parquet(s"$dir/orders.parquet")
+      .groupBy(when(col("o_orderkey") % 2 === 1, upper(col("o_orderpriority")))
+        .otherwise(lit("(pre-v2)")).as("priority"))
+      .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 2).as("total"))
+      .orderBy("priority").collect()
+      .map(r => (r.getString(0), r.getLong(1),
+        r.getAs[Double]("total"))).toList
+    assert(got == expect, s"got $got want $expect")
+    assert(got.exists(_._1 == "(pre-v2)"), "v1 rows must survive the merge")
+  }
+
+  // ------------------------------------------------------------- d149
+  test("d149 decay score matches hand-computed half-life weights") {
+    val dir = tmp()
+    import spark.implicits._
+    val t1 = 1704067200L * 1000000
+    val H = 3600L * 1000000
+    // u1: value 3 at the anchor + value 2 one half-life back -> 3 + 1;
+    // u2: value 8 two half-lives back -> 2
+    val ev = Seq(
+      (1L, 1L, t1, 3.0), (2L, 1L, t1 - 24 * H, 2.0),
+      (3L, 2L, t1 - 48 * H, 8.0))
+    ev.toDF("event_id", "user_id", "us", "value")
+      .select(col("event_id"), col("user_id"),
+        timestamp_micros(col("us")).as("ts"), col("value"))
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = CorpusOps.d149DecayScore(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toList
+    assert(got == List((1L, 2L, 4.0), (2L, 1L, 2.0)), s"got $got")
+  }
+
   // ------------------------------------------------------------- d146
   test("d146 range shards: lossless, globally ordered read-back on the " +
       "sf fixture") {
