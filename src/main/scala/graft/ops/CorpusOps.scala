@@ -5082,7 +5082,335 @@ object CorpusOps {
            AS decay_score
        FROM events, t GROUP BY user_id ORDER BY user_id"""
 
+  // -------------------------------------------------------------- d150
+  /** Retrieval-eval constants: queries are the first [[NdcgQueries]]
+    * docs, rankings are cut at [[NdcgDepth]]. */
+  private[graft] val NdcgQueries = 8
+  private[graft] val NdcgDepth = 10
+
+  /** RETRIEVAL-QUALITY EVALUATION (MRR / NDCG@10) — the eval-harness
+    * step downstream of d37's BM25: batch-score 8 query documents
+    * against the corpus (query = the doc's distinct tokens, the
+    * standard query-by-example form), rank per query, and grade each
+    * ranking against source-match relevance (a corpus doc is relevant
+    * to a query from its own source — the label a crawl actually has).
+    * MRR grades the first hit, NDCG@10 the whole ranked page against
+    * the ideal ordering. The metrics pair with d53 (ANN recall) and
+    * d106 (eval coverage): those audit RETRIEVAL SETS, this grades
+    * RANKINGS.
+    *
+    * Scale shape: the d37 batching note made real — the query side is
+    * a TABLE (query_id, term) broadcast into one term-keyed join
+    * against the single corpus scan's tf frame; df/idf come from the
+    * same corpus aggregate for every query; the per-query ranking is a
+    * query-partitioned window over (query, candidate) match rows only.
+    * Ranking ties: rank on the 4dp-ROUNDED score (the d37 precedent —
+    * unrounded cross-engine sums differ at 1e-15 and would flip equal
+    * ranks), tie-broken by doc_id; NDCG's 1/log2 sums round at 4dp
+    * (libm-ulp class, the d113 precedent). */
+  def d150NdcgEval(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d = docs(spark, dir)
+      .select(col("doc_id"), col("source"),
+        TextOps.tokens(lower(col("text"))).as("toks"))
+      .localCheckpoint() // one corpus scan feeds queries, tf, df, rel
+    val queries = d.filter(col("doc_id") < NdcgQueries)
+      .select(col("doc_id").as("qid"), col("source").as("qsrc"),
+        explode(array_distinct(col("toks"))).as("term"))
+    val corpus = d.filter(col("doc_id") >= NdcgQueries)
+    val stats = broadcast(corpus
+      .agg(count(lit(1)).as("n"), avg(size(col("toks"))).as("avgdl")))
+    val tf = corpus
+      .select(col("doc_id"), col("source"), size(col("toks")).as("dl"),
+        explode(col("toks")).as("term"))
+      .groupBy("doc_id", "term")
+      .agg(count(lit(1)).as("tf"), max("dl").as("dl"),
+        max("source").as("source"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val idf = log((col("n") - col("df") + 0.5) / (col("df") + 0.5) + 1.0)
+    val norm = col("tf") +
+      (lit(1.0 - Bm25B) + col("dl") / col("avgdl") * Bm25B) * Bm25K1
+    val scored = tf.join(broadcast(dfreq), "term").crossJoin(stats)
+      .join(broadcast(queries), "term")
+      .select(col("qid"), col("qsrc"), col("doc_id"), col("source"),
+        (idf * col("tf") * (Bm25K1 + 1.0) / norm).as("s"))
+      .groupBy("qid", "qsrc", "doc_id", "source")
+      .agg(round(sum("s"), 4).as("score"))
+    val ranked = scored
+      .withColumn("rk", row_number().over(Window.partitionBy("qid")
+        .orderBy(col("score").desc, col("doc_id"))))
+      .filter(col("rk") <= NdcgDepth)
+      .withColumn("rel",
+        when(col("source") === col("qsrc"), 1).otherwise(0))
+    // ideal gain: total relevant in the CORPUS (not just the page)
+    val nRel = corpus.groupBy(col("source").as("qsrc"))
+      .agg(count(lit(1)).as("n_rel"))
+    val perQ = ranked.groupBy("qid", "qsrc")
+      .agg(
+        min(when(col("rel") === 1, col("rk"))).as("first_rel_rank"),
+        sum(when(col("rel") === 1,
+          lit(1.0) / log2(col("rk") + 1)).otherwise(lit(0.0))).as("dcg"))
+    val idcg = udfFreeIdcg(col("n_rel"))
+    perQ.join(broadcast(nRel), Seq("qsrc"), "left")
+      .select(col("qid"),
+        coalesce(col("n_rel"), lit(0L)).as("n_rel"),
+        col("first_rel_rank").cast("long").as("first_rel_rank"),
+        round(when(col("first_rel_rank").isNotNull,
+          lit(1.0) / col("first_rel_rank")).otherwise(lit(0.0)), 4).as("rr"),
+        round(when(coalesce(col("n_rel"), lit(0L)) > 0,
+          col("dcg") / idcg).otherwise(lit(null)), 4).as("ndcg"))
+      .orderBy("qid")
+  }
+
+  /** IDCG@[[NdcgDepth]] as a branchless column: Σ_{i=1..min(R,10)}
+    * 1/log2(i+1), unrolled so Spark and DuckDB evaluate the same
+    * conditional sum (no engine-side array/UDF). */
+  private def udfFreeIdcg(nRel: Column): Column =
+    (1 to NdcgDepth).map(i =>
+      when(nRel >= i, lit(1.0) / log2(lit(i + 1.0))).otherwise(lit(0.0)))
+      .reduce(_ + _)
+
+  val d150Oracle: String = {
+    val idcgSql = (1 to NdcgDepth).map(i =>
+      s"CASE WHEN n_rel >= $i THEN 1.0 / log2(${i + 1}.0) ELSE 0.0 END")
+      .mkString(" + ")
+    s"""WITH d AS (
+         SELECT doc_id, source,
+           regexp_extract_all(lower(text), '\\S+') AS toks
+         FROM documents),
+       q AS (
+         SELECT doc_id AS qid, source AS qsrc,
+           unnest(list_distinct(toks)) AS term
+         FROM d WHERE doc_id < $NdcgQueries),
+       corpus AS (SELECT * FROM d WHERE doc_id >= $NdcgQueries),
+       stats AS (
+         SELECT count(*) AS n, avg(len(toks)) AS avgdl FROM corpus),
+       tok AS (SELECT doc_id, source, len(toks) AS dl, unnest(toks) AS term
+               FROM corpus),
+       tf AS (
+         SELECT doc_id, term, count(*) AS tf, max(dl) AS dl,
+           max(source) AS source
+         FROM tok GROUP BY doc_id, term),
+       dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+       scored AS (
+         SELECT qid, qsrc, tf.doc_id, tf.source,
+           round(sum(ln((n - df + 0.5) / (df + 0.5) + 1.0)
+             * tf * ${Bm25K1 + 1.0}
+             / (tf + (${1.0 - Bm25B} + dl / avgdl * $Bm25B) * $Bm25K1)), 4)
+             AS score
+         FROM tf JOIN dfq USING (term) JOIN q USING (term), stats
+         GROUP BY 1, 2, 3, 4),
+       ranked AS (
+         SELECT qid, qsrc, doc_id, source,
+           row_number() OVER (PARTITION BY qid
+             ORDER BY score DESC, doc_id) AS rk
+         FROM scored),
+       page AS (
+         SELECT qid, qsrc,
+           CASE WHEN source = qsrc THEN 1 ELSE 0 END AS rel, rk
+         FROM ranked WHERE rk <= $NdcgDepth),
+       nrel AS (SELECT source AS qsrc, count(*) AS n_rel FROM corpus
+                GROUP BY source),
+       perq AS (
+         SELECT qid, qsrc,
+           min(CASE WHEN rel = 1 THEN rk END) AS first_rel_rank,
+           sum(CASE WHEN rel = 1 THEN 1.0 / log2(rk + 1) ELSE 0.0 END)
+             AS dcg
+         FROM page GROUP BY qid, qsrc)
+       SELECT qid, coalesce(n_rel, 0) AS n_rel,
+         CAST(first_rel_rank AS BIGINT) AS first_rel_rank,
+         round(CASE WHEN first_rel_rank IS NOT NULL
+           THEN 1.0 / first_rel_rank ELSE 0.0 END, 4) AS rr,
+         round(CASE WHEN coalesce(n_rel, 0) > 0
+           THEN dcg / ($idcgSql) END, 4) AS ndcg
+       FROM perq LEFT JOIN nrel USING (qsrc)
+       ORDER BY qid"""
+  }
+
+  // -------------------------------------------------------------- d151
+  /** Train fraction of the log span, and the embargo gap (µs). */
+  private[graft] val SplitTrainFrac = 0.7
+  private[graft] val SplitEmbargoUs = 24L * 3600 * 1000000
+
+  /** TEMPORAL SPLIT WITH EMBARGO — the time-series leakage guard d54
+    * (hash-split shingle leakage) cannot express: models trained on
+    * events up to a cutoff and evaluated after it must not see the
+    * embargo band around the boundary, where label horizons and
+    * feature windows overlap both sides (the standard purged/embargoed
+    * split from financial ML — de Prado 2018). The cutoff is 70% of
+    * the log span rounded down to the hour; a 24 h embargo band is
+    * EXCLUDED from both sides. Emits per-split row/user/bound stats;
+    * the ordering contract (train < cut ≤ embargo < cut+gap ≤ test) is
+    * REQUIRED in-op, not just reported.
+    *
+    * Scale shape: one 1-row bounds aggregate broadcast back; the split
+    * tag is a map-side comparison; per-split stats are one
+    * map-side-combined aggregate. The cutoff arithmetic (t0 + 0.7·span
+    * as one double product, then hour-floored) is mirrored literally
+    * in the oracle so both engines compute the identical µs cut. */
+  def d151TemporalSplit(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.load(spark, dir, "events")
+    val b = broadcast(ev.agg(
+      min(unix_micros(col("ts"))).as("t0"),
+      max(unix_micros(col("ts"))).as("t1")))
+    // floor BEFORE the integer cast: Spark's double->bigint cast
+    // truncates while DuckDB's rounds — floor() makes both exact
+    val cut = expr(
+      s"CAST(floor(t0 + $SplitTrainFrac * (t1 - t0)) AS BIGINT) " +
+        s"div ${3600L * 1000000} * ${3600L * 1000000}")
+    val tagged = ev.crossJoin(b) // 1-row scalar bounds
+      .withColumn("us", unix_micros(col("ts")))
+      .withColumn("cut", cut)
+      .withColumn("split",
+        when(col("us") < col("cut"), "1_train")
+          .when(col("us") < col("cut") + SplitEmbargoUs, "2_embargo")
+          .otherwise("3_test"))
+    val out = tagged.groupBy("split")
+      .agg(count(lit(1)).as("n"),
+        count_distinct(col("user_id")).as("n_users"),
+        min("us").as("min_us"), max("us").as("max_us"))
+      .orderBy("split")
+      .localCheckpoint()
+    val rows = out.collect().map(r =>
+      r.getAs[String]("split") ->
+        (r.getAs[Long]("min_us"), r.getAs[Long]("max_us"))).toMap
+    for {
+      (_, trMax) <- rows.get("1_train")
+      (teMin, _) <- rows.get("3_test")
+    } require(teMin - trMax > SplitEmbargoUs,
+      s"embargo violated: test starts ${teMin - trMax} µs after last " +
+        s"train event, need > $SplitEmbargoUs")
+    out
+  }
+
+  val d151Oracle: String =
+    s"""WITH b AS (
+         SELECT min(epoch_us(ts)) AS t0, max(epoch_us(ts)) AS t1
+         FROM events),
+       tagged AS (
+         SELECT user_id, epoch_us(ts) AS us,
+           (CAST(floor(t0 + $SplitTrainFrac * (t1 - t0)) AS BIGINT)
+             // ${3600L * 1000000}) * ${3600L * 1000000} AS cut
+         FROM events, b)
+       SELECT CASE WHEN us < cut THEN '1_train'
+           WHEN us < cut + $SplitEmbargoUs THEN '2_embargo'
+           ELSE '3_test' END AS split,
+         count(*) AS n, count(DISTINCT user_id) AS n_users,
+         min(us) AS min_us, max(us) AS max_us
+       FROM tagged GROUP BY 1 ORDER BY split"""
+
+  // -------------------------------------------------------------- d152
+  /** Co-activity bucket width (1 hour, µs). */
+  private[graft] val TriBucketUs = 3600L * 1000000
+
+  /** TRIANGLE COUNT + GLOBAL CLUSTERING COEFFICIENT over the user
+    * co-activity graph (users active in the same hour are connected) —
+    * the canonical "curse of the last reducer" problem (Suri &
+    * Vassilvitskii 2011): a naive triangle join fans every high-degree
+    * node's neighborhood into one reducer. The scale fix implemented
+    * here is DEGREE ORDERING — orient each edge from its (degree, id)-
+    * smaller endpoint to the larger, so every wedge is enumerated at
+    * its LOWEST-degree vertex; the join fan-out drops from Σdeg² to
+    * O(E^{3/2}) and each triangle is counted exactly once. Emits one
+    * audit row: nodes, edges, wedges, triangles, and the global
+    * clustering coefficient 3T/W as an exact-integer-ratio e4 floor.
+    *
+    * The co-occurrence edge build is quadratic per bucket by
+    * definition (C(users-in-hour, 2)) — bucket width is the knob that
+    * bounds it at scale, and the distinct-pair collapse caps the edge
+    * set at C(users, 2) regardless of how many buckets repeat a
+    * pair. */
+  def d152TriangleCount(spark: SparkSession, dir: String): DataFrame = {
+    val ub = Tables.load(spark, dir, "events")
+      .select(col("user_id").as("u"),
+        expr(s"unix_micros(ts) div $TriBucketUs").as("bk"))
+      .distinct()
+    val edges = ub.as("a").join(ub.as("b"),
+        col("a.bk") === col("b.bk") && col("a.u") < col("b.u"))
+      .select(col("a.u").as("x"), col("b.u").as("y"))
+      .distinct()
+      .localCheckpoint() // feeds degrees, orientation, and the closing probe
+    val deg = edges.select(col("x").as("u"))
+      .unionAll(edges.select(col("y").as("u")))
+      .groupBy("u").agg(count(lit(1)).as("d"))
+    val withDeg = edges
+      .join(deg.select(col("u").as("x"), col("d").as("dx")), "x")
+      .join(deg.select(col("u").as("y"), col("d").as("dy")), "y")
+    // orient from (degree, id)-smaller to larger
+    val oriented = withDeg.select(
+      when(col("dx") < col("dy") ||
+        (col("dx") === col("dy") && col("x") < col("y")), col("x"))
+        .otherwise(col("y")).as("lo"),
+      when(col("dx") < col("dy") ||
+        (col("dx") === col("dy") && col("x") < col("y")), col("y"))
+        .otherwise(col("x")).as("hi"))
+      .localCheckpoint()
+    val wedgeEnds = oriented.as("e1").join(oriented.as("e2"),
+        col("e1.lo") === col("e2.lo") && col("e1.hi") < col("e2.hi"))
+      .select(col("e1.hi").as("p"), col("e2.hi").as("q"))
+    // a wedge closes iff (p,q) is an edge in EITHER orientation
+    val closed = wedgeEnds.join(
+      oriented.select(
+        least(col("lo"), col("hi")).as("p2"),
+        greatest(col("lo"), col("hi")).as("q2")).distinct(),
+      least(col("p"), col("q")) === col("p2") &&
+        greatest(col("p"), col("q")) === col("q2"),
+      "left_semi")
+    val nNodes = deg.agg(count(lit(1)).as("n_nodes"))
+    val nEdges = edges.agg(count(lit(1)).as("n_edges"))
+    val nWedges = deg.agg(coalesce(
+      sum(col("d") * (col("d") - 1) / 2), lit(0L)).cast("long").as("n_wedges"))
+    val nTri = closed.agg(count(lit(1)).as("n_triangles"))
+    nNodes.crossJoin(nEdges).crossJoin(nWedges).crossJoin(nTri) // 1-row aggs
+      .select(col("n_nodes"), col("n_edges"), col("n_wedges"),
+        col("n_triangles"),
+        when(col("n_wedges") > 0,
+          floor(lit(10000.0) * 3 * col("n_triangles") / col("n_wedges"))
+            .cast("long")).as("gcc_e4"))
+  }
+
+  val d152Oracle: String =
+    s"""WITH ub AS (
+         SELECT DISTINCT user_id AS u, epoch_us(ts) // $TriBucketUs AS bk
+         FROM events),
+       edges AS (
+         SELECT DISTINCT a.u AS x, b.u AS y
+         FROM ub a JOIN ub b ON a.bk = b.bk AND a.u < b.u),
+       deg AS (
+         SELECT u, count(*) AS d FROM (
+           SELECT x AS u FROM edges UNION ALL SELECT y AS u FROM edges)
+         GROUP BY u),
+       oriented AS (
+         SELECT CASE WHEN dx.d < dy.d OR (dx.d = dy.d AND x < y)
+             THEN x ELSE y END AS lo,
+           CASE WHEN dx.d < dy.d OR (dx.d = dy.d AND x < y)
+             THEN y ELSE x END AS hi
+         FROM edges JOIN deg dx ON dx.u = x JOIN deg dy ON dy.u = y),
+       wedge AS (
+         SELECT e1.hi AS p, e2.hi AS q
+         FROM oriented e1 JOIN oriented e2
+           ON e1.lo = e2.lo AND e1.hi < e2.hi),
+       tri AS (
+         SELECT count(*) AS n_triangles FROM wedge w
+         WHERE EXISTS (
+           SELECT 1 FROM oriented o
+           WHERE least(o.lo, o.hi) = least(w.p, w.q)
+             AND greatest(o.lo, o.hi) = greatest(w.p, w.q)))
+       SELECT (SELECT count(*) FROM deg) AS n_nodes,
+         (SELECT count(*) FROM edges) AS n_edges,
+         CAST((SELECT coalesce(sum(d * (d - 1) // 2), 0) FROM deg)
+           AS BIGINT) AS n_wedges,
+         n_triangles,
+         CASE WHEN (SELECT coalesce(sum(d * (d - 1) // 2), 0) FROM deg) > 0
+           THEN CAST(floor(10000.0 * 3 * n_triangles /
+             (SELECT sum(d * (d - 1) // 2) FROM deg)) AS BIGINT)
+         END AS gcc_e4
+       FROM tri"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d150_ndcg_eval" -> (d150NdcgEval _),
+    "d151_temporal_split" -> (d151TemporalSplit _),
+    "d152_triangle_count" -> (d152TriangleCount _),
     "d147_kmv_overlap" -> (d147KmvOverlap _),
     "d148_schema_evolution" -> (d148SchemaEvolution _),
     "d149_decay_score" -> (d149DecayScore _),
@@ -5164,6 +5492,9 @@ object CorpusOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "d150_ndcg_eval" -> d150Oracle,
+    "d151_temporal_split" -> d151Oracle,
+    "d152_triangle_count" -> d152Oracle,
     "d147_kmv_overlap" -> d147Oracle,
     "d148_schema_evolution" -> d148Oracle,
     "d149_decay_score" -> d149Oracle,

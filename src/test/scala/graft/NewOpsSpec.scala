@@ -1261,6 +1261,116 @@ class NewOpsSpec extends SparkSpec {
     assert(got == List((1L, 2L, 4.0), (2L, 1L, 2.0)), s"got $got")
   }
 
+  // ------------------------------------------------------------- d150
+  test("d150 mrr/ndcg match an independent JVM bm25+grading recomputation " +
+      "including unranked-but-relevant mass in the ideal") {
+    val dir = tmp()
+    import spark.implicits._
+    // queries: 0 (source A, both terms), 1 (source B, one term);
+    // corpus: 10 matches both terms (A), 11 is a short high-tf-ratio
+    // alpha doc (B), 12 is relevant-to-A but shares NO term — it can
+    // never rank, but must still count in the ideal (n_rel)
+    val docs = Seq(
+      (0L, "alpha beta", "A"), (1L, "alpha", "B"),
+      (10L, "alpha beta", "A"), (11L, "alpha", "B"), (12L, "gamma", "A"))
+    docs.toDF("doc_id", "text", "source")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    // independent JVM BM25 (same +1 idf form) + grading
+    val corpus = docs.filter(_._1 >= 8)
+    val n = corpus.size.toDouble
+    val avgdl = corpus.map(_._2.split("\\s+").length).sum / n
+    def bm25(qTerms: Seq[String], text: String): Double = {
+      val toks = text.split("\\s+").toSeq
+      val raw = qTerms.map { t =>
+        val tf = toks.count(_ == t).toDouble
+        if (tf == 0) 0.0
+        else {
+          val df = corpus.count(_._2.split("\\s+").contains(t)).toDouble
+          math.log((n - df + 0.5) / (df + 0.5) + 1.0) * tf * 2.2 /
+            (tf + (0.25 + toks.length / avgdl * 0.75) * 1.2)
+        }
+      }.sum
+      BigDecimal.valueOf(raw).setScale(4, BigDecimal.RoundingMode.HALF_UP)
+        .toDouble
+    }
+    def log2(x: Double) = math.log(x) / math.log(2.0)
+    def r4(x: Double) =
+      BigDecimal.valueOf(x).setScale(4, BigDecimal.RoundingMode.HALF_UP)
+        .toDouble
+    val expect = docs.filter(_._1 < 8).map { case (qid, qText, qSrc) =>
+      val qTerms = qText.split("\\s+").toSeq.distinct
+      val page = corpus.map(d => (d._1, d._3, bm25(qTerms, d._2)))
+        .filter(_._3 != 0.0)
+        .sortBy(d => (-d._3, d._1)).take(10)
+      val nRel = corpus.count(_._3 == qSrc).toLong
+      val firstRel = page.zipWithIndex
+        .collectFirst { case ((_, s, _), i) if s == qSrc => i + 1L }
+      val dcg = page.zipWithIndex.collect {
+        case ((_, s, _), i) if s == qSrc => 1.0 / log2(i + 2.0) }.sum
+      val idcg = (1L to math.min(nRel, 10L)).map(i => 1.0 / log2(i + 1.0)).sum
+      (qid, nRel, firstRel,
+        r4(firstRel.map(1.0 / _).getOrElse(0.0)),
+        if (nRel > 0) Some(r4(dcg / idcg)) else None)
+    }.toList
+    val got = CorpusOps.d150NdcgEval(spark, dir).collect().map { r =>
+      (r.getAs[Long]("qid"), r.getAs[Long]("n_rel"),
+        Option(r.getAs[java.lang.Long]("first_rel_rank")).map(_.toLong),
+        r.getAs[Double]("rr"),
+        Option(r.getAs[java.lang.Double]("ndcg")).map(_.toDouble))
+    }.toList
+    assert(got == expect, s"got $got want $expect")
+    // the engineered edge: doc 12 inflates query 0's ideal (n_rel=2)
+    // without ever appearing on the page, so ndcg < 1 despite a
+    // perfect page-1 hit
+    assert(got.head._2 == 2L && got.head._5.exists(_ < 1.0))
+  }
+
+  // ------------------------------------------------------------- d151
+  test("d151 temporal split: hour-floored 70% cut, 24h embargo band, " +
+      "in-op leakage pin") {
+    val dir = tmp()
+    import spark.implicits._
+    val H = 3600L * 1000000
+    val t0 = 1704067200L * 1000000
+    val ev = (0 to 100).map(h => (h.toLong, (h % 5).toLong, t0 + h * H))
+    ev.toDF("event_id", "user_id", "us")
+      .select(col("event_id"), col("user_id"),
+        timestamp_micros(col("us")).as("ts"))
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = CorpusOps.d151TemporalSplit(spark, dir).collect()
+      .map(r => (r.getString(0), r.getAs[Long]("n"),
+        (r.getAs[Long]("min_us") - t0) / H,
+        (r.getAs[Long]("max_us") - t0) / H)).toList
+    // span 100 h -> cut at hour 70; embargo [70, 94); test >= 94
+    assert(got == List(
+      ("1_train", 70L, 0L, 69L),
+      ("2_embargo", 24L, 70L, 93L),
+      ("3_test", 7L, 94L, 100L)), s"got $got")
+  }
+
+  // ------------------------------------------------------------- d152
+  test("d152 triangle count: planted triangle + pendant edge, " +
+      "degree-ordered enumeration counts each triangle once") {
+    val dir = tmp()
+    import spark.implicits._
+    val H = 3600L * 1000000
+    val t0 = 1704067200L * 1000000
+    // hour 0: users 1,2,3 (a triangle); hour 1: users 1,4 (pendant);
+    // hour 2: user 5 alone (no edges, excluded from the node count)
+    val ev = Seq((1L, 0L), (2L, 0L), (3L, 0L), (1L, 1L), (4L, 1L), (5L, 2L))
+      .zipWithIndex.map { case ((u, h), i) => (i.toLong, u, t0 + h * H + 60000000L) }
+    ev.toDF("event_id", "user_id", "us")
+      .select(col("event_id"), col("user_id"),
+        timestamp_micros(col("us")).as("ts"))
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val r = CorpusOps.d152TriangleCount(spark, dir).collect().head
+    // edges (1,2)(1,3)(2,3)(1,4); deg 1:3 2:2 3:2 4:1; wedges 3+1+1=5
+    assert((r.getAs[Long]("n_nodes"), r.getAs[Long]("n_edges"),
+      r.getAs[Long]("n_wedges"), r.getAs[Long]("n_triangles"),
+      r.getAs[Long]("gcc_e4")) == ((4L, 4L, 5L, 1L, 6000L)),
+      s"got $r")
+  }
+
   // ------------------------------------------------------------- d146
   test("d146 range shards: lossless, globally ordered read-back on the " +
       "sf fixture") {
