@@ -5407,7 +5407,233 @@ object CorpusOps {
          END AS gcc_e4
        FROM tri"""
 
+  // -------------------------------------------------------------- d153
+  /** Probe / build event types for the as-of join. */
+  private[graft] val AsofProbeType = "click"
+  private[graft] val AsofBuildType = "purchase"
+
+  /** VALUE-CARRYING AS-OF JOIN (point-in-time feature lookup) — for
+    * every click, the same user's most recent purchase VALUE
+    * at-or-before the click time: THE feature-store join (training
+    * features must be the values knowable at label time — joining
+    * "current" features leaks the future, the d151 embargo's row-level
+    * cousin). This gates the second member of the as-of family,
+    * [[Relational.asofValueTagged]]: d97 gates the strict-`<`, ts-only
+    * primitive; this one's contract is the INCLUSIVE boundary (a
+    * feature written in the same microsecond as the label row is
+    * visible, DuckDB ASOF's `>=`) with the match's PAYLOAD carried
+    * through the same single window pass — recovering the payload from
+    * the ts-only form costs a join back on (key, ts), i.e. exactly the
+    * join the union–tag–window merge exists to avoid.
+    *
+    * Scale shape: one exchange on user_id, one sort, ZERO join
+    * fan-out (the naive encoding is a user equi-join with a ts
+    * residual plus argmax — clicks×purchases per user before the max
+    * prunes it). Build rows are deduped to one per (user, time) first
+    * so same-instant tie resolution is engine-independent. */
+  def d153AsofJoin(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.load(spark, dir, "events")
+      .withColumn("us", unix_micros(col("ts")))
+    val build = ev.filter(col("event_type") === AsofBuildType)
+      .groupBy("user_id", "us").agg(max("value").as("bval"))
+      .select(col("user_id"), col("us"), lit(false).as("is_probe"),
+        col("bval"), lit(null).cast("long").as("event_id"))
+    val probe = ev.filter(col("event_type") === AsofProbeType)
+      .select(col("user_id"), col("us"), lit(true).as("is_probe"),
+        lit(null).cast("double").as("bval"), col("event_id"))
+    Relational.asofValueTagged(build.unionByName(probe),
+        col("is_probe"), "user_id", "us", "bval",
+        "last_purchase_value", "last_purchase_us")
+      .select(col("event_id"), col("user_id"), col("us").as("click_us"),
+        col("last_purchase_value"),
+        (col("us") - col("last_purchase_us")).as("staleness_us"))
+      .orderBy("event_id")
+  }
+
+  /** DuckDB runs its NATIVE ASOF LEFT JOIN — equality of the two plans
+    * is exactly the union-window rewrite's correctness claim
+    * (inclusive `>=` boundary, left rows with no match stay null). */
+  val d153Oracle: String =
+    s"""WITH p AS (
+         SELECT user_id, epoch_us(ts) AS us, max(value) AS bval
+         FROM events WHERE event_type = '$AsofBuildType' GROUP BY 1, 2),
+       c AS (
+         SELECT event_id, user_id, epoch_us(ts) AS us
+         FROM events WHERE event_type = '$AsofProbeType')
+       SELECT c.event_id, c.user_id, c.us AS click_us,
+         p.bval AS last_purchase_value,
+         c.us - p.us AS staleness_us
+       FROM c ASOF LEFT JOIN p
+         ON c.user_id = p.user_id AND c.us >= p.us
+       ORDER BY event_id"""
+
+  // -------------------------------------------------------------- d154
+  /** Greenwald–Khanna accuracy knob: guaranteed rank error ≤
+    * N/[[GkAccuracy]]. The audit bound adds +1 for the discrete
+    * ceiling at tiny N. */
+  private[graft] val GkAccuracy = 1000
+  private[graft] val QuantPs = Seq(0.5, 0.9, 0.99)
+
+  /** QUANTILE-SKETCH AUDIT — per-event-type p50/p90/p99 computed BOTH
+    * ways: exact `percentile` (a full per-group sort — unaffordable at
+    * 100 TB) and the Greenwald–Khanna mergeable sketch
+    * `approx_percentile` (KB-sized, map-side partials, the one you
+    * actually run). d137's HLL-recalibration discipline applied to
+    * quantiles: the op probes the RANK of each sketch answer with one
+    * extra broadcast-keyed pass (#values < and ≤ the estimate), REQUIRES
+    * the guaranteed rank window |rank − p·n| ≤ n/accuracy (+1) to hold
+    * in-op, and emits the exact quantiles plus the always-true flag —
+    * so the driver gate replays the sketch-trust audit on real data
+    * every round. GK guarantees RANK error, not value error, which is
+    * why the acceptance test is a rank probe and not an |Δvalue| bound
+    * (a heavy-tailed p99 can move arbitrarily far in value space within
+    * one rank). Ties are handled by accepting the estimate if its
+    * occupied rank interval [#<x + 1, #≤x] intersects the window. */
+  def d154QuantileAudit(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.load(spark, dir, "events")
+    val pArr = array(QuantPs.map(lit): _*)
+    val agg = ev.groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        percentile(col("value"), pArr).as("ex"),
+        approx_percentile(col("value"), pArr, lit(GkAccuracy)).as("ap"))
+      .localCheckpoint() // K rows; feeds the rank probe and the output
+    val probes = agg.select(col("event_type"), col("n"),
+      posexplode(col("ap")).as(Seq("pi", "aval")))
+    val ranks = ev.join(broadcast(probes), Seq("event_type"))
+      .groupBy("event_type", "pi", "n", "aval")
+      .agg(
+        sum(when(col("value") < col("aval"), 1L).otherwise(0L)).as("r_lo"),
+        sum(when(col("value") <= col("aval"), 1L).otherwise(0L)).as("r_hi"))
+      .withColumn("target",
+        element_at(pArr, col("pi") + 1) * col("n"))
+      .withColumn("bound",
+        col("n").cast("double") / GkAccuracy + 1.0)
+      .withColumn("ok",
+        col("r_lo") + 1 <= col("target") + col("bound") &&
+          col("r_hi") >= col("target") - col("bound"))
+    val flags = ranks.groupBy("event_type")
+      .agg(bool_and(col("ok")).as("gk_within_bound"))
+      .localCheckpoint()
+    val misses = flags.filter(!col("gk_within_bound")).count()
+    require(misses == 0L,
+      s"GK estimate outside the guaranteed rank window on $misses group(s)")
+    agg.join(flags, Seq("event_type"), "left")
+      .select(col("event_type"), col("n"),
+        round(element_at(col("ex"), 1), 4).as("p50"),
+        round(element_at(col("ex"), 2), 4).as("p90"),
+        round(element_at(col("ex"), 3), 4).as("p99"),
+        coalesce(col("gk_within_bound"), lit(true)).as("gk_within_bound"))
+      .orderBy("event_type")
+  }
+
+  /** Both engines interpolate continuously at index (n−1)·p (Spark
+    * `percentile` ≡ DuckDB `quantile_cont`); 4dp rounding absorbs the
+    * libm-ulp class (d113 precedent). The sketch side is invisible to
+    * DuckDB — the flag pins that OUR estimate held its documented
+    * error, the exact side pins the values. */
+  val d154Oracle: String =
+    s"""SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+         round(quantile_cont(value, ${QuantPs(0)}), 4) AS p50,
+         round(quantile_cont(value, ${QuantPs(1)}), 4) AS p90,
+         round(quantile_cont(value, ${QuantPs(2)}), 4) AS p99,
+         true AS gk_within_bound
+       FROM events GROUP BY event_type ORDER BY event_type"""
+
+  // -------------------------------------------------------------- d155
+  /** Jaccard threshold τ = [[SsjTauNum]]/[[SsjTauDen]], kept as an
+    * exact rational so every threshold comparison and the prefix
+    * length are INTEGER arithmetic — `ceil(0.9 * 40)` in doubles is 37
+    * (0.9 rounds up), which would shorten the prefix below the
+    * guarantee and silently drop boundary pairs. */
+  private[graft] val SsjTauNum = 9
+  private[graft] val SsjTauDen = 10
+
+  /** PREFIX-FILTERED SET-SIMILARITY JOIN — ALL document pairs with
+    * shingle-Jaccard ≥ τ, exactly: (da, db, ⌊100·J⌋). d2 answers the
+    * same question APPROXIMATELY (MinHash bands over the identical
+    * hashed-3-gram-shingle sets; banding can miss borderline pairs and
+    * admits false candidates); this is its exact companion, and the
+    * naive exact encoding is the quadratic shingle join (every shared
+    * shingle generates a candidate). The scale fix is the PREFIX
+    * FILTER (Chaudhuri et al. 2006; Xiao et al. PPJoin; Vernica et al.
+    * 2010 for the MapReduce form): order every doc's shingles by
+    * ascending global document frequency and keep only the first
+    * p = |d| − ⌈τ·|d|⌉ + 1 RAREST; any pair with J ≥ τ must share a
+    * prefix shingle, so candidates come from an equi-join on the rare
+    * prefixes only, with the exact Jaccard verified on the full sets
+    * afterward. A τ-length cross-filter (τ·|A| ≤ |B| both ways,
+    * integer form) prunes size-incompatible candidates in the join.
+    * The similarity space is SHINGLES, not word tokens, by necessity:
+    * on a templated corpus the word vocabulary is tiny (31 terms at
+    * sf0.1) and no rare-prefix exists — the shingle space is where
+    * both the filter and the threshold are meaningful.
+    *
+    * Scale shape: hashed-long shingle equi-joins end to end (df
+    * counts, prefix join, verify joins on doc_id); the per-doc prefix
+    * rank is a doc-partitioned window; no global window, no cross
+    * join. The prefix length and every threshold compare are INTEGER
+    * arithmetic — `ceil(0.9·sz)` in doubles rounds UP through the 0.9
+    * representation error, silently shortening the prefix below the
+    * no-false-negative guarantee. */
+  def d155PrefixSsjoin(spark: SparkSession, dir: String): DataFrame = {
+    val t = docs(spark, dir)
+      .select(col("doc_id"),
+        FuzzyDedup.shingleSetCol(col("text")).as("toks"))
+      .withColumn("sz", size(col("toks")))
+      .localCheckpoint() // feeds prefixes and verification
+    val e = t.select(col("doc_id"), col("sz"), explode(col("toks")).as("tok"))
+    val dfreq = e.groupBy("tok").agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy("doc_id").orderBy(col("df"), col("tok"))
+    val prefix = e.join(dfreq, "tok")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= expr(
+        s"sz - (sz * $SsjTauNum + ${SsjTauDen - 1}) div $SsjTauDen + 1"))
+      .select(col("doc_id"), col("sz"), col("tok"))
+    val cand = prefix.select(col("doc_id").as("da"), col("sz").as("pa"),
+        col("tok"))
+      .join(prefix.select(col("doc_id").as("db"), col("sz").as("pb"),
+        col("tok")), Seq("tok"))
+      .filter(col("da") < col("db") &&
+        col("pa") * SsjTauNum <= col("pb") * SsjTauDen &&
+        col("pb") * SsjTauNum <= col("pa") * SsjTauDen)
+      .select("da", "db").distinct()
+    cand
+      .join(t.select(col("doc_id").as("da"), col("toks").as("ta"),
+        col("sz").as("sa")), "da")
+      .join(t.select(col("doc_id").as("db"), col("toks").as("tb"),
+        col("sz").as("sb")), "db")
+      .withColumn("i", size(array_intersect(col("ta"), col("tb")))
+        .cast("long"))
+      .withColumn("u", col("sa") + col("sb") - col("i"))
+      .filter(col("i") * SsjTauDen >= col("u") * SsjTauNum)
+      .select(col("da"), col("db"), expr("(i * 100) div u").as("j_pct"))
+      .orderBy("da", "db")
+  }
+
+  /** DuckDB verifies EXHAUSTIVELY (all-pairs shingle join, no prefix)
+    * over the same [[graft.functions.ShingleHashes.sqlCtes]] shingle
+    * scheme every dedup oracle shares — equality with the
+    * prefix-filtered plan is exactly the filter's no-false-negatives
+    * guarantee, exercised on real data. */
+  val d155Oracle: String =
+    s"""WITH ${graft.functions.ShingleHashes.sqlCtes("doc_id")},
+       t AS (SELECT doc_id, list_distinct(shingles) AS toks FROM sh),
+       e AS (SELECT doc_id, len(toks) AS sz, unnest(toks) AS tok FROM t),
+       i AS (
+         SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS i,
+           max(a.sz) AS sa, max(b.sz) AS sb
+         FROM e a JOIN e b ON a.tok = b.tok AND a.doc_id < b.doc_id
+         GROUP BY 1, 2)
+       SELECT da, db,
+         CAST((i * 100) // (sa + sb - i) AS BIGINT) AS j_pct
+       FROM i
+       WHERE i * $SsjTauDen >= (sa + sb - i) * $SsjTauNum
+       ORDER BY da, db"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d153_asof_join" -> (d153AsofJoin _),
+    "d154_quantile_audit" -> (d154QuantileAudit _),
+    "d155_prefix_ssjoin" -> (d155PrefixSsjoin _),
     "d150_ndcg_eval" -> (d150NdcgEval _),
     "d151_temporal_split" -> (d151TemporalSplit _),
     "d152_triangle_count" -> (d152TriangleCount _),
@@ -5495,6 +5721,9 @@ object CorpusOps {
     "d150_ndcg_eval" -> d150Oracle,
     "d151_temporal_split" -> d151Oracle,
     "d152_triangle_count" -> d152Oracle,
+    "d153_asof_join" -> d153Oracle,
+    "d154_quantile_audit" -> d154Oracle,
+    "d155_prefix_ssjoin" -> d155Oracle,
     "d147_kmv_overlap" -> d147Oracle,
     "d148_schema_evolution" -> d148Oracle,
     "d149_decay_score" -> d149Oracle,

@@ -57,6 +57,33 @@ object Relational {
       .filter(isLeft)
   }
 
+  /** [[asofTagged]]'s PAYLOAD-CARRYING, INCLUSIVE-BOUNDARY sibling —
+    * the feature-store form: attach the `payload` column (and
+    * timestamp) of the most recent non-left row AT-OR-BEFORE each left
+    * row. Two deliberate contract differences from [[asofTagged]]:
+    * the boundary is inclusive (a feature written in the same instant
+    * as the label row is knowable at label time — pandas merge_asof's
+    * default, DuckDB ASOF's `>=`), and the match's VALUE rides the
+    * same window pass — with the ts-only form, recovering the payload
+    * costs a join back on (key, ts), i.e. exactly the join the window
+    * encoding exists to avoid. Tie order is pinned by sorting non-left
+    * rows before left rows at equal timestamps (a rows frame, not a
+    * range frame, so the tag order is what resolves the boundary);
+    * callers with multiple non-left rows in the same instant should
+    * pre-aggregate them to keep the answer engine-independent. */
+  def asofValueTagged(df: DataFrame, isLeft: Column, key: String,
+      ts: String, payload: String, outVal: String, outTs: String)
+      : DataFrame = {
+    val w = Window.partitionBy(key)
+      .orderBy(col(ts), isLeft.cast("int"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn(outVal,
+        last(when(!isLeft, col(payload)), ignoreNulls = true).over(w))
+      .withColumn(outTs,
+        last(when(!isLeft, col(ts)), ignoreNulls = true).over(w))
+      .filter(isLeft)
+  }
+
   /** GAP-BASED SESSIONIZATION: assign a per-key `session_id` (1-based,
     * in time order) that increments whenever the gap to the previous
     * event exceeds `gapUs`. One shuffle on the key; the lag and the

@@ -1348,6 +1348,89 @@ class NewOpsSpec extends SparkSpec {
       ("3_test", 7L, 94L, 100L)), s"got $got")
   }
 
+  // ------------------------------------------------------------- d153
+  test("d153 asof join: inclusive boundary, pre-history null, " +
+      "userless-probe null, same-us build dedup") {
+    val dir = tmp()
+    import spark.implicits._
+    // user 1: purchases at us 10 (100.0), 20 (two rows, 150/200 -> max
+    // 200); clicks at 5 (pre-history), 15, 20 (tie with the purchase);
+    // user 2: click at 30 with no purchases; plus a 'view' decoy
+    val ev = Seq(
+      (100L, 1L, "purchase", 10L, 100.0), (101L, 1L, "purchase", 20L, 150.0),
+      (102L, 1L, "purchase", 20L, 200.0),
+      (1L, 1L, "click", 5L, 0.0), (2L, 1L, "click", 15L, 0.0),
+      (3L, 1L, "click", 20L, 0.0), (4L, 2L, "click", 30L, 0.0),
+      (200L, 1L, "view", 12L, 9.0))
+    ev.toDF("event_id", "user_id", "event_type", "us", "value")
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        timestamp_micros(col("us")).as("ts"), col("value"))
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = CorpusOps.d153AsofJoin(spark, dir).collect().map(r =>
+      (r.getAs[Long]("event_id"),
+        Option(r.getAs[java.lang.Double]("last_purchase_value"))
+          .map(_.toDouble),
+        Option(r.getAs[java.lang.Long]("staleness_us")).map(_.toLong)))
+      .toList
+    assert(got == List(
+      (1L, None, None),            // click before any purchase
+      (2L, Some(100.0), Some(5L)), // latest strictly-before purchase
+      (3L, Some(200.0), Some(0L)), // same-us purchase visible; max of dup
+      (4L, None, None)),           // user with no purchases
+      s"got $got")
+  }
+
+  // ------------------------------------------------------------- d154
+  test("d154 quantile audit: exact interpolated percentiles match a " +
+      "hand computation; all-ties group passes the rank-interval check") {
+    val dir = tmp()
+    import spark.implicits._
+    // group a: values 1..100 -> p50=50.5, p90=90.1, p99=99.01
+    // group b: 50 identical values (rank interval [1,50] must absorb
+    // the sketch answer at every p)
+    val ev = (1 to 100).map(i => (i.toLong, 1L, "a", i.toDouble)) ++
+      (1 to 50).map(i => (200L + i, 2L, "b", 7.0))
+    ev.toDF("event_id", "user_id", "event_type", "value")
+      .withColumn("ts", timestamp_micros(lit(1704067200L * 1000000) +
+        col("event_id")))
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = CorpusOps.d154QuantileAudit(spark, dir).collect().map(r =>
+      (r.getAs[String]("event_type"), r.getAs[Long]("n"),
+        r.getAs[Double]("p50"), r.getAs[Double]("p90"),
+        r.getAs[Double]("p99"), r.getAs[Boolean]("gk_within_bound")))
+      .toList
+    assert(got == List(
+      ("a", 100L, 50.5, 90.1, 99.01, true),
+      ("b", 50L, 7.0, 7.0, 7.0, true)), s"got $got")
+  }
+
+  // ------------------------------------------------------------- d155
+  test("d155 prefix ssjoin: boundary pair at exactly tau (on the " +
+      "length-filter edge too), near-miss excluded, short-doc " +
+      "exact-dup pair; pairs match the hand-computed all-pairs answer") {
+    val dir = tmp()
+    import spark.implicits._
+    // 12 words -> 10 3-gram shingles; 11 words -> 9, all shared when
+    // the text is a prefix: J = 9/10 exactly (and 10*9 = 9*10 is the
+    // length-filter boundary). Changing the LAST word of the 11-word
+    // doc kills its last 3 shingles vs doc 0 -> J = 7/12, excluded.
+    val w12 = (1 to 12).map(i => s"w$i").mkString(" ")
+    val w11 = (1 to 11).map(i => s"w$i").mkString(" ")
+    val w11x = (1 to 10).map(i => s"w$i").mkString(" ") + " zz"
+    val docs = Seq(
+      (0L, w12, "A"), (1L, w11, "A"), (2L, w11x, "A"),
+      (3L, "alpha beta", "B"), (4L, "alpha beta", "B"), // <3 tokens:
+      (5L, "zzz qqq", "B"))  // whole-text fallback shingle, J = 1 dups
+    docs.toDF("doc_id", "text", "source")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    // truth: (0,1) i=9 u=10 -> 90; (1,2) i=8 u=10 -> 80 out;
+    // (0,2) i=8 u=11 out; (3,4) J=1 -> 100; doc 5 pairs with nothing
+    val got = CorpusOps.d155PrefixSsjoin(spark, dir).collect()
+      .map(r => (r.getAs[Long]("da"), r.getAs[Long]("db"),
+        r.getAs[Long]("j_pct"))).toList
+    assert(got == List((0L, 1L, 90L), (3L, 4L, 100L)), s"got $got")
+  }
+
   // ------------------------------------------------------------- d152
   test("d152 triangle count: planted triangle + pendant edge, " +
       "degree-ordered enumeration counts each triangle once") {
