@@ -5630,7 +5630,197 @@ object CorpusOps {
        WHERE i * $SsjTauDen >= (sa + sb - i) * $SsjTauNum
        ORDER BY da, db"""
 
+  // -------------------------------------------------------------- d156
+  /** The dim-side predicate DPP keys on — the fact partitions NOT in
+    * this set must never be read. */
+  private[graft] val DppKeepTypes = Seq("click", "error")
+
+  /** DYNAMIC PARTITION PRUNING GATE — the runtime half of the pruning
+    * story: d95 pins STATIC pruning (a literal predicate on the
+    * partition column reaches the scan as a directory filter); this
+    * pins the case production actually hits, where the partition set
+    * comes from a JOIN against a filtered dimension and is unknowable
+    * at plan time. Catalyst's PartitionPruning rule must inject a
+    * `DynamicPruningExpression` subquery into the fact scan's
+    * partition filters — the dim side executes first and the fact scan
+    * then reads ONLY the matching directories. Without DPP, a
+    * fact-dim join over a partitioned 100 TB fact table reads all of
+    * it to discard most; the asserted subquery is the difference
+    * between scanning 2 of K partitions and scanning K.
+    *
+    * The dim is derived from the same table by aggregation (not a
+    * literal local relation — `ConvertToLocalRelation` folds a Filter
+    * over literals away, and the pruning rule keys on a surviving
+    * selective Filter on the dim side). Gate: the in-op require pins
+    * the injected subquery; the oracle pins the answer. */
+  def d156DppScan(spark: SparkSession, dir: String): DataFrame = {
+    val path = java.nio.file.Files.createTempDirectory("graft-d156")
+    try {
+      val src = Tables.load(spark, dir, "events")
+        .select(col("event_id"), col("event_type"), col("value"))
+      val layout = path.resolve("events_p").toString
+      graft.io.Layouts.writePartitioned(src, layout, "event_type")
+      val fact = spark.read.schema(src.schema).parquet(layout)
+      val dim = Tables.load(spark, dir, "events")
+        .groupBy("event_type").agg(round(min("value"), 2).as("min_value"))
+        .filter(col("event_type").isin(DppKeepTypes: _*))
+      val joined = fact.join(broadcast(dim), "event_type")
+        .groupBy("event_type", "min_value")
+        .agg(count(lit(1)).as("n_events"),
+          round(sum("value"), 2).as("total_value"))
+      val out = joined.localCheckpoint()
+      // a zero-row source writes no partition directories, so there is
+      // no partition schema to prune — the pin applies iff the layout
+      // exists (the d95 discipline)
+      val hasLayout = Option(path.resolve("events_p").toFile.list())
+        .exists(_.exists(_.startsWith("event_type=")))
+      if (hasLayout) {
+        val plan = joined.queryExecution.executedPlan.toString
+        require(plan.toLowerCase.contains("dynamicpruning"),
+          s"the dim join must prune fact partitions at runtime:\n$plan")
+      }
+      out.select(col("event_type"), col("n_events"), col("total_value"),
+          col("min_value"))
+        .orderBy("event_type")
+    } finally {
+      try {
+        java.nio.file.Files.walk(path)
+          .sorted(java.util.Comparator.reverseOrder())
+          .forEach(p => java.nio.file.Files.deleteIfExists(p))
+      } catch { case _: java.io.IOException => () }
+    }
+  }
+
+  val d156Oracle: String = {
+    val keep = DppKeepTypes.map(t => s"'$t'").mkString(", ")
+    s"""SELECT event_type, count(*) AS n_events,
+         round(sum(value), 2) AS total_value,
+         round(min(value), 2) AS min_value
+       FROM events WHERE event_type IN ($keep)
+       GROUP BY event_type ORDER BY event_type"""
+  }
+
+  // -------------------------------------------------------------- d157
+  /** Weighted-quantile targets, in percent (exact integer compares). */
+  private[graft] val WqPcts = Seq(50, 90)
+
+  /** TOKEN-MASS-WEIGHTED LENGTH QUANTILES — per source, the document
+    * length at which p% of the source's TOKENS live in shorter
+    * documents (the smallest n_chars whose cumulative token mass
+    * reaches p% — weighted quantile, type-1). Count quantiles (d68's
+    * buckets, d154's percentiles) describe the typical DOCUMENT;
+    * training cost and context-packing behavior follow the typical
+    * TOKEN, and on a length-skewed crawl the two diverge wildly (a few
+    * giant docs can hold half the token mass). This is the weighted
+    * companion d78 (weighted sampling) and d102 (DSIR importance
+    * weights) imply: where does the weighted mass actually sit.
+    *
+    * Scale shape: ONE exchange on source carries both windows (the
+    * running cumulative and the whole-partition total share the sort);
+    * the crossing row is a plain conditional-min aggregate. The
+    * crossing test is exact integer arithmetic (cw·100 ≥ W·p), so no
+    * float ever crosses an engine boundary, and the selected value is
+    * deterministic under any tie order — equal n_chars rows cross the
+    * bound inside a run of the same value. */
+  def d157WeightedQuantiles(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir).select(col("source"), col("doc_id"),
+      col("n_chars"), size(tokens(col("text"))).cast("long").as("w"))
+    val run = Window.partitionBy("source")
+      .orderBy(col("n_chars"), col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val all = Window.partitionBy("source")
+    val c = d.withColumn("cw", sum("w").over(run))
+      .withColumn("wt", sum("w").over(all))
+    c.groupBy("source")
+      .agg(max("wt").as("w_total"),
+        min(when(col("cw") * 100 >= col("wt") * WqPcts(0), col("n_chars")))
+          .as("wp50_chars"),
+        min(when(col("cw") * 100 >= col("wt") * WqPcts(1), col("n_chars")))
+          .as("wp90_chars"))
+      .orderBy("source")
+  }
+
+  val d157Oracle: String =
+    s"""WITH d AS (
+         SELECT source, doc_id, n_chars,
+           len(regexp_extract_all(text, '\\S+')) AS w
+         FROM documents),
+       c AS (
+         SELECT source, n_chars,
+           sum(w) OVER (PARTITION BY source ORDER BY n_chars, doc_id
+                        ROWS UNBOUNDED PRECEDING) AS cw,
+           sum(w) OVER (PARTITION BY source) AS wt
+         FROM d)
+       SELECT source, CAST(max(wt) AS BIGINT) AS w_total,
+         min(CASE WHEN cw * 100 >= wt * ${WqPcts(0)} THEN n_chars END)
+           AS wp50_chars,
+         min(CASE WHEN cw * 100 >= wt * ${WqPcts(1)} THEN n_chars END)
+           AS wp90_chars
+       FROM c GROUP BY source ORDER BY source"""
+
+  // -------------------------------------------------------------- d158
+  /** RUNTIME BLOOM-FILTER JOIN GATE — the runtime-filter leg for joins
+    * that are NOT partition-aligned (d156 covers those): when a
+    * shuffle join's build side is selectively filtered, Catalyst's
+    * InjectRuntimeFilter can build a bloom filter over the build-side
+    * join keys and push `might_contain` into the probe-side SCAN — at
+    * 100 TB the difference between shuffling the whole fact table and
+    * shuffling the ~1/5 of it that can possibly match. The gate joins
+    * lineitem against urgent-priority orders with broadcast disabled
+    * (a broadcast join needs no bloom — the hash table IS the filter),
+    * pins the injected `might_contain` in-op, and hash-matches the
+    * plain join answer via the oracle (the filter must be
+    * answer-invisible, like d128's salt).
+    *
+    * The size thresholds are floored in-op for the same reason d138
+    * plants entropy: the injection heuristics are calibrated for
+    * production scan sizes (10 MB / 10 GB defaults), and the TEST
+    * corpus sits under them — at production scale the defaults fire on
+    * their own. */
+  def d158BloomJoin(spark: SparkSession, dir: String): DataFrame = {
+    // creationSideThreshold is a MAXIMUM (the bloom is only worth
+    // building over a small-enough build side — 10 MB default holds
+    // here); applicationSideScanSizeThreshold is a MINIMUM (only a big
+    // probe scan is worth filtering — 10 GB default, floored for the
+    // test corpus)
+    val conf = Map(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val prev = conf.keys.map(k => k -> spark.conf.get(k)).toMap
+    conf.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val fact = Tables.load(spark, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_quantity"), col("l_returnflag"))
+      val dim = Tables.load(spark, dir, "orders")
+        .filter(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_orderkey"), col("o_orderpriority"))
+      val joined = fact.join(dim, col("l_orderkey") === col("o_orderkey"))
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n_rows"),
+          round(sum("l_quantity"), 2).as("sum_qty"))
+      val out = joined.localCheckpoint()
+      val plan = joined.queryExecution.executedPlan.toString
+      // AQE collapses a zero-row side to EmptyRelation — no scan left
+      // to filter, which is the planner working as designed (d138)
+      require(plan.contains("EmptyRelation") ||
+          plan.toLowerCase.contains("might_contain"),
+        s"a runtime bloom filter must reach the fact scan:\n$plan")
+      out.orderBy("l_returnflag")
+    } finally prev.foreach { case (k, v) => spark.conf.set(k, v) }
+  }
+
+  val d158Oracle: String =
+    """SELECT l_returnflag, count(*) AS n_rows,
+         round(sum(l_quantity), 2) AS sum_qty
+       FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+       WHERE o_orderpriority = '1-URGENT'
+       GROUP BY l_returnflag ORDER BY l_returnflag"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d156_dpp_scan" -> (d156DppScan _),
+    "d157_weighted_quantiles" -> (d157WeightedQuantiles _),
+    "d158_bloom_join" -> (d158BloomJoin _),
     "d153_asof_join" -> (d153AsofJoin _),
     "d154_quantile_audit" -> (d154QuantileAudit _),
     "d155_prefix_ssjoin" -> (d155PrefixSsjoin _),
@@ -5722,6 +5912,9 @@ object CorpusOps {
     "d151_temporal_split" -> d151Oracle,
     "d152_triangle_count" -> d152Oracle,
     "d153_asof_join" -> d153Oracle,
+    "d156_dpp_scan" -> d156Oracle,
+    "d157_weighted_quantiles" -> d157Oracle,
+    "d158_bloom_join" -> d158Oracle,
     "d154_quantile_audit" -> d154Oracle,
     "d155_prefix_ssjoin" -> d155Oracle,
     "d147_kmv_overlap" -> d147Oracle,

@@ -1431,6 +1431,70 @@ class NewOpsSpec extends SparkSpec {
     assert(got == List((0L, 1L, 90L), (3L, 4L, 100L)), s"got $got")
   }
 
+  // ------------------------------------------------------------- d156
+  test("d156 dpp scan: only dim-kept partitions survive, aggregates " +
+      "match a hand recompute, the in-op pin held (op returned)") {
+    val dir = tmp()
+    import spark.implicits._
+    val ev = Seq(
+      (1L, "click", 10.0), (2L, "click", 4.0), (3L, "error", 7.0),
+      (4L, "view", 100.0), (5L, "purchase", 50.0), (6L, "signup", 3.0))
+    ev.toDF("event_id", "event_type", "value")
+      .withColumn("ts", timestamp_micros(lit(1704067200L * 1000000) +
+        col("event_id")))
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = CorpusOps.d156DppScan(spark, dir).collect().map(r =>
+      (r.getAs[String]("event_type"), r.getAs[Long]("n_events"),
+        r.getAs[Double]("total_value"), r.getAs[Double]("min_value")))
+      .toList
+    assert(got == List(
+      ("click", 2L, 14.0, 4.0), ("error", 1L, 7.0, 7.0)), s"got $got")
+  }
+
+  // ------------------------------------------------------------- d157
+  test("d157 weighted quantiles: token mass diverges from count " +
+      "quantiles on a length-skewed source; uniform weights reduce to " +
+      "type-1 count quantiles") {
+    val dir = tmp()
+    import spark.implicits._
+    // source A: two tiny docs (2 tokens each) + one giant doc holding
+    // 16 of 20 tokens -> both wp50 and wp90 sit at the giant's length
+    // (the count median would be 20); source B: uniform weights, so
+    // wp50 is the smallest length with cum >= 50% (type-1 semantics)
+    val docs = Seq(
+      (0L, "a b", "A", 10L), (1L, "a b", "A", 20L),
+      (2L, (1 to 16).map(i => s"t$i").mkString(" "), "A", 100L),
+      (10L, "x", "B", 1L), (11L, "x", "B", 2L),
+      (12L, "x", "B", 3L), (13L, "x", "B", 4L))
+    docs.toDF("doc_id", "text", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = CorpusOps.d157WeightedQuantiles(spark, dir).collect().map(r =>
+      (r.getAs[String]("source"), r.getAs[Long]("w_total"),
+        r.getAs[Long]("wp50_chars"), r.getAs[Long]("wp90_chars"))).toList
+    // A: cum 2,4,20 of W=20 -> p50 crosses at 100 (cw 20 >= 10),
+    //    p90 at 100; B: W=4, p50 at len 2 (cw 2 >= 2), p90 at len 4
+    assert(got == List(("A", 20L, 100L, 100L), ("B", 4L, 2L, 4L)),
+      s"got $got")
+  }
+
+  // ------------------------------------------------------------- d158
+  test("d158 bloom join: answer matches the plain join on planted " +
+      "tables; in-op might_contain pin held (op returned)") {
+    val dir = tmp()
+    import spark.implicits._
+    Seq((1L, "1-URGENT"), (2L, "5-LOW"), (3L, "1-URGENT"))
+      .toDF("o_orderkey", "o_orderpriority")
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    Seq((1L, 10.0, "A"), (1L, 5.0, "R"), (2L, 99.0, "A"), (3L, 2.5, "A"))
+      .toDF("l_orderkey", "l_quantity", "l_returnflag")
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val got = CorpusOps.d158BloomJoin(spark, dir).collect().map(r =>
+      (r.getAs[String]("l_returnflag"), r.getAs[Long]("n_rows"),
+        r.getAs[Double]("sum_qty"))).toList
+    // urgent orders 1,3 -> lines (1,10 A)(1,5 R)(3,2.5 A)
+    assert(got == List(("A", 2L, 12.5), ("R", 1L, 5.0)), s"got $got")
+  }
+
   // ------------------------------------------------------------- d152
   test("d152 triangle count: planted triangle + pendant edge, " +
       "degree-ordered enumeration counts each triangle once") {
