@@ -947,7 +947,11 @@ object Queries {
     "q32_set_ops" -> q32Oracle
   )
 
-  val all: Map[String, (SparkSession, String) => DataFrame] =
+  // lazy: a caller may initialize a contributing registry object FIRST
+  // (e.g. a spec touching StreamGates directly), and StreamGates's own
+  // init references this object for its batch-twin oracles — an eager
+  // concat here would read that half-initialized registry as null
+  lazy val all: Map[String, (SparkSession, String) => DataFrame] =
     relational ++ ops.TextOps.queries ++ ops.FuzzyDedup.queries ++
       ops.Similarity.queries ++ ops.Multimodal.queries ++
       ops.CorpusOps.queries ++ ops.GraphOps.queries ++
@@ -955,7 +959,7 @@ object Queries {
       streaming.StreamGates.queries ++
       validate.ValidationQueries.queries
 
-  val oracles: Map[String, String] =
+  lazy val oracles: Map[String, String] =
     relationalOracles ++ ops.TextOps.oracles ++ ops.FuzzyDedup.oracles ++
       ops.Similarity.oracles ++ ops.Multimodal.oracles ++
       ops.CorpusOps.oracles ++ ops.GraphOps.oracles ++

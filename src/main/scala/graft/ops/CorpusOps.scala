@@ -5817,7 +5817,148 @@ object CorpusOps {
        WHERE o_orderpriority = '1-URGENT'
        GROUP BY l_returnflag ORDER BY l_returnflag"""
 
+  // -------------------------------------------------------------- d160
+  /** Total shard budget the apportionment distributes. */
+  private[graft] val ApportionBudget = 1000L
+
+  /** LARGEST-REMAINDER APPORTIONMENT (Hamilton method) — allocate an
+    * integer shard budget across sources EXACTLY proportional to token
+    * mass: floor quotas first, then the leftover slots go to the
+    * largest fractional remainders. This is the step between a mixture
+    * WEIGHT vector (d66/d99 emit proportions) and a physical plan that
+    * needs whole shards/files per source — naive per-source
+    * `round(B·w/W)` can over- or under-shoot the budget by up to K/2
+    * slots, and a training launch that provisions exactly B shards
+    * cannot absorb that. The d44 fixed quota caps each group
+    * identically; this divides one global budget proportionally with
+    * the sum pinned (Σalloc = B REQUIRED in-op).
+    *
+    * Everything is exact integer arithmetic — quotas and remainders
+    * via `div`/`%` on B·w (no double ever crosses an engine boundary),
+    * remainder ranking by (rem desc, source asc). Scale shape: weights
+    * are one map-side-combined aggregate; the ranking frame is
+    * K-source-sized (collect_list → array_sort → posexplode, the d19
+    * ≤K-row idiom — no global window); the corpus never shuffles. */
+  def d160Apportion(spark: SparkSession, dir: String): DataFrame = {
+    val w = docs(spark, dir)
+      .select(col("source"), size(tokens(col("text"))).cast("long").as("w"))
+      .groupBy("source").agg(sum("w").as("w_tokens"))
+    val tot = w.agg(sum("w_tokens").as("wsum"))
+    val base = w.crossJoin(broadcast(tot)) // 1-row scalar total
+      .filter(col("wsum") > 0)
+      .withColumn("alloc0",
+        expr(s"($ApportionBudget * w_tokens) div wsum"))
+      .withColumn("rem", expr(s"($ApportionBudget * w_tokens) % wsum"))
+    val packed = base.agg(
+      collect_list(struct((-col("rem")).as("nr"), col("source"),
+        col("alloc0"), col("w_tokens"))).as("xs"),
+      (lit(ApportionBudget) - sum("alloc0")).as("leftover"))
+    val out = packed
+      .select(col("leftover"), posexplode(array_sort(col("xs")))
+        .as(Seq("pos", "x")))
+      .select(col("x.source").as("source"),
+        col("x.w_tokens").as("w_tokens"),
+        (col("x.alloc0") +
+          when(col("pos") < col("leftover"), 1L).otherwise(0L))
+          .as("alloc"))
+      .orderBy("source")
+      .localCheckpoint() // audit once; the gate reads the audited rows
+    val allocs = out.select("alloc").collect().map(_.getLong(0))
+    require(allocs.isEmpty || allocs.sum == ApportionBudget,
+      s"apportionment must hit the budget exactly: ${allocs.sum}")
+    out
+  }
+
+  val d160Oracle: String =
+    s"""WITH w AS (
+         SELECT source,
+           CAST(sum(len(regexp_extract_all(text, '\\S+'))) AS BIGINT)
+             AS w_tokens
+         FROM documents GROUP BY source),
+       t AS (SELECT CAST(sum(w_tokens) AS BIGINT) AS wsum FROM w),
+       b AS (
+         SELECT source, w_tokens,
+           ($ApportionBudget * w_tokens) // wsum AS alloc0,
+           ($ApportionBudget * w_tokens) % wsum AS rem
+         FROM w, t WHERE wsum > 0),
+       l AS (SELECT $ApportionBudget - sum(alloc0) AS leftover FROM b),
+       r AS (SELECT *, row_number() OVER (ORDER BY rem DESC, source)
+               AS rk FROM b)
+       SELECT source, w_tokens,
+         CAST(alloc0 + CASE WHEN rk <= (SELECT leftover FROM l)
+           THEN 1 ELSE 0 END AS BIGINT) AS alloc
+       FROM r ORDER BY source"""
+
+  // -------------------------------------------------------------- d161
+  /** Benford first-digit probabilities log10(1+1/d), interpolated as
+    * IDENTICAL literals into both engines' expressions. */
+  private[graft] val BenfordP: Seq[Double] =
+    (1 to 9).map(d => math.log10(1.0 + 1.0 / d))
+
+  /** BENFORD FIRST-DIGIT AUDIT — ingest forensics: naturally-occurring
+    * multiplicative quantities follow Benford's law; FABRICATED or
+    * synthetically-generated values (uniform RNGs, copy-paste padding,
+    * unit-conversion bugs) do not, which makes the first-significant-
+    * digit distribution a standard fraud/fabrication screen (Benford
+    * 1938; the accounting-forensics staple). Emits, per event_type,
+    * the 9-digit histogram and the χ² statistic against Benford — a
+    * REPORT, not a pass/fail gate: the synthetic test corpus is
+    * uniform and rightly flunks (huge χ²), and that answer being
+    * stable across engines is what the oracle pins.
+    *
+    * Parity design: values are cent-exact, so the digit comes from
+    * exact integers — round(value·100) → BIGINT → first character of
+    * its decimal rendering (identical in both engines; no log10 of a
+    * double near a power-of-ten boundary). The χ² is the only float:
+    * both engines evaluate the same left-associated sum with the same
+    * Scala-printed probability literals, rounded 4dp (d150/d113
+    * precedent). One map-side-combined aggregate; nothing but the
+    * K-type result ever shuffles. */
+  def d161BenfordDigits(spark: SparkSession, dir: String): DataFrame = {
+    val fd = substring(col("cents").cast("string"), 1, 1).cast("int")
+    val d = Tables.load(spark, dir, "events")
+      .withColumn("cents", round(col("value") * 100).cast("long"))
+      .filter(col("cents") >= 1)
+      .withColumn("fd", fd)
+    val obs = (1 to 9).map(k =>
+      sum(when(col("fd") === k, 1L).otherwise(0L)).as(s"d$k"))
+    val agg = d.groupBy("event_type")
+      .agg(count(lit(1)).as("n_values"), obs: _*)
+    val chi2 = (1 to 9).map { k =>
+      val e = col("n_values") * BenfordP(k - 1)
+      (col(s"d$k") - e) * (col(s"d$k") - e) / e
+    }.reduce(_ + _)
+    agg.select(col("event_type") +: col("n_values") +:
+        (1 to 9).map(k => col(s"d$k")) :+
+        round(chi2, 4).as("chi2"): _*)
+      .orderBy("event_type")
+  }
+
+  val d161Oracle: String = {
+    val obs = (1 to 9).map(k =>
+      s"CAST(sum(CASE WHEN fd = $k THEN 1 ELSE 0 END) AS BIGINT) AS d$k")
+      .mkString(",\n           ")
+    val chi2 = (1 to 9).map { k =>
+      val p = BenfordP(k - 1)
+      s"(d$k - n_values * $p) * (d$k - n_values * $p) / (n_values * $p)"
+    }.mkString(" + ")
+    s"""WITH d AS (
+         SELECT event_type,
+           CAST(substr(CAST(CAST(round(value * 100) AS BIGINT) AS VARCHAR),
+             1, 1) AS INT) AS fd
+         FROM events WHERE CAST(round(value * 100) AS BIGINT) >= 1),
+       a AS (
+         SELECT event_type, CAST(count(*) AS BIGINT) AS n_values,
+           $obs
+         FROM d GROUP BY event_type)
+       SELECT event_type, n_values, ${(1 to 9).map(k => s"d$k").mkString(", ")},
+         round($chi2, 4) AS chi2
+       FROM a ORDER BY event_type"""
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d160_apportion" -> (d160Apportion _),
+    "d161_benford_digits" -> (d161BenfordDigits _),
     "d156_dpp_scan" -> (d156DppScan _),
     "d157_weighted_quantiles" -> (d157WeightedQuantiles _),
     "d158_bloom_join" -> (d158BloomJoin _),
@@ -5913,6 +6054,8 @@ object CorpusOps {
     "d152_triangle_count" -> d152Oracle,
     "d153_asof_join" -> d153Oracle,
     "d156_dpp_scan" -> d156Oracle,
+    "d160_apportion" -> d160Oracle,
+    "d161_benford_digits" -> d161Oracle,
     "d157_weighted_quantiles" -> d157Oracle,
     "d158_bloom_join" -> d158Oracle,
     "d154_quantile_audit" -> d154Oracle,

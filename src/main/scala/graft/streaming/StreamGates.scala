@@ -482,6 +482,52 @@ object StreamGates {
          count(*) AS n, round(sum(value), 2) AS total_value
        FROM kept GROUP BY 1, 2 ORDER BY hour, event_type"""
 
+  // -------------------------------------------------------------- d159
+  /** STREAM-STATIC ENRICHMENT JOIN — the everyday streaming shape the
+    * stream-stream interval join (d107) does not cover: an unbounded
+    * stream joined to a BOUNDED dimension (feature lookup at ingest —
+    * "attach the user's lifetime value to every click as it arrives").
+    * Unlike d107 there is NO state store and NO watermark: a
+    * stream-static inner join is stateless by construction (each
+    * micro-batch joins against the dimension as-of that batch), which
+    * is exactly why it is the default enrichment pattern — state cost
+    * zero, late data irrelevant. The static side is a batch aggregate
+    * (per-user purchase LTV) built from the same catalog and
+    * BROADCAST, so each micro-batch pays a map-side hash lookup, no
+    * shuffle of the stream. The oracle replays the identical
+    * enrichment as one batch join — stream-vs-batch equality is the
+    * gate. */
+  def d159StreamStatic(spark: SparkSession, dir: String): DataFrame = {
+    val staged = stage(dir, "events", "graft-d159")
+    val dim = Tables.load(spark, dir, "events")
+      .filter(col("event_type") === "purchase")
+      .groupBy("user_id")
+      .agg(round(sum("value"), 2).as("ltv"))
+    val clicks = EventStreams.readEvents(spark, staged.toString)
+      .filter(col("event_type") === "click")
+      .select("event_id", "user_id")
+    val name = s"graft_d159_run${runSeq.incrementAndGet()}"
+    val query = clicks.join(broadcast(dim), Seq("user_id"))
+      .writeStream.format("memory").queryName(name)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    query.awaitTermination()
+    unstage(staged)
+    spark.table(name)
+      .select(col("event_id"), col("user_id"), col("ltv"))
+      .orderBy("event_id")
+  }
+
+  /** The same enrichment as one batch join — inner, so clicks from
+    * users who never purchased drop on both paths. */
+  val d159Oracle: String =
+    """WITH ltv AS (
+         SELECT user_id, round(sum(value), 2) AS ltv FROM events
+         WHERE event_type = 'purchase' GROUP BY user_id)
+       SELECT event_id, user_id, ltv
+       FROM events JOIN ltv USING (user_id)
+       WHERE event_type = 'click' ORDER BY event_id"""
+
   /** Best-effort recursive delete (checkpoint trees are directories of
     * directories; a failed delete must not fail the gate). */
   private def deltree(root: java.nio.file.Path): Unit =
@@ -498,7 +544,8 @@ object StreamGates {
     "d104_stream_hourly" -> (d104StreamHourly _),
     "d107_stream_join" -> (d107StreamJoin _),
     "d127_stream_recovery" -> (d127StreamRecovery _),
-    "d145_stream_late_drops" -> (d145StreamLateDrops _))
+    "d145_stream_late_drops" -> (d145StreamLateDrops _),
+    "d159_stream_static" -> (d159StreamStatic _))
 
   val oracles: Map[String, String] = Map(
     "d50_stream_decontaminate" -> d50Oracle,
@@ -507,5 +554,6 @@ object StreamGates {
     "d104_stream_hourly" -> d104Oracle,
     "d107_stream_join" -> d107Oracle,
     "d127_stream_recovery" -> d127Oracle,
-    "d145_stream_late_drops" -> d145Oracle)
+    "d145_stream_late_drops" -> d145Oracle,
+    "d159_stream_static" -> d159Oracle)
 }

@@ -1495,6 +1495,79 @@ class NewOpsSpec extends SparkSpec {
     assert(got == List(("A", 2L, 12.5), ("R", 1L, 5.0)), s"got $got")
   }
 
+  // ------------------------------------------------------------- d159
+  test("d159 stream-static enrichment: streamed clicks carry the batch " +
+      "ltv; never-purchased users drop on the inner join") {
+    val dir = tmp()
+    import spark.implicits._
+    val ev = Seq(
+      (1L, 1L, "click", 0.0), (2L, 2L, "click", 0.0),
+      (3L, 1L, "click", 0.0),
+      (10L, 1L, "purchase", 5.0), (11L, 1L, "purchase", 2.5),
+      (12L, 3L, "purchase", 9.0), (20L, 1L, "view", 1.0))
+    // the file-stream source lists FILES, not directory-shaped tables:
+    // plant events.parquet as a bare file (the testdata layout)
+    ev.toDF("event_id", "user_id", "event_type", "value")
+      .withColumn("ts", timestamp_micros(lit(1704067200L * 1000000) +
+        col("event_id")))
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/ev_tmp")
+    val part = new java.io.File(s"$dir/ev_tmp").listFiles()
+      .find(f => f.getName.startsWith("part-") &&
+        f.getName.endsWith(".parquet")).get
+    java.nio.file.Files.copy(part.toPath,
+      java.nio.file.Paths.get(s"$dir/events.parquet"))
+    val got = graft.streaming.StreamGates.d159StreamStatic(spark, dir)
+      .collect().map(r => (r.getAs[Long]("event_id"),
+        r.getAs[Long]("user_id"), r.getAs[Double]("ltv"))).toList
+    // user 1 ltv 7.5; user 2 never purchased -> its click drops
+    assert(got == List((1L, 1L, 7.5), (3L, 1L, 7.5)), s"got $got")
+  }
+
+  // ------------------------------------------------------------- d160
+  test("d160 apportionment: floor quotas + largest remainders hit the " +
+      "budget exactly; remainder ranking by (rem desc, source)") {
+    val dir = tmp()
+    import spark.implicits._
+    // token masses 1,2,4 of W=7: alloc0 = 142,285,571 (sum 998),
+    // remainders 6,5,3 -> the 2 leftover slots go to A and B
+    val docs = Seq(
+      (0L, "x", "A"), (1L, "x y", "B"), (2L, "x y z w", "C"))
+    docs.toDF("doc_id", "text", "source")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = CorpusOps.d160Apportion(spark, dir).collect().map(r =>
+      (r.getAs[String]("source"), r.getAs[Long]("w_tokens"),
+        r.getAs[Long]("alloc"))).toList
+    assert(got == List(("A", 1L, 143L), ("B", 2L, 286L), ("C", 4L, 571L)),
+      s"got $got")
+    assert(got.map(_._3).sum == 1000L)
+  }
+
+  // ------------------------------------------------------------- d161
+  test("d161 benford digits: cent-exact first digits bucketed right; " +
+      "chi2 matches an independent JVM recompute") {
+    val dir = tmp()
+    import spark.implicits._
+    val vals = Seq(1.00, 0.25, 3.00, 0.01, 0.19, 123.45) // fd 1,2,3,1,1,1
+    val ev = vals.zipWithIndex.map { case (v, i) => (i.toLong, "a", v) }
+    ev.toDF("event_id", "event_type", "value")
+      .withColumn("ts", timestamp_micros(lit(1704067200L * 1000000) +
+        col("event_id")))
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val r = CorpusOps.d161BenfordDigits(spark, dir).collect().head
+    val hist = (1 to 9).map(k => r.getAs[Long](s"d$k"))
+    assert(r.getAs[Long]("n_values") == 6L)
+    assert(hist == Seq(4L, 1L, 1L, 0L, 0L, 0L, 0L, 0L, 0L), s"got $hist")
+    val exp = (1 to 9).map { k =>
+      val p = CorpusOps.BenfordP(k - 1); val e = 6.0 * p
+      val o = hist(k - 1).toDouble
+      (o - e) * (o - e) / e
+    }.sum
+    val want = BigDecimal.valueOf(exp)
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(r.getAs[Double]("chi2") == want,
+      s"chi2 ${r.getAs[Double]("chi2")} want $want")
+  }
+
   // ------------------------------------------------------------- d152
   test("d152 triangle count: planted triangle + pendant edge, " +
       "degree-ordered enumeration counts each triangle once") {
