@@ -5956,7 +5956,121 @@ object CorpusOps {
        FROM a ORDER BY event_type"""
   }
 
+  // -------------------------------------------------------------- d162
+  /** Completeness-audit grain (15 min, µs) — the SLA grain a pipeline
+    * promises data at, not the event grain. */
+  private[graft] val CovGrainUs = 15L * 60 * 1000000
+
+  /** COVERAGE-GAP DETECTOR — per event_type, the RUNS of SLA-grain
+    * buckets with no data between the log's first and last bucket: the
+    * data-completeness audit every scheduled backfill plans against
+    * ("which ranges are missing" — not "how much", which d28's
+    * cardinality report answers). The spine is calendar-sized and
+    * synthesized from a 1-row bounds aggregate (never data-sized); the
+    * missing set comes from one LEFT ANTI join; contiguous misses
+    * collapse to ranges by gaps-and-islands (bucket index minus
+    * per-type row_number is constant within a run — the d134
+    * discipline, here on the calendar). Emits (type, gap_start,
+    * gap_end, n_buckets) — directly actionable as backfill work items.
+    *
+    * Scale shape: the anti-join keys on (type, bucket) — both sides
+    * calendar×K-types sized; the observed side is a map-side-combined
+    * distinct over the scan; windows partition by type. All bucket
+    * arithmetic is integer µs. */
+  def d162CoverageGaps(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.load(spark, dir, "events")
+    val bounds = ev.agg(
+      (expr(s"unix_micros(min(ts)) div $CovGrainUs") * CovGrainUs).as("t0"),
+      (expr(s"unix_micros(max(ts)) div $CovGrainUs") * CovGrainUs).as("t1"))
+    val types = ev.select("event_type").distinct()
+    val spine = types.crossJoin(broadcast(bounds)) // 1-row scalar bounds
+      .filter(col("t0").isNotNull)
+      .select(col("event_type"),
+        explode(sequence(col("t0"), col("t1"), lit(CovGrainUs))).as("bk"))
+    val obs = ev.select(col("event_type"),
+      (expr(s"unix_micros(ts) div $CovGrainUs") * CovGrainUs).as("bk"))
+      .distinct()
+    val missing = spine.join(obs, Seq("event_type", "bk"), "left_anti")
+    val w = Window.partitionBy("event_type").orderBy("bk")
+    missing
+      .withColumn("grp",
+        expr(s"bk div $CovGrainUs") - row_number().over(w))
+      .groupBy("event_type", "grp")
+      .agg(min("bk").as("gap_start_us"), max("bk").as("gap_end_us"),
+        count(lit(1)).as("n_buckets"))
+      .select("event_type", "gap_start_us", "gap_end_us", "n_buckets")
+      .orderBy("event_type", "gap_start_us")
+  }
+
+  val d162Oracle: String =
+    s"""WITH b AS (
+         SELECT min(epoch_us(ts)) // $CovGrainUs * $CovGrainUs AS t0,
+           max(epoch_us(ts)) // $CovGrainUs * $CovGrainUs AS t1
+         FROM events),
+       ty AS (SELECT DISTINCT event_type FROM events),
+       spine AS (
+         SELECT event_type, unnest(range(t0, t1 + $CovGrainUs,
+           $CovGrainUs)) AS bk
+         FROM b, ty WHERE t0 IS NOT NULL),
+       obs AS (
+         SELECT DISTINCT event_type,
+           epoch_us(ts) // $CovGrainUs * $CovGrainUs AS bk
+         FROM events),
+       miss AS (
+         SELECT s.event_type, s.bk
+         FROM spine s ANTI JOIN obs o USING (event_type, bk)),
+       r AS (
+         SELECT event_type, bk,
+           bk // $CovGrainUs - row_number() OVER (
+             PARTITION BY event_type ORDER BY bk) AS grp
+         FROM miss)
+       SELECT event_type, min(bk) AS gap_start_us, max(bk) AS gap_end_us,
+         CAST(count(*) AS BIGINT) AS n_buckets
+       FROM r GROUP BY event_type, grp
+       ORDER BY event_type, gap_start_us"""
+
+  // -------------------------------------------------------------- d163
+  /** Number of equal-frequency bins for the discretizer. */
+  private[graft] val NtileBins = 4
+
+  /** EQUAL-FREQUENCY DISCRETIZATION (per-source length quartiles) —
+    * the feature-binning step upstream of the d130 probe and the d56
+    * curriculum: assign every doc its within-source length quartile
+    * (ntile semantics: bucket sizes differ by at most one, ties broken
+    * by doc_id so the assignment is total and engine-independent), and
+    * emit the per-bucket census with the REALIZED boundaries — the bin
+    * edges a serving-time discretizer would be exported with. Fixed-
+    * width bins (d68) distort under skew; equal-frequency bins follow
+    * the mass. Complements d157: that asks where the weighted mass
+    * sits, this partitions the docs themselves.
+    *
+    * Scale shape: one exchange on source carries the ntile window;
+    * output is K·bins rows. */
+  def d163QuartileBins(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("source").orderBy(col("n_chars"), col("doc_id"))
+    docs(spark, dir)
+      .select(col("source"), col("doc_id"), col("n_chars"))
+      .withColumn("q", ntile(NtileBins).over(w).cast("long"))
+      .groupBy("source", "q")
+      .agg(count(lit(1)).as("n_docs"),
+        min("n_chars").as("lo_chars"), max("n_chars").as("hi_chars"))
+      .orderBy("source", "q")
+  }
+
+  val d163Oracle: String =
+    s"""SELECT source, CAST(q AS BIGINT) AS q,
+         CAST(count(*) AS BIGINT) AS n_docs,
+         min(n_chars) AS lo_chars, max(n_chars) AS hi_chars
+       FROM (
+         SELECT source, n_chars,
+           ntile($NtileBins) OVER (PARTITION BY source
+             ORDER BY n_chars, doc_id) AS q
+         FROM documents)
+       GROUP BY source, q ORDER BY source, q"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d162_coverage_gaps" -> (d162CoverageGaps _),
+    "d163_quartile_bins" -> (d163QuartileBins _),
     "d160_apportion" -> (d160Apportion _),
     "d161_benford_digits" -> (d161BenfordDigits _),
     "d156_dpp_scan" -> (d156DppScan _),
@@ -6055,6 +6169,8 @@ object CorpusOps {
     "d153_asof_join" -> d153Oracle,
     "d156_dpp_scan" -> d156Oracle,
     "d160_apportion" -> d160Oracle,
+    "d162_coverage_gaps" -> d162Oracle,
+    "d163_quartile_bins" -> d163Oracle,
     "d161_benford_digits" -> d161Oracle,
     "d157_weighted_quantiles" -> d157Oracle,
     "d158_bloom_join" -> d158Oracle,

@@ -1568,6 +1568,50 @@ class NewOpsSpec extends SparkSpec {
       s"chi2 ${r.getAs[Double]("chi2")} want $want")
   }
 
+  // ------------------------------------------------------------- d162
+  test("d162 coverage gaps: planted missing buckets collapse to runs; " +
+      "fully-covered type emits nothing") {
+    val dir = tmp()
+    import spark.implicits._
+    val G = 15L * 60 * 1000000
+    val t0 = 1704067200L * 1000000 // grain-aligned
+    // type a present in buckets 0,1,4,5,8 -> gaps [2,3] and [6,7];
+    // type b present in every bucket 0..8 -> no gaps (and b pins the
+    // global bounds so a's trailing bucket 8 is not an edge case)
+    val ev = (Seq(0, 1, 4, 5, 8).map(b => ("a", b)) ++
+      (0 to 8).map(b => ("b", b))).zipWithIndex.map {
+      case ((ty, b), i) => (i.toLong, ty, t0 + b * G + 1000000L)
+    }
+    ev.toDF("event_id", "event_type", "us")
+      .select(col("event_id"), col("event_type"),
+        timestamp_micros(col("us")).as("ts"))
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = CorpusOps.d162CoverageGaps(spark, dir).collect().map(r =>
+      (r.getAs[String]("event_type"),
+        (r.getAs[Long]("gap_start_us") - t0) / G,
+        (r.getAs[Long]("gap_end_us") - t0) / G,
+        r.getAs[Long]("n_buckets"))).toList
+    assert(got == List(("a", 2L, 3L, 2L), ("a", 6L, 7L, 2L)), s"got $got")
+  }
+
+  // ------------------------------------------------------------- d163
+  test("d163 quartile bins: ntile sizes differ by at most one and " +
+      "realized boundaries match a hand computation") {
+    val dir = tmp()
+    import spark.implicits._
+    // 6 docs, lengths 1..6 -> ntile(4) = sizes 2,2,1,1
+    val docs = (1 to 6).map(i => (i.toLong, s"doc $i", "A", i.toLong))
+    docs.toDF("doc_id", "text", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = CorpusOps.d163QuartileBins(spark, dir).collect().map(r =>
+      (r.getAs[String]("source"), r.getAs[Long]("q"),
+        r.getAs[Long]("n_docs"), r.getAs[Long]("lo_chars"),
+        r.getAs[Long]("hi_chars"))).toList
+    assert(got == List(
+      ("A", 1L, 2L, 1L, 2L), ("A", 2L, 2L, 3L, 4L),
+      ("A", 3L, 1L, 5L, 5L), ("A", 4L, 1L, 6L, 6L)), s"got $got")
+  }
+
   // ------------------------------------------------------------- d152
   test("d152 triangle count: planted triangle + pendant edge, " +
       "degree-ordered enumeration counts each triangle once") {
