@@ -5300,34 +5300,48 @@ object CorpusOps {
        FROM tagged GROUP BY 1 ORDER BY split"""
 
   // -------------------------------------------------------------- d152
-  /** Co-activity bucket width (1 hour, µs). */
+  /** Co-activity bucket width (1 hour, µs) and the co-occurrence band
+    * width: each active user links only to its W nearest active
+    * neighbors (by id rank) within the bucket. */
   private[graft] val TriBucketUs = 3600L * 1000000
+  private[graft] val TriBandW = 3
 
   /** TRIANGLE COUNT + GLOBAL CLUSTERING COEFFICIENT over the user
-    * co-activity graph (users active in the same hour are connected) —
-    * the canonical "curse of the last reducer" problem (Suri &
-    * Vassilvitskii 2011): a naive triangle join fans every high-degree
-    * node's neighborhood into one reducer. The scale fix implemented
-    * here is DEGREE ORDERING — orient each edge from its (degree, id)-
-    * smaller endpoint to the larger, so every wedge is enumerated at
-    * its LOWEST-degree vertex; the join fan-out drops from Σdeg² to
-    * O(E^{3/2}) and each triangle is counted exactly once. Emits one
-    * audit row: nodes, edges, wedges, triangles, and the global
-    * clustering coefficient 3T/W as an exact-integer-ratio e4 floor.
+    * co-activity graph — the canonical "curse of the last reducer"
+    * problem (Suri & Vassilvitskii 2011): a naive triangle join fans
+    * every high-degree node's neighborhood into one reducer. The scale
+    * fix implemented here is DEGREE ORDERING — orient each edge from
+    * its (degree, id)-smaller endpoint to the larger, so every wedge
+    * is enumerated at its LOWEST-degree vertex; the join fan-out drops
+    * from Σdeg² to O(E^{3/2}) and each triangle is counted exactly
+    * once. Emits one audit row: nodes, edges, wedges, triangles, and
+    * the global clustering coefficient 3T/W as an exact-integer-ratio
+    * e4 floor.
     *
-    * The co-occurrence edge build is quadratic per bucket by
-    * definition (C(users-in-hour, 2)) — bucket width is the knob that
-    * bounds it at scale, and the distinct-pair collapse caps the edge
-    * set at C(users, 2) regardless of how many buckets repeat a
-    * pair. */
+    * The edge build is BANDED co-occurrence, not the full per-bucket
+    * clique: each user links to its W nearest active neighbors (by id
+    * rank) in the hour, the same windowing trick co-occurrence
+    * pipelines (word2vec-style) use. The full clique C(users-in-hour,
+    * 2) is quadratic per bucket and — measured on this corpus —
+    * SATURATES to a 99.7%-complete graph at sf0.1 (1.12M of 1.125M
+    * possible edges, 556M oriented wedges): a complete graph has no
+    * community structure to measure and its wedge set is Θ(n³)
+    * regardless of orientation. Banding bounds emission at W·n per
+    * bucket while keeping the graph locally dense (rank-neighbors
+    * overlap across buckets), so triangles and the clustering
+    * coefficient stay meaningful. */
   def d152TriangleCount(spark: SparkSession, dir: String): DataFrame = {
     val ub = Tables.load(spark, dir, "events")
       .select(col("user_id").as("u"),
         expr(s"unix_micros(ts) div $TriBucketUs").as("bk"))
       .distinct()
-    val edges = ub.as("a").join(ub.as("b"),
-        col("a.bk") === col("b.bk") && col("a.u") < col("b.u"))
-      .select(col("a.u").as("x"), col("b.u").as("y"))
+    // rank within bucket by id; band join emits ≤ W·n pairs per bucket
+    val ranked = ub.withColumn("rk", row_number().over(
+      Window.partitionBy("bk").orderBy("u")))
+    val edges = ranked.as("a").join(ranked.as("b"),
+        col("a.bk") === col("b.bk") && col("b.rk") > col("a.rk") &&
+          col("b.rk") <= col("a.rk") + TriBandW)
+      .select(col("a.u").as("x"), col("b.u").as("y")) // x < y by rank order
       .distinct()
       .localCheckpoint() // feeds degrees, orientation, and the closing probe
     val deg = edges.select(col("x").as("u"))
@@ -5373,9 +5387,14 @@ object CorpusOps {
     s"""WITH ub AS (
          SELECT DISTINCT user_id AS u, epoch_us(ts) // $TriBucketUs AS bk
          FROM events),
+       ranked AS (
+         SELECT u, bk, row_number() OVER (PARTITION BY bk ORDER BY u)
+           AS rk
+         FROM ub),
        edges AS (
          SELECT DISTINCT a.u AS x, b.u AS y
-         FROM ub a JOIN ub b ON a.bk = b.bk AND a.u < b.u),
+         FROM ranked a JOIN ranked b
+           ON a.bk = b.bk AND b.rk > a.rk AND b.rk <= a.rk + $TriBandW),
        deg AS (
          SELECT u, count(*) AS d FROM (
            SELECT x AS u FROM edges UNION ALL SELECT y AS u FROM edges)
@@ -6068,7 +6087,403 @@ object CorpusOps {
          FROM documents)
        GROUP BY source, q ORDER BY source, q"""
 
+  // -------------------------------------------------------------- d164
+  /** PSI bin edges in CENTS (integer thresholds — the bin assignment
+    * never touches a float) and the Laplace-smoothing pseudo-count. */
+  private[graft] val PsiBinsCents = Seq(100L, 500L, 1000L, 5000L, 10000L)
+  private[graft] val PsiNBins = PsiBinsCents.length + 1
+
+  /** POPULATION STABILITY INDEX — the industry-standard drift score
+    * beside d114's KS: per event_type, PSI between the log's first and
+    * second half over FIXED cent bins, Σ (q−p)·ln(q/p) with +1 Laplace
+    * smoothing (so empty bins are defined; ALL bins enter the sum —
+    * including bins empty in both halves, which still carry a smoothed
+    * term when the half sizes differ). KS (d114) detects the largest
+    * single deviation and needs the full ECDF exchange; PSI is the
+    * binned, mergeable form monitoring dashboards actually compute —
+    * bin counts are one map-side-combined aggregate, and the score is
+    * K·bins arithmetic on the driver-free result frame. A REPORT, not
+    * a pass/fail: the stationary synthetic corpus rightly scores ≈0,
+    * and the oracle pins that both engines agree on the number.
+    *
+    * Parity: bin assignment and half split are exact integers (cents,
+    * hour-floored µs midpoint); shares are exact-rational doubles; the
+    * only libm is ln(q/p), summed per type at 4dp (d113 class). */
+  def d164PsiDrift(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.load(spark, dir, "events")
+    val bounds = ev.agg(
+      min(unix_micros(col("ts"))).as("t0"),
+      max(unix_micros(col("ts"))).as("t1"))
+    val binCol = PsiBinsCents.zipWithIndex.foldRight(lit(PsiNBins - 1)) {
+      case ((edge, i), alt) => when(col("cents") < edge, i).otherwise(alt)
+    }
+    val mid = expr(
+      s"(t0 + (t1 - t0) div 2) div ${3600L * 1000000} * ${3600L * 1000000}")
+    val tagged = ev.crossJoin(broadcast(bounds)) // 1-row scalar bounds
+      .withColumn("cents", round(col("value") * 100).cast("long"))
+      .withColumn("bin", binCol)
+      .withColumn("is_ref", unix_micros(col("ts")) < mid)
+    val obs = tagged.groupBy("event_type", "bin")
+      .agg(sum(when(col("is_ref"), 1L).otherwise(0L)).as("nr"),
+        sum(when(!col("is_ref"), 1L).otherwise(0L)).as("nc"))
+    // every bin enters the smoothed sum — spine out the empty ones
+    val spine = ev.select("event_type").distinct()
+      .select(col("event_type"),
+        explode(sequence(lit(0), lit(PsiNBins - 1))).as("bin"))
+    val full = spine.join(obs, Seq("event_type", "bin"), "left")
+      .select(col("event_type"), col("bin"),
+        coalesce(col("nr"), lit(0L)).as("nr"),
+        coalesce(col("nc"), lit(0L)).as("nc"))
+    val tot = full.groupBy("event_type")
+      .agg(sum("nr").as("tr"), sum("nc").as("tc"))
+    val p = (col("nr") + 1).cast("double") / (col("tr") + PsiNBins)
+    val q = (col("nc") + 1).cast("double") / (col("tc") + PsiNBins)
+    full.join(tot, "event_type")
+      .withColumn("term", (q - p) * log(q / p))
+      .groupBy("event_type")
+      .agg(max("tr").as("n_ref"), max("tc").as("n_cur"),
+        round(sum("term"), 4).as("psi"))
+      .orderBy("event_type")
+  }
+
+  val d164Oracle: String = {
+    val binSql = PsiBinsCents.zipWithIndex
+      .map { case (e, i) => s"WHEN cents < $e THEN $i" }
+      .mkString("CASE ", " ", s" ELSE ${PsiNBins - 1} END")
+    s"""WITH b AS (
+         SELECT min(epoch_us(ts)) AS t0, max(epoch_us(ts)) AS t1
+         FROM events),
+       tagged AS (
+         SELECT event_type, $binSql AS bin,
+           epoch_us(ts) < (t0 + (t1 - t0) // 2)
+             // ${3600L * 1000000} * ${3600L * 1000000} AS is_ref
+         FROM (SELECT *, CAST(round(value * 100) AS BIGINT) AS cents
+               FROM events), b),
+       obs AS (
+         SELECT event_type, bin,
+           sum(CASE WHEN is_ref THEN 1 ELSE 0 END) AS nr,
+           sum(CASE WHEN is_ref THEN 0 ELSE 1 END) AS nc
+         FROM tagged GROUP BY 1, 2),
+       spine AS (
+         SELECT event_type, unnest(range(0, $PsiNBins)) AS bin
+         FROM (SELECT DISTINCT event_type FROM events)),
+       fbin AS (
+         SELECT s.event_type, s.bin,
+           coalesce(nr, 0) AS nr, coalesce(nc, 0) AS nc
+         FROM spine s LEFT JOIN obs o
+           ON s.event_type = o.event_type AND s.bin = o.bin),
+       tot AS (
+         SELECT event_type, sum(nr) AS tr, sum(nc) AS tc
+         FROM fbin GROUP BY 1)
+       SELECT event_type, CAST(max(tr) AS BIGINT) AS n_ref,
+         CAST(max(tc) AS BIGINT) AS n_cur,
+         round(sum(
+           ((nc + 1) / CAST(tc + $PsiNBins AS DOUBLE)
+             - (nr + 1) / CAST(tr + $PsiNBins AS DOUBLE))
+           * ln(((nc + 1) / CAST(tc + $PsiNBins AS DOUBLE))
+             / ((nr + 1) / CAST(tr + $PsiNBins AS DOUBLE)))), 4) AS psi
+       FROM fbin JOIN tot USING (event_type)
+       GROUP BY event_type ORDER BY event_type"""
+  }
+
+  // -------------------------------------------------------------- d165
+  /** Positive-class language for the AUC probe. */
+  private[graft] val AucPosLang = "en"
+
+  /** ROC AUC (Mann–Whitney) of "document length predicts English",
+    * per source — the standard discrimination readout for any scored
+    * filter (d130's linear probe, d6's quality score) before it gates
+    * a corpus. AUC = P(score⁺ > score⁻) + ½·P(tie), computed EXACTLY
+    * from grouped score counts plus one running negative-sum over the
+    * per-source DISTINCT-score frame — never the O(n⁺·n⁻) pair join
+    * and never a global rank over the corpus: the only exchange after
+    * the first aggregate carries one row per (source, distinct
+    * length). All arithmetic is integer — ties enter as the n⁻-at-
+    * score term, and the e6 fixed-point division runs in DECIMAL(38)
+    * (BIGINT in the moving frame) — so engines cannot disagree on a
+    * digit. Sources missing a class report NULL, not 0.5. */
+  def d165Auc(spark: SparkSession, dir: String): DataFrame = {
+    val g = docs(spark, dir)
+      .groupBy(col("source"), col("n_chars"))
+      .agg(
+        sum(when(col("lang") === AucPosLang, 1L).otherwise(0L)).as("np"),
+        sum(when(col("lang") === AucPosLang, 0L).otherwise(1L)).as("nn"))
+    val w = Window.partitionBy("source").orderBy("n_chars")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    g.withColumn("cumneg", coalesce(sum("nn").over(w), lit(0L)))
+      .groupBy("source")
+      .agg(sum("np").as("n_pos"), sum("nn").as("n_neg"),
+        sum(col("np") * (lit(2L) * col("cumneg") + col("nn"))).as("num"))
+      .select(col("source"), col("n_pos"), col("n_neg"),
+        when(col("n_pos") > 0 && col("n_neg") > 0,
+          expr("CAST((CAST(num AS DECIMAL(38,0)) * 1000000) div " +
+            "(2 * CAST(n_pos AS DECIMAL(38,0)) * n_neg) AS BIGINT)"))
+          .as("auc_e6"))
+      .orderBy("source")
+  }
+
+  val d165Oracle: String =
+    s"""WITH g AS (
+         SELECT source, n_chars,
+           sum(CASE WHEN lang = '$AucPosLang' THEN 1 ELSE 0 END) AS np,
+           sum(CASE WHEN lang = '$AucPosLang' THEN 0 ELSE 1 END) AS nn
+         FROM documents GROUP BY 1, 2),
+       c AS (
+         SELECT source, np, nn,
+           coalesce(sum(nn) OVER (PARTITION BY source ORDER BY n_chars
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             AS cumneg
+         FROM g),
+       a AS (
+         SELECT source, CAST(sum(np) AS BIGINT) AS n_pos,
+           CAST(sum(nn) AS BIGINT) AS n_neg,
+           sum(np * (2 * cumneg + nn)) AS num
+         FROM c GROUP BY 1)
+       SELECT source, n_pos, n_neg,
+         CASE WHEN n_pos > 0 AND n_neg > 0 THEN
+           CAST((CAST(num AS HUGEINT) * 1000000)
+             // (2 * CAST(n_pos AS HUGEINT) * n_neg) AS BIGINT)
+         END AS auc_e6
+       FROM a ORDER BY source"""
+
+  // -------------------------------------------------------------- d166
+  /** l-diversity threshold: a quasi-identifier cell whose events all
+    * come from fewer than this many distinct users is attributable. */
+  private[graft] val DivL = 3
+
+  /** L-DIVERSITY AUDIT over the event log — the companion to d119's
+    * k-anonymity on documents: k-anonymity counts rows per
+    * quasi-identifier cell, but a cell with many events from ONE user
+    * is still fully attributable. Treat (event_type, hour) as the QI
+    * and user_id as the sensitive attribute; report cells whose
+    * distinct-user count l falls below [[DivL]] and the share of
+    * events living in them. One row: cells, single-user cells, weak
+    * cells/events, risk share (4dp from exact integer counts).
+    *
+    * Scale shape: one (QI)-keyed aggregate with a two-phase distinct
+    * (partial sets collapse map-side); cells are bounded by types ×
+    * hours, so the second aggregate is cell-sized. No joins. */
+  def d166LDiversity(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "events")
+      .groupBy(col("event_type"),
+        expr(s"unix_micros(ts) div $TriBucketUs").as("hb"))
+      .agg(count(lit(1)).as("n"), count_distinct(col("user_id")).as("l"))
+      .agg(
+        count(lit(1)).as("n_cells"),
+        coalesce(sum("n"), lit(0L)).as("n_events"),
+        coalesce(sum(when(col("l") === 1, 1L).otherwise(0L)), lit(0L))
+          .as("single_user_cells"),
+        coalesce(sum(when(col("l") < DivL, 1L).otherwise(0L)), lit(0L))
+          .as("weak_cells"),
+        coalesce(sum(when(col("l") < DivL, col("n")).otherwise(0L)),
+          lit(0L)).as("events_at_risk"))
+      .select(col("n_cells"), col("n_events"), col("single_user_cells"),
+        col("weak_cells"), col("events_at_risk"),
+        when(col("n_events") === 0, lit(null))
+          .otherwise(round(col("events_at_risk").cast("double")
+            / col("n_events"), 4)).as("risk_share"))
+
+  val d166Oracle: String =
+    s"""WITH cells AS (
+         SELECT event_type, epoch_us(ts) // $TriBucketUs AS hb,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS l
+         FROM events GROUP BY 1, 2)
+       SELECT CAST(count(*) AS BIGINT) AS n_cells,
+         CAST(coalesce(sum(n), 0) AS BIGINT) AS n_events,
+         CAST(coalesce(sum(CASE WHEN l = 1 THEN 1 ELSE 0 END), 0)
+           AS BIGINT) AS single_user_cells,
+         CAST(coalesce(sum(CASE WHEN l < $DivL THEN 1 ELSE 0 END), 0)
+           AS BIGINT) AS weak_cells,
+         CAST(coalesce(sum(CASE WHEN l < $DivL THEN n ELSE 0 END), 0)
+           AS BIGINT) AS events_at_risk,
+         CASE WHEN coalesce(sum(n), 0) = 0 THEN NULL
+           ELSE round(CAST(coalesce(sum(CASE WHEN l < $DivL THEN n
+             ELSE 0 END), 0) AS DOUBLE) / sum(n), 4) END AS risk_share
+       FROM cells"""
+
+  // -------------------------------------------------------------- d167
+  /** Group k-fold count and salt. */
+  private[graft] val CvK = 4
+  private[graft] val CvSalt = "cvfold:"
+
+  /** GROUP-AWARE K-FOLD PLAN (GroupKFold semantics): every document
+    * of a source lands in ONE fold — the cross-validation layout that
+    * prevents the within-source near-duplicate leakage d54 audits
+    * from inflating held-out scores (random row-level folds let a
+    * boilerplate template straddle train and validation). Assignment
+    * is the engine-portable salted md5 at SOURCE granularity (the
+    * same idiom as d33's row-level split, lifted to the group), so
+    * stream arrivals and batch backfills agree fold-for-fold. Emits
+    * the per-fold census: sources, docs, exact char mass, mean chars
+    * (2dp from exact sums). Disjoint-exhaustive by construction —
+    * the oracle's totals pin it cross-engine.
+    *
+    * Scale shape: the fold key derives map-side from `source` (no
+    * group table, no join); one (fold)-keyed aggregate with map-side
+    * partials, K rows out. */
+  def d167GroupFolds(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .withColumn("fold",
+        (TextOps.hash60(concat(lit(CvSalt), col("source"))) % CvK)
+          .cast("int"))
+      .groupBy("fold")
+      .agg(count_distinct(col("source")).as("n_sources"),
+        count(lit(1)).as("n_docs"), sum("n_chars").as("sum_chars"))
+      .select(col("fold"), col("n_sources"), col("n_docs"),
+        col("sum_chars"),
+        round(col("sum_chars").cast("double") / col("n_docs"), 2)
+          .as("mean_chars"))
+      .orderBy("fold")
+
+  val d167Oracle: String =
+    s"""WITH f AS (
+         SELECT ('0x' || substr(md5('$CvSalt' || source), 1, 15))::BIGINT
+           % $CvK AS fold, source, n_chars
+         FROM documents)
+       SELECT CAST(fold AS INTEGER) AS fold,
+         CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+         CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+         round(CAST(sum(n_chars) AS DOUBLE) / count(*), 2) AS mean_chars
+       FROM f GROUP BY 1 ORDER BY 1"""
+
+  // -------------------------------------------------------------- d168
+  /** SCRIPT-MIX PROFILE — per-source Unicode-script composition and
+    * mojibake screen, the routing readout multilingual ingest keys
+    * language-specific stages off (CJK has no whitespace tokens; d7's
+    * counter or d74's BPE trained on Latin text mis-handles it) and
+    * the earliest place double-encoded text shows up: U+FFFD
+    * REPLACEMENT CHARACTERs are what a decoder emits on undecodable
+    * bytes, so `mojibake_docs` > 0 means an upstream charset bug, not
+    * exotic content. Char classes are EXPLICIT CODEPOINT RANGES
+    * (ASCII ≤ U+007F, CJK U+4E00–U+9FFF) — never `\\p{Script=…}`
+    * classes, whose names/coverage differ between Java regex and
+    * RE2 — so both engines count the same characters. Shares are 4dp
+    * of exact integer char counts.
+    *
+    * Scale shape: narrow per-doc map (three regex counts), one
+    * (source)-keyed aggregate with map-side partials. No joins, no
+    * second scan. */
+  def d168ScriptProfile(spark: SparkSession, dir: String): DataFrame = {
+    val nChars = length(col("text"))
+    val nAscii = length(regexp_replace(col("text"), "[^\\x00-\\x7F]", ""))
+    val nCjk = nChars -
+      length(regexp_replace(col("text"), "[\\x{4e00}-\\x{9fff}]", ""))
+    val nRepl = nChars -
+      length(regexp_replace(col("text"), "\\x{fffd}", ""))
+    docs(spark, dir)
+      .select(col("source"), nChars.as("nc"), nAscii.as("na"),
+        nCjk.as("nk"), nRepl.as("nr"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum("nc").as("n_chars_total"),
+        sum("na").as("na"), sum("nk").as("nk"),
+        sum(when(col("nr") > 0, 1L).otherwise(0L)).as("mojibake_docs"))
+      .select(col("source"), col("n_docs"), col("n_chars_total"),
+        round(col("na").cast("double")
+          / greatest(col("n_chars_total"), lit(1L)), 4).as("ascii_share"),
+        round(col("nk").cast("double")
+          / greatest(col("n_chars_total"), lit(1L)), 4).as("cjk_share"),
+        col("mojibake_docs"))
+      .orderBy("source")
+  }
+
+  val d168Oracle: String =
+    """WITH per AS (
+         SELECT source, length(text) AS nc,
+           length(regexp_replace(text, '[^\x00-\x7F]', '', 'g')) AS na,
+           length(text) - length(regexp_replace(text,
+             '[\x{4e00}-\x{9fff}]', '', 'g')) AS nk,
+           length(text) - length(regexp_replace(text, '\x{fffd}', '',
+             'g')) AS nr
+         FROM documents)
+       SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(nc) AS BIGINT) AS n_chars_total,
+         round(CAST(sum(na) AS DOUBLE)
+           / greatest(sum(nc), 1), 4) AS ascii_share,
+         round(CAST(sum(nk) AS DOUBLE)
+           / greatest(sum(nc), 1), 4) AS cjk_share,
+         CAST(sum(CASE WHEN nr > 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS mojibake_docs
+       FROM per GROUP BY source ORDER BY source"""
+
+  // -------------------------------------------------------------- d169
+  /** Event-time validity window for the contract audit. */
+  private[graft] val ContractTsLo = "2020-01-01"
+  private[graft] val ContractTsHi = "2030-01-01"
+
+  /** DATA-CONTRACT AUDIT — the declarative expectation suite
+    * (Great-Expectations style) evaluated over the event log in ONE
+    * aggregate pass: each rule compiles to a conditional-sum
+    * expression over the same scan (plus the one distinct the
+    * uniqueness rule needs), and the wide 1-row result unpivots to
+    * the (rule, violations) report a contract gate consumes. This is
+    * the reference's validation mission lifted from CSV shape checks
+    * to semantic row contracts: key not-null/unique, event-time
+    * window, non-negative money, snake_case type names, positive
+    * actor ids, parseable props.
+    *
+    * Scale shape: one corpus scan with map-side partials for every
+    * rule at once (never one pass per rule); the uniqueness term
+    * rides the same aggregate as a two-phase distinct. The unpivot
+    * runs on a 1-row frame. */
+  def d169ContractAudit(spark: SparkSession, dir: String): DataFrame = {
+    def v(c: Column): Column = sum(when(c, 1L).otherwise(0L))
+    val wide = Tables.load(spark, dir, "events").agg(
+      v(col("event_id").isNull).as("r1"),
+      // non-null count minus distinct — null ids are r1's finding,
+      // not duplicate mass
+      (count(col("event_id")) - count_distinct(col("event_id"))).as("r2"),
+      v(col("ts").isNull || col("ts") < lit(ContractTsLo).cast("timestamp")
+        || col("ts") >= lit(ContractTsHi).cast("timestamp")).as("r3"),
+      v(col("value").isNull || col("value") < 0).as("r4"),
+      v(col("event_type").isNull ||
+        !col("event_type").rlike("^[a-z][a-z0-9_]*$")).as("r5"),
+      v(col("user_id").isNull || col("user_id") <= 0).as("r6"),
+      v(col("props").isNotNull &&
+        get_json_object(col("props"), "$").isNull).as("r7"))
+    wide.select(expr(
+      """stack(7,
+           'event_id_not_null', r1, 'event_id_unique', r2,
+           'ts_in_window', r3, 'value_non_negative', r4,
+           'event_type_snake_case', r5, 'user_id_positive', r6,
+           'props_parseable_json', r7) AS (rule, violations)"""))
+      .orderBy("rule")
+  }
+
+  val d169Oracle: String =
+    s"""WITH w AS (
+         SELECT
+           sum(CASE WHEN event_id IS NULL THEN 1 ELSE 0 END) AS r1,
+           count(event_id) - count(DISTINCT event_id) AS r2,
+           sum(CASE WHEN ts IS NULL OR ts < TIMESTAMP '$ContractTsLo'
+             OR ts >= TIMESTAMP '$ContractTsHi' THEN 1 ELSE 0 END) AS r3,
+           sum(CASE WHEN value IS NULL OR value < 0 THEN 1 ELSE 0 END)
+             AS r4,
+           sum(CASE WHEN event_type IS NULL OR NOT regexp_full_match(
+             event_type, '[a-z][a-z0-9_]*') THEN 1 ELSE 0 END) AS r5,
+           sum(CASE WHEN user_id IS NULL OR user_id <= 0 THEN 1 ELSE 0
+             END) AS r6,
+           sum(CASE WHEN props IS NOT NULL AND NOT json_valid(props)
+             THEN 1 ELSE 0 END) AS r7
+         FROM events)
+       SELECT rule, CAST(violations AS BIGINT) AS violations FROM (
+         SELECT 'event_id_not_null' AS rule, r1 AS violations FROM w
+         UNION ALL SELECT 'event_id_unique', r2 FROM w
+         UNION ALL SELECT 'ts_in_window', r3 FROM w
+         UNION ALL SELECT 'value_non_negative', r4 FROM w
+         UNION ALL SELECT 'event_type_snake_case', r5 FROM w
+         UNION ALL SELECT 'user_id_positive', r6 FROM w
+         UNION ALL SELECT 'props_parseable_json', r7 FROM w)
+       ORDER BY rule"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d168_script_profile" -> (d168ScriptProfile _),
+    "d169_contract_audit" -> (d169ContractAudit _),
+    "d165_auc" -> (d165Auc _),
+    "d166_l_diversity" -> (d166LDiversity _),
+    "d167_group_folds" -> (d167GroupFolds _),
+    "d164_psi_drift" -> (d164PsiDrift _),
     "d162_coverage_gaps" -> (d162CoverageGaps _),
     "d163_quartile_bins" -> (d163QuartileBins _),
     "d160_apportion" -> (d160Apportion _),
@@ -6170,6 +6585,12 @@ object CorpusOps {
     "d156_dpp_scan" -> d156Oracle,
     "d160_apportion" -> d160Oracle,
     "d162_coverage_gaps" -> d162Oracle,
+    "d164_psi_drift" -> d164Oracle,
+    "d165_auc" -> d165Oracle,
+    "d166_l_diversity" -> d166Oracle,
+    "d167_group_folds" -> d167Oracle,
+    "d168_script_profile" -> d168Oracle,
+    "d169_contract_audit" -> d169Oracle,
     "d163_quartile_bins" -> d163Oracle,
     "d161_benford_digits" -> d161Oracle,
     "d157_weighted_quantiles" -> d157Oracle,

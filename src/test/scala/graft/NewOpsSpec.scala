@@ -1612,6 +1612,48 @@ class NewOpsSpec extends SparkSpec {
       ("A", 3L, 1L, 5L, 5L), ("A", 4L, 1L, 6L, 6L)), s"got $got")
   }
 
+  // ------------------------------------------------------------- d164
+  test("d164 psi drift: shifted bins score high, identical halves " +
+      "score zero; matches an independent JVM recompute with smoothing") {
+    val dir = tmp()
+    import spark.implicits._
+    val H = 3600L * 1000000
+    val t0 = 1704067200L * 1000000
+    // span 10 h -> mid = hour 5; type a: ref all 0.50 (bin 0), cur all
+    // 7.00 (bin 2) -> large psi; type b: same value both halves -> 0
+    val ev =
+      (0 until 4).map(i => ("a", 0.50, i)) ++
+      (6 until 10).map(i => ("a", 7.00, i)) ++
+      (0 until 4).map(i => ("b", 2.00, i)) ++
+      (6 until 10).map(i => ("b", 2.00, i))
+    ev.zipWithIndex.map { case ((ty, v, h), i) =>
+      (i.toLong, ty, v, t0 + h * H) }
+      .toDF("event_id", "event_type", "value", "us")
+      .select(col("event_id"), col("event_type"), col("value"),
+        timestamp_micros(col("us")).as("ts"))
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = CorpusOps.d164PsiDrift(spark, dir).collect().map(r =>
+      (r.getAs[String]("event_type"), r.getAs[Long]("n_ref"),
+        r.getAs[Long]("n_cur"), r.getAs[Double]("psi"))).toList
+    // independent recompute, type a: bins (nr, nc): b0 (4,0), b2 (0,4),
+    // others (0,0); smoothed over 6 bins, tr = tc = 4
+    def psi(pairs: Seq[(Long, Long)]): Double = {
+      val (tr, tc) = (pairs.map(_._1).sum, pairs.map(_._2).sum)
+      val raw = pairs.map { case (nr, nc) =>
+        val p = (nr + 1).toDouble / (tr + 6)
+        val q = (nc + 1).toDouble / (tc + 6)
+        (q - p) * math.log(q / p)
+      }.sum
+      BigDecimal.valueOf(raw).setScale(4, BigDecimal.RoundingMode.HALF_UP)
+        .toDouble
+    }
+    val wantA = psi(Seq((4L, 0L), (0L, 0L), (0L, 4L), (0L, 0L),
+      (0L, 0L), (0L, 0L)))
+    assert(got == List(("a", 4L, 4L, wantA), ("b", 4L, 4L, 0.0)),
+      s"got $got want a=$wantA")
+    assert(wantA > 1.0) // the shift registers as severe drift
+  }
+
   // ------------------------------------------------------------- d152
   test("d152 triangle count: planted triangle + pendant edge, " +
       "degree-ordered enumeration counts each triangle once") {
@@ -1633,6 +1675,166 @@ class NewOpsSpec extends SparkSpec {
       r.getAs[Long]("n_wedges"), r.getAs[Long]("n_triangles"),
       r.getAs[Long]("gcc_e4")) == ((4L, 4L, 5L, 1L, 6000L)),
       s"got $r")
+  }
+
+  // ------------------------------------------------------------- d152 (banding)
+  test("d152 triangle count: band width bounds per-bucket emission — " +
+      "rank-gap > W pairs are not edges") {
+    val dir = tmp()
+    import spark.implicits._
+    val t0 = 1704067200L * 1000000
+    // one bucket, users 10..15 (ranks 1..6), W=3: 12 banded edges —
+    // (10,14),(10,15),(11,15) are rank-gap>3 and must NOT appear
+    val ev = (10L to 15L).zipWithIndex.map { case (u, i) =>
+      (i.toLong, u, t0 + 60000000L) }
+    ev.toDF("event_id", "user_id", "us")
+      .select(col("event_id"), col("user_id"),
+        timestamp_micros(col("us")).as("ts"))
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val r = CorpusOps.d152TriangleCount(spark, dir).collect().head
+    // degrees 3,4,5,5,4,3 -> wedges 38; band triangles: 10; gcc
+    // floor(1e4*30/38) = 7894
+    assert((r.getAs[Long]("n_nodes"), r.getAs[Long]("n_edges"),
+      r.getAs[Long]("n_wedges"), r.getAs[Long]("n_triangles"),
+      r.getAs[Long]("gcc_e4")) == ((6L, 12L, 38L, 10L, 7894L)),
+      s"got $r")
+  }
+
+  // ------------------------------------------------------------- d165
+  test("d165 auc: hand-computed Mann-Whitney with ties, perfect and " +
+      "inverted separations, missing-class NULL") {
+    val dir = tmp()
+    import spark.implicits._
+    // sA: pos lengths {10,20}, neg {10,5} -> pairs: (10,10) tie .5,
+    //   (10,5) win, (20,10) win, (20,5) win -> auc = 3.5/4 = 0.875
+    // sB: perfect separation -> 1.0; sC: inverted -> 0.0
+    // sD: all positive -> NULL
+    val rows = Seq(
+      ("sA", "en", 10L), ("sA", "en", 20L), ("sA", "de", 10L),
+      ("sA", "de", 5L),
+      ("sB", "en", 100L), ("sB", "de", 1L),
+      ("sC", "en", 1L), ("sC", "de", 100L),
+      ("sD", "en", 7L))
+    rows.zipWithIndex.map { case ((s, l, c), i) => (i.toLong, s, l, c) }
+      .toDF("doc_id", "source", "lang", "n_chars")
+      .withColumn("text", lit("x"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = CorpusOps.d165Auc(spark, dir).collect().map(r =>
+      (r.getAs[String]("source"), r.getAs[Long]("n_pos"),
+        r.getAs[Long]("n_neg"),
+        Option(r.getAs[java.lang.Long]("auc_e6")))).toList
+    assert(got == List(("sA", 2L, 2L, Some(875000L)),
+      ("sB", 1L, 1L, Some(1000000L)), ("sC", 1L, 1L, Some(0L)),
+      ("sD", 1L, 0L, None)), s"got $got")
+  }
+
+  // ------------------------------------------------------------- d166
+  test("d166 l-diversity: single-user cell flagged, diverse cell not; " +
+      "share over exact counts") {
+    val dir = tmp()
+    import spark.implicits._
+    val H = 3600L * 1000000
+    val t0 = 1704067200L * 1000000
+    // cell (a, h0): users 1,2,3 -> l=3 ok; cell (b, h0): user 7 only,
+    // 4 events -> l=1 weak+single; cell (a, h1): users 1,2 -> l=2 weak
+    val ev = Seq(
+      ("a", 1L, 0L), ("a", 2L, 0L), ("a", 3L, 0L),
+      ("b", 7L, 0L), ("b", 7L, 0L), ("b", 7L, 0L), ("b", 7L, 0L),
+      ("a", 1L, 1L), ("a", 2L, 1L))
+    ev.zipWithIndex.map { case ((ty, u, h), i) =>
+      (i.toLong, ty, u, t0 + h * H + 1000000L) }
+      .toDF("event_id", "event_type", "user_id", "us")
+      .select(col("event_id"), col("event_type"), col("user_id"),
+        timestamp_micros(col("us")).as("ts"))
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val r = CorpusOps.d166LDiversity(spark, dir).collect().head
+    assert((r.getAs[Long]("n_cells"), r.getAs[Long]("n_events"),
+      r.getAs[Long]("single_user_cells"), r.getAs[Long]("weak_cells"),
+      r.getAs[Long]("events_at_risk"),
+      r.getAs[Double]("risk_share")) == ((3L, 9L, 1L, 2L, 6L, 0.6667)),
+      s"got $r")
+  }
+
+  // ------------------------------------------------------------- d167
+  test("d167 group folds: every source in exactly one fold, census " +
+      "disjoint-exhaustive, assignment salt-deterministic") {
+    val dir = "/root/testdata/sf0.001"
+    val got = CorpusOps.d167GroupFolds(spark, dir).collect()
+    val src = spark.read.parquet(s"$dir/documents.parquet")
+    assert(got.map(_.getAs[Long]("n_docs")).sum == src.count())
+    assert(got.map(_.getAs[Long]("n_sources")).sum ==
+      src.select("source").distinct().count())
+    assert(got.map(_.getAs[Int]("fold")).forall(f =>
+      f >= 0 && f < CorpusOps.CvK))
+    // group integrity: a source's docs all land in one fold
+    import spark.implicits._
+    val perSrc = src
+      .withColumn("fold", (graft.ops.TextOps.hash60(
+        concat(lit(CorpusOps.CvSalt), col("source")))
+        % CorpusOps.CvK).cast("int"))
+      .groupBy("source")
+      .agg(count_distinct(col("fold")).as("nf"))
+      .agg(max("nf")).head.getLong(0)
+    assert(perSrc == 1L)
+  }
+
+  // ------------------------------------------------------------- d168
+  test("d168 script profile: planted CJK and replacement chars " +
+      "counted by explicit codepoint range; shares from exact counts") {
+    val dir = tmp()
+    import spark.implicits._
+    // sA: "ab中文" (2 ascii + 2 cjk), "xyz�" (3 ascii +
+    // 1 fffd, counts as mojibake doc); sB: pure ascii
+    val rows = Seq(
+      (1L, "sA", "ab中文"), (2L, "sA", "xyz�"),
+      (3L, "sB", "hello"))
+    rows.toDF("doc_id", "source", "text")
+      .withColumn("lang", lit("en"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = CorpusOps.d168ScriptProfile(spark, dir).collect().map(r =>
+      (r.getAs[String]("source"), r.getAs[Long]("n_docs"),
+        r.getAs[Long]("n_chars_total"), r.getAs[Double]("ascii_share"),
+        r.getAs[Double]("cjk_share"),
+        r.getAs[Long]("mojibake_docs"))).toList
+    // sA: 8 chars, 5 ascii (ab + xyz), 2 cjk, 1 mojibake doc
+    assert(got == List(("sA", 2L, 8L, 0.625, 0.25, 1L),
+      ("sB", 1L, 5L, 1.0, 0.0, 0L)), s"got $got")
+  }
+
+  // ------------------------------------------------------------- d169
+  test("d169 contract audit: every rule fires on its planted " +
+      "violation exactly once, clean rows pass all rules") {
+    val dir = tmp()
+    import spark.implicits._
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    val old = java.sql.Timestamp.valueOf("2019-12-31 23:59:59")
+    // row template: (event_id, ts, user_id, event_type, value, props)
+    val rows = Seq(
+      (java.lang.Long.valueOf(1L), t0, java.lang.Long.valueOf(10L),
+        "click", java.lang.Double.valueOf(1.0), """{"a":1}"""), // clean
+      (null.asInstanceOf[java.lang.Long], t0, java.lang.Long.valueOf(10L),
+        "click", java.lang.Double.valueOf(1.0), """{"a":1}"""), // r1
+      (java.lang.Long.valueOf(1L), t0, java.lang.Long.valueOf(10L),
+        "click", java.lang.Double.valueOf(1.0), """{"a":1}"""), // r2 dup id
+      (java.lang.Long.valueOf(3L), old, java.lang.Long.valueOf(10L),
+        "click", java.lang.Double.valueOf(1.0), """{"a":1}"""), // r3
+      (java.lang.Long.valueOf(4L), t0, java.lang.Long.valueOf(10L),
+        "click", java.lang.Double.valueOf(-0.5), """{"a":1}"""), // r4
+      (java.lang.Long.valueOf(5L), t0, java.lang.Long.valueOf(10L),
+        "Bad-Type", java.lang.Double.valueOf(1.0), """{"a":1}"""), // r5
+      (java.lang.Long.valueOf(6L), t0, java.lang.Long.valueOf(0L),
+        "click", java.lang.Double.valueOf(1.0), """{"a":1}"""), // r6
+      (java.lang.Long.valueOf(7L), t0, java.lang.Long.valueOf(10L),
+        "click", java.lang.Double.valueOf(1.0), "{not json")) // r7
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value",
+      "props").write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = CorpusOps.d169ContractAudit(spark, dir).collect().map(r =>
+      (r.getAs[String]("rule"), r.getAs[Long]("violations"))).toMap
+    assert(got == Map("event_id_not_null" -> 1L, "event_id_unique" -> 1L,
+      "ts_in_window" -> 1L, "value_non_negative" -> 1L,
+      "event_type_snake_case" -> 1L, "user_id_positive" -> 1L,
+      "props_parseable_json" -> 1L), s"got $got")
   }
 
   // ------------------------------------------------------------- d146
