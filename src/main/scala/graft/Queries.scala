@@ -876,6 +876,93 @@ object Queries {
 
   val q32Oracle: String = q32Sql
 
+  // --------------------------------------------------------------- q33
+  /** NUMERIC RANGE FRAME — the one window-frame flavor the surface
+    * did not cover (q6/q19/q25 use row frames, q30 a time-interval
+    * range): for every order, its PEER COUNT — orders of the same
+    * priority priced within ±$100 — via `RANGE BETWEEN 10000
+    * PRECEDING AND 10000 FOLLOWING` over EXACT CENTS (the frame
+    * bounds compare order-key arithmetic, so the key is the integer
+    * cents form of the price — never a double frame, where ±100.0 on
+    * a binary double boundary is an engine coin-flip). The row-level
+    * frame then collapses to a per-priority audit (avg/max peer
+    * density). At 100 TB a value-range frame is one hash exchange on
+    * the partition key + per-partition sort — same shape as any
+    * window; the frame bound adds no extra pass (Spark keeps a
+    * sliding aggregate over the sorted run). */
+  def q33RangeFrame(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_orderpriority").orderBy("cents")
+      .rangeBetween(-10000L, 10000L)
+    Tables.load(spark, dir, "orders")
+      .select(col("o_orderpriority"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+      .withColumn("peers", count(lit(1)).over(w))
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_orders"),
+        round(avg(col("peers").cast("double")), 4).as("avg_peers"),
+        max("peers").as("max_peers"))
+      .orderBy("o_orderpriority")
+  }
+
+  val q33Oracle: String =
+    """WITH c AS (
+         SELECT o_orderpriority,
+           CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+         FROM orders),
+       p AS (
+         SELECT o_orderpriority, count(*) OVER (
+           PARTITION BY o_orderpriority ORDER BY cents
+           RANGE BETWEEN 10000 PRECEDING AND 10000 FOLLOWING) AS peers
+         FROM c)
+       SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_orders,
+         round(avg(CAST(peers AS DOUBLE)), 4) AS avg_peers,
+         CAST(max(peers) AS BIGINT) AS max_peers
+       FROM p GROUP BY o_orderpriority ORDER BY o_orderpriority"""
+
+  // --------------------------------------------------------------- q34
+  /** DISTRIBUTION-RANK FUNCTIONS — `percent_rank` and `cume_dist`,
+    * the two relative-standing window functions nothing else on the
+    * surface exercises (q6 ranks, d163 ntiles; these emit the
+    * CONTINUOUS standings): each nation's top-3 customers by account
+    * balance with their exact standings within the nation. The
+    * (acctbal DESC, name) ordering is total — no rank ties — so both
+    * functions are the exact rationals (rank−1)/(n−1) and
+    * rank/n, identical in both engines before the 4dp round. The
+    * top-3 keep rides the same `WindowGroupLimit` map-side top-k as
+    * q31's LATERAL (rank ≤ 3 prunes before the full sort output
+    * materializes). */
+  def q34DistRank(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("c_nationkey")
+      .orderBy(col("c_acctbal").desc, col("c_name"))
+    Tables.load(spark, dir, "customer")
+      .select(col("c_nationkey"), col("c_name"), col("c_acctbal"))
+      .withColumn("rk", row_number().over(w))
+      .withColumn("pr", round(percent_rank().over(w), 4))
+      .withColumn("cd", round(cume_dist().over(w), 4))
+      .filter(col("rk") <= 3)
+      .join(broadcast(Tables.load(spark, dir, "nation")
+        .select(col("n_nationkey").as("c_nationkey"), col("n_name"))),
+        "c_nationkey")
+      .select(col("n_name"), col("c_name"),
+        round(col("c_acctbal"), 2).as("acctbal"),
+        col("pr").as("pct_rank"), col("cd").as("cume_dist"))
+      .orderBy("n_name", "pct_rank")
+  }
+
+  val q34Oracle: String =
+    """WITH r AS (
+         SELECT c_nationkey, c_name, c_acctbal,
+           row_number() OVER w AS rk,
+           round(percent_rank() OVER w, 4) AS pr,
+           round(cume_dist() OVER w, 4) AS cd
+         FROM customer
+         WINDOW w AS (PARTITION BY c_nationkey
+           ORDER BY c_acctbal DESC, c_name))
+       SELECT n_name, c_name, round(c_acctbal, 2) AS acctbal,
+         pr AS pct_rank, cd AS cume_dist
+       FROM r JOIN nation ON n_nationkey = c_nationkey
+       WHERE rk <= 3 ORDER BY n_name, pct_rank"""
+
   // ------------------------------------------------------------ registry
   val relational: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_agg" -> (q1Agg _),
@@ -909,7 +996,9 @@ object Queries {
     "q29_recursive" -> (q29Recursive _),
     "q30_moving_avg" -> (q30MovingAvg _),
     "q31_lateral_topk" -> (q31Lateral _),
-    "q32_set_ops" -> (q32SetOps _)
+    "q32_set_ops" -> (q32SetOps _),
+    "q33_range_frame" -> (q33RangeFrame _),
+    "q34_dist_rank" -> (q34DistRank _)
   )
 
   val relationalOracles: Map[String, String] = Map(
@@ -944,7 +1033,9 @@ object Queries {
     "q29_recursive" -> q29Oracle,
     "q30_moving_avg" -> q30Oracle,
     "q31_lateral_topk" -> q31Oracle,
-    "q32_set_ops" -> q32Oracle
+    "q32_set_ops" -> q32Oracle,
+    "q33_range_frame" -> q33Oracle,
+    "q34_dist_rank" -> q34Oracle
   )
 
   // lazy: a caller may initialize a contributing registry object FIRST

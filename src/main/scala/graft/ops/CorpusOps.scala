@@ -6477,7 +6477,118 @@ object CorpusOps {
          UNION ALL SELECT 'props_parseable_json', r7 FROM w)
        ORDER BY rule"""
 
+  // -------------------------------------------------------------- d171
+  /** LEAVE-ONE-SOURCE-OUT INFLUENCE — the first-order data-valuation
+    * readout ("what does dropping this source do to the corpus-level
+    * metrics?") behind ablation planning: for each source, the corpus
+    * mean length and English share WITHOUT it. The trick is that
+    * additive metrics decompose — ONE aggregate pass produces the
+    * per-source partials, the grand totals are the 1-row sum of that
+    * K-row frame (broadcast back), and every leave-one-out value is
+    * `(total − group) / (n − n_group)` — never K passes over the
+    * corpus, which is how the naive ablation loop dies at 100 TB.
+    * Degenerate single-source corpora emit NULL (guarded division).
+    * All shares/means 4dp from exact integer sums. */
+  def d171LooInfluence(spark: SparkSession, dir: String): DataFrame = {
+    val per = docs(spark, dir).groupBy("source")
+      .agg(count(lit(1)).as("n"), sum("n_chars").as("chars"),
+        sum(when(col("lang") === AucPosLang, 1L).otherwise(0L)).as("en"))
+      .localCheckpoint() // one corpus pass; totals + result reuse it
+    val tot = per.agg(sum("n").as("tn"), sum("chars").as("tc"),
+      sum("en").as("te"))
+    per.crossJoin(broadcast(tot)) // 1-row totals
+      .select(col("source"), col("n").as("n_docs"),
+        when(col("tn") > col("n"),
+          round((col("tc") - col("chars")).cast("double")
+            / (col("tn") - col("n")), 4)).as("loo_mean_chars"),
+        when(col("tn") > col("n"),
+          round((col("te") - col("en")).cast("double")
+            / (col("tn") - col("n")), 4)).as("loo_en_share"))
+      .orderBy("source")
+  }
+
+  val d171Oracle: String =
+    s"""WITH per AS (
+         SELECT source, count(*) AS n, sum(n_chars) AS chars,
+           sum(CASE WHEN lang = '$AucPosLang' THEN 1 ELSE 0 END) AS en
+         FROM documents GROUP BY source),
+       tot AS (
+         SELECT sum(n) AS tn, sum(chars) AS tc, sum(en) AS te FROM per)
+       SELECT source, CAST(n AS BIGINT) AS n_docs,
+         CASE WHEN tn > n THEN
+           round(CAST(tc - chars AS DOUBLE) / (tn - n), 4) END
+           AS loo_mean_chars,
+         CASE WHEN tn > n THEN
+           round(CAST(te - en AS DOUBLE) / (tn - n), 4) END
+           AS loo_en_share
+       FROM per, tot ORDER BY source"""
+
+  // -------------------------------------------------------------- d172
+  /** SOURCE-AFFINITY MATRIX — cosine similarity between per-source
+    * unigram COUNT vectors, the inter-source redundancy map mixture
+    * planning (d66/d99) and dedup targeting (d35's doc-level overlap)
+    * consult at the corpus level: two crawls of the same site score
+    * ≈1 and their quotas should merge; disjoint domains score ≈0.
+    * Cosine (not JSD) deliberately: a term missing from one source
+    * contributes ZERO to the dot product, so the pairwise term join
+    * is INNER — no union-support spine, no smoothing constant to
+    * argue about, and the numerator is EXACT integer arithmetic
+    * (Σ ca·cb in BIGINT); the only floats are the two norms and the
+    * final 4dp division.
+    *
+    * Scale shape: the (source, term) frequency frame aggregates once
+    * (map-side partials); the pairwise dot product is a self-join ON
+    * TERM — the exchange moves (term, source, count) rows, never
+    * document pairs — and K·(K−1)/2 result rows aggregate from it.
+    * Norms are a K-row frame joined twice. At crawl scale the term
+    * join is the same bucketed equi-join discipline as the dedup
+    * family (hashes move, docs don't). */
+  def d172SourceAffinity(spark: SparkSession, dir: String): DataFrame = {
+    val freq = docs(spark, dir)
+      .select(col("source"), explode(tokens(lower(col("text")))).as("term"))
+      .groupBy("source", "term").agg(count(lit(1)).as("c"))
+      .localCheckpoint() // feeds norms AND the pairwise dot product
+    val norms = freq.groupBy("source")
+      .agg(sqrt(sum(col("c") * col("c")).cast("double")).as("nrm"))
+    freq.as("a").join(freq.as("b"),
+        col("a.term") === col("b.term") &&
+          col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("src_a"), col("b.source").as("src_b"))
+      .agg(sum(col("a.c") * col("b.c")).as("dot"))
+      .join(norms.select(col("source").as("src_a"), col("nrm").as("na")),
+        "src_a")
+      .join(norms.select(col("source").as("src_b"), col("nrm").as("nb")),
+        "src_b")
+      .select(col("src_a"), col("src_b"),
+        round(col("dot").cast("double") / (col("na") * col("nb")), 4)
+          .as("cosine"))
+      .orderBy("src_a", "src_b")
+  }
+
+  val d172Oracle: String =
+    """WITH freq AS (
+         SELECT source, unnest(regexp_extract_all(lower(text), '\S+'))
+           AS term
+         FROM documents),
+       f AS (SELECT source, term, count(*) AS c FROM freq GROUP BY 1, 2),
+       norms AS (
+         SELECT source, sqrt(CAST(sum(c * c) AS DOUBLE)) AS nrm
+         FROM f GROUP BY source),
+       dots AS (
+         SELECT a.source AS src_a, b.source AS src_b,
+           sum(a.c * b.c) AS dot
+         FROM f a JOIN f b ON a.term = b.term AND a.source < b.source
+         GROUP BY 1, 2)
+       SELECT src_a, src_b,
+         round(CAST(dot AS DOUBLE) / (na.nrm * nb.nrm), 4) AS cosine
+       FROM dots
+         JOIN norms na ON na.source = src_a
+         JOIN norms nb ON nb.source = src_b
+       ORDER BY src_a, src_b"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d171_loo_influence" -> (d171LooInfluence _),
+    "d172_source_affinity" -> (d172SourceAffinity _),
     "d168_script_profile" -> (d168ScriptProfile _),
     "d169_contract_audit" -> (d169ContractAudit _),
     "d165_auc" -> (d165Auc _),
@@ -6591,6 +6702,8 @@ object CorpusOps {
     "d167_group_folds" -> d167Oracle,
     "d168_script_profile" -> d168Oracle,
     "d169_contract_audit" -> d169Oracle,
+    "d171_loo_influence" -> d171Oracle,
+    "d172_source_affinity" -> d172Oracle,
     "d163_quartile_bins" -> d163Oracle,
     "d161_benford_digits" -> d161Oracle,
     "d157_weighted_quantiles" -> d157Oracle,

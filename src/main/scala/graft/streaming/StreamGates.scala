@@ -315,16 +315,8 @@ object StreamGates {
     // written halves keep the source generation's ts encoding and
     // readEvents' unit probe applies unchanged)
     val raw = spark.read.parquet(s"$dir/events.parquet")
-    def drop(pred: org.apache.spark.sql.Column, name: String): Unit = {
-      val tmp = Files.createTempDirectory("graft-d127-w")
-      raw.filter(pred).coalesce(1)
-        .write.mode("overwrite").parquet(tmp.resolve("out").toString)
-      val part = Files.list(tmp.resolve("out"))
-        .filter(p => p.getFileName.toString.endsWith(".parquet"))
-        .findFirst().get()
-      Files.move(part, staged.resolve(name))
-      deltree(tmp)
-    }
+    def drop(pred: org.apache.spark.sql.Column, name: String): Unit =
+      stagePart(raw.filter(pred), staged, name, "graft-d127-w")
     def run(): String = {
       val name = s"graft_d127_run${runSeq.incrementAndGet()}"
       val query = EventStreams
@@ -394,16 +386,8 @@ object StreamGates {
     val isNanos =
       raw.schema("ts").dataType == org.apache.spark.sql.types.LongType
     val late = col("event_id") % LateMod === LateRem
-    def drop(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
-      val tmp = Files.createTempDirectory("graft-d145-w")
-      df.coalesce(1)
-        .write.mode("overwrite").parquet(tmp.resolve("out").toString)
-      val part = Files.list(tmp.resolve("out"))
-        .filter(p => p.getFileName.toString.endsWith(".parquet"))
-        .findFirst().get()
-      Files.move(part, staged.resolve(name))
-      deltree(tmp)
-    }
+    def drop(df: org.apache.spark.sql.DataFrame, name: String): Unit =
+      stagePart(df, staged, name, "graft-d145-w")
     // append + restart needs a fault-tolerant sink (memory only
     // recovers in complete mode) — the parquet FILE sink is the
     // production shape anyway: exactly-once via its _spark_metadata
@@ -528,6 +512,120 @@ object StreamGates {
        FROM events JOIN ltv USING (user_id)
        WHERE event_type = 'click' ORDER BY event_id"""
 
+  // -------------------------------------------------------------- d170
+  /** FOREACHBATCH IDEMPOTENT SINK — the SINK-side exactly-once
+    * contract, the one leg the other eight gates never exercise (d145
+    * uses the built-in file sink's commit log; this gates the pattern
+    * for every sink WITHOUT one): Spark's documented recipe is
+    * at-least-once `foreachBatch` delivery + an IDEMPOTENT write keyed
+    * on `batchId`, and this gate proves both halves. The stream
+    * (purchases) drains in TWO phases through one checkpoint (the d127
+    * machinery), each micro-batch writing its per-user partial — count
+    * + EXACT CENT sum, so replay/merge arithmetic is integer — to a
+    * deterministic per-batch directory with mode=overwrite (the
+    * changelog-delta upsert layout: append deltas, compact later). The
+    * gate then REPLAYS batch 1 — recomputes the same partial from the
+    * same source rows and writes it again with the same batchId, the
+    * retry a real at-least-once delivery produces — and REQUIRES the
+    * merged read-back unchanged (`exceptAll` both ways, distributed,
+    * no collect) and exactly one directory per batch. The final merge
+    * of the delta directories must equal the one-shot batch aggregate
+    * — the DuckDB oracle — which holds only if phase partials compose
+    * and the replay double-counted nothing.
+    *
+    * Scale shape: the stream side is stateless (no store, no
+    * watermark); each batch pays one map-side-combined aggregate and
+    * one partitioned write. The merge-on-read is one (user)-keyed
+    * aggregate over delta files — the compaction a production layout
+    * runs periodically. */
+  def d170StreamUpsert(spark: SparkSession, dir: String): DataFrame = {
+    val staged = Files.createTempDirectory("graft-d170-src")
+    val ckpt = Files.createTempDirectory("graft-d170-ckpt")
+    val out = Files.createTempDirectory("graft-d170-out")
+    val raw = spark.read.parquet(s"$dir/events.parquet")
+    def drop(pred: org.apache.spark.sql.Column, name: String): Unit =
+      stagePart(raw.filter(pred), staged, name, "graft-d170-w")
+    // the idempotent batch writer: deterministic path keyed on batchId,
+    // overwrite mode — a retry of the same batch rewrites the same
+    // bytes instead of appending a second copy
+    def writeBatch(df: DataFrame, id: Long): Unit =
+      df.groupBy("user_id")
+        .agg(count(lit(1)).as("n"),
+          sum(round(col("value") * 100).cast("long")).as("cents"))
+        .write.mode("overwrite").parquet(s"$out/b$id")
+    def run(): Unit = {
+      val query = EventStreams.readEvents(spark, staged.toString)
+        .filter(col("event_type") === "purchase")
+        .writeStream
+        .foreachBatch((df: org.apache.spark.sql.Dataset[
+          org.apache.spark.sql.Row], id: Long) => writeBatch(df, id))
+        .option("checkpointLocation", ckpt.toString)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      query.awaitTermination()
+    }
+    try {
+      drop(col("event_id") % 2 === 0, "a.parquet")
+      run() // phase 1: even half -> batch 0
+      drop(col("event_id") % 2 === 1, "b.parquet")
+      run() // phase 2: resume -> batch 1 (odd half only)
+      // File.list (not Files.list) — no stream handle to leak
+      val dirs = Option(out.toFile.list())
+        .getOrElse(Array.empty[String]).toSeq.sorted
+      require(dirs == Seq("b0", "b1"),
+        s"expected exactly one delta dir per micro-batch, got $dirs")
+      def merged(): DataFrame = spark.read
+        .parquet(s"$out/b0", s"$out/b1")
+        .groupBy("user_id")
+        .agg(sum("n").as("n_purchases"),
+          round(sum("cents").cast("double") / 100, 2).as("total_value"))
+      val before = merged().localCheckpoint()
+      // the at-least-once retry: same rows, same batchId, written again
+      // (batch-side read of the same source slice the phase-2 micro-batch
+      // carried — Tables.load applies the same ts normalization)
+      writeBatch(
+        Tables.load(spark, dir, "events")
+          .filter(col("event_type") === "purchase" &&
+            col("event_id") % 2 === 1), 1L)
+      val after = merged().localCheckpoint()
+      require(
+        before.exceptAll(after).isEmpty && after.exceptAll(before).isEmpty,
+        "replaying a committed batch changed the sink — the write is " +
+          "not idempotent")
+      after.orderBy("user_id")
+    } finally { // failed pins must not strand the delta/source copies
+      deltree(staged); deltree(ckpt); deltree(out)
+    }
+  }
+
+  /** The one-shot batch aggregate the two-phase delta merge must
+    * reproduce — exact cent arithmetic end to end. */
+  val d170Oracle: String =
+    """SELECT user_id, CAST(count(*) AS BIGINT) AS n_purchases,
+         round(sum(CAST(round(value * 100) AS BIGINT)) / 100.0, 2)
+           AS total_value
+       FROM events WHERE event_type = 'purchase'
+       GROUP BY user_id ORDER BY user_id"""
+
+  /** Stage `df` into the file-stream source dir as one bare part-file
+    * named `name` (the source lists FILES, so phases are planted as
+    * part-file copies, never Spark-written directories). Shared by the
+    * two-phase gates d127/d145/d170. File.list (not Files.list) — no
+    * stream handle to leak. */
+  private def stagePart(df: DataFrame, staged: java.nio.file.Path,
+      name: String, prefix: String): Unit = {
+    val tmp = Files.createTempDirectory(prefix)
+    try {
+      val outDir = tmp.resolve("out")
+      df.coalesce(1).write.mode("overwrite").parquet(outDir.toString)
+      val part = Option(outDir.toFile.list())
+        .getOrElse(Array.empty[String]).find(_.endsWith(".parquet"))
+        .getOrElse(throw new IllegalStateException(
+          s"no part-file written under $outDir"))
+      Files.move(outDir.resolve(part), staged.resolve(name))
+    } finally deltree(tmp)
+  }
+
   /** Best-effort recursive delete (checkpoint trees are directories of
     * directories; a failed delete must not fail the gate). */
   private def deltree(root: java.nio.file.Path): Unit =
@@ -545,7 +643,8 @@ object StreamGates {
     "d107_stream_join" -> (d107StreamJoin _),
     "d127_stream_recovery" -> (d127StreamRecovery _),
     "d145_stream_late_drops" -> (d145StreamLateDrops _),
-    "d159_stream_static" -> (d159StreamStatic _))
+    "d159_stream_static" -> (d159StreamStatic _),
+    "d170_stream_upsert" -> (d170StreamUpsert _))
 
   val oracles: Map[String, String] = Map(
     "d50_stream_decontaminate" -> d50Oracle,
@@ -555,5 +654,6 @@ object StreamGates {
     "d107_stream_join" -> d107Oracle,
     "d127_stream_recovery" -> d127Oracle,
     "d145_stream_late_drops" -> d145Oracle,
-    "d159_stream_static" -> d159Oracle)
+    "d159_stream_static" -> d159Oracle,
+    "d170_stream_upsert" -> d170Oracle)
 }

@@ -1728,6 +1728,41 @@ class NewOpsSpec extends SparkSpec {
       ("sD", 1L, 0L, None)), s"got $got")
   }
 
+  // ------------------------------------------------------------- d165 (property)
+  test("d165 auc: grouped running-sum formulation equals naive " +
+      "O(n^2) pair counting on random data (ties, dups, skew)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(20260815L)
+    for (_ <- 1 to 12) {
+      val dir = tmp()
+      val rows = (1 to (rnd.nextInt(35) + 5)).map { i =>
+        val src = s"s${rnd.nextInt(3)}"
+        val lang = if (rnd.nextBoolean()) "en" else "de"
+        // small score range -> plenty of ties and duplicate scores
+        (i.toLong, src, lang, (rnd.nextInt(6) + 1).toLong)
+      }
+      rows.toDF("doc_id", "source", "lang", "n_chars")
+        .withColumn("text", lit("x"))
+        .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      val got = CorpusOps.d165Auc(spark, dir).collect().map(r =>
+        (r.getAs[String]("source"),
+          Option(r.getAs[java.lang.Long]("auc_e6")).map(_.toLong))).toMap
+      val want = rows.groupBy(_._2).map { case (src, rs) =>
+        val pos = rs.filter(_._3 == "en").map(_._4)
+        val neg = rs.filter(_._3 != "en").map(_._4)
+        val e6 = if (pos.isEmpty || neg.isEmpty) None
+        else {
+          val wins = (for (p <- pos; n <- neg if p > n) yield 1L).sum
+          val ties = (for (p <- pos; n <- neg if p == n) yield 1L).sum
+          Some(1000000L * (2 * wins + ties) /
+            (2L * pos.length * neg.length))
+        }
+        src -> e6
+      }
+      assert(got == want, s"got $got want $want rows $rows")
+    }
+  }
+
   // ------------------------------------------------------------- d166
   test("d166 l-diversity: single-user cell flagged, diverse cell not; " +
       "share over exact counts") {
@@ -1835,6 +1870,55 @@ class NewOpsSpec extends SparkSpec {
       "ts_in_window" -> 1L, "value_non_negative" -> 1L,
       "event_type_snake_case" -> 1L, "user_id_positive" -> 1L,
       "props_parseable_json" -> 1L), s"got $got")
+  }
+
+  // ------------------------------------------------------------- d171
+  test("d171 loo influence: decomposed leave-one-out equals direct " +
+      "recompute; single-source corpus yields NULL") {
+    val dir = tmp()
+    import spark.implicits._
+    Seq((1L, "s1", "en", 10L), (2L, "s1", "de", 20L),
+      (3L, "s2", "en", 30L))
+      .toDF("doc_id", "source", "lang", "n_chars")
+      .withColumn("text", lit("x"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = CorpusOps.d171LooInfluence(spark, dir).collect().map(r =>
+      (r.getAs[String]("source"), r.getAs[Long]("n_docs"),
+        r.getAs[Double]("loo_mean_chars"),
+        r.getAs[Double]("loo_en_share"))).toList
+    // drop s1 -> corpus is doc 3: mean 30, en 1.0
+    // drop s2 -> docs 1,2: mean 15, en 0.5
+    assert(got == List(("s1", 2L, 30.0, 1.0), ("s2", 1L, 15.0, 0.5)),
+      s"got $got")
+
+    val solo = tmp()
+    Seq((1L, "only", "en", 10L))
+      .toDF("doc_id", "source", "lang", "n_chars")
+      .withColumn("text", lit("x"))
+      .write.mode("overwrite").parquet(s"$solo/documents.parquet")
+    val r = CorpusOps.d171LooInfluence(spark, solo).collect().head
+    assert(r.isNullAt(r.fieldIndex("loo_mean_chars")) &&
+      r.isNullAt(r.fieldIndex("loo_en_share")))
+  }
+
+  // ------------------------------------------------------------- d172
+  test("d172 source affinity: hand-computed cosines over planted " +
+      "vocabularies; zero-overlap pairs are absent") {
+    val dir = tmp()
+    import spark.implicits._
+    Seq((1L, "s1", "a b"), (2L, "s2", "b c"), (3L, "s3", "a b"),
+      (4L, "s4", "z"))
+      .toDF("doc_id", "source", "text")
+      .withColumn("lang", lit("en"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = CorpusOps.d172SourceAffinity(spark, dir).collect().map(r =>
+      (r.getAs[String]("src_a"), r.getAs[String]("src_b"),
+        r.getAs[Double]("cosine"))).toList
+    // all norms sqrt(2) except s4 (1); dots: (s1,s2)=1, (s1,s3)=2,
+    // (s2,s3)=1; s4 shares no term with anyone -> no rows
+    assert(got == List(("s1", "s2", 0.5), ("s1", "s3", 1.0),
+      ("s2", "s3", 0.5)), s"got $got")
   }
 
   // ------------------------------------------------------------- d146

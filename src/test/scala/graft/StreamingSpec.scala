@@ -2,6 +2,7 @@ package graft
 
 import java.nio.file.{Files, Paths, StandardCopyOption}
 
+import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
 
 import graft.streaming.EventStreams
@@ -39,6 +40,29 @@ class StreamingSpec extends SparkSpec {
       assert(s.getAs[String]("event_type") == b.getAs[String]("event_type"))
       assert(s.getAs[Long]("n") == b.getAs[Long]("n"))
       assert(math.abs(s.getAs[Double]("total_value") - b.getAs[Double]("total_value")) < 1e-6)
+    }
+  }
+
+  test("foreachBatch upsert: two-phase deltas merge to the batch " +
+      "aggregate and survive a replayed batch") {
+    // the d170 gate machinery end-to-end on the sf fixture: the final
+    // frame must equal the one-shot batch aggregate (cross-batch merge
+    // + idempotent replay both exercised inside the op, which REQUIRES
+    // replay-invariance in-op)
+    val got = graft.streaming.StreamGates
+      .d170StreamUpsert(spark, sfDir).collect()
+    val want = spark.read.parquet(s"$sfDir/events.parquet")
+      .filter(col("event_type") === "purchase")
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_purchases"),
+        round(sum(round(col("value") * 100).cast("long"))
+          .cast("double") / 100, 2).as("total_value"))
+      .orderBy("user_id").collect()
+    assert(got.length == want.length && got.length > 0)
+    got.zip(want).foreach { case (g, w) =>
+      assert(g.getAs[Long]("user_id") == w.getAs[Long]("user_id"))
+      assert(g.getAs[Long]("n_purchases") == w.getAs[Long]("n_purchases"))
+      assert(g.getAs[Double]("total_value") == w.getAs[Double]("total_value"))
     }
   }
 
