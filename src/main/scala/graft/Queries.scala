@@ -963,6 +963,78 @@ object Queries {
        FROM r JOIN nation ON n_nationkey = c_nationkey
        WHERE rk <= 3 ORDER BY n_name, pct_rank"""
 
+  // --------------------------------------------------------------- q35
+  /** NOT IN vs NOT EXISTS null semantics — the classic three-valued-
+    * logic trap, pinned cross-engine: a single NULL in a NOT IN
+    * subquery makes EVERY row's predicate UNKNOWN (x <> NULL is never
+    * TRUE), so the naive variant returns 0 rows; the IS NOT NULL
+    * guard restores the intended anti-join, and NOT EXISTS (which is
+    * null-safe by construction) must agree with it exactly. One query
+    * emits all three counts so the gate pins the full semantics
+    * table, not one branch. The NULL is planted with `nullif` on the
+    * probe's min key — deterministic at every SF.
+    *
+    * Scale note: Spark plans a single-column null-aware anti join for
+    * NOT IN (broadcast when the probe is dim-sized, as here); NOT
+    * EXISTS is an ordinary left-anti. Both sides of the comparison
+    * stay one exchange. */
+  val q35Sql: String =
+    """WITH probe AS (
+         SELECT nullif(c_custkey, (SELECT min(c_custkey) FROM customer
+             WHERE c_mktsegment = 'BUILDING')) AS k
+         FROM customer WHERE c_mktsegment = 'BUILDING'),
+       naive AS (
+         SELECT count(*) AS n FROM orders
+         WHERE o_custkey NOT IN (SELECT k FROM probe)),
+       guarded AS (
+         SELECT count(*) AS n FROM orders
+         WHERE o_custkey NOT IN (SELECT k FROM probe WHERE k IS NOT NULL)),
+       nexists AS (
+         SELECT count(*) AS n FROM orders o
+         WHERE NOT EXISTS (SELECT 1 FROM probe p
+           WHERE p.k = o.o_custkey))
+       SELECT variant, n_orders FROM (
+         SELECT 'not_in_nullable' AS variant, CAST(n AS BIGINT)
+             AS n_orders FROM naive
+         UNION ALL
+         SELECT 'not_in_guarded', CAST(n AS BIGINT) FROM guarded
+         UNION ALL
+         SELECT 'not_exists', CAST(n AS BIGINT) FROM nexists) u
+       ORDER BY variant"""
+
+  def q35NotInNull(spark: SparkSession, dir: String): DataFrame =
+    ops.SqlSurface.run(spark, dir, q35Sql)
+
+  val q35Oracle: String = q35Sql
+
+  // --------------------------------------------------------------- q36
+  /** KEYSET-STABLE PAGINATION with explicit NULL placement — LIMIT/
+    * OFFSET over a total order whose leading key is NULLABLE. The two
+    * cross-engine traps this pins: default NULL ordering DIFFERS
+    * (Spark sorts NULLS FIRST on ASC, DuckDB NULLS LAST), so the
+    * explicit `NULLS LAST` is what makes the page portable; and an
+    * OFFSET page is only deterministic under a TOTAL order (the
+    * unique key tiebreak) — without it engines may agree on row SETS
+    * yet disagree on every page boundary.
+    *
+    * Scale note: ORDER BY + LIMIT/OFFSET plans as TakeOrdered with
+    * limit = offset + page (map-side per-partition top-k, one
+    * singleton exchange) — the offset never materializes a global
+    * sort. Deep pagination (offset in the millions) should switch to
+    * keyset predicates; a page-60 report is exactly this shape. */
+  val q36Sql: String =
+    """SELECT c_custkey, c_name, round(c_acctbal, 2) AS acctbal,
+         nullif(c_mktsegment, 'BUILDING') AS seg
+       FROM customer
+       ORDER BY nullif(c_mktsegment, 'BUILDING') ASC NULLS LAST,
+         c_acctbal DESC, c_custkey
+       LIMIT 20 OFFSET 40"""
+
+  def q36Pagination(spark: SparkSession, dir: String): DataFrame =
+    ops.SqlSurface.run(spark, dir, q36Sql)
+
+  val q36Oracle: String = q36Sql
+
   // ------------------------------------------------------------ registry
   val relational: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_agg" -> (q1Agg _),
@@ -998,7 +1070,9 @@ object Queries {
     "q31_lateral_topk" -> (q31Lateral _),
     "q32_set_ops" -> (q32SetOps _),
     "q33_range_frame" -> (q33RangeFrame _),
-    "q34_dist_rank" -> (q34DistRank _)
+    "q34_dist_rank" -> (q34DistRank _),
+    "q35_not_in_null" -> (q35NotInNull _),
+    "q36_pagination" -> (q36Pagination _)
   )
 
   val relationalOracles: Map[String, String] = Map(
@@ -1035,7 +1109,9 @@ object Queries {
     "q31_lateral_topk" -> q31Oracle,
     "q32_set_ops" -> q32Oracle,
     "q33_range_frame" -> q33Oracle,
-    "q34_dist_rank" -> q34Oracle
+    "q34_dist_rank" -> q34Oracle,
+    "q35_not_in_null" -> q35Oracle,
+    "q36_pagination" -> q36Oracle
   )
 
   // lazy: a caller may initialize a contributing registry object FIRST

@@ -6586,9 +6586,498 @@ object CorpusOps {
          JOIN norms nb ON nb.source = src_b
        ORDER BY src_a, src_b"""
 
+  // -------------------------------------------------------------- d173
+  /** CALENDAR GAP-FILL + FORWARD FILL (LOCF) — densify each event
+    * type's daily revenue series onto the full calendar spine and
+    * carry the last observation forward over the gaps. This is the
+    * imputation step every downstream window consumer silently
+    * assumes (q30's moving average, d118's trend, d176's ACF all read
+    * a day-indexed series; a day MISSING from the frame is not a day
+    * with carry-over value — it splices the series and shifts every
+    * row-frame window after it). Revenue is exact integer cents;
+    * `imputed` marks carried rows so the consumer can weight or drop
+    * them. Days before a type's first observation have nothing to
+    * carry and stay NULL — LOCF imputes history, never invents it.
+    *
+    * Scale shape: the corpus pays ONE map-side-combined daily
+    * aggregate; the spine is types × days (calendar-sized, built from
+    * a 1-row broadcast min/max), the fill window partitions by type
+    * and orders by day — the exchange moves the AGGREGATED series,
+    * never events. The `last(ignoreNulls)` running frame is Spark's
+    * native LOCF: one pass over each sorted partition. */
+  def d173GapFill(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.load(spark, dir, "events")
+      .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
+      .agg(sum(round(col("value") * 100).cast("long")).as("cents"))
+    val b = broadcast(daily.agg(min("day").as("d0"), max("day").as("d1")))
+    val spine = daily.select("event_type").distinct()
+      .crossJoin(b) // 1-row calendar bounds
+      .select(col("event_type"),
+        explode(sequence(lit(0), expr("timestampdiff(DAY, d0, d1)")))
+          .as("i"), col("d0"))
+      .select(col("event_type"), expr("timestampadd(DAY, i, d0)").as("day"))
+    val w = Window.partitionBy("event_type").orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    spine.join(daily, Seq("event_type", "day"), "left")
+      .select(col("event_type"), col("day"),
+        last(col("cents"), ignoreNulls = true).over(w).as("filled_cents"),
+        when(col("cents").isNull, 1L).otherwise(0L).as("imputed"))
+      .orderBy("event_type", "day")
+  }
+
+  val d173Oracle: String =
+    """WITH daily AS (
+         SELECT event_type, date_trunc('day', ts) AS day,
+           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+             AS cents
+         FROM events GROUP BY 1, 2),
+       b AS (SELECT min(day) AS d0, max(day) AS d1 FROM daily),
+       spine AS (
+         SELECT t.event_type,
+           unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS day
+         FROM (SELECT DISTINCT event_type FROM daily) t, b),
+       j AS (
+         SELECT s.event_type, s.day, daily.cents
+         FROM spine s LEFT JOIN daily USING (event_type, day))
+       SELECT event_type, day,
+         last_value(cents IGNORE NULLS) OVER (PARTITION BY event_type
+           ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS filled_cents,
+         CAST(CASE WHEN cents IS NULL THEN 1 ELSE 0 END AS BIGINT)
+           AS imputed
+       FROM j ORDER BY event_type, day"""
+
+  // -------------------------------------------------------------- d174
+  /** NORMALIZED MUTUAL INFORMATION between source and language — the
+    * association strength readout beside d117's χ² (which ranks TERMS
+    * by association and grows with n; NMI is the scale-free 0..1
+    * summary of the whole contingency): "how much does knowing the
+    * source tell you about the language?" ≈1 means sources are
+    * language-silos (stratify splits by source alone and language
+    * balance follows); ≈0 means language must be balanced separately.
+    * MI and both entropies in nats from EXACT integer cell counts —
+    * the only floats are the final log-weighted sums over the K-cell
+    * contingency, and NMI = MI / √(H(source)·H(lang)) guards the
+    * degenerate single-source / single-language corpus with NULL.
+    *
+    * Scale shape: one map-side-combined aggregate to the (source,
+    * lang) cells; marginals and totals derive from the K-row cell
+    * frame (broadcast 1-row total), so the corpus is read once and
+    * nothing data-sized shuffles. */
+  def d174SourceLangNmi(spark: SparkSession, dir: String): DataFrame = {
+    val cells = docs(spark, dir)
+      .groupBy("source", "lang").agg(count(lit(1)).as("c"))
+      .localCheckpoint() // one corpus pass feeds cells + marginals
+    val n = broadcast(cells.agg(sum("c").as("n")))
+    val ms = cells.groupBy("source").agg(sum("c").as("cs"))
+    val ml = cells.groupBy("lang").agg(sum("c").as("cl"))
+    val mi = cells.join(ms, "source").join(ml, "lang").crossJoin(n)
+      .select((col("c").cast("double") / col("n") *
+        log(col("c").cast("double") * col("n")
+          / (col("cs").cast("double") * col("cl")))).as("term"))
+      .agg(sum("term").as("mi"))
+    def entropy(m: DataFrame, cnt: String, out: String): DataFrame =
+      m.crossJoin(n)
+        .select((-(col(cnt).cast("double") / col("n")) *
+          log(col(cnt).cast("double") / col("n"))).as("term"))
+        .agg(sum("term").as(out))
+    val hs = entropy(ms, "cs", "hs")
+    val hl = entropy(ml, "cl", "hl")
+    val k = cells.agg(count(lit(1)).as("n_cells"))
+    n.crossJoin(k).crossJoin(mi).crossJoin(hs).crossJoin(hl)
+      .select(col("n").as("n_docs"), col("n_cells"),
+        (round(col("mi"), 6) + 0.0).as("mi"),
+        (round(col("hs"), 6) + 0.0).as("h_source"),
+        (round(col("hl"), 6) + 0.0).as("h_lang"),
+        when(col("hs") * col("hl") > 0,
+          round(col("mi") / sqrt(col("hs") * col("hl")), 6) + 0.0)
+          .as("nmi"))
+  }
+
+  val d174Oracle: String =
+    """WITH cells AS (
+         SELECT source, lang, count(*) AS c
+         FROM documents GROUP BY 1, 2),
+       n AS (SELECT sum(c) AS n FROM cells),
+       ms AS (SELECT source, sum(c) AS cs FROM cells GROUP BY source),
+       ml AS (SELECT lang, sum(c) AS cl FROM cells GROUP BY lang),
+       mi AS (
+         SELECT sum(CAST(c AS DOUBLE) / n * ln(CAST(c AS DOUBLE) * n
+             / (CAST(cs AS DOUBLE) * CAST(cl AS DOUBLE)))) AS mi
+         FROM cells JOIN ms USING (source) JOIN ml USING (lang), n),
+       hs AS (
+         SELECT sum(-(CAST(cs AS DOUBLE) / n)
+           * ln(CAST(cs AS DOUBLE) / n)) AS hs FROM ms, n),
+       hl AS (
+         SELECT sum(-(CAST(cl AS DOUBLE) / n)
+           * ln(CAST(cl AS DOUBLE) / n)) AS hl FROM ml, n),
+       k AS (SELECT CAST(count(*) AS BIGINT) AS n_cells FROM cells)
+       SELECT CAST(n AS BIGINT) AS n_docs, n_cells,
+         round(mi, 6) + 0.0 AS mi,
+         round(hs, 6) + 0.0 AS h_source,
+         round(hl, 6) + 0.0 AS h_lang,
+         CASE WHEN hs * hl > 0
+           THEN round(mi / sqrt(hs * hl), 6) + 0.0 END AS nmi
+       FROM n, k, mi, hs, hl"""
+
+  // -------------------------------------------------------------- d175
+  /** Total sample budget Neyman allocation distributes. */
+  private[graft] val NeymanK = 200L
+  /** Salt isolating the Neyman draw's hash stream (see [[SplitSalt]]). */
+  private[graft] val NeymanSalt = "neyman:"
+
+  /** NEYMAN-ALLOCATION STRATIFIED SAMPLE — the variance-optimal eval
+    * draw: allocate a fixed labeling/eval budget across sources
+    * proportional to n_s·σ_s (a big VOLATILE stratum earns more
+    * samples than a big uniform one — proportional allocation d36/d44
+    * ignores within-stratum variance entirely), then take each
+    * stratum's quota deterministically by salted hash rank. σ is the
+    * population std of doc length from exact integer moments; weights
+    * round to integer milli-units so the largest-remainder
+    * apportionment (the d160 method, reused shape) is EXACT integer
+    * arithmetic end to end — no double ever decides a seat across the
+    * engine boundary. A stratum smaller than its quota under-fills
+    * (reported, not redistributed — the gap IS the audit finding).
+    *
+    * Scale shape: one map-side-combined moment aggregate; the seat
+    * assignment is the K-source packed-sort (collect_list →
+    * array_sort → posexplode, no global window); the take is the
+    * [[graft.functions.TopKByScore]] bounded heap per source (the
+    * exchange moves ≤ budget·mapPartitions rows per source, never the
+    * corpus — the d140 discipline), sliced to the quota. */
+  def d175NeymanSample(spark: SparkSession, dir: String): DataFrame = {
+    val per = docs(spark, dir).groupBy("source")
+      .agg(count(lit(1)).as("n"), sum("n_chars").as("s1"),
+        sum(col("n_chars") * col("n_chars")).as("s2"))
+    // population variance from exact sums; greatest(0) absorbs the
+    // -1e-16 float negative of an all-equal stratum
+    val variance = greatest(lit(0.0),
+      col("s2").cast("double") / col("n") -
+        (col("s1").cast("double") / col("n")) *
+        (col("s1").cast("double") / col("n")))
+    val wtd = per.select(col("source"), col("n"),
+      round(col("n").cast("double") * sqrt(variance) * 1000)
+        .cast("long").as("wt"))
+    val tot = wtd.agg(sum("wt").as("wsum"))
+    val base = wtd.crossJoin(broadcast(tot)) // 1-row weight total
+      .filter(col("wsum") > 0)
+      .withColumn("alloc0", expr(s"($NeymanK * wt) div wsum"))
+      .withColumn("rem", expr(s"($NeymanK * wt) % wsum"))
+    val alloc = base.agg(
+        collect_list(struct((-col("rem")).as("nr"), col("source"),
+          col("n"), col("alloc0"))).as("xs"),
+        (lit(NeymanK) - sum("alloc0")).as("leftover"))
+      .select(col("leftover"),
+        posexplode(array_sort(col("xs"))).as(Seq("pos", "x")))
+      .select(col("x.source").as("source"), col("x.n").as("n_docs"),
+        (col("x.alloc0") +
+          when(col("pos") < col("leftover"), 1L).otherwise(0L))
+          .as("quota"))
+    val picks = docs(spark, dir)
+      .select(col("source"),
+        TextOps.hash60(concat(lit(NeymanSalt), col("doc_id")
+          .cast("string"))).cast("double").as("s"),
+        col("doc_id"), col("n_chars"))
+      .groupBy("source")
+      .agg(graft.functions.TopKByScore.topk(NeymanK.toInt, col("s"),
+        col("doc_id"), struct(col("doc_id"), col("n_chars")))
+        .as("picks"))
+    val sampled = picks.join(alloc, "source")
+      .select(col("source"),
+        posexplode(col("picks")).as(Seq("rk", "p")), col("quota"))
+      .filter(col("rk") < col("quota"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_sampled"),
+        sum(col("p.n_chars")).as("sampled_chars"))
+    alloc.join(sampled, Seq("source"), "left")
+      .select(col("source"), col("n_docs"), col("quota"),
+        coalesce(col("n_sampled"), lit(0L)).as("n_sampled"),
+        coalesce(col("sampled_chars"), lit(0L)).as("sampled_chars"))
+      .orderBy("source")
+  }
+
+  val d175Oracle: String =
+    s"""WITH per AS (
+         SELECT source, count(*) AS n, sum(n_chars) AS s1,
+           sum(n_chars * n_chars) AS s2
+         FROM documents GROUP BY source),
+       wtd AS (
+         SELECT source, n,
+           CAST(round(CAST(n AS DOUBLE) * sqrt(greatest(0.0,
+             CAST(s2 AS DOUBLE) / n - (CAST(s1 AS DOUBLE) / n)
+               * (CAST(s1 AS DOUBLE) / n))) * 1000) AS BIGINT) AS wt
+         FROM per),
+       t AS (SELECT sum(wt) AS wsum FROM wtd),
+       b AS (
+         SELECT source, n, ($NeymanK * wt) // wsum AS alloc0,
+           ($NeymanK * wt) % wsum AS rem
+         FROM wtd, t WHERE wsum > 0),
+       l AS (SELECT $NeymanK - sum(alloc0) AS leftover FROM b),
+       r AS (SELECT *, row_number() OVER (ORDER BY rem DESC, source)
+               AS rk FROM b),
+       alloc AS (
+         SELECT source, CAST(n AS BIGINT) AS n_docs,
+           CAST(alloc0 + CASE WHEN rk <= (SELECT leftover FROM l)
+             THEN 1 ELSE 0 END AS BIGINT) AS quota
+         FROM r),
+       h AS (
+         SELECT source, doc_id, n_chars,
+           row_number() OVER (PARTITION BY source ORDER BY
+             CAST(('0x'||substr(md5('$NeymanSalt'
+               ||CAST(doc_id AS VARCHAR)),1,15))::BIGINT AS DOUBLE)
+             DESC, doc_id) AS rn
+         FROM documents),
+       s AS (
+         SELECT h.source, count(*) AS n_sampled,
+           CAST(sum(n_chars) AS BIGINT) AS sampled_chars
+         FROM h JOIN alloc USING (source)
+         WHERE rn <= quota GROUP BY h.source)
+       SELECT alloc.source, n_docs, quota,
+         coalesce(CAST(n_sampled AS BIGINT), 0) AS n_sampled,
+         coalesce(sampled_chars, 0) AS sampled_chars
+       FROM alloc LEFT JOIN s ON s.source = alloc.source
+       ORDER BY alloc.source"""
+
+  // -------------------------------------------------------------- d176
+  /** Largest lag (days) the autocorrelation audit reports. */
+  private[graft] val AcfMaxLag = 7
+
+  /** DAILY-SERIES AUTOCORRELATION (lag 1..[[AcfMaxLag]] ACF) — the
+    * seasonality detector on the ingest volume series: a weekly crawl
+    * cadence shows as a lag-7 spike, a decaying lag-1 tail is volume
+    * momentum, and all-flat ACF says the daily variation is noise.
+    * d118 fits the secular trend and d88 flags single anomalous hours;
+    * ACF is the readout for PERIODIC structure neither can see.
+    * Computed on the zero-filled calendar series (the d173 spine
+    * discipline: a missing day is a zero-volume day, not a splice —
+    * ACF on a spliced series pairs wrong days). Numerator and
+    * denominator build from EXACT integer sums (Σx, Σx², Σx·x₊ₖ per
+    * lag); the only floats are the final moment arithmetic, written
+    * identically in both engines.
+    *
+    * Scale shape: the corpus pays one daily count aggregate; the
+    * series is calendar-sized, so the 7 lag self-joins move K·7 rows.
+    * Lags longer than the series emit no row (no pairs — inner
+    * semantics), and a zero-variance series emits NULL acf. */
+  def d176DailyAcf(spark: SparkSession, dir: String): DataFrame = {
+    val counts = Tables.load(spark, dir, "events")
+      .groupBy(date_trunc("day", col("ts")).as("day"))
+      .agg(count(lit(1)).as("x"))
+    val b = broadcast(counts.agg(min("day").as("d0"), max("day").as("d1")))
+    val spine = b
+      .select(explode(sequence(lit(0),
+        expr("timestampdiff(DAY, d0, d1)"))).as("i"), col("d0"))
+      .select(expr("timestampadd(DAY, i, d0)").as("day"))
+    val daily = spine.join(counts, Seq("day"), "left")
+      .select(col("day"), coalesce(col("x"), lit(0L)).as("x"))
+      .localCheckpoint() // calendar-sized; feeds moments + 7 lag joins
+    val m = broadcast(daily.agg(count(lit(1)).as("n"), sum("x").as("s1"),
+      sum(col("x") * col("x")).as("s2")))
+    val lags = spark.range(1, AcfMaxLag + 1L)
+      .select(col("id").cast("int").as("lag"))
+    val pairs = daily.crossJoin(lags)
+      .select(col("lag"), col("x").as("xa"),
+        expr("timestampadd(DAY, lag, day)").as("day"))
+      .join(daily.withColumnRenamed("x", "xb"), "day")
+      .groupBy("lag")
+      .agg(count(lit(1)).as("n_pairs"), sum("xa").as("sa"),
+        sum("xb").as("sb"), sum(col("xa") * col("xb")).as("sab"))
+    val mu = col("s1").cast("double") / col("n")
+    val den = col("s2").cast("double") - mu * mu * col("n")
+    val num = col("sab").cast("double") - mu * col("sa") -
+      mu * col("sb") + col("n_pairs") * mu * mu
+    pairs.crossJoin(m) // 1-row global moments
+      .select(col("lag").cast("long").as("lag"), col("n_pairs"),
+        when(den === 0, lit(null))
+          .otherwise(round(num / den, 4) + 0.0).as("acf"))
+      .orderBy("lag")
+  }
+
+  val d176Oracle: String =
+    s"""WITH counts AS (
+         SELECT date_trunc('day', ts) AS day, count(*) AS x
+         FROM events GROUP BY 1),
+       b AS (SELECT min(day) AS d0, max(day) AS d1 FROM counts),
+       spine AS (
+         SELECT unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS day
+         FROM b),
+       daily AS (
+         SELECT s.day, coalesce(counts.x, 0) AS x
+         FROM spine s LEFT JOIN counts USING (day)),
+       m AS (SELECT count(*) AS n, sum(x) AS s1, sum(x * x) AS s2
+             FROM daily),
+       lags AS (SELECT CAST(unnest(range(1, ${AcfMaxLag + 1})) AS INT)
+                  AS lag),
+       pairs AS (
+         SELECT lag, count(*) AS n_pairs, sum(a.x) AS sa, sum(bb.x) AS sb,
+           sum(a.x * bb.x) AS sab
+         FROM daily a CROSS JOIN lags
+           JOIN daily bb ON bb.day = a.day + to_days(lag)
+         GROUP BY lag),
+       mm AS (SELECT n, CAST(s1 AS DOUBLE) / n AS mu,
+                CAST(s2 AS DOUBLE) - (CAST(s1 AS DOUBLE) / n)
+                  * (CAST(s1 AS DOUBLE) / n) * n AS den
+              FROM m)
+       SELECT CAST(lag AS BIGINT) AS lag, CAST(n_pairs AS BIGINT)
+           AS n_pairs,
+         CASE WHEN den = 0 THEN NULL
+           ELSE round((CAST(sab AS DOUBLE) - mu * sa - mu * sb
+             + n_pairs * mu * mu) / den, 4) + 0.0 END AS acf
+       FROM pairs, mm ORDER BY lag"""
+
+  // -------------------------------------------------------------- d177
+  /** WASSERSTEIN-1 (earth mover's) DRIFT between the train and val
+    * splits' length distributions — the third leg of the drift triad:
+    * KS (d114) is the WORST single CDF gap, PSI (d164) the
+    * binned-share divergence; W₁ is the INTEGRATED CDF gap
+    * ∫|F_a−F_b|dv — the expected per-doc transport cost in the
+    * metric's own units (characters), the only one of the three that
+    * says "the splits differ by ~N chars of mass", not just "they
+    * differ". Everything up to the single output division is EXACT
+    * integer arithmetic: the per-value cumulative gap is the prefix
+    * sum of ca·n_b − cb·n_a (cross-scaled counts, so no share double
+    * ever enters the walk), |gap|·Δv terms sum in DECIMAL(38,0) (the
+    * Spark twin of DuckDB's HUGEINT window sums), and the prefix sum
+    * provably returns to 0 at the support's end. At extreme corpus
+    * sizes the cross-scaled BIGINT products need a pre-aggregated
+    * value grid (they overflow past ~3·10⁹ docs per split); the grid
+    * is this same frame bucketed.
+    *
+    * Scale shape: one corpus pass to (value, ca, cb); the CDF walk is
+    * [[GlobalOrder.runningTotal]] — a range exchange over the
+    * SUPPORT-sized frame (distinct lengths, not docs); Δv comes from
+    * a rank self-join, not a global window. */
+  def d177WassersteinDrift(spark: SparkSession, dir: String): DataFrame = {
+    val counts = docs(spark, dir)
+      .select(col("n_chars").as("v"), splitOf(col("doc_id")).as("split"))
+      .filter(col("split") =!= "test")
+      .groupBy("v")
+      .agg(sum(when(col("split") === "train", 1L).otherwise(0L)).as("ca"),
+        sum(when(col("split") === "val", 1L).otherwise(0L)).as("cb"))
+    val tot = broadcast(counts.agg(sum("ca").as("na"), sum("cb").as("nb")))
+    val diffed = counts.crossJoin(tot) // 1-row split totals
+      .select(col("v"),
+        (col("ca") * col("nb") - col("cb") * col("na")).as("d"))
+    val walked = GlobalOrder.runningTotal(diffed, Seq(col("v")), col("d"))
+      .localCheckpoint() // feeds both sides of the Δv rank self-join
+    val nxt = walked.select((col("rank") - 1).as("rank"),
+      col("v").as("v_next"))
+    val sw = walked.join(nxt, Seq("rank"), "left")
+      .select((abs(col("running")) *
+        (coalesce(col("v_next"), col("v")) - col("v")))
+        .cast(org.apache.spark.sql.types.DecimalType(38, 0)).as("t"))
+      .agg(sum("t").as("sw"))
+    val nv = counts.agg(count(lit(1)).as("n_values"))
+    tot.crossJoin(nv).crossJoin(sw)
+      .select(col("na").as("n_train"), col("nb").as("n_val"),
+        col("n_values"),
+        when(col("na") * col("nb") > 0,
+          round(col("sw").cast("double") /
+            (col("na").cast("double") * col("nb")), 6) + 0.0).as("w1"))
+  }
+
+  val d177Oracle: String =
+    s"""WITH s AS (
+         SELECT n_chars AS v,
+           CASE WHEN b < 90 THEN 'train' WHEN b < 95 THEN 'val'
+                ELSE 'test' END AS split
+         FROM (
+           SELECT n_chars,
+             ('0x'||substr(md5('$SplitSalt'||doc_id::VARCHAR),1,15))::BIGINT
+               % 100 AS b
+           FROM documents)),
+       c AS (
+         SELECT v, sum(CASE WHEN split = 'train' THEN 1 ELSE 0 END) AS ca,
+           sum(CASE WHEN split = 'val' THEN 1 ELSE 0 END) AS cb
+         FROM s WHERE split <> 'test' GROUP BY v),
+       t AS (SELECT sum(ca) AS na, sum(cb) AS nb FROM c),
+       r AS (
+         SELECT v,
+           sum(ca * nb - cb * na) OVER (ORDER BY v
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running,
+           lead(v) OVER (ORDER BY v) AS v_next
+         FROM c, t),
+       w AS (
+         SELECT sum(abs(running) * (coalesce(v_next, v) - v)) AS sw FROM r),
+       nv AS (SELECT CAST(count(*) AS BIGINT) AS n_values FROM c)
+       SELECT CAST(na AS BIGINT) AS n_train, CAST(nb AS BIGINT) AS n_val,
+         n_values,
+         CASE WHEN na * nb > 0 THEN
+           round(CAST(sw AS DOUBLE)
+             / (CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)), 6) + 0.0
+           END AS w1
+       FROM t, nv, w"""
+
+  // -------------------------------------------------------------- d178
+  /** Sampling temperature for the α-smoothed mixture. */
+  private[graft] val MixAlpha = 0.3
+
+  /** TEMPERATURE-SCALED MIXTURE WEIGHTS (α-sampling) — the standard
+    * multilingual/multi-source rebalancing recipe: sample source s
+    * with probability q_s ∝ p_s^α instead of its natural share p_s,
+    * so α=1 reproduces the corpus and α→0 approaches uniform — the
+    * knob between "let the mega-crawl dominate" and "starve it". Sits
+    * beside d66 (natural shares), d99/d132 (UniMax capped epochs) as
+    * the third mixture-planning policy; the upsampling factor
+    * q_s/p_s is the readout reviewers sanity-check (long-tail
+    * sources must not explode their epoch count). Natural shares are
+    * exact integer token counts over one corpus pass; the α-power and
+    * normalization are the only floats, identical expressions in both
+    * engines, 6dp.
+    *
+    * Scale shape: one map-side-combined token-mass aggregate; the
+    * K-source frame normalizes against two 1-row broadcast totals.
+    * Zero-token sources keep p=q=0 (no 0^α NaN: guarded). */
+  def d178TemperatureMix(spark: SparkSession, dir: String): DataFrame = {
+    val mass = docs(spark, dir)
+      .select(col("source"), size(tokens(col("text"))).cast("long").as("w"))
+      .groupBy("source").agg(sum("w").as("tokens"))
+    val tot = broadcast(mass.agg(sum("tokens").as("m")))
+    val powed = mass.crossJoin(tot)
+      .select(col("source"), col("tokens"),
+        (col("tokens").cast("double") / col("m")).as("p"),
+        when(col("tokens") > 0,
+          pow(col("tokens").cast("double") / col("m"), MixAlpha))
+          .otherwise(0.0).as("pa"))
+    val z = broadcast(powed.agg(sum("pa").as("z")))
+    powed.crossJoin(z)
+      .select(col("source"), col("tokens"),
+        (round(col("p"), 6) + 0.0).as("p_natural"),
+        (round(col("pa") / col("z"), 6) + 0.0).as("q_temp"),
+        when(col("p") > 0,
+          round(col("pa") / col("z") / col("p"), 4) + 0.0)
+          .as("upsample"))
+      .orderBy("source")
+  }
+
+  val d178Oracle: String =
+    s"""WITH mass AS (
+         SELECT source,
+           CAST(sum(len(regexp_extract_all(text, '\\S+'))) AS BIGINT)
+             AS tokens
+         FROM documents GROUP BY source),
+       t AS (SELECT sum(tokens) AS m FROM mass),
+       powed AS (
+         SELECT source, tokens, CAST(tokens AS DOUBLE) / m AS p,
+           CASE WHEN tokens > 0
+             THEN pow(CAST(tokens AS DOUBLE) / m, $MixAlpha)
+             ELSE 0.0 END AS pa
+         FROM mass, t),
+       z AS (SELECT sum(pa) AS z FROM powed)
+       SELECT source, tokens, round(p, 6) + 0.0 AS p_natural,
+         round(pa / z, 6) + 0.0 AS q_temp,
+         CASE WHEN p > 0 THEN round(pa / z / p, 4) + 0.0 END AS upsample
+       FROM powed, z ORDER BY source"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d171_loo_influence" -> (d171LooInfluence _),
     "d172_source_affinity" -> (d172SourceAffinity _),
+    "d177_wasserstein_drift" -> (d177WassersteinDrift _),
+    "d178_temperature_mix" -> (d178TemperatureMix _),
+    "d173_gap_fill" -> (d173GapFill _),
+    "d174_source_lang_nmi" -> (d174SourceLangNmi _),
+    "d175_neyman_sample" -> (d175NeymanSample _),
+    "d176_daily_acf" -> (d176DailyAcf _),
     "d168_script_profile" -> (d168ScriptProfile _),
     "d169_contract_audit" -> (d169ContractAudit _),
     "d165_auc" -> (d165Auc _),
@@ -6704,6 +7193,12 @@ object CorpusOps {
     "d169_contract_audit" -> d169Oracle,
     "d171_loo_influence" -> d171Oracle,
     "d172_source_affinity" -> d172Oracle,
+    "d173_gap_fill" -> d173Oracle,
+    "d177_wasserstein_drift" -> d177Oracle,
+    "d178_temperature_mix" -> d178Oracle,
+    "d174_source_lang_nmi" -> d174Oracle,
+    "d175_neyman_sample" -> d175Oracle,
+    "d176_daily_acf" -> d176Oracle,
     "d163_quartile_bins" -> d163Oracle,
     "d161_benford_digits" -> d161Oracle,
     "d157_weighted_quantiles" -> d157Oracle,

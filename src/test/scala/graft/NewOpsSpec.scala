@@ -1921,6 +1921,215 @@ class NewOpsSpec extends SparkSpec {
       ("s2", "s3", 0.5)), s"got $got")
   }
 
+  /** µs for midnight UTC of 2023-11-15 plus `day` days (1700006400 is
+    * exactly divisible by 86400 — day boundaries land on boundaries). */
+  private def dayUs(day: Int): Long =
+    1700006400000000L + day.toLong * 86400000000L
+
+  // ------------------------------------------------------------- d177
+  test("d177 wasserstein: matches a naive scala integral of the " +
+      "CDF gap over the same hash split") {
+    val dir = tmp()
+    import spark.implicits._
+    // varied lengths, enough docs that both splits are inhabited
+    val rows = (1 to 300).map(i => (i.toLong, (i * 37) % 523 + 10L))
+    rows.toDF("doc_id", "n_chars")
+      .withColumn("source", lit("s")).withColumn("lang", lit("en"))
+      .withColumn("text", lit("x"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    // ground-truth split assignment from the op's own hash column
+    val assign = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("n_chars"), CorpusOps.splitOf(col("doc_id")).as("sp"))
+      .collect().map(r => (r.getAs[Long]("n_chars"), r.getAs[String]("sp")))
+    val tr = assign.filter(_._2 == "train").map(_._1)
+    val va = assign.filter(_._2 == "val").map(_._1)
+    assert(tr.nonEmpty && va.nonEmpty, "both splits must be inhabited")
+    val support = (tr ++ va).distinct.sorted
+    var (ca, cb) = (0L, 0L)
+    var naive = BigInt(0)
+    support.zip(support.tail :+ support.last).foreach { case (v, vn) =>
+      ca += tr.count(_ == v); cb += va.count(_ == v)
+      naive += BigInt((ca * va.length - cb * tr.length).abs) *
+        BigInt(vn - v)
+    }
+    val want = (BigDecimal(naive) /
+      (BigDecimal(tr.length) * BigDecimal(va.length)))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val r = CorpusOps.d177WassersteinDrift(spark, dir).collect().head
+    assert(r.getAs[Long]("n_train") == tr.length.toLong &&
+      r.getAs[Long]("n_val") == va.length.toLong &&
+      r.getAs[Long]("n_values") == support.length.toLong, s"got $r")
+    assert(math.abs(r.getAs[Double]("w1") - want) <= 1e-6,
+      s"w1 ${r.getAs[Double]("w1")} vs naive $want")
+  }
+
+  // ------------------------------------------------------------- d178
+  test("d178 temperature mix: alpha=1-free shares match hand math, " +
+      "long-tail upsamples, mega-source downsamples") {
+    val dir = tmp()
+    import spark.implicits._
+    // token masses 8 / 1 / 1 via whitespace words
+    Seq((1L, "big", ("w " * 8).trim), (2L, "tiny1", "w"),
+      (3L, "tiny2", "w"))
+      .toDF("doc_id", "source", "text")
+      .withColumn("lang", lit("en"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val pa = Seq(0.8, 0.1, 0.1).map(p => math.pow(p, CorpusOps.MixAlpha))
+    val z = pa.sum
+    def r6(x: Double) = BigDecimal(x).setScale(6,
+      BigDecimal.RoundingMode.HALF_UP).toDouble
+    val got = CorpusOps.d178TemperatureMix(spark, dir).collect().map(r =>
+      (r.getAs[String]("source"), r.getAs[Long]("tokens"),
+        r.getAs[Double]("p_natural"), r.getAs[Double]("q_temp"),
+        r.getAs[Double]("upsample"))).toList
+    assert(got.map(g => (g._1, g._2)) ==
+      List(("big", 8L), ("tiny1", 1L), ("tiny2", 1L)), s"got $got")
+    got.zip(Seq(0.8, 0.1, 0.1).zip(pa)).foreach {
+      case ((_, _, p, q, up), (pw, paw)) =>
+        assert(math.abs(p - r6(pw)) <= 1e-9, s"p $p vs $pw")
+        assert(math.abs(q - r6(paw / z)) <= 1e-6, s"q $q")
+        assert(math.abs(up - paw / z / pw) <= 1e-3, s"up $up")
+    }
+    // temperature flattens: the mega-source loses share, the tail gains
+    assert(got.head._4 < got.head._3 && got(1)._4 > got(1)._3)
+  }
+
+  // ------------------------------------------------------------- d173
+  test("d173 gap fill: gaps carry the last observation forward, " +
+      "leading days stay NULL, imputed flags exact") {
+    val dir = tmp()
+    import spark.implicits._
+    // type A observed days 0,1,4 (cents 100,250,700); type B day 2 only
+    val rows = Seq((1L, 0, "A", 1.00), (2L, 1, "A", 2.50),
+      (3L, 4, "A", 7.00), (4L, 2, "B", 3.00))
+    rows.map { case (id, d, t, v) => (id, dayUs(d), 9L, t, v) }
+      .toDF("event_id", "us", "user_id", "event_type", "value")
+      .select(col("event_id"), timestamp_micros(col("us")).as("ts"),
+        col("user_id"), col("event_type"), col("value"))
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = CorpusOps.d173GapFill(spark, dir).collect().map(r =>
+      (r.getAs[String]("event_type"),
+        r.getAs[java.sql.Timestamp]("day").getTime,
+        Option(r.getAs[java.lang.Long]("filled_cents")).map(_.toLong),
+        r.getAs[Long]("imputed"))).toList
+    def ms(d: Int) = dayUs(d) / 1000
+    assert(got == List(
+      ("A", ms(0), Some(100L), 0L), ("A", ms(1), Some(250L), 0L),
+      ("A", ms(2), Some(250L), 1L), ("A", ms(3), Some(250L), 1L),
+      ("A", ms(4), Some(700L), 0L),
+      ("B", ms(0), None, 1L), ("B", ms(1), None, 1L),
+      ("B", ms(2), Some(300L), 0L), ("B", ms(3), Some(300L), 1L),
+      ("B", ms(4), Some(300L), 1L)), s"got $got")
+  }
+
+  // ------------------------------------------------------------- d174
+  test("d174 nmi: perfect source-lang association scores 1, " +
+      "independence scores 0") {
+    import spark.implicits._
+    def plant(rows: Seq[(Long, String, String)]): String = {
+      val dir = tmp()
+      rows.toDF("doc_id", "source", "lang")
+        .withColumn("text", lit("x"))
+        .withColumn("n_chars", lit(1L))
+        .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      dir
+    }
+    // silos: each source speaks exactly one language -> MI = H = ln 2
+    val silo = CorpusOps.d174SourceLangNmi(spark, plant(Seq(
+      (1L, "s1", "en"), (2L, "s1", "en"),
+      (3L, "s2", "de"), (4L, "s2", "de")))).collect().head
+    val ln2r = BigDecimal(math.log(2)).setScale(6,
+      BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(silo.getAs[Long]("n_docs") == 4L &&
+      silo.getAs[Long]("n_cells") == 2L)
+    assert(silo.getAs[Double]("mi") == ln2r &&
+      silo.getAs[Double]("h_source") == ln2r &&
+      silo.getAs[Double]("nmi") == 1.0, s"got $silo")
+    // independence: both sources 50/50 -> every MI term is ln(1) = 0
+    val ind = CorpusOps.d174SourceLangNmi(spark, plant(Seq(
+      (1L, "s1", "en"), (2L, "s1", "de"),
+      (3L, "s2", "en"), (4L, "s2", "de")))).collect().head
+    assert(ind.getAs[Double]("mi") == 0.0 &&
+      ind.getAs[Double]("nmi") == 0.0, s"got $ind")
+    // degenerate: one language -> h_lang = 0 -> nmi NULL
+    val one = CorpusOps.d174SourceLangNmi(spark, plant(Seq(
+      (1L, "s1", "en"), (2L, "s2", "en")))).collect().head
+    assert(one.isNullAt(one.fieldIndex("nmi")))
+  }
+
+  // ------------------------------------------------------------- d175
+  test("d175 neyman: zero-variance stratum gets zero seats, quotas " +
+      "sum to the budget, underfilled stratum reported") {
+    val dir = tmp()
+    import spark.implicits._
+    // s_flat: 10 docs all length 100 (sigma 0 -> weight 0);
+    // s_vol: 4 docs of varying length (all 200 seats; only 4 docs)
+    val rows = (1 to 10).map(i => (i.toLong, "s_flat", 100L)) ++
+      Seq((11L, "s_vol", 10L), (12L, "s_vol", 200L),
+        (13L, "s_vol", 300L), (14L, "s_vol", 4000L))
+    rows.toDF("doc_id", "source", "n_chars")
+      .withColumn("text", lit("x")).withColumn("lang", lit("en"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = CorpusOps.d175NeymanSample(spark, dir).collect().map(r =>
+      (r.getAs[String]("source"), r.getAs[Long]("n_docs"),
+        r.getAs[Long]("quota"), r.getAs[Long]("n_sampled"),
+        r.getAs[Long]("sampled_chars"))).toList
+    assert(got == List(
+      ("s_flat", 10L, 0L, 0L, 0L),
+      ("s_vol", 4L, CorpusOps.NeymanK, 4L, 4510L)), s"got $got")
+    assert(got.map(_._3).sum == CorpusOps.NeymanK)
+  }
+
+  // ------------------------------------------------------------- d176
+  test("d176 acf: matches a naive scala recompute on a planted " +
+      "periodic series; zero-variance series yields NULL") {
+    val dir = tmp()
+    import spark.implicits._
+    // 10-day series of daily counts with period 2: 2,5,2,5,...
+    val perDay = (0 until 10).map(d => d -> (if (d % 2 == 0) 2 else 5))
+    val rows = perDay.flatMap { case (d, k) =>
+      (0 until k).map(j => (d.toLong * 100 + j, dayUs(d) + j * 1000000L))
+    }
+    rows.toDF("event_id", "us")
+      .select(col("event_id"), timestamp_micros(col("us")).as("ts"))
+      .withColumn("user_id", lit(1L))
+      .withColumn("event_type", lit("e"))
+      .withColumn("value", lit(1.0))
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val xs = perDay.map(_._2.toDouble)
+    val mu = xs.sum / xs.size
+    val den = xs.map(x => (x - mu) * (x - mu)).sum
+    val want = (1 to CorpusOps.AcfMaxLag).map { k =>
+      val num = xs.dropRight(k).zip(xs.drop(k))
+        .map { case (a, b) => (a - mu) * (b - mu) }.sum
+      k.toLong -> BigDecimal(num / den).setScale(4,
+        BigDecimal.RoundingMode.HALF_UP).toDouble
+    }.toMap
+    val got = CorpusOps.d176DailyAcf(spark, dir).collect().map(r =>
+      (r.getAs[Long]("lag"), r.getAs[Long]("n_pairs"),
+        r.getAs[Double]("acf"))).toList
+    assert(got.map(_._1) == (1L to 7L).toList)
+    got.foreach { case (lag, np, acf) =>
+      assert(np == 10 - lag, s"lag $lag pairs $np")
+      assert(math.abs(acf - want(lag)) <= 1e-4,
+        s"lag $lag: $acf vs ${want(lag)}")
+    }
+
+    // constant series: den is exactly 0 (exact moment arithmetic on
+    // equal integers), every lag emits NULL instead of an engine inf
+    val flat = tmp()
+    (0 until 9).map(d => (d.toLong, dayUs(d)))
+      .toDF("event_id", "us")
+      .select(col("event_id"), timestamp_micros(col("us")).as("ts"))
+      .withColumn("user_id", lit(1L))
+      .withColumn("event_type", lit("e"))
+      .withColumn("value", lit(1.0))
+      .write.mode("overwrite").parquet(s"$flat/events.parquet")
+    val fr = CorpusOps.d176DailyAcf(spark, flat).collect()
+    assert(fr.length == 7 && fr.forall(_.isNullAt(2)), s"got ${fr.toList}")
+  }
+
   // ------------------------------------------------------------- d146
   test("d146 range shards: lossless, globally ordered read-back on the " +
       "sf fixture") {
