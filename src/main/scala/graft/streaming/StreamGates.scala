@@ -607,6 +607,181 @@ object StreamGates {
        FROM events WHERE event_type = 'purchase'
        GROUP BY user_id ORDER BY user_id"""
 
+  // -------------------------------------------------------------- d179
+  /** Watermark delay shared by the sentinel-flushed gates d179/d180. */
+  private[streaming] val FlushDelayUs = 3600L * 1000000
+  /** How far past the log's end the flush sentinel sits (2.5 h: one
+    * watermark delay + margin, the d145 constant). */
+  private[streaming] val FlushBumpUs = FlushDelayUs + 90L * 60 * 1000000
+
+  /** The full event log plus `extra` sentinel rows, staged as ONE
+    * part-file in the RAW ts encoding (d145's discipline: the bump is
+    * applied in the source generation's physical type so readEvents'
+    * unit probe applies unchanged). The sentinels advance the final
+    * watermark past every real row, flushing state the one-shot
+    * AvailableNow drain would otherwise withhold. */
+  private def stageWithSentinels(spark: SparkSession, dir: String,
+      prefix: String, types: Seq[String]): java.nio.file.Path = {
+    val staged = Files.createTempDirectory(prefix)
+    val raw = spark.read.parquet(s"$dir/events.parquet")
+    val isNanos =
+      raw.schema("ts").dataType == org.apache.spark.sql.types.LongType
+    val sentinels = types.zipWithIndex.map { case (t, i) =>
+      raw.orderBy(col("ts").desc).limit(1)
+        .select(lit(-1L - i).as("event_id"),
+          (if (isNanos) col("ts") + lit(FlushBumpUs * 1000L)
+           else col("ts") +
+             expr(s"INTERVAL ${FlushBumpUs / 60000000L} MINUTES")).as("ts"),
+          lit(-1L).as("user_id"), lit(t).as("event_type"),
+          lit(0.0).as("value"), lit(null).cast("string").as("props"))
+    }.reduce(_ unionByName _)
+    stagePart(raw.unionByName(sentinels), staged, "log.parquet", prefix)
+    staged
+  }
+
+  /** STREAM-STREAM LEFT OUTER INTERVAL JOIN — the tenth gated
+    * streaming shape, and the OUTER semantics d107's inner join never
+    * exercises: "every purchase, with its preceding-30-minute view if
+    * one exists, a NULL row if none" — the attribution query where
+    * the no-touch rows ARE the finding. The mechanics under gate:
+    * matched pairs emit eagerly, but an UNMATCHED left row can emit
+    * only when the views-side watermark proves no qualifying view can
+    * still arrive — i.e. null-padding is a state-EVICTION product,
+    * and a one-shot drain whose watermark dies before the log's end
+    * silently returns the inner join. Two sentinels (one per topic,
+    * 2.5 h past the log) push the final watermark past every real
+    * purchase's eligibility, so the drained result is the COMPLETE
+    * left-outer set — hash-checked against DuckDB's batch LEFT JOIN.
+    * The purchase sentinel's own null row is withheld by the same
+    * watermark arithmetic that flushes the real ones (its p_ts sits
+    * one delay PAST the final watermark); the filter keeps the gate
+    * honest if that invariant ever shifts.
+    *
+    * Scale: state is interval + watermark horizon per side, as d107;
+    * the outer emission adds no extra pass — eviction IS the emit. */
+  def d179StreamOuterJoin(spark: SparkSession, dir: String): DataFrame = {
+    val staged = stageWithSentinels(spark, dir, "graft-d179",
+      Seq("view", "purchase"))
+    val views = EventStreams.readEvents(spark, staged.toString)
+      .filter(col("event_type") === "view")
+      .select(col("user_id").as("v_user"), col("ts").as("view_ts"),
+        col("event_id").as("view_id"))
+      .withWatermark("view_ts", "1 hour")
+    val purchases = EventStreams.readEvents(spark, staged.toString)
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts").as("p_ts"),
+        col("event_id").as("p_id"))
+      .withWatermark("p_ts", "1 hour")
+    val name = s"graft_d179_run${runSeq.incrementAndGet()}"
+    // two state stores per shuffle partition — pin partitions to the
+    // gate fixture and restore (the d107 conf discipline)
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    val query =
+      try purchases
+        .join(views,
+          col("v_user") === col("user_id") &&
+            col("view_ts") >= col("p_ts") - expr("INTERVAL 30 MINUTES") &&
+            col("view_ts") < col("p_ts"),
+          "left_outer")
+        .select(col("p_id"), col("view_id"),
+          (unix_micros(col("p_ts")) - unix_micros(col("view_ts")))
+            .as("gap_us"))
+        .writeStream.format("memory").queryName(name)
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+    query.awaitTermination()
+    unstage(staged)
+    spark.table(name).filter(col("p_id") >= 0)
+      .orderBy("p_id", "view_id")
+  }
+
+  /** The identical LEFT interval self-join in DuckDB — unmatched
+    * purchases must appear exactly once, NULL-padded. */
+  val d179Oracle: String =
+    """SELECT p.event_id AS p_id, v.event_id AS view_id,
+         epoch_us(p.ts) - epoch_us(v.ts) AS gap_us
+       FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+         LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+         ON v.user_id = p.user_id
+           AND v.ts >= p.ts - INTERVAL 30 MINUTE AND v.ts < p.ts
+       ORDER BY p_id, view_id"""
+
+  // -------------------------------------------------------------- d180
+  /** Session inactivity gap for the built-in session-window gate. */
+  private[streaming] val SessionGapStr = "30 minutes"
+
+  /** NATIVE SESSION WINDOWS (`session_window`) — the eleventh gated
+    * streaming shape: DATA-DRIVEN window boundaries, vs d104's fixed
+    * tumbling grid and d64's hand-rolled `mapGroupsWithState`
+    * sessions. The built-in operator runs a dedicated merging-session
+    * state store (windows EXTEND as events arrive inside the gap;
+    * adjacent windows merge), which is real machinery none of the
+    * other ten gates touch — a regression in it is invisible to d64,
+    * whose state is a custom case class. Append mode emits a session
+    * only when the watermark passes its end (last event + gap); the
+    * sentinel (2.5 h past the log, its own never-finalized session —
+    * the user_id filter documents rather than trusts that) flushes
+    * every real session out of the final no-data micro-batch. The
+    * oracle replays the identical semantics as DuckDB gaps-and-islands
+    * — break when the inter-event gap STRICTLY exceeds the inactivity
+    * gap: Spark's merge test is `newStart <= currentEnd` (inclusive),
+    * so an event at exactly window-end EXTENDS the session
+    * (`StreamingSpec` pins the boundary on a planted log) — so the
+    * merging store must agree with the batch definition row-for-row:
+    * (user, start, end = last + gap, count, exact cent value).
+    *
+    * Scale: one hash exchange on user_id; state is one (user, open
+    * session) record bounded by the watermark horizon — the unbounded
+    *-session risk d92 handles in batch is exactly what the gap bound
+    * prevents live. */
+  def d180SessionWindows(spark: SparkSession, dir: String): DataFrame = {
+    val staged = stageWithSentinels(spark, dir, "graft-d180", Seq("view"))
+    val stream = EventStreams.readEvents(spark, staged.toString)
+      .withWatermark("ts", "1 hour")
+    val name = s"graft_d180_run${runSeq.incrementAndGet()}"
+    val query = stream
+      .groupBy(session_window(col("ts"), SessionGapStr), col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(round(col("value") * 100).cast("long")).as("cents"))
+      .select(col("user_id"), col("session_window.start").as("s_start"),
+        col("session_window.end").as("s_end"), col("n_events"),
+        col("cents"))
+      .writeStream.format("memory").queryName(name)
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    query.awaitTermination()
+    unstage(staged)
+    spark.table(name).filter(col("user_id") >= 0)
+      .orderBy("user_id", "s_start")
+  }
+
+  /** Gaps-and-islands replay of the session semantics: a new session
+    * starts when the inter-event gap STRICTLY exceeds the inactivity
+    * gap (Spark merges at exact window-end); session end = last event
+    * + gap. */
+  val d180Oracle: String =
+    """WITH m AS (
+         SELECT user_id, ts, value,
+           CASE WHEN lag(ts) OVER w IS NULL
+                  OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+             THEN 1 ELSE 0 END AS brk
+         FROM events
+         WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+       s AS (
+         SELECT user_id, ts, value,
+           sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+         FROM m)
+       SELECT user_id, min(ts) AS s_start,
+         max(ts) + INTERVAL 30 MINUTE AS s_end,
+         CAST(count(*) AS BIGINT) AS n_events,
+         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+       FROM s GROUP BY user_id, sid ORDER BY user_id, s_start"""
+
   /** Stage `df` into the file-stream source dir as one bare part-file
     * named `name` (the source lists FILES, so phases are planted as
     * part-file copies, never Spark-written directories). Shared by the
@@ -644,7 +819,9 @@ object StreamGates {
     "d127_stream_recovery" -> (d127StreamRecovery _),
     "d145_stream_late_drops" -> (d145StreamLateDrops _),
     "d159_stream_static" -> (d159StreamStatic _),
-    "d170_stream_upsert" -> (d170StreamUpsert _))
+    "d170_stream_upsert" -> (d170StreamUpsert _),
+    "d179_stream_outer_join" -> (d179StreamOuterJoin _),
+    "d180_session_windows" -> (d180SessionWindows _))
 
   val oracles: Map[String, String] = Map(
     "d50_stream_decontaminate" -> d50Oracle,
@@ -655,5 +832,7 @@ object StreamGates {
     "d127_stream_recovery" -> d127Oracle,
     "d145_stream_late_drops" -> d145Oracle,
     "d159_stream_static" -> d159Oracle,
-    "d170_stream_upsert" -> d170Oracle)
+    "d170_stream_upsert" -> d170Oracle,
+    "d179_stream_outer_join" -> d179Oracle,
+    "d180_session_windows" -> d180Oracle)
 }

@@ -66,6 +66,80 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  /** Plant a 6-column event log as a bare part-FILE (the file-stream
+    * source lists files; a Spark-written directory would stream empty).
+    * `ts` is stored as a raw int64 of NANOS — the physical layout
+    * `readEvents`' schema declaration and unit probe expect (a real
+    * TimestampType would be written INT96 and fail the declared-long
+    * read). */
+  private def plantLog(rows: Seq[(Long, Long, Long, String, Double)]): String = {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-stream-plant")
+    val tmp = Files.createTempDirectory("graft-stream-plant-w")
+    rows.toDF("event_id", "us", "user_id", "event_type", "value")
+      .select(col("event_id"), (col("us") * 1000L).as("ts"),
+        col("user_id"), col("event_type"), col("value"),
+        lit(null).cast("string").as("props"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$tmp/out")
+    val part = Option(tmp.resolve("out").toFile.list()).get
+      .find(_.endsWith(".parquet")).get
+    Files.copy(tmp.resolve("out").resolve(part),
+      dir.resolve("events.parquet"), StandardCopyOption.REPLACE_EXISTING)
+    dir.toString
+  }
+
+  private val T0 = 1700006400000000L // midnight UTC, µs
+  private def min(m: Long) = m * 60000000L
+
+  test("d179 outer join: unmatched purchases null-pad, interval " +
+      "bounds are [p-30min, p) inclusive-exclusive") {
+    // u1: view 10min before purchase -> pair; u2: no view -> NULL;
+    // u3: view 45min before -> outside window -> NULL;
+    // u4: view EXACTLY 30min before -> inclusive lower bound -> pair;
+    // u5: view at the purchase instant -> exclusive upper -> NULL
+    val dir = plantLog(Seq(
+      (10L, T0, 1L, "view", 0.0), (11L, T0 + min(10), 1L, "purchase", 1.0),
+      (20L, T0 + min(10), 2L, "purchase", 1.0),
+      (30L, T0, 3L, "view", 0.0), (31L, T0 + min(45), 3L, "purchase", 1.0),
+      (40L, T0, 4L, "view", 0.0), (41L, T0 + min(30), 4L, "purchase", 1.0),
+      (50L, T0, 5L, "view", 0.0), (51L, T0, 5L, "purchase", 1.0)))
+    val got = graft.streaming.StreamGates
+      .d179StreamOuterJoin(spark, dir).collect().map(r =>
+        (r.getAs[Long]("p_id"),
+          Option(r.getAs[java.lang.Long]("view_id")).map(_.toLong),
+          Option(r.getAs[java.lang.Long]("gap_us")).map(_.toLong))).toList
+    assert(got == List(
+      (11L, Some(10L), Some(min(10))), (20L, None, None),
+      (31L, None, None), (41L, Some(40L), Some(min(30))),
+      (51L, None, None)), s"got $got")
+  }
+
+  test("d180 session windows: boundary event EXTENDS (inclusive " +
+      "merge), one past it breaks; ends last-event-plus-gap, cents " +
+      "exact") {
+    // u1: events at 0/10/20min, then one at exactly 50min = 20min +
+    // the 30min gap -> Spark's inclusive merge (newStart <= end)
+    // EXTENDS the session to [0, 80min); then 80min + 30min + 1µs
+    // breaks -> second session. u2: a lone event.
+    val dir = plantLog(Seq(
+      (1L, T0, 1L, "view", 1.25), (2L, T0 + min(10), 1L, "view", 2.00),
+      (3L, T0 + min(20), 1L, "view", 0.75),
+      (4L, T0 + min(50), 1L, "view", 10.00),
+      (5L, T0 + min(80) + 1L, 1L, "view", 0.50),
+      (6L, T0, 2L, "click", 5.50)))
+    val got = graft.streaming.StreamGates
+      .d180SessionWindows(spark, dir).collect().map(r =>
+        (r.getAs[Long]("user_id"),
+          r.getAs[java.sql.Timestamp]("s_start").getTime,
+          r.getAs[java.sql.Timestamp]("s_end").getTime,
+          r.getAs[Long]("n_events"), r.getAs[Long]("cents"))).toList
+    def ms(us: Long) = us / 1000
+    assert(got == List(
+      (1L, ms(T0), ms(T0 + min(80)), 4L, 1400L),
+      (1L, ms(T0 + min(80)), ms(T0 + min(110)), 1L, 50L),
+      (2L, ms(T0), ms(T0 + min(30)), 1L, 550L)), s"got $got")
+  }
+
   test("checkpoint recovery: a resumed query reloads state and reads " +
       "ONLY the new file") {
     // The d127 gate proves output equality end-to-end; this pins the
