@@ -1035,6 +1035,34 @@ object Queries {
 
   val q36Oracle: String = q36Sql
 
+  // --------------------------------------------------------------- q37
+  /** FILTERED AGGREGATES + boolean aggregates — the `FILTER (WHERE …)`
+    * clause (one scan, many conditional aggregates — the standard
+    * replacement for N self-joined sub-counts) and `bool_and`/
+    * `bool_or` (universal/existential group predicates), the two
+    * aggregate-surface features nothing else on the q-series touches
+    * (q12 builds conditionals from CASE; FILTER is the declarative
+    * form Catalyst rewrites to the same conditional aggregate — zero
+    * extra passes). A FILTER'd sum over a group with no qualifying
+    * rows is NULL (not 0) — part of the pinned contract. Booleans are
+    * CAST to BIGINT at the output boundary: the gate hashes values
+    * across engines, and an integer is the portable spelling of a
+    * truth value. */
+  val q37Sql: String =
+    """SELECT o_orderpriority,
+         count(*) AS n_orders,
+         count(*) FILTER (WHERE o_totalprice > 150000) AS n_big,
+         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+           FILTER (WHERE o_orderstatus = 'F') AS BIGINT) AS cents_f,
+         CAST(bool_and(o_totalprice > 0) AS BIGINT) AS all_positive,
+         CAST(bool_or(o_totalprice > 400000) AS BIGINT) AS any_huge
+       FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority"""
+
+  def q37FilteredAgg(spark: SparkSession, dir: String): DataFrame =
+    ops.SqlSurface.run(spark, dir, q37Sql)
+
+  val q37Oracle: String = q37Sql
+
   // ------------------------------------------------------------ registry
   val relational: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_agg" -> (q1Agg _),
@@ -1072,7 +1100,8 @@ object Queries {
     "q33_range_frame" -> (q33RangeFrame _),
     "q34_dist_rank" -> (q34DistRank _),
     "q35_not_in_null" -> (q35NotInNull _),
-    "q36_pagination" -> (q36Pagination _)
+    "q36_pagination" -> (q36Pagination _),
+    "q37_filtered_agg" -> (q37FilteredAgg _)
   )
 
   val relationalOracles: Map[String, String] = Map(
@@ -1111,7 +1140,8 @@ object Queries {
     "q33_range_frame" -> q33Oracle,
     "q34_dist_rank" -> q34Oracle,
     "q35_not_in_null" -> q35Oracle,
-    "q36_pagination" -> q36Oracle
+    "q36_pagination" -> q36Oracle,
+    "q37_filtered_agg" -> q37Oracle
   )
 
   // lazy: a caller may initialize a contributing registry object FIRST

@@ -7069,9 +7069,136 @@ object CorpusOps {
          CASE WHEN p > 0 THEN round(pa / z / p, 4) + 0.0 END AS upsample
        FROM powed, z ORDER BY source"""
 
+  // -------------------------------------------------------------- d181
+  /** Highest term-count the frequency-of-frequencies table reports. */
+  private[graft] val GtMaxR = 10
+
+  /** GOOD–TURING FREQUENCY-OF-FREQUENCIES + UNSEEN MASS — the
+    * coverage readout for vocabulary planning that Zipf (d72, the
+    * POWER-LAW fit) and Heaps (d120, vocab GROWTH) don't give: how
+    * much probability mass sits at each observed count, and — the
+    * famous r=0 row — the Good–Turing estimate N₁/N of the mass of
+    * terms NEVER seen, i.e. the expected OOV rate of a tokenizer/LM
+    * frozen on this corpus against the next crawl. `gt_next_mass` at
+    * row r is (r+1)·n_{r+1}/N, the smoothed total mass of terms seen
+    * r times; at r=0 that is the unseen mass. All counts exact
+    * BIGINT from one vocabulary pass; N is the FULL token total (the
+    * spine caps the report at r≤[[GtMaxR]], never the sums).
+    *
+    * Scale shape: the token explode map-side-combines to the vocab
+    * frame; fof is a second tiny aggregate on counts; the r-spine
+    * join is 11 rows against a broadcast total. */
+  def d181GoodTuring(spark: SparkSession, dir: String): DataFrame = {
+    val vocab = docs(spark, dir)
+      .select(explode(tokens(lower(col("text")))).as("term"))
+      .groupBy("term").agg(count(lit(1)).as("c"))
+    val fof = vocab.groupBy(col("c").as("r"))
+      .agg(count(lit(1)).as("n_r"))
+      .localCheckpoint() // tiny; feeds N, the spine join, and r+1
+    val n = broadcast(fof.agg(sum(col("r") * col("n_r")).as("n")))
+    val spine = spark.range(0, GtMaxR + 1L).toDF("r")
+    spine.join(fof, Seq("r"), "left")
+      .join(fof.select((col("r") - 1).as("r"), col("n_r").as("n_next")),
+        Seq("r"), "left")
+      .crossJoin(n)
+      .select(col("r"),
+        when(col("r") === 0, lit(null))
+          .otherwise(coalesce(col("n_r"), lit(0L))).as("n_terms"),
+        when(col("n") > 0,
+          round(col("r") * coalesce(col("n_r"), lit(0L))
+            .cast("double") / col("n"), 6) + 0.0).as("token_share"),
+        when(col("n") > 0,
+          round((col("r") + 1) * coalesce(col("n_next"), lit(0L))
+            .cast("double") / col("n"), 6) + 0.0).as("gt_next_mass"))
+      .orderBy("r")
+  }
+
+  val d181Oracle: String =
+    s"""WITH vocab AS (
+         SELECT term, count(*) AS c FROM (
+           SELECT unnest(regexp_extract_all(lower(text), '\\S+')) AS term
+           FROM documents) GROUP BY term),
+       fof AS (SELECT c AS r, count(*) AS n_r FROM vocab GROUP BY c),
+       n AS (SELECT sum(r * n_r) AS n FROM fof),
+       spine AS (SELECT CAST(unnest(range(0, ${GtMaxR + 1})) AS BIGINT)
+                   AS r)
+       SELECT spine.r,
+         CASE WHEN spine.r = 0 THEN NULL
+           ELSE CAST(coalesce(f.n_r, 0) AS BIGINT) END AS n_terms,
+         CASE WHEN n > 0 THEN
+           round(spine.r * CAST(coalesce(f.n_r, 0) AS DOUBLE) / n, 6)
+             + 0.0 END AS token_share,
+         CASE WHEN n > 0 THEN
+           round((spine.r + 1) * CAST(coalesce(g.n_r, 0) AS DOUBLE) / n, 6)
+             + 0.0 END AS gt_next_mass
+       FROM spine
+         LEFT JOIN fof f ON f.r = spine.r
+         LEFT JOIN fof g ON g.r = spine.r + 1, n
+       ORDER BY spine.r"""
+
+  // -------------------------------------------------------------- d182
+  /** INTER-EVENT BURSTINESS per event type — the point-process view of
+    * the log that the calendar views can't give (d176's ACF sees daily
+    * COUNTS; this sees the arrival process itself): mean inter-arrival
+    * gap, its coefficient of variation (CV = 1 is memoryless Poisson,
+    * CV > 1 bursty — retries, batch jobs, crawler storms; CV < 1
+    * pacemaker-regular — heartbeats, cron), and the implied hourly
+    * rate. Consecutive gaps come from one lag over a TOTAL per-type
+    * order ((ts, event_id) — µs ties exist in real logs and an
+    * ambiguous sort order would make the gap sequence itself
+    * engine-dependent); moments follow the d118 OLS discipline (avg of
+    * doubles, identical expression shape in both engines; gaps² would
+    * overflow BIGINT so exact-integer moments are not an option).
+    * Zero-variance and single-event types emit NULL, not an engine
+    * inf/NaN.
+    *
+    * Scale shape: one hash exchange on event_type for the lag window,
+    * then a map-side-combined moment aggregate; nothing else moves. */
+  def d182Burstiness(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("event_type")
+      .orderBy(col("us"), col("event_id"))
+    val gaps = Tables.load(spark, dir, "events")
+      .select(col("event_type"), col("event_id"),
+        unix_micros(col("ts")).as("us"))
+      .withColumn("gap", (col("us") - lag("us", 1).over(w)).cast("double"))
+      .filter(col("gap").isNotNull)
+    val m = gaps.groupBy("event_type")
+      .agg(count(lit(1)).as("n_gaps"), avg("gap").as("m1"),
+        avg(col("gap") * col("gap")).as("m2"))
+    val varg = col("m2") - col("m1") * col("m1")
+    m.select(col("event_type"), col("n_gaps"),
+        when(col("m1") > 0, round(col("m1"), 4) + 0.0).as("mean_gap_us"),
+        when(col("m1") > 0 && varg > 0,
+          round(sqrt(varg) / col("m1"), 6) + 0.0).as("cv"),
+        when(col("m1") > 0, round(lit(3.6e9) / col("m1"), 4) + 0.0)
+          .as("rate_per_hour"))
+      .orderBy("event_type")
+  }
+
+  val d182Oracle: String =
+    """WITH g AS (
+         SELECT event_type,
+           CAST(epoch_us(ts) - lag(epoch_us(ts)) OVER (
+             PARTITION BY event_type ORDER BY epoch_us(ts), event_id)
+             AS DOUBLE) AS gap
+         FROM events),
+       m AS (
+         SELECT event_type, CAST(count(*) AS BIGINT) AS n_gaps,
+           avg(gap) AS m1, avg(gap * gap) AS m2
+         FROM g WHERE gap IS NOT NULL GROUP BY event_type)
+       SELECT event_type, n_gaps,
+         CASE WHEN m1 > 0 THEN round(m1, 4) + 0.0 END AS mean_gap_us,
+         CASE WHEN m1 > 0 AND m2 - m1 * m1 > 0
+           THEN round(sqrt(m2 - m1 * m1) / m1, 6) + 0.0 END AS cv,
+         CASE WHEN m1 > 0 THEN round(3.6e9 / m1, 4) + 0.0 END
+           AS rate_per_hour
+       FROM m ORDER BY event_type"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d171_loo_influence" -> (d171LooInfluence _),
     "d172_source_affinity" -> (d172SourceAffinity _),
+    "d181_good_turing" -> (d181GoodTuring _),
+    "d182_burstiness" -> (d182Burstiness _),
     "d177_wasserstein_drift" -> (d177WassersteinDrift _),
     "d178_temperature_mix" -> (d178TemperatureMix _),
     "d173_gap_fill" -> (d173GapFill _),
@@ -7196,6 +7323,8 @@ object CorpusOps {
     "d173_gap_fill" -> d173Oracle,
     "d177_wasserstein_drift" -> d177Oracle,
     "d178_temperature_mix" -> d178Oracle,
+    "d181_good_turing" -> d181Oracle,
+    "d182_burstiness" -> d182Oracle,
     "d174_source_lang_nmi" -> d174Oracle,
     "d175_neyman_sample" -> d175Oracle,
     "d176_daily_acf" -> d176Oracle,

@@ -1926,6 +1926,68 @@ class NewOpsSpec extends SparkSpec {
   private def dayUs(day: Int): Long =
     1700006400000000L + day.toLong * 86400000000L
 
+  // ------------------------------------------------------------- d181
+  test("d181 good-turing: fof table and unseen mass from a planted " +
+      "vocabulary") {
+    val dir = tmp()
+    import spark.implicits._
+    // terms: a seen 3x, b 2x, c 1x -> N=6, n1=n2=n3=1
+    Seq((1L, "a a a"), (2L, "b b c"))
+      .toDF("doc_id", "text")
+      .withColumn("source", lit("s")).withColumn("lang", lit("en"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    def r6(x: Double) = BigDecimal(x).setScale(6,
+      BigDecimal.RoundingMode.HALF_UP).toDouble
+    val got = CorpusOps.d181GoodTuring(spark, dir).collect().map(r =>
+      (r.getAs[Long]("r"),
+        Option(r.getAs[java.lang.Long]("n_terms")).map(_.toLong),
+        r.getAs[Double]("token_share"),
+        r.getAs[Double]("gt_next_mass"))).toList
+    assert(got.length == CorpusOps.GtMaxR + 1)
+    // the famous r=0 row: unseen mass = n1/N = 1/6
+    assert(got.head == (0L, None, 0.0, r6(1.0 / 6)), s"got ${got.head}")
+    assert(got(1) == (1L, Some(1L), r6(1.0 / 6), r6(2.0 / 6)))
+    assert(got(2) == (2L, Some(1L), r6(2.0 / 6), r6(3.0 / 6)))
+    assert(got(3) == (3L, Some(1L), 0.5, 0.0))
+    got.drop(4).foreach { g =>
+      assert(g._2 == Some(0L) && g._3 == 0.0 && g._4 == 0.0, s"got $g")
+    }
+  }
+
+  // ------------------------------------------------------------- d182
+  test("d182 burstiness: hand-computed CV on planted gaps; " +
+      "single-event and zero-gap types guarded") {
+    val dir = tmp()
+    import spark.implicits._
+    // "e": gaps 10s and 20s; "lone": one event (no gaps, absent);
+    // "tied": two events at the SAME us (gap 0 -> mean 0 -> NULLs)
+    val rows = Seq(
+      (1L, dayUs(0), "e"), (2L, dayUs(0) + 10000000L, "e"),
+      (3L, dayUs(0) + 30000000L, "e"),
+      (4L, dayUs(1), "lone"),
+      (5L, dayUs(2), "tied"), (6L, dayUs(2), "tied"))
+    rows.toDF("event_id", "us", "event_type")
+      .select(col("event_id"), timestamp_micros(col("us")).as("ts"),
+        col("event_type"))
+      .withColumn("user_id", lit(1L)).withColumn("value", lit(1.0))
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = CorpusOps.d182Burstiness(spark, dir).collect().map(r =>
+      (r.getAs[String]("event_type"), r.getAs[Long]("n_gaps"),
+        Option(r.getAs[java.lang.Double]("mean_gap_us")).map(_.toDouble),
+        Option(r.getAs[java.lang.Double]("cv")).map(_.toDouble),
+        Option(r.getAs[java.lang.Double]("rate_per_hour"))
+          .map(_.toDouble))).toList
+    // gaps 1e7/2e7: mean 1.5e7, var 2.5e13, cv = 5e6/1.5e7 = 1/3
+    assert(got.map(_._1) == List("e", "tied"), s"got $got")
+    val e = got.head
+    assert(e._2 == 2L && e._3 == Some(1.5e7) &&
+      e._4 == Some(BigDecimal(1.0 / 3).setScale(6,
+        BigDecimal.RoundingMode.HALF_UP).toDouble) &&
+      e._5 == Some(240.0), s"got $e")
+    assert(got(1) == (("tied", 1L, None, None, None)), s"got ${got(1)}")
+  }
+
   // ------------------------------------------------------------- d177
   test("d177 wasserstein: matches a naive scala integral of the " +
       "CDF gap over the same hash split") {
