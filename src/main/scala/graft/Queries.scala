@@ -1063,6 +1063,31 @@ object Queries {
 
   val q37Oracle: String = q37Sql
 
+  // --------------------------------------------------------------- q38
+  /** CORRELATED SCALAR SUBQUERIES IN THE SELECT LIST — the report
+    * idiom "one row per dimension member, enriched by lookups" (q28's
+    * correlation sits in WHERE; a SELECT-list scalar is a different
+    * rewrite: Catalyst de-correlates each into a left outer join
+    * against the pre-aggregated subquery, so N scalars cost N
+    * dim-sized joins, never N probes per row). The pinned semantics:
+    * a scalar `count(*)` over an empty correlation is 0, while a
+    * scalar `max(...)` over the same empty set is NULL — the
+    * asymmetry reports rely on and hand-rolled rewrites get wrong. */
+  val q38Sql: String =
+    """SELECT n_name,
+         (SELECT CAST(count(*) AS BIGINT) FROM customer
+          WHERE c_nationkey = n_nationkey) AS n_customers,
+         (SELECT round(max(c_acctbal), 2) FROM customer
+          WHERE c_nationkey = n_nationkey) AS max_bal,
+         (SELECT CAST(count(*) AS BIGINT) FROM supplier
+          WHERE s_nationkey = n_nationkey) AS n_suppliers
+       FROM nation ORDER BY n_name"""
+
+  def q38ScalarSubqueries(spark: SparkSession, dir: String): DataFrame =
+    ops.SqlSurface.run(spark, dir, q38Sql)
+
+  val q38Oracle: String = q38Sql
+
   // ------------------------------------------------------------ registry
   val relational: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_agg" -> (q1Agg _),
@@ -1101,7 +1126,8 @@ object Queries {
     "q34_dist_rank" -> (q34DistRank _),
     "q35_not_in_null" -> (q35NotInNull _),
     "q36_pagination" -> (q36Pagination _),
-    "q37_filtered_agg" -> (q37FilteredAgg _)
+    "q37_filtered_agg" -> (q37FilteredAgg _),
+    "q38_scalar_subqueries" -> (q38ScalarSubqueries _)
   )
 
   val relationalOracles: Map[String, String] = Map(
@@ -1141,7 +1167,8 @@ object Queries {
     "q34_dist_rank" -> q34Oracle,
     "q35_not_in_null" -> q35Oracle,
     "q36_pagination" -> q36Oracle,
-    "q37_filtered_agg" -> q37Oracle
+    "q37_filtered_agg" -> q37Oracle,
+    "q38_scalar_subqueries" -> q38Oracle
   )
 
   // lazy: a caller may initialize a contributing registry object FIRST

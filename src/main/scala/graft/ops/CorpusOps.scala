@@ -7194,9 +7194,130 @@ object CorpusOps {
            AS rate_per_hour
        FROM m ORDER BY event_type"""
 
+  // -------------------------------------------------------------- d183
+  /** PER-SOURCE CROSS-ENTROPY against the global unigram LM — the
+    * data-card row "how surprising is this source to the corpus
+    * average": H×(s‖g) = −Σ_t p_s(t)·ln q(t), its perplexity e^H, and
+    * the KL gap H× − H(p_s) (zero iff the source IS the average; big
+    * for domain-shifted sources — the corpus-level twin of d25's
+    * per-doc surprisal, and the readout mixture reviewers put beside
+    * d178's weights). No smoothing constant to argue about: every
+    * term of s is in the global vocabulary by construction, so q(t)
+    * > 0 wherever p_s(t) > 0. Counts exact BIGINT; logs and the two
+    * weighted sums are the only floats (6dp, the entropy-family
+    * precedent).
+    *
+    * Scale shape: ONE token pass to the (source, term) frame; the
+    * global distribution derives from it by re-aggregation (never a
+    * second corpus scan); the join moves (term, source, count) rows
+    * — the d172 discipline. */
+  def d183SourcePerplexity(spark: SparkSession, dir: String): DataFrame = {
+    val st = docs(spark, dir)
+      .select(col("source"), explode(tokens(lower(col("text")))).as("term"))
+      .groupBy("source", "term").agg(count(lit(1)).as("c"))
+      .localCheckpoint() // feeds the global re-agg AND the join
+    val g = st.groupBy("term").agg(sum("c").as("cg"))
+    val totG = broadcast(st.agg(sum("c").as("ng")))
+    val perS = st.groupBy("source").agg(sum("c").as("ns"))
+    val h = st.join(g, "term").join(broadcast(perS), "source")
+      .crossJoin(totG)
+      .select(col("source"),
+        (col("c").cast("double") / col("ns") *
+          log(col("cg").cast("double") / col("ng"))).as("tx"),
+        (col("c").cast("double") / col("ns") *
+          log(col("c").cast("double") / col("ns"))).as("ts"))
+      .groupBy("source")
+      .agg((-sum("tx")).as("hx"), (-sum("ts")).as("hs"))
+    perS.join(h, "source")
+      .select(col("source"), col("ns").as("n_tokens"),
+        (round(col("hx"), 6) + 0.0).as("h_cross"),
+        (round(col("hx") - col("hs"), 6) + 0.0).as("kl_vs_global"),
+        (round(exp(col("hx")), 4) + 0.0).as("ppl"))
+      .orderBy("source")
+  }
+
+  val d183Oracle: String =
+    """WITH st AS (
+         SELECT source, term, count(*) AS c FROM (
+           SELECT source,
+             unnest(regexp_extract_all(lower(text), '\S+')) AS term
+           FROM documents) GROUP BY 1, 2),
+       g AS (SELECT term, sum(c) AS cg FROM st GROUP BY term),
+       tg AS (SELECT sum(c) AS ng FROM st),
+       ps AS (SELECT source, sum(c) AS ns FROM st GROUP BY source),
+       h AS (
+         SELECT source,
+           -sum(CAST(c AS DOUBLE) / ns
+             * ln(CAST(cg AS DOUBLE) / ng)) AS hx,
+           -sum(CAST(c AS DOUBLE) / ns
+             * ln(CAST(c AS DOUBLE) / ns)) AS hs
+         FROM st JOIN g USING (term) JOIN ps USING (source), tg
+         GROUP BY source)
+       SELECT source, CAST(ns AS BIGINT) AS n_tokens,
+         round(hx, 6) + 0.0 AS h_cross,
+         round(hx - hs, 6) + 0.0 AS kl_vs_global,
+         round(exp(hx), 4) + 0.0 AS ppl
+       FROM ps JOIN h USING (source) ORDER BY source"""
+
+  // -------------------------------------------------------------- d184
+  /** Order statistics the Hill estimator uses. */
+  private[graft] val HillK = 100
+
+  /** HILL TAIL-INDEX of the document-length distribution — the
+    * heavy-tail diagnostic that decides whether mean-based capacity
+    * planning is even meaningful: α ≤ 1 means the mean doesn't exist
+    * (one mega-document dominates any shard it lands in — d73/d128's
+    * skew machinery becomes the norm, not the exception); α ≤ 2 means
+    * infinite variance (sample means converge brutally slowly). Zipf
+    * (d72) fits the TERM frequency law; Hill fits the LENGTH tail the
+    * packing (d21/d136) and shard-balance (d126/d146) ops actually
+    * feel. α = (k−1) / Σ_{i<k} ln(x_i/x_k) over the top-k order
+    * statistics under a TOTAL (length, doc_id) order — the tiebreak
+    * makes "top k" the same set in both engines; ties with x_k
+    * contribute ln(1) = 0 and an all-equal top-k emits NULL.
+    *
+    * Scale shape: TakeOrdered top-k (map-side per-partition heads, one
+    * k-row exchange — never a global sort); the estimator folds the
+    * k-row frame against its broadcast minimum. */
+  def d184HillTail(spark: SparkSession, dir: String): DataFrame = {
+    val topk = docs(spark, dir)
+      .select(col("n_chars"), col("doc_id"))
+      .orderBy(col("n_chars").desc, col("doc_id"))
+      .limit(HillK)
+      .localCheckpoint() // k rows; feeds the min AND the ratio sum
+    val xk = broadcast(topk.agg(min("n_chars").as("x_k"),
+      count(lit(1)).as("k")))
+    // ungrouped aggs keep the 1-row contract on an empty corpus (a
+    // grouped agg would emit 0 rows while the oracle's scalar CTEs
+    // still produce one)
+    val s = topk.crossJoin(xk)
+      .agg(sum(log(col("n_chars").cast("double") / col("x_k"))).as("s"))
+    xk.crossJoin(s)
+      .select(col("k"), col("x_k"),
+        when(col("k") > 1 && col("s") > 0,
+          round((col("k") - 1).cast("double") / col("s"), 4) + 0.0)
+          .as("alpha"))
+  }
+
+  val d184Oracle: String =
+    s"""WITH topk AS (
+         SELECT n_chars FROM documents
+         ORDER BY n_chars DESC, doc_id LIMIT $HillK),
+       xk AS (SELECT min(n_chars) AS x_k, CAST(count(*) AS BIGINT) AS k
+              FROM topk),
+       s AS (
+         SELECT sum(ln(CAST(n_chars AS DOUBLE) / x_k)) AS s
+         FROM topk, xk)
+       SELECT k, CAST(x_k AS BIGINT) AS x_k,
+         CASE WHEN k > 1 AND s > 0
+           THEN round(CAST(k - 1 AS DOUBLE) / s, 4) + 0.0 END AS alpha
+       FROM xk, s"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d171_loo_influence" -> (d171LooInfluence _),
     "d172_source_affinity" -> (d172SourceAffinity _),
+    "d183_source_perplexity" -> (d183SourcePerplexity _),
+    "d184_hill_tail" -> (d184HillTail _),
     "d181_good_turing" -> (d181GoodTuring _),
     "d182_burstiness" -> (d182Burstiness _),
     "d177_wasserstein_drift" -> (d177WassersteinDrift _),
@@ -7325,6 +7446,8 @@ object CorpusOps {
     "d178_temperature_mix" -> d178Oracle,
     "d181_good_turing" -> d181Oracle,
     "d182_burstiness" -> d182Oracle,
+    "d183_source_perplexity" -> d183Oracle,
+    "d184_hill_tail" -> d184Oracle,
     "d174_source_lang_nmi" -> d174Oracle,
     "d175_neyman_sample" -> d175Oracle,
     "d176_daily_acf" -> d176Oracle,

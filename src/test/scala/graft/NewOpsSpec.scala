@@ -1988,6 +1988,63 @@ class NewOpsSpec extends SparkSpec {
     assert(got(1) == (("tied", 1L, None, None, None)), s"got ${got(1)}")
   }
 
+  // ------------------------------------------------------------- d183
+  test("d183 source perplexity: hand-computed cross-entropy/KL on a " +
+      "planted two-source corpus") {
+    val dir = tmp()
+    import spark.implicits._
+    // global: a 3x, b 1x (N=4); s1 = {a,a,b}, s2 = {a}
+    Seq((1L, "s1", "a a b"), (2L, "s2", "a"))
+      .toDF("doc_id", "source", "text")
+      .withColumn("lang", lit("en"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    def r6(x: Double) = BigDecimal(x).setScale(6,
+      BigDecimal.RoundingMode.HALF_UP).toDouble
+    val hx1 = -(2.0 / 3 * math.log(3.0 / 4) + 1.0 / 3 * math.log(1.0 / 4))
+    val hs1 = -(2.0 / 3 * math.log(2.0 / 3) + 1.0 / 3 * math.log(1.0 / 3))
+    val hx2 = -math.log(3.0 / 4)
+    val got = CorpusOps.d183SourcePerplexity(spark, dir).collect().map(r =>
+      (r.getAs[String]("source"), r.getAs[Long]("n_tokens"),
+        r.getAs[Double]("h_cross"), r.getAs[Double]("kl_vs_global"),
+        r.getAs[Double]("ppl"))).toList
+    assert(got.map(g => (g._1, g._2)) == List(("s1", 3L), ("s2", 1L)))
+    assert(math.abs(got.head._3 - r6(hx1)) <= 1e-6 &&
+      math.abs(got.head._4 - r6(hx1 - hs1)) <= 1e-6, s"got ${got.head}")
+    // a single-term source has zero self-entropy: KL == cross-entropy
+    assert(math.abs(got(1)._3 - r6(hx2)) <= 1e-6 &&
+      math.abs(got(1)._4 - r6(hx2)) <= 1e-6 &&
+      math.abs(got(1)._5 - 4.0 / 3) <= 1e-4, s"got ${got(1)}")
+  }
+
+  // ------------------------------------------------------------- d184
+  test("d184 hill tail: exact alpha on a planted geometric tail; " +
+      "all-equal lengths yield NULL") {
+    val dir = tmp()
+    import spark.implicits._
+    // lengths 50*2^i: s = sum ln(2^i) = 15 ln2, alpha = 5/(15 ln2)
+    val lens = Seq(1600L, 800L, 400L, 200L, 100L, 50L)
+    lens.zipWithIndex.map { case (n, i) => (i.toLong, n) }
+      .toDF("doc_id", "n_chars")
+      .withColumn("source", lit("s")).withColumn("lang", lit("en"))
+      .withColumn("text", lit("x"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val r = CorpusOps.d184HillTail(spark, dir).collect().head
+    val want = BigDecimal(5.0 / (15 * math.log(2))).setScale(4,
+      BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(r.getAs[Long]("k") == 6L && r.getAs[Long]("x_k") == 50L &&
+      math.abs(r.getAs[Double]("alpha") - want) <= 1e-4, s"got $r")
+
+    val flat = tmp()
+    (1 to 5).map(i => (i.toLong, 100L)).toDF("doc_id", "n_chars")
+      .withColumn("source", lit("s")).withColumn("lang", lit("en"))
+      .withColumn("text", lit("x"))
+      .write.mode("overwrite").parquet(s"$flat/documents.parquet")
+    val fr = CorpusOps.d184HillTail(spark, flat).collect().head
+    assert(fr.getAs[Long]("k") == 5L &&
+      fr.isNullAt(fr.fieldIndex("alpha")), s"got $fr")
+  }
+
   // ------------------------------------------------------------- d177
   test("d177 wasserstein: matches a naive scala integral of the " +
       "CDF gap over the same hash split") {
