@@ -1088,6 +1088,28 @@ object Queries {
 
   val q38Oracle: String = q38Sql
 
+  // --------------------------------------------------------------- q39
+  /** GROUP BY ALL + ordinal ORDER BY — the two dialect-portability
+    * features analysts actually type (group by every non-aggregate
+    * select item without restating it; order by output position).
+    * Both engines support both since Spark 3.4 / DuckDB's original
+    * dialect — this gate pins that the RESOLUTION agrees: GROUP BY
+    * ALL must bind exactly the two dimension columns (a resolver that
+    * also grouped an aggregate's input would change every row), and
+    * ordinals must bind to the projected output, not the underlying
+    * table order. */
+  val q39Sql: String =
+    """SELECT o_orderpriority, o_orderstatus,
+         CAST(count(*) AS BIGINT) AS n_orders,
+         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           AS cents
+       FROM orders GROUP BY ALL ORDER BY 1, 2"""
+
+  def q39GroupByAll(spark: SparkSession, dir: String): DataFrame =
+    ops.SqlSurface.run(spark, dir, q39Sql)
+
+  val q39Oracle: String = q39Sql
+
   // ------------------------------------------------------------ registry
   val relational: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_agg" -> (q1Agg _),
@@ -1127,7 +1149,8 @@ object Queries {
     "q35_not_in_null" -> (q35NotInNull _),
     "q36_pagination" -> (q36Pagination _),
     "q37_filtered_agg" -> (q37FilteredAgg _),
-    "q38_scalar_subqueries" -> (q38ScalarSubqueries _)
+    "q38_scalar_subqueries" -> (q38ScalarSubqueries _),
+    "q39_group_by_all" -> (q39GroupByAll _)
   )
 
   val relationalOracles: Map[String, String] = Map(
@@ -1168,7 +1191,8 @@ object Queries {
     "q35_not_in_null" -> q35Oracle,
     "q36_pagination" -> q36Oracle,
     "q37_filtered_agg" -> q37Oracle,
-    "q38_scalar_subqueries" -> q38Oracle
+    "q38_scalar_subqueries" -> q38Oracle,
+    "q39_group_by_all" -> q39Oracle
   )
 
   // lazy: a caller may initialize a contributing registry object FIRST

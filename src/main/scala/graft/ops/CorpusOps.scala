@@ -7313,9 +7313,146 @@ object CorpusOps {
            THEN round(CAST(k - 1 AS DOUBLE) / s, 4) + 0.0 END AS alpha
        FROM xk, s"""
 
+  // -------------------------------------------------------------- d185
+  /** z for the 95% two-sided Wilson interval — pinned as ONE literal
+    * interpolated into both engines (a per-engine Φ⁻¹ would differ in
+    * final ulps). */
+  private[graft] val WilsonZ = "1.959963984540054"
+
+  /** WILSON 95% CONFIDENCE INTERVALS on per-type user reach — the
+    * uncertainty-aware version of a share readout: reach = distinct
+    * users who performed the type / all users, with the Wilson score
+    * bounds that stay inside [0,1] and behave at small n and extreme
+    * p̂ where the naive Wald interval collapses (reach 1.0 with n=3
+    * users is NOT certainty, and the lower bound is what says so).
+    * The experimentation family tests differences (d103 Welch, d108
+    * bootstrap); this is the per-cell interval a data card or SLA
+    * check quotes. Counts exact BIGINT; the interval arithmetic is
+    * one shared closed form (identical expression trees, 6dp).
+    *
+    * Scale shape: two distinct-aggregates over (user) and (type,
+    * user) — both map-side partial-distinct before their exchanges;
+    * the interval math runs on the K-type frame against a 1-row
+    * broadcast total. */
+  def d185WilsonReach(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.load(spark, dir, "events")
+    val tot = broadcast(ev.agg(countDistinct("user_id").as("n")))
+    val per = ev.groupBy("event_type")
+      .agg(countDistinct("user_id").as("u"))
+    val z = expr(WilsonZ)
+    val p = col("u").cast("double") / col("n")
+    val z2n = z * z / col("n")
+    val denom = lit(1.0) + z2n
+    val center = (p + z2n / 2) / denom
+    val hw = z * sqrt(p * (lit(1.0) - p) / col("n") +
+      z * z / (lit(4.0) * col("n") * col("n"))) / denom
+    per.crossJoin(tot)
+      .select(col("event_type"), col("u").as("n_users"),
+        col("n").as("n_total"),
+        when(col("n") > 0, round(p, 6) + 0.0).as("reach"),
+        when(col("n") > 0, round(center - hw, 6) + 0.0).as("wilson_lo"),
+        when(col("n") > 0, round(center + hw, 6) + 0.0).as("wilson_hi"))
+      .orderBy("event_type")
+  }
+
+  val d185Oracle: String =
+    s"""WITH tot AS (
+         SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS n FROM events),
+       per AS (
+         SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS u
+         FROM events GROUP BY event_type),
+       w AS (
+         SELECT event_type, u, n,
+           CAST(u AS DOUBLE) / n AS p,
+           $WilsonZ * $WilsonZ / n AS z2n
+         FROM per, tot)
+       SELECT event_type, u AS n_users, n AS n_total,
+         CASE WHEN n > 0 THEN round(p, 6) + 0.0 END AS reach,
+         CASE WHEN n > 0 THEN round(
+           (p + z2n / 2) / (1.0 + z2n)
+             - $WilsonZ * sqrt(p * (1.0 - p) / n
+               + $WilsonZ * $WilsonZ / (4.0 * n * n)) / (1.0 + z2n), 6)
+           + 0.0 END AS wilson_lo,
+         CASE WHEN n > 0 THEN round(
+           (p + z2n / 2) / (1.0 + z2n)
+             + $WilsonZ * sqrt(p * (1.0 - p) / n
+               + $WilsonZ * $WilsonZ / (4.0 * n * n)) / (1.0 + z2n), 6)
+           + 0.0 END AS wilson_hi
+       FROM w ORDER BY event_type"""
+
+  // -------------------------------------------------------------- d186
+  /** CUSUM CHANGE-POINT on the daily volume series — the monitoring
+    * readout the rest of the family can't give: d88 flags the worst
+    * single hours, d118 fits one global trend, d176 sees periodicity —
+    * CUSUM locates WHERE the level shifted (deploy, source cut-over,
+    * crawler outage): S_t = Σ_{i≤t}(x_i − μ) peaks at the last day of
+    * the old regime. Everything that decides the answer is EXACT
+    * integer arithmetic via the d177 cross-scaling trick: n·S_t =
+    * n·cum_t − t·S is BIGINT, so the argmax (|n·S_t| DESC, day ASC —
+    * earliest peak on ties) compares integers, never float sums whose
+    * engine-side association could flip a tie. The float appears only
+    * in the reported peak magnitude. Computed on the d173 zero-filled
+    * spine (a missing day is a zero-volume day — and a likely change
+    * point, not a splice).
+    *
+    * Scale shape: one daily aggregate; the walk is
+    * [[GlobalOrder.runningTotal]] over the calendar-sized series; the
+    * argmax is TakeOrdered(1). */
+  def d186CusumChange(spark: SparkSession, dir: String): DataFrame = {
+    val counts = Tables.load(spark, dir, "events")
+      .groupBy(date_trunc("day", col("ts")).as("day"))
+      .agg(count(lit(1)).as("x"))
+    val b = broadcast(counts.agg(min("day").as("d0"), max("day").as("d1")))
+    val spine = b
+      .select(explode(sequence(lit(0),
+        expr("timestampdiff(DAY, d0, d1)"))).as("i"), col("d0"))
+      .select(expr("timestampadd(DAY, i, d0)").as("day"))
+    val daily = spine.join(counts, Seq("day"), "left")
+      .select(col("day"), coalesce(col("x"), lit(0L)).as("x"))
+    val tot = broadcast(daily.agg(count(lit(1)).as("n"), sum("x").as("s")))
+    GlobalOrder.runningTotal(daily, Seq(col("day")), col("x"))
+      .crossJoin(tot)
+      .select(col("day"),
+        (col("n") * col("running") - col("rank") * col("s"))
+          .as("scaled"), col("n"))
+      .orderBy(abs(col("scaled")).desc, col("day"))
+      .limit(1)
+      .select(col("day").as("change_day"), col("n").as("n_days"),
+        (round(abs(col("scaled")).cast("double") / col("n"), 4) + 0.0)
+          .as("cusum_peak"))
+  }
+
+  val d186Oracle: String =
+    """WITH counts AS (
+         SELECT date_trunc('day', ts) AS day, count(*) AS x
+         FROM events GROUP BY 1),
+       b AS (SELECT min(day) AS d0, max(day) AS d1 FROM counts),
+       spine AS (
+         SELECT unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS day
+         FROM b),
+       daily AS (
+         SELECT s.day, coalesce(counts.x, 0) AS x
+         FROM spine s LEFT JOIN counts USING (day)),
+       tot AS (SELECT count(*) AS n, sum(x) AS s FROM daily),
+       walk AS (
+         SELECT day,
+           CAST(n AS BIGINT)
+             * CAST(sum(x) OVER (ORDER BY day
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT)
+             - CAST(row_number() OVER (ORDER BY day) AS BIGINT)
+               * CAST(s AS BIGINT) AS scaled,
+           CAST(n AS BIGINT) AS n
+         FROM daily, tot)
+       SELECT day AS change_day, n AS n_days,
+         round(CAST(abs(scaled) AS DOUBLE) / n, 4) + 0.0 AS cusum_peak
+       FROM walk ORDER BY abs(scaled) DESC, day LIMIT 1"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d171_loo_influence" -> (d171LooInfluence _),
     "d172_source_affinity" -> (d172SourceAffinity _),
+    "d185_wilson_reach" -> (d185WilsonReach _),
+    "d186_cusum_change" -> (d186CusumChange _),
     "d183_source_perplexity" -> (d183SourcePerplexity _),
     "d184_hill_tail" -> (d184HillTail _),
     "d181_good_turing" -> (d181GoodTuring _),
@@ -7448,6 +7585,8 @@ object CorpusOps {
     "d182_burstiness" -> d182Oracle,
     "d183_source_perplexity" -> d183Oracle,
     "d184_hill_tail" -> d184Oracle,
+    "d185_wilson_reach" -> d185Oracle,
+    "d186_cusum_change" -> d186Oracle,
     "d174_source_lang_nmi" -> d174Oracle,
     "d175_neyman_sample" -> d175Oracle,
     "d176_daily_acf" -> d176Oracle,

@@ -2045,6 +2045,69 @@ class NewOpsSpec extends SparkSpec {
       fr.isNullAt(fr.fieldIndex("alpha")), s"got $fr")
   }
 
+  // ------------------------------------------------------------- d185
+  test("d185 wilson reach: hand-computed interval at p=0.5; full " +
+      "reach pins hi exactly 1.0") {
+    val dir = tmp()
+    import spark.implicits._
+    // 4 users; type a reached by 2 (p=0.5), type b by all 4 (p=1)
+    val rows = Seq((1L, 1L, "a"), (2L, 2L, "a"),
+      (3L, 1L, "b"), (4L, 2L, "b"), (5L, 3L, "b"), (6L, 4L, "b"))
+    rows.map { case (id, u, t) => (id, dayUs(0) + id * 1000000L, u, t) }
+      .toDF("event_id", "us", "user_id", "event_type")
+      .select(col("event_id"), timestamp_micros(col("us")).as("ts"),
+        col("user_id"), col("event_type"))
+      .withColumn("value", lit(1.0))
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val z = CorpusOps.WilsonZ.toDouble
+    def wilson(u: Long, n: Long): (Double, Double) = {
+      val p = u.toDouble / n; val z2n = z * z / n; val den = 1.0 + z2n
+      val c = (p + z2n / 2) / den
+      val hw = z * math.sqrt(p * (1 - p) / n + z * z / (4.0 * n * n)) / den
+      def r6(x: Double) = BigDecimal(x).setScale(6,
+        BigDecimal.RoundingMode.HALF_UP).toDouble
+      (r6(c - hw), r6(c + hw))
+    }
+    val got = CorpusOps.d185WilsonReach(spark, dir).collect().map(r =>
+      (r.getAs[String]("event_type"), r.getAs[Long]("n_users"),
+        r.getAs[Double]("reach"), r.getAs[Double]("wilson_lo"),
+        r.getAs[Double]("wilson_hi"))).toList
+    val (lo, hi) = wilson(2, 4)
+    assert(got.head == (("a", 2L, 0.5, lo, hi)), s"got ${got.head}")
+    // p = 1: hi collapses to exactly (1 + z2n)/(1 + z2n) = 1.0
+    assert(got(1)._2 == 4L && got(1)._3 == 1.0 && got(1)._5 == 1.0 &&
+      got(1)._4 < 1.0, s"got ${got(1)}")
+  }
+
+  // ------------------------------------------------------------- d186
+  test("d186 cusum: locates a planted level shift; equal peaks take " +
+      "the earliest day") {
+    import spark.implicits._
+    def plant(perDay: Seq[Int]): String = {
+      val dir = tmp()
+      perDay.zipWithIndex.flatMap { case (k, d) =>
+        (0 until k).map(j => (d.toLong * 1000 + j, dayUs(d) + j * 1000000L))
+      }.toDF("event_id", "us")
+        .select(col("event_id"), timestamp_micros(col("us")).as("ts"))
+        .withColumn("user_id", lit(1L))
+        .withColumn("event_type", lit("e"))
+        .withColumn("value", lit(1.0))
+        .write.mode("overwrite").parquet(s"$dir/events.parquet")
+      dir
+    }
+    // level shift 2 -> 10 after day 4: |S_t| peaks at 20 on day 4
+    val r = CorpusOps.d186CusumChange(spark,
+      plant(Seq(2, 2, 2, 2, 2, 10, 10, 10, 10, 10))).collect().head
+    assert(r.getAs[java.sql.Timestamp]("change_day").getTime ==
+      dayUs(4) / 1000 && r.getAs[Long]("n_days") == 10L &&
+      r.getAs[Double]("cusum_peak") == 20.0, s"got $r")
+    // mu=2: S = (-1, 0, -1, 0) -> |1| ties on days 0 and 2 -> earliest
+    val t = CorpusOps.d186CusumChange(spark,
+      plant(Seq(1, 3, 1, 3))).collect().head
+    assert(t.getAs[java.sql.Timestamp]("change_day").getTime ==
+      dayUs(0) / 1000 && t.getAs[Double]("cusum_peak") == 1.0, s"got $t")
+  }
+
   // ------------------------------------------------------------- d177
   test("d177 wasserstein: matches a naive scala integral of the " +
       "CDF gap over the same hash split") {
