@@ -1110,6 +1110,39 @@ object Queries {
 
   val q39Oracle: String = q39Sql
 
+  // --------------------------------------------------------------- q40
+  /** BAG-SEMANTICS SET OPERATIONS — `INTERSECT ALL` / `EXCEPT ALL`
+    * beside their DISTINCT forms (q32 covers the set forms' row
+    * CONTENT; this pins the multiplicity arithmetic): for bags with
+    * m and n copies of a value, INTERSECT ALL keeps min(m,n) copies
+    * and EXCEPT ALL keeps max(m−n, 0) — the identity
+    * |A| = |A ∩ALL B| + |A −ALL B| holds by construction and the four
+    * counts expose any engine that quietly deduplicates. One row of
+    * four scalar counts over the same two order-status bags. */
+  val q40Sql: String =
+    """WITH a AS (SELECT o_custkey AS k FROM orders
+         WHERE o_orderstatus = 'F'),
+       b AS (SELECT o_custkey AS k FROM orders
+         WHERE o_orderpriority = '1-URGENT')
+       SELECT
+         (SELECT CAST(count(*) AS BIGINT) FROM
+           (SELECT k FROM a INTERSECT ALL SELECT k FROM b) t)
+           AS n_intersect_all,
+         (SELECT CAST(count(*) AS BIGINT) FROM
+           (SELECT k FROM a INTERSECT SELECT k FROM b) t)
+           AS n_intersect,
+         (SELECT CAST(count(*) AS BIGINT) FROM
+           (SELECT k FROM a EXCEPT ALL SELECT k FROM b) t)
+           AS n_except_all,
+         (SELECT CAST(count(*) AS BIGINT) FROM
+           (SELECT k FROM a EXCEPT SELECT k FROM b) t)
+           AS n_except"""
+
+  def q40BagSetOps(spark: SparkSession, dir: String): DataFrame =
+    ops.SqlSurface.run(spark, dir, q40Sql)
+
+  val q40Oracle: String = q40Sql
+
   // ------------------------------------------------------------ registry
   val relational: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_agg" -> (q1Agg _),
@@ -1150,7 +1183,8 @@ object Queries {
     "q36_pagination" -> (q36Pagination _),
     "q37_filtered_agg" -> (q37FilteredAgg _),
     "q38_scalar_subqueries" -> (q38ScalarSubqueries _),
-    "q39_group_by_all" -> (q39GroupByAll _)
+    "q39_group_by_all" -> (q39GroupByAll _),
+    "q40_bag_set_ops" -> (q40BagSetOps _)
   )
 
   val relationalOracles: Map[String, String] = Map(
@@ -1192,7 +1226,8 @@ object Queries {
     "q36_pagination" -> q36Oracle,
     "q37_filtered_agg" -> q37Oracle,
     "q38_scalar_subqueries" -> q38Oracle,
-    "q39_group_by_all" -> q39Oracle
+    "q39_group_by_all" -> q39Oracle,
+    "q40_bag_set_ops" -> q40Oracle
   )
 
   // lazy: a caller may initialize a contributing registry object FIRST

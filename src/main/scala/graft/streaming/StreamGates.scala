@@ -782,6 +782,103 @@ object StreamGates {
          CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
        FROM s GROUP BY user_id, sid ORDER BY user_id, s_start"""
 
+  // -------------------------------------------------------------- d187
+  /** DEDUP STATE EXPIRY under the gate — the AT-LEAST-ONCE half of
+    * `dropDuplicatesWithinWatermark`'s contract, which d76's one-shot
+    * drain never reaches: the operator suppresses re-occurrences only
+    * while the key's state lives (watermark ≤ first-seen + delay);
+    * once the watermark passes, state is EVICTED and the next
+    * occurrence emits AGAIN. Production dedup sizes state by exactly
+    * this horizon, so "how much duplicate suppression am I actually
+    * buying" IS this gate. Three phases through one checkpoint:
+    * (1) each user's earliest event, planted TWICE — the copy is
+    * suppressed (the within-horizon half); (2) a lone sentinel 15
+    * days out — its batch END advances the watermark past every
+    * phase-1 key's horizon, evicting all state; (3) the same users
+    * re-sent 60 days out, again twice — each emits exactly ONCE more
+    * (fresh state; the copy suppressed again). 60 > 15 + the log's
+    * ~30-day t₀ spread keeps every phase-3 row ABOVE the recovered
+    * watermark (a smaller bump would late-drop early users and the
+    * oracle would catch it). The oracle is each user's (t₀, t₀+60d)
+    * pair — exactly-once per horizon, at-least-once across horizons.
+    *
+    * Scale: state is one row per key within the horizon — the
+    * eviction this gate pins is the ONLY thing standing between a
+    * long-running dedup stream and unbounded state. */
+  def d187StreamDedupExpiry(spark: SparkSession, dir: String): DataFrame = {
+    val staged = Files.createTempDirectory("graft-d187-src")
+    val ckpt = Files.createTempDirectory("graft-d187-ckpt")
+    val out = Files.createTempDirectory("graft-d187-out")
+    val raw = spark.read.parquet(s"$dir/events.parquet")
+    val isNanos =
+      raw.schema("ts").dataType == org.apache.spark.sql.types.LongType
+    // day shifts in the RAW encoding (the d145 sentinel discipline):
+    // raw-nanos generation adds a long, MICROS-timestamp an interval
+    def shifted(c: org.apache.spark.sql.Column, days: Long) =
+      if (isNanos) c + lit(days * 86400L * 1000000000L)
+      else c + expr(s"INTERVAL $days DAYS")
+    // each user's earliest raw-encoded event time; event_id re-derived
+    // so the planted copies differ in id (dedup must key on user alone)
+    val t0 = raw.groupBy("user_id").agg(min("ts").as("ts"))
+    def phase(days: Long, idBase: Long) = t0
+      .select((col("user_id") + idBase).as("event_id"),
+        shifted(col("ts"), days).as("ts"), col("user_id"),
+        lit("view").as("event_type"), lit(0.0).as("value"),
+        lit(null).cast("string").as("props"))
+    val sentinel = raw.orderBy(col("ts").desc).limit(1)
+      .select(lit(-1L).as("event_id"),
+        shifted(col("ts"), 15).as("ts"), lit(-1L).as("user_id"),
+        lit("view").as("event_type"), lit(0.0).as("value"),
+        lit(null).cast("string").as("props"))
+    def run(): Unit = {
+      // dedup state store per shuffle partition × THREE drains — pin
+      // partitions to the gate fixture and restore (the d107/d179
+      // conf discipline; store init dominates the gate's cost)
+      val prev = spark.conf.get("spark.sql.shuffle.partitions")
+      spark.conf.set("spark.sql.shuffle.partitions", "8")
+      val q =
+        try EventStreams.readEvents(spark, staged.toString)
+          .withWatermark("ts", "1 hour")
+          .dropDuplicatesWithinWatermark("user_id")
+          .select(col("user_id"), unix_micros(col("ts")).as("emit_us"))
+          .writeStream.format("parquet").option("path", out.toString)
+          .outputMode("append")
+          .option("checkpointLocation", ckpt.toString)
+          .trigger(Trigger.AvailableNow())
+          .start()
+        finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+      q.awaitTermination()
+    }
+    try {
+      stagePart(phase(0, 1000000L).unionByName(phase(0, 2000000L)),
+        staged, "a.parquet", "graft-d187-w")
+      run() // phase 1: one emit per user, the copy suppressed
+      stagePart(sentinel, staged, "b.parquet", "graft-d187-w")
+      run() // phase 2: watermark jumps 15d — every key's state evicts
+      stagePart(phase(60, 3000000L).unionByName(phase(60, 4000000L)),
+        staged, "c.parquet", "graft-d187-w")
+      run() // phase 3: fresh state — one emit per user AGAIN
+      import org.apache.spark.sql.types._
+      spark.read
+        .schema(StructType(Seq(StructField("user_id", LongType),
+          StructField("emit_us", LongType))))
+        .parquet(out.toString)
+        .filter(col("user_id") >= 0)
+        .orderBy("user_id", "emit_us")
+        .localCheckpoint() // temp sink dir is deleted in finally
+    } finally { deltree(staged); deltree(ckpt); deltree(out) }
+  }
+
+  /** Exactly-once per horizon, at-least-once across horizons: each
+    * user appears at t₀ and at t₀+60d, nothing else. */
+  val d187Oracle: String =
+    """WITH t0 AS (SELECT user_id, min(ts) AS t FROM events
+         GROUP BY user_id)
+       SELECT user_id, epoch_us(t) AS emit_us FROM t0
+       UNION ALL
+       SELECT user_id, epoch_us(t + INTERVAL 60 DAY) FROM t0
+       ORDER BY user_id, emit_us"""
+
   /** Stage `df` into the file-stream source dir as one bare part-file
     * named `name` (the source lists FILES, so phases are planted as
     * part-file copies, never Spark-written directories). Shared by the
@@ -821,7 +918,8 @@ object StreamGates {
     "d159_stream_static" -> (d159StreamStatic _),
     "d170_stream_upsert" -> (d170StreamUpsert _),
     "d179_stream_outer_join" -> (d179StreamOuterJoin _),
-    "d180_session_windows" -> (d180SessionWindows _))
+    "d180_session_windows" -> (d180SessionWindows _),
+    "d187_stream_dedup_expiry" -> (d187StreamDedupExpiry _))
 
   val oracles: Map[String, String] = Map(
     "d50_stream_decontaminate" -> d50Oracle,
@@ -834,5 +932,6 @@ object StreamGates {
     "d159_stream_static" -> d159Oracle,
     "d170_stream_upsert" -> d170Oracle,
     "d179_stream_outer_join" -> d179Oracle,
-    "d180_session_windows" -> d180Oracle)
+    "d180_session_windows" -> d180Oracle,
+    "d187_stream_dedup_expiry" -> d187Oracle)
 }
