@@ -7448,9 +7448,123 @@ object CorpusOps {
          round(CAST(abs(scaled) AS DOUBLE) / n, 4) + 0.0 AS cusum_peak
        FROM walk ORDER BY abs(scaled) DESC, day LIMIT 1"""
 
+  // -------------------------------------------------------------- d188
+  /** Cumulative-share checkpoints the Lorenz audit reports (per-mille
+    * of documents, smallest-first). */
+  private[graft] val LorenzPts = Seq(500, 900, 990)
+
+  /** LORENZ CONCENTRATION of token mass across documents — the
+    * capacity-planning readout between d115 (Gini across SOURCES) and
+    * d184 (the tail EXPONENT): what fraction of the corpus's
+    * character mass lives in the smallest 50% / 90% / 99% of
+    * documents — equivalently, how much the top 1% holds. A corpus
+    * where the top per-mille holds a third of the mass packs (d21/
+    * d136), shards (d126/d146), and stragglers very differently from
+    * a uniform one. Exact end to end: documents rank by (length,
+    * doc_id) — a total order — via ONE [[GlobalOrder.runningTotal]]
+    * walk; each checkpoint picks the greatest rank ≤ p‰·n/1000 by an
+    * EXACT integer threshold (`(p*n) div 1000`), and the share is the
+    * one final division. A sub-1000-doc corpus may have a zero-rank
+    * checkpoint (share 0.0 — the smallest half of 1 doc is nothing).
+    *
+    * Scale shape: the walk is a range exchange + per-bucket window
+    * over (length, id) pairs — never the text; checkpoints are a
+    * 3-row broadcast joined by range, aggregated to one row each. */
+  def d188LorenzMass(spark: SparkSession, dir: String): DataFrame = {
+    val walked = GlobalOrder.runningTotal(
+      docs(spark, dir).select(col("n_chars"), col("doc_id")),
+      Seq(col("n_chars").asc, col("doc_id").asc), col("n_chars"))
+    val tot = broadcast(walked.agg(count(lit(1)).as("n"),
+      sum("n_chars").as("mass")))
+    val pts = spark.createDataFrame(
+      LorenzPts.map(p => Tuple1(p.toLong))).toDF("pmille")
+    walked.crossJoin(tot).crossJoin(broadcast(pts))
+      .filter(col("rank") <= expr("(pmille * n) div 1000"))
+      .groupBy("pmille")
+      .agg(max("rank").as("n_docs_in"), max("running").as("mass_in"),
+        first("n").as("n"), first("mass").as("mass"))
+      .select(col("pmille"), col("n_docs_in"),
+        when(col("mass") > 0,
+          round(col("mass_in").cast("double") / col("mass"), 6) + 0.0)
+          .as("mass_share"),
+        when(col("mass") > 0,
+          round(lit(1.0) - col("mass_in").cast("double") / col("mass"), 6)
+            + 0.0).as("top_share"))
+      .orderBy("pmille")
+  }
+
+  val d188Oracle: String =
+    s"""WITH w AS (
+         SELECT n_chars,
+           row_number() OVER (ORDER BY n_chars, doc_id) AS rank,
+           sum(n_chars) OVER (ORDER BY n_chars, doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running
+         FROM documents),
+       t AS (SELECT count(*) AS n, sum(n_chars) AS mass FROM documents),
+       pts AS (SELECT CAST(unnest([${LorenzPts.mkString(", ")}])
+                 AS BIGINT) AS pmille)
+       SELECT pmille, CAST(max(rank) AS BIGINT) AS n_docs_in,
+         CASE WHEN max(t.mass) > 0 THEN
+           round(CAST(max(running) AS DOUBLE) / max(t.mass), 6) + 0.0
+           END AS mass_share,
+         CASE WHEN max(t.mass) > 0 THEN
+           round(1.0 - CAST(max(running) AS DOUBLE) / max(t.mass), 6)
+             + 0.0 END AS top_share
+       FROM w, t, pts
+       WHERE rank <= (pmille * n) // 1000
+       GROUP BY pmille ORDER BY pmille"""
+
+  // -------------------------------------------------------------- d189
+  /** WEEKLY TRAFFIC PROFILE on label-free epoch-day arithmetic — the
+    * day-of-week marginal behind d176's lag-7 ACF spike: which of the
+    * 7 weekly phases carries the traffic, as exact counts and shares
+    * plus the peak/trough ratio. Deliberately NOT the engines' dow
+    * functions: Spark's `dayofweek` is 1=Sunday, DuckDB's `dayofweek`
+    * 0=Sunday and `isodow` 1=Monday — a label convention, not
+    * arithmetic, and a silent off-by-one across engines. The phase
+    * here is `floor(epoch_us / 86400e6) mod 7` (0 = the Thursday of
+    * 1970-01-01) — identical integer math on both sides; the reader
+    * maps phases to weekday names once, at the edge.
+    *
+    * Scale shape: one map-side-combined 7-key aggregate; the ratio
+    * joins a 1-row broadcast min/max. */
+  def d189WeeklyProfile(spark: SparkSession, dir: String): DataFrame = {
+    val byDow = Tables.load(spark, dir, "events")
+      .select((floor(unix_micros(col("ts")) / lit(86400000000L)) % 7)
+        .as("dow7"))
+      .groupBy("dow7").agg(count(lit(1)).as("n"))
+    val tot = broadcast(byDow.agg(sum("n").as("nt"), max("n").as("mx"),
+      min("n").as("mn")))
+    byDow.crossJoin(tot)
+      .select(col("dow7"), col("n"),
+        when(col("nt") > 0,
+          round(col("n").cast("double") / col("nt"), 6) + 0.0)
+          .as("share"),
+        when(col("mn") > 0,
+          round(col("mx").cast("double") / col("mn"), 4) + 0.0)
+          .as("peak_trough"))
+      .orderBy("dow7")
+  }
+
+  val d189Oracle: String =
+    """WITH b AS (
+         SELECT CAST(floor(epoch_us(ts) / 86400000000) AS BIGINT) % 7
+             AS dow7,
+           count(*) AS n
+         FROM events GROUP BY 1),
+       t AS (SELECT sum(n) AS nt, max(n) AS mx, min(n) AS mn FROM b)
+       SELECT dow7, CAST(n AS BIGINT) AS n,
+         CASE WHEN nt > 0 THEN round(CAST(n AS DOUBLE) / nt, 6) + 0.0
+           END AS share,
+         CASE WHEN mn > 0 THEN round(CAST(mx AS DOUBLE) / mn, 4) + 0.0
+           END AS peak_trough
+       FROM b, t ORDER BY dow7"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d171_loo_influence" -> (d171LooInfluence _),
     "d172_source_affinity" -> (d172SourceAffinity _),
+    "d188_lorenz_mass" -> (d188LorenzMass _),
+    "d189_weekly_profile" -> (d189WeeklyProfile _),
     "d185_wilson_reach" -> (d185WilsonReach _),
     "d186_cusum_change" -> (d186CusumChange _),
     "d183_source_perplexity" -> (d183SourcePerplexity _),
@@ -7587,6 +7701,8 @@ object CorpusOps {
     "d184_hill_tail" -> d184Oracle,
     "d185_wilson_reach" -> d185Oracle,
     "d186_cusum_change" -> d186Oracle,
+    "d188_lorenz_mass" -> d188Oracle,
+    "d189_weekly_profile" -> d189Oracle,
     "d174_source_lang_nmi" -> d174Oracle,
     "d175_neyman_sample" -> d175Oracle,
     "d176_daily_acf" -> d176Oracle,

@@ -639,6 +639,12 @@ object StreamGates {
     staged
   }
 
+  /** Lookback window (minutes) of the outer interval join — ONE
+    * constant interpolated into both the stream predicate and the
+    * DuckDB oracle (a drifting pair would silently change which pairs
+    * qualify on one side only). */
+  private[streaming] val OuterLookbackMin = 30
+
   /** STREAM-STREAM LEFT OUTER INTERVAL JOIN — the tenth gated
     * streaming shape, and the OUTER semantics d107's inner join never
     * exercises: "every purchase, with its preceding-30-minute view if
@@ -681,7 +687,8 @@ object StreamGates {
       try purchases
         .join(views,
           col("v_user") === col("user_id") &&
-            col("view_ts") >= col("p_ts") - expr("INTERVAL 30 MINUTES") &&
+            col("view_ts") >=
+              col("p_ts") - expr(s"INTERVAL $OuterLookbackMin MINUTES") &&
             col("view_ts") < col("p_ts"),
           "left_outer")
         .select(col("p_id"), col("view_id"),
@@ -701,17 +708,20 @@ object StreamGates {
   /** The identical LEFT interval self-join in DuckDB — unmatched
     * purchases must appear exactly once, NULL-padded. */
   val d179Oracle: String =
-    """SELECT p.event_id AS p_id, v.event_id AS view_id,
+    s"""SELECT p.event_id AS p_id, v.event_id AS view_id,
          epoch_us(p.ts) - epoch_us(v.ts) AS gap_us
        FROM (SELECT * FROM events WHERE event_type = 'purchase') p
          LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
          ON v.user_id = p.user_id
-           AND v.ts >= p.ts - INTERVAL 30 MINUTE AND v.ts < p.ts
+           AND v.ts >= p.ts - INTERVAL $OuterLookbackMin MINUTE
+           AND v.ts < p.ts
        ORDER BY p_id, view_id"""
 
   // -------------------------------------------------------------- d180
-  /** Session inactivity gap for the built-in session-window gate. */
-  private[streaming] val SessionGapStr = "30 minutes"
+  /** Session inactivity gap (minutes) — ONE constant deriving both the
+    * `session_window` gap string and the oracle's break interval. */
+  private[streaming] val SessionGapMin = 30
+  private[streaming] val SessionGapStr = s"$SessionGapMin minutes"
 
   /** NATIVE SESSION WINDOWS (`session_window`) — the eleventh gated
     * streaming shape: DATA-DRIVEN window boundaries, vs d104's fixed
@@ -764,10 +774,10 @@ object StreamGates {
     * gap (Spark merges at exact window-end); session end = last event
     * + gap. */
   val d180Oracle: String =
-    """WITH m AS (
+    s"""WITH m AS (
          SELECT user_id, ts, value,
            CASE WHEN lag(ts) OVER w IS NULL
-                  OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                  OR ts - lag(ts) OVER w > INTERVAL $SessionGapMin MINUTE
              THEN 1 ELSE 0 END AS brk
          FROM events
          WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
@@ -777,12 +787,19 @@ object StreamGates {
              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
          FROM m)
        SELECT user_id, min(ts) AS s_start,
-         max(ts) + INTERVAL 30 MINUTE AS s_end,
+         max(ts) + INTERVAL $SessionGapMin MINUTE AS s_end,
          CAST(count(*) AS BIGINT) AS n_events,
          CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
        FROM s GROUP BY user_id, sid ORDER BY user_id, s_start"""
 
   // -------------------------------------------------------------- d187
+  /** Days the expiry gate's sentinel jumps (evicts phase-1 state) and
+    * the re-send offset — shared with the oracle; the re-send must
+    * exceed sentinel + the log's t₀ spread (~30 d) so no phase-3 row
+    * falls below the recovered watermark. */
+  private[streaming] val ExpirySentinelDays = 15L
+  private[streaming] val ExpiryResendDays = 60L
+
   /** DEDUP STATE EXPIRY under the gate — the AT-LEAST-ONCE half of
     * `dropDuplicatesWithinWatermark`'s contract, which d76's one-shot
     * drain never reaches: the operator suppresses re-occurrences only
@@ -827,7 +844,8 @@ object StreamGates {
         lit(null).cast("string").as("props"))
     val sentinel = raw.orderBy(col("ts").desc).limit(1)
       .select(lit(-1L).as("event_id"),
-        shifted(col("ts"), 15).as("ts"), lit(-1L).as("user_id"),
+        shifted(col("ts"), ExpirySentinelDays).as("ts"),
+        lit(-1L).as("user_id"),
         lit("view").as("event_type"), lit(0.0).as("value"),
         lit(null).cast("string").as("props"))
     def run(): Unit = {
@@ -855,7 +873,9 @@ object StreamGates {
       run() // phase 1: one emit per user, the copy suppressed
       stagePart(sentinel, staged, "b.parquet", "graft-d187-w")
       run() // phase 2: watermark jumps 15d — every key's state evicts
-      stagePart(phase(60, 3000000L).unionByName(phase(60, 4000000L)),
+      stagePart(
+        phase(ExpiryResendDays, 3000000L)
+          .unionByName(phase(ExpiryResendDays, 4000000L)),
         staged, "c.parquet", "graft-d187-w")
       run() // phase 3: fresh state — one emit per user AGAIN
       import org.apache.spark.sql.types._
@@ -872,11 +892,12 @@ object StreamGates {
   /** Exactly-once per horizon, at-least-once across horizons: each
     * user appears at t₀ and at t₀+60d, nothing else. */
   val d187Oracle: String =
-    """WITH t0 AS (SELECT user_id, min(ts) AS t FROM events
+    s"""WITH t0 AS (SELECT user_id, min(ts) AS t FROM events
          GROUP BY user_id)
        SELECT user_id, epoch_us(t) AS emit_us FROM t0
        UNION ALL
-       SELECT user_id, epoch_us(t + INTERVAL 60 DAY) FROM t0
+       SELECT user_id, epoch_us(t + INTERVAL $ExpiryResendDays DAY)
+       FROM t0
        ORDER BY user_id, emit_us"""
 
   /** Stage `df` into the file-stream source dir as one bare part-file

@@ -2108,6 +2108,47 @@ class NewOpsSpec extends SparkSpec {
       dayUs(0) / 1000 && t.getAs[Double]("cusum_peak") == 1.0, s"got $t")
   }
 
+  // ------------------------------------------------------------- d188
+  test("d188 lorenz: exact checkpoint shares on planted lengths") {
+    val dir = tmp()
+    import spark.implicits._
+    // lengths 1..4: n=4, mass=10; 500permille -> 2 docs (mass 3),
+    // 900/990permille -> 3 docs (mass 6)
+    (1 to 4).map(i => (i.toLong, i.toLong)).toDF("doc_id", "n_chars")
+      .withColumn("source", lit("s")).withColumn("lang", lit("en"))
+      .withColumn("text", lit("x"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = CorpusOps.d188LorenzMass(spark, dir).collect().map(r =>
+      (r.getAs[Long]("pmille"), r.getAs[Long]("n_docs_in"),
+        r.getAs[Double]("mass_share"), r.getAs[Double]("top_share")))
+      .toList
+    assert(got == List((500L, 2L, 0.3, 0.7), (900L, 3L, 0.6, 0.4),
+      (990L, 3L, 0.6, 0.4)), s"got $got")
+  }
+
+  // ------------------------------------------------------------- d189
+  test("d189 weekly profile: epoch-day mod-7 phases, exact shares, " +
+      "peak/trough") {
+    val dir = tmp()
+    import spark.implicits._
+    // dayUs(0) is epoch day 19676 (mod 7 = 6); dayUs(1) -> phase 0
+    val rows = Seq((1L, dayUs(0)), (2L, dayUs(0) + 1000000L),
+      (3L, dayUs(1)))
+    rows.toDF("event_id", "us")
+      .select(col("event_id"), timestamp_micros(col("us")).as("ts"))
+      .withColumn("user_id", lit(1L))
+      .withColumn("event_type", lit("e"))
+      .withColumn("value", lit(1.0))
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    def r6(x: Double) = BigDecimal(x).setScale(6,
+      BigDecimal.RoundingMode.HALF_UP).toDouble
+    val got = CorpusOps.d189WeeklyProfile(spark, dir).collect().map(r =>
+      (r.getAs[Long]("dow7"), r.getAs[Long]("n"),
+        r.getAs[Double]("share"), r.getAs[Double]("peak_trough"))).toList
+    assert(got == List((0L, 1L, r6(1.0 / 3), 2.0),
+      (6L, 2L, r6(2.0 / 3), 2.0)), s"got $got")
+  }
+
   // ------------------------------------------------------------- d177
   test("d177 wasserstein: matches a naive scala integral of the " +
       "CDF gap over the same hash split") {
