@@ -7560,9 +7560,72 @@ object CorpusOps {
            END AS peak_trough
        FROM b, t ORDER BY dow7"""
 
+  // -------------------------------------------------------------- d190
+  /** Columns the events profiler covers — ONE list deriving both the
+    * Spark aggregates and the oracle's UNION ALL branches. */
+  private[graft] val ProfileCols =
+    Seq("event_id", "ts", "user_id", "event_type", "value", "props")
+
+  /** COLUMN PROFILER over the events table — the canonical warehouse
+    * DQ summary (every ingestion system runs one before anything
+    * else): per column, null count/share and exact distinct count.
+    * `props` is genuinely nullable in the fixture, so the null path
+    * is exercised by real data, not a planted edge. Distinct counts
+    * are EXACT here because the profile is the calibration target the
+    * d137 HLL audit re-validates its sketches against — the two ops
+    * are the two ends of the same contract. Min/max are deliberately
+    * NOT emitted: stringifying doubles/timestamps is an engine
+    * rendering trap (1.0 vs 1, timestamp formats), and typed min/max
+    * per heterogeneous column cannot share one output schema.
+    *
+    * Scale shape: one pass; the multiple DISTINCT aggregates expand
+    * map-side (Spark's Expand) and each moves only its column's
+    * values; the per-column rows come from exploding the single
+    * aggregate row — no second scan, no union of N subqueries. */
+  def d190ColumnProfile(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.load(spark, dir, "events")
+    val aggs = ProfileCols.flatMap { c =>
+      Seq(sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"n_$c"),
+        countDistinct(col(c)).as(s"d_$c"))
+    }
+    val row = ev.agg(count(lit(1)).as("n_rows"), aggs: _*)
+    row.select(col("n_rows"), explode(array(ProfileCols.map(c =>
+        struct(lit(c).as("col_name"), col(s"n_$c").as("n_nulls"),
+          col(s"d_$c").as("n_distinct"))): _*)).as("p"))
+      .select(col("p.col_name").as("col_name"), col("n_rows"),
+        col("p.n_nulls").as("n_nulls"),
+        col("p.n_distinct").as("n_distinct"),
+        when(col("n_rows") > 0,
+          round(col("p.n_nulls").cast("double") / col("n_rows"), 6) + 0.0)
+          .as("null_share"))
+      .orderBy("col_name")
+  }
+
+  val d190Oracle: String = {
+    val branches = ProfileCols.map { c =>
+      s"""SELECT '$c' AS col_name, n_rows,
+            CAST(n_$c AS BIGINT) AS n_nulls,
+            CAST(d_$c AS BIGINT) AS n_distinct,
+            CASE WHEN n_rows > 0 THEN
+              round(CAST(n_$c AS DOUBLE) / n_rows, 6) + 0.0 END
+              AS null_share FROM a"""
+    }.mkString("\n       UNION ALL\n       ")
+    val aggs = ProfileCols.map { c =>
+      s"sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS n_$c, " +
+        s"count(DISTINCT $c) AS d_$c"
+    }.mkString(",\n           ")
+    s"""WITH a AS (
+         SELECT CAST(count(*) AS BIGINT) AS n_rows,
+           $aggs
+         FROM events)
+       $branches
+       ORDER BY col_name"""
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d171_loo_influence" -> (d171LooInfluence _),
     "d172_source_affinity" -> (d172SourceAffinity _),
+    "d190_column_profile" -> (d190ColumnProfile _),
     "d188_lorenz_mass" -> (d188LorenzMass _),
     "d189_weekly_profile" -> (d189WeeklyProfile _),
     "d185_wilson_reach" -> (d185WilsonReach _),
@@ -7703,6 +7766,7 @@ object CorpusOps {
     "d186_cusum_change" -> d186Oracle,
     "d188_lorenz_mass" -> d188Oracle,
     "d189_weekly_profile" -> d189Oracle,
+    "d190_column_profile" -> d190Oracle,
     "d174_source_lang_nmi" -> d174Oracle,
     "d175_neyman_sample" -> d175Oracle,
     "d176_daily_acf" -> d176Oracle,

@@ -2149,6 +2149,33 @@ class NewOpsSpec extends SparkSpec {
       (6L, 2L, r6(2.0 / 3), 2.0)), s"got $got")
   }
 
+  // ------------------------------------------------------------- d190
+  test("d190 column profile: exact nulls/distincts on a planted " +
+      "table with a nullable column") {
+    val dir = tmp()
+    import spark.implicits._
+    Seq((1L, dayUs(0), 7L, "a", 1.5, Some("{}")),
+      (2L, dayUs(0), 7L, "b", 1.5, None),
+      (3L, dayUs(1), 8L, "a", 2.5, None))
+      .toDF("event_id", "us", "user_id", "event_type", "value", "props")
+      .select(col("event_id"), timestamp_micros(col("us")).as("ts"),
+        col("user_id"), col("event_type"), col("value"), col("props"))
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    def r6(x: Double) = BigDecimal(x).setScale(6,
+      BigDecimal.RoundingMode.HALF_UP).toDouble
+    val got = CorpusOps.d190ColumnProfile(spark, dir).collect().map(r =>
+      (r.getAs[String]("col_name"), r.getAs[Long]("n_rows"),
+        r.getAs[Long]("n_nulls"), r.getAs[Long]("n_distinct"),
+        r.getAs[Double]("null_share"))).toList
+    assert(got == List(
+      ("event_id", 3L, 0L, 3L, 0.0),
+      ("event_type", 3L, 0L, 2L, 0.0),
+      ("props", 3L, 2L, 1L, r6(2.0 / 3)),
+      ("ts", 3L, 0L, 2L, 0.0),
+      ("user_id", 3L, 0L, 2L, 0.0),
+      ("value", 3L, 0L, 2L, 0.0)), s"got $got")
+  }
+
   // ------------------------------------------------------------- d177
   test("d177 wasserstein: matches a naive scala integral of the " +
       "CDF gap over the same hash split") {
