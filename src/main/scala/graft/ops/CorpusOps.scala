@@ -7622,10 +7622,82 @@ object CorpusOps {
        ORDER BY col_name"""
   }
 
+  // -------------------------------------------------------------- d191
+  /** WINSORIZATION AUDIT at the exact per-type p99 — the feature-prep
+    * step before value-based features ever reach a model: where does
+    * the cap sit, how many rows does it touch, and how much mass does
+    * clipping move? (d121 DETECTS outliers via robust z; this prices
+    * the standard REMEDY.) Exact end to end: values are integer cents
+    * (the repo's money convention), the threshold is the order
+    * statistic at rank ⌈0.99·n⌉ — computed as the EXACT integer
+    * `(99·n + 99) div 100`, never a double percentile whose
+    * interpolation convention differs between engines — and the
+    * excess mass is an integer sum of (cents − p99).
+    *
+    * Scale shape: one hash exchange on event_type for the rank
+    * window (the count rides the same partition spec); the K-type
+    * threshold frame broadcasts back; re-aggregation is map-side
+    * combined. A hot type is the d92-class risk accepted here
+    * because the window is the definition of an exact per-group
+    * order statistic — the approx path for skewed groups is d154's
+    * sketch audit. */
+  def d191WinsorAudit(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("event_type")
+      .orderBy(col("cents"), col("event_id"))
+    val wAll = Window.partitionBy("event_type")
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val ranked = Tables.load(spark, dir, "events")
+      .select(col("event_type"), col("event_id"),
+        round(col("value") * 100).cast("long").as("cents"))
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(wAll))
+    val thr = ranked.filter(col("rn") === expr("(99 * n + 99) div 100"))
+      .select(col("event_type"), col("cents").as("p99_cents"))
+    ranked.join(broadcast(thr), "event_type")
+      .groupBy("event_type")
+      .agg(first("n").as("n_rows"), first("p99_cents").as("p99_cents"),
+        sum(when(col("cents") > col("p99_cents"), 1L).otherwise(0L))
+          .as("n_clipped"),
+        sum(when(col("cents") > col("p99_cents"),
+          col("cents") - col("p99_cents")).otherwise(0L))
+          .as("excess_cents"))
+      .select(col("event_type"), col("n_rows"), col("p99_cents"),
+        col("n_clipped"), col("excess_cents"),
+        when(col("n_rows") > 0,
+          round(col("n_clipped").cast("double") / col("n_rows"), 6)
+            + 0.0).as("clipped_share"))
+      .orderBy("event_type")
+  }
+
+  val d191Oracle: String =
+    """WITH r AS (
+         SELECT event_type, event_id,
+           CAST(round(value * 100) AS BIGINT) AS cents,
+           row_number() OVER w AS rn,
+           count(*) OVER (PARTITION BY event_type) AS n
+         FROM events
+         WINDOW w AS (PARTITION BY event_type ORDER BY
+           CAST(round(value * 100) AS BIGINT), event_id)),
+       thr AS (
+         SELECT event_type, cents AS p99_cents FROM r
+         WHERE rn = (99 * n + 99) // 100)
+       SELECT r.event_type, CAST(max(n) AS BIGINT) AS n_rows,
+         max(p99_cents) AS p99_cents,
+         CAST(sum(CASE WHEN cents > p99_cents THEN 1 ELSE 0 END)
+           AS BIGINT) AS n_clipped,
+         CAST(sum(CASE WHEN cents > p99_cents
+           THEN cents - p99_cents ELSE 0 END) AS BIGINT) AS excess_cents,
+         CASE WHEN max(n) > 0 THEN
+           round(CAST(sum(CASE WHEN cents > p99_cents THEN 1 ELSE 0 END)
+             AS DOUBLE) / max(n), 6) + 0.0 END AS clipped_share
+       FROM r JOIN thr USING (event_type)
+       GROUP BY r.event_type ORDER BY r.event_type"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d171_loo_influence" -> (d171LooInfluence _),
     "d172_source_affinity" -> (d172SourceAffinity _),
     "d190_column_profile" -> (d190ColumnProfile _),
+    "d191_winsor_audit" -> (d191WinsorAudit _),
     "d188_lorenz_mass" -> (d188LorenzMass _),
     "d189_weekly_profile" -> (d189WeeklyProfile _),
     "d185_wilson_reach" -> (d185WilsonReach _),
@@ -7767,6 +7839,7 @@ object CorpusOps {
     "d188_lorenz_mass" -> d188Oracle,
     "d189_weekly_profile" -> d189Oracle,
     "d190_column_profile" -> d190Oracle,
+    "d191_winsor_audit" -> d191Oracle,
     "d174_source_lang_nmi" -> d174Oracle,
     "d175_neyman_sample" -> d175Oracle,
     "d176_daily_acf" -> d176Oracle,

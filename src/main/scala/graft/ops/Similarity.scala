@@ -1560,7 +1560,52 @@ object Similarity {
        ORDER BY a_id"""
   }
 
+  // -------------------------------------------------------------- d192
+  /** EMBEDDING-NORM HYGIENE per label — the pre-flight every
+    * cosine-space consumer (d9–d14, d51–d59, d129) silently assumes:
+    * a ZERO vector makes cosine undefined (and most stacks emit NaN
+    * or a crash at serving time), and a wildly drifting norm range
+    * usually means two encoder versions were mixed into one table.
+    * Per label: vector count, zero-vector count, and the norm's
+    * min/mean/max. The per-row norm is an element-ordered fold
+    * (identical accumulation order in both engines — the d67
+    * discipline), so min/max compare bit-identical doubles; only the
+    * mean is a float sum (the d118 avg precedent). Zero is detected
+    * as EXACT 0.0 — a true zero vector sums to +0.0 in both engines;
+    * near-zeros are a calibration question, not a hygiene one.
+    *
+    * Scale shape: one narrow pass computing a scalar per vector, then
+    * a K-label aggregate — the store never shuffles. */
+  def d192EmbeddingNorms(spark: SparkSession, dir: String): DataFrame = {
+    val norms = emb(spark, dir)
+      .select(col("label"),
+        sqrt(aggregate(col("v"), lit(0.0), (acc, x) => acc + x * x))
+          .as("nrm"))
+    norms.groupBy("label")
+      .agg(count(lit(1)).as("n_vectors"),
+        sum(when(col("nrm") === 0.0, 1L).otherwise(0L)).as("n_zero"),
+        (round(min("nrm"), 4) + 0.0).as("min_norm"),
+        (round(avg("nrm"), 4) + 0.0).as("mean_norm"),
+        (round(max("nrm"), 4) + 0.0).as("max_norm"))
+      .orderBy("label")
+  }
+
+  val d192Oracle: String =
+    """WITH n AS (
+         SELECT label,
+           sqrt(list_sum(list_transform(embedding::DOUBLE[],
+             x -> x * x))) AS nrm
+         FROM embeddings)
+       SELECT label, CAST(count(*) AS BIGINT) AS n_vectors,
+         CAST(sum(CASE WHEN nrm = 0.0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_zero,
+         round(min(nrm), 4) + 0.0 AS min_norm,
+         round(avg(nrm), 4) + 0.0 AS mean_norm,
+         round(max(nrm), 4) + 0.0 AS max_norm
+       FROM n GROUP BY label ORDER BY label"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d192_embedding_norms" -> (d192EmbeddingNorms _),
     "d143_bitext_mining" -> (d143BitextMining _),
     "d129_semantic_decontam" -> (d129SemanticDecontam _),
     "d110_power_pca" -> (d110PowerPca _),
@@ -1585,6 +1630,7 @@ object Similarity {
   )
 
   val oracles: Map[String, String] = Map(
+    "d192_embedding_norms" -> d192Oracle,
     "d143_bitext_mining" -> d143Oracle,
     "d129_semantic_decontam" -> d129Oracle,
     "d110_power_pca" -> d110Oracle,

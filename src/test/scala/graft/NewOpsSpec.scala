@@ -2176,6 +2176,45 @@ class NewOpsSpec extends SparkSpec {
       ("value", 3L, 0L, 2L, 0.0)), s"got $got")
   }
 
+  // ------------------------------------------------------------- d191
+  test("d191 winsor: exact p99 order statistic, clipped count and " +
+      "excess mass on planted cents") {
+    val dir = tmp()
+    import spark.implicits._
+    // cents 1..200 -> rank ceil(0.99*200)=198 -> p99=198; clipped
+    // 199,200 -> excess (1+2)=3
+    (1 to 200).map(i => (i.toLong, i / 100.0))
+      .toDF("event_id", "value")
+      .withColumn("ts", timestamp_micros(lit(dayUs(0)) + col("event_id")))
+      .withColumn("user_id", lit(1L))
+      .withColumn("event_type", lit("e"))
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val r = CorpusOps.d191WinsorAudit(spark, dir).collect().head
+    assert((r.getAs[String]("event_type"), r.getAs[Long]("n_rows"),
+      r.getAs[Long]("p99_cents"), r.getAs[Long]("n_clipped"),
+      r.getAs[Long]("excess_cents"), r.getAs[Double]("clipped_share"))
+      == (("e", 200L, 198L, 2L, 3L, 0.01)), s"got $r")
+  }
+
+  // ------------------------------------------------------------- d192
+  test("d192 embedding norms: zero vectors counted, exact 3-4-5 " +
+      "norm, min/mean/max per label") {
+    val dir = tmp()
+    import spark.implicits._
+    Seq((1L, "A", Seq(3.0f, 4.0f)), (2L, "A", Seq(0.0f, 0.0f)),
+      (3L, "B", Seq(1.0f, 0.0f)))
+      .toDF("vec_id", "label", "embedding")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val rows = graft.ops.Similarity.d192EmbeddingNorms(spark, dir)
+      .collect().map(r =>
+        (r.getAs[String]("label"), r.getAs[Long]("n_vectors"),
+          r.getAs[Long]("n_zero"), r.getAs[Double]("min_norm"),
+          r.getAs[Double]("mean_norm"), r.getAs[Double]("max_norm")))
+      .toList
+    assert(rows == List(("A", 2L, 1L, 0.0, 2.5, 5.0),
+      ("B", 1L, 0L, 1.0, 1.0, 1.0)), s"got $rows")
+  }
+
   // ------------------------------------------------------------- d177
   test("d177 wasserstein: matches a naive scala integral of the " +
       "CDF gap over the same hash split") {
