@@ -7693,11 +7693,83 @@ object CorpusOps {
        FROM r JOIN thr USING (event_type)
        GROUP BY r.event_type ORDER BY r.event_type"""
 
+  // -------------------------------------------------------------- d193
+  /** TYPED-DATASET VARIANCE via the user-level `Aggregator` seam —
+    * the API-surface gate: every other aggregate in this library is
+    * either a built-in or a Catalyst-internal
+    * `TypedImperativeAggregate`; a library CONSUMER extends
+    * [[graft.ops.TypedStats.WelfordAgg]]'s seam (case-class rows,
+    * product-encoded buffer, `groupByKey(...).agg(toColumn)`), and
+    * this gate proves that seam end-to-end on real data. The
+    * numerically stable parallel-Welford result is REQUIRED in-op to
+    * reproduce the exact-integer-moment arithmetic (|Δ| ≤ 10⁻⁶
+    * relative on mean and M2/n — merge-order float drift is ~10⁻¹²;
+    * a broken merge rule is off by whole units); the GATED OUTPUT is
+    * then computed from the exact sums with the oracle's own
+    * expression shapes, so the cross-engine hash never depends on
+    * Welford merge order (the d137 audit-in-op/exact-out pattern).
+    *
+    * Scale shape: the typed path is one map-side-combined aggregate
+    * (Aggregator buffers merge per partition exactly like any partial
+    * agg); the exact-moment frame rides a second combine of the same
+    * exchange width; both are K-source-row outputs. */
+  def d193TypedVariance(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import TypedStats._
+    val xs = docs(spark, dir)
+      .select(col("source"), size(tokens(col("text"))).cast("long").as("x"))
+    val typed = xs.as[Keyed].groupByKey(_.source)
+      .agg(WelfordAgg.toColumn.name("w"))
+      .toDF("source", "w")
+      .select(col("source"), col("w.n").as("wn"),
+        col("w.mean").as("wmean"), (col("w.m2") / col("w.n")).as("wvar"))
+    val exact = xs.groupBy("source")
+      .agg(count(lit(1)).as("n"), sum("x").as("s1"),
+        sum(col("x") * col("x")).as("s2"))
+    val mean = col("s1").cast("double") / col("n")
+    val variance = col("s2").cast("double") / col("n") - mean * mean
+    val j = exact.join(typed, "source")
+      .select(col("source"), col("n"), col("wn"), mean.as("mean"),
+        variance.as("variance"), col("wmean"), col("wvar"))
+      .localCheckpoint() // audited once; the gate reads the same rows
+    // the in-op contract: the typed Welford path must reproduce the
+    // exact moments to float precision (K-row collect, gate-assert
+    // convention)
+    val bad = j.filter(col("n") =!= col("wn") ||
+        abs(col("wmean") - col("mean")) >
+          lit(1e-6) * (lit(1.0) + abs(col("mean"))) ||
+        abs(col("wvar") - col("variance")) >
+          lit(1e-6) * (lit(1.0) + abs(col("variance"))))
+      .count()
+    require(bad == 0,
+      s"typed Welford aggregator diverged from exact moments on $bad " +
+        "source(s)")
+    j.select(col("source"), col("n").as("n_docs"),
+        (round(col("mean"), 4) + 0.0).as("mean_tokens"),
+        (round(col("variance"), 4) + 0.0).as("var_tokens"))
+      .orderBy("source")
+  }
+
+  val d193Oracle: String =
+    """WITH m AS (
+         SELECT source, count(*) AS n,
+           sum(len(regexp_extract_all(text, '\S+'))) AS s1,
+           sum(len(regexp_extract_all(text, '\S+'))
+             * len(regexp_extract_all(text, '\S+'))) AS s2
+         FROM documents GROUP BY source)
+       SELECT source, CAST(n AS BIGINT) AS n_docs,
+         round(CAST(s1 AS DOUBLE) / n, 4) + 0.0 AS mean_tokens,
+         round(CAST(s2 AS DOUBLE) / n
+           - (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n), 4)
+           + 0.0 AS var_tokens
+       FROM m ORDER BY source"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d171_loo_influence" -> (d171LooInfluence _),
     "d172_source_affinity" -> (d172SourceAffinity _),
     "d190_column_profile" -> (d190ColumnProfile _),
     "d191_winsor_audit" -> (d191WinsorAudit _),
+    "d193_typed_variance" -> (d193TypedVariance _),
     "d188_lorenz_mass" -> (d188LorenzMass _),
     "d189_weekly_profile" -> (d189WeeklyProfile _),
     "d185_wilson_reach" -> (d185WilsonReach _),
@@ -7840,6 +7912,7 @@ object CorpusOps {
     "d189_weekly_profile" -> d189Oracle,
     "d190_column_profile" -> d190Oracle,
     "d191_winsor_audit" -> d191Oracle,
+    "d193_typed_variance" -> d193Oracle,
     "d174_source_lang_nmi" -> d174Oracle,
     "d175_neyman_sample" -> d175Oracle,
     "d176_daily_acf" -> d176Oracle,

@@ -2215,6 +2215,43 @@ class NewOpsSpec extends SparkSpec {
       ("B", 1L, 0L, 1.0, 1.0, 1.0)), s"got $rows")
   }
 
+  // ------------------------------------------------------------- d193
+  test("d193 typed variance: welford seam matches exact moments on " +
+      "planted data; merge rule exact on hand cases") {
+    val dir = tmp()
+    import spark.implicits._
+    // s1 token counts {2, 4, 6}: mean 4, var_pop 8/3; s2 {5}: var 0
+    Seq((1L, "s1", "a a"), (2L, "s1", "a a a a"),
+      (3L, "s1", "a a a a a a"), (4L, "s2", "b b b b b"))
+      .toDF("doc_id", "source", "text")
+      .withColumn("lang", lit("en"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    def r4(x: Double) = BigDecimal(x).setScale(4,
+      BigDecimal.RoundingMode.HALF_UP).toDouble
+    val got = CorpusOps.d193TypedVariance(spark, dir).collect().map(r =>
+      (r.getAs[String]("source"), r.getAs[Long]("n_docs"),
+        r.getAs[Double]("mean_tokens"), r.getAs[Double]("var_tokens")))
+      .toList
+    assert(got == List(("s1", 3L, 4.0, r4(8.0 / 3)),
+      ("s2", 1L, 5.0, 0.0)), s"got $got")
+
+    // the merge rule directly: reduce-side vs a split-merge must agree
+    import graft.ops.TypedStats._
+    val rows = Seq(2L, 4L, 6L, 11L, 13L).map(Keyed("k", _))
+    val serial = rows.foldLeft(WelfordAgg.zero)(WelfordAgg.reduce)
+    val (l, r) = rows.splitAt(2)
+    val merged = WelfordAgg.merge(
+      l.foldLeft(WelfordAgg.zero)(WelfordAgg.reduce),
+      r.foldLeft(WelfordAgg.zero)(WelfordAgg.reduce))
+    assert(merged.n == serial.n &&
+      math.abs(merged.mean - serial.mean) < 1e-12 &&
+      math.abs(merged.m2 - serial.m2) < 1e-9, s"$merged vs $serial")
+    // zero-side merges are identities
+    assert(WelfordAgg.merge(WelfordAgg.zero, serial) == serial &&
+      WelfordAgg.merge(serial, WelfordAgg.zero) == serial)
+  }
+
   // ------------------------------------------------------------- d177
   test("d177 wasserstein: matches a naive scala integral of the " +
       "CDF gap over the same hash split") {
