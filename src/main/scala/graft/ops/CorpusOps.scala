@@ -7764,12 +7764,95 @@ object CorpusOps {
            + 0.0 AS var_tokens
        FROM m ORDER BY source"""
 
+  // -------------------------------------------------------------- d194
+  /** Seasonal period (days) of the naive forecast baseline. */
+  private[graft] val SeasonDays = 7
+
+  /** SEASONAL-NAIVE FORECAST BACKTEST — the predictive-skill readout
+    * that closes the monitoring family: d176 says the series HAS
+    * weekly structure and d189 shows the weekly profile; this
+    * measures how much that structure actually buys by backtesting
+    * the standard baseline x̂_t = x_{t−7} against the naive-persistence
+    * x̂_t = x_{t−1} over the zero-filled calendar series. MASE-style:
+    * if the seasonal error doesn't beat persistence, a capacity
+    * planner gains nothing from weekly seasonality. Errors are EXACT
+    * integer sums (Σ|x_t − x_{t−k}| in BIGINT on integer daily
+    * counts); the two MAEs and their ratio are the only divisions.
+    * Lags come from the d176 self-join idiom — never a global window.
+    *
+    * Scale shape: one daily aggregate; the two lag joins move
+    * calendar-sized rows; output is one row. */
+  def d194SeasonalBacktest(spark: SparkSession, dir: String): DataFrame = {
+    val counts = Tables.load(spark, dir, "events")
+      .groupBy(date_trunc("day", col("ts")).as("day"))
+      .agg(count(lit(1)).as("x"))
+    val b = broadcast(counts.agg(min("day").as("d0"), max("day").as("d1")))
+    val spine = b
+      .select(explode(sequence(lit(0),
+        expr("timestampdiff(DAY, d0, d1)"))).as("i"), col("d0"))
+      .select(expr("timestampadd(DAY, i, d0)").as("day"))
+    val daily = spine.join(counts, Seq("day"), "left")
+      .select(col("day"), coalesce(col("x"), lit(0L)).as("x"))
+      .localCheckpoint() // calendar-sized; feeds both lag joins
+    def mae(lagDays: Int, name: String): DataFrame = daily
+      .select(col("x").as("xa"),
+        expr(s"timestampadd(DAY, $lagDays, day)").as("day"))
+      .join(daily.withColumnRenamed("x", "xb"), "day")
+      .agg(count(lit(1)).as(s"n_$name"),
+        sum(abs(col("xb") - col("xa"))).as(s"ae_$name"))
+    mae(SeasonDays, "season").crossJoin(mae(1, "naive"))
+      .select(col("n_season"), col("n_naive"),
+        when(col("n_season") > 0,
+          round(col("ae_season").cast("double") / col("n_season"), 4)
+            + 0.0).as("mae_seasonal"),
+        when(col("n_naive") > 0,
+          round(col("ae_naive").cast("double") / col("n_naive"), 4)
+            + 0.0).as("mae_naive"),
+        when(col("ae_naive") > 0 && col("n_season") > 0,
+          round((col("ae_season").cast("double") / col("n_season"))
+            / (col("ae_naive").cast("double") / col("n_naive")), 4)
+            + 0.0).as("mase"))
+  }
+
+  val d194Oracle: String =
+    s"""WITH counts AS (
+         SELECT date_trunc('day', ts) AS day, count(*) AS x
+         FROM events GROUP BY 1),
+       b AS (SELECT min(day) AS d0, max(day) AS d1 FROM counts),
+       spine AS (
+         SELECT unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS day
+         FROM b),
+       daily AS (
+         SELECT s.day, coalesce(counts.x, 0) AS x
+         FROM spine s LEFT JOIN counts USING (day)),
+       se AS (
+         SELECT count(*) AS n_season, sum(abs(bb.x - a.x)) AS ae_season
+         FROM daily a JOIN daily bb
+           ON bb.day = a.day + to_days($SeasonDays)),
+       na AS (
+         SELECT count(*) AS n_naive, sum(abs(bb.x - a.x)) AS ae_naive
+         FROM daily a JOIN daily bb ON bb.day = a.day + to_days(1))
+       SELECT CAST(n_season AS BIGINT) AS n_season,
+         CAST(n_naive AS BIGINT) AS n_naive,
+         CASE WHEN n_season > 0 THEN
+           round(CAST(ae_season AS DOUBLE) / n_season, 4) + 0.0 END
+           AS mae_seasonal,
+         CASE WHEN n_naive > 0 THEN
+           round(CAST(ae_naive AS DOUBLE) / n_naive, 4) + 0.0 END
+           AS mae_naive,
+         CASE WHEN ae_naive > 0 AND n_season > 0 THEN
+           round((CAST(ae_season AS DOUBLE) / n_season)
+             / (CAST(ae_naive AS DOUBLE) / n_naive), 4) + 0.0 END
+           AS mase
+       FROM se, na"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d171_loo_influence" -> (d171LooInfluence _),
     "d172_source_affinity" -> (d172SourceAffinity _),
     "d190_column_profile" -> (d190ColumnProfile _),
     "d191_winsor_audit" -> (d191WinsorAudit _),
     "d193_typed_variance" -> (d193TypedVariance _),
+    "d194_seasonal_backtest" -> (d194SeasonalBacktest _),
     "d188_lorenz_mass" -> (d188LorenzMass _),
     "d189_weekly_profile" -> (d189WeeklyProfile _),
     "d185_wilson_reach" -> (d185WilsonReach _),
@@ -7913,6 +7996,7 @@ object CorpusOps {
     "d190_column_profile" -> d190Oracle,
     "d191_winsor_audit" -> d191Oracle,
     "d193_typed_variance" -> d193Oracle,
+    "d194_seasonal_backtest" -> d194Oracle,
     "d174_source_lang_nmi" -> d174Oracle,
     "d175_neyman_sample" -> d175Oracle,
     "d176_daily_acf" -> d176Oracle,

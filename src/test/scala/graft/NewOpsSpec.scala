@@ -2252,6 +2252,32 @@ class NewOpsSpec extends SparkSpec {
       WelfordAgg.merge(serial, WelfordAgg.zero) == serial)
   }
 
+  // ------------------------------------------------------------- d194
+  test("d194 seasonal backtest: a perfectly weekly series scores " +
+      "mase 0; errors are exact integer sums") {
+    val dir = tmp()
+    import spark.implicits._
+    // 14 days, x = 10 on the weekly phase-0 day, else 2: seasonal lag
+    // errors are all 0; naive lag-1 errors are 8 at each of the 4
+    // spikes' edges (ae=24 over 13 pairs)
+    val perDay = (0 until 14).map(d => d -> (if (d % 7 == 0) 10 else 2))
+    perDay.flatMap { case (d, k) =>
+      (0 until k).map(j => (d.toLong * 100 + j, dayUs(d) + j * 1000000L))
+    }.toDF("event_id", "us")
+      .select(col("event_id"), timestamp_micros(col("us")).as("ts"))
+      .withColumn("user_id", lit(1L))
+      .withColumn("event_type", lit("e"))
+      .withColumn("value", lit(1.0))
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val r = CorpusOps.d194SeasonalBacktest(spark, dir).collect().head
+    def r4(x: Double) = BigDecimal(x).setScale(4,
+      BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert((r.getAs[Long]("n_season"), r.getAs[Long]("n_naive"),
+      r.getAs[Double]("mae_seasonal"), r.getAs[Double]("mae_naive"),
+      r.getAs[Double]("mase"))
+      == ((7L, 13L, 0.0, r4(24.0 / 13), 0.0)), s"got $r")
+  }
+
   // ------------------------------------------------------------- d177
   test("d177 wasserstein: matches a naive scala integral of the " +
       "CDF gap over the same hash split") {
