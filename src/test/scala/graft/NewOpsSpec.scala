@@ -1700,6 +1700,33 @@ class NewOpsSpec extends SparkSpec {
       s"got $r")
   }
 
+  // ------------------------------------------------------------- d152 (plan)
+  test("d152 triangle count: no data-sized single-partition window — " +
+      "every window partitions on the range-exchange bucket, never bk") {
+    // `row_number() OVER (PARTITION BY bk)` would funnel every user
+    // active in one hot hour through a single sort task (r12 verdict
+    // "what's wrong" #2). The GlobalOrder rewrite must keep every
+    // Window node partitioned on the synthetic range bucket
+    // (spark_partition_id over a range exchange — bounded per task by
+    // construction) and never on the data-sized hour key.
+    def walk(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[org.apache.spark.sql.execution.SparkPlan] = p match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a +: walk(a.initialPlan)
+      case q => q +: (q.children.flatMap(walk) ++ q.subqueries.flatMap(walk))
+    }
+    val plan = CorpusOps.d152Edges(spark, "/root/testdata/sf0.001")
+      .queryExecution.executedPlan
+    val windows = walk(plan).collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w }
+    assert(windows.nonEmpty, "expected GlobalOrder's bucket window")
+    windows.foreach { w =>
+      val refs = w.partitionSpec.flatMap(_.references.map(_.name)).toSet
+      assert(w.partitionSpec.nonEmpty && refs == Set("__bucket"),
+        s"window must partition on the range bucket only, got $refs")
+    }
+  }
+
   // ------------------------------------------------------------- d165
   test("d165 auc: hand-computed Mann-Whitney with ties, perfect and " +
       "inverted separations, missing-class NULL") {
