@@ -2348,8 +2348,12 @@ object CorpusOps {
              j -> toks[j]) AS kt
          FROM base LEFT JOIN cov USING (doc_id))
        SELECT doc_id, len(toks) AS n_tokens, len(kt) AS n_kept,
-         array_to_string(kt, ' ') AS clean_text
+         coalesce(array_to_string(kt, ' '), '') AS clean_text
        FROM kept ORDER BY doc_id"""
+  // ^ the coalesce: DuckDB's array_to_string([]) is NULL where Spark's
+  //   concat_ws is '' — invisible until a doc is 100% boilerplate,
+  //   which first happens at sf0.1 (4595 of 5000 docs on the templated
+  //   corpus). '' is the honest scrub of an all-boilerplate page.
 
   // --------------------------------------------------------------- d35
   /** Shingles present in MORE than this many sources are excluded from
@@ -5978,9 +5982,14 @@ object CorpusOps {
     val obs = (1 to 9).map(k =>
       s"CAST(sum(CASE WHEN fd = $k THEN 1 ELSE 0 END) AS BIGINT) AS d$k")
       .mkString(",\n           ")
+    // ${p}e0: scientific notation forces DuckDB to parse the literal as
+    // DOUBLE — a plain fixed-point literal parses as DECIMAL, the whole
+    // χ² runs in DECIMAL(38), and the squared deviation OVERFLOWS at
+    // sf0.1 count magnitudes (and would diverge from Spark's double
+    // math even where it fits). Same IEEE double both sides.
     val chi2 = (1 to 9).map { k =>
       val p = BenfordP(k - 1)
-      s"(d$k - n_values * $p) * (d$k - n_values * $p) / (n_values * $p)"
+      s"(d$k - n_values * ${p}e0) * (d$k - n_values * ${p}e0) / (n_values * ${p}e0)"
     }.mkString(" + ")
     s"""WITH d AS (
          SELECT event_type,

@@ -308,7 +308,21 @@ object StreamGates {
     * durable storage and an exactly-once file/Kafka sink; the recovery
     * path — offset log, state-store reload, no-reprocess — is the same
     * machinery this gate drives. */
-  def d127StreamRecovery(spark: SparkSession, dir: String): DataFrame = {
+  def d127StreamRecovery(spark: SparkSession, dir: String): DataFrame =
+    d127Body(spark, dir, rocksdb = false)
+
+  /** d127's exactly-once recovery contract re-run on the PRODUCTION
+    * state-store backend: both drains (initial + resume) run with
+    * `RocksDBStateStoreProvider`, so the recovered first-half counts
+    * are reloaded from RocksDB files, not the default in-memory
+    * HashMap provider — the provider swap Spark ships for exactly the
+    * state sizes a 100 TB deployment carries. Same oracle as d127;
+    * the provider is pinned in-op from the drain's own progress. */
+  def d195RocksdbRecovery(spark: SparkSession, dir: String): DataFrame =
+    withRocksDb(spark)(d127Body(spark, dir, rocksdb = true))
+
+  private def d127Body(spark: SparkSession, dir: String,
+      rocksdb: Boolean): DataFrame = {
     val staged = Files.createTempDirectory("graft-d127-src")
     val ckpt = Files.createTempDirectory("graft-d127-ckpt")
     // split the raw file (read WITHOUT timestamp normalization, so the
@@ -327,6 +341,7 @@ object StreamGates {
         .trigger(Trigger.AvailableNow())
         .start()
       query.awaitTermination()
+      if (rocksdb) requireRocksDb(query)
       name
     }
     drop(col("event_id") % 2 === 0, "a.parquet")
@@ -665,7 +680,18 @@ object StreamGates {
     *
     * Scale: state is interval + watermark horizon per side, as d107;
     * the outer emission adds no extra pass — eviction IS the emit. */
-  def d179StreamOuterJoin(spark: SparkSession, dir: String): DataFrame = {
+  def d179StreamOuterJoin(spark: SparkSession, dir: String): DataFrame =
+    d179Body(spark, dir, rocksdb = false)
+
+  /** d179's watermark-evicted outer join re-run on RocksDB: the
+    * null-padding rows are produced by state EVICTION, so this pins
+    * that eviction order/completeness survives the production
+    * provider swap. Same oracle as d179; provider pinned in-op. */
+  def d196RocksdbOuterJoin(spark: SparkSession, dir: String): DataFrame =
+    withRocksDb(spark)(d179Body(spark, dir, rocksdb = true))
+
+  private def d179Body(spark: SparkSession, dir: String,
+      rocksdb: Boolean): DataFrame = {
     val staged = stageWithSentinels(spark, dir, "graft-d179",
       Seq("view", "purchase"))
     val views = EventStreams.readEvents(spark, staged.toString)
@@ -700,6 +726,7 @@ object StreamGates {
         .start()
       finally spark.conf.set("spark.sql.shuffle.partitions", prev)
     query.awaitTermination()
+    if (rocksdb) requireRocksDb(query)
     unstage(staged)
     spark.table(name).filter(col("p_id") >= 0)
       .orderBy("p_id", "view_id")
@@ -822,7 +849,18 @@ object StreamGates {
     * Scale: state is one row per key within the horizon — the
     * eviction this gate pins is the ONLY thing standing between a
     * long-running dedup stream and unbounded state. */
-  def d187StreamDedupExpiry(spark: SparkSession, dir: String): DataFrame = {
+  def d187StreamDedupExpiry(spark: SparkSession, dir: String): DataFrame =
+    d187Body(spark, dir, rocksdb = false)
+
+  /** d187's three-phase dedup state EXPIRY re-run on RocksDB: state
+    * eviction at the watermark horizon — the one thing bounding a
+    * long-running dedup stream's state — plus two checkpoint resumes,
+    * all on the production provider. Same oracle; pinned in-op. */
+  def d197RocksdbDedupExpiry(spark: SparkSession, dir: String): DataFrame =
+    withRocksDb(spark)(d187Body(spark, dir, rocksdb = true))
+
+  private def d187Body(spark: SparkSession, dir: String,
+      rocksdb: Boolean): DataFrame = {
     val staged = Files.createTempDirectory("graft-d187-src")
     val ckpt = Files.createTempDirectory("graft-d187-ckpt")
     val out = Files.createTempDirectory("graft-d187-out")
@@ -866,6 +904,7 @@ object StreamGates {
           .start()
         finally spark.conf.set("spark.sql.shuffle.partitions", prev)
       q.awaitTermination()
+      if (rocksdb) requireRocksDb(q)
     }
     try {
       stagePart(phase(0, 1000000L).unionByName(phase(0, 2000000L)),
@@ -899,6 +938,49 @@ object StreamGates {
        SELECT user_id, epoch_us(t + INTERVAL $ExpiryResendDays DAY)
        FROM t0
        ORDER BY user_id, emit_us"""
+
+  // --------------------------------------------- RocksDB state backend
+  /** RocksDB state-store provider — the backend Spark ships for
+    * production state sizes (the default HDFSBackedStateStoreProvider
+    * keeps every version of every store on the executor HEAP; RocksDB
+    * keeps working state off-heap/on-disk). All gate semantics must
+    * survive the swap — that is what d195/d196/d197 pin. */
+  private[streaming] val RocksDbProvider =
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+
+  /** Run `body` with the session's state-store provider set to RocksDB,
+    * restoring the previous setting (the conf is read at query start,
+    * so the wrapper must span every `start()` the body performs —
+    * including checkpoint RESUMES: the two providers' on-disk state
+    * formats are incompatible, so a mid-checkpoint swap would fail). */
+  private def withRocksDb[T](spark: SparkSession)(body: => T): T = {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, RocksDbProvider)
+    try body
+    finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
+  /** Pin that a drained query really ran its state on RocksDB — the
+    * provider fingerprints every progress's stateOperators with
+    * `rocksdb*` custom metrics, which the default provider never
+    * emits (the d93/d138 in-op pin discipline: a conf typo or a
+    * default change must fail the gate loudly, not silently re-run
+    * the in-memory provider). Vacuous when no progress reported a
+    * state operator at all (the zero-row corpus drains nothing). */
+  private def requireRocksDb(
+      q: org.apache.spark.sql.streaming.StreamingQuery): Unit = {
+    import scala.jdk.CollectionConverters._
+    val stateOps =
+      (q.recentProgress.toSeq ++ Option(q.lastProgress)).flatMap(_.stateOperators)
+    require(stateOps.isEmpty || stateOps.exists(
+      _.customMetrics.keySet().asScala.exists(
+        _.toLowerCase(java.util.Locale.ROOT).contains("rocksdb"))),
+      "state ran on the default provider, not RocksDB")
+  }
 
   /** Stage `df` into the file-stream source dir as one bare part-file
     * named `name` (the source lists FILES, so phases are planted as
@@ -940,7 +1022,10 @@ object StreamGates {
     "d170_stream_upsert" -> (d170StreamUpsert _),
     "d179_stream_outer_join" -> (d179StreamOuterJoin _),
     "d180_session_windows" -> (d180SessionWindows _),
-    "d187_stream_dedup_expiry" -> (d187StreamDedupExpiry _))
+    "d187_stream_dedup_expiry" -> (d187StreamDedupExpiry _),
+    "d195_rocksdb_recovery" -> (d195RocksdbRecovery _),
+    "d196_rocksdb_outer_join" -> (d196RocksdbOuterJoin _),
+    "d197_rocksdb_dedup_expiry" -> (d197RocksdbDedupExpiry _))
 
   val oracles: Map[String, String] = Map(
     "d50_stream_decontaminate" -> d50Oracle,
@@ -954,5 +1039,8 @@ object StreamGates {
     "d170_stream_upsert" -> d170Oracle,
     "d179_stream_outer_join" -> d179Oracle,
     "d180_session_windows" -> d180Oracle,
-    "d187_stream_dedup_expiry" -> d187Oracle)
+    "d187_stream_dedup_expiry" -> d187Oracle,
+    "d195_rocksdb_recovery" -> d127Oracle,
+    "d196_rocksdb_outer_join" -> d179Oracle,
+    "d197_rocksdb_dedup_expiry" -> d187Oracle)
 }

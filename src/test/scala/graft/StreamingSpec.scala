@@ -140,6 +140,40 @@ class StreamingSpec extends SparkSpec {
       (2L, ms(T0), ms(T0 + min(30)), 1L, 550L)), s"got $got")
   }
 
+  test("rocksdb state store: provider swap preserves the dedup-expiry " +
+      "result, and the in-op pin's fingerprint is discriminative") {
+    val dir = plantLog(Seq(
+      (1L, T0, 1L, "view", 0.0), (2L, T0 + min(5), 2L, "view", 0.0),
+      (3L, T0 + min(9), 3L, "view", 0.0)))
+    // result parity: the three-phase expiry gate emits the identical
+    // rows on both providers (d197's own body asserts the RocksDB
+    // fingerprint in-op, so a green run here IS the provider proof)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toList
+    val dflt = rows(graft.streaming.StreamGates
+      .d187StreamDedupExpiry(spark, dir))
+    val rocks = rows(graft.streaming.StreamGates
+      .d197RocksdbDedupExpiry(spark, dir))
+    assert(dflt.nonEmpty && dflt == rocks, s"default $dflt vs rocksdb $rocks")
+    // the pin is only a pin if the DEFAULT provider never emits a
+    // rocksdb* custom metric — otherwise it would pass vacuously on a
+    // silent fallback to the in-memory provider
+    import scala.jdk.CollectionConverters._
+    val name = s"graft_rocksdb_probe_${System.nanoTime()}"
+    val q = graft.streaming.EventStreams.readEvents(spark, dir)
+      .withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark("user_id")
+      .writeStream.format("memory").queryName(name)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val metricKeys = (q.recentProgress.toSeq ++ Option(q.lastProgress))
+      .flatMap(_.stateOperators).flatMap(_.customMetrics.keySet().asScala)
+    assert(metricKeys.nonEmpty &&
+      !metricKeys.exists(_.toLowerCase.contains("rocksdb")),
+      s"default-provider drain leaked rocksdb metrics: $metricKeys")
+  }
+
   test("checkpoint recovery: a resumed query reloads state and reads " +
       "ONLY the new file") {
     // The d127 gate proves output equality end-to-end; this pins the
