@@ -1143,6 +1143,145 @@ object Queries {
 
   val q40Oracle: String = q40Sql
 
+  // --------------------------------------------------------------- q41
+  /** ORDERED-SET AGGREGATES — `percentile_disc` (inverse-distribution:
+    * the smallest element whose cumulative distribution ≥ p, i.e. the
+    * rank-⌈p·n⌉ order statistic) and deterministic `mode()`, both in
+    * the ANSI `WITHIN GROUP (ORDER BY …)` form. Values are exact
+    * integer cents, so the gate compares picked ELEMENTS, never float
+    * interpolation (q22 covers the interpolating quantile_cont form).
+    * The oracle computes the same statistics from DuckDB natives
+    * (`quantile_disc` is the same ⌈p·n⌉ definition — the q23
+    * precedent) and hand-rolls mode as a tie-broken argmax
+    * (count DESC, value ASC — DuckDB's native mode leaves ties
+    * unspecified; Spark's ordered-set mode resolves them by the
+    * WITHIN GROUP order, and the gate pins that resolution).
+    *
+    * Scale: one shuffle on the group key; Spark's percentile/mode
+    * aggregation buffers are value→count maps, bounded by the DISTINCT
+    * cent values per group (price domain), not row count. For an
+    * unbounded value domain the scale path is q23's mergeable
+    * approx-percentile summaries. */
+  def q41OrderedSet(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "orders")
+      .withColumn("cents", round(col("o_totalprice") * 100).cast("long"))
+      .groupBy("o_orderpriority")
+      .agg(
+        expr("percentile_disc(0.25) WITHIN GROUP (ORDER BY cents)")
+          .cast("long").as("p25_cents"),
+        expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY cents)")
+          .cast("long").as("p50_cents"),
+        expr("percentile_disc(0.75) WITHIN GROUP (ORDER BY cents)")
+          .cast("long").as("p75_cents"),
+        expr("mode() WITHIN GROUP (ORDER BY o_orderstatus)")
+          .as("mode_status"),
+        count(lit(1)).as("n_orders"))
+      .orderBy("o_orderpriority")
+
+  val q41Oracle: String =
+    """WITH o AS (
+         SELECT o_orderpriority,
+           CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+           o_orderstatus
+         FROM orders),
+       q AS (
+         SELECT o_orderpriority,
+           CAST(quantile_disc(cents, 0.25) AS BIGINT) AS p25_cents,
+           CAST(quantile_disc(cents, 0.50) AS BIGINT) AS p50_cents,
+           CAST(quantile_disc(cents, 0.75) AS BIGINT) AS p75_cents,
+           CAST(count(*) AS BIGINT) AS n_orders
+         FROM o GROUP BY o_orderpriority),
+       m AS (
+         SELECT o_orderpriority, o_orderstatus AS mode_status,
+           row_number() OVER (PARTITION BY o_orderpriority
+             ORDER BY count(*) DESC, o_orderstatus) AS rn
+         FROM o GROUP BY o_orderpriority, o_orderstatus)
+       SELECT q.o_orderpriority, p25_cents, p50_cents, p75_cents,
+         mode_status, n_orders
+       FROM q JOIN m ON q.o_orderpriority = m.o_orderpriority AND m.rn = 1
+       ORDER BY q.o_orderpriority"""
+
+  // --------------------------------------------------------------- q42
+  /** WINDOWED DISTINCT AGGREGATE — running `count(DISTINCT user_id)
+    * OVER (PARTITION BY type ORDER BY day)`, the daily-cumulative-
+    * uniques report every growth dashboard runs. Spark rejects
+    * DISTINCT inside a window frame outright, so the Spark side IS the
+    * scale-safe rewrite: a user is COUNTED on the day it first
+    * appears (one groupBy on (type, user) — the only data-sized
+    * shuffle), then a running sum of per-day first-appearance counts
+    * over the calendar-sized daily rollup. The oracle runs DuckDB's
+    * native windowed-DISTINCT form, pinning the rewrite exactly
+    * equivalent (the default RANGE frame's peer handling included —
+    * daily rows are unique per type, so ROWS ≡ RANGE).
+    *
+    * Scale: the window partitions by type over day-grain rows —
+    * calendar-sized, never data-sized; everything below it is
+    * map-side-combined aggregation. */
+  def q42WindowDistinct(spark: SparkSession, dir: String): DataFrame = {
+    val ev = t(spark, dir, "events")
+      .select(col("event_type"), col("user_id"),
+        expr("unix_micros(ts) div 86400000000").as("day"))
+    val firsts = ev.groupBy("event_type", "user_id")
+      .agg(min("day").as("day"))
+      .groupBy("event_type", "day").agg(count(lit(1)).as("new_users"))
+    val daily = ev.groupBy("event_type", "day")
+      .agg(count(lit(1)).as("n_events"))
+    val w = Window.partitionBy("event_type").orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    daily.join(firsts, Seq("event_type", "day"), "left")
+      .select(col("event_type"), col("day"), col("n_events"),
+        sum(coalesce(col("new_users"), lit(0L))).over(w).as("cum_users"))
+      .orderBy("event_type", "day")
+  }
+
+  val q42Oracle: String =
+    """WITH e AS (
+         SELECT event_type, epoch_us(ts) // 86400000000 AS day, user_id
+         FROM events),
+       w AS (
+         SELECT event_type, day,
+           CAST(count(*) OVER (PARTITION BY event_type, day) AS BIGINT)
+             AS n_events,
+           CAST(count(DISTINCT user_id)
+             OVER (PARTITION BY event_type ORDER BY day) AS BIGINT)
+             AS cum_users
+         FROM e)
+       SELECT DISTINCT event_type, day, n_events, cum_users
+       FROM w ORDER BY event_type, day"""
+
+  // --------------------------------------------------------------- q43
+  /** Sample rate (percent) for the hash-threshold row sample — ONE
+    * constant interpolated into both engines. */
+  private[graft] val SamplePct = 10
+
+  /** REPRODUCIBLE ROW SAMPLE — the TABLESAMPLE shape done right for a
+    * pipeline: `TABLESAMPLE BERNOULLI` draws from a seeded RNG whose
+    * stream depends on scan order and partitioning, so two engines (or
+    * two runs over different file splits) disagree row-by-row. The
+    * hash-threshold idiom — keep rows whose 60-bit md5 of the key
+    * falls under p% of the modulus — is gate-EXACT by construction:
+    * deterministic per key, independent of partitioning, engine, or
+    * scan order, and stable as the table grows (a row's membership
+    * never flips when other rows arrive — the property incremental
+    * eval sets depend on; d18's stratified mixture rides the same
+    * keep-decision). Map-only: the predicate evaluates in the scan
+    * stage; no shuffle until the gate's deterministic ORDER BY. */
+  def q43HashSample(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "orders")
+      .filter(ops.TextOps.hash60(col("o_orderkey").cast("string")) % 100
+        < SamplePct)
+      .select(col("o_orderkey"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+      .orderBy("o_orderkey")
+
+  val q43Oracle: String =
+    s"""SELECT o_orderkey,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+       FROM orders
+       WHERE ('0x' || substr(md5(o_orderkey::VARCHAR), 1, 15))::BIGINT
+         % 100 < $SamplePct
+       ORDER BY o_orderkey"""
+
   // ------------------------------------------------------------ registry
   val relational: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_agg" -> (q1Agg _),
@@ -1184,7 +1323,10 @@ object Queries {
     "q37_filtered_agg" -> (q37FilteredAgg _),
     "q38_scalar_subqueries" -> (q38ScalarSubqueries _),
     "q39_group_by_all" -> (q39GroupByAll _),
-    "q40_bag_set_ops" -> (q40BagSetOps _)
+    "q40_bag_set_ops" -> (q40BagSetOps _),
+    "q41_ordered_set" -> (q41OrderedSet _),
+    "q42_window_distinct" -> (q42WindowDistinct _),
+    "q43_hash_sample" -> (q43HashSample _)
   )
 
   val relationalOracles: Map[String, String] = Map(
@@ -1227,7 +1369,10 @@ object Queries {
     "q37_filtered_agg" -> q37Oracle,
     "q38_scalar_subqueries" -> q38Oracle,
     "q39_group_by_all" -> q39Oracle,
-    "q40_bag_set_ops" -> q40Oracle
+    "q40_bag_set_ops" -> q40Oracle,
+    "q41_ordered_set" -> q41Oracle,
+    "q42_window_distinct" -> q42Oracle,
+    "q43_hash_sample" -> q43Oracle
   )
 
   // lazy: a caller may initialize a contributing registry object FIRST
