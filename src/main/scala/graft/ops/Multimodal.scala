@@ -312,7 +312,12 @@ object Multimodal {
     * amplitude scale makes each window the exact integer sum of
     * `|byte−128|`, so the oracle reproduces every hash bit-for-bit
     * from code points — the same reproducibility design as d70. */
-  def d81AudioDhash(spark: SparkSession, dir: String): DataFrame = {
+  def d81AudioDhash(spark: SparkSession, dir: String): DataFrame =
+    bandedNeighbors(audioHashes(spark, dir), "ahash", ADHashMaxHamming)
+
+  /** The envelope-hash projection (doc_id, ahash) — d81's decode+hash
+    * front half, shared with the d198 transcode audit. */
+  private[graft] def audioHashes(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val blobs = Tables.load(spark, dir, "documents")
       // same empty-payload exclusion as d70 (ANSI ceil-by-zero)
@@ -322,13 +327,12 @@ object Multimodal {
         encode(expr(s"substr(repeat(text, cast(ceil($AudioSamples.0 / length(text)) as int)), 1, $AudioSamples)"),
           "UTF-8")).as("data"))
       .as[(Long, Array[Byte])]
-    val hashes = blobs.mapPartitions { it =>
+    blobs.mapPartitions { it =>
       it.flatMap { case (id, bytes) =>
         MediaCodecs.decodeWav(bytes).map(p =>
           (id, MediaCodecs.audioDHash(p.mono, 128.0)))
       }
     }.toDF("doc_id", "ahash").localCheckpoint()
-    bandedNeighbors(hashes, "ahash", ADHashMaxHamming)
   }
 
   /** Canonical 44-byte RIFF/WAVE header for `n` 8-bit mono samples at
@@ -346,8 +350,10 @@ object Multimodal {
     out.toByteArray
   }
 
-  val d81Oracle: String =
-    s"""WITH px AS (
+  /** The envelope-hash CTE chain ending in `h(doc_id, ahash)` — d81's
+    * oracle front half, shared with d198's. */
+  private val audioHashCtes: String =
+    s"""px AS (
          SELECT doc_id,
            substr(repeat(text, CAST(ceil($AudioSamples.0 / len(text)) AS INT)),
              1, $AudioSamples) AS body
@@ -365,7 +371,10 @@ object Multimodal {
        h AS (
          SELECT doc_id,
            CAST(sum(bit * (1::BIGINT << CAST(idx AS INT))) AS BIGINT) AS ahash
-         FROM bits GROUP BY doc_id),
+         FROM bits GROUP BY doc_id)"""
+
+  val d81Oracle: String =
+    s"""WITH $audioHashCtes,
        ${bandedNeighborsSql("ahash", ADHashMaxHamming)}"""
 
   // --------------------------------------------------------------- d139
@@ -465,17 +474,119 @@ object Multimodal {
          TRUE AS cbr
        FROM documents ORDER BY doc_id"""
 
+  // --------------------------------------------------------------- d198
+  /** TRANSCODE-DUPLICATE AUDIT — d139's frame metadata folded into the
+    * dedup path it was built for (r12 verdict next #7): within each
+    * envelope-hash near-dup CLUSTER (d81's perceptual space — what the
+    * audio SOUNDS like), disagreement in the container metadata
+    * (bitrate / sample rate / duration) is the transcode-duplicate
+    * signature: same audible content, different encode — the
+    * multimodal analogue of d31's text dup report. A crawl keeps ONE
+    * member per flagged cluster (usually the highest-bitrate one) and
+    * reclaims the rest.
+    *
+    * Cluster definition, scale-shaped: exact envelope hashes collapse
+    * to their min-doc rep FIRST (the d59/d15 pre-collapse — replica
+    * mass never reaches the quadratic stage), then connected
+    * components over rep↔rep band-collision edges (Hamming ≤
+    * [[ADHashMaxHamming]], [[Clustering.minLabelComponents]] — edge-set
+    * shuffles, O(log diameter) rounds); a member's cluster is its
+    * rep's component label, so cluster_id = min doc_id of the whole
+    * component, exactly d15's convention. The metadata join moves
+    * K-byte rows keyed on doc_id. The oracle replays the same
+    * component semantics as a recursive CTE over the same edges (the
+    * d15 oracle idiom) and predicts the metadata closed-form from the
+    * d139 synthesis. */
+  def d198TranscodeDups(spark: SparkSession, dir: String): DataFrame = {
+    val hashes = audioHashes(spark, dir)
+    val groups = hashes.groupBy("ahash")
+      .agg(min("doc_id").as("rep"))
+      .localCheckpoint() // feeds the band join twice and the rep mapping
+    val bands = groups.select(col("ahash"), col("rep"),
+      explode(sequence(lit(0), lit(3))).as("k"))
+      .withColumn("bb",
+        expr("shiftright(ahash, 16 * k)").bitwiseAND(lit(65535L)))
+    val nearEdges = bands.as("x").join(bands.as("y"), Seq("k", "bb"))
+      .filter(col("x.ahash") < col("y.ahash") &&
+        bit_count(col("x.ahash").bitwiseXOR(col("y.ahash")))
+          <= ADHashMaxHamming)
+      .select(col("x.rep").as("a"), col("y.rep").as("b"))
+      .distinct()
+    val labels = Clustering.minLabelComponents(nearEdges)
+    val meta = d139Mp3Meta(spark, dir)
+      .select("doc_id", "sample_rate", "bitrate_kbps", "duration_us")
+    hashes.join(groups, "ahash")
+      .join(labels, col("rep") === col("node"), "left")
+      .select(col("doc_id"), coalesce(col("label"), col("rep")).as("cluster_id"))
+      .join(meta, "doc_id")
+      .groupBy("cluster_id")
+      .agg(count(lit(1)).as("n_members"),
+        countDistinct("bitrate_kbps").as("n_bitrates"),
+        countDistinct("sample_rate").as("n_rates"),
+        (max("duration_us") - min("duration_us")).as("dur_spread_us"))
+      .filter(col("n_members") >= 2)
+      .withColumn("transcode_suspect",
+        col("n_bitrates") > 1 || col("n_rates") > 1 ||
+          col("dur_spread_us") > 0)
+      .orderBy("cluster_id")
+  }
+
+  val d198Oracle: String =
+    s"""WITH RECURSIVE $audioHashCtes,
+       g AS (SELECT ahash, min(doc_id) AS rep FROM h GROUP BY ahash),
+       bands AS (
+         SELECT ahash, rep, k, (ahash >> CAST(k * 16 AS INT)) & 65535 AS bb
+         FROM g, (SELECT unnest(range(4)) AS k)),
+       near0 AS (
+         SELECT DISTINCT x.rep AS a, y.rep AS b
+         FROM bands x JOIN bands y ON x.k = y.k AND x.bb = y.bb
+           AND x.ahash < y.ahash
+         WHERE bit_count(xor(x.ahash, y.ahash)) <= $ADHashMaxHamming),
+       edges AS (SELECT a AS s, b AS d FROM near0
+         UNION ALL SELECT b, a FROM near0),
+       reach(x, y) AS (
+         SELECT DISTINCT s, s FROM edges
+         UNION
+         SELECT r.x, e.d FROM reach r JOIN edges e ON e.s = r.y),
+       comp AS (SELECT x AS node, min(y) AS label FROM reach GROUP BY x),
+       m AS (
+         SELECT doc_id,
+           CASE doc_id % 3 WHEN 0 THEN 44100 WHEN 1 THEN 48000
+             ELSE 32000 END AS sample_rate,
+           CASE doc_id % 5 WHEN 0 THEN 64 WHEN 1 THEN 96 WHEN 2 THEN 128
+             WHEN 3 THEN 192 ELSE 256 END AS bitrate_kbps,
+           (1 + doc_id % 4) * 1152 * 1000000
+             // (CASE doc_id % 3 WHEN 0 THEN 44100 WHEN 1 THEN 48000
+                ELSE 32000 END) AS duration_us
+         FROM documents),
+       cl AS (
+         SELECT h.doc_id, coalesce(label, g.rep) AS cluster_id
+         FROM h JOIN g USING (ahash) LEFT JOIN comp ON comp.node = g.rep)
+       SELECT cluster_id, CAST(count(*) AS BIGINT) AS n_members,
+         CAST(count(DISTINCT bitrate_kbps) AS BIGINT) AS n_bitrates,
+         CAST(count(DISTINCT sample_rate) AS BIGINT) AS n_rates,
+         CAST(max(duration_us) - min(duration_us) AS BIGINT)
+           AS dur_spread_us,
+         (count(DISTINCT bitrate_kbps) > 1
+           OR count(DISTINCT sample_rate) > 1
+           OR max(duration_us) - min(duration_us) > 0) AS transcode_suspect
+       FROM cl JOIN m USING (doc_id)
+       GROUP BY cluster_id HAVING count(*) >= 2
+       ORDER BY cluster_id"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d11_multimodal_meta" -> (d11MultimodalMeta _),
     "d70_image_dhash" -> (d70ImageDhash _),
     "d81_audio_dhash" -> (d81AudioDhash _),
-    "d139_mp3_meta" -> (d139Mp3Meta _)
+    "d139_mp3_meta" -> (d139Mp3Meta _),
+    "d198_transcode_dups" -> (d198TranscodeDups _)
   )
 
   val oracles: Map[String, String] = Map(
     "d11_multimodal_meta" -> d11Oracle,
     "d70_image_dhash" -> d70Oracle,
     "d81_audio_dhash" -> d81Oracle,
-    "d139_mp3_meta" -> d139Oracle
+    "d139_mp3_meta" -> d139Oracle,
+    "d198_transcode_dups" -> d198Oracle
   )
 }
