@@ -1282,6 +1282,87 @@ object Queries {
          % 100 < $SamplePct
        ORDER BY o_orderkey"""
 
+  // --------------------------------------------------------------- q44
+  /** IGNORE NULLS window — LAST-OBSERVATION-CARRIED-FORWARD gap fill,
+    * the canonical sparse-timeseries densification (sensor readings,
+    * sparse fact snapshots, slowly-updating dimensions read at event
+    * grain): a calendar spine per type LEFT-joins a deliberately
+    * SPARSE daily aggregate (cents % 97 < 5 — a deterministic ~5%
+    * slice, so real gaps exist at every sf), and
+    * `last(x, ignoreNulls) OVER (… ROWS UNBOUNDED PRECEDING)` carries
+    * the latest observation across the gaps; days before the first
+    * observation stay NULL on both engines. DuckDB runs the ANSI
+    * `IGNORE NULLS` spelling of the identical frame.
+    *
+    * Scale: the window partitions by type over the CALENDAR-sized
+    * spine (the q30/d162 discipline — bounds from a 1-row broadcast
+    * aggregate, never a data-sized window); the sparse aggregate is
+    * map-side combined. */
+  def q44Locf(spark: SparkSession, dir: String): DataFrame = {
+    val ev = t(spark, dir, "events").select(col("event_type"),
+      expr("unix_micros(ts) div 86400000000").as("day"),
+      round(col("value") * 100).cast("long").as("cents"))
+    val bounds = ev.agg(min("day").as("d0"), max("day").as("d1"))
+    val types = ev.select("event_type").distinct()
+    val spine = types.crossJoin(broadcast(bounds)) // 1-row scalar bounds
+      .filter(col("d0").isNotNull)
+      .select(col("event_type"),
+        explode(sequence(col("d0"), col("d1"))).as("day"))
+    val sparse = ev.filter(col("cents") % 97 < 5)
+      .groupBy("event_type", "day").agg(sum("cents").as("day_cents"))
+    val w = Window.partitionBy("event_type").orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    spine.join(sparse, Seq("event_type", "day"), "left")
+      .select(col("event_type"), col("day"), col("day_cents"),
+        last(col("day_cents"), ignoreNulls = true).over(w)
+          .as("filled_cents"),
+        col("day_cents").isNull.as("is_gap"))
+      .orderBy("event_type", "day")
+  }
+
+  val q44Oracle: String =
+    """WITH e AS (
+         SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+           CAST(round(value * 100) AS BIGINT) AS cents
+         FROM events),
+       b AS (SELECT min(day) AS d0, max(day) AS d1 FROM e),
+       ty AS (SELECT DISTINCT event_type FROM e),
+       spine AS (
+         SELECT event_type, unnest(range(d0, d1 + 1)) AS day FROM ty, b),
+       sparse AS (
+         SELECT event_type, day, CAST(sum(cents) AS BIGINT) AS day_cents
+         FROM e WHERE cents % 97 < 5 GROUP BY 1, 2)
+       SELECT s.event_type, s.day, day_cents,
+         last_value(day_cents IGNORE NULLS) OVER (
+           PARTITION BY s.event_type ORDER BY s.day
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS filled_cents,
+         day_cents IS NULL AS is_gap
+       FROM spine s LEFT JOIN sparse USING (event_type, day)
+       ORDER BY event_type, day"""
+
+  // --------------------------------------------------------------- q45
+  /** Correlated EXISTS / NOT EXISTS — the subquery spelling of
+    * semi/anti join (q9 pins the Column-API form; this pins the SQL
+    * DECORRELATION: Catalyst must rewrite both per-row probes into one
+    * left-semi and one left-anti hash join for the plan to be viable
+    * at scale, and the SAME pure-ANSI text runs in DuckDB, so there is
+    * no dialect translation for drift to hide in — the q28
+    * precedent). Customers who have ordered but never urgently. */
+  val q45Sql: String =
+    """SELECT c_custkey, c_name FROM customer c
+       WHERE EXISTS (SELECT 1 FROM orders o
+           WHERE o.o_custkey = c.c_custkey)
+         AND NOT EXISTS (SELECT 1 FROM orders o
+           WHERE o.o_custkey = c.c_custkey
+             AND o.o_orderpriority = '1-URGENT')
+       ORDER BY c_custkey"""
+
+  def q45Exists(spark: SparkSession, dir: String): DataFrame =
+    ops.SqlSurface.run(spark, dir, q45Sql)
+
+  val q45Oracle: String = q45Sql
+
   // ------------------------------------------------------------ registry
   val relational: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_agg" -> (q1Agg _),
@@ -1326,7 +1407,9 @@ object Queries {
     "q40_bag_set_ops" -> (q40BagSetOps _),
     "q41_ordered_set" -> (q41OrderedSet _),
     "q42_window_distinct" -> (q42WindowDistinct _),
-    "q43_hash_sample" -> (q43HashSample _)
+    "q43_hash_sample" -> (q43HashSample _),
+    "q44_locf" -> (q44Locf _),
+    "q45_exists" -> (q45Exists _)
   )
 
   val relationalOracles: Map[String, String] = Map(
@@ -1372,7 +1455,9 @@ object Queries {
     "q40_bag_set_ops" -> q40Oracle,
     "q41_ordered_set" -> q41Oracle,
     "q42_window_distinct" -> q42Oracle,
-    "q43_hash_sample" -> q43Oracle
+    "q43_hash_sample" -> q43Oracle,
+    "q44_locf" -> q44Oracle,
+    "q45_exists" -> q45Oracle
   )
 
   // lazy: a caller may initialize a contributing registry object FIRST

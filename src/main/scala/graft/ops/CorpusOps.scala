@@ -7876,6 +7876,171 @@ object CorpusOps {
            AS mase
        FROM se, na"""
 
+  // -------------------------------------------------------------- d199
+  /** Trailing window (days) of the decayed-engagement score; weights
+    * are 2^(window−1−age) — halving per day, EXACT in integers. */
+  private[graft] val DecayWindowDays = 8
+
+  /** TIME-DECAYED ENGAGEMENT SCORE — the feature-store staple: each
+    * user's recency-weighted activity, score = Σ over the trailing
+    * [[DecayWindowDays]] days of (events that day) × 2^(7−age). The
+    * halving-per-day weights make it an EWMA with α = 1/2 truncated at
+    * the window, and the ×128 integer scaling keeps every arithmetic
+    * step in BIGINT — no float, no rounding boundary, identical in
+    * both engines by construction (the d140/d118 determinism
+    * discipline: never gate on float summation when integers express
+    * the same feature).
+    *
+    * Scale shape: one (user, day) map-side-combined aggregate — the
+    * only data-sized shuffle — then a per-user rollup; the anchor day
+    * is a 1-row broadcast. No windows, no joins wider than the
+    * aggregate itself. */
+  def d199DecayedEngagement(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.load(spark, dir, "events").select(col("user_id"),
+      expr("unix_micros(ts) div 86400000000").as("day"))
+    val anchor = ev.agg(max("day").as("d1"))
+    val ud = ev.groupBy("user_id", "day").agg(count(lit(1)).as("cnt"))
+    ud.crossJoin(broadcast(anchor)) // 1-row scalar anchor
+      .withColumn("age", col("d1") - col("day"))
+      .groupBy("user_id")
+      .agg(sum("cnt").as("n_total"),
+        sum(when(col("age") < DecayWindowDays,
+          col("cnt") * expr(
+            s"shiftleft(CAST(1 AS BIGINT), CAST(${DecayWindowDays - 1} - age AS INT))"))
+          .otherwise(0L)).as("score_x128"))
+      .orderBy("user_id")
+  }
+
+  val d199Oracle: String =
+    s"""WITH e AS (
+         SELECT user_id, epoch_us(ts) // 86400000000 AS day FROM events),
+       b AS (SELECT max(day) AS d1 FROM e),
+       ud AS (SELECT user_id, day, count(*) AS cnt FROM e GROUP BY 1, 2)
+       SELECT user_id, CAST(sum(cnt) AS BIGINT) AS n_total,
+         CAST(sum(CASE WHEN d1 - day < $DecayWindowDays THEN
+           cnt * (1::BIGINT << CAST(${DecayWindowDays - 1} - (d1 - day) AS INT))
+           ELSE 0 END) AS BIGINT) AS score_x128
+       FROM ud, b GROUP BY user_id ORDER BY user_id"""
+
+  // -------------------------------------------------------------- d200
+  /** Compaction target (bytes) and the synthetic per-row size the
+    * inventory derives file bytes from. */
+  // 64 KiB: calibrated so the packing is MULTI-bin at both gate scales
+  // (1 MiB left sf0.01 at one bin per type — packing unexercised, the
+  // d152/d161 scale-constant lesson applied at birth)
+  private[graft] val CompactTargetBytes = 1L << 16
+  private[graft] val CompactRowBytes = 512L
+
+  /** SMALL-FILE COMPACTION PLANNER — the table-maintenance pass every
+    * streaming-ingested warehouse runs (OPTIMIZE / rewriteDataFiles):
+    * an hourly ingest writes one file per (type, hour); the planner
+    * groups each type's files, in hour order, into
+    * ~[[CompactTargetBytes]] rewrite bins. Bin assignment is NEXT-FIT
+    * BY CUMULATIVE OFFSET — bin = (bytes before this file) div target —
+    * the one deterministic, single-pass, shuffle-free formulation of
+    * greedy packing (a bin may overshoot by at most one file, the
+    * standard streaming relaxation; a stateful exact-fit greedy would
+    * serialize the scan for a boundary nobody needs exact). Emits one
+    * row per planned rewrite task: files, bytes, hour range — directly
+    * schedulable work items, the d162 backfill-report shape.
+    *
+    * Scale: the inventory is a (type, hour) aggregate — calendar-sized
+    * — and the running offset partitions by type over it; nothing
+    * data-sized enters a window. */
+  def d200CompactionPlan(spark: SparkSession, dir: String): DataFrame = {
+    val inv = Tables.load(spark, dir, "events")
+      .groupBy(col("event_type"),
+        expr("unix_micros(ts) div 3600000000").as("hour"))
+      .agg((count(lit(1)) * CompactRowBytes).as("bytes"))
+    val w = Window.partitionBy("event_type").orderBy("hour")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    inv
+      .withColumn("bin",
+        ((sum("bytes").over(w) - col("bytes")) / CompactTargetBytes)
+          .cast("long"))
+      .groupBy("event_type", "bin")
+      .agg(count(lit(1)).as("n_files"), sum("bytes").as("bin_bytes"),
+        min("hour").as("first_hour"), max("hour").as("last_hour"))
+      .orderBy("event_type", "bin")
+  }
+
+  val d200Oracle: String =
+    s"""WITH inv AS (
+         SELECT event_type, epoch_us(ts) // 3600000000 AS hour,
+           count(*) * $CompactRowBytes AS bytes
+         FROM events GROUP BY 1, 2),
+       planned AS (
+         SELECT event_type, hour, bytes,
+           (sum(bytes) OVER (PARTITION BY event_type ORDER BY hour
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - bytes)
+             // $CompactTargetBytes AS bin
+         FROM inv)
+       SELECT event_type, CAST(bin AS BIGINT) AS bin,
+         CAST(count(*) AS BIGINT) AS n_files,
+         CAST(sum(bytes) AS BIGINT) AS bin_bytes,
+         min(hour) AS first_hour, max(hour) AS last_hour
+       FROM planned GROUP BY 1, 2 ORDER BY event_type, bin"""
+
+  // -------------------------------------------------------------- d201
+  /** The zone-map audit's probe threshold (cents ≥ lo, the high-value
+    * scan) — interpolated into both engines. 30000 is calibrated to a
+    * MIXED verdict at BOTH gate scales (sf0.01: per-file max median
+    * 22.5k → most files skip; sf0.1: median 34k → most keep); an
+    * out-of-range constant makes the audit all-skip or all-keep and
+    * the arithmetic vacuous. */
+  private[graft] val SkipLoCents = 30000L
+
+  /** FILE-SKIPPING (ZONE-MAP) AUDIT — the min/max-statistics pruning
+    * arithmetic every columnar warehouse reader lives on (parquet
+    * row-group stats, Iceberg/Delta manifests): with one file per
+    * (type, day) carrying max of the probed column, the high-value
+    * scan (cents ≥ lo) skips a file iff its max < lo. Emits, per
+    * type: files total/skipped/kept, rows inside kept files, and rows
+    * actually matching — the skip RATE and the false-keep overhead
+    * (kept-file rows that don't match), i.e. how well the layout's
+    * clustering serves this predicate. A low skip rate on a hot
+    * predicate is the signal to re-cluster (d156/d158 pin the runtime
+    * mechanisms; this pins the planning arithmetic).
+    *
+    * Scale: one (type, day) aggregate builds the zone map
+    * (calendar-sized); the verdict join is zone-map-sized; matching
+    * rows come from the same scan's map-side aggregate. */
+  def d201FileSkipping(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.load(spark, dir, "events").select(col("event_type"),
+      expr("unix_micros(ts) div 86400000000").as("day"),
+      round(col("value") * 100).cast("long").as("cents"))
+    val zones = ev.groupBy("event_type", "day")
+      .agg(max("cents").as("mx"), count(lit(1)).as("rows"),
+        sum(when(col("cents") >= SkipLoCents, 1L)
+          .otherwise(0L)).as("matching"))
+      .withColumn("skipped", col("mx") < SkipLoCents)
+    zones.groupBy("event_type")
+      .agg(count(lit(1)).as("n_files"),
+        sum(when(col("skipped"), 1L).otherwise(0L)).as("n_skipped"),
+        sum(when(!col("skipped"), col("rows")).otherwise(0L))
+          .as("rows_scanned"),
+        sum("matching").as("rows_matching"))
+      .orderBy("event_type")
+  }
+
+  val d201Oracle: String =
+    s"""WITH e AS (
+         SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+           CAST(round(value * 100) AS BIGINT) AS cents
+         FROM events),
+       zones AS (
+         SELECT event_type, day, max(cents) AS mx, count(*) AS rows_,
+           sum(CASE WHEN cents >= $SkipLoCents THEN 1 ELSE 0 END)
+             AS matching
+         FROM e GROUP BY 1, 2)
+       SELECT event_type, CAST(count(*) AS BIGINT) AS n_files,
+         CAST(sum(CASE WHEN mx < $SkipLoCents THEN 1 ELSE 0 END)
+           AS BIGINT) AS n_skipped,
+         CAST(sum(CASE WHEN mx < $SkipLoCents THEN 0 ELSE rows_ END)
+           AS BIGINT) AS rows_scanned,
+         CAST(sum(matching) AS BIGINT) AS rows_matching
+       FROM zones GROUP BY event_type ORDER BY event_type"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d171_loo_influence" -> (d171LooInfluence _),
     "d172_source_affinity" -> (d172SourceAffinity _),
@@ -7883,6 +8048,9 @@ object CorpusOps {
     "d191_winsor_audit" -> (d191WinsorAudit _),
     "d193_typed_variance" -> (d193TypedVariance _),
     "d194_seasonal_backtest" -> (d194SeasonalBacktest _),
+    "d199_decayed_engagement" -> (d199DecayedEngagement _),
+    "d200_compaction_plan" -> (d200CompactionPlan _),
+    "d201_file_skipping" -> (d201FileSkipping _),
     "d188_lorenz_mass" -> (d188LorenzMass _),
     "d189_weekly_profile" -> (d189WeeklyProfile _),
     "d185_wilson_reach" -> (d185WilsonReach _),
@@ -8027,6 +8195,9 @@ object CorpusOps {
     "d191_winsor_audit" -> d191Oracle,
     "d193_typed_variance" -> d193Oracle,
     "d194_seasonal_backtest" -> d194Oracle,
+    "d199_decayed_engagement" -> d199Oracle,
+    "d200_compaction_plan" -> d200Oracle,
+    "d201_file_skipping" -> d201Oracle,
     "d174_source_lang_nmi" -> d174Oracle,
     "d175_neyman_sample" -> d175Oracle,
     "d176_daily_acf" -> d176Oracle,

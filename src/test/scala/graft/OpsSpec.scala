@@ -836,4 +836,16 @@ class OpsSpec extends AnyFunSuite with SparkSpec {
     assert(r.getDouble(0) == atRank(0.5), "p50 definition drift")
     assert(r.getDouble(1) == atRank(0.9), "p90 definition drift")
   }
+
+  test("q45: correlated EXISTS / NOT EXISTS decorrelate to one semi " +
+      "and one anti join — never per-row subquery execution") {
+    val plan = Queries.q45Exists(spark, dir).queryExecution.executedPlan
+    val joins = collectPlans(plan).collect {
+      case j: org.apache.spark.sql.execution.joins.BaseJoinExec => j.joinType
+    }
+    assert(joins.count(_ == org.apache.spark.sql.catalyst.plans.LeftSemi) == 1,
+      s"want one LeftSemi, got $joins")
+    assert(joins.count(_ == org.apache.spark.sql.catalyst.plans.LeftAnti) == 1,
+      s"want one LeftAnti, got $joins")
+  }
 }
