@@ -8041,6 +8041,191 @@ object CorpusOps {
          CAST(sum(matching) AS BIGINT) AS rows_matching
        FROM zones GROUP BY event_type ORDER BY event_type"""
 
+  // -------------------------------------------------------------- d202
+  /** Points per synthetic file in the layout audit, and the 2-D probe:
+    * a 20-user cohort over a 7-day window (day bounds derive from the
+    * log's own min day, so the probe hits real data at every sf). */
+  private[graft] val ZFileRows = 256L
+  private[graft] val ZCohortLoU = 10L
+  private[graft] val ZCohortHiU = 29L
+  private[graft] val ZDayOff0 = 10L
+  private[graft] val ZDayOff1 = 16L
+
+  /** Morton interleave of two 16-bit values as a dialect-parameterized
+    * formula — ONE Scala loop emits both engines' expressions, so the
+    * 32 bit-terms cannot drift between them. */
+  private def mortonFormula(u: String, d: String,
+      shl: (String, Int) => String, shr: (String, Int) => String): String =
+    (0 until 16).flatMap { i =>
+      Seq(shl(s"(${shr(u, i)} & 1)", 2 * i),
+        shl(s"(${shr(d, i)} & 1)", 2 * i + 1))
+    }.mkString(" + ")
+  /** Z-ORDER LAYOUT AUDIT — WHY a 100 TB table z-orders its hot probe
+    * columns, measured: the same distinct (user, day) point set is
+    * packed into [[ZFileRows]]-point files under (a) the linear
+    * day-major layout a time-ordered ingest produces and (b) a Morton
+    * (Z-curve) interleave of the two probe dimensions; the same 2-D
+    * cohort probe then runs d201's zone-map skip arithmetic against
+    * both layouts. Linear layouts answer 1-D time probes; the 2-D
+    * probe forces them to scan nearly every file (every day-file
+    * contains some cohort user), while the Z layout keeps both
+    * dimensions locally bounded per file. One output row per layout —
+    * the skip-rate delta IS the re-cluster justification (d201 flags
+    * the symptom; this pins the remedy's arithmetic).
+    *
+    * Determinism/scale: ranks come from [[GlobalOrder.rank]] (total
+    * orders with id tiebreaks, range-exchange — no data-sized window);
+    * the Morton value is pure integer bit math emitted from ONE
+    * dialect-parameterized formula into both engines; zone maps and
+    * verdicts are exact-integer aggregates of the file-sized rollup. */
+  def d202ZorderAudit(spark: SparkSession, dir: String): DataFrame = {
+    val pts0 = Tables.load(spark, dir, "events")
+      .select(col("user_id").as("u"),
+        expr("unix_micros(ts) div 86400000000").as("day"))
+      .distinct()
+    val d0row = pts0.agg(min("day").as("dmin"))
+    val pts = pts0.crossJoin(broadcast(d0row)) // 1-row scalar anchor
+      .select(col("u"), (col("day") - col("dmin")).as("d"))
+      .localCheckpoint() // both layouts + the probe read one point set
+    val z = mortonFormula("(u & 65535)", "(d & 65535)",
+      (e, k) => s"shiftleft(CAST($e AS BIGINT), $k)",
+      (e, k) => s"shiftright($e, $k)")
+    val zPts = pts.withColumn("zv", expr(z))
+    val matchCol = col("u").between(ZCohortLoU, ZCohortHiU) &&
+      col("d").between(ZDayOff0, ZDayOff1)
+    def audit(layout: String, ranked: DataFrame): DataFrame =
+      ranked
+        .withColumn("file_id", ((col("rank") - 1) / ZFileRows).cast("long"))
+        .groupBy("file_id")
+        .agg(min("u").as("mnu"), max("u").as("mxu"),
+          min("d").as("mnd"), max("d").as("mxd"),
+          count(lit(1)).as("rows"),
+          sum(when(matchCol, 1L).otherwise(0L)).as("matching"))
+        .withColumn("skipped",
+          col("mxu") < ZCohortLoU || col("mnu") > ZCohortHiU ||
+            col("mxd") < ZDayOff0 || col("mnd") > ZDayOff1)
+        .agg(count(lit(1)).as("n_files"),
+          sum(when(col("skipped"), 1L).otherwise(0L)).as("n_skipped"),
+          sum(when(!col("skipped"), col("rows")).otherwise(0L))
+            .as("rows_scanned"),
+          sum("matching").as("rows_matching"))
+        .select(lit(layout).as("layout"), col("n_files"), col("n_skipped"),
+          col("rows_scanned"), col("rows_matching"))
+    audit("1_linear", GlobalOrder.rank(pts, Seq(col("d"), col("u"))))
+      .unionByName(
+        audit("2_zorder", GlobalOrder.rank(zPts, Seq(col("zv"), col("u")))))
+      .orderBy("layout")
+  }
+
+  val d202Oracle: String = {
+    val z = mortonFormula("(u & 65535)", "(d & 65535)",
+      (e, k) => s"($e << $k)", (e, k) => s"($e >> $k)")
+    def audit(layout: String, order: String) =
+      s"""SELECT '$layout' AS layout,
+           CAST(count(*) AS BIGINT) AS n_files,
+           CAST(sum(CASE WHEN skipped THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_skipped,
+           CAST(sum(CASE WHEN skipped THEN 0 ELSE rows_ END) AS BIGINT)
+             AS rows_scanned,
+           CAST(sum(matching) AS BIGINT) AS rows_matching
+         FROM (
+           SELECT file_id,
+             max(u) < $ZCohortLoU OR min(u) > $ZCohortHiU OR
+             max(d) < $ZDayOff0 OR min(d) > $ZDayOff1 AS skipped,
+             count(*) AS rows_,
+             sum(CASE WHEN u BETWEEN $ZCohortLoU AND $ZCohortHiU
+               AND d BETWEEN $ZDayOff0 AND $ZDayOff1 THEN 1 ELSE 0 END)
+               AS matching
+           FROM (
+             SELECT u, d,
+               (row_number() OVER (ORDER BY $order) - 1) // $ZFileRows
+                 AS file_id
+             FROM zpts) f
+           GROUP BY file_id) s"""
+    s"""WITH pts0 AS (
+         SELECT DISTINCT user_id AS u, epoch_us(ts) // 86400000000 AS day
+         FROM events),
+       b AS (SELECT min(day) AS dmin FROM pts0),
+       pts AS (SELECT u, day - dmin AS d FROM pts0, b),
+       zpts AS (SELECT u, d, $z AS zv FROM pts)
+       ${audit("1_linear", "d, u")}
+       UNION ALL
+       ${audit("2_zorder", "zv, u")}
+       ORDER BY layout"""
+  }
+
+  // -------------------------------------------------------------- d203
+  /** Fraction of customers on the deletion list: hash % 20 == 0. */
+  private[graft] val DelHashMod = 20L
+
+  /** DELETION-SWEEP PLANNER (right-to-be-forgotten) — given a customer
+    * deletion list, the purge propagates through the FK chain
+    * customer → orders (o_custkey) → lineitem (l_orderkey), and the
+    * sweep is scheduled per PARTITION (month), so the plan a compliance
+    * job needs is: per table, how many rows die and how many monthly
+    * partitions must be rewritten. The deletion list is the
+    * hash-threshold sample (q43's idiom — deterministic, engine- and
+    * growth-stable, exactly how a test-environment scrub list is
+    * drawn). d175's k-anonymity family audits what may be RELEASED;
+    * this plans what must be ERASED — the other half of the privacy
+    * ops story.
+    *
+    * Scale: two LEFT SEMI hash joins moving only keys (customer list
+    * broadcasts; the order-key set shuffles once), then per-table
+    * month-grain aggregates; output is 3 rows. */
+  def d203DeletionSweep(spark: SparkSession, dir: String): DataFrame = {
+    val dl = Tables.load(spark, dir, "customer")
+      .filter(TextOps.hash60(col("c_custkey").cast("string"))
+        % DelHashMod === 0)
+      .select(col("c_custkey"))
+      .localCheckpoint() // three consumers
+    val orders = Tables.load(spark, dir, "orders")
+      .join(dl, col("o_custkey") === col("c_custkey"), "left_semi")
+      .localCheckpoint() // feeds the count and the lineitem probe
+    val li = Tables.load(spark, dir, "lineitem")
+      .join(orders.select("o_orderkey"),
+        col("l_orderkey") === col("o_orderkey"), "left_semi")
+    val cRow = dl.agg(count(lit(1)).as("rows_to_purge"))
+      .select(lit("1_customer").as("tbl"), col("rows_to_purge"),
+        when(col("rows_to_purge") > 0, 1L).otherwise(0L)
+          .as("partitions_touched"))
+    val oRow = orders.agg(count(lit(1)).as("rows_to_purge"),
+        countDistinct(date_trunc("month", col("o_orderdate")))
+          .as("partitions_touched"))
+      .select(lit("2_orders").as("tbl"), col("rows_to_purge"),
+        col("partitions_touched"))
+    val lRow = li.agg(count(lit(1)).as("rows_to_purge"),
+        countDistinct(date_trunc("month", col("l_shipdate")))
+          .as("partitions_touched"))
+      .select(lit("3_lineitem").as("tbl"), col("rows_to_purge"),
+        col("partitions_touched"))
+    cRow.unionByName(oRow).unionByName(lRow).orderBy("tbl")
+  }
+
+  val d203Oracle: String =
+    s"""WITH dl AS (
+         SELECT c_custkey FROM customer
+         WHERE ('0x' || substr(md5(c_custkey::VARCHAR), 1, 15))::BIGINT
+           % $DelHashMod = 0),
+       o AS (SELECT * FROM orders WHERE o_custkey IN
+         (SELECT c_custkey FROM dl)),
+       li AS (SELECT * FROM lineitem WHERE l_orderkey IN
+         (SELECT o_orderkey FROM o))
+       SELECT '1_customer' AS tbl,
+         CAST(count(*) AS BIGINT) AS rows_to_purge,
+         CAST(CASE WHEN count(*) > 0 THEN 1 ELSE 0 END AS BIGINT)
+           AS partitions_touched
+       FROM dl
+       UNION ALL
+       SELECT '2_orders', CAST(count(*) AS BIGINT),
+         CAST(count(DISTINCT date_trunc('month', o_orderdate)) AS BIGINT)
+       FROM o
+       UNION ALL
+       SELECT '3_lineitem', CAST(count(*) AS BIGINT),
+         CAST(count(DISTINCT date_trunc('month', l_shipdate)) AS BIGINT)
+       FROM li
+       ORDER BY tbl"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d171_loo_influence" -> (d171LooInfluence _),
     "d172_source_affinity" -> (d172SourceAffinity _),
@@ -8051,6 +8236,8 @@ object CorpusOps {
     "d199_decayed_engagement" -> (d199DecayedEngagement _),
     "d200_compaction_plan" -> (d200CompactionPlan _),
     "d201_file_skipping" -> (d201FileSkipping _),
+    "d202_zorder_audit" -> (d202ZorderAudit _),
+    "d203_deletion_sweep" -> (d203DeletionSweep _),
     "d188_lorenz_mass" -> (d188LorenzMass _),
     "d189_weekly_profile" -> (d189WeeklyProfile _),
     "d185_wilson_reach" -> (d185WilsonReach _),
@@ -8198,6 +8385,8 @@ object CorpusOps {
     "d199_decayed_engagement" -> d199Oracle,
     "d200_compaction_plan" -> d200Oracle,
     "d201_file_skipping" -> d201Oracle,
+    "d202_zorder_audit" -> d202Oracle,
+    "d203_deletion_sweep" -> d203Oracle,
     "d174_source_lang_nmi" -> d174Oracle,
     "d175_neyman_sample" -> d175Oracle,
     "d176_daily_acf" -> d176Oracle,
