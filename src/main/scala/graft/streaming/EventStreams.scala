@@ -121,6 +121,52 @@ object EventStreams {
       }
   }
 
+  /** [[sessionCounts]]'s fold re-expressed on Spark 4's
+    * `transformWithState` (StatefulProcessor + typed ValueState) — the
+    * arbitrary-state API that SUPERSEDES `mapGroupsWithState` and runs
+    * its state exclusively on the RocksDB provider. Same key, same
+    * state record, same fold, same output — the gate (d204) pins the
+    * two state APIs answer-identical against the one batch oracle, so
+    * a migration from the legacy API is a drop-in swap. */
+  class SessionCountsProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, (Long, Long), UserSessions] {
+    @transient private var state:
+      org.apache.spark.sql.streaming.ValueState[SessionState] = _
+    override def init(outputMode: OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      state = getHandle.getValueState[SessionState]("session",
+        org.apache.spark.sql.Encoders.product[SessionState],
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+    override def handleInputRows(user: Long, rows: Iterator[(Long, Long)],
+        timers: org.apache.spark.sql.streaming.TimerValues)
+        : Iterator[UserSessions] = {
+      var st =
+        if (state.exists()) state.get()
+        else SessionState(Long.MinValue, 0L, 0L)
+      rows.map(_._2).toSeq.sorted.foreach { t =>
+        val isNew = st.lastTsUs == Long.MinValue || t - st.lastTsUs > GapUs
+        st = SessionState(t,
+          st.nSessions + (if (isNew) 1L else 0L), st.nEvents + 1L)
+      }
+      state.update(st)
+      Iterator.single(UserSessions(user, st.nSessions, st.nEvents))
+    }
+  }
+
+  /** [[sessionCounts]] on the new state API — see
+    * [[SessionCountsProcessor]]. */
+  def sessionCountsTws(events: DataFrame): Dataset[UserSessions] = {
+    import events.sparkSession.implicits._
+    events
+      .select(col("user_id"), unix_micros(col("ts")).as("ts_us"))
+      .as[(Long, Long)]
+      .groupByKey(_._1)
+      .transformWithState(new SessionCountsProcessor,
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        OutputMode.Update())
+  }
+
   /** One finalized session: emitted exactly once, when the watermark
     * proves no further event can extend it. */
   final case class ClosedSession(

@@ -137,6 +137,44 @@ object StreamGates {
     * batch sessionization definition, not a streaming-specific one. */
   val d64Oracle: String = graft.Queries.q18Oracle
 
+  // --------------------------------------------------------------- d204
+  /** SESSIONIZATION ON `transformWithState` — the fifteenth streaming
+    * shape and the forward-migration pin: Spark 4's arbitrary-state
+    * API (StatefulProcessor + typed ValueState, RocksDB-only) is the
+    * declared successor to `mapGroupsWithState`, and this gate runs
+    * d64's exact session fold on it against the SAME batch oracle
+    * (q18), so the legacy-API pipeline and its successor are pinned
+    * answer-identical — the migration a production stream at this
+    * scale will eventually make, pre-verified. The provider pin rides
+    * the same in-op discipline as d195-d197. */
+  def d204TwsSessions(spark: SparkSession, dir: String): DataFrame =
+    withRocksDb(spark) {
+      val staged = stage(dir, "events", "graft-d204")
+      val stream = EventStreams.readEvents(spark, staged.toString)
+      val name = s"graft_d204_run${runSeq.incrementAndGet()}"
+      // one state store per shuffle partition — pin to the gate fixture
+      // and restore (the d107/d179 conf discipline)
+      val prev = spark.conf.get("spark.sql.shuffle.partitions")
+      spark.conf.set("spark.sql.shuffle.partitions", "8")
+      val query =
+        try EventStreams.sessionCountsTws(stream)
+          .writeStream.format("memory").queryName(name)
+          .outputMode("update")
+          .trigger(Trigger.AvailableNow())
+          .start()
+        finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+      query.awaitTermination()
+      requireRocksDb(query)
+      unstage(staged)
+      spark.table(name)
+        .select(col("user_id"), col("n_sessions"), col("n_events"))
+        .orderBy("user_id")
+    }
+
+  /** q18's oracle verbatim, like d64 — both state APIs must agree with
+    * the one batch sessionization definition. */
+  val d204Oracle: String = graft.Queries.q18Oracle
+
   // --------------------------------------------------------------- d76
   /** The streaming EXACT-DEDUP gate ([[IngestStreams.dedupedDocs]] —
     * `dropDuplicatesWithinWatermark` over the md5 content hash) run
@@ -1025,7 +1063,8 @@ object StreamGates {
     "d187_stream_dedup_expiry" -> (d187StreamDedupExpiry _),
     "d195_rocksdb_recovery" -> (d195RocksdbRecovery _),
     "d196_rocksdb_outer_join" -> (d196RocksdbOuterJoin _),
-    "d197_rocksdb_dedup_expiry" -> (d197RocksdbDedupExpiry _))
+    "d197_rocksdb_dedup_expiry" -> (d197RocksdbDedupExpiry _),
+    "d204_tws_sessions" -> (d204TwsSessions _))
 
   val oracles: Map[String, String] = Map(
     "d50_stream_decontaminate" -> d50Oracle,
@@ -1042,5 +1081,6 @@ object StreamGates {
     "d187_stream_dedup_expiry" -> d187Oracle,
     "d195_rocksdb_recovery" -> d127Oracle,
     "d196_rocksdb_outer_join" -> d179Oracle,
-    "d197_rocksdb_dedup_expiry" -> d187Oracle)
+    "d197_rocksdb_dedup_expiry" -> d187Oracle,
+    "d204_tws_sessions" -> d204Oracle)
 }
