@@ -782,6 +782,60 @@ object StreamGates {
            AND v.ts < p.ts
        ORDER BY p_id, view_id"""
 
+  // -------------------------------------------------------------- d205
+  /** Slide grain of the sliding-window gate (15 min in µs). */
+  private[streaming] val SlideUs = 900L * 1000000
+
+  /** WATERMARKED SLIDING WINDOWS — the sixteenth streaming shape and
+    * the one window KIND the surface lacked: d104 pins the tumbling
+    * grid, d180 the data-driven session merge; `window(ts, 1h, 15m)`
+    * is the OVERLAPPING grid (each event lands in 4 windows — the
+    * dashboard's smoothed rate), which exercises the multi-assignment
+    * expansion none of the other windows do. Append mode emits a
+    * window only when the watermark passes its end; one flush sentinel
+    * (distinct type, filtered from the result) pushes the final
+    * watermark past every real window. The oracle is the closed-form
+    * 4-offset expansion — exactly q30's bounded fan-out idiom, integer
+    * µs throughout.
+    *
+    * Scale: per-batch partial aggregation on (window, type); state is
+    * one row per open (window, type), bounded by watermark horizon ×
+    * 4-fold overlap. */
+  def d205SlidingWindows(spark: SparkSession, dir: String): DataFrame = {
+    val staged = stageWithSentinels(spark, dir, "graft-d205",
+      Seq("zz_flush"))
+    val name = s"graft_d205_run${runSeq.incrementAndGet()}"
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    val query =
+      try EventStreams.readEvents(spark, staged.toString)
+        .withWatermark("ts", "1 hour")
+        .groupBy(window(col("ts"), "1 hour", "15 minutes"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .select(unix_micros(col("window.start")).as("win_us"),
+          col("event_type"), col("n"))
+        .writeStream.format("memory").queryName(name)
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+    query.awaitTermination()
+    unstage(staged)
+    spark.table(name).filter(col("event_type") =!= "zz_flush")
+      .orderBy("win_us", "event_type")
+  }
+
+  /** The 4-offset closed form: an event at t belongs to the four
+    * 15-min-aligned hour windows starting at ⌊t/15m⌋·15m − k·15m. */
+  val d205Oracle: String =
+    s"""WITH e AS (SELECT epoch_us(ts) AS us, event_type FROM events),
+       w AS (
+         SELECT event_type, (us // $SlideUs - k) * $SlideUs AS win_us
+         FROM e, (SELECT unnest(range(4)) AS k))
+       SELECT win_us, event_type, CAST(count(*) AS BIGINT) AS n
+       FROM w GROUP BY 1, 2 ORDER BY win_us, event_type"""
+
   // -------------------------------------------------------------- d180
   /** Session inactivity gap (minutes) — ONE constant deriving both the
     * `session_window` gap string and the oracle's break interval. */
@@ -1064,7 +1118,8 @@ object StreamGates {
     "d195_rocksdb_recovery" -> (d195RocksdbRecovery _),
     "d196_rocksdb_outer_join" -> (d196RocksdbOuterJoin _),
     "d197_rocksdb_dedup_expiry" -> (d197RocksdbDedupExpiry _),
-    "d204_tws_sessions" -> (d204TwsSessions _))
+    "d204_tws_sessions" -> (d204TwsSessions _),
+    "d205_sliding_windows" -> (d205SlidingWindows _))
 
   val oracles: Map[String, String] = Map(
     "d50_stream_decontaminate" -> d50Oracle,
@@ -1082,5 +1137,6 @@ object StreamGates {
     "d195_rocksdb_recovery" -> d127Oracle,
     "d196_rocksdb_outer_join" -> d179Oracle,
     "d197_rocksdb_dedup_expiry" -> d187Oracle,
-    "d204_tws_sessions" -> d204Oracle)
+    "d204_tws_sessions" -> d204Oracle,
+    "d205_sliding_windows" -> d205Oracle)
 }
