@@ -1285,7 +1285,60 @@ object FuzzyDedup {
        SELECT name_a, name_b, CAST(lev AS INT) AS lev, n_a, n_b
        FROM pairs ORDER BY lev, name_a, name_b"""
 
+  // -------------------------------------------------------------- d206
+  /** EFFECTIVE TOKEN MASS — the one number a training team quotes from
+    * the dedup pipeline: total corpus tokens, tokens surviving EXACT
+    * dedup (one copy per distinct text), and tokens surviving NEAR-DUP
+    * collapse (d15's cluster survivors), with the survival rates as
+    * exact-integer basis points. "X B tokens, Y B unique" decides
+    * epoch counts and mixture weights; computing it from the SAME
+    * survivor rules the gated dedup ops apply (exactGroups /
+    * d15DedupClusters — one definition, shared) means the quoted
+    * number and the pipeline's behavior cannot disagree.
+    *
+    * Scale: d15's machinery plus one token-length projection and a
+    * 1-row aggregate; nothing new moves. */
+  def d206EffectiveTokens(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    val tok = d.select(col("doc_id"),
+      size(regexp_extract_all(col("text"), lit("\\S+"), lit(0)))
+        .cast("long").as("n_tok"))
+    val ex = exactGroups(d).select(col("doc_id"), col("rep"))
+    val keep = d15DedupClusters(spark, dir).select(col("doc_id"), col("keep"))
+    tok.join(ex, "doc_id").join(keep, "doc_id")
+      .agg(sum("n_tok").as("total_tokens"),
+        sum(when(col("doc_id") === col("rep"), col("n_tok")).otherwise(0L))
+          .as("exact_tokens"),
+        sum(when(col("keep") === 1, col("n_tok")).otherwise(0L))
+          .as("neardup_tokens"))
+      .select(col("total_tokens"), col("exact_tokens"), col("neardup_tokens"),
+        when(col("total_tokens") > 0,
+          expr("10000 * exact_tokens div total_tokens")).as("exact_bp"),
+        when(col("total_tokens") > 0,
+          expr("10000 * neardup_tokens div total_tokens")).as("neardup_bp"))
+  }
+
+  val d206Oracle: String =
+    s"""WITH RECURSIVE $d15Ctes,
+       tok AS (
+         SELECT doc_id, len(regexp_extract_all(text, '\\S+')) AS n_tok
+         FROM documents),
+       a AS (
+         SELECT CAST(sum(n_tok) AS BIGINT) AS total_tokens,
+           CAST(sum(CASE WHEN doc_id = rep THEN n_tok ELSE 0 END)
+             AS BIGINT) AS exact_tokens,
+           CAST(sum(CASE WHEN keep = 1 THEN n_tok ELSE 0 END)
+             AS BIGINT) AS neardup_tokens
+         FROM tok JOIN exact_rep USING (doc_id) JOIN clusters USING (doc_id))
+       SELECT total_tokens, exact_tokens, neardup_tokens,
+         CASE WHEN total_tokens > 0 THEN
+           10000 * exact_tokens // total_tokens END AS exact_bp,
+         CASE WHEN total_tokens > 0 THEN
+           10000 * neardup_tokens // total_tokens END AS neardup_bp
+       FROM a"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d206_effective_tokens" -> (d206EffectiveTokens _),
     "d101_fuzzy_match" -> (d101FuzzyMatch _),
     "d27_incremental_novelty" -> (d27IncrementalNovelty _),
     "d2_minhash_dedup" -> (d2MinhashDedup _),
@@ -1306,6 +1359,7 @@ object FuzzyDedup {
   )
 
   val oracles: Map[String, String] = Map(
+    "d206_effective_tokens" -> d206Oracle,
     "d101_fuzzy_match" -> d101Oracle,
     "d27_incremental_novelty" -> d27Oracle,
     "d2_minhash_dedup" -> d2Oracle,
