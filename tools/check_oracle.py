@@ -71,11 +71,12 @@ def lint(sf_dir, out_dir):
     return 1 if n_bad else 0
 
 
-def main(sf_dir, out_dir):
+def main(sf_dir, out_dir, json_out=None):
     con = duckdb.connect()
     register_views(con, sf_dir)
     oracle = json.load(open(os.path.join(out_dir, "oracle_sql.json")))
     n_pass = n_fail = 0
+    results = {}
     names = sorted(d for d in os.listdir(out_dir)
                    if os.path.isdir(os.path.join(out_dir, d)))
     for name in names:
@@ -87,6 +88,7 @@ def main(sf_dir, out_dir):
         if name not in oracle:
             print(f"  {name}: NO-ORACLE rows={len(got_rows)} "
                   f"{'ok' if got_rows else 'EMPTY!'}")
+            results[name] = {"status": "NO-ORACLE", "rows": len(got_rows)}
             continue
         try:
             orel = con.sql(oracle[name])
@@ -95,6 +97,7 @@ def main(sf_dir, out_dir):
             exp_rows = orel.fetchall()
         except Exception as e:
             print(f"  {name}: ORACLE-SQL-ERROR {e}")
+            results[name] = {"status": "ORACLE-SQL-ERROR"}
             n_fail += 1
             continue
         spark_t = dict(zip(got_cols, got_types))
@@ -105,14 +108,18 @@ def main(sf_dir, out_dir):
         if bad_types:
             n_fail += 1
             print(f"  {name}: TYPE-MISMATCH {'; '.join(bad_types)}")
+            results[name] = {"status": "TYPE-MISMATCH"}
             continue
         g, gc = canon(got_rows, got_cols)
         e, ec = canon(exp_rows, exp_cols)
         if gc != ec:
             print(f"  {name}: SCHEMA-MISMATCH spark={gc} oracle={ec}")
+            results[name] = {"status": "SCHEMA-MISMATCH"}
             n_fail += 1
         elif g != e:
             n_fail += 1
+            results[name] = {"status": "HASH-MISMATCH",
+                             "rows_spark": len(g), "rows_oracle": len(e)}
             print(f"  {name}: HASH-MISMATCH rows spark={len(g)} oracle={len(e)}")
             for i, (a, b) in enumerate(zip(g, e)):
                 if a != b:
@@ -125,12 +132,23 @@ def main(sf_dir, out_dir):
                 for r in list(only_e)[:2]: print(f"    only-oracle: {r}")
         else:
             n_pass += 1
+            results[name] = {"status": "PASS", "rows": len(g)}
             print(f"  {name}: PASS rows={len(g)}")
     print(f"== {n_pass} pass, {n_fail} fail ==")
+    if json_out:
+        with open(json_out, "w") as f:
+            json.dump({"sf_dir": sf_dir, "n_pass": n_pass, "n_fail": n_fail,
+                       "queries": results}, f, indent=1, sort_keys=True)
     return 1 if n_fail else 0
 
 if __name__ == "__main__":
     if "--lint" in sys.argv:
         args = [a for a in sys.argv[1:] if a != "--lint"]
         sys.exit(lint(args[0], args[1]))
-    sys.exit(main(sys.argv[1], sys.argv[2]))
+    jout = None
+    args = sys.argv[1:]
+    if "--json" in args:
+        i = args.index("--json")
+        jout = args[i + 1]
+        args = args[:i] + args[i + 2:]
+    sys.exit(main(args[0], args[1], jout))
