@@ -138,8 +138,8 @@ object StreamGates {
   val d64Oracle: String = graft.Queries.q18Oracle
 
   // --------------------------------------------------------------- d204
-  /** SESSIONIZATION ON `transformWithState` — the fifteenth streaming
-    * shape and the forward-migration pin: Spark 4's arbitrary-state
+  /** SESSIONIZATION ON `transformWithState` — the forward-migration
+    * pin: Spark 4's arbitrary-state
     * API (StatefulProcessor + typed ValueState, RocksDB-only) is the
     * declared successor to `mapGroupsWithState`, and this gate runs
     * d64's exact session fold on it against the SAME batch oracle
@@ -786,8 +786,8 @@ object StreamGates {
   /** Slide grain of the sliding-window gate (15 min in µs). */
   private[streaming] val SlideUs = 900L * 1000000
 
-  /** WATERMARKED SLIDING WINDOWS — the sixteenth streaming shape and
-    * the one window KIND the surface lacked: d104 pins the tumbling
+  /** WATERMARKED SLIDING WINDOWS — the one window KIND the surface
+    * lacked: d104 pins the tumbling
     * grid, d180 the data-driven session merge; `window(ts, 1h, 15m)`
     * is the OVERLAPPING grid (each event lands in 4 windows — the
     * dashboard's smoothed rate), which exercises the multi-assignment
