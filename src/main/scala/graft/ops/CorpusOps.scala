@@ -8054,7 +8054,7 @@ object CorpusOps {
   /** Morton interleave of two 16-bit values as a dialect-parameterized
     * formula — ONE Scala loop emits both engines' expressions, so the
     * 32 bit-terms cannot drift between them. */
-  private def mortonFormula(u: String, d: String,
+  private[graft] def mortonFormula(u: String, d: String,
       shl: (String, Int) => String, shr: (String, Int) => String): String =
     (0 until 16).flatMap { i =>
       Seq(shl(s"(${shr(u, i)} & 1)", 2 * i),

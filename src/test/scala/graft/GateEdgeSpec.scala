@@ -1,0 +1,235 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.{CorpusOps, Multimodal}
+
+/** Planted edge-case specs for the round-13 gates: each pins, on a
+  * hand-computed fixture, the semantics corner the corpus gate can
+  * pass without exercising — bin straddling (d200), the exact skip
+  * threshold (d201), the decay-window cutoff (d199), transcode-flag
+  * arithmetic inside one cluster (d198), FK-propagation counts (d203),
+  * the Morton formula generator (d202), ordered-set tie resolution
+  * (q41), windowed-DISTINCT peer semantics (q42), and LOCF's
+  * leading-null region (q44).
+  */
+class GateEdgeSpec extends SparkSpec {
+
+  private def tmp(): String = Files.createTempDirectory("gateedge").toString
+
+  private val H = 3600L * 1000000
+  private val D = 86400L * 1000000
+  private val T0 = 1700006400L * 1000000 // midnight UTC, µs
+
+  private def plantEvents(dir: String,
+      rows: Seq[(Long, Long, Long, String, Double)]): Unit = {
+    import spark.implicits._
+    rows.toDF("event_id", "us", "user_id", "event_type", "value")
+      .select(col("event_id"), timestamp_micros(col("us")).as("ts"),
+        col("user_id"), col("event_type"), col("value"))
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+  }
+
+  /** The engines' shared 60-bit md5-prefix hash, reimplemented
+    * independently for expectation arithmetic. */
+  private def hash60(s: String): Long = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(s.getBytes("UTF-8"))
+      .map(b => f"$b%02x").mkString.take(15)
+    java.lang.Long.parseLong(hex, 16)
+  }
+
+  // ------------------------------------------------------------- d199
+  test("d199 decayed engagement: halving weights, window cutoff at 8 " +
+      "days, zero score for window-outside users") {
+    val dir = tmp()
+    plantEvents(dir, Seq(
+      (1L, T0 + 20 * D, 1L, "view", 0.0), // anchor day, weight 128
+      (2L, T0 + 20 * D + H, 1L, "view", 0.0), // same day, weight 128
+      (3L, T0 + 13 * D, 1L, "view", 0.0), // age 7 -> weight 1
+      (4L, T0 + 12 * D, 1L, "view", 0.0), // age 8 -> OUTSIDE the window
+      (5L, T0, 2L, "view", 0.0), (6L, T0, 2L, "view", 0.0),
+      (7L, T0 + D, 2L, "view", 0.0))) // user 2 all age >= 19
+    val got = CorpusOps.d199DecayedEngagement(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toList
+    assert(got == List((1L, 4L, 2 * 128L + 1L), (2L, 3L, 0L)), s"got $got")
+  }
+
+  // ------------------------------------------------------------- d200
+  test("d200 compaction plan: next-fit by cumulative offset — a file " +
+      "may overshoot its bin, the next file starts the next bin") {
+    val dir = tmp()
+    // hour 0: 100 rows (51200 B, offset 0 -> bin 0); hour 1: 50 rows
+    // (25600 B, offset 51200 -> bin 0, bin total 76800 OVERSHOOTS the
+    // 65536 target); hour 2: 30 rows (offset 76800 -> bin 1)
+    val rows = (0 until 100).map(i => (i.toLong, T0 + i, 1L, "a", 0.0)) ++
+      (0 until 50).map(i => (200L + i, T0 + H + i, 1L, "a", 0.0)) ++
+      (0 until 30).map(i => (400L + i, T0 + 2 * H + i, 1L, "a", 0.0))
+    plantEvents(dir, rows)
+    val h0 = (T0 / H) // hour bucket index of T0
+    val got = CorpusOps.d200CompactionPlan(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toList
+    assert(got == List(
+      ("a", 0L, 2L, 76800L, h0, h0 + 1),
+      ("a", 1L, 1L, 15360L, h0 + 2, h0 + 2)), s"got $got")
+  }
+
+  // ------------------------------------------------------------- d201
+  test("d201 file skipping: a file whose max is exactly the threshold " +
+      "is kept and matches; all-below files skip") {
+    val dir = tmp()
+    plantEvents(dir, Seq(
+      (1L, T0, 1L, "a", 100.0), (2L, T0 + 1, 1L, "a", 150.0),
+      (3L, T0 + 2, 1L, "a", 299.99), // day 0: max 29999 -> skipped
+      (4L, T0 + D, 1L, "a", 300.0), // exactly 30000: kept AND matching
+      (5L, T0 + D + 1, 1L, "a", 10.0), (6L, T0 + D + 2, 1L, "a", 20.0)))
+    val got = CorpusOps.d201FileSkipping(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toList
+    assert(got == List(("a", 2L, 1L, 3L, 1L)), s"got $got")
+  }
+
+  // ------------------------------------------------------------- d202
+  test("d202 morton formula generator: the emitted Spark expression " +
+      "equals an independent bit-interleave for 16-bit inputs") {
+    import spark.implicits._
+    def ref(u: Long, d: Long): Long = {
+      var z = 0L
+      for (i <- 0 until 16) {
+        z |= ((u >> i) & 1L) << (2 * i)
+        z |= ((d >> i) & 1L) << (2 * i + 1)
+      }
+      z
+    }
+    val cases = Seq((0L, 0L), (1L, 0L), (0L, 1L), (65535L, 0L),
+      (0L, 65535L), (65535L, 65535L), (43690L, 21845L), (300L, 77L),
+      (12345L, 54321L))
+    val formula = CorpusOps.mortonFormula("(u & 65535)", "(d & 65535)",
+      (e, k) => s"shiftleft(CAST($e AS BIGINT), $k)",
+      (e, k) => s"shiftright($e, $k)")
+    val got = cases.toDF("u", "d").withColumn("zv", expr(formula))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    got.foreach { case (u, d, zv) =>
+      assert(zv == ref(u, d), s"morton($u, $d): got $zv want ${ref(u, d)}")
+    }
+  }
+
+  // ------------------------------------------------------------- d203
+  test("d203 deletion sweep: FK propagation counts rows and monthly " +
+      "partitions; non-listed customers' data survives") {
+    import spark.implicits._
+    val dir = tmp()
+    val custKeys = (1L to 60L)
+    val deleted = custKeys.filter(k => hash60(k.toString) % 20 == 0)
+    assert(deleted.nonEmpty, "fixture needs at least one listed customer")
+    val delC = deleted.head
+    val keptC = custKeys.find(k => hash60(k.toString) % 20 != 0).get
+    custKeys.map(k => (k, s"c$k")).toDF("c_custkey", "c_name")
+      .write.mode("overwrite").parquet(s"$dir/customer.parquet")
+    // two orders for the deleted customer in DIFFERENT months, one for
+    // a kept customer (must not be purged)
+    Seq((100L, delC, "2024-01-15"), (101L, delC, "2024-02-15"),
+      (102L, keptC, "2024-01-20"))
+      .toDF("o_orderkey", "o_custkey", "d")
+      .select(col("o_orderkey"), col("o_custkey"),
+        to_date(col("d")).as("o_orderdate"))
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    // three lines on the purged orders across two ship months + one
+    // line on the kept order
+    Seq((100L, "2024-01-18"), (100L, "2024-02-02"), (101L, "2024-02-20"),
+      (102L, "2024-01-25"))
+      .toDF("l_orderkey", "d")
+      .select(col("l_orderkey"), to_date(col("d")).as("l_shipdate"))
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val got = CorpusOps.d203DeletionSweep(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toList
+    assert(got == List(
+      ("1_customer", deleted.size.toLong, 1L),
+      ("2_orders", 2L, 2L),
+      ("3_lineitem", 3L, 2L)), s"got $got (deleted=$deleted)")
+  }
+
+  // ------------------------------------------------------------- d198
+  test("d198 transcode audit: one exact-hash cluster flags on " +
+      "bitrate/duration spread; singletons are excluded") {
+    import spark.implicits._
+    val dir = tmp()
+    // docs 10 and 13 share text -> same envelope hash -> one cluster.
+    // d139 synthesis: bitrate 10%5=0 -> 64 vs 13%5=3 -> 192 kbps;
+    // rate both 48000 (10%3 = 13%3 = 1); frames 3 vs 2 ->
+    // durations 3*1152e6/48000 = 72000 vs 48000 µs -> spread 24000.
+    Seq((10L, "repeated payload body"), (13L, "repeated payload body"),
+      (11L, "zzzz totally different content zzzz"))
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = Multimodal.d198TranscodeDups(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getBoolean(5))).toList
+    assert(got == List((10L, 2L, 2L, 1L, 24000L, true)), s"got $got")
+  }
+
+  // -------------------------------------------------------------- q41
+  test("q41 ordered-set: percentile_disc is the rank-ceil(p*n) element " +
+      "and mode ties resolve to the smallest value in BOTH engines' " +
+      "conventions") {
+    import spark.implicits._
+    val dir = tmp()
+    // cents {10,20,30,40}: p25 -> rank 1 (10), p50 -> rank 2 (20),
+    // p75 -> rank 3 (30); statuses F,F,O,O tie -> deterministic 'F'
+    Seq((1L, "P1", "F", 0.10), (2L, "P1", "F", 0.20),
+      (3L, "P1", "O", 0.30), (4L, "P1", "O", 0.40))
+      .toDF("o_orderkey", "o_orderpriority", "o_orderstatus", "o_totalprice")
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    val got = Queries.q41OrderedSet(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getString(4), r.getLong(5))).toList
+    assert(got == List(("P1", 10L, 20L, 30L, "F", 4L)), s"got $got")
+  }
+
+  // -------------------------------------------------------------- q42
+  test("q42 windowed distinct: a returning user never recounts; " +
+      "repeat events inflate n_events only") {
+    val dir = tmp()
+    plantEvents(dir, Seq(
+      (1L, T0, 1L, "a", 0.0), (2L, T0 + 1, 2L, "a", 0.0),
+      (3L, T0 + 2, 1L, "a", 0.0), // user 1 again, same day
+      (4L, T0 + D, 2L, "a", 0.0), // returning user: not recounted
+      (5L, T0 + D + 1, 3L, "a", 0.0))) // new user on day 1
+    val d0 = T0 / D
+    val got = Queries.q42WindowDistinct(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toList
+    assert(got == List(("a", d0, 3L, 2L), ("a", d0 + 1, 2L, 3L)),
+      s"got $got")
+  }
+
+  // -------------------------------------------------------------- q44
+  test("q44 locf: carries across a gap, leaves the leading region " +
+      "null, restarts from each observation") {
+    val dir = tmp()
+    // qualifying = cents % 97 < 5: 1 and 2 and 3 qualify, 10 does not
+    plantEvents(dir, Seq(
+      (1L, T0, 1L, "x", 0.01), // x day0 observed: 1
+      (2L, T0 + D, 1L, "x", 0.10), // x day1: no qualifying -> gap
+      (3L, T0 + 2 * D, 1L, "x", 0.02), // x day2 observed: 2
+      (4L, T0, 1L, "y", 0.10), // y day0: gap (LEADING -> null fill)
+      (5L, T0 + D, 1L, "y", 0.03), // y day1 observed: 3
+      (6L, T0 + 2 * D, 1L, "y", 0.10))) // y day2: gap -> carries 3
+    val d0 = T0 / D
+    def l(r: org.apache.spark.sql.Row, i: Int): Option[Long] =
+      if (r.isNullAt(i)) None else Some(r.getLong(i))
+    val got = Queries.q44Locf(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), l(r, 2), l(r, 3),
+        r.getBoolean(4))).toList
+    assert(got == List(
+      ("x", d0, Some(1L), Some(1L), false),
+      ("x", d0 + 1, None, Some(1L), true),
+      ("x", d0 + 2, Some(2L), Some(2L), false),
+      ("y", d0, None, None, true),
+      ("y", d0 + 1, Some(3L), Some(3L), false),
+      ("y", d0 + 2, None, Some(3L), true)), s"got $got")
+  }
+}
