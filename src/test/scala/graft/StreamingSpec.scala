@@ -140,6 +140,37 @@ class StreamingSpec extends SparkSpec {
       (2L, ms(T0), ms(T0 + min(30)), 1L, 550L)), s"got $got")
   }
 
+  test("d204 transformWithState sessionizer equals the mapGroupsWithState " +
+      "fold on a boundary-heavy planted log") {
+    // 30-min gap boundary cases: u1 has gaps of exactly 30 min (same
+    // session — strictly-greater breaks) and 30 min + 1 µs (new
+    // session); u2 one event
+    val dir = plantLog(Seq(
+      (1L, T0, 1L, "view", 0.0),
+      (2L, T0 + min(30), 1L, "view", 0.0), // exactly the gap: SAME session
+      (3L, T0 + min(60) + 1, 1L, "view", 0.0), // gap 30min+1µs: NEW session
+      (4L, T0, 2L, "view", 0.0)))
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toList
+    val legacy = rows(graft.streaming.StreamGates.d64StreamSessions(spark, dir))
+    val tws = rows(graft.streaming.StreamGates.d204TwsSessions(spark, dir))
+    assert(legacy == List((1L, 2L, 3L), (2L, 1L, 1L)), s"legacy $legacy")
+    assert(tws == legacy, s"tws $tws != legacy $legacy")
+  }
+
+  test("d205 sliding windows: a boundary event lands in exactly four " +
+      "windows with 15-minute-aligned starts") {
+    // one event exactly on a slide boundary; sliding 1h/15m windows
+    // with starts t, t-15m, t-30m, t-45m must each count it once
+    val dir = plantLog(Seq((1L, T0, 1L, "view", 1.0)))
+    val got = graft.streaming.StreamGates.d205SlidingWindows(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+      .toList
+    val want = (0 to 3).map(k => (T0 - min(15) * k, "view", 1L))
+      .sortBy(_._1).toList
+    assert(got == want, s"got $got want $want")
+  }
+
   test("rocksdb state store: provider swap preserves the dedup-expiry " +
       "result, and the in-op pin's fingerprint is discriminative") {
     val dir = plantLog(Seq(
