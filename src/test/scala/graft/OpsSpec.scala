@@ -837,6 +837,43 @@ class OpsSpec extends AnyFunSuite with SparkSpec {
     assert(r.getDouble(1) == atRank(0.9), "p90 definition drift")
   }
 
+  test("round-13 window ops: every window sits above an aggregate — " +
+      "calendar-grain rollups, never raw scans") {
+    // q42's running distinct, q44's LOCF, and d200's running offset all
+    // window over a (type, day/hour) rollup; a regression that windows
+    // the raw event stream instead would still pass the oracle (same
+    // answer) while dragging data-sized partitions through one task
+    for ((name, df) <- Seq(
+        "q42" -> Queries.q42WindowDistinct(spark, dir),
+        "q44" -> Queries.q44Locf(spark, dir),
+        "d200" -> CorpusOps.d200CompactionPlan(spark, dir))) {
+      val windows = collectPlans(df.queryExecution.executedPlan).collect {
+        case w: org.apache.spark.sql.execution.window.WindowExec => w }
+      assert(windows.nonEmpty, s"$name: expected a window")
+      windows.foreach { w =>
+        val hasAgg = collectPlans(w.child).exists {
+          case _: org.apache.spark.sql.execution.aggregate.HashAggregateExec => true
+          case _: org.apache.spark.sql.execution.aggregate.ObjectHashAggregateExec => true
+          case _: org.apache.spark.sql.execution.aggregate.SortAggregateExec => true
+          case _ => false
+        }
+        assert(hasAgg, s"$name: window input is not an aggregate rollup")
+      }
+    }
+  }
+
+  test("d203: purge propagation is LEFT SEMI end to end — key joins " +
+      "can never fan out row counts") {
+    val joins = collectPlans(
+      CorpusOps.d203DeletionSweep(spark, dir).queryExecution.executedPlan)
+      .collect {
+        case j: org.apache.spark.sql.execution.joins.BaseJoinExec => j.joinType
+      }
+    assert(joins.nonEmpty &&
+      joins.forall(_ == org.apache.spark.sql.catalyst.plans.LeftSemi),
+      s"want only LeftSemi joins, got $joins")
+  }
+
   test("q45: correlated EXISTS / NOT EXISTS decorrelate to one semi " +
       "and one anti join — never per-row subquery execution") {
     val plan = Queries.q45Exists(spark, dir).queryExecution.executedPlan
