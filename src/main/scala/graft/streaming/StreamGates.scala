@@ -1061,14 +1061,20 @@ object StreamGates {
     * `rocksdb*` custom metrics, which the default provider never
     * emits (the d93/d138 in-op pin discipline: a conf typo or a
     * default change must fail the gate loudly, not silently re-run
-    * the in-memory provider). Vacuous when no progress reported a
-    * state operator at all (the zero-row corpus drains nothing). */
+    * the in-memory provider). The no-state-operator exemption is
+    * earned, not assumed: it passes only when the drain processed
+    * ZERO input rows (the zero-row corpus) — a drain that moved rows
+    * yet planned no stateful operator fails loudly instead of
+    * counting as a RocksDB-pinned run. */
   private def requireRocksDb(
       q: org.apache.spark.sql.streaming.StreamingQuery): Unit = {
     import scala.jdk.CollectionConverters._
-    val stateOps =
-      (q.recentProgress.toSeq ++ Option(q.lastProgress)).flatMap(_.stateOperators)
-    require(stateOps.isEmpty || stateOps.exists(
+    val progresses = q.recentProgress.toSeq ++ Option(q.lastProgress)
+    val stateOps = progresses.flatMap(_.stateOperators)
+    if (stateOps.isEmpty)
+      require(progresses.forall(_.numInputRows == 0L),
+        "drain processed rows but reported no state operator — cannot pin RocksDB")
+    else require(stateOps.exists(
       _.customMetrics.keySet().asScala.exists(
         _.toLowerCase(java.util.Locale.ROOT).contains("rocksdb"))),
       "state ran on the default provider, not RocksDB")

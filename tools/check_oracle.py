@@ -149,6 +149,10 @@ if __name__ == "__main__":
     args = sys.argv[1:]
     if "--json" in args:
         i = args.index("--json")
+        if i + 1 >= len(args):
+            sys.exit("usage: check_oracle.py <sf_dir> <verify_out_dir> [--json OUT.json] [--lint]")
         jout = args[i + 1]
         args = args[:i] + args[i + 2:]
+    if len(args) < 2:
+        sys.exit("usage: check_oracle.py <sf_dir> <verify_out_dir> [--json OUT.json] [--lint]")
     sys.exit(main(args[0], args[1], jout))
