@@ -1363,6 +1363,61 @@ object Queries {
 
   val q45Oracle: String = q45Sql
 
+  // --------------------------------------------------------------- q46
+  /** TIME-ZONE-AWARE calendar rollup across DST transitions — every
+    * other date/window gate in the registry buckets by UTC integer µs;
+    * real reporting rolls up by CIVIL day in a named zone, and the
+    * sharp edges live exactly at the tz-database transitions (a
+    * 23-hour day at spring-forward, a 25-hour day at fall-back, where
+    * naive `div 86400e6` bucketing silently misassigns up to an hour
+    * of events). The fixture's January span contains no transition,
+    * so the gate shifts it onto BOTH 2024 `America/New_York`
+    * boundaries by pure interval arithmetic (+68 d → Mar 9 .. Apr 7
+    * spans the Mar 10 spring-forward; +300 d → Oct 27 .. Nov 25 spans
+    * the Nov 3 fall-back — the SAME shift on both engines, so the
+    * only thing under test is the tz conversion itself), converts
+    * with `from_utc_timestamp` vs DuckDB `AT TIME ZONE` (two
+    * independent tz-database consumers), and rolls up per civil day.
+    * `n_utc_hours` counts the distinct UTC hours feeding each civil
+    * day: 23 on 2024-03-10 and 25 on 2024-11-03 in the output — the
+    * short/long day pinned as data, not prose.
+    *
+    * Scale: one scan, two-way union, one hash aggregate on a
+    * calendar-sized key space (≤64 groups) — map-side combined, no
+    * window, no join. */
+  def q46TzCalendar(spark: SparkSession, dir: String): DataFrame = {
+    val ev = t(spark, dir, "events").select(col("ts"), col("value"))
+    val shifted = ev.select(lit("spring").as("win"),
+        (col("ts") + expr("INTERVAL 68 DAYS")).as("ts"), col("value"))
+      .unionByName(ev.select(lit("fall").as("win"),
+        (col("ts") + expr("INTERVAL 300 DAYS")).as("ts"), col("value")))
+    shifted
+      .groupBy(col("win"),
+        to_date(from_utc_timestamp(col("ts"), "America/New_York"))
+          .as("civil_day"))
+      .agg(count(lit(1)).as("n_events"),
+        round(sum(col("value")), 2).as("sum_value"),
+        countDistinct(date_trunc("hour", col("ts"))).as("n_utc_hours"))
+      .orderBy("win", "civil_day")
+  }
+
+  val q46Oracle: String =
+    """WITH shifted AS (
+         SELECT 'spring' AS win, ts + INTERVAL 68 DAY AS ts, value
+         FROM events
+         UNION ALL
+         SELECT 'fall', ts + INTERVAL 300 DAY, value FROM events)
+       SELECT win,
+         CAST((ts AT TIME ZONE 'UTC') AT TIME ZONE 'America/New_York'
+           AS DATE) AS civil_day,
+         CAST(count(*) AS BIGINT) AS n_events,
+         round(sum(value), 2) AS sum_value,
+         CAST(count(DISTINCT date_trunc('hour', ts)) AS BIGINT)
+           AS n_utc_hours
+       FROM shifted
+       GROUP BY 1, 2
+       ORDER BY win, civil_day"""
+
   // ------------------------------------------------------------ registry
   val relational: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_agg" -> (q1Agg _),
@@ -1409,7 +1464,8 @@ object Queries {
     "q42_window_distinct" -> (q42WindowDistinct _),
     "q43_hash_sample" -> (q43HashSample _),
     "q44_locf" -> (q44Locf _),
-    "q45_exists" -> (q45Exists _)
+    "q45_exists" -> (q45Exists _),
+    "q46_tz_calendar" -> (q46TzCalendar _)
   )
 
   val relationalOracles: Map[String, String] = Map(
@@ -1457,7 +1513,8 @@ object Queries {
     "q42_window_distinct" -> q42Oracle,
     "q43_hash_sample" -> q43Oracle,
     "q44_locf" -> q44Oracle,
-    "q45_exists" -> q45Oracle
+    "q45_exists" -> q45Oracle,
+    "q46_tz_calendar" -> q46Oracle
   )
 
   // lazy: a caller may initialize a contributing registry object FIRST

@@ -57,6 +57,45 @@ class GateEdgeSpec extends SparkSpec {
     assert(got == List((1L, 4L, 2 * 128L + 1L), (2L, 3L, 0L)), s"got $got")
   }
 
+  // ------------------------------------------------------------- q46
+  test("q46 tz calendar: spring-forward day skips wall-clock 2am, " +
+      "fall-back maps two UTC hours onto one wall-clock hour — same " +
+      "civil day either way") {
+    val dir = tmp()
+    def us(s: String): Long =
+      java.time.Instant.parse(s).toEpochMilli * 1000L
+    // Planted so the gate's +68d shift lands pair A at 06:30Z/07:30Z
+    // on 2024-03-10 (01:30 EST / 03:30 EDT — wall-clock 2am skipped)
+    // and the +300d shift lands pair B at 05:30Z/06:30Z on 2024-11-03
+    // (01:30 EDT / 01:30 EST — the repeated hour).
+    plantEvents(dir, Seq(
+      (1L, us("2024-01-02T06:30:00Z"), 1L, "view", 1.0),
+      (2L, us("2024-01-02T07:30:00Z"), 1L, "view", 1.0),
+      (3L, us("2024-01-08T05:30:00Z"), 1L, "view", 1.0),
+      (4L, us("2024-01-08T06:30:00Z"), 1L, "view", 1.0)))
+    val got = Queries.q46TzCalendar(spark, dir).collect()
+      .map(r => (r.getString(0), r.getDate(1).toString, r.getLong(2),
+        r.getDouble(3), r.getLong(4))).toList
+    // Each planted pair appears in BOTH shifted windows; the non-DST
+    // rows pin plain conversion, the 03-10/11-03 rows the transitions.
+    assert(got == List(
+      ("fall", "2024-10-28", 2L, 2.0, 2L),
+      ("fall", "2024-11-03", 2L, 2.0, 2L), // 2 UTC hours, 1 wall hour
+      ("spring", "2024-03-10", 2L, 2.0, 2L),
+      ("spring", "2024-03-16", 2L, 2.0, 2L)), s"got $got")
+    // The skipped/repeated wall-clock hours themselves, pinned on the
+    // same conversion the gate uses:
+    import spark.implicits._
+    val walls = Seq(
+      us("2024-03-10T06:30:00Z"), us("2024-03-10T07:30:00Z"),
+      us("2024-11-03T05:30:00Z"), us("2024-11-03T06:30:00Z"))
+      .toDF("us")
+      .select(hour(from_utc_timestamp(timestamp_micros(col("us")),
+        "America/New_York")).as("h"))
+      .collect().map(_.getInt(0)).toList
+    assert(walls == List(1, 3, 1, 1), s"wall hours $walls") // 2am absent
+  }
+
   // ------------------------------------------------------------- d200
   test("d200 compaction plan: next-fit by cumulative offset — a file " +
       "may overshoot its bin, the next file starts the next bin") {
