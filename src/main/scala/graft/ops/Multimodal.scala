@@ -497,7 +497,24 @@ object Multimodal {
     * component semantics as a recursive CTE over the same edges (the
     * d15 oracle idiom) and predicts the metadata closed-form from the
     * d139 synthesis. */
-  def d198TranscodeDups(spark: SparkSession, dir: String): DataFrame = {
+  def d198TranscodeDups(spark: SparkSession, dir: String): DataFrame =
+    transcodeDocMeta(spark, dir)
+      .groupBy("cluster_id")
+      .agg(count(lit(1)).as("n_members"),
+        countDistinct("bitrate_kbps").as("n_bitrates"),
+        countDistinct("sample_rate").as("n_rates"),
+        (max("duration_us") - min("duration_us")).as("dur_spread_us"))
+      .filter(col("n_members") >= 2)
+      .withColumn("transcode_suspect",
+        col("n_bitrates") > 1 || col("n_rates") > 1 ||
+          col("dur_spread_us") > 0)
+      .orderBy("cluster_id")
+
+  /** The doc-level frame both transcode gates share: each audited
+    * document with its envelope-hash near-dup cluster id and its
+    * container metadata (d139's walk) — d198 aggregates it per
+    * cluster, d210 re-aggregates the cluster verdicts per source. */
+  private def transcodeDocMeta(spark: SparkSession, dir: String): DataFrame = {
     val hashes = audioHashes(spark, dir)
     val groups = hashes.groupBy("ahash")
       .agg(min("doc_id").as("rep"))
@@ -519,21 +536,14 @@ object Multimodal {
       .join(labels, col("rep") === col("node"), "left")
       .select(col("doc_id"), coalesce(col("label"), col("rep")).as("cluster_id"))
       .join(meta, "doc_id")
-      .groupBy("cluster_id")
-      .agg(count(lit(1)).as("n_members"),
-        countDistinct("bitrate_kbps").as("n_bitrates"),
-        countDistinct("sample_rate").as("n_rates"),
-        (max("duration_us") - min("duration_us")).as("dur_spread_us"))
-      .filter(col("n_members") >= 2)
-      .withColumn("transcode_suspect",
-        col("n_bitrates") > 1 || col("n_rates") > 1 ||
-          col("dur_spread_us") > 0)
-      .orderBy("cluster_id")
   }
 
-  val d198Oracle: String =
-    s"""WITH RECURSIVE $audioHashCtes,
-       g AS (SELECT ahash, min(doc_id) AS rep FROM h GROUP BY ahash),
+  /** The shared oracle middle for the transcode gates: envelope-hash
+    * groups → banded near-dup edges → connected components → doc-level
+    * cluster ids (`cl`) joined to the closed-form container metadata
+    * (`m`, d139's parameter derivation) as `dm`. */
+  private val transcodeClusterCtes: String =
+    s"""g AS (SELECT ahash, min(doc_id) AS rep FROM h GROUP BY ahash),
        bands AS (
          SELECT ahash, rep, k, (ahash >> CAST(k * 16 AS INT)) & 65535 AS bb
          FROM g, (SELECT unnest(range(4)) AS k)),
@@ -561,7 +571,14 @@ object Multimodal {
          FROM documents),
        cl AS (
          SELECT h.doc_id, coalesce(label, g.rep) AS cluster_id
-         FROM h JOIN g USING (ahash) LEFT JOIN comp ON comp.node = g.rep)
+         FROM h JOIN g USING (ahash) LEFT JOIN comp ON comp.node = g.rep),
+       dm AS (SELECT cl.doc_id, cluster_id, sample_rate, bitrate_kbps,
+           duration_us
+         FROM cl JOIN m USING (doc_id))"""
+
+  val d198Oracle: String =
+    s"""WITH RECURSIVE $audioHashCtes,
+       $transcodeClusterCtes
        SELECT cluster_id, CAST(count(*) AS BIGINT) AS n_members,
          CAST(count(DISTINCT bitrate_kbps) AS BIGINT) AS n_bitrates,
          CAST(count(DISTINCT sample_rate) AS BIGINT) AS n_rates,
@@ -570,16 +587,74 @@ object Multimodal {
          (count(DISTINCT bitrate_kbps) > 1
            OR count(DISTINCT sample_rate) > 1
            OR max(duration_us) - min(duration_us) > 0) AS transcode_suspect
-       FROM cl JOIN m USING (doc_id)
+       FROM dm
        GROUP BY cluster_id HAVING count(*) >= 2
        ORDER BY cluster_id"""
+
+  // --------------------------------------------------------------- d210
+  /** The transcode-dup signal PROMOTED TO THE REPORT a curation team
+    * reads (the d60 data-card altitude): d198's per-cluster verdicts
+    * re-aggregated per SOURCE — how much of each source's audio is
+    * near-duplicate, and how much of that duplication looks like
+    * transcodes (container metadata disagreeing inside an
+    * envelope-identical cluster) rather than true re-uploads. The
+    * suspect share is exact integer basis points (the d206
+    * convention), so the headline number cannot drift between engines.
+    *
+    * Scale: the doc-level frame is the d198 machinery (hashes + K-row
+    * metadata, text never moves); the verdict join moves only
+    * (cluster_id, flag) rows and the source rollup is a hash aggregate
+    * on a K-source key space. */
+  def d210SourceTranscodeReport(spark: SparkSession, dir: String): DataFrame = {
+    val docMeta = transcodeDocMeta(spark, dir)
+      .localCheckpoint() // feeds the verdict agg AND the doc-level join
+    val verdicts = docMeta.groupBy("cluster_id")
+      .agg(count(lit(1)).as("n_members"),
+        (countDistinct("bitrate_kbps") > 1 ||
+          countDistinct("sample_rate") > 1 ||
+          (max("duration_us") - min("duration_us")) > 0).as("suspect"))
+    val src = Tables.load(spark, dir, "documents").select("doc_id", "source")
+    docMeta.select("doc_id", "cluster_id")
+      .join(verdicts, "cluster_id")
+      .join(src, "doc_id")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_audited"),
+        sum(when(col("n_members") >= 2, 1L).otherwise(0L)).as("n_dup_docs"),
+        sum(when(col("n_members") >= 2 && col("suspect"), 1L).otherwise(0L))
+          .as("n_suspect_docs"))
+      .withColumn("suspect_bp",
+        expr("n_suspect_docs * 10000 div n_audited"))
+      .orderBy("source")
+  }
+
+  val d210Oracle: String =
+    s"""WITH RECURSIVE $audioHashCtes,
+       $transcodeClusterCtes,
+       v AS (
+         SELECT cluster_id, count(*) AS n_members,
+           (count(DISTINCT bitrate_kbps) > 1
+             OR count(DISTINCT sample_rate) > 1
+             OR max(duration_us) - min(duration_us) > 0) AS suspect
+         FROM dm GROUP BY cluster_id)
+       SELECT d.source,
+         CAST(count(*) AS BIGINT) AS n_audited,
+         CAST(sum(CASE WHEN n_members >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_dup_docs,
+         CAST(sum(CASE WHEN n_members >= 2 AND suspect THEN 1 ELSE 0 END)
+           AS BIGINT) AS n_suspect_docs,
+         CAST(sum(CASE WHEN n_members >= 2 AND suspect THEN 1 ELSE 0 END)
+           * 10000 // count(*) AS BIGINT) AS suspect_bp
+       FROM dm JOIN v USING (cluster_id) JOIN documents d USING (doc_id)
+       GROUP BY d.source
+       ORDER BY d.source"""
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d11_multimodal_meta" -> (d11MultimodalMeta _),
     "d70_image_dhash" -> (d70ImageDhash _),
     "d81_audio_dhash" -> (d81AudioDhash _),
     "d139_mp3_meta" -> (d139Mp3Meta _),
-    "d198_transcode_dups" -> (d198TranscodeDups _)
+    "d198_transcode_dups" -> (d198TranscodeDups _),
+    "d210_source_transcode_report" -> (d210SourceTranscodeReport _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -587,6 +662,7 @@ object Multimodal {
     "d70_image_dhash" -> d70Oracle,
     "d81_audio_dhash" -> d81Oracle,
     "d139_mp3_meta" -> d139Oracle,
-    "d198_transcode_dups" -> d198Oracle
+    "d198_transcode_dups" -> d198Oracle,
+    "d210_source_transcode_report" -> d210Oracle
   )
 }

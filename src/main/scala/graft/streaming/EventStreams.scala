@@ -43,7 +43,8 @@ object EventStreams {
     * surfaced under `nanosAsLong` → divide to µs; anything else is the
     * MICROS generation → the long already IS µs. Hard-coding one
     * encoding silently mis-scaled the other generation by 1000×. */
-  def readEvents(spark: SparkSession, dir: String): DataFrame = {
+  def readEvents(spark: SparkSession, dir: String,
+      sourceOptions: Map[String, String] = Map.empty): DataFrame = {
     // the staged entry can be a bare parquet FILE (testdata layout) or
     // a directory-shaped table (Spark writes) — the batch probe does
     // not recurse, so try both shapes
@@ -63,7 +64,8 @@ object EventStreams {
           "arrive on this stream their event times will be wrong by " +
           "1000x — restart the stream once files exist to re-probe.")
     val isNanos = probed.exists(_.dataType == LongType)
-    val raw = spark.readStream.schema(eventSchema).parquet(dir)
+    val raw = spark.readStream.schema(eventSchema)
+      .options(sourceOptions).parquet(dir)
     if (isNanos) raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
     else raw.withColumn("ts", timestamp_micros(col("ts")))
   }

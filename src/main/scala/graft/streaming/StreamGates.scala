@@ -359,8 +359,22 @@ object StreamGates {
   def d195RocksdbRecovery(spark: SparkSession, dir: String): DataFrame =
     withRocksDb(spark)(d127Body(spark, dir, rocksdb = true))
 
+  /** d195's recovery contract under CHANGELOG CHECKPOINTING — the
+    * configuration a production RocksDB stream actually runs (commit
+    * uploads a per-version delta instead of a full snapshot, so commit
+    * latency stops scaling with state size): both drains run with the
+    * flag on, the resume reconstructs the first half's window counts
+    * by REPLAYING changelogs over the last snapshot rather than
+    * loading one full checkpoint, and the result must still equal
+    * q17's batch oracle. The changelog's presence is pinned in-op from
+    * the checkpoint tree (`.changelog` files), the provider from the
+    * drain's own metrics — a conf typo fails loudly on either axis. */
+  def d207ChangelogRecovery(spark: SparkSession, dir: String): DataFrame =
+    withRocksDb(spark)(withConf(spark, ChangelogKey, "true")(
+      d127Body(spark, dir, rocksdb = true, changelog = true)))
+
   private def d127Body(spark: SparkSession, dir: String,
-      rocksdb: Boolean): DataFrame = {
+      rocksdb: Boolean, changelog: Boolean = false): DataFrame = {
     val staged = Files.createTempDirectory("graft-d127-src")
     val ckpt = Files.createTempDirectory("graft-d127-ckpt")
     // split the raw file (read WITHOUT timestamp normalization, so the
@@ -369,6 +383,7 @@ object StreamGates {
     val raw = spark.read.parquet(s"$dir/events.parquet")
     def drop(pred: org.apache.spark.sql.Column, name: String): Unit =
       stagePart(raw.filter(pred), staged, name, "graft-d127-w")
+    var sawRows = false
     def run(): String = {
       val name = s"graft_d127_run${runSeq.incrementAndGet()}"
       val query = EventStreams
@@ -380,12 +395,14 @@ object StreamGates {
         .start()
       query.awaitTermination()
       if (rocksdb) requireRocksDb(query)
+      sawRows ||= movedRows(query)
       name
     }
     drop(col("event_id") % 2 === 0, "a.parquet")
     run() // phase 1: even half, then a clean stop
     drop(col("event_id") % 2 === 1, "b.parquet")
     val name2 = run() // phase 2: resume from the same checkpoint
+    if (changelog) requireChangelog(ckpt, sawRows)
     // the memory table is driver-resident; the temp trees can go now
     deltree(staged); deltree(ckpt)
     spark.table(name2).orderBy("hour", "event_type")
@@ -951,8 +968,18 @@ object StreamGates {
   def d197RocksdbDedupExpiry(spark: SparkSession, dir: String): DataFrame =
     withRocksDb(spark)(d187Body(spark, dir, rocksdb = true))
 
+  /** d197's three-phase expiry walk under CHANGELOG CHECKPOINTING —
+    * the stress case for the delta format: dedup state is written,
+    * recovered across TWO checkpoint resumes, watermark-EVICTED, and
+    * re-written, all as changelog replay over periodic snapshots.
+    * Same oracle as d187/d197; changelog presence and provider both
+    * pinned in-op. */
+  def d208ChangelogDedupExpiry(spark: SparkSession, dir: String): DataFrame =
+    withRocksDb(spark)(withConf(spark, ChangelogKey, "true")(
+      d187Body(spark, dir, rocksdb = true, changelog = true)))
+
   private def d187Body(spark: SparkSession, dir: String,
-      rocksdb: Boolean): DataFrame = {
+      rocksdb: Boolean, changelog: Boolean = false): DataFrame = {
     val staged = Files.createTempDirectory("graft-d187-src")
     val ckpt = Files.createTempDirectory("graft-d187-ckpt")
     val out = Files.createTempDirectory("graft-d187-out")
@@ -978,6 +1005,7 @@ object StreamGates {
         lit(-1L).as("user_id"),
         lit("view").as("event_type"), lit(0.0).as("value"),
         lit(null).cast("string").as("props"))
+    var sawRows = false
     def run(): Unit = {
       // dedup state store per shuffle partition × THREE drains — pin
       // partitions to the gate fixture and restore (the d107/d179
@@ -997,6 +1025,7 @@ object StreamGates {
         finally spark.conf.set("spark.sql.shuffle.partitions", prev)
       q.awaitTermination()
       if (rocksdb) requireRocksDb(q)
+      sawRows ||= movedRows(q)
     }
     try {
       stagePart(phase(0, 1000000L).unionByName(phase(0, 2000000L)),
@@ -1009,6 +1038,7 @@ object StreamGates {
           .unionByName(phase(ExpiryResendDays, 4000000L)),
         staged, "c.parquet", "graft-d187-w")
       run() // phase 3: fresh state — one emit per user AGAIN
+      if (changelog) requireChangelog(ckpt, sawRows)
       import org.apache.spark.sql.types._
       spark.read
         .schema(StructType(Seq(StructField("user_id", LongType),
@@ -1031,6 +1061,105 @@ object StreamGates {
        FROM t0
        ORDER BY user_id, emit_us"""
 
+  // -------------------------------------------------------------- d209
+  /** MANY-MICRO-BATCH LIVE CADENCE — every other streaming gate drains
+    * in 1–3 coarse phased batches, but production watermark bugs live
+    * in the long-cadence middle: state that leaks a window, a
+    * watermark that regresses under reordered input, a window emitted
+    * twice across distant batches. This gate drives d104's hourly
+    * rollup in APPEND mode (the live mode) through
+    * `maxFilesPerTrigger=1` over TEN time-contiguous planted slices of
+    * the log (file k = decile k of the time span, modTimes forced
+    * ascending so the source's oldest-first ordering is deterministic)
+    * plus the d145-style flush sentinel as an 11th file, and pins
+    * in-op, from the drain's own progress sequence: (a) ≥10 row-moving
+    * micro-batches (the rate limit actually batched per-file), (b) the
+    * watermark never regressed and strictly advanced ≥8 times (one
+    * live step per slice, not one terminal jump), and (c) no
+    * (hour, event_type) key was emitted twice across the batch
+    * sequence. Final output must equal q17's batch oracle — append
+    * emits each window exactly once, when its watermark passes.
+    *
+    * Scale: this IS the production shape — state at any instant is
+    * bounded by the watermark horizon (1 h of open windows), not the
+    * stream's length; the 10-slice drain walks 30 days of event time
+    * through that bounded window exactly as a live cluster would. */
+  def d209LiveCadence(spark: SparkSession, dir: String): DataFrame = {
+    val staged = Files.createTempDirectory("graft-d209-src")
+    val raw = spark.read.parquet(s"$dir/events.parquet")
+    val isNanos =
+      raw.schema("ts").dataType == org.apache.spark.sql.types.LongType
+    // micros generation reads as TIMESTAMP_NTZ — cast to instant
+    // (session tz is UTC) before unix_micros
+    val tnum =
+      if (isNanos) col("ts") else unix_micros(col("ts").cast("timestamp"))
+    val b = raw.agg(min(tnum).as("t0"), max(tnum).as("t1")).collect()(0)
+    val (t0, t1) = if (b.isNullAt(0)) (0L, 9L) else (b.getLong(0), b.getLong(1))
+    val step = (t1 - t0) / 10 + 1 // 10 slices cover [t0, t1]
+    val modBase = System.currentTimeMillis()
+    def plant(df: DataFrame, i: Int): Unit = {
+      val name = f"s$i%02d.parquet"
+      stagePart(df, staged, name, "graft-d209-w")
+      // the file source lists oldest-first by modification time —
+      // force the planted order so slice k IS micro-batch k
+      staged.resolve(name).toFile.setLastModified(modBase + i * 1000L)
+    }
+    for (i <- 0 until 10)
+      plant(raw.filter(tnum >= t0 + i * step && tnum < t0 + (i + 1) * step), i)
+    // flush sentinel 2.5 h past the log (raw encoding): its batch
+    // advances the watermark past every real window's end, while its
+    // OWN window (end > final watermark) is never emitted — the d145
+    // idiom, so no result filtering is needed
+    val sentinel = raw.orderBy(col("ts").desc).limit(1)
+      .select(lit(-1L).as("event_id"),
+        (if (isNanos) col("ts") + lit(FlushBumpUs * 1000L)
+         else col("ts") + expr(s"INTERVAL ${FlushBumpUs / 60000000L} MINUTES"))
+          .as("ts"),
+        lit(-1L).as("user_id"), lit("view").as("event_type"),
+        lit(0.0).as("value"), lit(null).cast("string").as("props"))
+    plant(sentinel, 10)
+    val name = s"graft_d209_run${runSeq.incrementAndGet()}"
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    val query =
+      try EventStreams.hourlyCounts(
+          EventStreams.readEvents(spark, staged.toString,
+            Map("maxFilesPerTrigger" -> "1")))
+        .writeStream.format("memory").queryName(name)
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+    query.awaitTermination()
+    val progs = query.recentProgress.toSeq
+    val rowBatches = progs.count(_.numInputRows > 0L)
+    if (rowBatches > 0) { // zero-row corpus: nothing drained, no pins
+      require(rowBatches >= 10,
+        s"expected >=10 single-file micro-batches, got $rowBatches")
+      val wms = progs.flatMap(p => Option(p.eventTime.get("watermark")))
+        .map(java.time.Instant.parse)
+      require(wms.sliding(2).forall {
+        case Seq(a, w) => !w.isBefore(a); case _ => true },
+        s"watermark regressed across the batch sequence: $wms")
+      val advances = wms.sliding(2).count {
+        case Seq(a, w) => w.isAfter(a); case _ => false }
+      require(advances >= 8,
+        s"watermark strictly advanced only $advances times — " +
+          "a terminal jump, not a live cadence")
+      val sink = spark.table(name)
+      val emitted = sink.count()
+      val keys = sink.select("hour", "event_type").distinct().count()
+      require(emitted == keys,
+        s"re-emission across batches: $emitted rows over $keys keys")
+    }
+    deltree(staged)
+    spark.table(name).orderBy("hour", "event_type")
+  }
+
+  /** q17's oracle verbatim — ten live micro-batches must reassemble
+    * exactly the batch hourly rollup, each window emitted once. */
+  val d209Oracle: String = graft.Queries.q17Oracle
+
   // --------------------------------------------- RocksDB state backend
   /** RocksDB state-store provider — the backend Spark ships for
     * production state sizes (the default HDFSBackedStateStoreProvider
@@ -1045,16 +1174,57 @@ object StreamGates {
     * so the wrapper must span every `start()` the body performs —
     * including checkpoint RESUMES: the two providers' on-disk state
     * formats are incompatible, so a mid-checkpoint swap would fail). */
-  private def withRocksDb[T](spark: SparkSession)(body: => T): T = {
-    val key = "spark.sql.streaming.stateStore.providerClass"
+  private def withRocksDb[T](spark: SparkSession)(body: => T): T =
+    withConf(spark, "spark.sql.streaming.stateStore.providerClass",
+      RocksDbProvider)(body)
+
+  /** Set one session conf around `body`, restoring the previous value
+    * (the withRocksDb discipline, generalized: the conf is read at
+    * query start, so the wrapper must span every `start()` including
+    * checkpoint resumes). */
+  private[graft] def withConf[T](spark: SparkSession, key: String,
+      value: String)(body: => T): T = {
     val prev = spark.conf.getOption(key)
-    spark.conf.set(key, RocksDbProvider)
+    spark.conf.set(key, value)
     try body
     finally prev match {
       case Some(v) => spark.conf.set(key, v)
       case None => spark.conf.unset(key)
     }
   }
+
+  /** RocksDB CHANGELOG CHECKPOINTING — the recommended production
+    * configuration for the provider: each commit uploads the version's
+    * delta (a `.changelog` file) instead of a full SST snapshot, so
+    * commit latency stops scaling with total state size; snapshots
+    * still happen in the background every N versions. Semantics must
+    * be identical — that is what d207/d208 pin. */
+  private[graft] val ChangelogKey =
+    "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled"
+
+  /** Pin that changelog checkpointing really engaged: the state
+    * checkpoint tree must contain at least one `*.changelog` file
+    * (the delta files ARE the feature — a conf typo silently falls
+    * back to snapshot-only uploads and nothing else in the run would
+    * notice). Exempt only when the drains processed zero rows (the
+    * zero-row corpus commits no state versions). */
+  private def requireChangelog(ckpt: java.nio.file.Path,
+      sawRows: Boolean): Unit = {
+    import scala.jdk.CollectionConverters._
+    val walk = Files.walk(ckpt)
+    val found =
+      try walk.iterator().asScala.exists(
+        _.getFileName.toString.endsWith(".changelog"))
+      finally walk.close()
+    require(found || !sawRows,
+      s"no .changelog files under $ckpt — changelog checkpointing did not engage")
+  }
+
+  /** True when any progress of `q` moved input rows — the earned-
+    * exemption signal for the fingerprint pins above. */
+  private def movedRows(
+      q: org.apache.spark.sql.streaming.StreamingQuery): Boolean =
+    q.recentProgress.exists(_.numInputRows > 0L)
 
   /** Pin that a drained query really ran its state on RocksDB — the
     * provider fingerprints every progress's stateOperators with
@@ -1125,7 +1295,10 @@ object StreamGates {
     "d196_rocksdb_outer_join" -> (d196RocksdbOuterJoin _),
     "d197_rocksdb_dedup_expiry" -> (d197RocksdbDedupExpiry _),
     "d204_tws_sessions" -> (d204TwsSessions _),
-    "d205_sliding_windows" -> (d205SlidingWindows _))
+    "d205_sliding_windows" -> (d205SlidingWindows _),
+    "d207_changelog_recovery" -> (d207ChangelogRecovery _),
+    "d208_changelog_dedup_expiry" -> (d208ChangelogDedupExpiry _),
+    "d209_live_cadence" -> (d209LiveCadence _))
 
   val oracles: Map[String, String] = Map(
     "d50_stream_decontaminate" -> d50Oracle,
@@ -1144,5 +1317,8 @@ object StreamGates {
     "d196_rocksdb_outer_join" -> d179Oracle,
     "d197_rocksdb_dedup_expiry" -> d187Oracle,
     "d204_tws_sessions" -> d204Oracle,
-    "d205_sliding_windows" -> d205Oracle)
+    "d205_sliding_windows" -> d205Oracle,
+    "d207_changelog_recovery" -> d127Oracle,
+    "d208_changelog_dedup_expiry" -> d187Oracle,
+    "d209_live_cadence" -> d209Oracle)
 }

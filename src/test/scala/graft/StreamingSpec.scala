@@ -205,6 +205,76 @@ class StreamingSpec extends SparkSpec {
       s"default-provider drain leaked rocksdb metrics: $metricKeys")
   }
 
+  test("changelog checkpointing: delta files appear ONLY when enabled, " +
+      "and a checkpoint started without it migrates cleanly onto it") {
+    import graft.streaming.StreamGates.{withConf, ChangelogKey}
+    val dir = plantLog(Seq(
+      (1L, T0, 1L, "view", 1.0), (2L, T0 + min(5), 2L, "view", 2.0),
+      (3L, T0 + min(9), 3L, "click", 3.0)))
+    // second hour, planted as a SECOND part-file mid-test (phase 2)
+    def plantSecond(): Unit = {
+      import spark.implicits._
+      val tmp = Files.createTempDirectory("graft-chlog-w")
+      Seq((4L, T0 + min(65), 1L, "view", 4.0),
+        (5L, T0 + min(70), 2L, "click", 5.0))
+        .toDF("event_id", "us", "user_id", "event_type", "value")
+        .select(col("event_id"), (col("us") * 1000L).as("ts"),
+          col("user_id"), col("event_type"), col("value"),
+          lit(null).cast("string").as("props"))
+        .coalesce(1).write.mode("overwrite").parquet(s"$tmp/out")
+      val part = Option(tmp.resolve("out").toFile.list()).get
+        .find(_.endsWith(".parquet")).get
+      Files.copy(tmp.resolve("out").resolve(part),
+        Paths.get(dir).resolve("events2.parquet"),
+        StandardCopyOption.REPLACE_EXISTING)
+    }
+    val ckpt = Files.createTempDirectory("graft-chlog-ckpt")
+    def changelogFiles(): Seq[String] = {
+      import scala.jdk.CollectionConverters._
+      val w = Files.walk(ckpt)
+      try w.iterator().asScala.map(_.getFileName.toString)
+        .filter(_.endsWith(".changelog")).toList
+      finally w.close()
+    }
+    val rdb = "org.apache.spark.sql.execution.streaming.state." +
+      "RocksDBStateStoreProvider"
+    def drain(): String = {
+      val name = s"graft_chlog_${System.nanoTime()}"
+      val q = EventStreams.hourlyCounts(
+          EventStreams.readEvents(spark, dir))
+        .writeStream.format("memory").queryName(name)
+        .outputMode("complete")
+        .option("checkpointLocation", ckpt.toString)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination(); name
+    }
+    withConf(spark, "spark.sql.streaming.stateStore.providerClass", rdb) {
+      // phase 1: changelog DISABLED — the pin's discriminativeness:
+      // a plain RocksDB drain must leave ZERO .changelog files, else
+      // d207/d208's in-op assert would pass on a conf typo
+      drain()
+      assert(changelogFiles().isEmpty,
+        s"changelog files without the flag: ${changelogFiles()}")
+      // phase 2: ENABLE the flag on the SAME checkpoint (the
+      // documented production migration path) and resume with new data
+      plantSecond()
+      val name2 = withConf(spark, ChangelogKey, "true")(drain())
+      assert(changelogFiles().nonEmpty,
+        "no .changelog files after enabling changelog checkpointing")
+      // the migrated run's output = the batch rollup over BOTH files:
+      // hour 0 carries phase-1 state REPLAYED into the new format
+      val got = spark.table(name2)
+        .collect().map(r => (r.getTimestamp(0).getTime * 1000L,
+          r.getString(1), r.getLong(2), r.getDouble(3))).toList.sorted
+      val want = List(
+        (T0, "click", 1L, 3.0), (T0, "view", 2L, 3.0),
+        (T0 + min(60), "click", 1L, 5.0),
+        (T0 + min(60), "view", 1L, 4.0))
+      assert(got == want, s"got $got want $want")
+    }
+  }
+
   test("checkpoint recovery: a resumed query reloads state and reads " +
       "ONLY the new file") {
     // The d127 gate proves output equality end-to-end; this pins the

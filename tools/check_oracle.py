@@ -71,11 +71,27 @@ def lint(sf_dir, out_dir):
     return 1 if n_bad else 0
 
 
-def main(sf_dir, out_dir, json_out=None):
+def run_oracle(con, sql, timeout=None):
+    """Execute one oracle, optionally under a wall-clock budget
+    (con.interrupt() from a timer thread -> duckdb.InterruptException)."""
+    if not timeout:
+        rel = con.sql(sql)
+        return list(rel.columns), [str(t) for t in rel.types], rel.fetchall()
+    import threading
+    timer = threading.Timer(timeout, con.interrupt)
+    timer.start()
+    try:
+        rel = con.sql(sql)
+        return list(rel.columns), [str(t) for t in rel.types], rel.fetchall()
+    finally:
+        timer.cancel()
+
+
+def main(sf_dir, out_dir, json_out=None, timeout=None):
     con = duckdb.connect()
     register_views(con, sf_dir)
     oracle = json.load(open(os.path.join(out_dir, "oracle_sql.json")))
-    n_pass = n_fail = 0
+    n_pass = n_fail = n_timeout = 0
     results = {}
     names = sorted(d for d in os.listdir(out_dir)
                    if os.path.isdir(os.path.join(out_dir, d)))
@@ -87,16 +103,20 @@ def main(sf_dir, out_dir, json_out=None):
         got_rows = grel.fetchall()
         if name not in oracle:
             print(f"  {name}: NO-ORACLE rows={len(got_rows)} "
-                  f"{'ok' if got_rows else 'EMPTY!'}")
+                  f"{'ok' if got_rows else 'EMPTY!'}", flush=True)
             results[name] = {"status": "NO-ORACLE", "rows": len(got_rows)}
             continue
         try:
-            orel = con.sql(oracle[name])
-            exp_cols = list(orel.columns)
-            exp_types = [str(t) for t in orel.types]
-            exp_rows = orel.fetchall()
+            exp_cols, exp_types, exp_rows = run_oracle(
+                con, oracle[name], timeout)
+        except duckdb.InterruptException:
+            n_timeout += 1
+            print(f"  {name}: TIMEOUT oracle exceeded {timeout}s "
+                  f"(principled exclusion, not a mismatch)", flush=True)
+            results[name] = {"status": "TIMEOUT", "budget_sec": timeout}
+            continue
         except Exception as e:
-            print(f"  {name}: ORACLE-SQL-ERROR {e}")
+            print(f"  {name}: ORACLE-SQL-ERROR {e}", flush=True)
             results[name] = {"status": "ORACLE-SQL-ERROR"}
             n_fail += 1
             continue
@@ -133,26 +153,35 @@ def main(sf_dir, out_dir, json_out=None):
         else:
             n_pass += 1
             results[name] = {"status": "PASS", "rows": len(g)}
-            print(f"  {name}: PASS rows={len(g)}")
-    print(f"== {n_pass} pass, {n_fail} fail ==")
+            print(f"  {name}: PASS rows={len(g)}", flush=True)
+    tail = f", {n_timeout} timeout" if n_timeout else ""
+    print(f"== {n_pass} pass, {n_fail} fail{tail} ==")
     if json_out:
         with open(json_out, "w") as f:
             json.dump({"sf_dir": sf_dir, "n_pass": n_pass, "n_fail": n_fail,
+                       "n_timeout": n_timeout,
                        "queries": results}, f, indent=1, sort_keys=True)
     return 1 if n_fail else 0
+
+USAGE = ("usage: check_oracle.py <sf_dir> <verify_out_dir> "
+         "[--json OUT.json] [--timeout SEC] [--lint]")
+
+def _flag_value(args, flag):
+    if flag not in args:
+        return args, None
+    i = args.index(flag)
+    if i + 1 >= len(args):
+        sys.exit(USAGE)
+    v = args[i + 1]
+    return args[:i] + args[i + 2:], v
 
 if __name__ == "__main__":
     if "--lint" in sys.argv:
         args = [a for a in sys.argv[1:] if a != "--lint"]
         sys.exit(lint(args[0], args[1]))
-    jout = None
     args = sys.argv[1:]
-    if "--json" in args:
-        i = args.index("--json")
-        if i + 1 >= len(args):
-            sys.exit("usage: check_oracle.py <sf_dir> <verify_out_dir> [--json OUT.json] [--lint]")
-        jout = args[i + 1]
-        args = args[:i] + args[i + 2:]
+    args, jout = _flag_value(args, "--json")
+    args, tmo = _flag_value(args, "--timeout")
     if len(args) < 2:
-        sys.exit("usage: check_oracle.py <sf_dir> <verify_out_dir> [--json OUT.json] [--lint]")
-    sys.exit(main(args[0], args[1], jout))
+        sys.exit(USAGE)
+    sys.exit(main(args[0], args[1], jout, float(tmo) if tmo else None))
