@@ -1151,6 +1151,20 @@ object StreamGates {
       val keys = sink.select("hour", "event_type").distinct().count()
       require(emitted == keys,
         s"re-emission across batches: $emitted rows over $keys keys")
+      // THE 100 TB claim, pinned as data: state at any batch end is
+      // bounded by the watermark HORIZON (open windows over one
+      // slice + delay), never by the stream's length — the complete-
+      // mode counterfactual would hold every window ever seen
+      val maxState = progs.flatMap(_.stateOperators)
+        .map(_.numRowsTotal).foldLeft(0L)(math.max)
+      val stepHours =
+        step / (if (isNanos) 3600L * 1000000000L else 3600L * 1000000L) + 1
+      val nTypes = sink.select("event_type").distinct().count()
+      val horizonBound = 2L * (stepHours + 3) * nTypes // 2x eviction slack
+      require(maxState > 0 && maxState <= horizonBound &&
+          horizonBound < emitted,
+        s"state not horizon-bounded: max $maxState rows vs bound " +
+          s"$horizonBound over $emitted total windows")
     }
     deltree(staged)
     spark.table(name).orderBy("hour", "event_type")
