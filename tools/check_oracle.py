@@ -43,7 +43,7 @@ def register_views(con, sf_dir):
         con.execute(f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{p}')")
 
 
-def lint(sf_dir, out_dir):
+def lint(sf_dir, out_dir, json_out=None):
     """Bind (don't run) every oracle; fail on any HUGEINT/DECIMAL output
     column. Spark cannot emit those types, so any such column is a
     guaranteed driver hash_match failure waiting to ship."""
@@ -51,12 +51,14 @@ def lint(sf_dir, out_dir):
     register_views(con, sf_dir)
     oracle = json.load(open(os.path.join(out_dir, "oracle_sql.json")))
     n_bad = 0
+    results = {}
     for name in sorted(oracle):
         try:
             rel = con.sql(f"DESCRIBE {oracle[name]}")
             cols = rel.fetchall()  # (column_name, column_type, ...)
         except Exception as e:
             print(f"  {name}: LINT-BIND-ERROR {e}")
+            results[name] = {"status": "LINT-BIND-ERROR"}
             n_bad += 1
             continue
         bad = [f"{c[0]}:{c[1]}" for c in cols
@@ -66,25 +68,60 @@ def lint(sf_dir, out_dir):
             n_bad += 1
             print(f"  {name}: LINT-TYPE {' '.join(bad)} "
                   f"(cast integer sums: CAST(sum(..) AS BIGINT))")
+            results[name] = {"status": "LINT-TYPE", "columns": bad}
+        else:
+            results[name] = {"status": "PASS"}
     print(f"== lint: {n_bad} oracle(s) with Spark-unrepresentable "
           f"output types ==")
+    if json_out:
+        with open(json_out, "w") as f:
+            json.dump({"sf_dir": sf_dir, "n_bad": n_bad,
+                       "queries": results}, f, indent=1, sort_keys=True)
     return 1 if n_bad else 0
+
+
+class OracleTimeout(Exception):
+    """The per-oracle budget fired (distinct from a stray interrupt)."""
 
 
 def run_oracle(con, sql, timeout=None):
     """Execute one oracle, optionally under a wall-clock budget
-    (con.interrupt() from a timer thread -> duckdb.InterruptException)."""
+    (con.interrupt() from a timer thread -> duckdb.InterruptException).
+
+    The timer can fire just as the oracle finishes: the interrupt then
+    lands on an idle connection and would surface on the NEXT statement
+    as an uncaught InterruptException. So the callback sets a flag
+    before interrupting; InterruptException maps to OracleTimeout only
+    when the flag is set, and after cancel+join (so the callback either
+    fully ran or never will) a flagged-but-not-raised interrupt is
+    drained with a throwaway statement before the next oracle runs."""
     if not timeout:
         rel = con.sql(sql)
         return list(rel.columns), [str(t) for t in rel.types], rel.fetchall()
     import threading
-    timer = threading.Timer(timeout, con.interrupt)
+    fired = threading.Event()
+
+    def _budget():
+        fired.set()
+        con.interrupt()
+
+    timer = threading.Timer(timeout, _budget)
     timer.start()
     try:
         rel = con.sql(sql)
         return list(rel.columns), [str(t) for t in rel.types], rel.fetchall()
+    except duckdb.InterruptException:
+        if fired.is_set():
+            raise OracleTimeout()
+        raise
     finally:
         timer.cancel()
+        timer.join()
+        if fired.is_set():
+            try:
+                con.sql("SELECT 1").fetchall()
+            except duckdb.InterruptException:
+                pass
 
 
 def main(sf_dir, out_dir, json_out=None, timeout=None):
@@ -96,11 +133,20 @@ def main(sf_dir, out_dir, json_out=None, timeout=None):
     names = sorted(d for d in os.listdir(out_dir)
                    if os.path.isdir(os.path.join(out_dir, d)))
     for name in names:
-        grel = con.sql(
-            f"SELECT * FROM read_parquet('{out_dir}/{name}/*.parquet')")
-        got_cols = list(grel.columns)
-        got_types = [str(t) for t in grel.types]
-        got_rows = grel.fetchall()
+        try:
+            grel = con.sql(
+                f"SELECT * FROM read_parquet('{out_dir}/{name}/*.parquet')")
+            got_cols = list(grel.columns)
+            got_types = [str(t) for t in grel.types]
+            got_rows = grel.fetchall()
+        except duckdb.InterruptException:
+            # A stray budget interrupt that slipped past run_oracle's
+            # drain; the read itself is unbudgeted, so retry once.
+            grel = con.sql(
+                f"SELECT * FROM read_parquet('{out_dir}/{name}/*.parquet')")
+            got_cols = list(grel.columns)
+            got_types = [str(t) for t in grel.types]
+            got_rows = grel.fetchall()
         if name not in oracle:
             print(f"  {name}: NO-ORACLE rows={len(got_rows)} "
                   f"{'ok' if got_rows else 'EMPTY!'}", flush=True)
@@ -109,7 +155,7 @@ def main(sf_dir, out_dir, json_out=None, timeout=None):
         try:
             exp_cols, exp_types, exp_rows = run_oracle(
                 con, oracle[name], timeout)
-        except duckdb.InterruptException:
+        except OracleTimeout:
             n_timeout += 1
             print(f"  {name}: TIMEOUT oracle exceeded {timeout}s "
                   f"(principled exclusion, not a mismatch)", flush=True)
@@ -161,10 +207,18 @@ def main(sf_dir, out_dir, json_out=None, timeout=None):
             json.dump({"sf_dir": sf_dir, "n_pass": n_pass, "n_fail": n_fail,
                        "n_timeout": n_timeout,
                        "queries": results}, f, indent=1, sort_keys=True)
-    return 1 if n_fail else 0
+    # Exit contract: 0 = fully green, 1 = mismatches, 2 = no mismatch but
+    # TIMEOUT exclusions present (the sweep is incomplete — a caller
+    # checking only the return code must not read it as fully green).
+    if n_fail:
+        return 1
+    return 2 if n_timeout else 0
 
 USAGE = ("usage: check_oracle.py <sf_dir> <verify_out_dir> "
-         "[--json OUT.json] [--timeout SEC] [--lint]")
+         "[--json OUT.json] [--timeout SEC] [--lint]\n"
+         "exit codes: 0 green, 1 mismatch/error, 2 timeouts-only\n"
+         "--lint binds (doesn't run) every oracle; --timeout is ignored "
+         "there, --json still written")
 
 def _flag_value(args, flag):
     if flag not in args:
@@ -176,12 +230,16 @@ def _flag_value(args, flag):
     return args[:i] + args[i + 2:], v
 
 if __name__ == "__main__":
-    if "--lint" in sys.argv:
-        args = [a for a in sys.argv[1:] if a != "--lint"]
-        sys.exit(lint(args[0], args[1]))
+    # Parse value-carrying flags BEFORE the --lint dispatch: otherwise
+    # "--lint --json OUT" leaves '--json' in the positional slots and
+    # lint() receives it as sf_dir (a confusing glob/connect error).
     args = sys.argv[1:]
     args, jout = _flag_value(args, "--json")
     args, tmo = _flag_value(args, "--timeout")
+    do_lint = "--lint" in args
+    args = [a for a in args if a != "--lint"]
     if len(args) < 2:
         sys.exit(USAGE)
+    if do_lint:
+        sys.exit(lint(args[0], args[1], jout))
     sys.exit(main(args[0], args[1], jout, float(tmo) if tmo else None))
