@@ -1418,6 +1418,112 @@ object Queries {
        GROUP BY 1, 2
        ORDER BY win, civil_day"""
 
+  // --------------------------------------------------------------- q47
+  /** ISO-8601 WEEK-YEAR rollup — the civil-calendar trap q46's zone
+    * gate doesn't touch: the days around Jan 1 belong to the PREVIOUS
+    * or NEXT ISO year (1995-01-01 is a Sunday → week 52 of 1994; 1998
+    * has 53 weeks), so a report keyed (year, weekofyear) silently
+    * splits one ISO week into two rows at every year boundary. Spark
+    * has `weekofyear` (ISO) but NO iso-year function, so the gate
+    * derives BOTH from the Thursday rule — the Thursday of a date's
+    * week determines its ISO year and week (week = ⌊(doy(thu)−1)/7⌋+1)
+    * — using the d189 engine-identical day arithmetic ((days+3) mod 7
+    * is the Monday-based weekday; 1970-01-01 is a Thursday). The
+    * oracle uses DuckDB's NATIVE `isoyear`/`week`/`date_trunc('week')`
+    * — two independent ISO-8601 implementations must agree on every
+    * week of a 6.5-year span (two leap years, one 53-week year), and
+    * `week_start` pins the full week→Monday mapping as data.
+    *
+    * Scale: one scan, derived columns, one hash aggregate on a
+    * calendar-sized key (~350 weeks) — map-side combined, no join. */
+  def q47IsoWeeks(spark: SparkSession, dir: String): DataFrame = {
+    val d = to_date(col("o_orderdate"))
+    val days = datediff(d, lit("1970-01-01").cast("date"))
+    val thu = date_add(d, lit(3) - ((days + lit(3)) % 7))
+    t(spark, dir, "orders")
+      .select(
+        year(thu).cast("long").as("iso_year"),
+        (floor((dayofyear(thu) - 1) / 7) + 1).cast("long").as("iso_week"),
+        date_add(thu, lit(-3)).as("week_start"),
+        col("o_totalprice"))
+      .groupBy("iso_year", "iso_week", "week_start")
+      .agg(count(lit(1)).as("n_orders"),
+        round(sum(col("o_totalprice")), 2).as("revenue"))
+      .orderBy("iso_year", "iso_week")
+  }
+
+  val q47Oracle: String =
+    """SELECT CAST(isoyear(o_orderdate) AS BIGINT) AS iso_year,
+         CAST(week(o_orderdate) AS BIGINT) AS iso_week,
+         CAST(date_trunc('week', o_orderdate) AS DATE) AS week_start,
+         CAST(count(*) AS BIGINT) AS n_orders,
+         round(sum(o_totalprice), 2) AS revenue
+       FROM orders
+       GROUP BY 1, 2, 3
+       ORDER BY iso_year, iso_week"""
+
+  // --------------------------------------------------------------- q48
+  /** MONTH-END-ANCHORED billing periods — subscription/billing rollups
+    * anchor on a civil day-of-month, and the sharp edge is month-END
+    * clamping: a Jan-31 anchor's period starts land on Feb 28 (29 in
+    * leap years), Mar 31, Apr 30 … — irregular lengths and a
+    * day-of-month that CYCLES, where naive `date_trunc('month')`
+    * misbills every order between the 28th and the 31st. Spark
+    * `add_months` and DuckDB `+ INTERVAL n MONTH` implement the same
+    * clamp; the gate assigns each order its period with NO JOIN — the
+    * month index m = 12·Δyear + Δmonth overshoots by one exactly when
+    * the date precedes that month's clamped anchor day, so a single
+    * comparison corrects it — and pins the 28/29/30/31-day period
+    * lengths as data (`period_days`).
+    *
+    * Scale: one scan, derived period key, one hash aggregate on a
+    * calendar-sized key (~79 periods) — no spine join, no window, no
+    * BroadcastNestedLoop range join. */
+  def q48BillingPeriods(spark: SparkSession, dir: String): DataFrame = {
+    val anchor = lit("1995-01-31").cast("date")
+    val od = col("o_orderdate")
+    val m = (year(od) - 1995) * 12 + (month(od) - 1)
+    val pn = when(to_date(od) < add_months(anchor, m), m - 1).otherwise(m)
+    t(spark, dir, "orders")
+      .filter(od >= anchor)
+      .select(pn.cast("long").as("period_n"), col("o_totalprice"))
+      .groupBy("period_n")
+      .agg(count(lit(1)).as("n_orders"),
+        round(sum(col("o_totalprice")), 2).as("revenue"))
+      .select(col("period_n"),
+        add_months(anchor, col("period_n").cast("int")).as("period_start"),
+        datediff(add_months(anchor, (col("period_n") + 1).cast("int")),
+          add_months(anchor, col("period_n").cast("int")))
+          .cast("long").as("period_days"),
+        col("n_orders"), col("revenue"))
+      .orderBy("period_n")
+  }
+
+  val q48Oracle: String =
+    """WITH base AS (
+         SELECT o_totalprice,
+           (year(o_orderdate) - 1995) * 12 + (month(o_orderdate) - 1) AS m,
+           CAST(o_orderdate AS DATE) AS od
+         FROM orders
+         WHERE o_orderdate >= DATE '1995-01-31'),
+       assigned AS (
+         SELECT o_totalprice,
+           CASE WHEN od < DATE '1995-01-31' + to_months(CAST(m AS INT))
+                THEN m - 1 ELSE m END AS period_n
+         FROM base)
+       SELECT CAST(period_n AS BIGINT) AS period_n,
+         CAST(DATE '1995-01-31' + to_months(CAST(period_n AS INT))
+           AS DATE) AS period_start,
+         CAST(date_diff('day',
+           DATE '1995-01-31' + to_months(CAST(period_n AS INT)),
+           DATE '1995-01-31' + to_months(CAST(period_n + 1 AS INT)))
+           AS BIGINT) AS period_days,
+         CAST(count(*) AS BIGINT) AS n_orders,
+         round(sum(o_totalprice), 2) AS revenue
+       FROM assigned
+       GROUP BY period_n
+       ORDER BY period_n"""
+
   // ------------------------------------------------------------ registry
   val relational: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_agg" -> (q1Agg _),
@@ -1465,7 +1571,9 @@ object Queries {
     "q43_hash_sample" -> (q43HashSample _),
     "q44_locf" -> (q44Locf _),
     "q45_exists" -> (q45Exists _),
-    "q46_tz_calendar" -> (q46TzCalendar _)
+    "q46_tz_calendar" -> (q46TzCalendar _),
+    "q47_iso_weeks" -> (q47IsoWeeks _),
+    "q48_billing_periods" -> (q48BillingPeriods _)
   )
 
   val relationalOracles: Map[String, String] = Map(
@@ -1514,7 +1622,9 @@ object Queries {
     "q43_hash_sample" -> q43Oracle,
     "q44_locf" -> q44Oracle,
     "q45_exists" -> q45Oracle,
-    "q46_tz_calendar" -> q46Oracle
+    "q46_tz_calendar" -> q46Oracle,
+    "q47_iso_weeks" -> q47Oracle,
+    "q48_billing_periods" -> q48Oracle
   )
 
   // lazy: a caller may initialize a contributing registry object FIRST

@@ -271,4 +271,74 @@ class GateEdgeSpec extends SparkSpec {
       ("y", d0 + 1, Some(3L), Some(3L), false),
       ("y", d0 + 2, None, Some(3L), true)), s"got $got")
   }
+
+  private def plantOrders(dir: String, rows: Seq[(Long, String, Double)])
+      : Unit = {
+    import spark.implicits._
+    rows.toDF("o_orderkey", "d", "o_totalprice")
+      .select(col("o_orderkey"),
+        to_timestamp(col("d")).as("o_orderdate"), col("o_totalprice"))
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+  }
+
+  // ------------------------------------------------------------- q47
+  test("q47 iso weeks: year-boundary days belong to the neighboring " +
+      "ISO year; 1998 has a week 53; derived week equals Spark's " +
+      "built-in weekofyear over 8 consecutive years") {
+    val dir = tmp()
+    plantOrders(dir, Seq(
+      (1L, "1995-01-01", 1.0), // Sunday -> 1994-W52
+      (2L, "1996-01-01", 1.0), // Monday -> 1996-W01
+      (3L, "1998-12-31", 1.0), // Thursday -> 1998-W53
+      (4L, "1999-01-01", 1.0), // Friday -> still 1998-W53
+      (5L, "2000-01-02", 1.0), // Sunday -> 1999-W52
+      (6L, "1997-12-29", 1.0))) // Monday -> 1998-W01
+    val got = Queries.q47IsoWeeks(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDate(2).toString,
+        r.getLong(3))).toList
+    assert(got == List(
+      (1994L, 52L, "1994-12-26", 1L),
+      (1996L, 1L, "1996-01-01", 1L),
+      (1998L, 1L, "1997-12-29", 1L), // its Thursday is 1998-01-01
+      (1998L, 53L, "1998-12-28", 2L), // Dec 31 + Jan 1 share W53
+      (1999L, 52L, "1999-12-27", 1L)), s"got $got")
+    // Cross-check the Thursday rule against Spark's own ISO weekofyear
+    // on every day of 1995-2002 (two leap years, a 53-week year).
+    import spark.implicits._
+    val days = spark.range(0, 365 * 8 + 2)
+      .select(date_add(lit("1995-01-01").cast("date"),
+        col("id").cast("int")).as("d"))
+    val epoch = datediff(col("d"), lit("1970-01-01").cast("date"))
+    val thu = date_add(col("d"), lit(3) - ((epoch + lit(3)) % 7))
+    val mismatches = days
+      .select((floor((dayofyear(thu) - 1) / 7) + 1).as("derived"),
+        weekofyear(col("d")).cast("long").as("builtin"))
+      .filter(col("derived") =!= col("builtin")).count()
+    assert(mismatches == 0, s"$mismatches days disagree with weekofyear")
+  }
+
+  // ------------------------------------------------------------- q48
+  test("q48 billing periods: month-end clamping — Feb-27 stays in the " +
+      "Jan period, Feb-28 opens a 31-day one, and leap February gets " +
+      "a 29-day period starting Feb-29") {
+    val dir = tmp()
+    plantOrders(dir, Seq(
+      (1L, "1995-01-31", 1.0), // anchor day itself -> period 0
+      (2L, "1995-02-27", 1.0), // before clamped Feb-28 start -> period 0
+      (3L, "1995-02-28", 1.0), // period 1 opens on the clamp day
+      (4L, "1995-03-30", 1.0), // before the Mar-31 start -> period 1
+      (5L, "1995-03-31", 1.0), // period 2
+      (6L, "1996-02-28", 1.0), // leap year: period 13 starts Feb-29,
+      (7L, "1996-02-29", 1.0), //   so the 28th is still period 12
+      (8L, "1995-01-30", 1.0))) // pre-anchor -> filtered out entirely
+    val got = Queries.q48BillingPeriods(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getDate(1).toString, r.getLong(2),
+        r.getLong(3))).toList
+    assert(got == List(
+      (0L, "1995-01-31", 28L, 2L),
+      (1L, "1995-02-28", 31L, 2L),
+      (2L, "1995-03-31", 30L, 1L),
+      (12L, "1996-01-31", 29L, 1L), // leap February: 29-day period
+      (13L, "1996-02-29", 31L, 1L)), s"got $got")
+  }
 }
