@@ -1524,6 +1524,57 @@ object Queries {
        GROUP BY period_n
        ORDER BY period_n"""
 
+  // --------------------------------------------------------------- q49
+  /** NULL-SAFE JOIN (`<=>` / IS NOT DISTINCT FROM) — the join-key trap
+    * plain equality cannot express: under `=`, NULL matches nothing,
+    * so a FULL OUTER join of two keyed aggregates leaves each side's
+    * NULL bucket as its OWN unmatched row (two rows, both half-empty);
+    * under null-safe equality NULL is a VALUE and the two NULL buckets
+    * pair up — the semantics every dimension-reconciliation report
+    * over incomplete keys actually wants. The fixture derives nullable
+    * bucket keys from the two nation keys with DIFFERENT moduli, so
+    * the output exercises all three row kinds at once: matched
+    * buckets, right-only buckets (supplier mod 9 reaches 7..8, which
+    * customer mod 7 cannot), and the null-safe-matched NULL pair.
+    * Spark's `<=>` compiles to EqualNullSafe — still an EQUI-join key
+    * (sort-merge/hash, no nested loop), which is the point: null
+    * tolerance costs nothing in the plan.
+    *
+    * Scale: two keyed aggregates (map-side combined) then a ≤16-row
+    * join — the pattern holds at any scale because the join runs on
+    * the aggregated key space, never the raw tables. */
+  def q49NullSafeJoin(spark: SparkSession, dir: String): DataFrame = {
+    val ck = when((col("c_nationkey") % 7) === 3, lit(null).cast("long"))
+      .otherwise(col("c_nationkey") % 7)
+    val sk = when((col("s_nationkey") % 9) === 4, lit(null).cast("long"))
+      .otherwise(col("s_nationkey") % 9)
+    val c = t(spark, dir, "customer")
+      .select(ck.as("ck")).groupBy("ck")
+      .agg(count(lit(1)).as("n_cust"))
+    val s = t(spark, dir, "supplier")
+      .select(sk.as("sk")).groupBy("sk")
+      .agg(count(lit(1)).as("n_supp"))
+    c.join(s, col("ck") <=> col("sk"), "full_outer")
+      .select(coalesce(col("ck"), col("sk")).as("k"),
+        col("n_cust"), col("n_supp"))
+      .orderBy(asc_nulls_first("k"))
+  }
+
+  val q49Oracle: String =
+    """WITH c AS (
+         SELECT CASE WHEN c_nationkey % 7 = 3 THEN NULL
+                     ELSE c_nationkey % 7 END AS ck,
+           CAST(count(*) AS BIGINT) AS n_cust
+         FROM customer GROUP BY 1),
+       s AS (
+         SELECT CASE WHEN s_nationkey % 9 = 4 THEN NULL
+                     ELSE s_nationkey % 9 END AS sk,
+           CAST(count(*) AS BIGINT) AS n_supp
+         FROM supplier GROUP BY 1)
+       SELECT coalesce(ck, sk) AS k, n_cust, n_supp
+       FROM c FULL JOIN s ON c.ck IS NOT DISTINCT FROM s.sk
+       ORDER BY k NULLS FIRST"""
+
   // ------------------------------------------------------------ registry
   val relational: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_agg" -> (q1Agg _),

@@ -178,6 +178,19 @@ object EventStreams {
     * session. */
   final case class SessionBuffer(tsUs: Seq[Long])
 
+  /** Split sorted event times into gap-delimited sessions (each inner
+    * list ascending; a gap strictly greater than [[GapUs]] starts a new
+    * session — the one session definition shared by every sessionizer
+    * and pinned against q18's batch oracle). */
+  private[streaming] def gapSplit(sorted: Seq[Long]): List[List[Long]] =
+    sorted.foldLeft(List.empty[List[Long]]) { (acc, t) =>
+      acc match {
+        case (cur @ (last :: _)) :: rest if t - last <= GapUs =>
+          (t :: cur) :: rest
+        case _ => List(t) :: acc
+      }
+    }.map(_.reverse).reverse
+
   /** Watermarked sessionization that tolerates OUT-OF-ORDER arrival
     * across micro-batches: event times are buffered per user, and a
     * session is only finalized (emitted, Append mode) once the event-time
@@ -211,15 +224,7 @@ object EventStreams {
           val wmUs = wmMs * 1000L
           val buf = (state.getOption.map(_.tsUs).getOrElse(Seq.empty) ++
             rows.map(_._3)).sorted
-          // split the buffered, sorted times into gap-delimited sessions
-          // (each inner list is built in reverse: head = latest event)
-          val sessions = buf.foldLeft(List.empty[List[Long]]) { (acc, t) =>
-            acc match {
-              case (cur @ (last :: _)) :: rest if t - last <= GapUs =>
-                (t :: cur) :: rest
-              case _ => List(t) :: acc
-            }
-          }.map(_.reverse).reverse
+          val sessions = gapSplit(buf)
           val (closed, open) = sessions.partition(_.last + GapUs < wmUs)
           if (open.isEmpty) state.remove()
           else {
@@ -235,5 +240,92 @@ object EventStreams {
           closed.iterator
             .map(s => ClosedSession(user, s.head, s.last, s.length.toLong))
       }
+  }
+
+  /** [[closedSessions]]'s watermark-proved finalizer re-expressed on
+    * Spark 4's `transformWithState` with the API's OWN EVENT-TIME
+    * TIMERS — the successor machinery for "wake me when the watermark
+    * passes this instant" that replaces `GroupStateTimeout
+    * .EventTimeTimeout`: the event buffer lives in a typed
+    * [[org.apache.spark.sql.streaming.ListState]] (the state kind
+    * d204's ValueState fold never touches), and each key keeps exactly
+    * ONE registered timer, re-aimed at the EARLIEST provable session
+    * close on every invocation (the [[closedSessions]] discipline — an
+    * older quiet session must emit at ITS close, not the newest's).
+    * Sessions are emitted exactly once, in Append mode, when the
+    * watermark proves no admissible event can extend them; closed
+    * sessions leave the buffer immediately, so state is bounded to the
+    * watermark horizon, and a key with no open tail clears its state
+    * and carries no timer at all. */
+  class ClosedSessionsProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, (Long, java.sql.Timestamp, Long), ClosedSession] {
+    @transient private var buf:
+      org.apache.spark.sql.streaming.ListState[Long] = _
+
+    override def init(outputMode: OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      buf = getHandle.getListState[Long]("buf",
+        org.apache.spark.sql.Encoders.scalaLong,
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+
+    /** The one close step both entry points share: fold `incoming` into
+      * the buffered times, emit every session the watermark proves
+      * closed, keep the open tail, and re-aim the key's single timer at
+      * the earliest remaining close. `keepTimerMs` names a timer the
+      * runtime is already retiring (the one whose expiry this call IS)
+      * so it is not redundantly deleted. */
+    private def closeAndReschedule(user: Long, incoming: Seq[Long],
+        wmMs: Long, keepTimerMs: Long): Iterator[ClosedSession] = {
+      val wmUs = wmMs * 1000L
+      val merged =
+        ((if (buf.exists()) buf.get().toSeq else Seq.empty) ++ incoming).sorted
+      val sessions = gapSplit(merged)
+      val (closed, open) = sessions.partition(_.last + GapUs < wmUs)
+      // one timer per key: retire any previously-aimed wake-up before
+      // re-aiming (the expired timer itself is runtime-retired)
+      getHandle.listTimers().filter(_ != keepTimerMs)
+        .foreach(getHandle.deleteTimer)
+      if (open.isEmpty) buf.clear()
+      else {
+        buf.put(open.flatten.toArray)
+        val closeMs = (open.map(_.last).min + GapUs) / 1000L + 1
+        // the timer must sit strictly beyond the current watermark or
+        // it could never fire
+        getHandle.registerTimer(math.max(closeMs, wmMs + 1))
+      }
+      closed.iterator
+        .map(s => ClosedSession(user, s.head, s.last, s.length.toLong))
+    }
+
+    override def handleInputRows(user: Long,
+        rows: Iterator[(Long, java.sql.Timestamp, Long)],
+        timers: org.apache.spark.sql.streaming.TimerValues)
+        : Iterator[ClosedSession] =
+      closeAndReschedule(user, rows.map(_._3).toSeq,
+        timers.getCurrentWatermarkInMs(), keepTimerMs = Long.MinValue)
+
+    override def handleExpiredTimer(user: Long,
+        timers: org.apache.spark.sql.streaming.TimerValues,
+        expired: org.apache.spark.sql.streaming.ExpiredTimerInfo)
+        : Iterator[ClosedSession] =
+      closeAndReschedule(user, Seq.empty,
+        timers.getCurrentWatermarkInMs(),
+        keepTimerMs = expired.getExpiryTimeInMs())
+  }
+
+  /** [[closedSessions]] on the new state API — see
+    * [[ClosedSessionsProcessor]]. RocksDB-only, like all
+    * `transformWithState` operators. */
+  def closedSessionsTws(events: DataFrame): Dataset[ClosedSession] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", "1 hour")
+      .select(col("user_id"), col("ts"), unix_micros(col("ts")).as("ts_us"))
+      .as[(Long, java.sql.Timestamp, Long)]
+      .groupByKey(_._1)
+      .transformWithState(new ClosedSessionsProcessor,
+        org.apache.spark.sql.streaming.TimeMode.EventTime(),
+        OutputMode.Append())
   }
 }

@@ -175,6 +175,73 @@ object StreamGates {
     * the one batch sessionization definition. */
   val d204Oracle: String = graft.Queries.q18Oracle
 
+  // -------------------------------------------------------------- d211
+  /** EVENT-TIME TIMERS on `transformWithState` — the successor API's
+    * own wake-up machinery
+    * ([[EventStreams.ClosedSessionsProcessor]]: typed ListState buffer
+    * + one re-aimed timer per key), run as the watermark-proved session
+    * FINALIZER over the full event log and gated against a DuckDB
+    * oracle that emits every gap-delimited session as a row — the
+    * first driver gate where the finalized per-SESSION rows (start,
+    * end, event count), not per-user rollups, are what must match.
+    * d204 pinned the ValueState fold; this pins the append-mode
+    * exactly-once emission path that production sessionization
+    * actually ships: a session row may exist in the output ONLY
+    * because a timer (or a later batch's watermark) proved it closed.
+    * A flush sentinel 2.5 h past the log advances the final watermark
+    * beyond every real session's close, so the drained output is the
+    * COMPLETE session set; the sentinel's own session can never close
+    * (its close time sits past the final watermark by construction)
+    * and is excluded by key. */
+  def d211TwsTimers(spark: SparkSession, dir: String): DataFrame =
+    withRocksDb(spark) {
+      val staged = stageWithSentinels(spark, dir, "graft-d211", Seq("flush"))
+      val stream = EventStreams.readEvents(spark, staged.toString)
+      val name = s"graft_d211_run${runSeq.incrementAndGet()}"
+      // one state store per shuffle partition — pin to the gate fixture
+      // and restore (the d107/d179 conf discipline)
+      val prev = spark.conf.get("spark.sql.shuffle.partitions")
+      spark.conf.set("spark.sql.shuffle.partitions", "8")
+      val query =
+        try EventStreams.closedSessionsTws(stream)
+          .filter(col("user_id") >= 0)
+          .writeStream.format("memory").queryName(name)
+          .outputMode("append")
+          .trigger(Trigger.AvailableNow())
+          .start()
+        finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+      query.awaitTermination()
+      requireRocksDb(query)
+      unstage(staged)
+      spark.table(name)
+        .select(col("user_id"), col("start_us"), col("end_us"),
+          col("n_events"))
+        .orderBy("user_id", "start_us")
+    }
+
+  /** Batch gap-sessionization emitting one row PER SESSION — the same
+    * 30-minute-gap definition as q18's oracle, grouped one level finer
+    * (q18 rolls sessions up per user; the finalizer must reproduce
+    * each session's extent and size exactly). */
+  val d211Oracle: String =
+    """WITH e AS (SELECT user_id, epoch_us(ts) AS t FROM events),
+       g AS (
+         SELECT user_id, t,
+           CASE WHEN lag(t) OVER (PARTITION BY user_id ORDER BY t) IS NULL
+                  OR t - lag(t) OVER (PARTITION BY user_id ORDER BY t)
+                       > 30 * 60 * 1000000
+                THEN 1 ELSE 0 END AS brk
+         FROM e),
+       s AS (
+         SELECT user_id, t,
+           sum(brk) OVER (PARTITION BY user_id ORDER BY t
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+         FROM g)
+       SELECT user_id, min(t) AS start_us, max(t) AS end_us,
+         count(*) AS n_events
+       FROM s GROUP BY user_id, sid
+       ORDER BY user_id, start_us"""
+
   // --------------------------------------------------------------- d76
   /** The streaming EXACT-DEDUP gate ([[IngestStreams.dedupedDocs]] —
     * `dropDuplicatesWithinWatermark` over the md5 content hash) run
@@ -799,6 +866,77 @@ object StreamGates {
            AND v.ts < p.ts
        ORDER BY p_id, view_id"""
 
+  // -------------------------------------------------------------- d212
+  /** STREAM-STREAM LEFT SEMI INTERVAL JOIN — the remaining watermarked
+    * join shape (d107 inner, d179/d196 left outer): "every purchase
+    * preceded by at least one view from the same user in the last
+    * $OuterLookbackMin minutes" — the qualification query where the
+    * MATCH EXISTENCE is the answer and emitting one row per matching
+    * view (the inner join's output) would double-count purchases with
+    * several touches. Semi semantics under streaming state: a buffered
+    * left row emits AT MOST ONCE — eagerly, on its first match — and
+    * Spark marks it matched in the join state so later qualifying
+    * views cannot re-emit it; an unmatched purchase simply ages out of
+    * state when the watermark proves no view can still qualify. Two
+    * flush sentinels push the final watermark past every real row so
+    * the drained set is complete whichever side of that
+    * emit-vs-evict boundary a row sits on; the sentinel purchase
+    * cannot qualify (the sentinel view is simultaneous, and the
+    * predicate is strict) and is filtered by key.
+    *
+    * Scale: state is interval + watermark horizon per side, as d107 —
+    * the semi join additionally SHRINKS the output (≤1 row per left
+    * row), so the shape is strictly cheaper downstream than the inner
+    * join at any fan-out. */
+  def d212StreamSemiJoin(spark: SparkSession, dir: String): DataFrame = {
+    val staged = stageWithSentinels(spark, dir, "graft-d212",
+      Seq("view", "purchase"))
+    val views = EventStreams.readEvents(spark, staged.toString)
+      .filter(col("event_type") === "view")
+      .select(col("user_id").as("v_user"), col("ts").as("view_ts"))
+      .withWatermark("view_ts", "1 hour")
+    val purchases = EventStreams.readEvents(spark, staged.toString)
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts").as("p_ts"),
+        col("event_id").as("p_id"))
+      .withWatermark("p_ts", "1 hour")
+    val name = s"graft_d212_run${runSeq.incrementAndGet()}"
+    // two state stores per shuffle partition — pin partitions to the
+    // gate fixture and restore (the d107 conf discipline)
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    val query =
+      try purchases
+        .join(views,
+          col("v_user") === col("user_id") &&
+            col("view_ts") >=
+              col("p_ts") - expr(s"INTERVAL $OuterLookbackMin MINUTES") &&
+            col("view_ts") < col("p_ts"),
+          "left_semi")
+        .select(col("p_id"), col("user_id"),
+          unix_micros(col("p_ts")).as("p_ts_us"))
+        .writeStream.format("memory").queryName(name)
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+    query.awaitTermination()
+    unstage(staged)
+    spark.table(name).filter(col("p_id") >= 0).orderBy("p_id")
+  }
+
+  /** The identical qualification as a batch EXISTS — each qualifying
+    * purchase exactly once, however many views touched it. */
+  val d212Oracle: String =
+    s"""SELECT p.event_id AS p_id, p.user_id, epoch_us(p.ts) AS p_ts_us
+       FROM events p
+       WHERE p.event_type = 'purchase' AND EXISTS (
+         SELECT 1 FROM events v
+         WHERE v.event_type = 'view' AND v.user_id = p.user_id
+           AND v.ts >= p.ts - INTERVAL $OuterLookbackMin MINUTE
+           AND v.ts < p.ts)
+       ORDER BY p_id"""
+
   // -------------------------------------------------------------- d205
   /** Slide grain of the sliding-window gate (15 min in µs). */
   private[streaming] val SlideUs = 900L * 1000000
@@ -1312,7 +1450,9 @@ object StreamGates {
     "d205_sliding_windows" -> (d205SlidingWindows _),
     "d207_changelog_recovery" -> (d207ChangelogRecovery _),
     "d208_changelog_dedup_expiry" -> (d208ChangelogDedupExpiry _),
-    "d209_live_cadence" -> (d209LiveCadence _))
+    "d209_live_cadence" -> (d209LiveCadence _),
+    "d211_tws_timers" -> (d211TwsTimers _),
+    "d212_stream_semi_join" -> (d212StreamSemiJoin _))
 
   val oracles: Map[String, String] = Map(
     "d50_stream_decontaminate" -> d50Oracle,
@@ -1334,5 +1474,7 @@ object StreamGates {
     "d205_sliding_windows" -> d205Oracle,
     "d207_changelog_recovery" -> d127Oracle,
     "d208_changelog_dedup_expiry" -> d187Oracle,
-    "d209_live_cadence" -> d209Oracle)
+    "d209_live_cadence" -> d209Oracle,
+    "d211_tws_timers" -> d211Oracle,
+    "d212_stream_semi_join" -> d212Oracle)
 }

@@ -158,6 +158,152 @@ class StreamingSpec extends SparkSpec {
     assert(tws == legacy, s"tws $tws != legacy $legacy")
   }
 
+  test("d211 tws timers: gap boundaries finalize like the batch " +
+      "definition, exactly once") {
+    // 30-min gap boundary: events 30 min apart share a session
+    // (strictly-greater breaks); 30 min + 1 µs starts a new one. The
+    // sentinel-flushed drain must emit each finalized session exactly
+    // once with its true extent.
+    val dir = plantLog(Seq(
+      (1L, T0, 1L, "view", 0.0),
+      (2L, T0 + min(30), 1L, "view", 0.0), // exactly the gap: SAME session
+      (3L, T0 + min(60) + 1, 1L, "view", 0.0), // 30min+1µs: NEW session
+      (4L, T0, 2L, "view", 0.0)))
+    val got = graft.streaming.StreamGates.d211TwsTimers(spark, dir)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toList
+    assert(got == List(
+      (1L, T0, T0 + min(30), 2L),
+      (1L, T0 + min(60) + 1, T0 + min(60) + 1, 1L),
+      (2L, T0, T0, 1L)), s"got $got")
+  }
+
+  test("d211 tws timers: out-of-order arrival across batches lands in " +
+      "the right sessions") {
+    // the closedSessions out-of-order fixture on the tws processor:
+    // user 100's later event ARRIVES first; the earlier one follows in
+    // the next micro-batch (within the 1-hour watermark); a third
+    // batch's far-future sentinel closes both. The ListState buffer
+    // must produce TWO single-event sessions, not an arrival-order
+    // miscount.
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val base = 1000000000000000L // micros
+    val mn = 60L * 1000 * 1000
+    def ev(id: Long, tsUs: Long, user: Long) =
+      (id, tsUs, user, "click", 1.0, "{}")
+    val staged = Files.createTempDirectory("graft-tws-ooo-in")
+    Seq(
+      Seq(ev(1, base + 60 * mn, 100L)),
+      Seq(ev(2, base + 20 * mn, 100L)),
+      Seq(ev(3, base + 720 * mn, 999L))
+    ).zipWithIndex.foreach { case (rows, i) =>
+      val tmp = Files.createTempDirectory(s"graft-tws-ooo-$i")
+      rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .coalesce(1).write.parquet(tmp.resolve("p").toString)
+      val src = Files.list(tmp.resolve("p")).toArray.map(_.toString)
+        .filter(_.endsWith(".parquet")).head
+      val dst = staged.resolve(s"b$i.parquet")
+      Files.copy(Paths.get(src), dst)
+      dst.toFile.setLastModified(1000000L + i * 60000L)
+    }
+    val got = graft.streaming.StreamGates.withConf(spark,
+      "spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider") {
+      val stream = spark.readStream
+        .schema(graft.streaming.EventStreams.eventSchema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(staged.toString)
+        .withColumn("ts", timestamp_micros(col("ts")))
+      val q = EventStreams.closedSessionsTws(stream)
+        .writeStream.format("memory").queryName("tws_ooo")
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination(120000)
+      spark.table("tws_ooo")
+        .filter(col("user_id") === 100)
+        .orderBy("start_us").collect()
+        .map(r => (r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    }
+    assert(got == Seq(
+      (base + 20 * mn, base + 20 * mn, 1L),
+      (base + 60 * mn, base + 60 * mn, 1L)),
+      s"expected two single-event sessions, got $got")
+  }
+
+  test("d211 tws timers: an older session emits at ITS close, not the " +
+      "newest's") {
+    // user 1: session A (0, 10min) then open session B at 5h; batch 2
+    // advances the watermark past A's close but NOT B's. A timer aimed
+    // at the NEWEST session's close would leave A buffered; the
+    // re-aimed earliest-close timer must emit A now.
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val mn = 60L * 1000 * 1000
+    val hour = 60 * mn
+    def stage(rows: Seq[(Long, Long, Long, String, Double, String)],
+        dir: java.nio.file.Path, name: String, mtime: Long): Unit = {
+      val tmp = Files.createTempDirectory(s"graft-tws-old-$name")
+      rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .coalesce(1).write.parquet(tmp.resolve("p").toString)
+      val src = Files.list(tmp.resolve("p")).toArray.map(_.toString)
+        .filter(_.endsWith(".parquet")).head
+      val dst = dir.resolve(name)
+      Files.copy(Paths.get(src), dst)
+      dst.toFile.setLastModified(mtime)
+    }
+    val staged = Files.createTempDirectory("graft-tws-oldsession-in")
+    val base = 2000000000000000L
+    stage(Seq(
+      (1L, base, 1L, "click", 0.0, "{}"),
+      (2L, base + 10 * mn, 1L, "click", 0.0, "{}"),
+      (3L, base + 5 * hour, 1L, "click", 0.0, "{}")),
+      staged, "b1.parquet", 1000000L)
+    stage(Seq((9L, base + 5 * hour + 10 * mn, 2L, "click", 0.0, "{}")),
+      staged, "b2.parquet", 1060000L)
+    val rows = graft.streaming.StreamGates.withConf(spark,
+      "spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider") {
+      val stream = spark.readStream
+        .schema(graft.streaming.EventStreams.eventSchema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(staged.toString)
+        .withColumn("ts", timestamp_micros(col("ts")))
+      val q = EventStreams.closedSessionsTws(stream)
+        .writeStream.format("memory").queryName("tws_oldest")
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination(120000)
+      spark.table("tws_oldest").filter(col("user_id") === 1L).collect()
+    }
+    assert(rows.length == 1,
+      s"exactly session A must have closed, got ${rows.length}")
+    assert(rows.head.getAs[Long]("n_events") == 2L,
+      "the closed session must be the two-event session A")
+  }
+
+  test("d212 semi join: multiple qualifying views emit the purchase " +
+      "exactly once; the interval bounds are strict-below, closed-above") {
+    // p1 has TWO views in-window (must emit ONCE); p2's only view is
+    // simultaneous (strict < : no match); p3's view sits exactly 30 min
+    // before (>= boundary: match); p4 has no view at all.
+    val dir = plantLog(Seq(
+      (1L, T0 + min(40), 10L, "purchase", 1.0),
+      (2L, T0 + min(20), 10L, "view", 0.0),
+      (3L, T0 + min(30), 10L, "view", 0.0),
+      (4L, T0 + min(40), 11L, "purchase", 1.0),
+      (5L, T0 + min(40), 11L, "view", 0.0),
+      (6L, T0 + min(40), 12L, "purchase", 1.0),
+      (7L, T0 + min(10), 12L, "view", 0.0),
+      (8L, T0 + min(40), 13L, "purchase", 1.0)))
+    val got = graft.streaming.StreamGates.d212StreamSemiJoin(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toList
+    assert(got == List((1L, 10L), (6L, 12L)), s"got $got")
+  }
+
   test("d205 sliding windows: a boundary event lands in exactly four " +
       "windows with 15-minute-aligned starts") {
     // one event exactly on a slide boundary; sliding 1h/15m windows
