@@ -1624,7 +1624,8 @@ object Queries {
     "q45_exists" -> (q45Exists _),
     "q46_tz_calendar" -> (q46TzCalendar _),
     "q47_iso_weeks" -> (q47IsoWeeks _),
-    "q48_billing_periods" -> (q48BillingPeriods _)
+    "q48_billing_periods" -> (q48BillingPeriods _),
+    "q49_null_safe_join" -> (q49NullSafeJoin _)
   )
 
   val relationalOracles: Map[String, String] = Map(
@@ -1675,7 +1676,8 @@ object Queries {
     "q45_exists" -> q45Oracle,
     "q46_tz_calendar" -> q46Oracle,
     "q47_iso_weeks" -> q47Oracle,
-    "q48_billing_periods" -> q48Oracle
+    "q48_billing_periods" -> q48Oracle,
+    "q49_null_safe_join" -> q49Oracle
   )
 
   // lazy: a caller may initialize a contributing registry object FIRST

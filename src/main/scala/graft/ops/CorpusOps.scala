@@ -8226,6 +8226,118 @@ object CorpusOps {
        FROM li
        ORDER BY tbl"""
 
+  // -------------------------------------------------------------- d213
+  /** PEAK CONCURRENCY by distributed SWEEP LINE — "how many line items
+    * were in flight (ordered, not yet shipped) at the busiest moment of
+    * each month": the capacity-planning question whose naive
+    * formulations are both scale-killers — an interval self-join is
+    * quadratic in overlap, and a bare running sum over all boundary
+    * events is the single-partition window. The sweep line stays
+    * linear AND distributed: each interval [order, ship) contributes a
+    * +1 at its start and a −1 at its end, the ±1 stream is put in
+    * global order by [[GlobalOrder.runningTotal]] (range exchange +
+    * per-bucket prefix + broadcast offsets — never one task), and the
+    * inclusive running sum AT each boundary IS the concurrency just
+    * after it takes effect; the per-month max of that is the peak.
+    * The event order is made TOTAL (ts, delta, oid): −1 sorts before
+    * +1 at the same instant, so an item shipping at t has already left
+    * the count any item ordered at t enters — the [order, ship)
+    * half-open semantics, identically interpolated into the oracle's
+    * window ORDER BY. A month's peak is measured at its boundary
+    * events (every TPC-H month has thousands; a truly eventless month
+    * would simply not appear, carrying no boundary to measure at).
+    *
+    * Scale: one equi-join (lineitem⋈orders on the order key), a 2×
+    * explode into ±1 rows of three small columns, one range exchange,
+    * and a month-grain aggregate. Nothing quadratic, nothing
+    * single-partition, no document-sized payloads. */
+  def d213PeakConcurrency(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.load(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_shipdate"))
+    val o = Tables.load(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_orderdate"))
+    val iv = li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .select((col("l_orderkey") * 10 + col("l_linenumber")).as("oid"),
+        col("o_orderdate").as("t0"), col("l_shipdate").as("t1"))
+    val ev = iv
+      .select(col("t0").as("ts"), lit(1).as("delta"), col("oid"))
+      .unionByName(iv
+        .select(col("t1").as("ts"), lit(-1).as("delta"), col("oid")))
+    GlobalOrder.runningTotal(ev,
+        Seq(col("ts"), col("delta"), col("oid")), col("delta"))
+      // DATE-typed month key (DuckDB's date_trunc('month') is a DATE;
+      // Spark's is a timestamp — the one-type-per-column rule)
+      .groupBy(trunc(col("ts").cast("date"), "month").as("month"))
+      .agg(max("running").as("peak_in_flight"),
+        count(lit(1)).as("n_changes"))
+      .orderBy("month")
+  }
+
+  val d213Oracle: String =
+    """WITH iv AS (
+         SELECT l_orderkey * 10 + l_linenumber AS oid,
+           o_orderdate AS t0, l_shipdate AS t1
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+       ev AS (
+         SELECT t0 AS ts, 1 AS delta, oid FROM iv
+         UNION ALL
+         SELECT t1, -1, oid FROM iv),
+       r AS (
+         SELECT ts, CAST(sum(delta) OVER (ORDER BY ts, delta, oid
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS running
+         FROM ev)
+       SELECT date_trunc('month', ts) AS month,
+         max(running) AS peak_in_flight,
+         CAST(count(*) AS BIGINT) AS n_changes
+       FROM r GROUP BY 1 ORDER BY month"""
+
+  // -------------------------------------------------------------- d214
+  /** VARIANT ingestion — Spark 4's binary semi-structured type
+    * (`parse_json` → VariantType) replacing the parse-per-access
+    * string-JSON path d94 gates: the variant is decoded ONCE at scan
+    * time into a typed binary encoding, and every downstream
+    * `variant_get` is a cheap path lookup, not a re-parse — at 100 TB
+    * the difference between N regex/parser passes and one. The gate
+    * pins the full API surface against the string-JSON oracle: typed
+    * extraction (`variant_get(.., 'long')`), missing-path semantics
+    * (`try_variant_get` yields NULL, never an error), and the inferred
+    * per-group schema (`schema_of_variant_agg` — the merged type all
+    * micro-batch ingest schemas must agree on). Same rollup as the
+    * oracle computes from `json_extract`, so the two decode paths are
+    * pinned value-identical.
+    *
+    * Scale: one scan, the variant never shuffles (extraction precedes
+    * the aggregate), map-side-combined hash agg on a 5-row key. */
+  def d214VariantExtract(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "events")
+      .select(col("event_type"), parse_json(col("props")).as("v"))
+      .select(col("event_type"),
+        variant_get(col("v"), "$.k", "long").as("k"),
+        try_variant_get(col("v"), "$.missing", "long").as("miss"),
+        col("v"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        sum("k").as("sum_k"),
+        min("k").as("min_k"),
+        max("k").as("max_k"),
+        count(col("miss")).as("n_missing_hits"),
+        schema_of_variant_agg(col("v")).as("vschema"))
+      .orderBy("event_type")
+
+  val d214Oracle: String =
+    """SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT)
+           AS sum_k,
+         CAST(min(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT)
+           AS min_k,
+         CAST(max(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT)
+           AS max_k,
+         CAST(count(json_extract(props, '$.missing')) AS BIGINT)
+           AS n_missing_hits,
+         'OBJECT<k: BIGINT>' AS vschema
+       FROM events GROUP BY event_type ORDER BY event_type"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d171_loo_influence" -> (d171LooInfluence _),
     "d172_source_affinity" -> (d172SourceAffinity _),
@@ -8238,6 +8350,8 @@ object CorpusOps {
     "d201_file_skipping" -> (d201FileSkipping _),
     "d202_zorder_audit" -> (d202ZorderAudit _),
     "d203_deletion_sweep" -> (d203DeletionSweep _),
+    "d213_peak_concurrency" -> (d213PeakConcurrency _),
+    "d214_variant_extract" -> (d214VariantExtract _),
     "d188_lorenz_mass" -> (d188LorenzMass _),
     "d189_weekly_profile" -> (d189WeeklyProfile _),
     "d185_wilson_reach" -> (d185WilsonReach _),
@@ -8387,6 +8501,8 @@ object CorpusOps {
     "d201_file_skipping" -> d201Oracle,
     "d202_zorder_audit" -> d202Oracle,
     "d203_deletion_sweep" -> d203Oracle,
+    "d213_peak_concurrency" -> d213Oracle,
+    "d214_variant_extract" -> d214Oracle,
     "d174_source_lang_nmi" -> d174Oracle,
     "d175_neyman_sample" -> d175Oracle,
     "d176_daily_acf" -> d176Oracle,

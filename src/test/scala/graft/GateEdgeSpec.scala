@@ -211,6 +211,76 @@ class GateEdgeSpec extends SparkSpec {
   }
 
   // -------------------------------------------------------------- q41
+  test("d213 peak concurrency: a ship and an order at the same instant " +
+      "never overcount, and a month inherits cross-boundary level") {
+    import spark.implicits._
+    val dir = tmp()
+    def ts(day: Int, month: Int = 1) =
+      java.sql.Timestamp.valueOf(f"1995-$month%02d-$day%02d 00:00:00")
+    // A [Jan10, Jan20), B [Jan15, Feb5), C [Jan20, Feb10): C is ordered
+    // at the INSTANT A ships — half-open semantics (−1 before +1) keep
+    // the Jan peak at 2; B carries level 1 across the month boundary,
+    // so Feb's peak is measured correctly from its own first event.
+    Seq((1L, ts(10)), (2L, ts(15)), (3L, ts(20)))
+      .toDF("o_orderkey", "o_orderdate")
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    Seq((1L, 1, ts(20)), (2L, 1, ts(5, 2)), (3L, 1, ts(10, 2)))
+      .toDF("l_orderkey", "l_linenumber", "l_shipdate")
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val got = CorpusOps.d213PeakConcurrency(spark, dir).collect()
+      .map(r => (r.getDate(0).toString, r.getLong(1), r.getLong(2))).toList
+    assert(got == List(
+      ("1995-01-01", 2L, 4L),
+      ("1995-02-01", 1L, 2L)), s"got $got")
+  }
+
+  test("d214 variant: a missing path is NULL (never an error) and the " +
+      "aggregated schema merges the keys actually seen") {
+    import spark.implicits._
+    val dir = tmp()
+    Seq(
+      (1L, java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), 1L,
+        "click", 0.0, """{"k": 1}"""),
+      (2L, java.sql.Timestamp.valueOf("2024-01-01 00:01:00"), 1L,
+        "click", 0.0, """{"j": 5}"""))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val r = CorpusOps.d214VariantExtract(spark, dir).collect()
+    assert(r.length == 1)
+    val row = r.head
+    // the j-only row's $.k extraction is NULL, so the aggregates see
+    // exactly one k value; $.missing never errors and never hits
+    assert(row.getAs[Long]("n") == 2L)
+    assert(row.getAs[Long]("sum_k") == 1L)
+    assert(row.getAs[Long]("min_k") == 1L)
+    assert(row.getAs[Long]("max_k") == 1L)
+    assert(row.getAs[Long]("n_missing_hits") == 0L)
+    val schema = row.getAs[String]("vschema")
+    assert(schema.contains("k") && schema.contains("j"),
+      s"merged variant schema must carry both observed keys: $schema")
+  }
+
+  test("q49 null-safe join: the two NULL buckets pair as ONE row; " +
+      "one-sided buckets null-pad") {
+    import spark.implicits._
+    val dir = tmp()
+    // customers: nationkey 3 → NULL bucket (3 % 7 == 3), 1 → bucket 1
+    Seq(3L, 10L, 1L).toDF("c_nationkey")
+      .write.mode("overwrite").parquet(s"$dir/customer.parquet")
+    // suppliers: nationkey 4 → NULL bucket (4 % 9 == 4), 1 → bucket 1,
+    // 8 → bucket 8 (unreachable by customer mod 7)
+    Seq(4L, 1L, 8L).toDF("s_nationkey")
+      .write.mode("overwrite").parquet(s"$dir/supplier.parquet")
+    val got = Queries.q49NullSafeJoin(spark, dir).collect()
+      .map(r => (Option(r.getAs[java.lang.Long]("k")).map(_.toLong),
+        Option(r.getAs[java.lang.Long]("n_cust")).map(_.toLong),
+        Option(r.getAs[java.lang.Long]("n_supp")).map(_.toLong))).toList
+    assert(got == List(
+      (None, Some(2L), Some(1L)), // NULL <=> NULL: ONE matched row
+      (Some(1L), Some(1L), Some(1L)),
+      (Some(8L), None, Some(1L))), s"got $got")
+  }
+
   test("q41 ordered-set: percentile_disc is the rank-ceil(p*n) element " +
       "and mode ties resolve to the smallest value in BOTH engines' " +
       "conventions") {
