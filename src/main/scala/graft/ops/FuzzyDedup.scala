@@ -122,8 +122,13 @@ object FuzzyDedup {
     * exploded. The downstream self-join and the bucket-size cap both key
     * on (band, bh), so the exchange introduced by the cap's window count
     * is the same partitioning the join needs. */
-  private def bandRows(df: DataFrame): DataFrame = {
-    val sh = shingled(df)
+  private def bandRows(df: DataFrame): DataFrame =
+    bandRowsOfShingles(shingled(df))
+
+  /** [[bandRows]] from an already-shingled (doc_id, shingles) frame —
+    * shared with the incremental index build (d216), whose corpus and
+    * batch sides shingle under DIFFERENT pre-passes. */
+  private def bandRowsOfShingles(sh: DataFrame): DataFrame = {
     // all signatures in one native pass ([[graft.functions.MinHashSigs]])
     // instead of one interpreted array_min(transform(…)) per signature;
     // getItem on the result is codegen'd GetArrayItem
@@ -1212,6 +1217,131 @@ object FuzzyDedup {
          FROM tot t LEFT JOIN known USING (doc_id) JOIN exact USING (doc_id))
        ORDER BY doc_id"""
 
+  // --------------------------------------------------------------- d216
+  /** INCREMENTAL NEAR-DUP against a persisted BAND INDEX — the
+    * production nightly shape d27's membership tiers stop short of:
+    * the corpus's LSH band index ((band, band-hash) → doc, built once
+    * over the deduplicated corpus and REUSED across every daily batch)
+    * answers "which corpus document is each new arrival a near-dup
+    * OF?" without re-banding the corpus or comparing the batch against
+    * anything outside its own buckets. Each batch document probes the
+    * index with its 4 band hashes, candidates are verified by exact
+    * shingle Jaccard (the d2 two-phase discipline — banding recalls,
+    * verification decides), and the BEST corpus match (highest rounded
+    * Jaccard, ties to the lowest corpus doc) becomes its
+    * `near_dup_of`; batch docs with no surviving candidate are
+    * `novel`. The index-side bucket cap ([[MaxBucket]]) applies at
+    * index BUILD time, exactly where a production index drops its
+    * degenerate buckets.
+    *
+    * Scale: the index is (band, bh, doc) — hashes, never text — built
+    * with one shuffle and amortized over every future batch; the batch
+    * side (small by definition) moves 4 band hashes per doc through
+    * one equi-join; shingle sets travel only for verified CANDIDATES.
+    * Work is O(batch × bucket-hits), never O(batch × corpus). */
+  def d216MinhashDelta(spark: SparkSession, dir: String): DataFrame =
+    minhashDelta(docs(spark, dir), IncSplit)
+
+  private[graft] def minhashDelta(d: DataFrame, split: Long): DataFrame = {
+    // corpus index over exact-representatives (the corpus is already
+    // deduplicated when a real index is built); checkpointed — the
+    // shingle pass feeds both the band build and the verify sets
+    val corpusSh = shingleHashes(
+        representatives(d.filter(col("doc_id") < split)))
+      .localCheckpoint()
+    val batchSh = shingleHashes(d.filter(col("doc_id") >= split))
+      .localCheckpoint()
+    val index = bandRowsOfShingles(corpusSh)
+      .withColumn("bsz", count(lit(1)).over(Window.partitionBy("band", "bh")))
+      .filter(col("bsz") <= MaxBucket)
+      .select(col("band"), col("bh"), col("doc_id").as("corpus_id"))
+    val cand = bandRowsOfShingles(batchSh)
+      .join(index, Seq("band", "bh"))
+      .select(col("doc_id"), col("corpus_id"))
+      .distinct()
+    val bSets = batchSh
+      .select(col("doc_id"), array_distinct(col("shingles")).as("sb"))
+    val cSets = corpusSh
+      .select(col("doc_id").as("corpus_id"),
+        array_distinct(col("shingles")).as("sc"))
+    val best = cand
+      .join(bSets, "doc_id").join(cSets, "corpus_id")
+      .select(col("doc_id"), col("corpus_id"),
+        round(size(array_intersect(col("sb"), col("sc"))).cast("double") /
+          size(array_union(col("sb"), col("sc"))), 4).as("jaccard"))
+      .filter(col("jaccard") >= 0.5)
+      .withColumn("rn", row_number().over(Window.partitionBy("doc_id")
+        .orderBy(col("jaccard").desc, col("corpus_id"))))
+      .filter(col("rn") === 1)
+      .select(col("doc_id"), col("corpus_id"), col("jaccard"))
+    batchSh.select("doc_id")
+      .join(best, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("corpus_id").as("near_dup_of"),
+        col("jaccard"),
+        when(col("corpus_id").isNotNull, "near_dup").otherwise("novel")
+          .as("verdict"))
+      .orderBy("doc_id")
+  }
+
+  val d216Oracle: String = {
+    val mhDefs = (0 until NumHashes).map(s =>
+      s"list_min(list_transform(shingles, h -> (h * ${PermA(s)} + ${PermB(s)}) % $M)) AS mh$s")
+      .mkString(",\n         ")
+    val bandCases = (0 until NumBands).map(b =>
+      s"WHEN $b THEN md5(mh${2 * b}::VARCHAR||','||mh${2 * b + 1}::VARCHAR)")
+      .mkString(" ")
+    def shingleChain(src: String, pfx: String): String =
+      s"""t$pfx AS (
+         SELECT doc_id, text,
+           list_transform(regexp_extract_all(text, '\\S+'),
+                          t -> ('0x'||substr(md5(t),1,15))::BIGINT % $M) AS th
+         FROM $src),
+       sh$pfx AS (
+         SELECT doc_id,
+           CASE WHEN len(th) >= 3
+             THEN list_transform(range(1, len(th)-1),
+                    i -> (((th[i] * $K1 + th[i+1]) % $M) * $K2 + th[i+2]) % $M)
+             ELSE [('0x'||substr(md5(text),1,15))::BIGINT % $M] END AS shingles
+         FROM t$pfx),
+       mh$pfx AS (
+         SELECT doc_id,
+         $mhDefs
+         FROM sh$pfx),
+       bands$pfx AS (
+         SELECT doc_id, b, CASE b $bandCases END AS bh
+         FROM mh$pfx, (SELECT unnest([0,1,2,3]) AS b))"""
+    s"""WITH corpus AS (
+         SELECT doc_id, text FROM documents WHERE doc_id < $IncSplit
+         QUALIFY row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) = 1),
+       batch AS (SELECT doc_id, text FROM documents WHERE doc_id >= $IncSplit),
+       ${shingleChain("corpus", "c")},
+       idx AS (
+         SELECT b, bh, doc_id AS corpus_id FROM bandsc
+         QUALIFY count(*) OVER (PARTITION BY b, bh) <= $MaxBucket),
+       ${shingleChain("batch", "b")},
+       cand AS (
+         SELECT DISTINCT p.doc_id, idx.corpus_id
+         FROM bandsb p JOIN idx ON p.b = idx.b AND p.bh = idx.bh),
+       best AS (
+         SELECT doc_id, corpus_id, jaccard FROM (
+           SELECT doc_id, corpus_id,
+             round(len(list_intersect(list_distinct(sb.shingles),
+                                      list_distinct(sc.shingles))) * 1.0
+               / len(list_distinct(list_concat(sb.shingles, sc.shingles))), 4)
+               AS jaccard
+           FROM cand
+             JOIN shb sb USING (doc_id)
+             JOIN shc sc ON sc.doc_id = cand.corpus_id)
+         WHERE jaccard >= 0.5
+         QUALIFY row_number() OVER (PARTITION BY doc_id
+           ORDER BY jaccard DESC, corpus_id) = 1)
+       SELECT b.doc_id, best.corpus_id AS near_dup_of, best.jaccard,
+         CASE WHEN best.corpus_id IS NULL THEN 'novel'
+              ELSE 'near_dup' END AS verdict
+       FROM batch b LEFT JOIN best ON b.doc_id = best.doc_id
+       ORDER BY b.doc_id"""
+  }
+
   // -------------------------------------------------------------- d101
   /** Edit-distance match threshold for the entity-resolution gate. */
   private[graft] val ErMaxLev = 3
@@ -1341,6 +1471,7 @@ object FuzzyDedup {
     "d206_effective_tokens" -> (d206EffectiveTokens _),
     "d101_fuzzy_match" -> (d101FuzzyMatch _),
     "d27_incremental_novelty" -> (d27IncrementalNovelty _),
+    "d216_minhash_delta" -> (d216MinhashDelta _),
     "d2_minhash_dedup" -> (d2MinhashDedup _),
     "d84_minhash_recall" -> (d84MinhashRecall _),
     "d3_simhash" -> (d3Simhash _),
@@ -1362,6 +1493,7 @@ object FuzzyDedup {
     "d206_effective_tokens" -> d206Oracle,
     "d101_fuzzy_match" -> d101Oracle,
     "d27_incremental_novelty" -> d27Oracle,
+    "d216_minhash_delta" -> d216Oracle,
     "d2_minhash_dedup" -> d2Oracle,
     "d84_minhash_recall" -> d84Oracle,
     "d3_simhash" -> d3Oracle,

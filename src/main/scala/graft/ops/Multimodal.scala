@@ -648,13 +648,97 @@ object Multimodal {
        GROUP BY d.source
        ORDER BY d.source"""
 
+  // -------------------------------------------------------------- d215
+  /** ASPECT-RATIO BUCKETING for image-training batching — variable-
+    * aspect corpora can't batch raw (one tensor shape per batch), so
+    * the standard fix (SDXL-style) snaps every image to the nearest of
+    * a small aspect ladder and packs fixed-size batches WITHIN each
+    * bucket. The gate runs the real pipeline shape end to end: each
+    * doc carries a spec-valid P5 payload with per-doc VARIABLE
+    * dimensions, the codec ([[MediaCodecs.decodeNetpbm]]) — not a
+    * carried-along column — recovers (w, h), and the ladder snap is
+    * EXACT-INTEGER: candidate ratios are expressed over the common
+    * denominator 12 (1:2→6, 3:4→9, 1:1→12, 4:3→16, 2:1→24), so
+    * `|12·w − r12·h|` compares all candidates without a float and ties
+    * break to the smaller ratio by plain struct ordering. Per bucket
+    * the packing report is what a loader needs: image count, number of
+    * size-[[AspectBatch]] batches, and the last batch's fill (the
+    * padding the curriculum pays).
+    *
+    * Scale: decode is partition-local over the binary column (only
+    * 8-byte dims leave the executor), the snap is a per-row array
+    * expression, and the report is one hash aggregate on a 5-row key.
+    * No shuffle ever carries pixels. */
+  private[graft] val AspectBatch = 8L
+
+  def d215AspectBuckets(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = (lit(8) + col("doc_id") % 24).cast("int")
+    val h = (lit(8) + (col("doc_id") / 7) % 24).cast("int")
+    val n = (w * h).cast("int")
+    val pgm = concat(
+      encode(concat(lit("P5\n"), w.cast("string"), lit(" "),
+        h.cast("string"), lit("\n255\n")), "UTF-8"),
+      encode(expr("substr(repeat(text, cast(ceil((wh + 0.0) / length(text)) as int)), 1, wh)"),
+        "UTF-8"))
+    val blobs = Tables.load(spark, dir, "documents")
+      .filter(length(col("text")) > 0) // cannot pad a payload (d70)
+      .withColumn("wh", n)
+      .select(col("doc_id"), pgm.as("data"))
+      .as[(Long, Array[Byte])]
+    val dims = blobs.mapPartitions { it =>
+      it.flatMap { case (id, bytes) =>
+        MediaCodecs.decodeNetpbm(bytes).map(r =>
+          (id, r.width, r.height))
+      }
+    }.toDF("doc_id", "w", "h")
+    val cands = array(Seq(6, 9, 12, 16, 24).map(r =>
+      struct(abs(lit(12) * col("w") - lit(r) * col("h")).as("dist"),
+        lit(r).as("r12"))): _*)
+    dims
+      .select(col("doc_id"),
+        array_sort(cands).getItem(0).getField("r12").as("r12"))
+      .groupBy("r12")
+      .agg(count(lit(1)).as("n_images"))
+      .select(col("r12").cast("long").as("r12"), col("n_images"),
+        ceil(col("n_images").cast("double") / AspectBatch).cast("long")
+          .as("n_batches"),
+        (col("n_images") - lit(AspectBatch) *
+          (ceil(col("n_images").cast("double") / AspectBatch).cast("long")
+            - 1)).as("last_batch_fill"))
+      .orderBy("r12")
+  }
+
+  val d215Oracle: String =
+    s"""WITH dims AS (
+         SELECT doc_id,
+           8 + doc_id % 24 AS w,
+           8 + (doc_id // 7) % 24 AS h
+         FROM documents WHERE length(text) > 0),
+       snapped AS (
+         SELECT doc_id, r12 FROM dims,
+           (SELECT unnest([6, 9, 12, 16, 24]) AS r12)
+         QUALIFY row_number() OVER (PARTITION BY doc_id
+           ORDER BY abs(12 * w - r12 * h), r12) = 1),
+       b AS (
+         SELECT CAST(r12 AS BIGINT) AS r12,
+           CAST(count(*) AS BIGINT) AS n_images
+         FROM snapped GROUP BY r12)
+       SELECT r12, n_images,
+         CAST(ceil(n_images / $AspectBatch.0) AS BIGINT) AS n_batches,
+         CAST(n_images - $AspectBatch *
+           (CAST(ceil(n_images / $AspectBatch.0) AS BIGINT) - 1) AS BIGINT)
+           AS last_batch_fill
+       FROM b ORDER BY r12"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d11_multimodal_meta" -> (d11MultimodalMeta _),
     "d70_image_dhash" -> (d70ImageDhash _),
     "d81_audio_dhash" -> (d81AudioDhash _),
     "d139_mp3_meta" -> (d139Mp3Meta _),
     "d198_transcode_dups" -> (d198TranscodeDups _),
-    "d210_source_transcode_report" -> (d210SourceTranscodeReport _)
+    "d210_source_transcode_report" -> (d210SourceTranscodeReport _),
+    "d215_aspect_buckets" -> (d215AspectBuckets _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -663,6 +747,7 @@ object Multimodal {
     "d81_audio_dhash" -> d81Oracle,
     "d139_mp3_meta" -> d139Oracle,
     "d198_transcode_dups" -> d198Oracle,
-    "d210_source_transcode_report" -> d210Oracle
+    "d210_source_transcode_report" -> d210Oracle,
+    "d215_aspect_buckets" -> d215Oracle
   )
 }

@@ -260,6 +260,53 @@ class GateEdgeSpec extends SparkSpec {
       s"merged variant schema must carry both observed keys: $schema")
   }
 
+  test("d215 aspect buckets: an exact midpoint ties to the SMALLER " +
+      "ratio, and the last batch's fill is the remainder") {
+    import spark.implicits._
+    val dir = tmp()
+    // ids chosen so every doc snaps to the square bucket (r12 = 12);
+    // id 30 decodes to 14x12, EQUIDISTANT (|12w−12h| = |12w−16h| = 24)
+    // from 1:1 and 4:3 — the integer tie must break to 12. Nine docs →
+    // two batches of 8, last fill 1.
+    val ids = Seq(0L, 1L, 26L, 27L, 28L, 29L, 30L, 54L, 55L)
+    ids.map(i => (i, "payload text for planted aspect fixture"))
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = Multimodal.d215AspectBuckets(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toList
+    assert(got == List((12L, 9L, 2L, 1L)), s"got $got")
+  }
+
+  test("d216 minhash delta: exact copies match their corpus rep, best " +
+      "match wins, and an unrelated doc is novel") {
+    import spark.implicits._
+    val base = "a b c d e f g h i j"      // 8 shingles
+    val vary = "a b c d e f g h i k"      // shares 7 of 9 union → 0.7778
+    val rows = Seq(
+      (0L, base),                          // corpus
+      (1L, base),                          // corpus exact dup → collapsed
+      (2L, vary),                          // corpus
+      (10L, base),                         // batch: exact copy of 0
+      (11L, vary),                         // batch: exact copy of 2
+      (12L, "z y x w v u t s r q"))        // batch: unrelated → novel
+      .toDF("doc_id", "text")
+    val got = graft.ops.FuzzyDedup.minhashDelta(rows, split = 10L)
+      .collect()
+      .map(r => (r.getLong(0),
+        Option(r.getAs[java.lang.Long]("near_dup_of")).map(_.toLong),
+        Option(r.getAs[java.lang.Double]("jaccard")).map(_.toDouble),
+        r.getAs[String]("verdict"))).toList
+    // doc 10 shares ALL bands with rep 0 (identical text), so the index
+    // must return 0 (never the collapsed dup 1) at jaccard 1.0; doc 11
+    // likewise matches 2 even though it also near-matches 0 — the best
+    // (highest-jaccard) candidate wins
+    assert(got == List(
+      (10L, Some(0L), Some(1.0), "near_dup"),
+      (11L, Some(2L), Some(1.0), "near_dup"),
+      (12L, None, None, "novel")), s"got $got")
+  }
+
   test("q49 null-safe join: the two NULL buckets pair as ONE row; " +
       "one-sided buckets null-pad") {
     import spark.implicits._
