@@ -1604,8 +1604,134 @@ object Similarity {
          round(max(nrm), 4) + 0.0 AS max_norm
        FROM n GROUP BY label ORDER BY label"""
 
+  // -------------------------------------------------------------- d217
+  /** PRODUCT QUANTIZATION + asymmetric distance (ADC) — the serving
+    * compression IVF (d14) coarse-quantizes AROUND and scalar int8
+    * (d42/d51) cannot reach: the 64-dim vector is split into
+    * [[PqM]] 16-dim subspaces, each with its own tiny k-means codebook
+    * ([[PqK]] centroids, the d14 training discipline: first-K init,
+    * [[LloydIters]] assign→mean rounds over the deterministic
+    * 1-in-[[TrainMod]] sample, means rounded 4dp for cross-engine
+    * reproducibility), and every vector stores only its [[PqM]] codes
+    * — 4 bytes instead of 256. A query never decompresses anything:
+    * its per-subspace distance TABLE (PqM·PqK = 16 entries) is
+    * computed once, and each candidate's approximate distance is the
+    * sum of 4 table lookups keyed by its codes. All distances are
+    * EXACT e4-scaled integers (the d143 convention: `round(L2²·10⁴)`
+    * as BIGINT, summed in any order without float drift), squared-L2
+    * accumulated in element order in both engines.
+    *
+    * Scale: training touches only the sample; encode is one
+    * broadcast-join pass (K·M tiny comparisons per vector); serving
+    * state is 4 bytes/vector + a 16-row LUT per query, and the ADC
+    * scan is the point of PQ — brute force over COMPRESSED codes,
+    * with the per-probe top-k the only ordering. */
+  private val PqM = 4
+  private val PqDim = 16
+  private val PqK = 8
+
+  /** Squared L2 over two equal-length vectors as an EXACT e4 integer,
+    * accumulated in element order (LUT/assignment arithmetic — K·M
+    * comparisons per vector, never a data×data path). */
+  private def l2e4(a: Column, b: Column): Column =
+    round(aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
+      lit(0.0), _ + _) * 10000).cast("long")
+
+  def d217PqAdc(spark: SparkSession, dir: String): DataFrame =
+    pqAdc(emb(spark, dir))
+
+  private[graft] def pqAdc(e: DataFrame): DataFrame = {
+    val subs = e.select(col("vec_id"), explode(array((0 until PqM).map(m =>
+        struct(lit(m).as("m"),
+          slice(col("v"), m * PqDim + 1, PqDim).as("sv"))): _*)).as("s"))
+      .select(col("vec_id"), col("s.m").as("m"), col("s.sv").as("sv"))
+      .localCheckpoint() // feeds training, encode, and the probe LUTs
+    def assign(v: DataFrame, c: DataFrame) = v.join(broadcast(c), Seq("m"))
+      .select(col("vec_id"), col("m"), col("sv"), col("code"),
+        l2e4(col("sv"), col("cv")).as("d"))
+      .groupBy("vec_id", "m")
+      .agg(min(struct(col("d"), col("code"), col("sv"))).as("b"))
+      .select(col("vec_id"), col("m"), col("b.sv").as("sv"),
+        col("b.code").as("code"))
+    def update(a: DataFrame) = a
+      .select(col("m"), col("code"), posexplode(col("sv")).as(Seq("i", "x")))
+      .groupBy("m", "code", "i").agg(round(avg("x"), 4).as("cx"))
+      .groupBy("m", "code")
+      .agg(array_sort(collect_list(struct(col("i"), col("cx")))).as("a"))
+      .select(col("m"), col("code"),
+        transform(col("a"), s => s.getField("cx")).as("cv"))
+    val c0 = subs.filter(col("vec_id") < PqK)
+      .select(col("m"), col("vec_id").as("code"), col("sv").as("cv"))
+    val train = subs.filter(col("vec_id") % TrainMod === 0)
+    val cents = (1 to LloydIters).foldLeft(c0) { (c, _) =>
+      update(assign(train, c))
+    }.localCheckpoint() // 16 rows; reused by encode and every LUT
+    val codes = assign(subs, cents).select("vec_id", "m", "code")
+    val lut = subs.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("q_id"), col("m"), col("sv").as("qv"))
+      .join(broadcast(cents), Seq("m"))
+      .select(col("q_id"), col("m"), col("code"),
+        l2e4(col("qv"), col("cv")).as("d_e4"))
+    codes.join(broadcast(lut), Seq("m", "code"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .groupBy("q_id", "vec_id").agg(sum("d_e4").as("adc_e4"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("q_id").orderBy(col("adc_e4"), col("vec_id"))))
+      .filter(col("rk") <= 3)
+      .select("q_id", "rk", "vec_id", "adc_e4")
+      .orderBy("q_id", "rk")
+  }
+
+  val d217Oracle: String = {
+    def l2Sql(a: String, b: String): String =
+      s"""CAST(round(list_sum(list_transform(range(1, ${PqDim + 1}),
+         i -> ($a[i] - $b[i]) * ($a[i] - $b[i]))) * 10000) AS BIGINT)"""
+    def assignSql(vcte: String, ccte: String): String =
+      s"""SELECT vec_id, m, sv, code FROM (
+         SELECT t.vec_id, t.m, t.sv, c.code,
+           row_number() OVER (PARTITION BY t.vec_id, t.m
+             ORDER BY ${l2Sql("t.sv", "c.cv")}, c.code) AS rk
+         FROM $vcte t JOIN $ccte c ON t.m = c.m)
+         WHERE rk = 1"""
+    def updateSql(acte: String): String =
+      s"""SELECT m, code, list(cx ORDER BY i) AS cv FROM (
+         SELECT m, code, i, round(avg(sv[i]), 4) AS cx
+         FROM $acte, (SELECT unnest(range(1, ${PqDim + 1})) AS i)
+         GROUP BY m, code, i)
+         GROUP BY m, code"""
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       subs AS (
+         SELECT vec_id, m, v[(m * $PqDim + 1):((m + 1) * $PqDim)] AS sv
+         FROM e, (SELECT unnest(range($PqM)) AS m)),
+       c0 AS (SELECT m, vec_id AS code, sv AS cv FROM subs
+              WHERE vec_id < $PqK),
+       train AS (SELECT * FROM subs WHERE vec_id % $TrainMod = 0),
+       a1 AS (${assignSql("train", "c0")}),
+       c1 AS (${updateSql("a1")}),
+       a2 AS (${assignSql("train", "c1")}),
+       c2 AS (${updateSql("a2")}),
+       codes AS (${assignSql("subs", "c2")}),
+       lut AS (
+         SELECT s.vec_id AS q_id, s.m, c.code,
+           ${l2Sql("s.sv", "c.cv")} AS d_e4
+         FROM subs s JOIN c2 c ON s.m = c.m
+         WHERE s.vec_id < 3),
+       adc AS (
+         SELECT q_id, vec_id, CAST(sum(d_e4) AS BIGINT) AS adc_e4
+         FROM codes JOIN lut USING (m, code)
+         WHERE vec_id <> q_id
+         GROUP BY q_id, vec_id)
+       SELECT q_id, rk, vec_id, adc_e4 FROM (
+         SELECT q_id, vec_id, adc_e4,
+           row_number() OVER (PARTITION BY q_id
+             ORDER BY adc_e4, vec_id) AS rk
+         FROM adc)
+       WHERE rk <= 3 ORDER BY q_id, rk"""
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d192_embedding_norms" -> (d192EmbeddingNorms _),
+    "d217_pq_adc" -> (d217PqAdc _),
     "d143_bitext_mining" -> (d143BitextMining _),
     "d129_semantic_decontam" -> (d129SemanticDecontam _),
     "d110_power_pca" -> (d110PowerPca _),
@@ -1631,6 +1757,7 @@ object Similarity {
 
   val oracles: Map[String, String] = Map(
     "d192_embedding_norms" -> d192Oracle,
+    "d217_pq_adc" -> d217Oracle,
     "d143_bitext_mining" -> d143Oracle,
     "d129_semantic_decontam" -> d129Oracle,
     "d110_power_pca" -> d110Oracle,

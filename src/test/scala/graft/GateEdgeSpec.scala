@@ -278,6 +278,36 @@ class GateEdgeSpec extends SparkSpec {
     assert(got == List((12L, 9L, 2L, 1L)), s"got $got")
   }
 
+  test("d217 pq adc: constant-vector fixture — hand-computed codebook, " +
+      "LUT sums, and the equidistant encode tie to the lower code") {
+    import spark.implicits._
+    // vectors constant across all 64 dims, so every 16-dim subspace is
+    // the same constant and L2² = 16·(a−b)². Training sample (%5==0)
+    // is {v0=0, v5=5}; after the Lloyd rounds the per-subspace codebook
+    // is exactly {code 0 → 0.0, code 5 → 5.0}. Encode: value < 2.5 →
+    // code 0, > 2.5 → code 5; v8 = 2.5 is EQUIDISTANT (d_e4 = 1000000
+    // to both) and must take the LOWER code. ADC distances are then
+    // exact integers: 4 · 16·(q−c)²·10⁴.
+    val vals = Map(0L -> 0.0, 1L -> 1.0, 2L -> 4.0, 3L -> 3.0, 4L -> 4.0,
+      5L -> 5.0, 6L -> 5.0, 7L -> 6.0, 8L -> 2.5)
+    val e = vals.toSeq.sortBy(_._1)
+      .map { case (id, a) => (id, Array.fill(64)(a)) }
+      .toDF("vec_id", "v")
+    val got = graft.ops.Similarity.pqAdc(e).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+      .toList
+    assert(got == List(
+      (0L, 1, 1L, 0L),          // q0 (code 0): v1 shares its codes
+      (0L, 2, 8L, 0L),          // the tie-encoded v8 sits in code 0
+      (0L, 3, 2L, 16000000L),   // first code-5 member: 4·16·25·10⁴
+      (1L, 1, 0L, 640000L),     // q1→c0 is 16·1·10⁴ per subspace
+      (1L, 2, 8L, 640000L),
+      (1L, 3, 2L, 10240000L),   // q1→c5 is 16·16·10⁴ per subspace
+      (2L, 1, 3L, 640000L),     // q2 (v2=4 → code 5): c5 members first
+      (2L, 2, 4L, 640000L),
+      (2L, 3, 5L, 640000L)), s"got $got")
+  }
+
   test("d216 minhash delta: exact copies match their corpus rep, best " +
       "match wins, and an unrelated doc is novel") {
     import spark.implicits._
