@@ -866,6 +866,86 @@ object StreamGates {
            AND v.ts < p.ts
        ORDER BY p_id, view_id"""
 
+  // -------------------------------------------------------------- d218
+  /** How far past the log the LATE source's sentinel sits (7 h —
+    * deliberately far beyond [[FlushBumpUs]], so the two sources'
+    * watermarks DISAGREE by hours and the alignment policy is
+    * observable). */
+  private[streaming] val LateBumpUs = 7L * 3600 * 1000000
+
+  /** MULTI-SOURCE WATERMARK ALIGNMENT — two independently-watermarked
+    * sources (the views topic and the everything-else topic) UNION into
+    * one windowed aggregate, the topology every multi-topic ingest
+    * runs, and the semantics under gate is the global watermark policy:
+    * Spark advances the query watermark to the MINIMUM of the sources'
+    * (`multipleWatermarkPolicy=min`, the default and the only safe
+    * setting), so the slow source holds results back rather than
+    * letting the fast one finalize windows the slow one could still
+    * populate. The fixture makes the policy LOUDLY observable: source
+    * A's flush sentinel sits 2.5 h past the log, source B's 7 h past,
+    * so under min the final watermark is log+1.5 h — every REAL window
+    * closes (append emits it) while BOTH sentinel windows stay open;
+    * under a max-policy regression the watermark would reach log+6 h
+    * and source A's sentinel window (ending ≤ log+3.5 h) would emit —
+    * tripping the in-op require before the oracle even looks. Result
+    * hash-checked against q17's batch oracle over the reunited log.
+    *
+    * Scale: same shuffle/state shape as d104 — the union is free
+    * (narrow), the agg shuffles on (window, type), state bounded by
+    * the min-watermark horizon. */
+  def d218UnionWatermarks(spark: SparkSession, dir: String): DataFrame = {
+    val raw = spark.read.parquet(s"$dir/events.parquet")
+    val isNanos =
+      raw.schema("ts").dataType == org.apache.spark.sql.types.LongType
+    def sentinel(bumpUs: Long): DataFrame = raw.orderBy(col("ts").desc)
+      .limit(1)
+      .select(lit(-1L).as("event_id"),
+        (if (isNanos) col("ts") + lit(bumpUs * 1000L)
+         else col("ts") + expr(s"INTERVAL ${bumpUs / 60000000L} MINUTES"))
+          .as("ts"),
+        lit(-1L).as("user_id"), lit("sentinel").as("event_type"),
+        lit(0.0).as("value"), lit(null).cast("string").as("props"))
+    val dirA = Files.createTempDirectory("graft-d218-a")
+    val dirB = Files.createTempDirectory("graft-d218-b")
+    stagePart(raw.filter(col("event_type") === "view")
+      .unionByName(sentinel(FlushBumpUs)), dirA, "log.parquet", "graft-d218")
+    stagePart(raw.filter(col("event_type") =!= "view")
+      .unionByName(sentinel(LateBumpUs)), dirB, "log.parquet", "graft-d218")
+    // each source carries its OWN watermark; the union's aggregate then
+    // runs under the min of the two — the semantics under test
+    val a = EventStreams.readEvents(spark, dirA.toString)
+      .withWatermark("ts", "1 hour")
+    val b = EventStreams.readEvents(spark, dirB.toString)
+      .withWatermark("ts", "1 hour")
+    val name = s"graft_d218_run${runSeq.incrementAndGet()}"
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    val query =
+      try a.unionByName(b)
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("total_value"))
+        .select(col("window.start").as("hour"), col("event_type"),
+          col("n"), col("total_value"))
+        .writeStream.format("memory").queryName(name)
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+    query.awaitTermination()
+    unstage(dirA); unstage(dirB)
+    val out = spark.table(name)
+    // the alignment pin: under min-policy neither sentinel's window can
+    // have closed; a max-aligned watermark would have emitted source
+    // A's — fail loudly rather than hand the oracle a spurious row
+    require(out.filter(col("event_type") === "sentinel").isEmpty,
+      "a sentinel window was emitted — watermark alignment is not min")
+    out.orderBy("hour", "event_type")
+  }
+
+  /** q17's oracle verbatim — the two topics reunite to exactly the
+    * events table, and every real window must have closed. */
+  val d218Oracle: String = graft.Queries.q17Oracle
+
   // -------------------------------------------------------------- d212
   /** STREAM-STREAM LEFT SEMI INTERVAL JOIN — the remaining watermarked
     * join shape (d107 inner, d179/d196 left outer): "every purchase
@@ -1452,7 +1532,8 @@ object StreamGates {
     "d208_changelog_dedup_expiry" -> (d208ChangelogDedupExpiry _),
     "d209_live_cadence" -> (d209LiveCadence _),
     "d211_tws_timers" -> (d211TwsTimers _),
-    "d212_stream_semi_join" -> (d212StreamSemiJoin _))
+    "d212_stream_semi_join" -> (d212StreamSemiJoin _),
+    "d218_union_watermarks" -> (d218UnionWatermarks _))
 
   val oracles: Map[String, String] = Map(
     "d50_stream_decontaminate" -> d50Oracle,
@@ -1476,5 +1557,6 @@ object StreamGates {
     "d208_changelog_dedup_expiry" -> d187Oracle,
     "d209_live_cadence" -> d209Oracle,
     "d211_tws_timers" -> d211Oracle,
-    "d212_stream_semi_join" -> d212Oracle)
+    "d212_stream_semi_join" -> d212Oracle,
+    "d218_union_watermarks" -> d218Oracle)
 }

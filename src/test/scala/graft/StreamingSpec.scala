@@ -285,6 +285,23 @@ class StreamingSpec extends SparkSpec {
       "the closed session must be the two-event session A")
   }
 
+  test("d218 union watermarks: the sentinel pin is discriminative — a " +
+      "max-aligned watermark emits the early sentinel's window and " +
+      "trips it") {
+    // same gate, alignment policy flipped to max: source B's 7h-late
+    // sentinel now drives the global watermark past source A's
+    // sentinel window, which emits — the in-op require must fail
+    // loudly instead of handing the oracle a spurious row
+    val e = intercept[IllegalArgumentException] {
+      graft.streaming.StreamGates.withConf(spark,
+        "spark.sql.streaming.multipleWatermarkPolicy", "max") {
+        graft.streaming.StreamGates.d218UnionWatermarks(spark, sfDir)
+      }
+    }
+    assert(e.getMessage.contains("watermark alignment"),
+      s"unexpected failure: ${e.getMessage}")
+  }
+
   test("d212 semi join: multiple qualifying views emit the purchase " +
       "exactly once; the interval bounds are strict-below, closed-above") {
     // p1 has TWO views in-window (must emit ONCE); p2's only view is
