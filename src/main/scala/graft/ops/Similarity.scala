@@ -1630,12 +1630,14 @@ object Similarity {
   private val PqDim = 16
   private val PqK = 8
 
-  /** Squared L2 over two equal-length vectors as an EXACT e4 integer,
-    * accumulated in element order (LUT/assignment arithmetic — K·M
-    * comparisons per vector, never a data×data path). */
+  /** Squared L2 over two equal-length vectors as an EXACT e4 integer —
+    * the native [[graft.functions.L2SqE4]] expression (one codegen'd
+    * fused loop; the PQ ENCODE runs it K·M times per vector, and a
+    * production codebook has K = 256). Element-order accumulation and
+    * Spark-exact rounding are pinned bit-identical to the HOF fold it
+    * replaced by a `FunctionsSpec` parity test. */
   private def l2e4(a: Column, b: Column): Column =
-    round(aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
-      lit(0.0), _ + _) * 10000).cast("long")
+    graft.functions.L2SqE4(a, b)
 
   def d217PqAdc(spark: SparkSession, dir: String): DataFrame =
     pqAdc(emb(spark, dir))

@@ -294,6 +294,43 @@ class FunctionsSpec extends SparkSpec {
     }
   }
 
+  test("L2SqE4 matches the HOF formulation bit-for-bit, including " +
+      "subspace slices and the null contracts") {
+    import graft.functions.L2SqE4
+    import org.apache.spark.sql.Column
+    // the exact round(aggregate(zip_with(...))·10⁴) fold d217 used
+    // before the native expression replaced it — the parity oracle
+    // (element order and the decimal HALF_UP round must be identical,
+    // not just close: the driver gate hashes d217's ADC integers)
+    def hof(a: Column, b: Column): Column =
+      round(aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
+        lit(0.0), _ + _) * 10000).cast("long")
+    val e = graft.Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val probe = e.filter(col("vec_id") === 0).select(col("v").as("qv"))
+    val full = e.crossJoin(probe)
+      .select(col("vec_id"), L2SqE4(col("v"), col("qv")).as("native"),
+        hof(col("v"), col("qv")).as("ref"))
+      .collect()
+    assert(full.nonEmpty)
+    full.foreach(r => assert(r.getLong(1) == r.getLong(2),
+      s"full-vector mismatch vec_id=${r.getLong(0)}"))
+    val sub = e.crossJoin(probe)
+      .select(col("vec_id"),
+        L2SqE4(slice(col("v"), 17, 16), slice(col("qv"), 17, 16)).as("native"),
+        hof(slice(col("v"), 17, 16), slice(col("qv"), 17, 16)).as("ref"))
+      .collect()
+    sub.foreach(r => assert(r.getLong(1) == r.getLong(2),
+      s"subspace mismatch vec_id=${r.getLong(0)}"))
+    // null contracts: mismatched lengths → null (zip_with pads with
+    // null, poisoning the HOF sum the same way)
+    val mism = spark.range(1).select(
+      L2SqE4(array(lit(1.0), lit(2.0)), array(lit(1.0))).as("n"),
+      hof(array(lit(1.0), lit(2.0)), array(lit(1.0))).as("r"))
+      .collect().head
+    assert(mism.isNullAt(0) && mism.isNullAt(1))
+  }
+
   test("QuantCodes matches the HOF formulation and round-trips within scale/2") {
     import graft.functions.QuantCodes
     import org.apache.spark.sql.Column
