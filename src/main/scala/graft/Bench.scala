@@ -129,6 +129,20 @@ object Bench {
       java.nio.file.Files.write(java.nio.file.Paths.get(out),
         (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     } catch { case _: Exception => () }
+    // At 270 queries the full line is itself LONGER than the driver's
+    // 2000-char tail window: the window then holds only the line's
+    // tail, the `{"metric":…` prefix never appears, and the driver's
+    // parse records `parsed: null` (r15 VERDICT "what's wrong" #1).
+    // So the LAST line printed is a compact summary guaranteed to fit
+    // the window whole: total + the slowest 15 queries + error count,
+    // with a pointer at the committed full artifact.
+    val slow = times.sortBy(-_._2).take(15)
+    val qsShort =
+      slow.map { case (k, v) => s"${jstr(k)}:$v" }.mkString("{", ",", "}")
+    val esShort = errors.take(5)
+      .map { case (k, v) => s"${jstr(k)}:${jstr(v.take(60))}" }
+      .mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${times.size},"n_errors":${errors.size},"queries":$qsShort,"errors":$esShort,"queries_full":${jstr(out)},"sf":${jstr(sfDir)}}""")
     spark.stop()
   }
 }

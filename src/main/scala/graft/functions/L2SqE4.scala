@@ -88,7 +88,13 @@ object L2SqE4 {
       acc += d * d
       i += 1
     }
-    val rounded = new java.math.BigDecimal(acc * 10000.0)
+    // BigDecimal.valueOf (the Double.toString construction) is the
+    // path Spark's own Round takes for DoubleType — the exact-binary
+    // `new BigDecimal(double)` constructor provably agrees at scale 0
+    // (half-integers are exactly representable below 2^52) but NOT at
+    // nonzero scales, so match Spark's construction outright rather
+    // than lean on a scale-0-only equivalence (r15 ADVICE #4)
+    val rounded = java.math.BigDecimal.valueOf(acc * 10000.0)
       .setScale(0, java.math.RoundingMode.HALF_UP).doubleValue()
     java.lang.Long.valueOf(rounded.toLong)
   }

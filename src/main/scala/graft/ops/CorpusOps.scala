@@ -8311,7 +8311,13 @@ object CorpusOps {
     * the aggregate), map-side-combined hash agg on a 5-row key. */
   def d214VariantExtract(spark: SparkSession, dir: String): DataFrame =
     Tables.load(spark, dir, "events")
-      .select(col("event_type"), parse_json(col("props")).as("v"))
+      // try_parse_json, not parse_json: the fixture's props are
+      // uniformly well-formed {"k": int} today, but the sibling JSON
+      // gates (d94/d96) defensively survive malformed rows, and strict
+      // parse_json would turn a future malformed fixture row into a
+      // CRASH instead of a clean NULL-variant (r15 ADVICE #1) — the
+      // ingest semantics a production scan wants anyway
+      .select(col("event_type"), try_parse_json(col("props")).as("v"))
       .select(col("event_type"),
         variant_get(col("v"), "$.k", "long").as("k"),
         try_variant_get(col("v"), "$.missing", "long").as("miss"),
@@ -8335,6 +8341,11 @@ object CorpusOps {
            AS max_k,
          CAST(count(json_extract(props, '$.missing')) AS BIGINT)
            AS n_missing_hits,
+         -- pinned literal = schema_of_variant_agg over the FIXTURE
+         -- INVARIANT that every props row is exactly {"k": int} (the
+         -- generator writes nothing else); if the fixture ever gains
+         -- other shapes the merged schema widens and this literal goes
+         -- loudly red rather than silently stale (r15 ADVICE #1)
          'OBJECT<k: BIGINT>' AS vschema
        FROM events GROUP BY event_type ORDER BY event_type"""
 

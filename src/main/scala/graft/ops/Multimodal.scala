@@ -554,24 +554,67 @@ object Multimodal {
   /** The shared oracle middle for the transcode gates: envelope-hash
     * groups → banded near-dup edges → connected components → doc-level
     * cluster ids (`cl`) joined to the closed-form container metadata
-    * (`m`, d139's parameter derivation) as `dm`. */
-  private val transcodeClusterCtes: String =
+    * (`m`, d139's parameter derivation) as `dm`.
+    *
+    * The components are NON-RECURSIVE (r15 VERDICT missing #2): the
+    * previous `reach` recursive CTE computed the FULL transitive
+    * closure — O(Σ component²) rows — and on the 10× replica-dense
+    * pair set that alone pushed d198/d210 past the sweep's 900 s
+    * per-oracle budget (extended-budget runs hash-matched, so this is
+    * an oracle-cost rewrite, not a semantics change). The replacement
+    * is the engine's own discipline ([[Clustering.minLabelComponents]])
+    * unrolled: [[CcRounds]] rounds of neighbor-min + one pointer-jump
+    * hop each, O(E) per round, MATERIALIZED so DuckDB cannot
+    * re-inline the chain exponentially. Correct for any component the
+    * rounds can cover (diameter ≤ 2^[[CcRounds]]-ish; the 10× rep
+    * graph measures diameter 3) — and rather than TRUST that bound, a
+    * `chk` round verifies the fixpoint: if one more neighbor-min pass
+    * would still change any label, every label is replaced by a
+    * sentinel so the gate fails LOUDLY instead of shipping
+    * under-merged clusters. Proven value-identical to the recursive
+    * form at sf0.01 and sf0.1 before landing (r15's envelope-hash
+    * reformulation protocol). */
+  private val CcRounds = 4
+
+  private val transcodeClusterCtes: String = {
+    val rounds = (1 to CcRounds).map { r =>
+      val prev = if (r == 1) "l0" else s"l${r - 1}"
+      s"""nm$r AS MATERIALIZED (
+         SELECT n.node, least(n.label, coalesce(min(y.label), n.label))
+           AS label
+         FROM $prev n LEFT JOIN ed e ON e.s = n.node
+           LEFT JOIN $prev y ON y.node = e.d
+         GROUP BY n.node, n.label),
+       l$r AS MATERIALIZED (
+         SELECT a.node, least(a.label, b.label) AS label
+         FROM nm$r a JOIN nm$r b ON b.node = a.label)"""
+    }.mkString(",\n       ")
     s"""g AS (SELECT ahash, min(doc_id) AS rep FROM h GROUP BY ahash),
        bands AS (
          SELECT ahash, rep, k, (ahash >> CAST(k * 16 AS INT)) & 65535 AS bb
          FROM g, (SELECT unnest(range(4)) AS k)),
-       near0 AS (
+       near0 AS MATERIALIZED (
          SELECT DISTINCT x.rep AS a, y.rep AS b
          FROM bands x JOIN bands y ON x.k = y.k AND x.bb = y.bb
            AND x.ahash < y.ahash
          WHERE bit_count(xor(x.ahash, y.ahash)) <= $ADHashMaxHamming),
-       edges AS (SELECT a AS s, b AS d FROM near0
+       ed AS MATERIALIZED (SELECT a AS s, b AS d FROM near0
          UNION ALL SELECT b, a FROM near0),
-       reach(x, y) AS (
-         SELECT DISTINCT s, s FROM edges
-         UNION
-         SELECT r.x, e.d FROM reach r JOIN edges e ON e.s = r.y),
-       comp AS (SELECT x AS node, min(y) AS label FROM reach GROUP BY x),
+       l0 AS MATERIALIZED (SELECT DISTINCT s AS node, s AS label FROM ed),
+       $rounds,
+       chk AS MATERIALIZED (
+         SELECT n.node, least(n.label, coalesce(min(y.label), n.label))
+           AS label
+         FROM l$CcRounds n LEFT JOIN ed e ON e.s = n.node
+           LEFT JOIN l$CcRounds y ON y.node = e.d
+         GROUP BY n.node, n.label),
+       comp AS MATERIALIZED (
+         SELECT a.node,
+           CASE WHEN (SELECT count(*) FROM l$CcRounds x
+                      JOIN chk c USING (node)
+                      WHERE x.label <> c.label) = 0
+                THEN a.label ELSE -4611686018427387904 END AS label
+         FROM l$CcRounds a),
        m AS (
          SELECT doc_id,
            CASE doc_id % 3 WHEN 0 THEN 44100 WHEN 1 THEN 48000
@@ -588,9 +631,10 @@ object Multimodal {
        dm AS (SELECT cl.doc_id, cluster_id, sample_rate, bitrate_kbps,
            duration_us
          FROM cl JOIN m USING (doc_id))"""
+  }
 
   val d198Oracle: String =
-    s"""WITH RECURSIVE $audioHashCtes,
+    s"""WITH $audioHashCtes,
        $transcodeClusterCtes
        SELECT cluster_id, CAST(count(*) AS BIGINT) AS n_members,
          CAST(count(DISTINCT bitrate_kbps) AS BIGINT) AS n_bitrates,
@@ -641,7 +685,7 @@ object Multimodal {
   }
 
   val d210Oracle: String =
-    s"""WITH RECURSIVE $audioHashCtes,
+    s"""WITH $audioHashCtes,
        $transcodeClusterCtes,
        v AS (
          SELECT cluster_id, count(*) AS n_members,
@@ -689,11 +733,16 @@ object Multimodal {
     val w = (lit(8) + col("doc_id") % 24).cast("int")
     val h = (lit(8) + (col("doc_id") / 7) % 24).cast("int")
     val n = (w * h).cast("int")
+    // the payload slice happens on the ENCODED bytes (binary substring),
+    // not on characters before encoding: P5 declares w*h PAYLOAD BYTES,
+    // and char-count slicing only equals byte-count slicing for ASCII
+    // text — correct on today's all-ASCII fixture but spec-oversized the
+    // moment a multi-byte code point appears (r15 ADVICE #3). ceil by
+    // CHARS still bounds the repeat (every char encodes to >= 1 byte).
     val pgm = concat(
       encode(concat(lit("P5\n"), w.cast("string"), lit(" "),
         h.cast("string"), lit("\n255\n")), "UTF-8"),
-      encode(expr("substr(repeat(text, cast(ceil((wh + 0.0) / length(text)) as int)), 1, wh)"),
-        "UTF-8"))
+      expr("substring(encode(repeat(text, cast(ceil((wh + 0.0) / length(text)) as int)), 'UTF-8'), 1, wh)"))
     val blobs = Tables.load(spark, dir, "documents")
       .filter(length(col("text")) > 0) // cannot pad a payload (d70)
       .withColumn("wh", n)

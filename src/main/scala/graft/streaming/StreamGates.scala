@@ -757,22 +757,35 @@ object StreamGates {
     * unit probe applies unchanged). The sentinels advance the final
     * watermark past every real row, flushing state the one-shot
     * AvailableNow drain would otherwise withhold. */
+  /** One sentinel row per (event_type, bump-µs) spec, each sitting its
+    * spec's offset past the log's max event time. The raw/staged `ts`
+    * encoding probe (nanos-long vs real timestamp) and the two bump
+    * arithmetics live HERE and only here — d218 used to carry its own
+    * copy of the `*1000` nanos scaling and the INTERVAL-minutes form,
+    * which a future change to the staging encoding could silently
+    * desynchronize by 1000× (r15 ADVICE #2). */
+  private def sentinelRows(raw: DataFrame,
+      specs: Seq[(String, Long)]): DataFrame = {
+    val isNanos =
+      raw.schema("ts").dataType == org.apache.spark.sql.types.LongType
+    specs.zipWithIndex.map { case ((t, bumpUs), i) =>
+      raw.orderBy(col("ts").desc).limit(1)
+        .select(lit(-1L - i).as("event_id"),
+          (if (isNanos) col("ts") + lit(bumpUs * 1000L)
+           else col("ts") +
+             expr(s"INTERVAL ${bumpUs / 60000000L} MINUTES")).as("ts"),
+          lit(-1L).as("user_id"), lit(t).as("event_type"),
+          lit(0.0).as("value"), lit(null).cast("string").as("props"))
+    }.reduce(_ unionByName _)
+  }
+
   private def stageWithSentinels(spark: SparkSession, dir: String,
       prefix: String, types: Seq[String]): java.nio.file.Path = {
     val staged = Files.createTempDirectory(prefix)
     val raw = spark.read.parquet(s"$dir/events.parquet")
-    val isNanos =
-      raw.schema("ts").dataType == org.apache.spark.sql.types.LongType
-    val sentinels = types.zipWithIndex.map { case (t, i) =>
-      raw.orderBy(col("ts").desc).limit(1)
-        .select(lit(-1L - i).as("event_id"),
-          (if (isNanos) col("ts") + lit(FlushBumpUs * 1000L)
-           else col("ts") +
-             expr(s"INTERVAL ${FlushBumpUs / 60000000L} MINUTES")).as("ts"),
-          lit(-1L).as("user_id"), lit(t).as("event_type"),
-          lit(0.0).as("value"), lit(null).cast("string").as("props"))
-    }.reduce(_ unionByName _)
-    stagePart(raw.unionByName(sentinels), staged, "log.parquet", prefix)
+    stagePart(raw.unionByName(
+        sentinelRows(raw, types.map(_ -> FlushBumpUs))),
+      staged, "log.parquet", prefix)
     staged
   }
 
@@ -895,16 +908,10 @@ object StreamGates {
     * the min-watermark horizon. */
   def d218UnionWatermarks(spark: SparkSession, dir: String): DataFrame = {
     val raw = spark.read.parquet(s"$dir/events.parquet")
-    val isNanos =
-      raw.schema("ts").dataType == org.apache.spark.sql.types.LongType
-    def sentinel(bumpUs: Long): DataFrame = raw.orderBy(col("ts").desc)
-      .limit(1)
-      .select(lit(-1L).as("event_id"),
-        (if (isNanos) col("ts") + lit(bumpUs * 1000L)
-         else col("ts") + expr(s"INTERVAL ${bumpUs / 60000000L} MINUTES"))
-          .as("ts"),
-        lit(-1L).as("user_id"), lit("sentinel").as("event_type"),
-        lit(0.0).as("value"), lit(null).cast("string").as("props"))
+    // per-source bump offsets through the ONE shared sentinel builder
+    // (no local copy of the encoding probe — r15 ADVICE #2)
+    def sentinel(bumpUs: Long): DataFrame =
+      sentinelRows(raw, Seq("sentinel" -> bumpUs))
     val dirA = Files.createTempDirectory("graft-d218-a")
     val dirB = Files.createTempDirectory("graft-d218-b")
     stagePart(raw.filter(col("event_type") === "view")

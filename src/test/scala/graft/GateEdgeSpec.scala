@@ -308,6 +308,50 @@ class GateEdgeSpec extends SparkSpec {
       (2L, 3, 5L, 640000L)), s"got $got")
   }
 
+  test("d219 ivfpq: planted two-direction fixture — residual codebooks, " +
+      "per-cell routing, and hand-computed ADC integers") {
+    import spark.implicits._
+    // two orthogonal directions: u = ones in dims 1-32, w = ones in
+    // dims 33-64. Cosine routes every u-multiple to cell 0 (seed v0)
+    // and every w-multiple to cell 1 (seed v1) with sims exactly 1/0.
+    // Training sample (%5==0) = {0,5,10,15} → trained centroids
+    // cent0 = mean(1u,3u) = 2u, cent1 = mean(2w,4w) = 3w. Residuals
+    // are then c·u / c·w; subspace codebooks (2 codes, seeds = r0/r1)
+    // converge to m0/m1: {code0 −1, code1 0.3333}, m2/m3:
+    // {code0 0.3333, code1 −1} (4dp Lloyd means). Every expected
+    // adc_e4 below is the hand sum of per-subspace
+    // round(16·(qr−code)²·10⁴) integers — e.g. q0 (qr = −u) against
+    // the (1,1,0,0)-coded cell-0 members: 2·284430 + 2·17774 = 604408;
+    // q2 (qr = 2u) against v0's all-zero codes: 2·1440000 + 2·17774 =
+    // 2915548. With nProbe = 1 candidates may surface ONLY from the
+    // query's own routed cell — every expected vec_id below is
+    // direction-matched, which is the routing pin.
+    def vec(c: Double, half: Int): Array[Double] = {
+      val a = new Array[Double](64)
+      val off = if (half == 0) 0 else 32
+      var i = 0; while (i < 32) { a(off + i) = c; i += 1 }
+      a
+    }
+    val e = Seq(
+      (0L, vec(1, 0)), (1L, vec(2, 1)), (2L, vec(4, 0)), (3L, vec(2, 0)),
+      (4L, vec(5, 1)), (5L, vec(3, 0)), (10L, vec(2, 1)), (15L, vec(4, 1)))
+      .toDF("vec_id", "v")
+    val got = graft.ops.Similarity.ivfpq(e, k = 2, pqK = 2, nProbe = 1)
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+      .toList
+    assert(got == List(
+      (0L, 1, 2L, 604408L),   // byte-identical codes → exact tie,
+      (0L, 2, 3L, 604408L),   // broken by vec_id
+      (0L, 3, 5L, 604408L),
+      (1L, 1, 10L, 35548L),   // 10 shares q1's codes: 2·17774 + 2·0
+      (1L, 2, 4L, 604408L),
+      (1L, 3, 15L, 604408L),
+      (2L, 1, 3L, 924472L),   // 2·444462 + 2·17774
+      (2L, 2, 5L, 924472L),
+      (2L, 3, 0L, 2915548L)), s"got $got")
+  }
+
   test("d216 minhash delta: exact copies match their corpus rep, best " +
       "match wins, and an unrelated doc is novel") {
     import spark.implicits._
