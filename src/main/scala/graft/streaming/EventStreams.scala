@@ -314,6 +314,111 @@ object EventStreams {
         keepTimerMs = expired.getExpiryTimeInMs())
   }
 
+  /** One finalized per-(user, event-type) activity burst: a maximal
+    * run of same-type events with no intra-run gap above [[GapUs]] —
+    * the q18/d211 session definition applied one key level finer. */
+  final case class TypeBurst(user_id: Long, event_type: String,
+    start_us: Long, end_us: Long, n_events: Long)
+
+  /** Per-(user, type) burst finalizer on `transformWithState`'s typed
+    * MAP STATE — the state kind the ValueState fold (d204) and the
+    * ListState buffer (d211) never touch: the stream stays keyed by
+    * USER (one state-store row per user, so one fetch serves every
+    * type the user emits — the co-location that makes cross-type state
+    * cheap), and the per-type sub-state lives as map entries keyed by
+    * event type. The mechanics exercise the full map surface:
+    * arrivals `updateValue` their type's buffer, the close sweep
+    * ITERATES the map (a ValueState cannot enumerate what it doesn't
+    * know is there), a type whose buffer fully closes is evicted with
+    * `removeKey` — entry-grained expiry — and a user with no open
+    * entries clears the whole row. One event-time timer per USER,
+    * re-aimed at the earliest provable close across ALL of the user's
+    * open types (the d211 discipline lifted over the map): an older
+    * quiet type must emit at ITS close even while another type chats
+    * on. State is bounded to the watermark horizon per (user, type) —
+    * closed bursts leave their entry immediately. */
+  class TypeBurstsProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, (Long, String, java.sql.Timestamp, Long), TypeBurst] {
+    @transient private var bufs:
+      org.apache.spark.sql.streaming.MapState[String, SessionBuffer] = _
+
+    override def init(outputMode: OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      bufs = getHandle.getMapState[String, SessionBuffer]("bufs",
+        org.apache.spark.sql.Encoders.STRING,
+        org.apache.spark.sql.Encoders.product[SessionBuffer],
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+
+    /** Merge arrivals into their type's map entry, sweep EVERY open
+      * entry for watermark-proved closes, re-aim the user's single
+      * timer at the earliest remaining close across all entries. */
+    private def closeAndReschedule(user: Long,
+        incoming: Map[String, Seq[Long]], wmMs: Long,
+        keepTimerMs: Long): Iterator[TypeBurst] = {
+      val wmUs = wmMs * 1000L
+      incoming.foreach { case (t, ts) =>
+        val prev =
+          if (bufs.containsKey(t)) bufs.getValue(t).tsUs else Seq.empty
+        bufs.updateValue(t, SessionBuffer(prev ++ ts))
+      }
+      // materialize before mutating — the sweep removes/updates entries
+      val entries = bufs.iterator().map { case (t, b) => (t, b.tsUs) }.toList
+      val out = List.newBuilder[TypeBurst]
+      var earliestUs = Long.MaxValue
+      entries.foreach { case (t, tsUs) =>
+        val sessions = gapSplit(tsUs.sorted)
+        val (closed, open) = sessions.partition(_.last + GapUs < wmUs)
+        closed.foreach(s =>
+          out += TypeBurst(user, t, s.head, s.last, s.length.toLong))
+        if (open.isEmpty) bufs.removeKey(t) // entry-grained expiry
+        else {
+          bufs.updateValue(t, SessionBuffer(open.flatten))
+          earliestUs = math.min(earliestUs, open.map(_.last).min + GapUs)
+        }
+      }
+      getHandle.listTimers().filter(_ != keepTimerMs)
+        .foreach(getHandle.deleteTimer)
+      if (earliestUs == Long.MaxValue) bufs.clear()
+      else getHandle.registerTimer(
+        math.max(earliestUs / 1000L + 1, wmMs + 1))
+      out.result().iterator
+    }
+
+    override def handleInputRows(user: Long,
+        rows: Iterator[(Long, String, java.sql.Timestamp, Long)],
+        timers: org.apache.spark.sql.streaming.TimerValues)
+        : Iterator[TypeBurst] =
+      closeAndReschedule(user,
+        rows.toSeq.groupBy(_._2).map { case (t, rs) => (t, rs.map(_._4)) },
+        timers.getCurrentWatermarkInMs(), keepTimerMs = Long.MinValue)
+
+    override def handleExpiredTimer(user: Long,
+        timers: org.apache.spark.sql.streaming.TimerValues,
+        expired: org.apache.spark.sql.streaming.ExpiredTimerInfo)
+        : Iterator[TypeBurst] =
+      closeAndReschedule(user, Map.empty,
+        timers.getCurrentWatermarkInMs(),
+        keepTimerMs = expired.getExpiryTimeInMs())
+  }
+
+  /** Watermark-proved per-(user, type) bursts on MapState — see
+    * [[TypeBurstsProcessor]]. */
+  def typeBurstsTws(events: DataFrame): Dataset[TypeBurst] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", "1 hour")
+      // the watermarked `ts` column must reach the stateful operator
+      // (the d211 contract); the micros long rides alongside it
+      .select(col("user_id"), col("event_type"), col("ts"),
+        unix_micros(col("ts")).as("ts_us"))
+      .as[(Long, String, java.sql.Timestamp, Long)]
+      .groupByKey(_._1)
+      .transformWithState(new TypeBurstsProcessor,
+        org.apache.spark.sql.streaming.TimeMode.EventTime(),
+        OutputMode.Append())
+  }
+
   /** [[closedSessions]] on the new state API — see
     * [[ClosedSessionsProcessor]]. RocksDB-only, like all
     * `transformWithState` operators. */

@@ -242,6 +242,82 @@ object StreamGates {
        FROM s GROUP BY user_id, sid
        ORDER BY user_id, start_us"""
 
+  // -------------------------------------------------------------- d220
+  /** TYPED MAP STATE on `transformWithState` — the one state kind the
+    * suite's other tws gates never touch (ValueState d204, ListState +
+    * timers d211): [[EventStreams.TypeBurstsProcessor]] keeps the
+    * stream keyed by USER and holds each user's per-EVENT-TYPE open
+    * burst as a MAP ENTRY, so one state-store fetch serves every type
+    * the user emits, the close sweep enumerates the map, and a type
+    * that fully closes is evicted entry-by-entry with `removeKey` —
+    * per-key expiry inside one user's state, which neither a value nor
+    * a list can express without re-reading everything. Output is the
+    * finalized burst set per (user, type) — the q18/d211 gap
+    * definition one key level finer — gated against the d211 oracle
+    * keyed two-level. The flush sentinel advances the final watermark
+    * 2.5 h past the log so every real burst provably closes; the
+    * sentinel user's own entry cannot close and is excluded by key.
+    * After the drain the gate asserts the 100 TB claim as data: the
+    * state store's final row count is the open-tail residue (the
+    * sentinel user alone), never the user population — i.e. map
+    * entries really do leave state at their close, not at stream end. */
+  def d220TwsMapBursts(spark: SparkSession, dir: String): DataFrame =
+    withRocksDb(spark) {
+      val staged = stageWithSentinels(spark, dir, "graft-d220", Seq("flush"))
+      val stream = EventStreams.readEvents(spark, staged.toString)
+      val name = s"graft_d220_run${runSeq.incrementAndGet()}"
+      // one state store per shuffle partition — pin to the gate fixture
+      // and restore (the d107/d179 conf discipline)
+      val prev = spark.conf.get("spark.sql.shuffle.partitions")
+      spark.conf.set("spark.sql.shuffle.partitions", "8")
+      val query =
+        try EventStreams.typeBurstsTws(stream)
+          .filter(col("user_id") >= 0)
+          .writeStream.format("memory").queryName(name)
+          .outputMode("append")
+          .trigger(Trigger.AvailableNow())
+          .start()
+        finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+      query.awaitTermination()
+      requireRocksDb(query)
+      val finalState =
+        (query.recentProgress.toSeq ++ Option(query.lastProgress))
+          .flatMap(_.stateOperators).map(_.numRowsTotal)
+          .lastOption.getOrElse(0L)
+      require(finalState <= 4,
+        s"state not horizon-bounded: $finalState rows survive the " +
+          "drain — closed map entries must leave state at their close, " +
+          "not persist per user")
+      unstage(staged)
+      spark.table(name)
+        .select(col("user_id"), col("event_type"), col("start_us"),
+          col("end_us"), col("n_events"))
+        .orderBy("user_id", "event_type", "start_us")
+    }
+
+  /** d211's per-session oracle keyed one level finer — the same
+    * 30-minute-gap definition PARTITIONed and GROUPed by
+    * (user, event type). */
+  val d220Oracle: String =
+    """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS t FROM events),
+       g AS (
+         SELECT user_id, event_type, t,
+           CASE WHEN lag(t) OVER (PARTITION BY user_id, event_type
+                  ORDER BY t) IS NULL
+                  OR t - lag(t) OVER (PARTITION BY user_id, event_type
+                       ORDER BY t) > 30 * 60 * 1000000
+                THEN 1 ELSE 0 END AS brk
+         FROM e),
+       s AS (
+         SELECT user_id, event_type, t,
+           sum(brk) OVER (PARTITION BY user_id, event_type ORDER BY t
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+         FROM g)
+       SELECT user_id, event_type, min(t) AS start_us, max(t) AS end_us,
+         count(*) AS n_events
+       FROM s GROUP BY user_id, event_type, sid
+       ORDER BY user_id, event_type, start_us"""
+
   // --------------------------------------------------------------- d76
   /** The streaming EXACT-DEDUP gate ([[IngestStreams.dedupedDocs]] —
     * `dropDuplicatesWithinWatermark` over the md5 content hash) run
@@ -1539,6 +1615,7 @@ object StreamGates {
     "d208_changelog_dedup_expiry" -> (d208ChangelogDedupExpiry _),
     "d209_live_cadence" -> (d209LiveCadence _),
     "d211_tws_timers" -> (d211TwsTimers _),
+    "d220_tws_map_bursts" -> (d220TwsMapBursts _),
     "d212_stream_semi_join" -> (d212StreamSemiJoin _),
     "d218_union_watermarks" -> (d218UnionWatermarks _))
 
@@ -1564,6 +1641,7 @@ object StreamGates {
     "d208_changelog_dedup_expiry" -> d187Oracle,
     "d209_live_cadence" -> d209Oracle,
     "d211_tws_timers" -> d211Oracle,
+    "d220_tws_map_bursts" -> d220Oracle,
     "d212_stream_semi_join" -> d212Oracle,
     "d218_union_watermarks" -> d218Oracle)
 }

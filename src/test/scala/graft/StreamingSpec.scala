@@ -285,6 +285,87 @@ class StreamingSpec extends SparkSpec {
       "the closed session must be the two-event session A")
   }
 
+  test("d220 map bursts: interleaved types never bleed — each map " +
+      "entry sessionizes alone, gap boundaries per the batch definition") {
+    // user 1 alternates view/click INSIDE each other's gap windows: one
+    // shared-state sessionizer would see a single unbroken run, but the
+    // per-type map entries must each split on THEIR OWN 30-min gaps.
+    // view: t0, t0+30 (same burst: exactly the gap), t0+61 (new burst);
+    // click: t0+10, t0+45 (35 min apart: two single-event bursts).
+    val dir = plantLog(Seq(
+      (1L, T0, 1L, "view", 0.0),
+      (2L, T0 + min(10), 1L, "click", 0.0),
+      (3L, T0 + min(30), 1L, "view", 0.0),
+      (4L, T0 + min(45), 1L, "click", 0.0),
+      (5L, T0 + min(61), 1L, "view", 0.0),
+      (6L, T0, 2L, "view", 0.0)))
+    val got = graft.streaming.StreamGates.d220TwsMapBursts(spark, dir)
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+      .toList
+    assert(got == List(
+      (1L, "click", T0 + min(10), T0 + min(10), 1L),
+      (1L, "click", T0 + min(45), T0 + min(45), 1L),
+      (1L, "view", T0, T0 + min(30), 2L),
+      (1L, "view", T0 + min(61), T0 + min(61), 1L),
+      (2L, "view", T0, T0, 1L)), s"got $got")
+  }
+
+  test("d220 map bursts: a closed type's entry emits at ITS close and " +
+      "leaves the map while a sibling type stays open") {
+    // user 1: type A (click) bursts at [0, 10min]; type B (scroll) opens
+    // at 5h. Batch 2 advances the watermark past A's close but NOT B's.
+    // The user's single timer must be aimed at the EARLIEST close across
+    // the MAP ENTRIES — a timer aimed at the newest entry's close would
+    // leave A buffered until B ever closes (it never does here).
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val mn = 60L * 1000 * 1000
+    val hour = 60 * mn
+    def stage(rows: Seq[(Long, Long, Long, String, Double, String)],
+        dir: java.nio.file.Path, name: String, mtime: Long): Unit = {
+      val tmp = Files.createTempDirectory(s"graft-d220-$name")
+      rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .coalesce(1).write.parquet(tmp.resolve("p").toString)
+      val src = Files.list(tmp.resolve("p")).toArray.map(_.toString)
+        .filter(_.endsWith(".parquet")).head
+      val dst = dir.resolve(name)
+      Files.copy(Paths.get(src), dst)
+      dst.toFile.setLastModified(mtime)
+    }
+    val staged = Files.createTempDirectory("graft-d220-oldentry-in")
+    val base = 2000000000000000L
+    stage(Seq(
+      (1L, base, 1L, "click", 0.0, "{}"),
+      (2L, base + 10 * mn, 1L, "click", 0.0, "{}"),
+      (3L, base + 5 * hour, 1L, "scroll", 0.0, "{}")),
+      staged, "b1.parquet", 1000000L)
+    stage(Seq((9L, base + 5 * hour + 10 * mn, 2L, "click", 0.0, "{}")),
+      staged, "b2.parquet", 1060000L)
+    val rows = graft.streaming.StreamGates.withConf(spark,
+      "spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider") {
+      val stream = spark.readStream
+        .schema(graft.streaming.EventStreams.eventSchema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(staged.toString)
+        .withColumn("ts", timestamp_micros(col("ts")))
+      val q = EventStreams.typeBurstsTws(stream)
+        .writeStream.format("memory").queryName("d220_oldentry")
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination(120000)
+      spark.table("d220_oldentry").filter(col("user_id") === 1L).collect()
+    }
+    assert(rows.length == 1,
+      s"exactly type A's burst must have closed, got ${rows.length}")
+    assert(rows.head.getAs[String]("event_type") == "click" &&
+        rows.head.getAs[Long]("n_events") == 2L,
+      "the closed burst must be the two-event click burst")
+  }
+
   test("d218 union watermarks: the sentinel pin is discriminative — a " +
       "max-aligned watermark emits the early sentinel's window and " +
       "trips it") {
