@@ -1575,6 +1575,75 @@ object Queries {
        FROM c FULL JOIN s ON c.ck IS NOT DISTINCT FROM s.sk
        ORDER BY k NULLS FIRST"""
 
+  // --------------------------------------------------------------- q50
+  /** Whale-order monthly report threshold — only orders above this
+    * populate the report, so months WITHOUT one exist at gate scale
+    * (3 empty months at sf0.01) and the spine must surface them. */
+  private val WhaleThreshold = 490000.0
+
+  /** RECURSIVE CTE month spine (`WITH RECURSIVE` — Spark 4's
+    * UnionLoop execution, a surface nothing else exercises): the
+    * monthly whale-order report every finance team ships, written the
+    * SQL-standard way — the spine recurses one month at a time from
+    * the corpus's first order month to its last (bounds computed once
+    * in the anchor and CARRIED through the recursion, so the step
+    * needs no correlated subquery), the whale aggregate LEFT-joins
+    * onto it, and empty months appear as explicit zero rows (the trap:
+    * a GROUP BY alone silently drops them, understating a cumulative
+    * chart's flat segments). Money is exact integer cents (the q33
+    * convention) so the running total is drift-free BIGINT addition in
+    * both engines; DuckDB runs its own native recursion as the oracle,
+    * so the two recursion engines must agree on the spine exactly.
+    *
+    * Scale: the recursion is CALENDAR-sized (80 iterations of a 1-row
+    * frame — driver-trivial forever); the data-sized side is one
+    * filtered scan + a month-key hash aggregate; the running-total
+    * window orders calendar rows, never data rows. */
+  def q50RecursiveSpine(spark: SparkSession, dir: String): DataFrame =
+    ops.SqlSurface.run(spark, dir,
+      s"""WITH RECURSIVE months(m, hi) AS (
+           SELECT CAST(date_trunc('MONTH', min(o_orderdate)) AS DATE),
+                  CAST(date_trunc('MONTH', max(o_orderdate)) AS DATE)
+           FROM orders
+           UNION ALL
+           SELECT CAST(add_months(m, 1) AS DATE), hi FROM months
+           WHERE m < hi),
+         mo AS (
+           SELECT CAST(date_trunc('MONTH', o_orderdate) AS DATE) AS mon,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(round(sum(o_totalprice) * 100) AS BIGINT) AS cents
+           FROM orders WHERE o_totalprice > $WhaleThreshold
+           GROUP BY 1)
+         SELECT m AS month,
+           coalesce(n, CAST(0 AS BIGINT)) AS n_whales,
+           coalesce(cents, CAST(0 AS BIGINT)) AS whale_cents,
+           sum(coalesce(cents, CAST(0 AS BIGINT)))
+             OVER (ORDER BY m) AS cum_cents
+         FROM months LEFT JOIN mo ON mon = m
+         ORDER BY month""")
+
+  val q50Oracle: String =
+    s"""WITH RECURSIVE months(m, hi) AS (
+         SELECT CAST(date_trunc('month', min(o_orderdate)) AS DATE),
+                CAST(date_trunc('month', max(o_orderdate)) AS DATE)
+         FROM orders
+         UNION ALL
+         SELECT CAST(m + INTERVAL 1 MONTH AS DATE), hi FROM months
+         WHERE m < hi),
+       mo AS (
+         SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS mon,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(round(sum(o_totalprice) * 100) AS BIGINT) AS cents
+         FROM orders WHERE o_totalprice > $WhaleThreshold
+         GROUP BY 1)
+       SELECT m AS month,
+         CAST(coalesce(n, 0) AS BIGINT) AS n_whales,
+         CAST(coalesce(cents, 0) AS BIGINT) AS whale_cents,
+         CAST(sum(coalesce(cents, 0)) OVER (ORDER BY m) AS BIGINT)
+           AS cum_cents
+       FROM months LEFT JOIN mo ON mon = m
+       ORDER BY month"""
+
   // ------------------------------------------------------------ registry
   val relational: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_agg" -> (q1Agg _),
@@ -1625,7 +1694,8 @@ object Queries {
     "q46_tz_calendar" -> (q46TzCalendar _),
     "q47_iso_weeks" -> (q47IsoWeeks _),
     "q48_billing_periods" -> (q48BillingPeriods _),
-    "q49_null_safe_join" -> (q49NullSafeJoin _)
+    "q49_null_safe_join" -> (q49NullSafeJoin _),
+    "q50_recursive_spine" -> (q50RecursiveSpine _)
   )
 
   val relationalOracles: Map[String, String] = Map(
@@ -1677,7 +1747,8 @@ object Queries {
     "q46_tz_calendar" -> q46Oracle,
     "q47_iso_weeks" -> q47Oracle,
     "q48_billing_periods" -> q48Oracle,
-    "q49_null_safe_join" -> q49Oracle
+    "q49_null_safe_join" -> q49Oracle,
+    "q50_recursive_spine" -> q50Oracle
   )
 
   // lazy: a caller may initialize a contributing registry object FIRST

@@ -381,6 +381,39 @@ class GateEdgeSpec extends SparkSpec {
       (12L, None, None, "novel")), s"got $got")
   }
 
+  test("d221 index nightly: a night-2 doc matches a night-1 NOVEL " +
+      "arrival through the updated index, and near-dups never index") {
+    import spark.implicits._
+    val base = "a b c d e f g h i j"   // corpus text
+    val vary = "a b c d e f g h i k"   // jaccard 0.7778 vs base
+    val novo = "z y x w v u t s r q"   // unrelated
+    val rows = Seq(
+      (0L, base),   // corpus
+      (10L, novo),  // night 1: novel → ENTERS the index
+      (11L, vary),  // night 1: near-dup of 0 → never indexed
+      (20L, novo),  // night 2: exact copy of 10 → must match the
+                    //   night-1 arrival (proves the UPDATED index was
+                    //   read, not night 0's artifact)
+      (22L, vary),  // night 2: exact copy of 11's text — best would be
+                    //   11 @ 1.0 IF near-dups leaked into the index;
+                    //   must instead match corpus 0 @ 0.7778
+      (23L, "p o n m l k j i h gg"))  // night 2: novel
+      .toDF("doc_id", "text")
+    val got = graft.ops.FuzzyDedup
+      .indexNightly(spark, rows, split1 = 10L, split2 = 20L)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        Option(r.getAs[java.lang.Long]("near_dup_of")).map(_.toLong),
+        Option(r.getAs[java.lang.Double]("jaccard")).map(_.toDouble),
+        r.getAs[String]("verdict"))).toList
+    assert(got == List(
+      (10L, 1L, None, None, "novel"),
+      (11L, 1L, Some(0L), Some(0.7778), "near_dup"),
+      (20L, 2L, Some(10L), Some(1.0), "near_dup"),
+      (22L, 2L, Some(0L), Some(0.7778), "near_dup"),
+      (23L, 2L, None, None, "novel")), s"got $got")
+  }
+
   test("q49 null-safe join: the two NULL buckets pair as ONE row; " +
       "one-sided buckets null-pad") {
     import spark.implicits._
@@ -400,6 +433,41 @@ class GateEdgeSpec extends SparkSpec {
       (None, Some(2L), Some(1L)), // NULL <=> NULL: ONE matched row
       (Some(1L), Some(1L), Some(1L)),
       (Some(8L), None, Some(1L))), s"got $got")
+  }
+
+  test("q50 recursive spine: gap months surface as zero rows and the " +
+      "running total is flat across them") {
+    import spark.implicits._
+    val dir = tmp()
+    // whale orders (> 490000) in Jan and Apr 2020 only; Feb/Mar have
+    // sub-threshold orders — the spine must still emit them, with zero
+    // whales and the January cumulative carried flat
+    Seq(
+      (1L, 1L, "F", 495000.0, "2020-01-10 00:00:00", "P1"),
+      (2L, 1L, "F", 491000.0, "2020-01-20 00:00:00", "P1"),
+      (3L, 1L, "F", 100.0, "2020-02-05 00:00:00", "P1"),
+      (4L, 1L, "F", 100.0, "2020-03-05 00:00:00", "P1"),
+      (5L, 1L, "F", 499000.0, "2020-04-05 00:00:00", "P1"))
+      .toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "ts", "o_orderpriority")
+      .withColumn("o_orderdate", col("ts").cast("timestamp")).drop("ts")
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    // SqlSurface registers ALL tables for the dir — provide the rest
+    // as empty copies of the sf0.001 fixtures' schemas
+    val src = "/root/testdata/sf0.001"
+    Seq("region", "nation", "customer", "supplier", "part", "lineitem",
+      "events", "documents", "embeddings").foreach { n =>
+      spark.read.parquet(s"$src/$n.parquet").limit(0)
+        .write.mode("overwrite").parquet(s"$dir/$n.parquet")
+    }
+    val got = Queries.q50RecursiveSpine(spark, dir).collect()
+      .map(r => (r.getDate(0).toString, r.getLong(1), r.getLong(2),
+        r.getLong(3))).toList
+    assert(got == List(
+      ("2020-01-01", 2L, 98600000L, 98600000L),
+      ("2020-02-01", 0L, 0L, 98600000L),
+      ("2020-03-01", 0L, 0L, 98600000L),
+      ("2020-04-01", 1L, 49900000L, 148500000L)), s"got $got")
   }
 
   test("q41 ordered-set: percentile_disc is the rank-ceil(p*n) element " +
