@@ -90,6 +90,22 @@ object EventStreams {
 
   private val GapUs = 30L * 60 * 1000 * 1000
 
+  /** THE session fold: advance `st0` over ascending event times,
+    * opening a session whenever the gap from the previous event
+    * strictly exceeds [[GapUs]]. One definition shared by the
+    * mapGroupsWithState path, both tws processors, and the batch
+    * state-bootstrap (d222) — the handoff in the bootstrap is seamless
+    * precisely because both sides run this one fold. */
+  private[streaming] def foldSessionState(st0: SessionState,
+      sortedTsUs: Seq[Long]): SessionState =
+    sortedTsUs.foldLeft(st0) { (st, t) =>
+      val isNew = st.lastTsUs == Long.MinValue || t - st.lastTsUs > GapUs
+      SessionState(t, st.nSessions + (if (isNew) 1L else 0L), st.nEvents + 1L)
+    }
+
+  /** The zero state every sessionizer starts a fresh user from. */
+  private[streaming] val EmptySession = SessionState(Long.MinValue, 0L, 0L)
+
   /** Stateful sessionization via mapGroupsWithState: events are keyed by
     * user; each micro-batch folds its (batch-sorted) events into the
     * user's state, counting a new session whenever the gap from the
@@ -112,12 +128,8 @@ object EventStreams {
       .groupByKey(_._1)
       .mapGroupsWithState[SessionState, UserSessions](GroupStateTimeout.NoTimeout) {
         (user: Long, rows: Iterator[(Long, Long)], state: GroupState[SessionState]) =>
-          var st = state.getOption.getOrElse(SessionState(Long.MinValue, 0L, 0L))
-          rows.map(_._2).toSeq.sorted.foreach { t =>
-            val isNew = st.lastTsUs == Long.MinValue || t - st.lastTsUs > GapUs
-            st = SessionState(t,
-              st.nSessions + (if (isNew) 1L else 0L), st.nEvents + 1L)
-          }
+          val st = foldSessionState(state.getOption.getOrElse(EmptySession),
+            rows.map(_._2).toSeq.sorted)
           state.update(st)
           UserSessions(user, st.nSessions, st.nEvents)
       }
@@ -143,17 +155,60 @@ object EventStreams {
     override def handleInputRows(user: Long, rows: Iterator[(Long, Long)],
         timers: org.apache.spark.sql.streaming.TimerValues)
         : Iterator[UserSessions] = {
-      var st =
-        if (state.exists()) state.get()
-        else SessionState(Long.MinValue, 0L, 0L)
-      rows.map(_._2).toSeq.sorted.foreach { t =>
-        val isNew = st.lastTsUs == Long.MinValue || t - st.lastTsUs > GapUs
-        st = SessionState(t,
-          st.nSessions + (if (isNew) 1L else 0L), st.nEvents + 1L)
-      }
+      val st = foldSessionState(
+        if (state.exists()) state.get() else EmptySession,
+        rows.map(_._2).toSeq.sorted)
       state.update(st)
       Iterator.single(UserSessions(user, st.nSessions, st.nEvents))
     }
+  }
+
+  /** [[SessionCountsProcessor]]'s fold with BATCH-BOOTSTRAPPED initial
+    * state — `StatefulProcessorWithInitialState`, the migration
+    * overload a production stream uses to go live WITHOUT replaying
+    * history: the per-user state computed batch-side over the log up
+    * to the cutover lands via [[handleInitialState]] (once per key,
+    * before any input row), and the stream folds only post-cutover
+    * events on top. A session OPEN at the cutover continues seamlessly
+    * because the carried `lastTsUs` is all the fold needs — the gate
+    * pins exactly that boundary. */
+  class SessionCountsFromInitialProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessorWithInitialState[
+        Long, (Long, Long), UserSessions, SessionState] {
+    @transient private var state:
+      org.apache.spark.sql.streaming.ValueState[SessionState] = _
+    override def init(outputMode: OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      state = getHandle.getValueState[SessionState]("session",
+        org.apache.spark.sql.Encoders.product[SessionState],
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+    override def handleInitialState(user: Long, initial: SessionState,
+        timers: org.apache.spark.sql.streaming.TimerValues): Unit =
+      state.update(initial)
+    override def handleInputRows(user: Long, rows: Iterator[(Long, Long)],
+        timers: org.apache.spark.sql.streaming.TimerValues)
+        : Iterator[UserSessions] = {
+      val st = foldSessionState(
+        if (state.exists()) state.get() else EmptySession,
+        rows.map(_._2).toSeq.sorted)
+      state.update(st)
+      Iterator.single(UserSessions(user, st.nSessions, st.nEvents))
+    }
+  }
+
+  /** [[sessionCounts]] bootstrapped from batch-computed per-user state
+    * — see [[SessionCountsFromInitialProcessor]]. */
+  def sessionCountsTwsBootstrapped(live: DataFrame,
+      initial: Dataset[(Long, SessionState)]): Dataset[UserSessions] = {
+    import live.sparkSession.implicits._
+    live
+      .select(col("user_id"), unix_micros(col("ts")).as("ts_us"))
+      .as[(Long, Long)]
+      .groupByKey(_._1)
+      .transformWithState(new SessionCountsFromInitialProcessor,
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        OutputMode.Update(),
+        initial.groupByKey(_._1).mapValues(_._2))
   }
 
   /** [[sessionCounts]] on the new state API — see

@@ -242,6 +242,100 @@ object StreamGates {
        FROM s GROUP BY user_id, sid
        ORDER BY user_id, start_us"""
 
+  // -------------------------------------------------------------- d222
+  /** BATCH-STATE BOOTSTRAP on `transformWithState` — the
+    * `StatefulProcessorWithInitialState` migration overload, the one
+    * piece of the successor API the d204/d211/d220 trio leaves dark,
+    * and the cutover every production stream actually performs: going
+    * live WITHOUT replaying history. The log is split at the midpoint
+    * of its event-time span; the pre-cut half is folded into per-user
+    * [[EventStreams.SessionState]] BATCH-side (a `mapGroups` running
+    * the exact fold the stream runs — one shared
+    * [[EventStreams.foldSessionState]]), handed to the stream as its
+    * initial state, and only the post-cut half flows through the
+    * file-stream source. The final per-user counts are gated against
+    * the batch sessionization of the FULL log (q18's definition,
+    * restricted to users with at least one live event — a key with no
+    * post-cut input emits nothing, exactly the migration contract):
+    * a session OPEN at the cutover must CONTINUE, not restart — the
+    * carried lastTsUs is what makes the handoff seamless, and a
+    * dropped or double-counted boundary session flips the hash.
+    *
+    * Scale: the bootstrap is one batch pass over history (shuffled on
+    * user, the same key the stream state lives under), run ONCE at
+    * cutover; thereafter state is one record per active user, exactly
+    * d204's. */
+  def d222TwsBootstrap(spark: SparkSession, dir: String): DataFrame =
+    withRocksDb(spark) {
+      import spark.implicits._
+      // split the RAW log (original physical ts form) so the staged
+      // half round-trips byte-faithfully through the file-stream
+      // source; micros for the cut arithmetic come from the same
+      // generation probe readEvents uses
+      val raw = spark.read.parquet(s"$dir/events.parquet")
+      val isNanos =
+        raw.schema("ts").dataType == org.apache.spark.sql.types.LongType
+      val usCol =
+        if (isNanos) expr("ts div 1000")
+        else unix_micros(col("ts").cast("timestamp"))
+      val mm = raw.agg(min(usCol), max(usCol)).head()
+      val cutUs = (mm.getLong(0) + mm.getLong(1)) / 2
+      val initial = raw.filter(usCol < cutUs)
+        .select(col("user_id"), usCol.as("us"))
+        .as[(Long, Long)]
+        .groupByKey(_._1)
+        .mapGroups { (u, it) =>
+          (u, EventStreams.foldSessionState(EventStreams.EmptySession,
+            it.map(_._2).toSeq.sorted))
+        }
+      val staged = Files.createTempDirectory("graft-d222")
+      stagePart(raw.filter(usCol >= cutUs),
+        staged, "log.parquet", "graft-d222")
+      val stream = EventStreams.readEvents(spark, staged.toString)
+      val name = s"graft_d222_run${runSeq.incrementAndGet()}"
+      // one state store per shuffle partition — pin to the gate fixture
+      // and restore (the d107/d179 conf discipline)
+      val prev = spark.conf.get("spark.sql.shuffle.partitions")
+      spark.conf.set("spark.sql.shuffle.partitions", "8")
+      val query =
+        try EventStreams.sessionCountsTwsBootstrapped(stream, initial)
+          .writeStream.format("memory").queryName(name)
+          .outputMode("update")
+          .trigger(Trigger.AvailableNow())
+          .start()
+        finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+      query.awaitTermination()
+      requireRocksDb(query)
+      unstage(staged)
+      spark.table(name)
+        .select(col("user_id"), col("n_sessions"), col("n_events"))
+        .orderBy("user_id")
+    }
+
+  /** q18's sessionization over the FULL log, restricted to users with
+    * at least one event at-or-after the midpoint cut — the exact
+    * output population of the bootstrapped stream. */
+  val d222Oracle: String =
+    """WITH cut AS (
+         SELECT (min(epoch_us(ts)) + max(epoch_us(ts))) // 2 AS c
+         FROM events),
+       live_users AS (
+         SELECT DISTINCT user_id FROM events, cut
+         WHERE epoch_us(ts) >= c)
+       SELECT user_id, CAST(sum(new_session) AS BIGINT) AS n_sessions,
+         count(*) AS n_events
+       FROM (
+         SELECT user_id,
+           CASE WHEN prev_us IS NULL
+                  OR epoch_us(ts) - prev_us > 30*60*1000*1000
+                THEN 1 ELSE 0 END AS new_session
+         FROM (SELECT user_id, ts,
+                 lag(epoch_us(ts)) OVER
+                   (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
+               FROM events
+               WHERE user_id IN (SELECT user_id FROM live_users)))
+       GROUP BY user_id ORDER BY user_id"""
+
   // -------------------------------------------------------------- d220
   /** TYPED MAP STATE on `transformWithState` — the one state kind the
     * suite's other tws gates never touch (ValueState d204, ListState +
@@ -1616,6 +1710,7 @@ object StreamGates {
     "d209_live_cadence" -> (d209LiveCadence _),
     "d211_tws_timers" -> (d211TwsTimers _),
     "d220_tws_map_bursts" -> (d220TwsMapBursts _),
+    "d222_tws_bootstrap" -> (d222TwsBootstrap _),
     "d212_stream_semi_join" -> (d212StreamSemiJoin _),
     "d218_union_watermarks" -> (d218UnionWatermarks _))
 
@@ -1642,6 +1737,7 @@ object StreamGates {
     "d209_live_cadence" -> d209Oracle,
     "d211_tws_timers" -> d211Oracle,
     "d220_tws_map_bursts" -> d220Oracle,
+    "d222_tws_bootstrap" -> d222Oracle,
     "d212_stream_semi_join" -> d212Oracle,
     "d218_union_watermarks" -> d218Oracle)
 }

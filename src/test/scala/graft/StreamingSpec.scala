@@ -285,6 +285,35 @@ class StreamingSpec extends SparkSpec {
       "the closed session must be the two-event session A")
   }
 
+  test("d222 tws bootstrap: a session open at the cutover continues, " +
+      "history-only users emit nothing, a post-cut gap still splits") {
+    // log span 0..35 min → the midpoint cut sits at 17.5 min.
+    // u1: history {0,10}, live {20,28} — all gaps ≤ 30 min, so ONE
+    //     session of 4 events IF the carried lastTsUs crosses the cut
+    //     (a restart would report 1 session / 2 events);
+    // u2: history only → no live input → must not appear at all;
+    // u3: history {3}, live {27} — 24-min gap continues: 1 session,
+    //     2 events (a dropped bootstrap would say 1 event);
+    // u4: history {4}, live {35} — 31-min gap: the bootstrap must
+    //     still OPEN a second session (2 sessions, 2 events).
+    val dir = plantLog(Seq(
+      (1L, T0, 1L, "view", 0.0),
+      (2L, T0 + min(10), 1L, "view", 0.0),
+      (3L, T0 + min(20), 1L, "view", 0.0),
+      (4L, T0 + min(28), 1L, "view", 0.0),
+      (5L, T0 + min(1), 2L, "view", 0.0),
+      (6L, T0 + min(2), 2L, "view", 0.0),
+      (7L, T0 + min(3), 3L, "view", 0.0),
+      (8L, T0 + min(27), 3L, "view", 0.0),
+      (9L, T0 + min(4), 4L, "view", 0.0),
+      (10L, T0 + min(35), 4L, "view", 0.0)))
+    val got = graft.streaming.StreamGates.d222TwsBootstrap(spark, dir)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toList
+    assert(got == List((1L, 1L, 4L), (3L, 1L, 2L), (4L, 2L, 2L)),
+      s"got $got")
+  }
+
   test("d220 map bursts: interleaved types never bleed — each map " +
       "entry sessionizes alone, gap boundaries per the batch definition") {
     // user 1 alternates view/click INSIDE each other's gap windows: one
