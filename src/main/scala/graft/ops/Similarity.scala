@@ -1845,10 +1845,18 @@ object Similarity {
       .orderBy("q_id", "rk")
   }
 
-  val d219Oracle: String = {
-    def l2Sql(a: String, b: String): String =
-      s"""CAST(round(list_sum(list_transform(range(1, ${PqDim + 1}),
-         i -> ($a[i] - $b[i]) * ($a[i] - $b[i]))) * 10000) AS BIGINT)"""
+  /** Oracle-side exact squared-L2 as an e4 BIGINT over `dims`-long
+    * vectors — the SQL twin of [[graft.functions.L2SqE4]], shared by
+    * the d219 and d223 oracles. */
+  private def l2E4Sql(a: String, b: String, dims: Int = PqDim): String =
+    s"""CAST(round(list_sum(list_transform(range(1, ${dims + 1}),
+       i -> ($a[i] - $b[i]) * ($a[i] - $b[i]))) * 10000) AS BIGINT)"""
+
+  /** The d219 oracle's CTE list through `adc` (the per-candidate
+    * asymmetric distances) — shared with the d223 recall monitor,
+    * which re-ranks the same `adc` against an exact-L2 truth set. */
+  private val d219CtesSql: String = {
+    def l2Sql(a: String, b: String): String = l2E4Sql(a, b)
     def passignSql(vcte: String, ccte: String, extra: String): String = {
       val inner = if (extra.isEmpty) "" else s", t.$extra"
       val outer = if (extra.isEmpty) "" else s", $extra"
@@ -1865,7 +1873,7 @@ object Similarity {
          FROM $acte, (SELECT unnest(range(1, ${PqDim + 1})) AS i)
          GROUP BY m, code, i)
          GROUP BY m, code"""
-    s"""WITH $trainedCtesSql,
+    s"""$trainedCtesSql,
        resid AS (
          SELECT a.vec_id, a.cell,
            list_transform(range(1, 65), i -> a.v[i] - c.cv[i]) AS r
@@ -1907,17 +1915,88 @@ object Similarity {
          FROM codes k JOIN lut l
            ON k.cell = l.cell AND k.m = l.m AND k.code = l.code
          WHERE k.vec_id <> l.q_id
-         GROUP BY l.q_id, k.vec_id)
+         GROUP BY l.q_id, k.vec_id)"""
+  }
+
+  val d219Oracle: String =
+    s"""WITH $d219CtesSql
        SELECT q_id, rk, vec_id, adc_e4 FROM (
          SELECT q_id, vec_id, adc_e4,
            row_number() OVER (PARTITION BY q_id
              ORDER BY adc_e4, vec_id) AS rk
          FROM adc)
        WHERE rk <= 3 ORDER BY q_id, rk"""
+
+  // -------------------------------------------------------------- d223
+  /** IVF-PQ RECALL MONITOR — the number an ANN serving team actually
+    * watches (d53 is this monitor for the sign-LSH tier; this is it
+    * for the composed d219 layout): per probe, how many of the exact
+    * squared-L2 top-3 neighbors the IVF-PQ serving path returns.
+    * Truth is exact e4-integer L2 over the FULL vectors (the metric
+    * ADC approximates — like-for-like, unlike a cosine truth set);
+    * the candidate set is d219's own routed-cell ADC ranking. Recall
+    * loss decomposes into routing loss (the true neighbor's cell was
+    * not probed) and quantization loss (4-byte codes mis-rank inside
+    * a probed cell) — both real, both monitored by this one number.
+    *
+    * Scale: truth is K probes × one broadcast pass (the d9 shape);
+    * everything else reuses d219's machinery unchanged. */
+  def d223IvfpqRecall(spark: SparkSession, dir: String): DataFrame = {
+    val e = emb(spark, dir)
+    val probes = e.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"))
+    val truth = e.crossJoin(broadcast(probes))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"), l2e4(col("v"), col("qv")).as("d"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("q_id").orderBy(col("d"), col("vec_id"))))
+      .filter(col("rk") <= 3)
+      .select("q_id", "vec_id")
+    val index = ivfpq(e, IvfK, PqK, NProbe).select("q_id", "vec_id")
+    val hits = truth.join(index, Seq("q_id", "vec_id"), "left_semi")
+      .groupBy("q_id").agg(count(lit(1)).as("n_hits"))
+    probes.select("q_id")
+      .join(hits, Seq("q_id"), "left")
+      .select(col("q_id"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        round(coalesce(col("n_hits"), lit(0L)).cast("double") / 3, 4)
+          .as("recall_at_3"))
+      .orderBy("q_id")
   }
+
+  /** d219's CTE chain + an exact-L2 truth set + the d53 verdict join. */
+  val d223Oracle: String =
+    s"""WITH $d219CtesSql,
+       idx AS (
+         SELECT q_id, vec_id FROM (
+           SELECT q_id, vec_id,
+             row_number() OVER (PARTITION BY q_id
+               ORDER BY adc_e4, vec_id) AS rk
+           FROM adc)
+         WHERE rk <= 3),
+       truth AS (
+         SELECT q_id, vec_id FROM (
+           SELECT t.vec_id AS q_id, e2.vec_id,
+             row_number() OVER (PARTITION BY t.vec_id
+               ORDER BY ${l2E4Sql("e2.v", "t.v", 64)}, e2.vec_id) AS rk
+           FROM e t JOIN e e2 ON e2.vec_id <> t.vec_id
+           WHERE t.vec_id < 3)
+         WHERE rk <= 3),
+       hits AS (
+         SELECT t.q_id, count(*) AS n_hits
+         FROM truth t JOIN idx i
+           ON t.q_id = i.q_id AND t.vec_id = i.vec_id
+         GROUP BY t.q_id)
+       SELECT p.vec_id AS q_id,
+         CAST(coalesce(n_hits, 0) AS BIGINT) AS n_hits,
+         round(coalesce(n_hits, 0) / 3.0, 4) AS recall_at_3
+       FROM (SELECT vec_id FROM e WHERE vec_id < 3) p
+       LEFT JOIN hits ON p.vec_id = hits.q_id
+       ORDER BY q_id"""
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d219_ivfpq" -> (d219Ivfpq _),
+    "d223_ivfpq_recall" -> (d223IvfpqRecall _),
     "d192_embedding_norms" -> (d192EmbeddingNorms _),
     "d217_pq_adc" -> (d217PqAdc _),
     "d143_bitext_mining" -> (d143BitextMining _),
@@ -1945,6 +2024,7 @@ object Similarity {
 
   val oracles: Map[String, String] = Map(
     "d219_ivfpq" -> d219Oracle,
+    "d223_ivfpq_recall" -> d223Oracle,
     "d192_embedding_norms" -> d192Oracle,
     "d217_pq_adc" -> d217Oracle,
     "d143_bitext_mining" -> d143Oracle,
