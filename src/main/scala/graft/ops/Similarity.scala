@@ -1792,6 +1792,18 @@ object Similarity {
     * fixtures use 2-cell/2-code corners where every centroid, residual,
     * and LUT entry is hand-computable. */
   private[graft] def ivfpq(e: DataFrame, k: Int, pqK: Int,
+      nProbe: Int): DataFrame =
+    ivfpqAdc(e, k, pqK, nProbe)
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("q_id").orderBy(col("adc_e4"), col("vec_id"))))
+      .filter(col("rk") <= 3)
+      .select("q_id", "rk", "vec_id", "adc_e4")
+      .orderBy("q_id", "rk")
+
+  /** The full per-candidate ADC distance table (q_id, vec_id, adc_e4)
+    * — d219 keeps its top-3, the d224 refine stage its top-[[RefineR]]
+    * for exact re-ranking. */
+  private[graft] def ivfpqAdc(e: DataFrame, k: Int, pqK: Int,
       nProbe: Int): DataFrame = {
     // coarse quantizer: first-k init + LloydIters rounds over the
     // deterministic sample (the d14 discipline, k parameterized)
@@ -1838,11 +1850,6 @@ object Similarity {
     codes.join(broadcast(lut), Seq("cell", "m", "code"))
       .filter(col("vec_id") =!= col("q_id"))
       .groupBy("q_id", "vec_id").agg(sum("d_e4").as("adc_e4"))
-      .withColumn("rk", row_number().over(
-        Window.partitionBy("q_id").orderBy(col("adc_e4"), col("vec_id"))))
-      .filter(col("rk") <= 3)
-      .select("q_id", "rk", "vec_id", "adc_e4")
-      .orderBy("q_id", "rk")
   }
 
   /** Oracle-side exact squared-L2 as an e4 BIGINT over `dims`-long
@@ -1994,8 +2001,72 @@ object Similarity {
        LEFT JOIN hits ON p.vec_id = hits.q_id
        ORDER BY q_id"""
 
+  // -------------------------------------------------------------- d224
+  /** How many ADC candidates the refine stage exactly re-scores. */
+  private val RefineR = 10
+
+  /** IVF-PQ + EXACT RE-RANK — the REFINE stage that completes the
+    * production serving stack (route → ADC → refine): the compressed
+    * scan keeps its top-[[RefineR]] per query, the refine stage
+    * fetches ONLY those R full vectors and re-scores them with the
+    * exact e4-integer L2, and the served top-3 is ranked by the exact
+    * distances. This recovers the QUANTIZATION half of d223's recall
+    * loss (a true neighbor mis-ranked 4th..10th by its 4-byte codes is
+    * re-found exactly); only routing loss — the true neighbor's cell
+    * not probed — survives, which is the documented IVF trade.
+    *
+    * Scale: the refine fetch is R point lookups per query (a broadcast
+    * of the R·K-row candidate list probing the vector store scan-side
+    * — never a shuffle of the store), and the exact scoring touches
+    * R·K vectors total per batch of K queries. The 100 TB cost order
+    * is: LUT scan over compressed codes (cheap, wide) → R exact reads
+    * (tiny, pointed) — exactly why PQ serving can afford exactness at
+    * the top. */
+  def d224IvfpqRefine(spark: SparkSession, dir: String): DataFrame = {
+    val e = emb(spark, dir)
+    val cands = ivfpqAdc(e, IvfK, PqK, NProbe)
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("q_id").orderBy(col("adc_e4"), col("vec_id"))))
+      .filter(col("rk") <= RefineR)
+      .select("q_id", "vec_id")
+    val qv = e.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"))
+    e.join(broadcast(cands), "vec_id")
+      .join(broadcast(qv), "q_id")
+      .select(col("q_id"), col("vec_id"), l2e4(col("v"), col("qv")).as("l2_e4"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("q_id").orderBy(col("l2_e4"), col("vec_id"))))
+      .filter(col("rk") <= 3)
+      .select("q_id", "rk", "vec_id", "l2_e4")
+      .orderBy("q_id", "rk")
+  }
+
+  /** d219's CTE chain + the R-candidate exact re-rank. */
+  val d224Oracle: String =
+    s"""WITH $d219CtesSql,
+       cands AS (
+         SELECT q_id, vec_id FROM (
+           SELECT q_id, vec_id,
+             row_number() OVER (PARTITION BY q_id
+               ORDER BY adc_e4, vec_id) AS rk
+           FROM adc)
+         WHERE rk <= $RefineR),
+       rer AS (
+         SELECT c.q_id, c.vec_id,
+           ${l2E4Sql("e2.v", "t.v", 64)} AS l2_e4
+         FROM cands c
+           JOIN e e2 ON e2.vec_id = c.vec_id
+           JOIN e t ON t.vec_id = c.q_id)
+       SELECT q_id, rk, vec_id, l2_e4 FROM (
+         SELECT q_id, vec_id, l2_e4,
+           row_number() OVER (PARTITION BY q_id
+             ORDER BY l2_e4, vec_id) AS rk
+         FROM rer)
+       WHERE rk <= 3 ORDER BY q_id, rk"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d219_ivfpq" -> (d219Ivfpq _),
+    "d224_ivfpq_refine" -> (d224IvfpqRefine _),
     "d223_ivfpq_recall" -> (d223IvfpqRecall _),
     "d192_embedding_norms" -> (d192EmbeddingNorms _),
     "d217_pq_adc" -> (d217PqAdc _),
@@ -2025,6 +2096,7 @@ object Similarity {
   val oracles: Map[String, String] = Map(
     "d219_ivfpq" -> d219Oracle,
     "d223_ivfpq_recall" -> d223Oracle,
+    "d224_ivfpq_refine" -> d224Oracle,
     "d192_embedding_norms" -> d192Oracle,
     "d217_pq_adc" -> d217Oracle,
     "d143_bitext_mining" -> d143Oracle,

@@ -242,6 +242,62 @@ object StreamGates {
        FROM s GROUP BY user_id, sid
        ORDER BY user_id, start_us"""
 
+  // -------------------------------------------------------------- d225
+  /** OFFLINE STATE-STORE INSPECTION — Spark 4's `statestore` batch
+    * data source, the observability surface a production streaming
+    * team debugs with ("what is this stateful operator actually
+    * holding right now?") and the one piece of the state machinery no
+    * other gate reads: the d76 content-hash dedup stream runs with a
+    * real CHECKPOINT, and after the drain the checkpoint's state store
+    * is read back BATCH-side and the held dedup keys are emitted. The
+    * dedup contract makes the expected state exact: one state row per
+    * distinct content hash (nothing ages out — the single AvailableNow
+    * batch leaves the watermark below every expiry), so the offline
+    * read must reproduce d76's oracle verbatim — a checkpoint-format
+    * or key-encoding drift fails the hash gate.
+    *
+    * Scale: the state source reads the store's files directly
+    * (partitioned like the operator — no replay of the stream), which
+    * is exactly why it is the production debugging path: inspecting
+    * TBs of RocksDB state costs one parquet-shaped scan, not a
+    * re-run of the pipeline. */
+  def d225StateReader(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+    val staged = stage(dir, "documents", "graft-d225")
+    val ckpt = Files.createTempDirectory("graft-d225-ckpt")
+    val stream = spark.readStream.schema(docs.schema).parquet(staged.toString)
+      // d76's deterministic event time, same epoch offset
+      .withColumn("ingest_ts",
+        timestamp_micros((col("doc_id") + 86400L) * 1000000L))
+    val name = s"graft_d225_run${runSeq.incrementAndGet()}"
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    val query =
+      try IngestStreams.dedupedDocs(stream)
+        .select(col("text_hash"))
+        .writeStream.format("memory").queryName(name)
+        .option("checkpointLocation", ckpt.toString)
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+    query.awaitTermination()
+    unstage(staged)
+    // the batch-side state read: keys held by the dedup operator's
+    // store at the last committed batch
+    val held = spark.read.format("statestore").load(ckpt.toString)
+      .select(col("key.text_hash").as("text_hash"))
+      .orderBy("text_hash")
+      .localCheckpoint() // materialize before the checkpoint dir dies
+    deltree(ckpt)
+    held.orderBy("text_hash")
+  }
+
+  /** d76's oracle verbatim — the offline state read must see exactly
+    * one held key per distinct content. (lazy: d76Oracle initializes
+    * later in this object's declaration order.) */
+  lazy val d225Oracle: String = d76Oracle
+
   // -------------------------------------------------------------- d222
   /** BATCH-STATE BOOTSTRAP on `transformWithState` — the
     * `StatefulProcessorWithInitialState` migration overload, the one
@@ -1711,6 +1767,7 @@ object StreamGates {
     "d211_tws_timers" -> (d211TwsTimers _),
     "d220_tws_map_bursts" -> (d220TwsMapBursts _),
     "d222_tws_bootstrap" -> (d222TwsBootstrap _),
+    "d225_state_reader" -> (d225StateReader _),
     "d212_stream_semi_join" -> (d212StreamSemiJoin _),
     "d218_union_watermarks" -> (d218UnionWatermarks _))
 
@@ -1738,6 +1795,7 @@ object StreamGates {
     "d211_tws_timers" -> d211Oracle,
     "d220_tws_map_bursts" -> d220Oracle,
     "d222_tws_bootstrap" -> d222Oracle,
+    "d225_state_reader" -> d225Oracle,
     "d212_stream_semi_join" -> d212Oracle,
     "d218_union_watermarks" -> d218Oracle)
 }
