@@ -2022,12 +2022,18 @@ object Similarity {
     * is: LUT scan over compressed codes (cheap, wide) → R exact reads
     * (tiny, pointed) — exactly why PQ serving can afford exactness at
     * the top. */
-  def d224IvfpqRefine(spark: SparkSession, dir: String): DataFrame = {
-    val e = emb(spark, dir)
-    val cands = ivfpqAdc(e, IvfK, PqK, NProbe)
+  def d224IvfpqRefine(spark: SparkSession, dir: String): DataFrame =
+    ivfpqRefine(emb(spark, dir), IvfK, PqK, NProbe, RefineR)
+
+  /** [[d224IvfpqRefine]] with the widths as switches — the spec probes
+    * the all-cells corner, where refine provably reduces to exact
+    * search. */
+  private[graft] def ivfpqRefine(e: DataFrame, k: Int, pqK: Int,
+      nProbe: Int, r: Int): DataFrame = {
+    val cands = ivfpqAdc(e, k, pqK, nProbe)
       .withColumn("rk", row_number().over(
         Window.partitionBy("q_id").orderBy(col("adc_e4"), col("vec_id"))))
-      .filter(col("rk") <= RefineR)
+      .filter(col("rk") <= r)
       .select("q_id", "vec_id")
     val qv = e.filter(col("vec_id") < 3)
       .select(col("vec_id").as("q_id"), col("v").as("qv"))

@@ -352,6 +352,41 @@ class GateEdgeSpec extends SparkSpec {
       (2L, 3, 0L, 2915548L)), s"got $got")
   }
 
+  test("d224 ivfpq refine: with every cell probed and R covering the " +
+      "candidate list, refine IS exact search — hand-computed L2 ranks") {
+    import spark.implicits._
+    // the d219 two-direction fixture; nProbe = k = 2 probes both
+    // cells, R = 10 > 7 candidates, so the ADC stage only GENERATES
+    // and the exact re-rank decides everything: expected rows are the
+    // hand L2² integers (32·Δ²·10⁴ per same-direction pair, mixed
+    // directions add both halves)
+    def vec(c: Double, half: Int): Array[Double] = {
+      val a = new Array[Double](64)
+      val off = if (half == 0) 0 else 32
+      var i = 0; while (i < 32) { a(off + i) = c; i += 1 }
+      a
+    }
+    val e = Seq(
+      (0L, vec(1, 0)), (1L, vec(2, 1)), (2L, vec(4, 0)), (3L, vec(2, 0)),
+      (4L, vec(5, 1)), (5L, vec(3, 0)), (10L, vec(2, 1)), (15L, vec(4, 1)))
+      .toDF("vec_id", "v")
+    val got = graft.ops.Similarity
+      .ivfpqRefine(e, k = 2, pqK = 2, nProbe = 2, r = 10)
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+      .toList
+    assert(got == List(
+      (0L, 1, 3L, 320000L),   // 1u→2u: 32·1
+      (0L, 2, 5L, 1280000L),  // 1u→3u: 32·4
+      (0L, 3, 1L, 1600000L),  // 1u→2w: 32·1 + 32·4 (tie with 10 → id)
+      (1L, 1, 10L, 0L),       // byte-identical vector
+      (1L, 2, 15L, 1280000L),
+      (1L, 3, 0L, 1600000L),
+      (2L, 1, 5L, 320000L),
+      (2L, 2, 3L, 1280000L),
+      (2L, 3, 0L, 2880000L)), s"got $got")
+  }
+
   test("d216 minhash delta: exact copies match their corpus rep, best " +
       "match wins, and an unrelated doc is novel") {
     import spark.implicits._

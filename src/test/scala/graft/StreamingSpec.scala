@@ -285,6 +285,30 @@ class StreamingSpec extends SparkSpec {
       "the closed session must be the two-event session A")
   }
 
+  test("d225 state reader: duplicate content holds ONE state key — the " +
+      "offline read sees the dedup store, not the input") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-d225-spec")
+    Seq((0L, "alpha text"), (1L, "alpha text"), (2L, "beta text"),
+      (3L, "alpha text"), (4L, "gamma text"))
+      .toDF("doc_id", "text")
+      .coalesce(1).write.parquet(dir.resolve("w").toString)
+    val part = Files.list(dir.resolve("w")).toArray.map(_.toString)
+      .filter(_.endsWith(".parquet")).head
+    Files.copy(Paths.get(part), dir.resolve("documents.parquet"))
+    val got = graft.streaming.StreamGates
+      .d225StateReader(spark, dir.toString)
+      .collect().map(_.getString(0)).toList
+    // 5 input rows, 3 distinct contents → exactly 3 held keys, equal to
+    // the md5 set
+    val want = Seq("alpha text", "beta text", "gamma text")
+      .map(t => java.security.MessageDigest.getInstance("MD5")
+        .digest(t.getBytes("UTF-8")).map("%02x".format(_)).mkString)
+      .sorted.toList
+    assert(got == want, s"got $got want $want")
+  }
+
   test("d222 tws bootstrap: a session open at the cutover continues, " +
       "history-only users emit nothing, a post-cut gap still splits") {
     // log span 0..35 min → the midpoint cut sits at 17.5 min.
