@@ -1599,8 +1599,8 @@ object Queries {
     * frame — driver-trivial forever); the data-sized side is one
     * filtered scan + a month-key hash aggregate; the running-total
     * window orders calendar rows, never data rows. */
-  def q50RecursiveSpine(spark: SparkSession, dir: String): DataFrame =
-    ops.SqlSurface.run(spark, dir,
+  def q50RecursiveSpine(spark: SparkSession, dir: String): DataFrame = {
+    val spine = ops.SqlSurface.run(spark, dir,
       s"""WITH RECURSIVE months(m, hi) AS (
            SELECT CAST(date_trunc('MONTH', min(o_orderdate)) AS DATE),
                   CAST(date_trunc('MONTH', max(o_orderdate)) AS DATE)
@@ -1616,11 +1616,19 @@ object Queries {
            GROUP BY 1)
          SELECT m AS month,
            coalesce(n, CAST(0 AS BIGINT)) AS n_whales,
-           coalesce(cents, CAST(0 AS BIGINT)) AS whale_cents,
-           sum(coalesce(cents, CAST(0 AS BIGINT)))
-             OVER (ORDER BY m) AS cum_cents
-         FROM months LEFT JOIN mo ON mon = m
-         ORDER BY month""")
+           coalesce(cents, CAST(0 AS BIGINT)) AS whale_cents
+         FROM months LEFT JOIN mo ON mon = m""")
+    // the running total rides the engine's distributed prefix-sum
+    // primitive, NOT an unpartitioned ORDER BY window — the frame is
+    // calendar-sized today, but the surface bans empty window
+    // partition specs outright (OpsSpec registry guard) and the
+    // primitive costs the same one range exchange
+    ops.GlobalOrder.runningTotal(spine, Seq(col("month")),
+        col("whale_cents"))
+      .select(col("month"), col("n_whales"), col("whale_cents"),
+        col("running").as("cum_cents"))
+      .orderBy("month")
+  }
 
   val q50Oracle: String =
     s"""WITH RECURSIVE months(m, hi) AS (

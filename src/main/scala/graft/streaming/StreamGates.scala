@@ -284,11 +284,24 @@ object StreamGates {
     query.awaitTermination()
     unstage(staged)
     // the batch-side state read: keys held by the dedup operator's
-    // store at the last committed batch
-    val held = spark.read.format("statestore").load(ckpt.toString)
-      .select(col("key.text_hash").as("text_hash"))
-      .orderBy("text_hash")
-      .localCheckpoint() // materialize before the checkpoint dir dies
+    // store at the last committed batch. A zero-row corpus commits no
+    // micro-batch at all (AvailableNow with nothing to read), so there
+    // is no state to inspect — the empty hash set, not an error.
+    // (a no-data run still emits progress events, so lastProgress is a
+    // false signal — the checkpoint's commit log is the truth)
+    val committed = {
+      val commits = ckpt.resolve("commits")
+      Files.exists(commits) && Files.list(commits)
+        .anyMatch(p => !p.getFileName.toString.startsWith("."))
+    }
+    val held =
+      if (!committed)
+        spark.emptyDataFrame.select(lit("").as("text_hash")).limit(0)
+      else
+        spark.read.format("statestore").load(ckpt.toString)
+          .select(col("key.text_hash").as("text_hash"))
+          .orderBy("text_hash")
+          .localCheckpoint() // materialize before the checkpoint dir dies
     deltree(ckpt)
     held.orderBy("text_hash")
   }
@@ -335,6 +348,11 @@ object StreamGates {
         if (isNanos) expr("ts div 1000")
         else unix_micros(col("ts").cast("timestamp"))
       val mm = raw.agg(min(usCol), max(usCol)).head()
+      if (mm.isNullAt(0)) { // zero-row log: nothing to bootstrap or stream
+        spark.emptyDataFrame
+          .select(lit(0L).as("user_id"), lit(0L).as("n_sessions"),
+            lit(0L).as("n_events"))
+      } else {
       val cutUs = (mm.getLong(0) + mm.getLong(1)) / 2
       val initial = raw.filter(usCol < cutUs)
         .select(col("user_id"), usCol.as("us"))
@@ -366,6 +384,7 @@ object StreamGates {
       spark.table(name)
         .select(col("user_id"), col("n_sessions"), col("n_events"))
         .orderBy("user_id")
+      }
     }
 
   /** q18's sessionization over the FULL log, restricted to users with
