@@ -266,9 +266,18 @@ object StreamGates {
     val staged = stage(dir, "documents", "graft-d225")
     val ckpt = Files.createTempDirectory("graft-d225-ckpt")
     val stream = spark.readStream.schema(docs.schema).parquet(staged.toString)
-      // d76's deterministic event time, same epoch offset
+      // d76's deterministic event time and epoch offset, but with the
+      // synthetic clock FOLDED to a 50-minute span (doc_id mod 3000
+      // seconds): dropDuplicatesWithinWatermark stores first-arrival
+      // + 1 h expiry, and the drain's final no-data batch advances the
+      // watermark to max(ts) − 1 h — a clock that grows 1 s per doc
+      // would sweep EVERY key out of state at a large-enough corpus
+      // (observed at the 10× sweep: 13.9 h span, zero keys held). The
+      // gate's subject is state retention, so the clock must stay
+      // inside one watermark horizon at every scale; dedup semantics
+      // are untouched (the key set never depends on the timestamps).
       .withColumn("ingest_ts",
-        timestamp_micros((col("doc_id") + 86400L) * 1000000L))
+        timestamp_micros((col("doc_id") % 3000L + 86400L) * 1000000L))
     val name = s"graft_d225_run${runSeq.incrementAndGet()}"
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "8")
@@ -291,8 +300,11 @@ object StreamGates {
     // false signal — the checkpoint's commit log is the truth)
     val committed = {
       val commits = ckpt.resolve("commits")
-      Files.exists(commits) && Files.list(commits)
-        .anyMatch(p => !p.getFileName.toString.startsWith("."))
+      Files.exists(commits) && {
+        val s = Files.list(commits)
+        try s.anyMatch(p => !p.getFileName.toString.startsWith("."))
+        finally s.close()
+      }
     }
     val held =
       if (!committed)
