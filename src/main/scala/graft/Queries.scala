@@ -1630,6 +1630,56 @@ object Queries {
       .orderBy("month")
   }
 
+  // --------------------------------------------------------------- q51
+  /** PER-KEY `RANGE BETWEEN INTERVAL` date frame — each customer's
+    * 90-day trailing spend over the customer's OWN sparse order dates
+    * (q30 covers the global-calendar form of the interval frame; this
+    * is the per-key form a warehouse user hits monthly, r16 VERDICT
+    * next #2). The frame is a REAL per-key range window — one hash
+    * exchange on `o_custkey` + a per-key sort, never a global walk —
+    * but the scale trap lives one level down: a skewed key (one
+    * customer with 10⁸ orders) would still single-TASK its partition
+    * if the window ran over raw orders. So the window's input is the
+    * per-(customer, day) DAILY pre-aggregate — after it, a key's
+    * partition holds at most its ACTIVE-DAY count (calendar-bounded,
+    * data-size-independent), and the pre-aggregate itself is a
+    * map-side-combining groupBy that absorbs the skew. The order key
+    * is integer epoch-days with a numeric `rangeBetween(-89, 0)` —
+    * exactly `INTERVAL 89 DAY PRECEDING` over dates, with no interval
+    * arithmetic left to diverge between engines; money is exact cents
+    * until the final 2dp division. */
+  def q51KeyedRangeFrame(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.load(spark, dir, "orders")
+      .groupBy(col("o_custkey"), to_date(col("o_orderdate")).as("order_day"))
+      .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("cents"))
+      .withColumn("epoch_day",
+        datediff(col("order_day"), lit("1970-01-01")).cast("long"))
+    val w = Window.partitionBy("o_custkey").orderBy("epoch_day")
+      .rangeBetween(-89, Window.currentRow)
+    daily
+      .withColumn("cents90", sum("cents").over(w))
+      .withColumn("n_days90", count(lit(1)).over(w))
+      .select(col("o_custkey"), col("order_day"),
+        round(col("cents") / 100.0, 2).as("day_total"),
+        round(col("cents90") / 100.0, 2).as("total90"),
+        col("n_days90"))
+      .orderBy("o_custkey", "order_day")
+  }
+
+  val q51Oracle: String =
+    """WITH daily AS (
+         SELECT o_custkey, CAST(o_orderdate AS DATE) AS order_day,
+           sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS cents
+         FROM orders GROUP BY 1, 2)
+       SELECT o_custkey, order_day,
+         round(cents / 100.0, 2) AS day_total,
+         round(CAST(sum(cents) OVER w AS BIGINT) / 100.0, 2) AS total90,
+         CAST(count(*) OVER w AS BIGINT) AS n_days90
+       FROM daily
+       WINDOW w AS (PARTITION BY o_custkey ORDER BY order_day
+         RANGE BETWEEN INTERVAL 89 DAY PRECEDING AND CURRENT ROW)
+       ORDER BY o_custkey, order_day"""
+
   val q50Oracle: String =
     s"""WITH RECURSIVE months(m, hi) AS (
          SELECT CAST(date_trunc('month', min(o_orderdate)) AS DATE),
@@ -1703,7 +1753,8 @@ object Queries {
     "q47_iso_weeks" -> (q47IsoWeeks _),
     "q48_billing_periods" -> (q48BillingPeriods _),
     "q49_null_safe_join" -> (q49NullSafeJoin _),
-    "q50_recursive_spine" -> (q50RecursiveSpine _)
+    "q50_recursive_spine" -> (q50RecursiveSpine _),
+    "q51_keyed_range_frame" -> (q51KeyedRangeFrame _)
   )
 
   val relationalOracles: Map[String, String] = Map(
@@ -1756,7 +1807,8 @@ object Queries {
     "q47_iso_weeks" -> q47Oracle,
     "q48_billing_periods" -> q48Oracle,
     "q49_null_safe_join" -> q49Oracle,
-    "q50_recursive_spine" -> q50Oracle
+    "q50_recursive_spine" -> q50Oracle,
+    "q51_keyed_range_frame" -> q51Oracle
   )
 
   // lazy: a caller may initialize a contributing registry object FIRST

@@ -1630,6 +1630,12 @@ object Similarity {
   private val PqDim = 16
   private val PqK = 8
 
+  /** Full embedding width as the codebooks see it (`PqM` subspaces of
+    * `PqDim` each) — the oracle's residual subtraction must derive its
+    * `range` bound from this, not a literal, so an embedding-width
+    * change cannot desynchronize engine and oracle (r16 ADVICE #3). */
+  private val PqFullDim = PqM * PqDim
+
   /** Squared L2 over two equal-length vectors as an EXACT e4 integer —
     * the native [[graft.functions.L2SqE4]] expression (one codegen'd
     * fused loop; the PQ ENCODE runs it K·M times per vector, and a
@@ -1651,6 +1657,19 @@ object Similarity {
         struct(lit(m).as("m"),
           slice(col(vc), m * PqDim + 1, PqDim).as("sv"))): _*)).as("s"): _*)
       .select(idCols.map(col) :+ col("s.m").as("m") :+ col("s.sv").as("sv"): _*)
+
+  /** Residual subspace rows — assign each vector its nearest cell,
+    * center it on that cell's centroid, split into the [[PqM]]
+    * subspaces: (vec_id, cell, m, sv). The shared IVF-PQ encode front
+    * (d219's corpus pass; d226's frozen-artifact corpus AND per-batch
+    * arrival encodes). */
+  private def residSubs(vecs: DataFrame, cents: DataFrame): DataFrame =
+    subspaceRows(
+      assignCells(vecs, cents)
+        .join(broadcast(cents), col("cell") === col("cent_id"))
+        .select(col("vec_id"), col("cell"),
+          zip_with(col("v"), col("cv"), (x, c) => x - c).as("r")),
+      "r", "vec_id", "cell")
 
   /** Nearest-codebook-entry assignment per (vector, subspace) — the PQ
     * analogue of [[assignCells]]: the K·M-row codebook is broadcast,
@@ -1816,11 +1835,7 @@ object Similarity {
     // residual encode: center every vector on ITS cell before the
     // subspace split (one zip_with pass per vector — 64 subtractions,
     // once, off the candidate-scoring hot path)
-    val resid = assignCells(e, cents)
-      .join(broadcast(cents), col("cell") === col("cent_id"))
-      .select(col("vec_id"), col("cell"),
-        zip_with(col("v"), col("cv"), (x, c) => x - c).as("r"))
-    val rsubs = subspaceRows(resid, "r", "vec_id", "cell")
+    val rsubs = residSubs(e, cents)
       .localCheckpoint() // feeds codebook training AND encode
     val books = pqTrain(rsubs, pqK)
     val codes = pqAssign(rsubs, books, extraKeys = Seq("cell"))
@@ -1883,7 +1898,7 @@ object Similarity {
     s"""$trainedCtesSql,
        resid AS (
          SELECT a.vec_id, a.cell,
-           list_transform(range(1, 65), i -> a.v[i] - c.cv[i]) AS r
+           list_transform(range(1, ${PqFullDim + 1}), i -> a.v[i] - c.cv[i]) AS r
          FROM assigned a JOIN c2 c ON a.cell = c.cent_id),
        rsubs AS (
          SELECT vec_id, cell, m,
@@ -1907,7 +1922,7 @@ object Similarity {
          WHERE rk <= $NProbe),
        qresid AS (
          SELECT p.q_id, p.cell,
-           list_transform(range(1, 65), i -> t.v[i] - c.cv[i]) AS qr
+           list_transform(range(1, ${PqFullDim + 1}), i -> t.v[i] - c.cv[i]) AS qr
          FROM probes p JOIN e t ON t.vec_id = p.q_id
            JOIN c2 c ON c.cent_id = p.cell),
        qsubs AS (
@@ -2069,6 +2084,218 @@ object Similarity {
              ORDER BY l2_e4, vec_id) AS rk
          FROM rer)
        WHERE rk <= 3 ORDER BY q_id, rk"""
+
+  // -------------------------------------------------------------- d226
+  /** Corpus / arrival-batch id boundaries of the streaming ANN-ingest
+    * cycle — the d221 nightly splits lifted to the vector store
+    * (`StreamGates.d226StreamAnnIngest` drives the stream; the batch
+    * pieces and the oracle live here with the rest of the ANN stack). */
+  private[graft] val IngestSplit1 = 300L
+  private[graft] val IngestSplit2 = 400L
+
+  /** ADC near-dup threshold (e4-scaled squared L2): an arrival whose
+    * best asymmetric distance to an INDEXED vector is ≤ this is a
+    * NEAR-DUP (probe-before-add keeps it out of the index); above it,
+    * NOVEL. Calibrated against the synthetic store the same way d59's
+    * cosine threshold is (the fixture embeddings are near-orthogonal —
+    * max pairwise cosine ≈ 0.51 — so a production-grade tight
+    * threshold would make every arrival novel and the near-dup append
+    * path would go unexercised); the verdict COMPARISON is exact
+    * integers on both engines, so the gate is hash-exact at any scale
+    * regardless of the mix this particular constant yields. */
+  private[graft] val IngestDupE4 = 8700L // ≈5-10% of the sf0.01 batches
+
+  /** [[emb]] for the streaming gate (same float→double array cast). */
+  private[graft] def embOf(spark: SparkSession, dir: String): DataFrame =
+    emb(spark, dir)
+
+  /** FROZEN serving artifacts — coarse centroids, residual codebooks,
+    * and the corpus's code index — trained on the CORPUS ALONE. d219
+    * trains over the whole table (its corpus IS the whole table); an
+    * ingest pipeline must never let arrivals move the codebooks —
+    * re-training would silently re-mean yesterday's persisted codes,
+    * so the artifacts are trained once and the stream only APPENDS
+    * codes encoded against them. */
+  private[graft] def ingestArtifacts(
+      corpus: DataFrame): (DataFrame, DataFrame, DataFrame) = {
+    val cents = trainedCentroids(corpus).localCheckpoint()
+    val rsubs = residSubs(corpus, cents).localCheckpoint()
+    val books = pqTrain(rsubs, PqK)
+    val codes = pqAssign(rsubs, books, extraKeys = Seq("cell"))
+      .select("vec_id", "cell", "m", "code")
+    (cents, books, codes)
+  }
+
+  /** Route + PQ-encode one micro-batch of arrivals against the frozen
+    * artifacts — a STATELESS map over the batch (two broadcast joins:
+    * the K-row centroid table and the K·M-row codebook), exactly what
+    * an encode-on-arrival executor does at any batch size. */
+  private[graft] def ingestEncode(arrivals: DataFrame, cents: DataFrame,
+      books: DataFrame): DataFrame =
+    pqAssign(residSubs(arrivals, cents), books, extraKeys = Seq("cell"))
+      .select("vec_id", "cell", "m", "code")
+
+  /** PROBE-BEFORE-ADD: score one micro-batch of arrivals against the
+    * CURRENT index — codes only, no raw corpus vector ever loads — and
+    * verdict each arrival near_dup/novel by its best ADC distance.
+    * Candidates surface ONLY via the (cell, m, code) equi-join on the
+    * arrival's [[NProbe]] routed cells (the d219 serving shape); the
+    * argmin is a partial-aggregating groupBy. The LUT side is
+    * batch-sized (arrivals × nProbe × M × K rows) and the index side
+    * corpus-sized — the join is left to AQE, which broadcasts
+    * whichever side a production trigger actually bounds. */
+  private[graft] def ingestProbe(arrivals: DataFrame, idx: DataFrame,
+      cents: DataFrame, books: DataFrame, threshE4: Long): DataFrame = {
+    val probes = arrivals.crossJoin(broadcast(cents))
+      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("cent_id"),
+        cosine(col("v"), col("cv")).as("sim"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("q_id").orderBy(col("sim").desc, col("cent_id"))))
+      .filter(col("rk") <= NProbe)
+      .select(col("q_id"), col("qv"), col("cent_id").as("cell"))
+    val qresid = probes.join(broadcast(cents), col("cell") === col("cent_id"))
+      .select(col("q_id"), col("cell"),
+        zip_with(col("qv"), col("cv"), (x, c) => x - c).as("qr"))
+    val lut = subspaceRows(qresid, "qr", "q_id", "cell")
+      .join(broadcast(books), Seq("m"))
+      .select(col("q_id"), col("cell"), col("m"), col("code"),
+        l2e4(col("sv"), col("cv")).as("d_e4"))
+    val adc = idx
+      .select(col("vec_id").as("cand_id"), col("cell"), col("m"), col("code"))
+      .join(lut, Seq("cell", "m", "code"))
+      .groupBy("q_id", "cand_id").agg(sum("d_e4").as("adc_e4"))
+    val best = adc
+      .groupBy("q_id").agg(min(struct(col("adc_e4"), col("cand_id"))).as("b"))
+      .select(col("q_id").as("vec_id"), col("b.cand_id").as("match_id"),
+        col("b.adc_e4").as("adc_e4"))
+    arrivals.select("vec_id").join(best, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("match_id"), col("adc_e4"),
+        // null adc (empty probed cells) falls through to novel
+        when(col("adc_e4") <= threshE4, "near_dup")
+          .otherwise("novel").as("verdict"))
+  }
+
+  /** The full two-batch ingest cycle in DuckDB: corpus-only training,
+    * batch-A probe vs the base index, batch-A NOVELS encoded with the
+    * FROZEN codebooks and appended, batch-B probe vs the UPDATED index
+    * — so a batch-B verdict naming a batch-A arrival is reproduced
+    * bit-for-bit, the staleness case. */
+  val d226Oracle: String = {
+    def l2Sql(a: String, b: String): String = l2E4Sql(a, b)
+    def passignSql(vcte: String, ccte: String, extra: String): String = {
+      val inner = if (extra.isEmpty) "" else s", t.$extra"
+      val outer = if (extra.isEmpty) "" else s", $extra"
+      s"""SELECT vec_id, m, sv, code$outer FROM (
+         SELECT t.vec_id, t.m, t.sv, c.code$inner,
+           row_number() OVER (PARTITION BY t.vec_id, t.m
+             ORDER BY ${l2Sql("t.sv", "c.cv")}, c.code) AS rk
+         FROM $vcte t JOIN $ccte c ON t.m = c.m)
+         WHERE rk = 1"""
+    }
+    def pupdateSql(acte: String): String =
+      s"""SELECT m, code, list(cx ORDER BY i) AS cv FROM (
+         SELECT m, code, i, round(avg(sv[i]), 4) AS cx
+         FROM $acte, (SELECT unnest(range(1, ${PqDim + 1})) AS i)
+         GROUP BY m, code, i)
+         GROUP BY m, code"""
+    /** residual subspace rows of an assignment CTE (vec_id, v, cell) */
+    def subsSql(assCte: String): String =
+      s"""SELECT vec_id, cell, m,
+           r[(m * $PqDim + 1):((m + 1) * $PqDim)] AS sv
+         FROM (
+           SELECT a.vec_id, a.cell,
+             list_transform(range(1, ${PqFullDim + 1}),
+               i -> a.v[i] - c.cv[i]) AS r
+           FROM $assCte a JOIN c2 c ON a.cell = c.cent_id),
+           (SELECT unnest(range($PqM)) AS m)"""
+    /** top-NProbe routed cells per arrival */
+    def probeSql(vcte: String): String =
+      s"""SELECT q_id, cell FROM (
+         SELECT t.vec_id AS q_id, c.cent_id AS cell,
+           row_number() OVER (PARTITION BY t.vec_id
+             ORDER BY ${cosineSql("t.v", "c.cv")} DESC, c.cent_id) AS rk
+         FROM $vcte t, c2 c)
+         WHERE rk <= $NProbe"""
+    /** one LUT row per (arrival, probed cell, m, code) */
+    def lutSql(probeCte: String, vcte: String): String =
+      s"""SELECT q.q_id, q.cell, b.m, b.code, ${l2Sql("q.sv", "b.cv")} AS d_e4
+         FROM (
+           SELECT qr.q_id, qr.cell, mm.m,
+             qr.qr[(mm.m * $PqDim + 1):((mm.m + 1) * $PqDim)] AS sv
+           FROM (
+             SELECT p.q_id, p.cell,
+               list_transform(range(1, ${PqFullDim + 1}),
+                 i -> t.v[i] - c.cv[i]) AS qr
+             FROM $probeCte p JOIN $vcte t ON t.vec_id = p.q_id
+               JOIN c2 c ON c.cent_id = p.cell) qr,
+             (SELECT unnest(range($PqM)) AS m) mm) q
+         JOIN pc2 b ON q.m = b.m"""
+    def adcSql(lutCte: String, idxCte: String): String =
+      s"""SELECT l.q_id, k.vec_id AS cand_id,
+           CAST(sum(l.d_e4) AS BIGINT) AS adc_e4
+         FROM $idxCte k JOIN $lutCte l
+           ON k.cell = l.cell AND k.m = l.m AND k.code = l.code
+         GROUP BY l.q_id, k.vec_id"""
+    def bestSql(adcCte: String): String =
+      s"""SELECT q_id, cand_id, adc_e4 FROM (
+         SELECT q_id, cand_id, adc_e4,
+           row_number() OVER (PARTITION BY q_id
+             ORDER BY adc_e4, cand_id) AS rk
+         FROM $adcCte) WHERE rk = 1"""
+    def verdSql(vcte: String, assCte: String, bestCte: String,
+        batch: Int): String =
+      s"""SELECT t.vec_id, CAST($batch AS BIGINT) AS batch, a.cell,
+           b.cand_id AS match_id, b.adc_e4,
+           CASE WHEN b.adc_e4 <= $IngestDupE4 THEN 'near_dup'
+                ELSE 'novel' END AS verdict
+         FROM $vcte t JOIN $assCte a ON a.vec_id = t.vec_id
+           LEFT JOIN $bestCte b ON b.q_id = t.vec_id"""
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       corpus AS (SELECT vec_id, v FROM e WHERE vec_id < $IngestSplit1),
+       train AS (SELECT vec_id, v FROM corpus WHERE vec_id % $TrainMod = 0),
+       c0 AS (SELECT vec_id AS cent_id, v AS cv FROM corpus
+              WHERE vec_id < $IvfK),
+       a1 AS (${assignSql("train", "c0")}),
+       c1 AS (${updateSql("a1")}),
+       a2 AS (${assignSql("train", "c1")}),
+       c2 AS (${updateSql("a2")}),
+       cass AS (${assignSql("corpus", "c2")}),
+       csubs AS (${subsSql("cass")}),
+       pc0 AS (SELECT m, vec_id AS code, sv AS cv FROM csubs
+              WHERE vec_id < $PqK),
+       ptrain AS (SELECT vec_id, m, sv FROM csubs
+              WHERE vec_id % $TrainMod = 0),
+       pa1 AS (${passignSql("ptrain", "pc0", "")}),
+       pc1 AS (${pupdateSql("pa1")}),
+       pa2 AS (${passignSql("ptrain", "pc1", "")}),
+       pc2 AS (${pupdateSql("pa2")}),
+       idx0 AS (${passignSql("csubs", "pc2", "cell")}),
+       ba AS (SELECT vec_id, v FROM e
+              WHERE vec_id >= $IngestSplit1 AND vec_id < $IngestSplit2),
+       bass AS (${assignSql("ba", "c2")}),
+       pba AS (${probeSql("ba")}),
+       luta AS (${lutSql("pba", "ba")}),
+       adca AS (${adcSql("luta", "idx0")}),
+       besta AS (${bestSql("adca")}),
+       verda AS (${verdSql("ba", "bass", "besta", 0)}),
+       anovel AS (SELECT a.vec_id, a.v, a.cell FROM bass a
+              JOIN verda v ON v.vec_id = a.vec_id
+              WHERE v.verdict = 'novel'),
+       asubs AS (${subsSql("anovel")}),
+       acodes AS (${passignSql("asubs", "pc2", "cell")}),
+       idx1 AS (SELECT vec_id, m, code, cell FROM idx0
+              UNION ALL SELECT vec_id, m, code, cell FROM acodes),
+       bb AS (SELECT vec_id, v FROM e WHERE vec_id >= $IngestSplit2),
+       bbss AS (${assignSql("bb", "c2")}),
+       pbb AS (${probeSql("bb")}),
+       lutb AS (${lutSql("pbb", "bb")}),
+       adcb AS (${adcSql("lutb", "idx1")}),
+       bestb AS (${bestSql("adcb")}),
+       verdb AS (${verdSql("bb", "bbss", "bestb", 1)})
+       SELECT vec_id, batch, cell, match_id, adc_e4, verdict
+       FROM (SELECT * FROM verda UNION ALL SELECT * FROM verdb)
+       ORDER BY vec_id"""
+  }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d219_ivfpq" -> (d219Ivfpq _),

@@ -465,10 +465,20 @@ object StreamGates {
         (query.recentProgress.toSeq ++ Option(query.lastProgress))
           .flatMap(_.stateOperators).map(_.numRowsTotal)
           .lastOption.getOrElse(0L)
-      require(finalState <= 4,
+      // Exact residue, derived (r16 ADVICE #1): the only open entry at
+      // drain end is the sentinel user's single "flush" burst (its
+      // close needs ts+gap < watermark, but the final watermark trails
+      // the sentinel — the log's max event time — by the 1 h horizon,
+      // so it can never close); every real (user, type) burst closes
+      // 2.5 h earlier. `numRowsTotal` counts state-variable rows only
+      // (timer column families are reported separately), so the bound
+      // is exactly ONE map entry — measured 1 at sf0.01; any slack
+      // here would let leaked closed entries pass silently.
+      require(finalState <= 1,
         s"state not horizon-bounded: $finalState rows survive the " +
           "drain — closed map entries must leave state at their close, " +
-          "not persist per user")
+          "not persist per user (expected residue: the sentinel " +
+          "user's single open map entry)")
       unstage(staged)
       spark.table(name)
         .select(col("user_id"), col("event_type"), col("start_us"),
@@ -1774,6 +1784,148 @@ object StreamGates {
         .forEach(p => Files.deleteIfExists(p))
     } catch { case _: java.io.IOException => () }
 
+  // -------------------------------------------------------------- d226
+  /** STREAMING ANN INGEST — encode-on-arrival into the persisted index
+    * (r16 VERDICT next #1), composing the three disciplines that until
+    * now ran apart: d219's IVF-PQ encode/serve shapes, d221's
+    * persisted-artifact read-modify-write, and d170's idempotent
+    * batchId-keyed foreachBatch sink. The production vector-ingestion
+    * path, end to end:
+    *
+    *  - BATCH-SIDE GO-LIVE: the frozen corpus (vec_id <
+    *    [[Similarity.IngestSplit1]]) trains the coarse cells and the
+    *    RESIDUAL codebooks (corpus alone — arrivals must never move
+    *    the codebooks, or yesterday's persisted codes silently
+    *    re-mean), encodes itself, and persists centroids + codebooks +
+    *    the base code index as REAL parquet artifacts.
+    *  - STREAM: arrivals come through a file-stream source in two
+    *    mtime-pinned micro-batches (batch 0 = ids in
+    *    [split1, split2), batch 1 = ids ≥ split2 — the d209 plant
+    *    discipline, so batch membership is deterministic). Each
+    *    micro-batch is a STATELESS encode map (broadcast frozen
+    *    centroids/codebooks — no state store anywhere), a
+    *    PROBE-BEFORE-ADD against the CURRENT index (base + all
+    *    committed deltas; candidates only via the (cell, m, code)
+    *    equi-join on the arrival's routed cells), and two idempotent
+    *    batchId-keyed overwrite writes: the verdict rows to
+    *    `verd/b<id>` and the NOVEL arrivals' codes to `idx/b<id>` —
+    *    near-dups never index (the d221 dedup discipline); an
+    *    at-least-once retry rewrites the same bytes, and the retry's
+    *    probe EXCLUDES its own possibly-half-written delta dir.
+    *  - STALENESS PIN, in-op: the index row count each batch probed is
+    *    recorded, and batch 1's must equal batch 0's PLUS the code
+    *    rows batch 0 appended — batch-1 arrivals are candidate matches
+    *    for batch-2 probes, which a stale read can never produce (a
+    *    planted `StreamingSpec` fixture pins the value-level version:
+    *    a batch-1 arrival whose best match IS a batch-0 novel, and a
+    *    dup of a NEVER-INDEXED near-dup matching the indexed original).
+    *
+    * In-batch dups both enter as novel (the batch is probed whole,
+    * then appended whole — d221's night semantics; a production
+    * trigger bounds the window in which two dups can co-arrive).
+    *
+    * Scale shape: per batch, work is O(batch × (K + nProbe·M·K)) for
+    * the encode/LUT and O(batch × routed-cell occupancy) for the ADC
+    * equi-join; the index update appends 4-byte codes (M rows per
+    * novel vector), never raw vectors; serving state on disk stays
+    * ≈5 bytes/vector. Nothing driver-sized moves: the audit counts
+    * are single longs. */
+  def d226StreamAnnIngest(spark: SparkSession, dir: String): DataFrame =
+    streamAnnIngest(spark, dir, graft.ops.Similarity.IngestSplit1,
+      graft.ops.Similarity.IngestSplit2, graft.ops.Similarity.IngestDupE4)
+
+  private[graft] def streamAnnIngest(spark: SparkSession, dir: String,
+      split1: Long, split2: Long, threshE4: Long): DataFrame = {
+    import graft.ops.Similarity
+    val art = Files.createTempDirectory("graft-d226-art")
+    val idxRoot = Files.createTempDirectory("graft-d226-idx")
+    val verdRoot = Files.createTempDirectory("graft-d226-verd")
+    val staged = Files.createTempDirectory("graft-d226-src")
+    val ckpt = Files.createTempDirectory("graft-d226-ckpt")
+    try {
+      val corpus = Similarity.embOf(spark, dir)
+        .filter(col("vec_id") < split1)
+      val (cents0, books0, codes0) = Similarity.ingestArtifacts(corpus)
+      // freeze through real parquet bytes (the d221 discipline): the
+      // stream provably serves from ARTIFACTS, not lineage — schema or
+      // encoding drift between writer and reader trips the hash gate
+      def freeze(df: DataFrame, name: String): DataFrame = {
+        val p = art.resolve(name).toString
+        df.write.mode("overwrite").parquet(p)
+        spark.read.parquet(p).localCheckpoint()
+      }
+      val cents = freeze(cents0, "cents.parquet")
+      val books = freeze(books0, "books.parquet")
+      codes0.write.mode("overwrite").parquet(s"$idxRoot/base")
+      val baseRows = spark.read.parquet(s"$idxRoot/base").count()
+
+      val raw = spark.read.parquet(s"$dir/embeddings.parquet")
+      val modBase = System.currentTimeMillis()
+      def plant(pred: org.apache.spark.sql.Column, i: Int): Unit = {
+        val nm = s"a$i.parquet"
+        stagePart(raw.filter(pred), staged, nm, "graft-d226-w")
+        staged.resolve(nm).toFile.setLastModified(modBase + i * 1000L); ()
+      }
+      plant(col("vec_id") >= split1 && col("vec_id") < split2, 0)
+      plant(col("vec_id") >= split2, 1)
+
+      val idxRead = new java.util.concurrent.ConcurrentHashMap[Long, Long]()
+      val codesAdded = new java.util.concurrent.ConcurrentHashMap[Long, Long]()
+      def processBatch(df: org.apache.spark.sql.Dataset[
+          org.apache.spark.sql.Row], id: Long): Unit = {
+        val arr = df.select(col("vec_id"),
+            col("embedding").cast("array<double>").as("v"))
+          .localCheckpoint() // feeds encode AND probe
+        // current index = base + every COMMITTED delta; a retried
+        // batch must not read its own half-written dir
+        val deltas = Option(idxRoot.toFile.list())
+          .getOrElse(Array.empty[String]).filter(_ != s"b$id").sorted
+          .toIndexedSeq
+        val idx = spark.read
+          .parquet(deltas.map(n => s"$idxRoot/$n"): _*).localCheckpoint()
+        idxRead.put(id, idx.count())
+        val codes = Similarity.ingestEncode(arr, cents, books)
+          .localCheckpoint() // feeds the verdict's cell col AND the append
+        val verd = Similarity.ingestProbe(arr, idx, cents, books, threshE4)
+          .join(codes.select("vec_id", "cell").distinct(), Seq("vec_id"))
+          .select(col("vec_id"), lit(id).as("batch"), col("cell"),
+            col("match_id"), col("adc_e4"), col("verdict"))
+          .localCheckpoint()
+        verd.write.mode("overwrite").parquet(s"$verdRoot/b$id")
+        codes.join(verd.filter(col("verdict") === "novel").select("vec_id"),
+            Seq("vec_id"), "left_semi")
+          .write.mode("overwrite").parquet(s"$idxRoot/b$id")
+        codesAdded.put(id, spark.read.parquet(s"$idxRoot/b$id").count())
+      }
+      val query = spark.readStream.schema(raw.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(staged.toString)
+        .writeStream
+        .foreachBatch((df: org.apache.spark.sql.Dataset[
+          org.apache.spark.sql.Row], id: Long) => processBatch(df, id))
+        .option("checkpointLocation", ckpt.toString)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      query.awaitTermination()
+      val vd = Option(verdRoot.toFile.list())
+        .getOrElse(Array.empty[String]).toSeq.sorted
+      require(vd == Seq("b0", "b1"),
+        s"expected exactly one verdict dir per micro-batch, got $vd")
+      require(idxRead.get(0L) == baseRows,
+        s"batch 0 probed ${idxRead.get(0L)} index rows, " +
+          s"expected the $baseRows-row base artifact")
+      require(idxRead.get(1L) == baseRows + codesAdded.get(0L),
+        s"batch 1 probed a STALE index: read ${idxRead.get(1L)} rows, " +
+          s"expected base $baseRows + batch-0 append ${codesAdded.get(0L)}")
+      spark.read.parquet(s"$verdRoot/b0", s"$verdRoot/b1")
+        .orderBy("vec_id").localCheckpoint()
+        .orderBy("vec_id")
+    } finally {
+      deltree(art); deltree(idxRoot); deltree(verdRoot)
+      deltree(staged); deltree(ckpt)
+    }
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d50_stream_decontaminate" -> (d50StreamDecontaminate _),
     "d64_stream_sessions" -> (d64StreamSessions _),
@@ -1800,7 +1952,8 @@ object StreamGates {
     "d222_tws_bootstrap" -> (d222TwsBootstrap _),
     "d225_state_reader" -> (d225StateReader _),
     "d212_stream_semi_join" -> (d212StreamSemiJoin _),
-    "d218_union_watermarks" -> (d218UnionWatermarks _))
+    "d218_union_watermarks" -> (d218UnionWatermarks _),
+    "d226_stream_ann_ingest" -> (d226StreamAnnIngest _))
 
   val oracles: Map[String, String] = Map(
     "d50_stream_decontaminate" -> d50Oracle,
@@ -1828,5 +1981,6 @@ object StreamGates {
     "d222_tws_bootstrap" -> d222Oracle,
     "d225_state_reader" -> d225Oracle,
     "d212_stream_semi_join" -> d212Oracle,
-    "d218_union_watermarks" -> d218Oracle)
+    "d218_union_watermarks" -> d218Oracle,
+    "d226_stream_ann_ingest" -> graft.ops.Similarity.d226Oracle)
 }

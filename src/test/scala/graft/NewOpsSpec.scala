@@ -880,6 +880,53 @@ class NewOpsSpec extends SparkSpec {
       ("1995-01-10", 70.0, 1L, 70.0))) // the gap resets the frame
   }
 
+  // ------------------------------------------------------------- q51
+  test("q51 per-key range frame: 89 days back is in, 90 is out, " +
+      "same-day orders collapse, and the window partitions on the key") {
+    val dir = tmp()
+    import spark.implicits._
+    // cust 1: 1995-01-01, 1995-03-31 (exactly 89 days later — the
+    // INTERVAL 89 DAY frame's inclusive edge), 1995-04-01 (90 days
+    // after day 1 — the first day that must evict it);
+    // cust 2: two same-day orders — one daily row, summed cents.
+    val rows = Seq(
+      (1L, "1995-01-01", 10.0), (1L, "1995-03-31", 20.0),
+      (1L, "1995-04-01", 40.0),
+      (2L, "1995-01-01", 5.0), (2L, "1995-01-01", 7.5))
+    rows.zipWithIndex.map { case ((c, d, v), i) =>
+      (i.toLong, c, "O", v, java.sql.Timestamp.valueOf(d + " 00:00:00"),
+        "1-URGENT")
+    }.toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority")
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+
+    val df = Queries.q51KeyedRangeFrame(spark, dir)
+    val got = df.collect()
+      .map(r => (r.getLong(0), r.getDate(1).toString, r.getDouble(2),
+        r.getDouble(3), r.getLong(4)))
+    assert(got.toSeq == Seq(
+      (1L, "1995-01-01", 10.0, 10.0, 1L),
+      (1L, "1995-03-31", 20.0, 30.0, 2L), // day-89 edge: both in frame
+      (1L, "1995-04-01", 40.0, 60.0, 2L), // day 0 evicted, day 89 kept
+      (2L, "1995-01-01", 12.5, 12.5, 1L)), s"got ${got.toSeq}")
+    // the scale pin: the range frame runs per-KEY — a hash exchange on
+    // o_custkey, never an unpartitioned global walk
+    def walk(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[org.apache.spark.sql.execution.SparkPlan] = p match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a +: walk(a.initialPlan)
+      case q => q +: (q.children.flatMap(walk) ++ q.subqueries.flatMap(walk))
+    }
+    val wins = walk(df.queryExecution.executedPlan).collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w }
+    assert(wins.nonEmpty, "q51 must plan a real range-frame window")
+    wins.foreach { w =>
+      val refs = w.partitionSpec.flatMap(_.references.map(_.name)).toSet
+      assert(refs == Set("o_custkey"),
+        s"window must partition on the customer key, got $refs")
+    }
+  }
+
   /** JVM twin of [[TextOps.hash60]] (first 15 md5 hex chars as long). */
   private def jvmHash60(s: String): Long = {
     val d = java.security.MessageDigest.getInstance("MD5")

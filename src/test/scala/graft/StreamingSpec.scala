@@ -1079,6 +1079,83 @@ class StreamingSpec extends SparkSpec {
     assert(batch.count(_.getLong(0) == 1L) == 3)
   }
 
+  test("d226 ann ingest: a batch-1 arrival's best match IS a batch-0 " +
+      "novel (the d221 staleness pin, streamed), exact ADC integers " +
+      "end to end") {
+    // Hand-computable IVF-PQ world, 64-dim, everything in subspace 0:
+    //   a = 8·e0, b = 8·e1, E = 2·e2, F = 1·e3.
+    // Corpus (ids 0..19): ids 5 = b+E and 15 = b−E, everything else = a.
+    // Cell training (c0 = ids 0..7, Lloyd sample {0,5,10,15}) converges
+    // EXACTLY to two cells {cell0: a, cell5: b}; residuals: a-ids → 0,
+    // id5 → +E, id15 → −E. Codebook training collapses to exactly TWO
+    // m=0 entries: code0 = mean(0, 0, −E) = −0.6667·e2 and code5 = E
+    // (m ≥ 1 holds the single zero entry). Corpus codes: a-ids → code0,
+    // 5 → code5, 15 → code0 — so (cell0, code5) is a pair NO corpus
+    // vector occupies.
+    // Arrivals, split1 = 20, split2 = 22, threshold 100000 (L2² = 10):
+    //   20 (batch 0) = a+2E → cell0, code5; best corpus ADC =
+    //     l2e4(2E, −0.6667·e2) = round(4.6667²·1e4) = 217781 > T
+    //     → NOVEL, indexed at the unoccupied (cell0, code5);
+    //   21 (batch 0) = b+E+F → cell5; ADC vs 5 = l2e4(E+F, E) = 10000
+    //     ≤ T → NEAR_DUP of 5, never indexed;
+    //   22 (batch 1) = a+2E → cell0; ADC vs 20 = l2e4(2E, E) = 40000
+    //     beats every corpus candidate's 217781 STRICTLY (no id
+    //     tie-break involved) → match_id 20 is provable only if the
+    //     batch-1 probe read the batch-0 delta — the staleness pin;
+    //   23 (batch 1) = b+E+F → cell5, match 5 at 10000 (near-dup 21
+    //     is absent from the index, so the original keeps winning).
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-d226-spec")
+    def vec(parts: (Int, Float)*): Array[Float] = {
+      val v = Array.fill(64)(0f)
+      parts.foreach { case (i, x) => v(i) = x }
+      v
+    }
+    val a = vec(0 -> 8f)
+    val bE = vec(1 -> 8f, 2 -> 2f) // b + E
+    val bmE = vec(1 -> 8f, 2 -> -2f) // b − E
+    val a2E = vec(0 -> 8f, 2 -> 4f) // a + 2E
+    val bEF = vec(1 -> 8f, 2 -> 2f, 3 -> 1f) // b + E + F
+    val rows = (0L to 19L).map { i =>
+      (i, if (i == 5) bE else if (i == 15) bmE else a, 0)
+    } ++ Seq((20L, a2E, 0), (21L, bEF, 0), (22L, a2E, 0), (23L, bEF, 0))
+    rows.toDF("vec_id", "embedding", "label")
+      .coalesce(1).write.parquet(dir.resolve("w").toString)
+    val part = Files.list(dir.resolve("w")).toArray.map(_.toString)
+      .filter(_.endsWith(".parquet")).head
+    Files.copy(Paths.get(part), dir.resolve("embeddings.parquet"))
+    val got = graft.streaming.StreamGates
+      .streamAnnIngest(spark, dir.toString, 20L, 22L, 100000L)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getString(5))).toList
+    assert(got == List(
+      (20L, 0L, 0L, 0L, 217781L, "novel"),
+      (21L, 0L, 5L, 5L, 10000L, "near_dup"),
+      (22L, 1L, 0L, 20L, 40000L, "near_dup"),
+      (23L, 1L, 5L, 5L, 10000L, "near_dup")), s"got $got")
+  }
+
+  test("d226 ann ingest: an arrival whose routed cells hold no codes " +
+      "is novel with a null match") {
+    import spark.implicits._
+    val dim = 64
+    val cents = Seq((0L, Array.fill(dim)(1.0)), (1L, Array.fill(dim)(-1.0)))
+      .toDF("cent_id", "cv")
+    val books = (0 until 4).map(m => (m, 0L, Array.fill(16)(0.0)))
+      .toDF("m", "code", "cv")
+    val idx = Seq.empty[(Long, Long, Int, Long)]
+      .toDF("vec_id", "cell", "m", "code")
+    val arrivals = Seq((7L, Array.fill(dim)(1.0))).toDF("vec_id", "v")
+    val got = graft.ops.Similarity
+      .ingestProbe(arrivals, idx, cents, books, 100000L).collect()
+    assert(got.length == 1)
+    assert(got.head.getLong(0) == 7L)
+    assert(got.head.isNullAt(1) && got.head.isNullAt(2),
+      "empty probed cells must yield a null match")
+    assert(got.head.getString(3) == "novel")
+  }
+
   test("streaming sessionization equals batch q18") {
     val dir = stageEventsDir()
     val q = EventStreams.sessionCounts(EventStreams.readEvents(spark, dir))
