@@ -211,6 +211,66 @@ object EventStreams {
         initial.groupByKey(_._1).mapValues(_._2))
   }
 
+  /** V2 of [[SessionState]] — STATE SCHEMA EVOLUTION: the same
+    * "session" column family evolved with ONE APPENDED FIELD,
+    * `upgradeEvents` (events folded since the v2 deploy). Typed
+    * `Option[Long]` deliberately: evolution is Avro-rule-based
+    * (`spark.sql.streaming.stateStore.encodingFormat = avro`), and a
+    * field absent from a v1 row reads back as null — the None default
+    * IS the migration semantics the d228 spec pins. */
+  final case class SessionStateV2(lastTsUs: Long, nSessions: Long,
+    nEvents: Long, upgradeEvents: Option[Long])
+
+  /** [[UserSessions]] plus the post-upgrade event count. */
+  final case class UserSessionsV2(user_id: Long, n_sessions: Long,
+    n_events: Long, n_upgrade_events: Long)
+
+  /** [[SessionCountsProcessor]] "version 2 of the deploy": reads the
+    * v1 checkpoint's state rows (the evolved schema fills
+    * `upgradeEvents` with None), folds the SAME session definition,
+    * and additionally counts events seen since the upgrade. The state
+    * variable name must stay `"session"` — evolution happens INSIDE a
+    * column family, not by creating a new one. */
+  class SessionCountsProcessorV2
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, (Long, Long), UserSessionsV2] {
+    @transient private var state:
+      org.apache.spark.sql.streaming.ValueState[SessionStateV2] = _
+    override def init(outputMode: OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      state = getHandle.getValueState[SessionStateV2]("session",
+        org.apache.spark.sql.Encoders.product[SessionStateV2],
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+    override def handleInputRows(user: Long, rows: Iterator[(Long, Long)],
+        timers: org.apache.spark.sql.streaming.TimerValues)
+        : Iterator[UserSessionsV2] = {
+      val prev =
+        if (state.exists()) state.get()
+        else SessionStateV2(Long.MinValue, 0L, 0L, Some(0L))
+      val ts = rows.map(_._2).toSeq.sorted
+      val st = foldSessionState(
+        SessionState(prev.lastTsUs, prev.nSessions, prev.nEvents), ts)
+      val st2 = SessionStateV2(st.lastTsUs, st.nSessions, st.nEvents,
+        Some(prev.upgradeEvents.getOrElse(0L) + ts.length))
+      state.update(st2)
+      Iterator.single(UserSessionsV2(
+        user, st2.nSessions, st2.nEvents, st2.upgradeEvents.getOrElse(0L)))
+    }
+  }
+
+  /** [[sessionCountsTws]] under the evolved v2 state schema — see
+    * [[SessionCountsProcessorV2]]. */
+  def sessionCountsTwsV2(events: DataFrame): Dataset[UserSessionsV2] = {
+    import events.sparkSession.implicits._
+    events
+      .select(col("user_id"), unix_micros(col("ts")).as("ts_us"))
+      .as[(Long, Long)]
+      .groupByKey(_._1)
+      .transformWithState(new SessionCountsProcessorV2,
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        OutputMode.Update())
+  }
+
   /** [[sessionCounts]] on the new state API — see
     * [[SessionCountsProcessor]]. */
   def sessionCountsTws(events: DataFrame): Dataset[UserSessions] = {
@@ -367,6 +427,57 @@ object EventStreams {
       closeAndReschedule(user, Seq.empty,
         timers.getCurrentWatermarkInMs(),
         keepTimerMs = expired.getExpiryTimeInMs())
+  }
+
+  /** Content-hash dedup on `transformWithState` with TTL-EXPIRING
+    * state — the one state-lifecycle surface the suite's other tws
+    * gates leave dark (r16 VERDICT next #3): d76 expires by WATERMARK,
+    * d211/d220 by event-time TIMERS; `TTLConfig` is the OPERATIONAL
+    * form a production config actually ships — a per-variable
+    * processing-time bound the store enforces itself, no timer
+    * bookkeeping in the processor. Semantics here are re-admission
+    * dedup ("suppress repeats seen within the last TTL"): a key's
+    * first arrival emits and marks state; repeats inside the TTL are
+    * suppressed; once the TTL lapses the key is FORGOTTEN and the next
+    * arrival emits again — exactly a cache with expiry, which is what
+    * TTL state is for. `ttlMs <= 0` runs the same processor with
+    * `TTLConfig.NONE` (the spec's discriminative corner: nothing ever
+    * re-admits).
+    *
+    * Scale: state is one boolean per hash bounded by the TTL horizon —
+    * the store evicts expired rows itself, so state size tracks the
+    * ARRIVAL RATE × TTL, not the corpus. */
+  class TtlDedupProcessor(ttlMs: Long)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        String, String, String] {
+    @transient private var seen:
+      org.apache.spark.sql.streaming.ValueState[Boolean] = _
+    override def init(outputMode: OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      seen = getHandle.getValueState[Boolean]("seen",
+        org.apache.spark.sql.Encoders.scalaBoolean,
+        if (ttlMs > 0)
+          org.apache.spark.sql.streaming.TTLConfig(
+            java.time.Duration.ofMillis(ttlMs))
+        else org.apache.spark.sql.streaming.TTLConfig.NONE)
+    override def handleInputRows(hash: String, rows: Iterator[String],
+        timers: org.apache.spark.sql.streaming.TimerValues)
+        : Iterator[String] =
+      // an expired value reads as absent — that IS the expiry surface
+      if (seen.exists()) Iterator.empty
+      else { seen.update(true); Iterator.single(hash) }
+  }
+
+  /** TTL-expiring content dedup over a document stream — see
+    * [[TtlDedupProcessor]]. TTL state requires processing-time mode;
+    * update mode because a key legitimately re-emits after expiry. */
+  def ttlDedup(docs: DataFrame, ttlMs: Long): Dataset[String] = {
+    import docs.sparkSession.implicits._
+    docs.select(md5(col("text")).as("text_hash")).as[String]
+      .groupByKey(identity)
+      .transformWithState(new TtlDedupProcessor(ttlMs),
+        org.apache.spark.sql.streaming.TimeMode.ProcessingTime(),
+        OutputMode.Update())
   }
 
   /** One finalized per-(user, event-type) activity burst: a maximal

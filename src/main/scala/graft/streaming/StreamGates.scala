@@ -1784,6 +1784,271 @@ object StreamGates {
         .forEach(p => Files.deleteIfExists(p))
     } catch { case _: java.io.IOException => () }
 
+  // -------------------------------------------------------------- d228
+  /** The Avro state-encoding conf — schema evolution on
+    * `transformWithState` is Avro-rule-based and works ONLY under this
+    * format (the default `unsaferow` is positional and rejects any
+    * schema change on restart — the spec proves exactly that). */
+  private[graft] val StateEncodingKey =
+    "spark.sql.streaming.stateStore.encodingFormat"
+
+  /** STATE SCHEMA EVOLUTION on `transformWithState` (r16 VERDICT next
+    * #6) — the remaining production migration after d222 (initial
+    * state) and d225 (offline reads): "v2 of the processor reads v1's
+    * checkpoint with an added field". The log splits at its event-time
+    * midpoint (the d222 cut — a TIME split, because the shared session
+    * fold's cross-batch order contract must hold over the restart);
+    * the pre-cut half drains under the v1 processor
+    * ([[EventStreams.SessionCountsProcessor]], 3-field state), the
+    * query stops, and a FRESH query resumes the SAME checkpoint under
+    * the v2 processor ([[EventStreams.SessionCountsProcessorV2]]) whose
+    * state appends `upgradeEvents: Option[Long]` — restored v1 rows
+    * read the field as None (the Avro null default), post-cut events
+    * count on top. Gated against the full-log batch sessionization
+    * (restricted to post-cut users, the d222 population) PLUS the
+    * per-user post-cut event count: the totals are only reachable if
+    * the evolved reader kept v1's carried counts AND the added field
+    * started from its default — a dropped boundary session or a
+    * miscounted default flips the hash.
+    *
+    * Scale: evolution costs nothing at runtime (the Avro reader fills
+    * absent fields per row on read); state stays one record per user.
+    * The operational lesson pinned here: ship `encodingFormat = avro`
+    * BEFORE v1 ever writes state — the format is fixed at checkpoint
+    * birth, and unsaferow checkpoints cannot evolve. */
+  def d228StateEvolution(spark: SparkSession, dir: String): DataFrame =
+    stateEvolution(spark, dir, encoding = "avro")
+
+  private[graft] def stateEvolution(spark: SparkSession, dir: String,
+      encoding: String): DataFrame = withRocksDb(spark) {
+    withConf(spark, StateEncodingKey, encoding) {
+      val raw = spark.read.parquet(s"$dir/events.parquet")
+      val isNanos =
+        raw.schema("ts").dataType == org.apache.spark.sql.types.LongType
+      val usCol =
+        if (isNanos) expr("ts div 1000")
+        else unix_micros(col("ts").cast("timestamp"))
+      val mm = raw.agg(min(usCol), max(usCol)).head()
+      if (mm.isNullAt(0)) {
+        spark.emptyDataFrame
+          .select(lit(0L).as("user_id"), lit(0L).as("n_sessions"),
+            lit(0L).as("n_events"), lit(0L).as("n_upgrade_events"))
+      } else {
+        val cutUs = (mm.getLong(0) + mm.getLong(1)) / 2
+        val staged = Files.createTempDirectory("graft-d228-src")
+        val ckpt = Files.createTempDirectory("graft-d228-ckpt")
+        val out = Files.createTempDirectory("graft-d228-out")
+        val prev = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
+        try {
+          val modBase = System.currentTimeMillis()
+          // the memory sink cannot resume a checkpoint; both phases
+          // sink through foreachBatch (recovery-capable), phase 2 to
+          // idempotent batchId-keyed parquet (the d170 discipline)
+          // phase 1 (v1 schema): pre-cut history
+          stagePart(raw.filter(usCol < cutUs), staged, "a.parquet",
+            "graft-d228-w")
+          staged.resolve("a.parquet").toFile.setLastModified(modBase); ()
+          val q1 = EventStreams
+            .sessionCountsTws(EventStreams.readEvents(spark, staged.toString))
+            .writeStream
+            // the batch must be fully CONSUMED or the state stores never
+            // commit their partitions (commit validation fails loudly);
+            // phase 1's emissions are not part of the gate output
+            .foreachBatch((df: org.apache.spark.sql.Dataset[
+                EventStreams.UserSessions], _: Long) =>
+              df.toDF().write.format("noop").mode("overwrite").save())
+            .outputMode("update")
+            .option("checkpointLocation", ckpt.toString)
+            .trigger(Trigger.AvailableNow())
+            .start()
+          q1.awaitTermination()
+          // phase 2 (v2 schema, SAME checkpoint): post-cut arrivals
+          stagePart(raw.filter(usCol >= cutUs), staged, "b.parquet",
+            "graft-d228-w")
+          staged.resolve("b.parquet").toFile
+            .setLastModified(modBase + 1000L); ()
+          val q2 = EventStreams
+            .sessionCountsTwsV2(
+              EventStreams.readEvents(spark, staged.toString))
+            .writeStream
+            .foreachBatch((df: org.apache.spark.sql.Dataset[
+                EventStreams.UserSessionsV2], id: Long) =>
+              df.toDF().write.mode("overwrite").parquet(s"$out/b$id"))
+            .outputMode("update")
+            .option("checkpointLocation", ckpt.toString)
+            .trigger(Trigger.AvailableNow())
+            .start()
+          q2.awaitTermination()
+          requireRocksDb(q2)
+          // all counters are monotone, so the per-user LAST emission is
+          // the per-user max — robust however many phase-2 batches ran
+          spark.read.parquet(s"$out/*")
+            .groupBy("user_id")
+            .agg(max("n_sessions").as("n_sessions"),
+              max("n_events").as("n_events"),
+              max("n_upgrade_events").as("n_upgrade_events"))
+            .orderBy("user_id").localCheckpoint()
+            .orderBy("user_id")
+        } finally {
+          spark.conf.set("spark.sql.shuffle.partitions", prev)
+          deltree(staged); deltree(ckpt); deltree(out)
+        }
+      }
+    }
+  }
+
+  /** d222's full-log sessionization for post-cut users, plus each
+    * user's post-cut event count (the evolved field's expected value —
+    * v1 rows start it at the None/0 default). */
+  val d228Oracle: String =
+    """WITH cut AS (
+         SELECT (min(epoch_us(ts)) + max(epoch_us(ts))) // 2 AS c
+         FROM events),
+       live_users AS (
+         SELECT DISTINCT user_id FROM events, cut
+         WHERE epoch_us(ts) >= c),
+       base AS (
+         SELECT user_id, CAST(sum(new_session) AS BIGINT) AS n_sessions,
+           count(*) AS n_events
+         FROM (
+           SELECT user_id,
+             CASE WHEN prev_us IS NULL
+                    OR epoch_us(ts) - prev_us > 30*60*1000*1000
+                  THEN 1 ELSE 0 END AS new_session
+           FROM (SELECT user_id, ts,
+                   lag(epoch_us(ts)) OVER
+                     (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
+                 FROM events
+                 WHERE user_id IN (SELECT user_id FROM live_users)))
+         GROUP BY user_id),
+       up AS (
+         SELECT user_id, count(*) AS n_up FROM events, cut
+         WHERE epoch_us(ts) >= c GROUP BY user_id)
+       SELECT b.user_id, n_sessions, n_events,
+         CAST(n_up AS BIGINT) AS n_upgrade_events
+       FROM base b JOIN up USING (user_id)
+       ORDER BY user_id"""
+
+  // -------------------------------------------------------------- d227
+  /** TTL-EXPIRING STATE on `transformWithState`
+    * ([[EventStreams.TtlDedupProcessor]]) — the re-admission dedup run
+    * end to end: the documents table is staged TWICE as two
+    * mtime-pinned micro-batches (the same contents re-sent), the
+    * processor suppresses repeats whose state is ALIVE, and with a
+    * 1 ms TTL every batch-0 key has provably expired by batch 1 —
+    * so batch 1 re-admits the full distinct set, which is possible
+    * ONLY if expired keys actually left the store (the in-op require:
+    * batch-1 admits = batch-0 admits; a spec proves it discriminative
+    * by running the same gate with `TTLConfig.NONE`, where batch 1
+    * admits nothing and the require fires). The TTL clock is the
+    * micro-batch timestamp, so a 100 ms sink-side pause between
+    * batches makes the expiry deterministic rather than a bet on
+    * scheduler latency; within one batch a key's rows arrive in ONE
+    * `handleInputRows` call, so in-batch dedup never touches the TTL.
+    * Output is per-batch admitted hash sets through the idempotent
+    * batchId-keyed overwrite sink (d170's discipline). */
+  def d227TtlExpiry(spark: SparkSession, dir: String): DataFrame =
+    twsTtlDedup(spark, dir, ttlMs = 1L)
+
+  private[graft] def twsTtlDedup(spark: SparkSession, dir: String,
+      ttlMs: Long): DataFrame = withRocksDb(spark) {
+    val docs = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), col("text"))
+    val staged = Files.createTempDirectory("graft-d227-src")
+    val out = Files.createTempDirectory("graft-d227-out")
+    val ckpt = Files.createTempDirectory("graft-d227-ckpt")
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    try {
+      // batch 1 = the same contents re-sent PLUS one probe doc that
+      // exists only there: batch 1 then has output under ANY TTL
+      // config (the drain poll never blocks on a fully-suppressed
+      // batch), and the re-admission require below stays loud and fast
+      // when expiry is broken
+      val probe = spark.range(1)
+        .select(lit(-1L).as("doc_id"), lit(TtlProbeText).as("text"))
+      val modBase = System.currentTimeMillis()
+      for (i <- 0 to 1) {
+        val nm = s"d$i.parquet"
+        stagePart(if (i == 0) docs else docs.unionByName(probe),
+          staged, nm, "graft-d227-w")
+        staged.resolve(nm).toFile.setLastModified(modBase + i * 1000L); ()
+      }
+      val admitted = new java.util.concurrent.ConcurrentHashMap[Long, Long]()
+      spark.conf.set("spark.sql.shuffle.partitions", "8")
+      // NOT AvailableNow: a processing-time-mode stateful operator
+      // reports shouldRunAnotherBatch = true unconditionally (TTL
+      // sweeps and processing-time timers can always have more work),
+      // so an AvailableNow drain never terminates — it schedules
+      // no-data maintenance batches forever (observed, and pinned in
+      // TransformWithStateExecBase.shouldRunAnotherBatch). The gate
+      // instead runs a short processing-time trigger and STOPS itself
+      // once the second data batch has committed; no-data maintenance
+      // batches in between carry no rows and are skipped by the
+      // isEmpty guard, so the artifact layout stays exactly b0/b1.
+      val query =
+        try EventStreams.ttlDedup(
+            spark.readStream.schema(docs.schema)
+              .option("maxFilesPerTrigger", "1").parquet(staged.toString),
+            ttlMs)
+          .toDF("text_hash")
+          .writeStream
+          .foreachBatch { (df: org.apache.spark.sql.Dataset[
+              org.apache.spark.sql.Row], id: Long) =>
+            if (!df.isEmpty) {
+              df.select(lit(id).as("batch"), col("text_hash"))
+                .write.mode("overwrite").parquet(s"$out/b$id")
+              admitted.put(id, spark.read.parquet(s"$out/b$id").count())
+              // the TTL clock is the next batch's timestamp: force it
+              // ≥100 ms past this one so the 1 ms TTL has provably
+              // lapsed (never bet on scheduler latency)
+              Thread.sleep(100)
+            }
+          }
+          .option("checkpointLocation", ckpt.toString)
+          .trigger(Trigger.ProcessingTime("50 milliseconds"))
+          .start()
+        finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+      val deadline = System.currentTimeMillis() + 120000L
+      while (!admitted.containsKey(1L) &&
+          System.currentTimeMillis() < deadline)
+        Thread.sleep(50)
+      query.stop()
+      query.awaitTermination()
+      require(admitted.containsKey(1L),
+        "drain timed out before the second data batch committed")
+      requireRocksDb(query)
+      val dirs = Option(out.toFile.list())
+        .getOrElse(Array.empty[String]).toSeq.sorted
+      require(dirs == Seq("b0", "b1"),
+        s"expected one admitted-set dir per micro-batch, got $dirs")
+      require(admitted.get(1L) == admitted.get(0L) + 1,
+        s"TTL did not expire: batch 1 admitted ${admitted.get(1L)} keys, " +
+          s"expected batch 0's ${admitted.get(0L)} re-admissions plus " +
+          "the probe — expired state must leave the store and forget " +
+          "the key")
+      spark.read.parquet(s"$out/b0", s"$out/b1")
+        .orderBy("batch", "text_hash").localCheckpoint()
+        .orderBy("batch", "text_hash")
+    } finally { deltree(staged); deltree(out); deltree(ckpt) }
+  }
+
+  /** Batch-1-only probe content — ONE constant deriving both the
+    * staged row and the oracle's md5 literal. */
+  private[graft] val TtlProbeText = "zz-ttl-probe"
+
+  /** Every distinct content hash admits once per batch — batch 0 as
+    * first-sights, batch 1 as post-expiry re-admissions plus the
+    * batch-1-only probe. */
+  val d227Oracle: String =
+    s"""WITH h AS (SELECT DISTINCT md5(text) AS text_hash FROM documents)
+       SELECT CAST(0 AS BIGINT) AS batch, text_hash FROM h
+       UNION ALL
+       SELECT CAST(1 AS BIGINT) AS batch, text_hash FROM (
+         SELECT text_hash FROM h
+         UNION SELECT md5('$TtlProbeText') AS text_hash)
+       ORDER BY batch, text_hash"""
+
   // -------------------------------------------------------------- d226
   /** STREAMING ANN INGEST — encode-on-arrival into the persisted index
     * (r16 VERDICT next #1), composing the three disciplines that until
@@ -1953,7 +2218,9 @@ object StreamGates {
     "d225_state_reader" -> (d225StateReader _),
     "d212_stream_semi_join" -> (d212StreamSemiJoin _),
     "d218_union_watermarks" -> (d218UnionWatermarks _),
-    "d226_stream_ann_ingest" -> (d226StreamAnnIngest _))
+    "d226_stream_ann_ingest" -> (d226StreamAnnIngest _),
+    "d227_ttl_expiry" -> (d227TtlExpiry _),
+    "d228_state_evolution" -> (d228StateEvolution _))
 
   val oracles: Map[String, String] = Map(
     "d50_stream_decontaminate" -> d50Oracle,
@@ -1982,5 +2249,7 @@ object StreamGates {
     "d225_state_reader" -> d225Oracle,
     "d212_stream_semi_join" -> d212Oracle,
     "d218_union_watermarks" -> d218Oracle,
-    "d226_stream_ann_ingest" -> graft.ops.Similarity.d226Oracle)
+    "d226_stream_ann_ingest" -> graft.ops.Similarity.d226Oracle,
+    "d227_ttl_expiry" -> d227Oracle,
+    "d228_state_evolution" -> d228Oracle)
 }

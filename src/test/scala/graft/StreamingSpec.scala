@@ -1136,6 +1136,82 @@ class StreamingSpec extends SparkSpec {
       (23L, 1L, 5L, 5L, 10000L, "near_dup")), s"got $got")
   }
 
+  test("d228 state evolution: v2 reads v1 rows with the added field " +
+      "defaulting to zero, boundary sessions continue, unsaferow " +
+      "checkpoints refuse to evolve") {
+    // span 0..55 min → cut at 27.5 min.
+    // u1: pre {0,10}, post {40,45} — the 30-min gap 10→40 is EXACTLY
+    //     the threshold (not >), so the boundary session CONTINUES:
+    //     1 session / 4 events / 2 post-upgrade (a v2 that lost v1's
+    //     state would say 2 events; a garbage default breaks the 2);
+    // u2: pre-only {1} — no post-cut input, absent from output;
+    // u3: post-only {50} — a fresh v2 user: 1/1/1;
+    // u4: pre {2}, post {55} — 53-min gap splits: 2/2/1.
+    val dir = plantLog(Seq(
+      (1L, T0, 1L, "view", 0.0),
+      (2L, T0 + min(10), 1L, "view", 0.0),
+      (3L, T0 + min(40), 1L, "view", 0.0),
+      (4L, T0 + min(45), 1L, "view", 0.0),
+      (5L, T0 + min(1), 2L, "view", 0.0),
+      (6L, T0 + min(50), 3L, "view", 0.0),
+      (7L, T0 + min(2), 4L, "view", 0.0),
+      (8L, T0 + min(55), 4L, "view", 0.0)))
+    val got = graft.streaming.StreamGates
+      .stateEvolution(spark, dir, encoding = "avro")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toList
+    assert(got == List((1L, 1L, 4L, 2L), (3L, 1L, 1L, 1L),
+      (4L, 2L, 2L, 1L)), s"got $got")
+    // discriminative: the default positional encoding cannot evolve —
+    // the v2 restart must be REFUSED, not silently misread
+    val ex = intercept[Exception] {
+      graft.streaming.StreamGates
+        .stateEvolution(spark, dir, encoding = "unsaferow")
+    }
+    def chain(t: Throwable): Seq[Throwable] =
+      if (t == null) Nil else t +: chain(t.getCause)
+    assert(chain(ex).exists(t =>
+        Option(t.getMessage).exists(_.toUpperCase.contains("SCHEMA"))),
+      s"expected a schema-compatibility refusal, got $ex")
+  }
+
+  test("d227 ttl dedup: expiry re-admits re-sent contents; in-batch " +
+      "dups still collapse; TTL off trips the expiry require") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-d227-spec")
+    // 5 rows, 3 distinct contents — in-batch dups must collapse in
+    // BOTH batches regardless of TTL (same-key rows arrive in one
+    // handleInputRows call)
+    Seq((0L, "alpha text"), (1L, "alpha text"), (2L, "beta text"),
+      (3L, "alpha text"), (4L, "gamma text"))
+      .toDF("doc_id", "text")
+      .coalesce(1).write.parquet(dir.resolve("w").toString)
+    val part = Files.list(dir.resolve("w")).toArray.map(_.toString)
+      .filter(_.endsWith(".parquet")).head
+    Files.copy(Paths.get(part), dir.resolve("documents.parquet"))
+    def md5hex(t: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(t.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val distinct =
+      Seq("alpha text", "beta text", "gamma text").map(md5hex).sorted
+    val got = graft.streaming.StreamGates
+      .twsTtlDedup(spark, dir.toString, ttlMs = 1L)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toList
+    val want = distinct.map((0L, _)) ++
+      (distinct :+ md5hex(graft.streaming.StreamGates.TtlProbeText))
+        .sorted.map((1L, _))
+    assert(got == want, s"got $got want $want")
+    // discriminative: with TTLConfig.NONE nothing ever expires, batch 1
+    // admits only its probe, and the gate's re-admission require fires
+    val ex = intercept[IllegalArgumentException] {
+      graft.streaming.StreamGates.twsTtlDedup(spark, dir.toString,
+        ttlMs = 0L)
+    }
+    assert(ex.getMessage.contains("TTL did not expire"),
+      s"unexpected failure: ${ex.getMessage}")
+  }
+
   test("d226 ann ingest: an arrival whose routed cells hold no codes " +
       "is novel with a null match") {
     import spark.implicits._
