@@ -1680,6 +1680,38 @@ object Queries {
          RANGE BETWEEN INTERVAL 89 DAY PRECEDING AND CURRENT ROW)
        ORDER BY o_custkey, order_day"""
 
+  // --------------------------------------------------------------- q52
+  /** Grouped QUALIFY with TIES — "each customer's latest-day order(s)",
+    * the warehouse idiom `QUALIFY rank() OVER (...) = 1` (r16 VERDICT
+    * next #7). The semantic under test is rank() vs row_number(): a
+    * customer with TWO orders on their max day keeps BOTH under rank
+    * (7 such customers at sf0.01 — the tie path runs on real data),
+    * where a row_number()=1 formulation would keep an arbitrary one —
+    * not just different but NONDETERMINISTIC, since the date tie
+    * leaves the order within the frame to partition luck; the planted
+    * spec pins the divergence. Scale shape: Catalyst compiles the
+    * rank-filter into `WindowGroupLimit` — a map-side per-key limit
+    * heap BEFORE the exchange, so the shuffle carries each customer's
+    * top run, not their history (plan-pinned in the spec alongside
+    * q31's row_number form). */
+  def q52QualifyTies(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey").orderBy(col("order_day").desc)
+    Tables.load(spark, dir, "orders")
+      .select(col("o_custkey"), to_date(col("o_orderdate")).as("order_day"),
+        col("o_orderkey"), round(col("o_totalprice"), 2).as("total"))
+      .withColumn("rk", rank().over(w))
+      .filter(col("rk") === 1).drop("rk")
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
+  val q52Oracle: String =
+    """SELECT o_custkey, CAST(o_orderdate AS DATE) AS order_day,
+         o_orderkey, round(o_totalprice, 2) AS total
+       FROM orders
+       QUALIFY rank() OVER (PARTITION BY o_custkey
+         ORDER BY CAST(o_orderdate AS DATE) DESC) = 1
+       ORDER BY o_custkey, o_orderkey"""
+
   val q50Oracle: String =
     s"""WITH RECURSIVE months(m, hi) AS (
          SELECT CAST(date_trunc('month', min(o_orderdate)) AS DATE),
@@ -1754,7 +1786,8 @@ object Queries {
     "q48_billing_periods" -> (q48BillingPeriods _),
     "q49_null_safe_join" -> (q49NullSafeJoin _),
     "q50_recursive_spine" -> (q50RecursiveSpine _),
-    "q51_keyed_range_frame" -> (q51KeyedRangeFrame _)
+    "q51_keyed_range_frame" -> (q51KeyedRangeFrame _),
+    "q52_qualify_ties" -> (q52QualifyTies _)
   )
 
   val relationalOracles: Map[String, String] = Map(
@@ -1808,7 +1841,8 @@ object Queries {
     "q48_billing_periods" -> q48Oracle,
     "q49_null_safe_join" -> q49Oracle,
     "q50_recursive_spine" -> q50Oracle,
-    "q51_keyed_range_frame" -> q51Oracle
+    "q51_keyed_range_frame" -> q51Oracle,
+    "q52_qualify_ties" -> q52Oracle
   )
 
   // lazy: a caller may initialize a contributing registry object FIRST

@@ -927,6 +927,56 @@ class NewOpsSpec extends SparkSpec {
     }
   }
 
+  // ------------------------------------------------------------- q52
+  test("q52 qualify ties: rank keeps BOTH tied latest-day orders where " +
+      "row_number would keep an arbitrary one; plan gets WindowGroupLimit") {
+    val dir = tmp()
+    import spark.implicits._
+    // cust 1: two orders on the same max day (the tie) + an older one;
+    // cust 2: unique max day
+    val rows = Seq(
+      (10L, 1L, "1995-03-01", 10.0), (11L, 1L, "1995-03-01", 20.0),
+      (12L, 1L, "1995-01-01", 30.0),
+      (20L, 2L, "1995-02-01", 40.0), (21L, 2L, "1995-01-15", 50.0))
+    rows.map { case (ok, c, d, v) =>
+      (ok, c, "O", v, java.sql.Timestamp.valueOf(d + " 00:00:00"),
+        "1-URGENT")
+    }.toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority")
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+
+    val df = Queries.q52QualifyTies(spark, dir)
+    val got = df.collect()
+      .map(r => (r.getLong(0), r.getDate(1).toString, r.getLong(2)))
+    assert(got.toSeq == Seq(
+      (1L, "1995-03-01", 10L), (1L, "1995-03-01", 11L),
+      (2L, "1995-02-01", 20L)), s"got ${got.toSeq}")
+    // the divergence the query exists to pin: a row_number()=1
+    // formulation keeps ONE of cust 1's tied orders — and WHICH one is
+    // partition luck, not semantics
+    val wrn = org.apache.spark.sql.expressions.Window
+      .partitionBy("o_custkey").orderBy(col("order_day").desc)
+    val rnRows = spark.read.parquet(s"$dir/orders.parquet")
+      .select(col("o_custkey"), to_date(col("o_orderdate")).as("order_day"),
+        col("o_orderkey"))
+      .withColumn("rn", row_number().over(wrn))
+      .filter(col("rn") === 1)
+      .collect()
+    assert(rnRows.count(_.getLong(0) == 1L) == 1,
+      "row_number()=1 keeps exactly one of the tied pair — the " +
+        "divergence rank() exists to avoid")
+    // scale pin: the rank filter compiles to a map-side per-key limit
+    def walk(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[org.apache.spark.sql.execution.SparkPlan] = p match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a +: walk(a.initialPlan)
+      case q => q +: (q.children.flatMap(walk) ++ q.subqueries.flatMap(walk))
+    }
+    assert(walk(df.queryExecution.executedPlan).exists(_.isInstanceOf[
+        org.apache.spark.sql.execution.window.WindowGroupLimitExec]),
+      "rank()=1 filter must compile to WindowGroupLimit")
+  }
+
   /** JVM twin of [[TextOps.hash60]] (first 15 md5 hex chars as long). */
   private def jvmHash60(s: String): Long = {
     val d = java.security.MessageDigest.getInstance("MD5")
