@@ -1730,6 +1730,92 @@ object CorpusOps {
        FROM events WHERE event_type IN ('view', 'purchase')
        GROUP BY event_type ORDER BY event_type"""
 
+  // -------------------------------------------------------------- d230
+  /** The event-type → funnel-class dimension d230 joins through. A
+    * FIXTURE INVARIANT like d214's pinned schema literal: the
+    * generator emits exactly these five event types at every scale
+    * (the events table is shared by all three corpora), and the op
+    * ASSERTS the invariant against the live table before using it —
+    * a sixth type shows up as a loud require, never a silent drop. A
+    * literal dimension (not one derived from the fact scan) is the
+    * point: its LocalRelation is provably tiny, so the planner
+    * broadcasts it and the pruning filter rides the broadcast for
+    * free. */
+  private[graft] val FunnelClasses: Seq[(String, String)] = Seq(
+    "view" -> "browse", "click" -> "browse",
+    "purchase" -> "act", "signup" -> "act", "error" -> "act")
+
+  /** DYNAMIC PARTITION PRUNING, gated end-to-end — the runtime
+    * complement of d95's static pruning: the selective predicate lives
+    * on a DIMENSION attribute (`class = 'browse'`), not on the fact's
+    * partition column, so no planning-time filter can prune the fact —
+    * the classic star-schema shape where naive engines scan the whole
+    * fact table. Catalyst's DPP rule rewrites the fact scan's
+    * partition filter into a runtime subquery over the (broadcast)
+    * filtered dimension: the fact's partition DIRECTORIES are pruned
+    * at execution start with the dim's surviving join keys. At 100 TB
+    * this is the difference between reading 2/5 and 5/5 of a
+    * date/category-partitioned fact for every dashboard query that
+    * filters through a dimension. The op REQUIRES the dynamic pruning
+    * subquery to be present on the fact scan (a `dynamicpruning#`
+    * partition filter in the physical plan) — a regression to a full
+    * scan fails the run, not just slows it.
+    *
+    * Result is hash-checked against DuckDB's plain dim join over the
+    * ORIGINAL table — the layout + DPP change the PLAN, never the
+    * ANSWER. */
+  def d230DppPrune(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft-d230")
+    val path = root.resolve("events_p").toString
+    val src = Tables.load(spark, dir, "events")
+      .select(col("event_id"), col("event_type"), col("value"))
+    graft.io.Layouts.writePartitioned(src, path, "event_type")
+    // assert the fixture invariant the literal dimension encodes (a
+    // zero-row table has no population to drift — the op must stay
+    // total on empty inputs, like d95)
+    val live = Tables.load(spark, dir, "events")
+      .select("event_type").distinct().collect().map(_.getString(0)).toSet
+    require(live.isEmpty || live == FunnelClasses.map(_._1).toSet,
+      s"event_type population drifted from the pinned dimension: $live")
+    // the dimension lives in STORAGE, as dimensions do — and must: a
+    // literal in-memory relation gets its selective Filter constant-
+    // folded away (ConvertToLocalRelation), and the DPP rule inserts a
+    // pruning subquery only where a selective predicate NODE survives
+    // on the dim side of the join
+    val dimPath = root.resolve("dim").toString
+    FunnelClasses.toDF("event_type", "class")
+      .coalesce(1).write.mode("overwrite").parquet(dimPath)
+    val dim = spark.read.parquet(dimPath)
+    val fact = spark.read.schema(src.schema).parquet(path)
+    val agg = fact.join(dim.filter(col("class") === "browse"),
+        Seq("event_type"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_events"),
+        round(sum("value"), 2).as("total_value"))
+      .orderBy("event_type")
+    // pin the runtime pruning: the fact scan's partition filters must
+    // carry a dynamic-pruning subquery (plan-string form — the scan
+    // itself may sit under an AdaptiveSparkPlanExec whose children are
+    // not walkable pre-execution). A zero-row source writes no
+    // partition directories, so there is no partition schema to prune
+    // — the pin applies exactly when the layout exists (d95's rule).
+    val plan = agg.queryExecution.executedPlan.toString
+    require(live.isEmpty || plan.contains("dynamicpruning"),
+      "fact scan lost its dynamic partition-pruning subquery")
+    agg
+  }
+
+  val d230Oracle: String =
+    """WITH dim AS (SELECT * FROM (VALUES
+         ('view', 'browse'), ('click', 'browse'), ('purchase', 'act'),
+         ('signup', 'act'), ('error', 'act')) AS t(event_type, class))
+       SELECT event_type, count(*) AS n_events,
+         round(sum(value), 2) AS total_value
+       FROM events JOIN dim USING (event_type)
+       WHERE dim.class = 'browse'
+       GROUP BY event_type ORDER BY event_type"""
+
   // --------------------------------------------------------------- d96
   /** PROPS SCHEMA CENSUS — the semi-structured drift monitor d94's
     * fixed-schema extraction depends on: the set of TOP-LEVEL KEYS in
@@ -8349,7 +8435,108 @@ object CorpusOps {
          'OBJECT<k: BIGINT>' AS vschema
        FROM events GROUP BY event_type ORDER BY event_type"""
 
+  // -------------------------------------------------------------- d232
+  /** HLL sketch precision (log2 of the register count): 12 → 4096
+    * registers ≈ 1.6% relative standard error, ~2.5 KB dense sketch. */
+  private[graft] val HllSketchLgK = 12
+
+  /** Relative-error tolerance for the estimate-vs-exact booleans: 3×
+    * the lgK=12 RSE. At the fixture's per-month cardinalities (≲ the
+    * register count) the sketch is still in SPARSE mode — exact hash
+    * storage — so the estimates are in practice error-free and the
+    * tolerance is pure safety margin; at 100 TB cardinalities the same
+    * bound is the advertised DataSketches guarantee. */
+  private[graft] val HllTol = 0.05
+
+  /** PERSISTED MERGEABLE-SKETCH ROLLUP — the re-aggregation pattern
+    * behind every 100 TB distinct-count dashboard: per-DAY HyperLogLog
+    * sketches of the active-user set are built ONCE, persisted as
+    * binary columns in a parquet artifact, and every coarser rollup
+    * (here monthly) is computed by UNIONING the stored sketches —
+    * `hll_union_agg` over KB-sized register arrays — without ever
+    * rescanning the raw events. This is the capability
+    * `approx_count_distinct` (d106/d146's path) cannot give: its
+    * HLL++ state is consumed inside one query; Datasketches sketches
+    * (`hll_sketch_agg`) are a STORABLE intermediate with an exact
+    * merge lattice (register-wise max), so daily artifacts compose to
+    * weekly/monthly/all-time for free.
+    *
+    * The gate: monthly exact distincts (the expensive full-shuffle
+    * path the sketches replace — computed here as the verification
+    * leg) plus three booleans asserting (a) the union-of-persisted-
+    * daily-sketches estimate and (b) the direct whole-month estimate
+    * are each within [[HllTol]] of exact, and (c) within 2·[[HllTol]]
+    * of each other. HLL register states are order- and
+    * partitioning-independent (register = max of hashes), so the
+    * booleans are deterministic under any parallelism; DuckDB cannot
+    * run DataSketches, so the oracle supplies the exact counts and
+    * pins the booleans TRUE — a broken sketch path (bad round-trip
+    * through parquet bytes, wrong lgK merge, register corruption)
+    * flips a boolean and trips the hash gate. An in-op require fails
+    * loudly with the actual estimates before the gate ever sees a
+    * false.
+    *
+    * Scale shape: daily sketching is one map-side-combined aggregate
+    * (registers merge in the combiner — the shuffle moves KB sketches
+    * per (day, partition), never user ids); the rollup reads
+    * days-sized artifact rows. The exact leg is the one full shuffle
+    * — exactly the cost the pattern amortizes away, kept here only as
+    * the oracle-visible truth. */
+  def d232HllRollup(spark: SparkSession, dir: String): DataFrame = {
+    val root = java.nio.file.Files.createTempDirectory("graft-d232")
+    try {
+      val ev = Tables.load(spark, dir, "events")
+        .select(to_date(col("ts")).as("day"),
+          trunc(to_date(col("ts")), "month").as("month"), col("user_id"))
+      val daily = ev.groupBy("day")
+        .agg(hll_sketch_agg(col("user_id"), lit(HllSketchLgK)).as("sk"))
+      val p = root.resolve("daily_sketches.parquet").toString
+      daily.write.mode("overwrite").parquet(p)
+      val rolled = spark.read.parquet(p)
+        .groupBy(trunc(col("day"), "month").as("month"))
+        .agg(hll_sketch_estimate(
+          hll_union_agg(col("sk"), lit(false))).as("est_union"))
+      val out = ev.groupBy("month")
+        .agg(count_distinct(col("user_id")).as("n_exact"),
+          hll_sketch_estimate(
+            hll_sketch_agg(col("user_id"), lit(HllSketchLgK)))
+            .as("est_direct"))
+        .join(rolled, Seq("month"))
+        .localCheckpoint() // estimates feed the require AND the output
+      val bad = out.filter(
+        abs(col("est_union") - col("n_exact")) > col("n_exact") * HllTol ||
+        abs(col("est_direct") - col("n_exact")) > col("n_exact") * HllTol ||
+        abs(col("est_union") - col("est_direct")) >
+          col("n_exact") * 2 * HllTol)
+        .collect() // ≤ months rows — driver-bounded
+      require(bad.isEmpty,
+        s"HLL estimates out of tolerance: ${bad.mkString("; ")}")
+      out.select(col("month"), col("n_exact"),
+          (abs(col("est_union") - col("n_exact")) <=
+            col("n_exact") * HllTol).as("union_ok"),
+          (abs(col("est_direct") - col("n_exact")) <=
+            col("n_exact") * HllTol).as("direct_ok"),
+          (abs(col("est_union") - col("est_direct")) <=
+            col("n_exact") * 2 * HllTol).as("merge_ok"))
+        .orderBy("month")
+    } finally {
+      try {
+        java.nio.file.Files.walk(root)
+          .sorted(java.util.Comparator.reverseOrder())
+          .forEach(p => java.nio.file.Files.deleteIfExists(p))
+      } catch { case _: java.io.IOException => () }
+    }
+  }
+
+  val d232Oracle: String =
+    """SELECT CAST(date_trunc('month', ts) AS DATE) AS month,
+         count(DISTINCT user_id) AS n_exact,
+         TRUE AS union_ok, TRUE AS direct_ok, TRUE AS merge_ok
+       FROM events GROUP BY 1 ORDER BY month"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d230_dpp_prune" -> (d230DppPrune _),
+    "d232_hll_rollup" -> (d232HllRollup _),
     "d171_loo_influence" -> (d171LooInfluence _),
     "d172_source_affinity" -> (d172SourceAffinity _),
     "d190_column_profile" -> (d190ColumnProfile _),
@@ -8514,6 +8701,8 @@ object CorpusOps {
     "d203_deletion_sweep" -> d203Oracle,
     "d213_peak_concurrency" -> d213Oracle,
     "d214_variant_extract" -> d214Oracle,
+    "d230_dpp_prune" -> d230Oracle,
+    "d232_hll_rollup" -> d232Oracle,
     "d174_source_lang_nmi" -> d174Oracle,
     "d175_neyman_sample" -> d175Oracle,
     "d176_daily_acf" -> d176Oracle,

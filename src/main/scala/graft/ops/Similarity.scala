@@ -2145,7 +2145,8 @@ object Similarity {
     * corpus-sized — the join is left to AQE, which broadcasts
     * whichever side a production trigger actually bounds. */
   private[graft] def ingestProbe(arrivals: DataFrame, idx: DataFrame,
-      cents: DataFrame, books: DataFrame, threshE4: Long): DataFrame = {
+      cents: DataFrame, books: DataFrame, threshE4: Long,
+      excludeSelf: Boolean = false): DataFrame = {
     val probes = arrivals.crossJoin(broadcast(cents))
       .select(col("vec_id").as("q_id"), col("v").as("qv"), col("cent_id"),
         cosine(col("v"), col("cv")).as("sim"))
@@ -2160,9 +2161,14 @@ object Similarity {
       .join(broadcast(books), Seq("m"))
       .select(col("q_id"), col("cell"), col("m"), col("code"),
         l2e4(col("sv"), col("cv")).as("d_e4"))
-    val adc = idx
+    val cands = idx
       .select(col("vec_id").as("cand_id"), col("cell"), col("m"), col("code"))
       .join(lut, Seq("cell", "m", "code"))
+    // d231's store self-audit probes vectors that are themselves
+    // indexed — the trivial distance-0 self-match would mask every
+    // real neighbor
+    val adc = (if (excludeSelf) cands.filter(col("cand_id") =!= col("q_id"))
+      else cands)
       .groupBy("q_id", "cand_id").agg(sum("d_e4").as("adc_e4"))
     val best = adc
       .groupBy("q_id").agg(min(struct(col("adc_e4"), col("cand_id"))).as("b"))
@@ -2297,7 +2303,230 @@ object Similarity {
        ORDER BY vec_id"""
   }
 
+  // -------------------------------------------------------------- d231
+  /** 1-in-AuditMod deterministic audit panel: the post-compaction
+    * serving audit probes a fixed sample of the store, not the whole
+    * store — the nightly integrity check is O(panel × bucket), never
+    * O(store²). */
+  private[graft] val AuditMod = 25L
+
+  /** Target partition count of the compacted index artifact. */
+  private[graft] val CompactFiles = 4
+
+  /** ANN INDEX COMPACTION — the LSM maintenance step the ingest path
+    * (d221's nightly band RMW, d226's streaming code appends) makes
+    * necessary: after enough nights the store is one base artifact
+    * plus a delta directory per batch — dozens of small files whose
+    * per-file (cell, m, code) rows interleave arbitrarily, so every
+    * probe's equi-join opens every delta. Compaction rewrites
+    * base + deltas into ONE artifact, range-laid-out on the serving
+    * key (`repartitionByRange(cell)` + in-file sort), so a probe's
+    * routed cells map to a contiguous file/row-group range and parquet
+    * min/max stats skip the rest. The op pins, in order: (1) no rows
+    * lost or invented (count identity); (2) the bounded layout — the
+    * compacted artifact is ≤ [[CompactFiles]] part files however many
+    * the store's dirs held; (3) the layout —
+    * per-file cell ranges, read back from the compacted bytes, may
+    * touch at a boundary cell but never interleave; (4) SERVING
+    * IDENTITY — a deterministic [[AuditMod]] panel probed against
+    * base+deltas and against the compacted artifact must produce
+    * byte-identical nearest-neighbor verdicts (`exceptAll` both ways),
+    * the guarantee that lets production swap artifacts under a live
+    * server. The gate output is the panel audit itself: each probed
+    * vector's nearest OTHER indexed vector by ADC with the
+    * [[IngestDupE4]] near-dup verdict — the store-integrity report a
+    * vector database runs after every compaction.
+    *
+    * Scale shape: compaction is one read + one range shuffle of
+    * 5-byte-per-vector code rows (never raw vectors); the audit is
+    * panel-sized LUT work against cell-bounded candidate lists; the
+    * identity check compares two panel-sized frames. Deltas here are
+    * ALL arrivals encoded against the frozen codebooks (no novelty
+    * filter — d226 owns probe-before-add; compaction must preserve
+    * whatever the store holds). */
+  def d231IndexCompact(spark: SparkSession, dir: String): DataFrame = {
+    val root = java.nio.file.Files.createTempDirectory("graft-d231")
+    try {
+      val e = emb(spark, dir)
+        .localCheckpoint() // feeds training, three encodes, and the panel
+      val corpus = e.filter(col("vec_id") < IngestSplit1)
+      val (cents, books, base) = ingestArtifacts(corpus)
+      base.write.mode("overwrite").parquet(s"$root/idx/base")
+      ingestEncode(e.filter(col("vec_id") >= IngestSplit1 &&
+          col("vec_id") < IngestSplit2), cents, books)
+        .write.mode("overwrite").parquet(s"$root/idx/b0")
+      ingestEncode(e.filter(col("vec_id") >= IngestSplit2), cents, books)
+        .write.mode("overwrite").parquet(s"$root/idx/b1")
+      def dataFiles(sub: String): Long =
+        java.nio.file.Files.walk(root.resolve(sub))
+          .filter(p => p.getFileName.toString.startsWith("part-"))
+          .count()
+      val parts = spark.read.parquet(
+          Seq("base", "b0", "b1").map(n => s"$root/idx/$n"): _*)
+        .localCheckpoint()
+      val nParts = parts.count()
+      val filesBefore = dataFiles("idx")
+      parts.repartitionByRange(CompactFiles, col("cell"), col("vec_id"))
+        .sortWithinPartitions("cell", "vec_id", "m")
+        .write.mode("overwrite").parquet(s"$root/compact")
+      val compact = spark.read.parquet(s"$root/compact").localCheckpoint()
+      val nCompact = compact.count()
+      require(nCompact == nParts,
+        s"compaction changed the store: $nParts rows in, $nCompact out")
+      // the bound is ABSOLUTE (≤ CompactFiles whatever the store held):
+      // at production scale the delta dirs hold hundreds of part files
+      // and the collapse is large; at fixture scale each tiny delta is
+      // already one file, so a strict-decrease check would be a toy
+      // artifact, not an invariant
+      val filesAfter = dataFiles("compact")
+      require(filesAfter <= CompactFiles,
+        s"compacted artifact exceeds $CompactFiles files: $filesAfter " +
+          s"(store held $filesBefore)")
+      // layout pin from the compacted BYTES: files ordered by their
+      // min cell may share at most the boundary cell (a cell split on
+      // vec_id), never interleave ranges
+      val ranges = spark.read.parquet(s"$root/compact")
+        .groupBy(input_file_name().as("f"))
+        .agg(min("cell").as("lo"), max("cell").as("hi"))
+        .collect() // ≤ CompactFiles rows — driver-bounded
+        .map(r => (r.getAs[Long]("lo"), r.getAs[Long]("hi")))
+        .sortBy(identity)
+      ranges.iterator.sliding(2).withPartial(false).foreach { w =>
+        require(w(1)._1 >= w(0)._2,
+          s"compacted cell ranges interleave: ${ranges.mkString(",")}")
+      }
+      val panel = e.filter(col("vec_id") % AuditMod === 0)
+      val audit = ingestProbe(panel, compact, cents, books, IngestDupE4,
+        excludeSelf = true).localCheckpoint()
+      val before = ingestProbe(panel, parts, cents, books, IngestDupE4,
+        excludeSelf = true)
+      require(audit.exceptAll(before).isEmpty &&
+          before.exceptAll(audit).isEmpty,
+        "compaction changed serving results on the audit panel")
+      audit.orderBy("vec_id")
+    } finally {
+      try {
+        java.nio.file.Files.walk(root)
+          .sorted(java.util.Comparator.reverseOrder())
+          .forEach(p => java.nio.file.Files.deleteIfExists(p))
+      } catch { case _: java.io.IOException => () }
+    }
+  }
+
+  /** The compacted store's panel audit in DuckDB: the full store (base
+    * corpus + both arrival batches, all encoded against the
+    * corpus-trained frozen artifacts) probed by the 1-in-[[AuditMod]]
+    * panel with self-matches excluded. Compaction itself has no SQL
+    * shadow — it permutes bytes, not rows — so the oracle computes the
+    * serving answer from the UNCOMPACTED store; the Spark side's
+    * pre==post `exceptAll` pin is what extends the equality to the
+    * compacted artifact. */
+  val d231Oracle: String = {
+    def l2Sql(a: String, b: String): String = l2E4Sql(a, b)
+    def passignSql(vcte: String, ccte: String, extra: String): String = {
+      val inner = if (extra.isEmpty) "" else s", t.$extra"
+      val outer = if (extra.isEmpty) "" else s", $extra"
+      s"""SELECT vec_id, m, sv, code$outer FROM (
+         SELECT t.vec_id, t.m, t.sv, c.code$inner,
+           row_number() OVER (PARTITION BY t.vec_id, t.m
+             ORDER BY ${l2Sql("t.sv", "c.cv")}, c.code) AS rk
+         FROM $vcte t JOIN $ccte c ON t.m = c.m)
+         WHERE rk = 1"""
+    }
+    def pupdateSql(acte: String): String =
+      s"""SELECT m, code, list(cx ORDER BY i) AS cv FROM (
+         SELECT m, code, i, round(avg(sv[i]), 4) AS cx
+         FROM $acte, (SELECT unnest(range(1, ${PqDim + 1})) AS i)
+         GROUP BY m, code, i)
+         GROUP BY m, code"""
+    def subsSql(assCte: String): String =
+      s"""SELECT vec_id, cell, m,
+           r[(m * $PqDim + 1):((m + 1) * $PqDim)] AS sv
+         FROM (
+           SELECT a.vec_id, a.cell,
+             list_transform(range(1, ${PqFullDim + 1}),
+               i -> a.v[i] - c.cv[i]) AS r
+           FROM $assCte a JOIN c2 c ON a.cell = c.cent_id),
+           (SELECT unnest(range($PqM)) AS m)"""
+    def probeSql(vcte: String): String =
+      s"""SELECT q_id, cell FROM (
+         SELECT t.vec_id AS q_id, c.cent_id AS cell,
+           row_number() OVER (PARTITION BY t.vec_id
+             ORDER BY ${cosineSql("t.v", "c.cv")} DESC, c.cent_id) AS rk
+         FROM $vcte t, c2 c)
+         WHERE rk <= $NProbe"""
+    def lutSql(probeCte: String, vcte: String): String =
+      s"""SELECT q.q_id, q.cell, b.m, b.code, ${l2Sql("q.sv", "b.cv")} AS d_e4
+         FROM (
+           SELECT qr.q_id, qr.cell, mm.m,
+             qr.qr[(mm.m * $PqDim + 1):((mm.m + 1) * $PqDim)] AS sv
+           FROM (
+             SELECT p.q_id, p.cell,
+               list_transform(range(1, ${PqFullDim + 1}),
+                 i -> t.v[i] - c.cv[i]) AS qr
+             FROM $probeCte p JOIN $vcte t ON t.vec_id = p.q_id
+               JOIN c2 c ON c.cent_id = p.cell) qr,
+             (SELECT unnest(range($PqM)) AS m) mm) q
+         JOIN pc2 b ON q.m = b.m"""
+    def adcSql(lutCte: String, idxCte: String): String =
+      s"""SELECT l.q_id, k.vec_id AS cand_id,
+           CAST(sum(l.d_e4) AS BIGINT) AS adc_e4
+         FROM $idxCte k JOIN $lutCte l
+           ON k.cell = l.cell AND k.m = l.m AND k.code = l.code
+         WHERE k.vec_id <> l.q_id
+         GROUP BY l.q_id, k.vec_id"""
+    def bestSql(adcCte: String): String =
+      s"""SELECT q_id, cand_id, adc_e4 FROM (
+         SELECT q_id, cand_id, adc_e4,
+           row_number() OVER (PARTITION BY q_id
+             ORDER BY adc_e4, cand_id) AS rk
+         FROM $adcCte) WHERE rk = 1"""
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       corpus AS (SELECT vec_id, v FROM e WHERE vec_id < $IngestSplit1),
+       train AS (SELECT vec_id, v FROM corpus WHERE vec_id % $TrainMod = 0),
+       c0 AS (SELECT vec_id AS cent_id, v AS cv FROM corpus
+              WHERE vec_id < $IvfK),
+       a1 AS (${assignSql("train", "c0")}),
+       c1 AS (${updateSql("a1")}),
+       a2 AS (${assignSql("train", "c1")}),
+       c2 AS (${updateSql("a2")}),
+       cass AS (${assignSql("corpus", "c2")}),
+       csubs AS (${subsSql("cass")}),
+       pc0 AS (SELECT m, vec_id AS code, sv AS cv FROM csubs
+              WHERE vec_id < $PqK),
+       ptrain AS (SELECT vec_id, m, sv FROM csubs
+              WHERE vec_id % $TrainMod = 0),
+       pa1 AS (${passignSql("ptrain", "pc0", "")}),
+       pc1 AS (${pupdateSql("pa1")}),
+       pa2 AS (${passignSql("ptrain", "pc1", "")}),
+       pc2 AS (${pupdateSql("pa2")}),
+       idx0 AS (${passignSql("csubs", "pc2", "cell")}),
+       ba AS (SELECT vec_id, v FROM e
+              WHERE vec_id >= $IngestSplit1 AND vec_id < $IngestSplit2),
+       bass AS (${assignSql("ba", "c2")}),
+       asubs AS (${subsSql("bass")}),
+       acodes AS (${passignSql("asubs", "pc2", "cell")}),
+       bb AS (SELECT vec_id, v FROM e WHERE vec_id >= $IngestSplit2),
+       bbss AS (${assignSql("bb", "c2")}),
+       bsubs AS (${subsSql("bbss")}),
+       bcodes AS (${passignSql("bsubs", "pc2", "cell")}),
+       idx2 AS (SELECT vec_id, m, code, cell FROM idx0
+              UNION ALL SELECT vec_id, m, code, cell FROM acodes
+              UNION ALL SELECT vec_id, m, code, cell FROM bcodes),
+       panel AS (SELECT vec_id, v FROM e WHERE vec_id % $AuditMod = 0),
+       pp AS (${probeSql("panel")}),
+       lutp AS (${lutSql("pp", "panel")}),
+       adcp AS (${adcSql("lutp", "idx2")}),
+       bestp AS (${bestSql("adcp")})
+       SELECT p.vec_id, b.cand_id AS match_id, b.adc_e4,
+         CASE WHEN b.adc_e4 <= $IngestDupE4 THEN 'near_dup'
+              ELSE 'novel' END AS verdict
+       FROM panel p LEFT JOIN bestp b ON b.q_id = p.vec_id
+       ORDER BY p.vec_id"""
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d231_index_compact" -> (d231IndexCompact _),
     "d219_ivfpq" -> (d219Ivfpq _),
     "d224_ivfpq_refine" -> (d224IvfpqRefine _),
     "d223_ivfpq_recall" -> (d223IvfpqRecall _),
@@ -2327,6 +2556,7 @@ object Similarity {
   )
 
   val oracles: Map[String, String] = Map(
+    "d231_index_compact" -> d231Oracle,
     "d219_ivfpq" -> d219Oracle,
     "d223_ivfpq_recall" -> d223Oracle,
     "d224_ivfpq_refine" -> d224Oracle,

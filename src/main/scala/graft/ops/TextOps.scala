@@ -832,8 +832,73 @@ object TextOps {
          FROM documents GROUP BY lang)
        ORDER BY lang"""
 
+  // -------------------------------------------------------------- d229
+  /** Case-clone id stride and offset: every doc whose id is a multiple
+    * of the stride gets an UPPER-cased clone planted under
+    * `doc_id + CloneIdOffset`, so the case-insensitive collapse path
+    * runs on real rows at every scale (the corpus itself has exact
+    * dups, but no case-variant ones — without the plant the collation
+    * and binary groupings would agree and the gate could not tell
+    * them apart). */
+  private[graft] val CloneMod = 97L
+  private[graft] val CloneIdOffset = 1000000L
+
+  /** COLLATION-AWARE DEDUP (Spark 4 collations) — exact dedup under
+    * the `UTF8_LCASE` collation: texts that differ only by letter case
+    * are ONE group, collapsed by the engine's collation machinery in
+    * the groupBy key itself rather than by a `lower()` projection.
+    * The distinction matters operationally: a collated column carries
+    * case-insensitive semantics through EVERY downstream comparison
+    * (joins, DISTINCT, set ops) without each call site remembering to
+    * re-apply the normalizer — the same reason databases put collation
+    * in the type system. Output is one row per group: the surviving
+    * (minimum) doc_id, the copy count, and the group's md5 over the
+    * case-folded text.
+    *
+    * Oracle parity: DuckDB has no UTF8_LCASE, so the oracle groups by
+    * `lower(text)`. For this corpus the two are IDENTICAL because the
+    * texts are pure ASCII at every scale (verified; the 10× corpus
+    * replicates texts byte-for-byte), where UTF8_LCASE's Unicode case
+    * fold coincides with ASCII lower(). On non-ASCII data they can
+    * legally diverge (final sigma, Turkish I) — that divergence is a
+    * property of the collation, not a bug in either engine.
+    *
+    * Scale shape: identical to d1 — one hash-partitioned shuffle on
+    * the (collated) text key; the planted clones are a 1-in-97 narrow
+    * map union. The group key shuffles the case-folded text bytes
+    * here (collation keys hash the fold); a 100 TB run would dedup on
+    * `md5(lower(text))` first and keep the collated type for the
+    * survivor table's downstream joins. */
+  def d229CollationDedup(spark: SparkSession, dir: String): DataFrame = {
+    val base = docs(spark, dir).select(col("doc_id"), col("text"))
+    val clones = base.filter(col("doc_id") % CloneMod === 0)
+      .select((col("doc_id") + CloneIdOffset).as("doc_id"),
+        upper(col("text")).as("text"))
+    base.unionByName(clones)
+      .groupBy(collate(col("text"), "UTF8_LCASE").as("key"))
+      .agg(min("doc_id").as("survivor_id"), count(lit(1)).as("n_copies"))
+      // lower() of ANY group member is the same string (ASCII), so the
+      // group key's nondeterministic representative (first-seen casing)
+      // never reaches the output
+      .select(md5(lower(col("key"))).as("grp"),
+        col("survivor_id"), col("n_copies"))
+      .orderBy("survivor_id")
+  }
+
+  val d229Oracle: String =
+    s"""WITH allr AS (
+         SELECT doc_id, text FROM documents
+         UNION ALL
+         SELECT doc_id + $CloneIdOffset, upper(text) FROM documents
+         WHERE doc_id % $CloneMod = 0)
+       SELECT md5(lower(text)) AS grp, min(doc_id) AS survivor_id,
+         count(*) AS n_copies
+       FROM allr GROUP BY lower(text), md5(lower(text))
+       ORDER BY survivor_id"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d1_exact_dedup" -> (d1ExactDedup _),
+    "d229_collation_dedup" -> (d229CollationDedup _),
     "d5_text_stats" -> (d5TextStats _),
     "d6_quality_score" -> (d6QualityScore _),
     "d7_token_count" -> (d7TokenCount _),
@@ -853,6 +918,7 @@ object TextOps {
 
   val oracles: Map[String, String] = Map(
     "d1_exact_dedup" -> d1Oracle,
+    "d229_collation_dedup" -> d229Oracle,
     "d5_text_stats" -> d5Oracle,
     "d6_quality_score" -> d6Oracle,
     "d7_token_count" -> d7Oracle,

@@ -2020,14 +2020,24 @@ object StreamGates {
       requireRocksDb(query)
       val dirs = Option(out.toFile.list())
         .getOrElse(Array.empty[String]).toSeq.sorted
-      require(dirs == Seq("b0", "b1"),
-        s"expected one admitted-set dir per micro-batch, got $dirs")
-      require(admitted.get(1L) == admitted.get(0L) + 1,
+      // a zero-row corpus is degenerate but legal (the EmptyCorpusSpec
+      // contract): batch 0 then carries no rows, is skipped by the
+      // isEmpty guard like a maintenance batch, and only the probe's
+      // b1 exists — admitted(0) defaults to 0 and the re-admission
+      // arithmetic still pins the probe
+      val expectDirs =
+        if (admitted.containsKey(0L)) Seq("b0", "b1") else Seq("b1")
+      require(dirs == expectDirs,
+        s"expected one admitted-set dir per data micro-batch, got $dirs")
+      // CHM.get on an absent key unboxes null to 0L — exactly the
+      // zero-admissions default the empty-corpus batch needs
+      val admitted0: Long = admitted.get(0L)
+      require(admitted.get(1L) == admitted0 + 1,
         s"TTL did not expire: batch 1 admitted ${admitted.get(1L)} keys, " +
-          s"expected batch 0's ${admitted.get(0L)} re-admissions plus " +
+          s"expected batch 0's $admitted0 re-admissions plus " +
           "the probe — expired state must leave the store and forget " +
           "the key")
-      spark.read.parquet(s"$out/b0", s"$out/b1")
+      spark.read.parquet(dirs.map(d => s"$out/$d"): _*)
         .orderBy("batch", "text_hash").localCheckpoint()
         .orderBy("batch", "text_hash")
     } finally { deltree(staged); deltree(out); deltree(ckpt) }
@@ -2191,7 +2201,141 @@ object StreamGates {
     }
   }
 
+  // -------------------------------------------------------------- d233
+  /** DIMENSION REFRESH under a live stream — the operational hole in
+    * d159's enrichment story: d159 joins a dimension fixed for the
+    * stream's lifetime, but production dimensions are REBUILT while
+    * the stream runs (the nightly LTV recompute, a feature-store
+    * publish), and Spark's plain stream-static parquet join does NOT
+    * see those rebuilds — the static side's file listing is snapshot
+    * at plan time, so an overwritten directory yields stale rows or a
+    * FileNotFound, silently or loudly serving yesterday's features
+    * forever. The documented production recipe is the one gated here:
+    * `foreachBatch` re-creates the dimension DataFrame INSIDE the
+    * batch closure (a fresh `spark.read` per micro-batch → a fresh
+    * file index), so each batch joins the dimension version current
+    * at its start. The gate drives it end to end: the event log
+    * splits into two mtime-pinned micro-batches (even event_ids, then
+    * odd); the dimension starts as v1 (per-user purchase count) and
+    * is REBUILT as v2 (purchase+view count — the recompute that
+    * widens a feature's definition) after batch 0 commits; batch 1's
+    * enrichment must carry v2. An in-op require pins the refresh
+    * (every batch-0 match is v1, every batch-1 match is v2 — a cached
+    * or plan-time-snapshot dimension fails it), and the DuckDB oracle
+    * replays both halves against their respective dimension
+    * definitions.
+    *
+    * Scale shape: the per-batch dim re-read is the pattern's entire
+    * cost — one (broadcastable) dimension scan per trigger, bought
+    * deliberately instead of a stale join; the stream side is a
+    * stateless map+broadcast-join per batch (no state store, no
+    * watermark), and the batchId-keyed overwrite sink keeps retries
+    * idempotent (d170's discipline). */
+  def d233DimRefresh(spark: SparkSession, dir: String): DataFrame = {
+    val staged = Files.createTempDirectory("graft-d233-src")
+    val dimRoot = Files.createTempDirectory("graft-d233-dim")
+    val outRoot = Files.createTempDirectory("graft-d233-out")
+    val ckpt = Files.createTempDirectory("graft-d233-ckpt")
+    try {
+      val dimPath = dimRoot.resolve("user_dim").toString
+      def publishDim(version: Int): Unit = {
+        val types =
+          if (version == 1) Seq("purchase") else Seq("purchase", "view")
+        Tables.load(spark, dir, "events")
+          .filter(col("event_type").isin(types: _*))
+          .groupBy("user_id")
+          .agg(count(lit(1)).as("feat"))
+          .withColumn("dim_v", lit(version.toLong))
+          .write.mode("overwrite").parquet(dimPath)
+      }
+      publishDim(1)
+      val raw = spark.read.parquet(s"$dir/events.parquet")
+      val modBase = System.currentTimeMillis()
+      def plant(pred: org.apache.spark.sql.Column, i: Int): Unit = {
+        val nm = s"a$i.parquet"
+        stagePart(raw.filter(pred), staged, nm, "graft-d233-w")
+        staged.resolve(nm).toFile.setLastModified(modBase + i * 1000L); ()
+      }
+      plant(col("event_id") % 2 === 0, 0)
+      plant(col("event_id") % 2 =!= 0, 1)
+      def processBatch(df: org.apache.spark.sql.Dataset[
+          org.apache.spark.sql.Row], id: Long): Unit = {
+        // fresh DataFrame → fresh file index → the CURRENT dim version
+        val dimNow = spark.read.parquet(dimPath)
+        df.filter(col("event_type") === "click")
+          .select(col("event_id"), col("user_id"), lit(id).as("batch"))
+          .join(broadcast(dimNow), Seq("user_id"), "left")
+          .write.mode("overwrite").parquet(s"$outRoot/b$id")
+        // the nightly rebuild lands AFTER batch 0 commits, BEFORE
+        // batch 1 starts — deterministic under AvailableNow's
+        // sequential triggers
+        if (id == 0L) publishDim(2)
+      }
+      val query = spark.readStream.schema(raw.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(staged.toString)
+        .writeStream
+        .foreachBatch((df: org.apache.spark.sql.Dataset[
+          org.apache.spark.sql.Row], id: Long) => processBatch(df, id))
+        .option("checkpointLocation", ckpt.toString)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      query.awaitTermination()
+      val od = Option(outRoot.toFile.list())
+        .getOrElse(Array.empty[String]).toSeq.sorted
+      require(od == Seq("b0", "b1"),
+        s"expected exactly one output dir per micro-batch, got $od")
+      val out = spark.read.parquet(s"$outRoot/b0", s"$outRoot/b1")
+        .localCheckpoint()
+      // the refresh pin: matched rows must carry exactly their batch's
+      // dim version — a plan-time-snapshot or cached dimension serves
+      // v1 to batch 1 and fails here
+      val vs = out.filter(col("dim_v").isNotNull)
+        .groupBy("batch").agg(min("dim_v").as("lo"), max("dim_v").as("hi"))
+        .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2)))
+        .toMap // ≤2 rows — driver-bounded
+      // every batch with matched rows must have seen exactly ITS
+      // version (batch id + 1); vacuous on a zero-row corpus, where
+      // no batch matches anything — the op stays total on empty
+      vs.foreach { case (b, range) =>
+        require(range == (b + 1, b + 1),
+          s"stale dimension served: batch $b saw dim_v range $range")
+      }
+      out.select("event_id", "user_id", "batch", "dim_v", "feat")
+        .orderBy("event_id")
+    } finally {
+      deltree(staged); deltree(dimRoot); deltree(outRoot); deltree(ckpt)
+    }
+  }
+
+  /** Both halves replayed against their own dimension definition: the
+    * even-id clicks against the v1 (purchase-count) dim, the odd-id
+    * clicks against the v2 (purchase+view) dim. */
+  val d233Oracle: String =
+    """WITH v1 AS (
+         SELECT user_id, count(*) AS feat FROM events
+         WHERE event_type = 'purchase' GROUP BY user_id),
+       v2 AS (
+         SELECT user_id, count(*) AS feat FROM events
+         WHERE event_type IN ('purchase', 'view') GROUP BY user_id),
+       c AS (
+         SELECT event_id, user_id, event_id % 2 AS par FROM events
+         WHERE event_type = 'click')
+       SELECT c.event_id, c.user_id, CAST(0 AS BIGINT) AS batch,
+         CAST(CASE WHEN v1.user_id IS NULL THEN NULL ELSE 1 END AS BIGINT)
+           AS dim_v,
+         v1.feat
+       FROM c LEFT JOIN v1 USING (user_id) WHERE c.par = 0
+       UNION ALL
+       SELECT c.event_id, c.user_id, CAST(1 AS BIGINT) AS batch,
+         CAST(CASE WHEN v2.user_id IS NULL THEN NULL ELSE 2 END AS BIGINT)
+           AS dim_v,
+         v2.feat
+       FROM c LEFT JOIN v2 USING (user_id) WHERE c.par = 1
+       ORDER BY event_id"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d233_dim_refresh" -> (d233DimRefresh _),
     "d50_stream_decontaminate" -> (d50StreamDecontaminate _),
     "d64_stream_sessions" -> (d64StreamSessions _),
     "d76_stream_dedup" -> (d76StreamDedup _),
@@ -2251,5 +2395,6 @@ object StreamGates {
     "d218_union_watermarks" -> d218Oracle,
     "d226_stream_ann_ingest" -> graft.ops.Similarity.d226Oracle,
     "d227_ttl_expiry" -> d227Oracle,
-    "d228_state_evolution" -> d228Oracle)
+    "d228_state_evolution" -> d228Oracle,
+    "d233_dim_refresh" -> d233Oracle)
 }

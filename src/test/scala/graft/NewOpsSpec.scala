@@ -2616,4 +2616,150 @@ class NewOpsSpec extends SparkSpec {
     assert(got.map(_.getAs[Long]("doc_id")).toSeq == src.toSeq,
       "read-back must be every source doc exactly once, in key order")
   }
+
+  // ------------------------------------------------------------- d229
+  test("d229 collation dedup: case variants collapse to one group, " +
+      "whitespace variants do not, and binary grouping would split them") {
+    val dir = tmp()
+    import spark.implicits._
+    // id 0 is a CloneMod multiple, so the op plants an UPPER clone of
+    // it at 0 + CloneIdOffset; id 1 is a hand-planted case variant of
+    // id 0; id 2 differs by WHITESPACE only (a different string under
+    // any collation); id 3 is unrelated.
+    val rows = Seq(
+      (0L, "Hello World"), (1L, "HELLO world"),
+      (2L, "hello  world"), (3L, "other text"))
+    rows.map { case (i, t) => (i, t, "en", "s", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+
+    val got = TextOps.d229CollationDedup(spark, dir).collect()
+      .map(r => (r.getLong(1), r.getLong(2)))
+    assert(got.toSeq == Seq(
+      (0L, 3L), // ids 0, 1 and the planted clone of 0 — ONE group
+      (2L, 1L), // double space: a distinct string, collation or not
+      (3L, 1L)), s"got ${got.toSeq}")
+    // the divergence the collation exists to encode: binary grouping
+    // splits the case variants into distinct groups
+    val binaryGroups = spark.read.parquet(s"$dir/documents.parquet")
+      .groupBy("text").count().count()
+    assert(binaryGroups == 4,
+      "binary semantics must see 4 distinct texts where UTF8_LCASE sees 3")
+    // and the collation comparison itself, straight through SQL
+    assert(spark.sql(
+      "SELECT 'Foo' COLLATE UTF8_LCASE = 'fOO'").first().getBoolean(0),
+      "UTF8_LCASE equality must be case-insensitive")
+  }
+
+  // ------------------------------------------------------------- d230
+  test("d230 dynamic partition pruning: the dim-side filter reaches the " +
+      "partitioned fact scan as a runtime subquery; plain scans don't") {
+    val dir = tmp()
+    import spark.implicits._
+    val types = CorpusOps.FunnelClasses.map(_._1)
+    val rows = types.zipWithIndex.flatMap { case (t, ti) =>
+      (0 until 3).map(i => ((ti * 3 + i).toLong, t, (i + 1).toDouble))
+    }
+    rows.toDF("event_id", "event_type", "value")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+
+    val df = CorpusOps.d230DppPrune(spark, dir)
+    val got = df.collect().map(r =>
+      (r.getString(0), r.getLong(1), r.getDouble(2)))
+    assert(got.toSeq == Seq(("click", 3L, 6.0), ("view", 3L, 6.0)),
+      s"got ${got.toSeq}")
+    // discriminative: the same join over an UNPARTITIONED copy plans
+    // no dynamic pruning — the subquery exists because the layout does
+    val dim = CorpusOps.FunnelClasses.toDF("event_type", "class")
+    val flat = spark.read.parquet(s"$dir/events.parquet")
+      .join(dim.filter(col("class") === "browse"), Seq("event_type"))
+      .groupBy("event_type").agg(count(lit(1)).as("n"))
+    assert(!flat.queryExecution.executedPlan.toString
+        .contains("dynamicpruning"),
+      "unpartitioned scan must not carry a pruning subquery")
+    // the fixture invariant is ASSERTED: a drifted type population
+    // fails loudly instead of silently dropping a class
+    val drift = tmp()
+    rows.take(6).toDF("event_id", "event_type", "value")
+      .write.mode("overwrite").parquet(s"$drift/events.parquet")
+    intercept[IllegalArgumentException] {
+      CorpusOps.d230DppPrune(spark, drift)
+    }
+  }
+
+  // ------------------------------------------------------------- d232
+  test("d232 hll rollup: persisted daily sketches union to the exact " +
+      "month distincts on planted overlapping cohorts") {
+    val dir = tmp()
+    import spark.implicits._
+    // month 1: day 1 holds users 1..100, day 2 holds 51..150 (the
+    // overlap makes month-exact 150 ≠ sum of days 200 — a broken
+    // union that ADDS estimates instead of merging registers is off
+    // by 33% and trips the booleans); month 2: users 1..40.
+    val rows =
+      (1L to 100L).map(u => ("2024-01-01 10:00:00", u)) ++
+      (51L to 150L).map(u => ("2024-01-02 10:00:00", u)) ++
+      (1L to 40L).map(u => ("2024-02-05 10:00:00", u))
+    rows.zipWithIndex.map { case ((d, u), i) =>
+      (i.toLong, java.sql.Timestamp.valueOf(d), u, "view", 1.0)
+    }.toDF("event_id", "ts", "user_id", "event_type", "value")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+
+    val got = CorpusOps.d232HllRollup(spark, dir).collect()
+      .map(r => (r.getDate(0).toString, r.getLong(1),
+        r.getBoolean(2), r.getBoolean(3), r.getBoolean(4)))
+    assert(got.toSeq == Seq(
+      ("2024-01-01", 150L, true, true, true),
+      ("2024-02-01", 40L, true, true, true)), s"got ${got.toSeq}")
+  }
+
+  // ------------------------------------------------------------- d231
+  test("d231 index compaction: a planted cross-batch copy pair " +
+      "best-matches each other through the compacted artifact") {
+    val dir = tmp()
+    import spark.implicits._
+    // 450 deterministic 64-dim vectors: ids 0..299 corpus, 300..399
+    // batch A, 400..449 batch B; id 425 (batch B, on the 1-in-25
+    // audit panel) is a byte-identical copy of id 50 (corpus, also on
+    // the panel) — identical vectors encode to identical codes, so
+    // each is the other's ADC argmin through any layout of the store.
+    // nonlinear in the id: a linear formula makes CONSECUTIVE ids
+    // near-identical vectors, which all quantize to the SAME codes —
+    // the planted pair then ties with its neighbors and the argmin
+    // tie-break picks the lowest id, not the copy
+    def vec(i: Long): Seq[Float] =
+      (0 until 64).map { d =>
+        val x = i * 73 + d * 151
+        ((x * x + x) % 997).toFloat / 997f
+      }
+    val n = 450L
+    val rows = (0L until n).map { i =>
+      val src = if (i == 425L) 50L else i
+      (i, vec(src), (i % 3).toInt)
+    }
+    rows.toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+
+    val got = graft.ops.Similarity.queries("d231_index_compact")(spark, dir)
+      .collect()
+    val panel = (0L until n).filter(_ % graft.ops.Similarity.AuditMod == 0)
+    assert(got.map(_.getLong(0)).toSeq == panel,
+      s"audit must cover exactly the 1-in-25 panel, got ${got.length} rows")
+    val byId = got.map(r => r.getLong(0) ->
+      (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+    assert(byId(425L)._1 == 50L,
+      s"copy 425 must best-match its original 50, got ${byId(425L)}")
+    // what ADC guarantees for a twin pair — and no more: identical
+    // vectors share cell, residual, and CODES, so each direction's
+    // best distance is the shared quantization error (symmetric), and
+    // ties WITHIN the code equivalence class resolve to the lowest
+    // cand_id. 425 therefore finds 50 (the class minimum), but 50
+    // finds whichever same-code vector has the lowest id — here 93,
+    // which quantizes to the same 4 codes — NOT its high-id copy. The
+    // oracle reproduces the identical tie-break corpus-wide.
+    assert(byId(425L)._2 == byId(50L)._2 && byId(425L)._3 == byId(50L)._3,
+      s"copy-pair audit must be symmetric: ${byId(50L)} vs ${byId(425L)}")
+    assert(byId(50L)._1 < 425L,
+      "50's best match can only be a lower-id member of the code class")
+  }
 }

@@ -1232,6 +1232,39 @@ class StreamingSpec extends SparkSpec {
     assert(got.head.getString(3) == "novel")
   }
 
+  test("d233 dim refresh: batch 0 joins the v1 dim, batch 1 the v2 " +
+      "rebuild; users outside a version's definition stay null") {
+    import spark.implicits._
+    // u1: 2 purchases + 1 view → v1 feat 2, v2 feat 3;
+    // u2: 3 views, no purchase → absent from v1 (null batch-0 match),
+    //     feat 3 under v2's widened definition.
+    // Clicks land on both parities so BOTH batches see both users.
+    val rows = Seq(
+      (10L, "purchase", 1L), (11L, "purchase", 1L), (12L, "view", 1L),
+      (13L, "view", 2L), (14L, "view", 2L), (15L, "view", 2L),
+      (20L, "click", 1L), (21L, "click", 1L),
+      (22L, "click", 2L), (23L, "click", 2L))
+    val dir = Files.createTempDirectory("graft-d233-spec").toString
+    rows.zipWithIndex.map { case ((id, t, u), i) =>
+      (id, java.sql.Timestamp.valueOf("2024-01-01 10:00:00"), u, t,
+        1.0 + i)
+    }.toDF("event_id", "ts", "user_id", "event_type", "value")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+
+    val got = graft.streaming.StreamGates.d233DimRefresh(spark, dir)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3),
+        if (r.isNullAt(4)) -1L else r.getLong(4)))
+      .toList
+    assert(got == List(
+      (20L, 1L, 0L, 1L, 2L), // even click, u1: v1 purchase count
+      (21L, 1L, 1L, 2L, 3L), // odd click, u1: v2 widened count
+      (22L, 2L, 0L, -1L, -1L), // even click, u2: no v1 row — null
+      (23L, 2L, 1L, 2L, 3L)), // odd click, u2: v2 sees the views
+      s"got $got")
+  }
+
   test("streaming sessionization equals batch q18") {
     val dir = stageEventsDir()
     val q = EventStreams.sessionCounts(EventStreams.readEvents(spark, dir))
