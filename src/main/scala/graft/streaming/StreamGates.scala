@@ -2334,7 +2334,102 @@ object StreamGates {
        FROM c LEFT JOIN v2 USING (user_id) WHERE c.par = 1
        ORDER BY event_id"""
 
+  // -------------------------------------------------------------- d234
+  /** OBSERVED METRICS on a streaming ingest — `Dataset.observe()`, the
+    * API that attaches data-quality counters to a query WITHOUT a
+    * second scan: the aggregates ride the existing physical plan
+    * (accumulator-backed, exactly-once per micro-batch) and surface in
+    * each batch's `StreamingQueryProgress.observedMetrics`. This is
+    * how a production ingest reports rows/bad-rows/money-moved per
+    * trigger to its monitoring system — the alternative (a separate
+    * aggregation query) doubles the read and can disagree with what
+    * the sink actually saw. The gate drives the event log through two
+    * mtime-pinned micro-batches with three observed counters (row
+    * count, purchase count, exact cents), collects the per-batch
+    * metrics FROM THE PROGRESS OBJECTS, and requires them equal to
+    * aggregates recomputed from the rows each batch actually wrote —
+    * the exactly-once metric contract, asserted as data. The gate
+    * output is the observed-metrics table itself; the DuckDB oracle
+    * recomputes both batches' counters from the raw table by the
+    * staging parity.
+    *
+    * Scale shape: observe() adds a metrics-only aggregate over rows
+    * already flowing (no extra scan, no shuffle — accumulator merge on
+    * the driver); the verification re-aggregation here is gate
+    * machinery, not part of the pattern's production cost. */
+  def d234StreamObserve(spark: SparkSession, dir: String): DataFrame = {
+    val staged = Files.createTempDirectory("graft-d234-src")
+    val outRoot = Files.createTempDirectory("graft-d234-out")
+    val ckpt = Files.createTempDirectory("graft-d234-ckpt")
+    try {
+      val raw = spark.read.parquet(s"$dir/events.parquet")
+      val modBase = System.currentTimeMillis()
+      def plant(pred: org.apache.spark.sql.Column, i: Int): Unit = {
+        val nm = s"a$i.parquet"
+        stagePart(raw.filter(pred), staged, nm, "graft-d234-w")
+        staged.resolve(nm).toFile.setLastModified(modBase + i * 1000L); ()
+      }
+      plant(col("event_id") % 2 === 0, 0)
+      plant(col("event_id") % 2 =!= 0, 1)
+      val query = spark.readStream.schema(raw.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(staged.toString)
+        .observe("graft_ingest",
+          count(lit(1)).as("n_rows"),
+          sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+            .as("n_purchases"),
+          sum(round(col("value") * 100).cast("long")).as("cents"))
+        .writeStream
+        .foreachBatch((df: org.apache.spark.sql.Dataset[
+            org.apache.spark.sql.Row], id: Long) =>
+          df.select(col("event_id"), col("event_type"), col("value"))
+            .write.mode("overwrite").parquet(s"$outRoot/b$id"): Unit)
+        .option("checkpointLocation", ckpt.toString)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      query.awaitTermination()
+      def nz(r: org.apache.spark.sql.Row, i: Int): Long =
+        if (r.isNullAt(i)) 0L else r.getLong(i)
+      // zero-count batch entries drop: a zero-row corpus still fires
+      // two (empty) triggers, but its oracle aggregate has no groups —
+      // the gate's rows are the batches that carried data
+      val observed = query.recentProgress.toSeq.flatMap { p =>
+        Option(p.observedMetrics.get("graft_ingest"))
+          .map(r => (p.batchId, nz(r, 0), nz(r, 1), nz(r, 2)))
+      }.sortBy(_._1).filter(_._2 > 0)
+      require(raw.isEmpty || observed.map(_._1) == Seq(0L, 1L),
+        s"expected observed metrics for exactly batches 0 and 1, got " +
+          s"${observed.map(_._1)}")
+      // the exactly-once pin: observed counters must equal aggregates
+      // over the rows the same batch COMMITTED to the sink
+      observed.foreach { case (id, nRows, nPurch, cents) =>
+        val truth = spark.read.parquet(s"$outRoot/b$id")
+          .agg(count(lit(1)), sum(when(col("event_type") === "purchase",
+            1L).otherwise(0L)), sum(round(col("value") * 100).cast("long")))
+          .collect().head // 1 row — driver-bounded
+        val t = (nz(truth, 0), nz(truth, 1), nz(truth, 2))
+        require(t == ((nRows, nPurch, cents)),
+          s"batch $id observed ($nRows, $nPurch, $cents) but committed $t")
+      }
+      import spark.implicits._
+      observed.toDF("batch", "n_rows", "n_purchases", "cents")
+        .orderBy("batch")
+    } finally {
+      deltree(staged); deltree(outRoot); deltree(ckpt)
+    }
+  }
+
+  /** Both batches' counters from the raw table by the staging parity. */
+  val d234Oracle: String =
+    """SELECT CAST(event_id % 2 AS BIGINT) AS batch,
+         count(*) AS n_rows,
+         CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+           AS BIGINT) AS n_purchases,
+         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+       FROM events GROUP BY 1 ORDER BY batch"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d234_stream_observe" -> (d234StreamObserve _),
     "d233_dim_refresh" -> (d233DimRefresh _),
     "d50_stream_decontaminate" -> (d50StreamDecontaminate _),
     "d64_stream_sessions" -> (d64StreamSessions _),
@@ -2396,5 +2491,6 @@ object StreamGates {
     "d226_stream_ann_ingest" -> graft.ops.Similarity.d226Oracle,
     "d227_ttl_expiry" -> d227Oracle,
     "d228_state_evolution" -> d228Oracle,
-    "d233_dim_refresh" -> d233Oracle)
+    "d233_dim_refresh" -> d233Oracle,
+    "d234_stream_observe" -> d234Oracle)
 }

@@ -1265,6 +1265,28 @@ class StreamingSpec extends SparkSpec {
       s"got $got")
   }
 
+  test("d234 observed metrics equal hand-computed per-batch counters") {
+    import spark.implicits._
+    val rows = Seq(
+      (0L, "purchase", 1.25), (1L, "view", 2.50), (2L, "purchase", 3.00),
+      (3L, "purchase", 0.50), (4L, "view", 1.00), (5L, "view", 2.00))
+    val dir = Files.createTempDirectory("graft-d234-spec").toString
+    rows.zipWithIndex.map { case ((id, t, v), i) =>
+      (id, java.sql.Timestamp.valueOf("2024-01-01 10:00:00"),
+        (i % 2).toLong, t, v)
+    }.toDF("event_id", "ts", "user_id", "event_type", "value")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+
+    val got = graft.streaming.StreamGates.d234StreamObserve(spark, dir)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toList
+    assert(got == List(
+      (0L, 3L, 2L, 525L), // even ids 0/2/4: two purchases, 5.25 total
+      (1L, 3L, 1L, 500L)), // odd ids 1/3/5: one purchase, 5.00 total
+      s"got $got")
+  }
+
   test("streaming sessionization equals batch q18") {
     val dir = stageEventsDir()
     val q = EventStreams.sessionCounts(EventStreams.readEvents(spark, dir))
