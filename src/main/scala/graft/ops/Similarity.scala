@@ -2310,6 +2310,14 @@ object Similarity {
     * O(store²). */
   private[graft] val AuditMod = 25L
 
+  /** Hard panel budget: the audit is a fixed-cost integrity SAMPLE, so
+    * its size must not scale with the store — without the cap a 10×
+    * corpus pays 10× panel × 10× bucket width = 100× audit work
+    * (measured: 5.7 s → 45 s at the 10× fixture). The cap binds only
+    * past 25·AuditCap vectors; the panel stays deterministic (lowest
+    * qualifying ids). */
+  private[graft] val AuditCap = 200
+
   /** Target partition count of the compacted index artifact. */
   private[graft] val CompactFiles = 4
 
@@ -2396,10 +2404,13 @@ object Similarity {
           s"compacted cell ranges interleave: ${ranges.mkString(",")}")
       }
       val panel = e.filter(col("vec_id") % AuditMod === 0)
+        .orderBy("vec_id").limit(AuditCap).localCheckpoint()
       val audit = ingestProbe(panel, compact, cents, books, IngestDupE4,
         excludeSelf = true).localCheckpoint()
+      // checkpointed: exceptAll evaluates both directions — an
+      // unmaterialized `before` would re-run the whole probe twice
       val before = ingestProbe(panel, parts, cents, books, IngestDupE4,
-        excludeSelf = true)
+        excludeSelf = true).localCheckpoint()
       require(audit.exceptAll(before).isEmpty &&
           before.exceptAll(audit).isEmpty,
         "compaction changed serving results on the audit panel")
@@ -2513,7 +2524,8 @@ object Similarity {
        idx2 AS (SELECT vec_id, m, code, cell FROM idx0
               UNION ALL SELECT vec_id, m, code, cell FROM acodes
               UNION ALL SELECT vec_id, m, code, cell FROM bcodes),
-       panel AS (SELECT vec_id, v FROM e WHERE vec_id % $AuditMod = 0),
+       panel AS (SELECT vec_id, v FROM e WHERE vec_id % $AuditMod = 0
+              ORDER BY vec_id LIMIT $AuditCap),
        pp AS (${probeSql("panel")}),
        lutp AS (${lutSql("pp", "panel")}),
        adcp AS (${adcSql("lutp", "idx2")}),

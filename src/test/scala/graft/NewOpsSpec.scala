@@ -2668,6 +2668,33 @@ class NewOpsSpec extends SparkSpec {
       (r.getString(0), r.getLong(1), r.getDouble(2)))
     assert(got.toSeq == Seq(("click", 3L, 6.0), ("view", 3L, 6.0)),
       s"got ${got.toSeq}")
+    // the pruning must be REAL, not just planned: after execution the
+    // fact scan's metrics show it read only the 2 browse partitions'
+    // files out of 5 written
+    def walk(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[org.apache.spark.sql.execution.SparkPlan] = p match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a +: walk(a.executedPlan)
+      case s: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        // materialized AQE stages hide their plan from `children`
+        s +: walk(s.plan)
+      case q => q +: (q.children.flatMap(walk) ++ q.subqueries.flatMap(walk))
+    }
+    val factScans = walk(df.queryExecution.executedPlan).collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec
+          if f.relation.partitionSchema.nonEmpty => f
+    }
+    assert(factScans.nonEmpty, "expected a partitioned fact scan")
+    factScans.foreach { f =>
+      val nFiles = f.metrics("numFiles").value
+      val all = f.relation.location.inputFiles
+      val browse = all.count(p =>
+        p.contains("event_type=view") || p.contains("event_type=click"))
+      assert(browse < all.length, "fixture must have prunable partitions")
+      assert(nFiles == browse,
+        s"runtime pruning must cut the scan to the browse partitions' " +
+          s"$browse files (of ${all.length}), read $nFiles")
+    }
     // discriminative: the same join over an UNPARTITIONED copy plans
     // no dynamic pruning — the subquery exists because the layout does
     val dim = CorpusOps.FunnelClasses.toDF("event_type", "class")
