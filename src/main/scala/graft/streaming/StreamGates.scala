@@ -33,6 +33,28 @@ object StreamGates {
     * keeps re-runs (bench warmup + 3 timed passes, verify) apart. */
   private val runSeq = new AtomicLong()
 
+  /** Shuffle-partition count pinned around every stateful `start()` —
+    * this is the number of STATE STORE instances each stateful operator
+    * creates (and, once a checkpoint exists, the count is frozen into
+    * it: state cannot be rescaled on resume, which is why every gate
+    * pins it explicitly rather than inheriting the session's scan-width
+    * default). Sizing rule at any scale: state partitions track keyed
+    * THROUGHPUT and state volume, not corpus scan width — each extra
+    * partition costs one store instance (open/commit/maintenance per
+    * micro-batch; a RocksDB instance each under that provider) every
+    * batch, so over-provisioning is a per-batch tax. The gate fixtures
+    * carry a few hundred state rows; 4 partitions keeps the keyed
+    * exchange distributed (plan shape unchanged — the same Exchange
+    * hashpartitioning feeds the same stateful operator) at half the
+    * per-batch store overhead of the previous 8 (measured r17:
+    * 6-gate streaming probe 21.2 s → 16.7 s isolated — 2 partitions
+    * measured no better at 16.9 s; every gate hash-identical at
+    * sf0.01/sf0.1). Env-overridable for production
+    * replays (SPARK_GRAFT_STREAM_STATE_PARTS), where a real deployment
+    * sizes it to sustained events/sec x state bytes per key. */
+  private[streaming] val StatePartitions: String =
+    sys.env.getOrElse("SPARK_GRAFT_STREAM_STATE_PARTS", "4")
+
   /** Stage `<dir>/<table>.parquet` behind a fresh symlink directory for
     * a file-stream source — per-run unique (concurrent runs can't
     * clobber each other) and read-only over the source testdata. */
@@ -155,7 +177,7 @@ object StreamGates {
       // one state store per shuffle partition — pin to the gate fixture
       // and restore (the d107/d179 conf discipline)
       val prev = spark.conf.get("spark.sql.shuffle.partitions")
-      spark.conf.set("spark.sql.shuffle.partitions", "8")
+      spark.conf.set("spark.sql.shuffle.partitions", StatePartitions)
       val query =
         try EventStreams.sessionCountsTws(stream)
           .writeStream.format("memory").queryName(name)
@@ -201,7 +223,7 @@ object StreamGates {
       // one state store per shuffle partition — pin to the gate fixture
       // and restore (the d107/d179 conf discipline)
       val prev = spark.conf.get("spark.sql.shuffle.partitions")
-      spark.conf.set("spark.sql.shuffle.partitions", "8")
+      spark.conf.set("spark.sql.shuffle.partitions", StatePartitions)
       val query =
         try EventStreams.closedSessionsTws(stream)
           .filter(col("user_id") >= 0)
@@ -280,7 +302,7 @@ object StreamGates {
         timestamp_micros((col("doc_id") % 3000L + 86400L) * 1000000L))
     val name = s"graft_d225_run${runSeq.incrementAndGet()}"
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    spark.conf.set("spark.sql.shuffle.partitions", StatePartitions)
     val query =
       try IngestStreams.dedupedDocs(stream)
         .select(col("text_hash"))
@@ -382,7 +404,7 @@ object StreamGates {
       // one state store per shuffle partition — pin to the gate fixture
       // and restore (the d107/d179 conf discipline)
       val prev = spark.conf.get("spark.sql.shuffle.partitions")
-      spark.conf.set("spark.sql.shuffle.partitions", "8")
+      spark.conf.set("spark.sql.shuffle.partitions", StatePartitions)
       val query =
         try EventStreams.sessionCountsTwsBootstrapped(stream, initial)
           .writeStream.format("memory").queryName(name)
@@ -450,7 +472,7 @@ object StreamGates {
       // one state store per shuffle partition — pin to the gate fixture
       // and restore (the d107/d179 conf discipline)
       val prev = spark.conf.get("spark.sql.shuffle.partitions")
-      spark.conf.set("spark.sql.shuffle.partitions", "8")
+      spark.conf.set("spark.sql.shuffle.partitions", StatePartitions)
       val query =
         try EventStreams.typeBurstsTws(stream)
           .filter(col("user_id") >= 0)
@@ -623,7 +645,7 @@ object StreamGates {
     // stream and restore after — production sizes this to key
     // cardinality, the gate to its fixture (the d93 conf discipline).
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    spark.conf.set("spark.sql.shuffle.partitions", StatePartitions)
     val query =
       try purchases
         .join(views,
@@ -1110,7 +1132,7 @@ object StreamGates {
     // two state stores per shuffle partition — pin partitions to the
     // gate fixture and restore (the d107 conf discipline)
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    spark.conf.set("spark.sql.shuffle.partitions", StatePartitions)
     val query =
       try purchases
         .join(views,
@@ -1193,7 +1215,7 @@ object StreamGates {
       .withWatermark("ts", "1 hour")
     val name = s"graft_d218_run${runSeq.incrementAndGet()}"
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    spark.conf.set("spark.sql.shuffle.partitions", StatePartitions)
     val query =
       try a.unionByName(b)
         .groupBy(window(col("ts"), "1 hour"), col("event_type"))
@@ -1258,7 +1280,7 @@ object StreamGates {
     // two state stores per shuffle partition — pin partitions to the
     // gate fixture and restore (the d107 conf discipline)
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    spark.conf.set("spark.sql.shuffle.partitions", StatePartitions)
     val query =
       try purchases
         .join(views,
@@ -1315,7 +1337,7 @@ object StreamGates {
       Seq("zz_flush"))
     val name = s"graft_d205_run${runSeq.incrementAndGet()}"
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    spark.conf.set("spark.sql.shuffle.partitions", StatePartitions)
     val query =
       try EventStreams.readEvents(spark, staged.toString)
         .withWatermark("ts", "1 hour")
@@ -1503,7 +1525,7 @@ object StreamGates {
       // partitions to the gate fixture and restore (the d107/d179
       // conf discipline; store init dominates the gate's cost)
       val prev = spark.conf.get("spark.sql.shuffle.partitions")
-      spark.conf.set("spark.sql.shuffle.partitions", "8")
+      spark.conf.set("spark.sql.shuffle.partitions", StatePartitions)
       val q =
         try EventStreams.readEvents(spark, staged.toString)
           .withWatermark("ts", "1 hour")
@@ -1612,7 +1634,7 @@ object StreamGates {
     plant(sentinel, 10)
     val name = s"graft_d209_run${runSeq.incrementAndGet()}"
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    spark.conf.set("spark.sql.shuffle.partitions", StatePartitions)
     val query =
       try EventStreams.hourlyCounts(
           EventStreams.readEvents(spark, staged.toString,
@@ -1839,7 +1861,7 @@ object StreamGates {
         val ckpt = Files.createTempDirectory("graft-d228-ckpt")
         val out = Files.createTempDirectory("graft-d228-out")
         val prev = spark.conf.get("spark.sql.shuffle.partitions")
-        spark.conf.set("spark.sql.shuffle.partitions", "8")
+        spark.conf.set("spark.sql.shuffle.partitions", StatePartitions)
         try {
           val modBase = System.currentTimeMillis()
           // the memory sink cannot resume a checkpoint; both phases
@@ -1975,7 +1997,7 @@ object StreamGates {
         staged.resolve(nm).toFile.setLastModified(modBase + i * 1000L); ()
       }
       val admitted = new java.util.concurrent.ConcurrentHashMap[Long, Long]()
-      spark.conf.set("spark.sql.shuffle.partitions", "8")
+      spark.conf.set("spark.sql.shuffle.partitions", StatePartitions)
       // NOT AvailableNow: a processing-time-mode stateful operator
       // reports shouldRunAnotherBatch = true unconditionally (TTL
       // sweeps and processing-time timers can always have more work),
