@@ -23,9 +23,28 @@ val jdk17AddOpens = Seq(
   "java.base/sun.nio.ch", "java.base/sun.nio.cs",
   "java.base/sun.security.action", "java.base/sun.util.calendar",
 ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
+// Scratch placement (optimization guide §2.1/§6): java.io.tmpdir feeds
+// every scratch consumer — spark.local.dir (shuffle files, broadcast
+// blocks), streaming checkpoint/state trees (offset+commit logs and
+// RocksDB working dirs are fsync-heavy), and the gates' staged source
+// dirs. The sandbox's /tmp is VM-disk-backed; /dev/shm is tmpfs. The
+// streaming family measured 86.0 s -> 75.4 s isolated (31 gates, sf0.1,
+// min-of-3 sweeps) from this one placement change, with the
+// RocksDB/changelog/recovery gates the biggest movers. Production
+// equivalent: point SPARK_GRAFT_TMPDIR (or spark.local.dir) at the
+// fastest local scratch (NVMe); data inputs/outputs are never placed
+// here — only per-run temp state, so no results are cached across runs.
+val graftScratch: String = {
+  val dir = sys.env.getOrElse("SPARK_GRAFT_TMPDIR",
+    if (file("/dev/shm").isDirectory) "/dev/shm/graft-tmp"
+    else sys.props("java.io.tmpdir"))
+  IO.createDirectory(file(dir)) // tmpdir must exist at JVM start
+  dir
+}
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
+  s"-Djava.io.tmpdir=$graftScratch",
   // Xms pinned to Xmx: adaptive heap growth under a full-suite warmup
   // produced 3-8x per-query timing variance on an idle box (see
   // SURVEY §8 bench-harness note); a fixed heap removes the GC
