@@ -252,16 +252,23 @@ object Similarity {
   /** One Lloyd update: element-wise mean of each cell's member vectors.
     * Means are rounded to 4dp so the trained centroids are reproducible
     * across engines and across shuffle merge orders (double summation
-    * order is otherwise nondeterministic); `collect_list` of (i, mean)
-    * structs is array_sort'ed so element order never depends on
-    * aggregation order. */
-  private def updateCentroids(assigned: DataFrame): DataFrame =
-    assigned.select(col("cell"), posexplode(col("v")).as(Seq("i", "x")))
-      .groupBy("cell", "i").agg(round(avg("x"), 4).as("cx"))
-      .groupBy("cell")
-      .agg(array_sort(collect_list(struct(col("i"), col("cx")))).as("a"))
-      .select(col("cell").as("cent_id"),
-        transform(col("a"), s => s.getField("cx")).as("cv"))
+    * order is otherwise nondeterministic). The dimensionality is a
+    * fixture constant ([[PqFullDim]]), so the element means are
+    * computed as one `avg(v[i])` aggregate per dimension on the
+    * UNEXPLODED rows — one partial-aggregating exchange of K·dims
+    * buffer cells keyed on the cell id, where the previous
+    * posexplode → groupBy(cell, i) → collect_list/array_sort
+    * formulation shuffled dims·N exploded element rows and paid a
+    * second (cell)-keyed exchange plus an ObjectHashAggregate to
+    * reassemble element order (optimization guide §2.3/§2.4: aggregate
+    * before the shuffle, remove the second exchange outright; element
+    * order is now positional by construction). */
+  private def updateCentroids(assigned: DataFrame,
+      dims: Int = PqFullDim): DataFrame =
+    assigned.groupBy(col("cell"))
+      .agg(array((0 until dims).map(i =>
+        round(avg(col("v").getItem(i)), 4)): _*).as("cv"))
+      .select(col("cell").as("cent_id"), col("cv"))
 
   /** The trained coarse quantizer shared by d14 IVF search, the
     * training-objective monitor, and d59 semantic dedup: centroids
@@ -1690,14 +1697,14 @@ object Similarity {
 
   /** One PQ Lloyd update: element-wise 4dp-rounded mean per
     * (subspace, code) — the [[updateCentroids]] discipline on the
-    * subspace key. */
+    * subspace key: one `avg(sv[i])` aggregate per subspace dimension
+    * on the unexploded rows (one exchange keyed on (m, code)), not the
+    * posexplode → two-exchange → collect_list reassembly (guide
+    * §2.3/§2.4). */
   private def pqUpdate(a: DataFrame): DataFrame = a
-    .select(col("m"), col("code"), posexplode(col("sv")).as(Seq("i", "x")))
-    .groupBy("m", "code", "i").agg(round(avg("x"), 4).as("cx"))
-    .groupBy("m", "code")
-    .agg(array_sort(collect_list(struct(col("i"), col("cx")))).as("a"))
-    .select(col("m"), col("code"),
-      transform(col("a"), s => s.getField("cx")).as("cv"))
+    .groupBy(col("m"), col("code"))
+    .agg(array((0 until PqDim).map(i =>
+      round(avg(col("sv").getItem(i)), 4)): _*).as("cv"))
 
   /** Train the [[PqM]] subspace codebooks over the deterministic
     * 1-in-[[TrainMod]] sample: first-`pqK` init, [[LloydIters]]
