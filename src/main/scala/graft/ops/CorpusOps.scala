@@ -22,7 +22,8 @@ import graft.Tables
 object CorpusOps {
 
   private def docs(spark: SparkSession, dir: String): DataFrame =
-    Tables.load(spark, dir, "documents")
+    Tables.spread(Tables.load(spark, dir, "documents"),
+      Tables.sizeOf(dir, "documents"))
 
   import TextOps.tokens
 

@@ -33,7 +33,8 @@ import graft.Tables
 object FuzzyDedup {
 
   private def docs(spark: SparkSession, dir: String): DataFrame =
-    Tables.load(spark, dir, "documents")
+    Tables.spread(Tables.load(spark, dir, "documents"),
+      Tables.sizeOf(dir, "documents"))
 
   /** MinHash parameters: 8 signatures → 4 bands × 2 rows. With the
     * band-collision probability 1-(1-j^2)^4, pairs at Jaccard 0.9 are

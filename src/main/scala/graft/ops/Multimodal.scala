@@ -32,6 +32,13 @@ import graft.Tables
   */
 object Multimodal {
 
+  /** Decode-path spread quantum (see [[graft.Tables.spread]]): media
+    * decode costs ~10× more CPU per source byte than text regex work
+    * (payloads are synthesized at ~8× the source text bytes, then
+    * resampled/hashed per pixel or per PCM window), so the decode
+    * sites spread at a finer grain than the 1 MB text default. */
+  private val MediaSpreadQuantum = 256L << 10
+
   /** One media blob: id + modality tag + opaque payload. */
   final case class MediaBlob(doc_id: Long, modality: String, data: Array[Byte])
 
@@ -119,7 +126,8 @@ object Multimodal {
     * deterministically from doc_id — stand-in for a real media table). */
   def blobs(spark: SparkSession, dir: String): Dataset[MediaBlob] = {
     import spark.implicits._
-    Tables.load(spark, dir, "documents")
+    Tables.spread(Tables.load(spark, dir, "documents"),
+        Tables.sizeOf(dir, "documents"), bytesPerTask = MediaSpreadQuantum)
       .select(
         col("doc_id"),
         when(col("doc_id") % 3 === 0, lit("image"))
@@ -244,7 +252,8 @@ object Multimodal {
       encode(lit(s"P5\n$DHashW $DHashH\n255\n"), "UTF-8"),
       encode(expr(s"substr(repeat(text, cast(ceil($n.0 / length(text)) as int)), 1, $n)"),
         "UTF-8"))
-    val blobs = Tables.load(spark, dir, "documents")
+    val blobs = Tables.spread(Tables.load(spark, dir, "documents"),
+        Tables.sizeOf(dir, "documents"), bytesPerTask = MediaSpreadQuantum)
       // an empty document cannot pad a payload (ANSI: ceil(n/0) throws)
       // and would decode to nothing anyway — excluded in both engines
       .filter(length(col("text")) > 0)
@@ -319,7 +328,8 @@ object Multimodal {
     * front half, shared with the d198 transcode audit. */
   private[graft] def audioHashes(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val blobs = Tables.load(spark, dir, "documents")
+    val blobs = Tables.spread(Tables.load(spark, dir, "documents"),
+        Tables.sizeOf(dir, "documents"), bytesPerTask = MediaSpreadQuantum)
       // same empty-payload exclusion as d70 (ANSI ceil-by-zero)
       .filter(length(col("text")) > 0)
       .select(col("doc_id"), concat(
@@ -418,7 +428,9 @@ object Multimodal {
     * values (417/418 bytes at 44.1 kHz 128 kbps) in `MediaSpec`. */
   def d139Mp3Meta(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val ids = Tables.load(spark, dir, "documents").select("doc_id")
+    val ids = Tables.spread(
+        Tables.load(spark, dir, "documents").select("doc_id"),
+        Tables.sizeOf(dir, "documents"), bytesPerTask = MediaSpreadQuantum)
       .as[Long]
     val parsed = ids.mapPartitions { it =>
       it.flatMap { id =>
@@ -743,7 +755,8 @@ object Multimodal {
       encode(concat(lit("P5\n"), w.cast("string"), lit(" "),
         h.cast("string"), lit("\n255\n")), "UTF-8"),
       expr("substring(encode(repeat(text, cast(ceil((wh + 0.0) / length(text)) as int)), 'UTF-8'), 1, wh)"))
-    val blobs = Tables.load(spark, dir, "documents")
+    val blobs = Tables.spread(Tables.load(spark, dir, "documents"),
+        Tables.sizeOf(dir, "documents"), bytesPerTask = MediaSpreadQuantum)
       .filter(length(col("text")) > 0) // cannot pad a payload (d70)
       .withColumn("wh", n)
       .select(col("doc_id"), pgm.as("data"))

@@ -25,7 +25,11 @@ import graft.Tables
 object Similarity {
 
   private def emb(spark: SparkSession, dir: String): DataFrame =
-    Tables.load(spark, dir, "embeddings")
+    // 2 MB/task: the embedding store is dense fixed-width vectors and
+    // its consumers re-read checkpointed frames many times per query —
+    // finer grains multiply every downstream job's task count
+    Tables.spread(Tables.load(spark, dir, "embeddings"),
+      Tables.sizeOf(dir, "embeddings"), bytesPerTask = 2L << 20)
       .select(col("vec_id"), col("label"),
         // array cast, not transform(_.cast): Cast widens float→double
         // element-wise inside codegen; the HOF form is an interpreted

@@ -20,7 +20,8 @@ import graft.Tables
 object TextOps {
 
   private def docs(spark: SparkSession, dir: String): DataFrame =
-    Tables.load(spark, dir, "documents")
+    Tables.spread(Tables.load(spark, dir, "documents"),
+      Tables.sizeOf(dir, "documents"))
 
   /** Whitespace tokens of a text column (`\S+` runs, like a whitespace
     * pre-tokenizer). */

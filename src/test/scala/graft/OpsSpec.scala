@@ -76,12 +76,20 @@ class OpsSpec extends AnyFunSuite with SparkSpec {
     assert(probeFilters.nonEmpty,
       "no FilterExec carries the CMS probe — the sketch was optimized away")
     // the probe must prune the token stream BEFORE the count shuffle:
-    // its subtree is exchange-free or the vocabulary-sized exchange the
-    // sketch exists to shrink already happened
+    // no KEYED exchange may sit below it, or the vocabulary-sized
+    // exchange the sketch exists to shrink already happened. A
+    // round-robin exchange is exempt: that is Tables.spread restoring
+    // scan width on the single-row-group test corpus (a no-op at any
+    // production layout), which moves raw doc rows, not the exploded
+    // token stream the pin protects.
     probeFilters.foreach { f =>
-      val shuffles = collectPlans(f).collect { case s: ShuffleExchangeLike => s }
-      assert(shuffles.isEmpty,
-        "the CMS probe runs above a shuffle — it must gate the exchange")
+      val keyed = collectPlans(f).collect {
+        case s: ShuffleExchangeLike if !s.outputPartitioning
+          .isInstanceOf[org.apache.spark.sql.catalyst.plans.physical
+            .RoundRobinPartitioning] => s
+      }
+      assert(keyed.isEmpty,
+        "the CMS probe runs above a keyed shuffle — it must gate the exchange")
     }
   }
 
