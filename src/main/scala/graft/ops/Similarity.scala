@@ -1495,13 +1495,20 @@ object Similarity {
     val wa = Window.partitionBy("a_id").orderBy(col("c").desc, col("b_id"))
     val wb = Window.partitionBy("b_id").orderBy(col("c").desc, col("a_id"))
     val k = BitextK
+    // window passes grouped BY PARTITION KEY (guide §2.4): all three
+    // a_id-clustered columns are computed under ONE a_id exchange, then
+    // all three b_id-clustered ones under ONE b_id exchange — the
+    // previous ra,rb,sa,na,sb,nb order alternated keys and paid six
+    // keyed exchanges of the candidate table where four suffice (each
+    // column is a per-row function of its own partition, so evaluation
+    // order across keys cannot change any value)
     val scored = pairs
       .withColumn("ra", row_number().over(wa))
-      .withColumn("rb", row_number().over(wb))
       .withColumn("sa", sum(when(col("ra") <= k, col("c")))
         .over(Window.partitionBy("a_id")))
       .withColumn("na", sum(when(col("ra") <= k, lit(1L)))
         .over(Window.partitionBy("a_id")))
+      .withColumn("rb", row_number().over(wb))
       .withColumn("sb", sum(when(col("rb") <= k, col("c")))
         .over(Window.partitionBy("b_id")))
       .withColumn("nb", sum(when(col("rb") <= k, lit(1L)))
