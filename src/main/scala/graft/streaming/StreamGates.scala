@@ -137,7 +137,8 @@ object StreamGates {
     * file); per-user timestamps are batch-sorted inside the state
     * function, so the counts equal the batch window formulation
     * exactly — which is precisely the claim the gate hash-checks. */
-  def d64StreamSessions(spark: SparkSession, dir: String): DataFrame = {
+  def d64StreamSessions(spark: SparkSession, dir: String): DataFrame =
+      withStateParts(spark) {
     val staged = stage(dir, "events", "graft-d64")
     // readEvents declares the µs-long ts and normalizes to a real
     // TimestampType at ingest — the same scan contract as the batch side
@@ -153,7 +154,7 @@ object StreamGates {
     spark.table(name)
       .select(col("user_id"), col("n_sessions"), col("n_events"))
       .orderBy("user_id")
-  }
+  } // withStateParts
 
   /** q18's oracle verbatim — the streaming path must agree with the
     * batch sessionization definition, not a streaming-specific one. */
@@ -544,7 +545,8 @@ object StreamGates {
     * the oracle can pin deterministically. Covers the state-store
     * dedup path (d50 covers stateless broadcast maps, d64 covers
     * `mapGroupsWithState`). */
-  def d76StreamDedup(spark: SparkSession, dir: String): DataFrame = {
+  def d76StreamDedup(spark: SparkSession, dir: String): DataFrame =
+      withStateParts(spark) {
     val docs = Tables.load(spark, dir, "documents")
     val staged = stage(dir, "documents", "graft-d76")
     val stream = spark.readStream.schema(docs.schema).parquet(staged.toString)
@@ -565,7 +567,7 @@ object StreamGates {
     query.awaitTermination()
     unstage(staged)
     spark.table(name).orderBy("text_hash")
-  }
+  } // withStateParts
 
   /** One row per distinct content — the arrival-order-free projection
     * of d1's exact dedup. */
@@ -593,7 +595,8 @@ object StreamGates {
     * all window state, which is fine for a gate over a finite table and
     * wrong for an unbounded stream — the mode choice, not the plan, is
     * what differs. */
-  def d104StreamHourly(spark: SparkSession, dir: String): DataFrame = {
+  def d104StreamHourly(spark: SparkSession, dir: String): DataFrame =
+      withStateParts(spark) {
     val staged = stage(dir, "events", "graft-d104")
     val stream = EventStreams.readEvents(spark, staged.toString)
     val name = s"graft_d104_run${runSeq.incrementAndGet()}"
@@ -605,7 +608,7 @@ object StreamGates {
     query.awaitTermination()
     unstage(staged)
     spark.table(name).orderBy("hour", "event_type")
-  }
+  } // withStateParts
 
   /** q17's oracle verbatim — the streaming windowed aggregation must
     * agree with the batch hourly rollup definition. */
@@ -730,7 +733,8 @@ object StreamGates {
       d127Body(spark, dir, rocksdb = true, changelog = true)))
 
   private def d127Body(spark: SparkSession, dir: String,
-      rocksdb: Boolean, changelog: Boolean = false): DataFrame = {
+      rocksdb: Boolean, changelog: Boolean = false): DataFrame =
+      withStateParts(spark) {
     val staged = Files.createTempDirectory("graft-d127-src")
     val ckpt = Files.createTempDirectory("graft-d127-ckpt")
     // split the raw file (read WITHOUT timestamp normalization, so the
@@ -762,7 +766,7 @@ object StreamGates {
     // the memory table is driver-resident; the temp trees can go now
     deltree(staged); deltree(ckpt)
     spark.table(name2).orderBy("hour", "event_type")
-  }
+  } // withStateParts
 
   /** q17's oracle verbatim over the WHOLE log — only a true resume
     * (recovered state + no reprocessing) reproduces it. */
@@ -802,7 +806,8 @@ object StreamGates {
     * At scale the watermark is THE state bound: allowed lateness ×
     * input rate caps the state store; this gate is the contract for
     * what that cap costs in data. */
-  def d145StreamLateDrops(spark: SparkSession, dir: String): DataFrame = {
+  def d145StreamLateDrops(spark: SparkSession, dir: String): DataFrame =
+      withStateParts(spark) {
     val staged = Files.createTempDirectory("graft-d145-src")
     val ckpt = Files.createTempDirectory("graft-d145-ckpt")
     // the raw encoding (no ts normalization), exactly as d127 — the
@@ -870,7 +875,7 @@ object StreamGates {
       .localCheckpoint() // the temp sink dir can be deleted after this
     deltree(staged); deltree(ckpt); deltree(out)
     result
-  }
+  } // withStateParts
 
   /** Batch replay of the watermark semantics: on-time rows always
     * count; a late row counts iff its hour window was still open at
@@ -1397,7 +1402,8 @@ object StreamGates {
     * session) record bounded by the watermark horizon — the unbounded
     *-session risk d92 handles in batch is exactly what the gap bound
     * prevents live. */
-  def d180SessionWindows(spark: SparkSession, dir: String): DataFrame = {
+  def d180SessionWindows(spark: SparkSession, dir: String): DataFrame =
+      withStateParts(spark) {
     val staged = stageWithSentinels(spark, dir, "graft-d180", Seq("view"))
     val stream = EventStreams.readEvents(spark, staged.toString)
       .withWatermark("ts", "1 hour")
@@ -1417,7 +1423,7 @@ object StreamGates {
     unstage(staged)
     spark.table(name).filter(col("user_id") >= 0)
       .orderBy("user_id", "s_start")
-  }
+  } // withStateParts
 
   /** Gaps-and-islands replay of the session semantics: a new session
     * starts when the inter-event gap STRICTLY exceeds the inactivity
@@ -1710,6 +1716,21 @@ object StreamGates {
     * (the withRocksDb discipline, generalized: the conf is read at
     * query start, so the wrapper must span every `start()` including
     * checkpoint resumes). */
+  /** Pin the state-partition count around a stateful gate's `start()`
+    * — the [[StatePartitions]] sizing discipline as a wrapper, so the
+    * gates that predate it (d64/d76/d104/d127-family/d145/d180) ride
+    * the same pin as the fourteen explicit sites. The shuffle-partition
+    * count at query START is the state-store instance count frozen
+    * into the checkpoint, and every instance pays open/commit per
+    * micro-batch: at the session's 32 scan-width partitions these six
+    * gates burned 20-100 CPU-seconds of per-store machinery per run on
+    * a few hundred rows of state (profiled r17: d195 102 s, d145 61 s,
+    * d180 55 s, d207 50 s, d127 38 s, d104 36 s task-time against
+    * 1-5 s wall). Stateful-op results are partition-count-independent:
+    * every group lives in exactly one store whatever the count. */
+  private def withStateParts[T](spark: SparkSession)(body: => T): T =
+    withConf(spark, "spark.sql.shuffle.partitions", StatePartitions)(body)
+
   private[graft] def withConf[T](spark: SparkSession, key: String,
       value: String)(body: => T): T = {
     val prev = spark.conf.getOption(key)
