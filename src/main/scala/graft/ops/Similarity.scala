@@ -2390,13 +2390,17 @@ object Similarity {
       val parts = spark.read.parquet(
           Seq("base", "b0", "b1").map(n => s"$root/idx/$n"): _*)
         .localCheckpoint()
-      val nParts = parts.count()
+      // count identity from the artifacts' committed footers (guide
+      // §1.2) — the store dirs and the compacted dir carry their row
+      // counts in parquet metadata; no scan job per count
+      val nParts = graft.io.ParquetMeta.rowCount(
+        Seq("base", "b0", "b1").map(n => s"$root/idx/$n"): _*)
       val filesBefore = dataFiles("idx")
       parts.repartitionByRange(CompactFiles, col("cell"), col("vec_id"))
         .sortWithinPartitions("cell", "vec_id", "m")
         .write.mode("overwrite").parquet(s"$root/compact")
       val compact = spark.read.parquet(s"$root/compact").localCheckpoint()
-      val nCompact = compact.count()
+      val nCompact = graft.io.ParquetMeta.rowCount(s"$root/compact")
       require(nCompact == nParts,
         s"compaction changed the store: $nParts rows in, $nCompact out")
       // the bound is ABSOLUTE (≤ CompactFiles whatever the store held):

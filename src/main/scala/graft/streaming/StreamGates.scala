@@ -2175,7 +2175,10 @@ object StreamGates {
       val cents = freeze(cents0, "cents.parquet")
       val books = freeze(books0, "books.parquet")
       codes0.write.mode("overwrite").parquet(s"$idxRoot/base")
-      val baseRows = spark.read.parquet(s"$idxRoot/base").count()
+      // audit counts from the artifacts' own footers (guide §1.2): the
+      // staleness pin needs committed row counts, which the parquet
+      // footers carry — a metadata read, not a Spark scan job per count
+      val baseRows = graft.io.ParquetMeta.rowCount(s"$idxRoot/base")
 
       val raw = spark.read.parquet(s"$dir/embeddings.parquet")
       val modBase = System.currentTimeMillis()
@@ -2199,9 +2202,12 @@ object StreamGates {
         val deltas = Option(idxRoot.toFile.list())
           .getOrElse(Array.empty[String]).filter(_ != s"b$id").sorted
           .toIndexedSeq
+        // footer count over the SAME dirs the probe reads; idx itself
+        // has one consumer now (the probe), so no localCheckpoint
         val idx = spark.read
-          .parquet(deltas.map(n => s"$idxRoot/$n"): _*).localCheckpoint()
-        idxRead.put(id, idx.count())
+          .parquet(deltas.map(n => s"$idxRoot/$n"): _*)
+        idxRead.put(id,
+          graft.io.ParquetMeta.rowCount(deltas.map(n => s"$idxRoot/$n"): _*))
         val codes = Similarity.ingestEncode(arr, cents, books)
           .localCheckpoint() // feeds the verdict's cell col AND the append
         val verd = Similarity.ingestProbe(arr, idx, cents, books, threshE4)
@@ -2213,7 +2219,7 @@ object StreamGates {
         codes.join(verd.filter(col("verdict") === "novel").select("vec_id"),
             Seq("vec_id"), "left_semi")
           .write.mode("overwrite").parquet(s"$idxRoot/b$id")
-        codesAdded.put(id, spark.read.parquet(s"$idxRoot/b$id").count())
+        codesAdded.put(id, graft.io.ParquetMeta.rowCount(s"$idxRoot/b$id"))
       }
       val query = spark.readStream.schema(raw.schema)
         .option("maxFilesPerTrigger", "1")
