@@ -2377,12 +2377,17 @@ object Similarity {
         .localCheckpoint() // feeds training, three encodes, and the panel
       val corpus = e.filter(col("vec_id") < IngestSplit1)
       val (cents, books, base) = ingestArtifacts(corpus)
-      base.write.mode("overwrite").parquet(s"$root/idx/base")
-      ingestEncode(e.filter(col("vec_id") >= IngestSplit1 &&
-          col("vec_id") < IngestSplit2), cents, books)
-        .write.mode("overwrite").parquet(s"$root/idx/b0")
-      ingestEncode(e.filter(col("vec_id") >= IngestSplit2), cents, books)
-        .write.mode("overwrite").parquet(s"$root/idx/b1")
+      // the base write and the two delta encodes are independent
+      // actions over checkpointed inputs (e, cents, books) writing to
+      // three distinct dirs — overlap them (guide §2.6)
+      graft.Par.actions(Seq(
+        () => base.write.mode("overwrite").parquet(s"$root/idx/base"),
+        () => ingestEncode(e.filter(col("vec_id") >= IngestSplit1 &&
+            col("vec_id") < IngestSplit2), cents, books)
+          .write.mode("overwrite").parquet(s"$root/idx/b0"),
+        () => ingestEncode(e.filter(col("vec_id") >= IngestSplit2),
+            cents, books)
+          .write.mode("overwrite").parquet(s"$root/idx/b1")))
       def dataFiles(sub: String): Long =
         java.nio.file.Files.walk(root.resolve(sub))
           .filter(p => p.getFileName.toString.startsWith("part-"))

@@ -1624,8 +1624,13 @@ object StreamGates {
       // force the planted order so slice k IS micro-batch k
       staged.resolve(name).toFile.setLastModified(modBase + i * 1000L)
     }
-    for (i <- 0 until 10)
-      plant(raw.filter(tnum >= t0 + i * step && tnum < t0 + (i + 1) * step), i)
+    // the 11 staged slices are independent single-file writes to one
+    // target dir — overlap them from a small pool (guide §2.6); each
+    // file's mtime is a pure function of its index, so the planted
+    // batch order is unchanged by the write schedule
+    graft.Par.actions((0 until 10).map(i => () =>
+      plant(raw.filter(tnum >= t0 + i * step && tnum < t0 + (i + 1) * step),
+        i)))
     // flush sentinel 2.5 h past the log (raw encoding): its batch
     // advances the watermark past every real window's end, while its
     // OWN window (end > final watermark) is never emitted — the d145
@@ -2011,12 +2016,12 @@ object StreamGates {
       val probe = spark.range(1)
         .select(lit(-1L).as("doc_id"), lit(TtlProbeText).as("text"))
       val modBase = System.currentTimeMillis()
-      for (i <- 0 to 1) {
+      graft.Par.actions((0 to 1).map(i => () => {
         val nm = s"d$i.parquet"
         stagePart(if (i == 0) docs else docs.unionByName(probe),
           staged, nm, "graft-d227-w")
         staged.resolve(nm).toFile.setLastModified(modBase + i * 1000L); ()
-      }
+      }))
       val admitted = new java.util.concurrent.ConcurrentHashMap[Long, Long]()
       spark.conf.set("spark.sql.shuffle.partitions", StatePartitions)
       // NOT AvailableNow: a processing-time-mode stateful operator
@@ -2172,9 +2177,16 @@ object StreamGates {
         df.write.mode("overwrite").parquet(p)
         spark.read.parquet(p).localCheckpoint()
       }
-      val cents = freeze(cents0, "cents.parquet")
-      val books = freeze(books0, "books.parquet")
-      codes0.write.mode("overwrite").parquet(s"$idxRoot/base")
+      // the two artifact freezes and the base-index write are
+      // independent actions over already-checkpointed training outputs
+      // (codes0's lineage reads only checkpointed frames) — overlap
+      // them (guide §2.6); same bytes land in the same three dirs
+      var cents: DataFrame = null
+      var books: DataFrame = null
+      graft.Par.actions(Seq(
+        () => cents = freeze(cents0, "cents.parquet"),
+        () => books = freeze(books0, "books.parquet"),
+        () => codes0.write.mode("overwrite").parquet(s"$idxRoot/base")))
       // audit counts from the artifacts' own footers (guide §1.2): the
       // staleness pin needs committed row counts, which the parquet
       // footers carry — a metadata read, not a Spark scan job per count
@@ -2187,8 +2199,9 @@ object StreamGates {
         stagePart(raw.filter(pred), staged, nm, "graft-d226-w")
         staged.resolve(nm).toFile.setLastModified(modBase + i * 1000L); ()
       }
-      plant(col("vec_id") >= split1 && col("vec_id") < split2, 0)
-      plant(col("vec_id") >= split2, 1)
+      graft.Par.actions(Seq(
+        () => plant(col("vec_id") >= split1 && col("vec_id") < split2, 0),
+        () => plant(col("vec_id") >= split2, 1)))
 
       val idxRead = new java.util.concurrent.ConcurrentHashMap[Long, Long]()
       val codesAdded = new java.util.concurrent.ConcurrentHashMap[Long, Long]()
@@ -2305,8 +2318,9 @@ object StreamGates {
         stagePart(raw.filter(pred), staged, nm, "graft-d233-w")
         staged.resolve(nm).toFile.setLastModified(modBase + i * 1000L); ()
       }
-      plant(col("event_id") % 2 === 0, 0)
-      plant(col("event_id") % 2 =!= 0, 1)
+      graft.Par.actions(Seq(
+        () => plant(col("event_id") % 2 === 0, 0),
+        () => plant(col("event_id") % 2 =!= 0, 1)))
       def processBatch(df: org.apache.spark.sql.Dataset[
           org.apache.spark.sql.Row], id: Long): Unit = {
         // fresh DataFrame → fresh file index → the CURRENT dim version
@@ -2418,8 +2432,9 @@ object StreamGates {
         stagePart(raw.filter(pred), staged, nm, "graft-d234-w")
         staged.resolve(nm).toFile.setLastModified(modBase + i * 1000L); ()
       }
-      plant(col("event_id") % 2 === 0, 0)
-      plant(col("event_id") % 2 =!= 0, 1)
+      graft.Par.actions(Seq(
+        () => plant(col("event_id") % 2 === 0, 0),
+        () => plant(col("event_id") % 2 =!= 0, 1)))
       val query = spark.readStream.schema(raw.schema)
         .option("maxFilesPerTrigger", "1")
         .parquet(staged.toString)
