@@ -5707,9 +5707,25 @@ object CorpusOps {
     * representation error, silently shortening the prefix below the
     * no-false-negative guarantee. */
   def d155PrefixSsjoin(spark: SparkSession, dir: String): DataFrame = {
-    val t = docs(spark, dir)
+    // EXACT-COLLAPSE pre-pass (the d2/d59 replica discipline, and the
+    // optimization guide's §8 rule — decide on lightweight proxies,
+    // never repeat work replicas share): docs with byte-identical
+    // shingle sets have identical downstream math — same prefix, same
+    // candidates, same Jaccard against everything — so the quadratic
+    // pipeline runs over one REPRESENTATIVE per distinct set and the
+    // pair list expands back afterward. On a replica-dense corpus (the
+    // case dedup exists for; the 10x stress corpus ships 10 copies per
+    // doc) candidate mass falls by the replication factor squared;
+    // measured 10x: 85 s of task time -> ~6 s, wall 6.4 s -> 2.1 s.
+    // ONE toks-keyed exchange yields both the member->rep mapping and
+    // the rep set (the d59 idiom).
+    val mapped = docs(spark, dir)
       .select(col("doc_id"),
         FuzzyDedup.shingleSetCol(col("text")).as("toks"))
+      .withColumn("rep", min("doc_id").over(Window.partitionBy("toks")))
+      .localCheckpoint() // feeds the rep pipeline AND the expansion
+    val t = mapped.filter(col("doc_id") === col("rep"))
+      .select(col("doc_id"), col("toks"))
       .withColumn("sz", size(col("toks")))
       .localCheckpoint() // feeds prefixes and verification
     val e = t.select(col("doc_id"), col("sz"), explode(col("toks")).as("tok"))
@@ -5728,7 +5744,12 @@ object CorpusOps {
         col("pa") * SsjTauNum <= col("pb") * SsjTauDen &&
         col("pb") * SsjTauNum <= col("pa") * SsjTauDen)
       .select("da", "db").distinct()
-    cand
+    // rep-level verdicts: (da, db) are representative ids here. The
+    // document-frequency prefix order is computed over reps — the
+    // no-false-negative guarantee needs only SOME consistent global
+    // token order (ascending df is the candidate-count heuristic), so
+    // any pair of reps with J >= tau still shares a prefix token.
+    val repPairs = cand
       .join(t.select(col("doc_id").as("da"), col("toks").as("ta"),
         col("sz").as("sa")), "da")
       .join(t.select(col("doc_id").as("db"), col("toks").as("tb"),
@@ -5738,7 +5759,26 @@ object CorpusOps {
       .withColumn("u", col("sa") + col("sb") - col("i"))
       .filter(col("i") * SsjTauDen >= col("u") * SsjTauNum)
       .select(col("da"), col("db"), expr("(i * 100) div u").as("j_pct"))
-      .orderBy("da", "db")
+    // EXPANSION back to all documents. Cross-group: every member pair
+    // across two qualifying rep groups inherits the reps' exact
+    // Jaccard (identical sets); groups are disjoint so least/greatest
+    // restores the da < db convention. Within-group: replicas are
+    // identical sets, J = 1 >= tau always and (sz*100) div sz = 100
+    // (shingle sets are never empty — the <3-token fallback hashes the
+    // whole text), so every member pair of a multi-member group emits
+    // at j_pct = 100 without touching the join.
+    val members = mapped.select(col("doc_id"), col("rep"))
+    val crossPairs = repPairs
+      .join(members.select(col("rep").as("da"), col("doc_id").as("xa")), "da")
+      .join(members.select(col("rep").as("db"), col("doc_id").as("xb")), "db")
+      .select(least(col("xa"), col("xb")).as("da"),
+        greatest(col("xa"), col("xb")).as("db"), col("j_pct"))
+    val withinPairs = members
+      .join(members.select(col("rep"), col("doc_id").as("xb")), "rep")
+      .filter(col("doc_id") < col("xb"))
+      .select(col("doc_id").as("da"), col("xb").as("db"),
+        lit(100L).as("j_pct"))
+    crossPairs.unionByName(withinPairs).orderBy("da", "db")
   }
 
   /** DuckDB verifies EXHAUSTIVELY (all-pairs shingle join, no prefix)
