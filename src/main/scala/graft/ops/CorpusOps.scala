@@ -5709,23 +5709,32 @@ object CorpusOps {
   def d155PrefixSsjoin(spark: SparkSession, dir: String): DataFrame = {
     // EXACT-COLLAPSE pre-pass (the d2/d59 replica discipline, and the
     // optimization guide's §8 rule — decide on lightweight proxies,
-    // never repeat work replicas share): docs with byte-identical
-    // shingle sets have identical downstream math — same prefix, same
-    // candidates, same Jaccard against everything — so the quadratic
-    // pipeline runs over one REPRESENTATIVE per distinct set and the
-    // pair list expands back afterward. On a replica-dense corpus (the
-    // case dedup exists for; the 10x stress corpus ships 10 copies per
-    // doc) candidate mass falls by the replication factor squared;
-    // measured 10x: 85 s of task time -> ~6 s, wall 6.4 s -> 2.1 s.
-    // ONE toks-keyed exchange yields both the member->rep mapping and
-    // the rep set (the d59 idiom).
-    val mapped = docs(spark, dir)
+    // never repeat work replicas share): byte-identical text means
+    // identical shingle sets means identical downstream math — same
+    // prefix, same candidates, same Jaccard against everything — so
+    // the quadratic pipeline runs over one REPRESENTATIVE per distinct
+    // text (the d2 exact-dedup rule, md5 of the text) and the pair
+    // list expands back afterward. Grouping on the 16-byte text hash
+    // keeps the collapse window narrow — the shingle tokenization
+    // itself then runs only over representatives, so on a
+    // replica-dense corpus (the case dedup exists for; the 10x stress
+    // corpus ships 10 copies per doc) both the shingle pass and the
+    // candidate mass fall by the replication factor. Measured 10x:
+    // 85 s of task time -> ~6 s, wall 4.3 s -> 2.1 s.
+    val base = docs(spark, dir).select(col("doc_id"), col("text"))
+    val mapped = base
+      .select(col("doc_id"), md5(col("text")).as("h"))
+      .withColumn("rep", min("doc_id").over(Window.partitionBy("h")))
+      .select(col("doc_id"), col("rep"))
+      .localCheckpoint() // feeds the rep pipeline AND the expansion
+    // text moves ONCE, through this semi-join to the rep set (left to
+    // the planner: broadcastable at gate scale, a keyed shuffle at
+    // production scale — either way shingles are computed per rep)
+    val t = base
+      .join(mapped.filter(col("doc_id") === col("rep")).select("doc_id"),
+        Seq("doc_id"), "left_semi")
       .select(col("doc_id"),
         FuzzyDedup.shingleSetCol(col("text")).as("toks"))
-      .withColumn("rep", min("doc_id").over(Window.partitionBy("toks")))
-      .localCheckpoint() // feeds the rep pipeline AND the expansion
-    val t = mapped.filter(col("doc_id") === col("rep"))
-      .select(col("doc_id"), col("toks"))
       .withColumn("sz", size(col("toks")))
       .localCheckpoint() // feeds prefixes and verification
     val e = t.select(col("doc_id"), col("sz"), explode(col("toks")).as("tok"))
